@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the configuration this engine assumes.
+  *
+  * Local mode is the test harness; the settings are chosen so the same
+  * logical plans scale to a real cluster: AQE handles runtime
+  * coalescing/skew, shuffle partitions default to the local core count
+  * (overridden by `spark.sql.shuffle.partitions` on a cluster), and all
+  * timestamps are pinned to UTC for oracle parity.
+  */
+object GraftSession {
+  def builder(appName: String = "graft", cores: String = "32"): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // Reference semantics are non-throwing: invalid numeric casts
+      // become null-and-drop (SURVEY.md §2.2 F4) and zero-variance corr
+      // yields NaN-and-drop (§2.6 C4); ANSI mode would raise instead.
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+
+  def getOrCreate(appName: String = "graft"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = builder(appName, cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
