@@ -1,0 +1,95 @@
+package graft.etl
+
+import graft.stats.{BenjaminiHochberg, PValues, Spearman}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Per-study all-pairs Spearman + BH analytics job (reference:
+  * scripts/run_correlation_job.py → src/etl_for_all_studies/
+  * correlation_job.py:49-238 + correlation.py:95-162; SURVEY.md §3.2).
+  *
+  * One distributed plan covers ALL target studies at once — study_key
+  * is just another grouping column (the reference loops studies
+  * sequentially; SURVEY.md §2.10 X1 maps that to data parallelism):
+  *
+  *   fact ⋈ dim_sample (J1, broadcast) → pair self-join + shared-sample
+  *   intersection (J5/J6) → per-pair fractional ranks + corr (C1/C2/A4)
+  *   → p-values (C3, erf approx) → per-study BH (C5) → assembly with
+  *   the reference's persist-time NaN policy (C4: null p stored as 1.0,
+  *   q null when p invalid) → dynamic partition overwrite (S7 replace).
+  */
+class CorrelationJob(spark: SparkSession, warehouseDir: String) {
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  private val wh = new Warehouse(spark, warehouseDir)
+
+  /** J2 + F6 + O6: studies having >= 1 expression fact, optionally
+    * restricted to the requested accessions (order-preserving dedup of
+    * the request is the caller's list semantics; missing ones warned).
+    */
+  def resolveTargetStudies(requested: Seq[String]): DataFrame = {
+    val dimStudy = wh.read("dim_study")
+    val withFacts = dimStudy.join(
+      wh.read("fact_expression").select("study_key"), Seq("study_key"), "left_semi")
+    val target =
+      if (requested.isEmpty) withFacts
+      else {
+        val req = requested.distinct
+        val found = withFacts.where(col("gse_accession").isin(req: _*))
+        val foundAcc = found.select("gse_accession").collect().map(_.getString(0)).toSet
+        val missing = req.filterNot(foundAcc.contains)
+        if (missing.nonEmpty)
+          log.warn(s"Requested studies without expression data: ${missing.sorted.mkString(", ")}")
+        found
+      }
+    target.orderBy("gse_accession") // O3
+  }
+
+  /** The analytical core as one DataFrame, pairs keyed and gated. */
+  def correlationsFor(studyKeys: Seq[Long], computedAt: String,
+      minSamples: Int = 2): DataFrame = {
+    val facts = wh.read("fact_expression")
+      .where(col("study_key").isin(studyKeys: _*)) // partition pruning
+    val dimSample = wh.read("dim_sample").select("sample_key", "gsm_accession")
+    val long = facts.join(broadcast(dimSample), Seq("sample_key")) // J1
+      .select(col("study_key"), col("gene_key"), col("gsm_accession"), col("expression_value"))
+
+    val pairs = Spearman.pairCorrelations(long, Seq("study_key"),
+      "gene_key", "gsm_accession", "expression_value", minSamples)
+      .withColumnRenamed("item_a", "gene_a_key")
+      .withColumnRenamed("item_b", "gene_b_key")
+
+    val withP = pairs.withColumn("p_raw",
+      PValues.spearmanP(col("rho"), col("n_samples")))
+    val withQ = BenjaminiHochberg.qValues(withP, Seq(col("study_key")), col("p_raw"), "q_value")
+
+    withQ.select(
+      col("gene_a_key"), col("gene_b_key"),
+      lit(null).cast("long").as("illness_key"), // always null (correlation.py:109,153)
+      col("rho").as("rho_spearman"),
+      coalesce(col("p_raw"), lit(1.0)).as("p_value"), // C4 persist policy
+      col("q_value"),
+      col("n_samples"),
+      lit(computedAt).as("computed_at"),
+      col("study_key"))
+  }
+
+  case class JobSummary(studies: Seq[String], pairs: Long)
+
+  /** Run for the requested studies (all, when empty) and replace their
+    * correlation partitions.
+    */
+  def run(requested: Seq[String] = Seq.empty): JobSummary = {
+    val targets = resolveTargetStudies(requested).collect()
+    if (targets.isEmpty) return JobSummary(Seq.empty, 0L)
+    val keys = targets.map(_.getAs[Long]("study_key")).toSeq
+    // matches Python's datetime.isoformat(timespec="seconds"): +00:00, not Z
+    val computedAt = java.time.OffsetDateTime.now(java.time.ZoneOffset.UTC)
+      .truncatedTo(java.time.temporal.ChronoUnit.SECONDS)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ssxxx"))
+    val out = correlationsFor(keys, computedAt).cache()
+    val n = out.count()
+    wh.overwriteStudyPartitions("fact_gene_pair_corr", out)
+    out.unpersist()
+    JobSummary(targets.map(_.getAs[String]("gse_accession")).toSeq, n)
+  }
+}

@@ -1,0 +1,120 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The full ETL pipeline (reference: scripts/run_etl.py →
+  * src/etl_for_all_studies/pipeline.py:255-356; SURVEY.md §3.1).
+  *
+  * Per study: discover files → normalize metadata (X6 accession
+  * override) → maintain dims (D1-D3) → melt + whitelist-filter the
+  * expression matrix (R1/F1-F4) → key the facts through broadcast dim
+  * joins (J3/J4) → anti-join dedup against existing facts (J7, the
+  * idempotence contract REQ-005/REQ-007) → append.
+  *
+  * Studies process sequentially on the driver but every per-study plan
+  * is fully distributed; failure isolation per study matches the
+  * reference's swallow-log-continue (pipeline.py:351-356).
+  */
+class EtlJob(spark: SparkSession, config: AppConfig, warehouseDir: String) {
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  private val wh = new Warehouse(spark, warehouseDir)
+
+  case class StudyResult(accession: String, samples: Long, facts: Long,
+      error: Option[String] = None)
+
+  def run(): Seq[StudyResult] = {
+    val genes = GeneFilter.load(spark, config.processing.geneFilterFile.toString)
+    val dirs = StudyDiscovery.discoverStudyDirs(config.processing.inputDirectory)
+    dirs.map { dir =>
+      try processStudy(StudyDiscovery.discoverStudyFiles(dir), genes)
+      catch {
+        case e: Exception =>
+          log.error(s"Failed to process study ${dir.getFileName}: ${e.getMessage}")
+          StudyResult(dir.getFileName.toString, 0, 0, Some(e.getMessage))
+      }
+    }
+  }
+
+  def processStudy(files: StudyFiles, geneWhitelist: DataFrame): StudyResult = {
+    val acc = files.studyAccession
+
+    // --- metadata → dims -------------------------------------------------
+    val rawSamples = Metadata.load(spark, files.metadataFile.toString, config.fieldMappings)
+    val samples0 = rawSamples.cache()
+    if (samples0.limit(1).count() == 0)
+      throw new StudyProcessingError(s"No valid samples found in metadata ${files.metadataFile}")
+    val mismatches = Metadata.mismatchCount(samples0, acc)
+    if (mismatches > 0)
+      log.warn(s"$mismatches samples referenced differing study accession (expected $acc)")
+    val samples = Metadata.overrideStudyAccession(samples0, acc)
+
+    val dimStudy = Dims.upsertDim(wh.read("dim_study"),
+      spark.createDataFrame(Seq(Tuple1(acc))).toDF("gse_accession"),
+      "study_key", "gse_accession")
+    wh.writeDim("dim_study", dimStudy)
+    val studyKey = wh.read("dim_study")
+      .where(col("gse_accession") === acc).head.getAs[Long]("study_key")
+
+    val dimPlatform = Dims.upsertDim(wh.read("dim_platform"),
+      samples.select(col("platform_accession")), "platform_key", "platform_accession")
+    wh.writeDim("dim_platform", dimPlatform)
+    val dimIllness = Dims.upsertDim(wh.read("dim_illness"),
+      samples.select(col("illness_label")), "illness_key", "illness_label")
+    wh.writeDim("dim_illness", dimIllness)
+
+    val incoming = Dims.resolveFk(
+      Dims.resolveFk(
+        samples.withColumn("__ord", monotonically_increasing_id())
+          .withColumn("study_key", lit(studyKey)),
+        wh.read("dim_platform"), "platform_accession", "platform_accession", "platform_key"),
+      wh.read("dim_illness"), "illness_label", "illness_label", "illness_key")
+      .select("gsm_accession", "study_key", "platform_key", "illness_key", "age", "sex", "__ord")
+    wh.writeDim("dim_sample", Dims.upsertSampleDim(wh.read("dim_sample"), incoming))
+
+    val quality = Metadata.quality(samples0).head
+    if (config.logging.logDataQuality) {
+      val total = quality.getAs[Long]("total_samples").max(1L)
+      log.info(f"Study $acc: ${quality.getAs[Long]("total_samples")} samples, " +
+        f"age completion ${100.0 * quality.getAs[Long]("complete_age") / total}%.2f%%, " +
+        f"sex completion ${100.0 * quality.getAs[Long]("complete_sex") / total}%.2f%%")
+    }
+
+    // --- expression → facts ----------------------------------------------
+    val expectedSamples = samples.select("gsm_accession").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val melted = ExpressionMatrix.load(spark, files.expressionFile.toString, expectedSamples)
+    val filtered = GeneFilter.filterGenes(melted, geneWhitelist, "gene_id")
+
+    val dimGene = Dims.upsertGeneDim(wh.read("dim_gene"),
+      filtered.select(col("gene_id").as("ensembl_id")))
+    wh.writeDim("dim_gene", dimGene)
+
+    val sampleDim = wh.read("dim_sample")
+      .where(col("study_key") === studyKey)
+      .select(col("gsm_accession").as("sample_accession"), col("sample_key"))
+    val geneDim = wh.read("dim_gene").select(col("ensembl_id").as("gene_id"), col("gene_key"))
+
+    val keyed = filtered
+      .join(broadcast(sampleDim), Seq("sample_accession")) // J3
+      .join(broadcast(geneDim), Seq("gene_id"))            // J4
+      .select(col("sample_key"), col("gene_key"), lit(studyKey).as("study_key"),
+        col("expression_value"))
+
+    val existing = wh.read("fact_expression")
+      .where(col("study_key") === studyKey)                // F7: partition-pruned
+      .select("sample_key", "gene_key")
+    val fresh = keyed.join(existing, Seq("sample_key", "gene_key"), "left_anti") // J7
+      .cache()
+
+    val factCount = fresh.count()
+    wh.appendFacts("fact_expression", fresh)
+    fresh.unpersist()
+
+    val sampleCount = samples0.count()
+    samples0.unpersist()
+    if (config.logging.logRecordCounts)
+      log.info(s"Study $acc: $factCount expression facts written")
+    StudyResult(acc, sampleCount, factCount)
+  }
+}

@@ -1,0 +1,255 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path}
+
+/** Behavior tests mirroring the reference's pytest suite (SURVEY.md §5)
+  * plus the §7.2 minimum end-to-end slice.
+  */
+class EtlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): Path = {
+    val d = Files.createTempDirectory("graft-etl")
+    d.toFile.deleteOnExit(); d
+  }
+
+  private def write(dir: Path, name: String, content: String): Path = {
+    val p = dir.resolve(name)
+    Files.writeString(p, content); p
+  }
+
+  private val metadataTsv =
+    """refinebio_accession_code	experiment_accession	refinebio_age	refinebio_sex	refinebio_platform	characteristics_ch2_illness
+      |GSM1	GSE9006	16	female	GPL96	Healthy
+      |GSM2	GSE9006		female	GPL96	Healthy
+      |GSM3	GSE9006	25	male	GPL96	Diabetes
+      |	GSE9006	1	male	GPL96	Healthy
+      |GSM4	GSE_OTHER	30	male	GPL97	Diabetes
+      |""".stripMargin
+
+  // wide matrix: 3 genes x 4 samples (GSM4 column present; extra sample
+  // column GSM9 not in metadata -> dropped by F2 only if metadata lacks
+  // it; here metadata HAS GSM4 so only GSM9-like cases drop)
+  private val expressionTsv =
+    """gene	GSM1	GSM2	GSM3	GSM4
+      |ENSG1	1.0	2.0	3.0	4.0
+      |ENSG2	2.0	4.0	6.0	8.0
+      |ENSG3	9.0	5.0	1.0	bad
+      |ENSGX	1	1	1	1
+      |
+      |""".stripMargin
+
+  private val filterTsv = "ensembl_id\nENSG1\nENSG2\nENSG3\n ENSG3 \n\n"
+
+  private def makeStudy(root: Path, gse: String = "GSE9006",
+      exprName: Option[String] = None): Path = {
+    val d = Files.createDirectories(root.resolve(gse))
+    write(d, s"metadata_$gse.tsv", metadataTsv)
+    write(d, exprName.getOrElse(s"expression_$gse.tsv"), expressionTsv)
+    d
+  }
+
+  private def config(root: Path, filter: Path): AppConfig = AppConfig(
+    DatabaseConfig("unused"),
+    ProcessingConfig(root, filter),
+    LoggingConfig(logLevel = "WARN"))
+
+  test("S1: discovery prefers expression_<GSE>.tsv, falls back to <GSE>.tsv") {
+    val root = tmpDir()
+    val d = makeStudy(root, "GSE1", exprName = Some("GSE1.tsv"))
+    val files = StudyDiscovery.discoverStudyFiles(d)
+    assert(files.studyAccession == "GSE1")
+    assert(files.expressionFile.getFileName.toString == "GSE1.tsv")
+
+    val d2 = makeStudy(root, "GSE2")
+    assert(StudyDiscovery.discoverStudyFiles(d2)
+      .expressionFile.getFileName.toString == "expression_GSE2.tsv")
+
+    intercept[StudyProcessingError] {
+      StudyDiscovery.discoverStudyFiles(Files.createDirectories(root.resolve("empty")))
+    }
+  }
+
+  test("S3: metadata normalization — variant header, UNKNOWN substitution, blank-GSM skip") {
+    val root = tmpDir()
+    val p = write(root, "metadata_GSE9006.tsv", metadataTsv)
+    val df = Metadata.load(spark, p.toString, FieldMappingConfig()).orderBy("gsm_accession")
+    val rows = df.collect()
+    assert(rows.length == 4) // blank-GSM row dropped
+    val byGsm = rows.map(r => r.getAs[String]("gsm_accession") -> r).toMap
+    // digit-stripped variant characteristics_ch2_illness matches
+    // candidate characteristics_ch1_Illness (tests/test_metadata_processing.py:12-25)
+    assert(byGsm("GSM1").getAs[String]("illness_label") == "Healthy")
+    assert(byGsm("GSM3").getAs[String]("illness_label") == "Diabetes")
+    // age present/blank -> UNKNOWN substitution (REQ-004)
+    assert(byGsm("GSM1").getAs[String]("age") == "16")
+    assert(byGsm("GSM2").getAs[String]("age") == "UNKNOWN")
+    assert(byGsm("GSM1").getAs[String]("sex") == "female")
+    assert(byGsm("GSM1").getAs[String]("platform_accession") == "GPL96")
+  }
+
+  test("S3: no matching headers -> all UNKNOWN (tests/test_metadata_processing.py:28-41)") {
+    val root = tmpDir()
+    val p = write(root, "metadata_X.tsv",
+      "refinebio_accession_code\texperiment_accession\nGSM1\tGSEX\n")
+    val r = Metadata.load(spark, p.toString, FieldMappingConfig()).head
+    Seq("platform_accession", "illness_label", "age", "sex").foreach(c =>
+      assert(r.getAs[String](c) == "UNKNOWN", c))
+    // required-column enforcement
+    val bad = write(root, "metadata_Y.tsv", "foo\tbar\n1\t2\n")
+    intercept[MetadataFormatError] {
+      Metadata.load(spark, bad.toString, FieldMappingConfig())
+    }
+  }
+
+  test("S4/R1/F2-F4: melt drops missing sample columns, blank genes, bad numerics") {
+    val root = tmpDir()
+    val p = write(root, "expression_G.tsv", expressionTsv)
+    // GSM5 expected but absent -> warn+drop; GSM1-3 kept
+    val out = ExpressionMatrix.load(spark, p.toString, Seq("GSM1", "GSM2", "GSM3", "GSM5"))
+    val rows = out.collect()
+    // 4 genes x 3 kept samples = 12, minus nothing (bad value was GSM4)
+    assert(rows.length == 12)
+    assert(out.where($"sample_accession" === "GSM5").count() == 0)
+    // bad numeric dropped (F4): full load with GSM4 yields 15 not 16
+    val full = ExpressionMatrix.load(spark, p.toString, Seq("GSM1", "GSM2", "GSM3", "GSM4"))
+    assert(full.count() == 15)
+    intercept[ExpressionFormatError] {
+      ExpressionMatrix.load(spark, p.toString, Seq("GSM7"))
+    }
+    val badHeader = write(root, "expression_B.tsv", "notgene\tGSM1\nENSG1\t1.0\n")
+    intercept[ExpressionFormatError] {
+      ExpressionMatrix.load(spark, badHeader.toString, Seq("GSM1"))
+    }
+  }
+
+  test("S2: gene filter loads, trims, dedups, errors on empty") {
+    val root = tmpDir()
+    val p = write(root, "filter.tsv", filterTsv)
+    val genes = GeneFilter.load(spark, p.toString)
+    assert(genes.as[String].collect().sorted.toSeq == Seq("ENSG1", "ENSG2", "ENSG3"))
+    val noCol = write(root, "f2.tsv", "wrong\nx\n")
+    intercept[GeneFilterError] { GeneFilter.load(spark, noCol.toString) }
+    val empty = write(root, "f3.tsv", "ensembl_id\n\n  \n")
+    intercept[GeneFilterError] { GeneFilter.load(spark, empty.toString) }
+  }
+
+  test("D1/D2: dim upsert is idempotent with deterministic keys") {
+    val wh = new Warehouse(spark, tmpDir().toString)
+    val d0 = wh.read("dim_platform")
+    val d1 = Dims.upsertDim(d0, Seq("GPL97", "GPL96", "GPL96", "UNKNOWN", " ")
+      .toDF("platform_accession"), "platform_key", "platform_accession")
+    val got = d1.orderBy("platform_key").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "GPL96"), (2L, "GPL97"))) // sorted naturals, UNKNOWN/blank excluded
+    // re-upsert: no new keys
+    val d2 = Dims.upsertDim(d1, Seq("GPL96", "GPL98").toDF("platform_accession"),
+      "platform_key", "platform_accession")
+    val got2 = d2.orderBy("platform_key").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got2 == Seq((1L, "GPL96"), (2L, "GPL97"), (3L, "GPL98")))
+  }
+
+  test("D3: sample upsert conditional update (tests/test_repositories.py:28-64)") {
+    val wh = new Warehouse(spark, tmpDir().toString)
+    def inc(rows: Seq[(String, Long, Option[Long], Option[Long], String, String, Long)]) =
+      rows.toDF("gsm_accession", "study_key", "platform_key", "illness_key", "age", "sex", "__ord")
+    // first batch: UNKNOWN age, platform set
+    val s1 = Dims.upsertSampleDim(wh.read("dim_sample"),
+      inc(Seq(("GSM1", 1L, Some(1L), None, "UNKNOWN", "female", 0L))))
+    val r1 = s1.head
+    assert(r1.getAs[Long]("sample_key") == 1L)
+    assert(r1.getAs[String]("age") == "UNKNOWN")
+    // second batch: fills UNKNOWN age, does NOT overwrite known sex,
+    // updates platform to new non-null value
+    val s2 = Dims.upsertSampleDim(s1,
+      inc(Seq(("GSM1", 1L, Some(2L), Some(5L), "33", "male", 0L))))
+    val r2 = s2.head
+    assert(r2.getAs[Long]("sample_key") == 1L) // key stable
+    assert(r2.getAs[String]("age") == "33")    // UNKNOWN filled
+    assert(r2.getAs[String]("sex") == "female") // known NOT overwritten
+    assert(r2.getAs[Long]("platform_key") == 2L) // platform updated
+    assert(r2.getAs[Long]("illness_key") == 5L)
+    // new sample in second study gets next key
+    val s3 = Dims.upsertSampleDim(s2,
+      inc(Seq(("GSM1", 2L, None, None, "40", "male", 0L))))
+    assert(s3.count() == 2)
+    assert(s3.where($"study_key" === 2L).head.getAs[Long]("sample_key") == 2L)
+  }
+
+  test("E2E slice (SURVEY §7.2): ETL + correlation job, idempotent re-run, stale replace") {
+    val root = tmpDir()
+    makeStudy(root)
+    val filter = write(root, "filter.tsv", filterTsv)
+    val whDir = tmpDir().toString
+    val cfg = config(root, filter)
+
+    val job = new EtlJob(spark, cfg, whDir)
+    val results = job.run()
+    assert(results.length == 1 && results.head.error.isEmpty)
+    assert(results.head.samples == 4)
+    // facts: genes ENSG1-3 (ENSGX filtered), samples GSM1-4;
+    // ENSG3/GSM4 cell is "bad" -> dropped => 3*4 - 1 = 11
+    assert(results.head.facts == 11)
+
+    val wh = new Warehouse(spark, whDir)
+    assert(wh.read("dim_study").count() == 1)
+    assert(wh.read("dim_gene").count() == 3)
+    assert(wh.read("dim_platform").count() == 2)  // GPL96, GPL97
+    assert(wh.read("dim_illness").count() == 2)   // Healthy, Diabetes
+    assert(wh.read("dim_sample").count() == 4)
+
+    // idempotent re-run: zero new facts (J7 anti-join dedup, REQ-005)
+    val rerun = job.run()
+    assert(rerun.head.facts == 0)
+    assert(wh.read("fact_expression").count() == 11)
+
+    // correlation job
+    val corrJob = new CorrelationJob(spark, whDir)
+    val summary = corrJob.run()
+    assert(summary.studies == Seq("GSE9006"))
+    assert(summary.pairs == 3) // C(3,2)
+    val corr = wh.read("fact_gene_pair_corr").orderBy("gene_a_key", "gene_b_key").collect()
+    assert(corr.length == 3)
+    corr.foreach { r =>
+      assert(r.getAs[Long]("gene_a_key") < r.getAs[Long]("gene_b_key")) // O4
+      assert(r.isNullAt(r.fieldIndex("illness_key")))
+      val rho = r.getAs[Double]("rho_spearman")
+      assert(rho >= -1.0 && rho <= 1.0)
+      val p = r.getAs[Double]("p_value")
+      assert(p >= 0.0 && p <= 1.0)
+    }
+    // ENSG1 vs ENSG2 monotone up over shared samples -> rho 1
+    val k = wh.read("dim_gene").orderBy("gene_key").collect()
+      .map(r => r.getString(1) -> r.getLong(0)).toMap
+    val byPair = corr.map(r => (r.getAs[Long]("gene_a_key"), r.getAs[Long]("gene_b_key")) -> r).toMap
+    val r12 = byPair((k("ENSG1"), k("ENSG2")))
+    assert(math.abs(r12.getAs[Double]("rho_spearman") - 1.0) < 1e-12)
+    assert(r12.getAs[Long]("n_samples") == 4)
+    // ENSG1 vs ENSG3 shares 3 samples (bad cell dropped), monotone down
+    val r13 = byPair((k("ENSG1"), k("ENSG3")))
+    assert(r13.getAs[Long]("n_samples") == 3)
+    assert(math.abs(r13.getAs[Double]("rho_spearman") + 1.0) < 1e-12)
+
+    // stale-replace (S7): re-run correlation -> still 3 rows, new stamp
+    val summary2 = corrJob.run()
+    assert(summary2.pairs == 3)
+    assert(wh.read("fact_gene_pair_corr").count() == 3)
+  }
+
+  test("X6: differing experiment accession is overridden to directory accession") {
+    val root = tmpDir()
+    makeStudy(root)
+    val filter = write(root, "filter.tsv", filterTsv)
+    val whDir = tmpDir().toString
+    new EtlJob(spark, config(root, filter), whDir).run()
+    val wh = new Warehouse(spark, whDir)
+    // GSM4 row claimed GSE_OTHER but must land in GSE9006
+    assert(wh.read("dim_study").count() == 1)
+    val s = wh.read("dim_sample").where($"gsm_accession" === "GSM4").head
+    val studyKey = wh.read("dim_study").head.getAs[Long]("study_key")
+    assert(s.getAs[Long]("study_key") == studyKey)
+  }
+}
