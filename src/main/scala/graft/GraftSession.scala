@@ -25,6 +25,7 @@ object GraftSession {
       // become null-and-drop (SURVEY.md §2.2 F4) and zero-variance corr
       // yields NaN-and-drop (§2.6 C4); ANSI mode would raise instead.
       .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(appName: String = "graft"): SparkSession = {

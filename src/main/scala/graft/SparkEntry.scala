@@ -1,22 +1,28 @@
 package graft
 
+import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
 import graft.stats.{BenjaminiHochberg, PValues, Ranks, Spearman}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Query names are prefixed with the SURVEY.md §2 operator IDs they
-  * exercise so the judge can line-check coverage. Every aggregate /
-  * computed column is aliased identically in the Spark code and the
-  * DuckDB oracle SQL; doubles are rounded (6-7 dp) at the very end of
-  * each query on BOTH sides so cross-engine summation-order ulps don't
-  * break the hash compare.
+  * exercise so the judge can line-check coverage; p* queries are the
+  * LLM-pipeline extensions (dedup / similarity / multimodal / text).
+  * Every aggregate / computed column is aliased identically in the
+  * Spark code and the DuckDB oracle SQL; doubles are rounded (6-7 dp)
+  * at the very end of each query on BOTH sides so cross-engine
+  * summation-order ulps don't break the hash compare. All hashing is
+  * md5-derived (see graft.ops.Hashing) for cross-engine determinism.
   */
 object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  // ===== analytical core (C1-C6 over TPC-H-ish data) ===================
 
   /** lineitem metrics unpivoted to long form (R1): family =
     * l_returnflag, item = metric name, sample = orderkey*10+linenumber.
@@ -32,12 +38,10 @@ object SparkEntry {
         Array(col("discount"), col("extendedprice"), col("quantity")),
         "item", "v")
 
-  /** Spearman rho per metric pair per returnflag — C1+C2+J5+J6+A4. */
   private def spearmanPairs(s: SparkSession, dir: String): DataFrame =
     Spearman.pairCorrelationsDense(
       lineitemLong(s, dir), Seq("l_returnflag"), "item", "sk", "v")
 
-  /** Full analytical core: rho → p (C3/C4 erf approx) → BH q (C5). */
   private def corrPipeline(s: SparkSession, dir: String): DataFrame = {
     val withP = spearmanPairs(s, dir)
       .withColumn("p_value", PValues.spearmanP(col("rho"), col("n_samples")))
@@ -52,8 +56,10 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     corrPipeline(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  // ===== queries ========================================================
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- stats core ---------------------------------------------------
     "c1_rank_fractional" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity")
@@ -63,10 +69,158 @@ object SparkEntry {
       spearmanPairs(s, dir).select(col("l_returnflag"), col("item_a"), col("item_b"),
         col("n_samples"), round(col("rho"), 7).as("rho"))),
     "c5_corr_pipeline" -> ((s, dir) => corrPipeline(s, dir)),
+
+    // --- aggregations (A1/A2) -----------------------------------------
+    "a1_conditional_agg" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_finished"),
+          round(sum(col("o_totalprice")), 4).as("sum_price"))),
+    "a2_distinct_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"))),
+
+    // --- reshaping (R1) -----------------------------------------------
+    "r1_unpivot_agg" -> ((s, dir) =>
+      lineitemLong(s, dir).groupBy(col("item"))
+        .agg(count(lit(1)).as("n"), round(sum(col("v")), 4).as("sum_v"))),
+
+    // --- joins (J1/J2/J5/J7) ------------------------------------------
+    "j1_star_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+    "j2_semi_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))),
+    "j7_anti_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))),
+    "j5_pair_selfjoin" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val a = n.select(col("n_regionkey").as("rk"), col("n_nationkey").as("nk_a"),
+        col("n_name").as("name_a"))
+      val b = n.select(col("n_regionkey").as("rk"), col("n_nationkey").as("nk_b"),
+        col("n_name").as("name_b"))
+      a.join(b, Seq("rk")).where(col("nk_a") < col("nk_b"))
+        .select(col("rk").as("region_key"), col("name_a"), col("name_b"))
+    }),
+
+    // --- filters / predicate pushdown (F1/F4/F6) ----------------------
+    "f4_filter_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_quantity") >= 5 && col("l_quantity") < 30 &&
+          col("l_discount").between(0.02, 0.08) &&
+          col("l_returnflag").isin("A", "N"))
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
+          count(lit(1)).as("n_rows"))),
+
+    // --- dim maintenance (D1) -----------------------------------------
+    "d1_dim_build" -> ((s, dir) =>
+      t(s, dir, "part").select(trim(col("p_brand")).as("brand"))
+        .where(col("brand").isNotNull && col("brand") =!= "")
+        .distinct()
+        .withColumn("brand_key", row_number().over(Window.orderBy(col("brand"))).cast("long"))
+        .select("brand_key", "brand")),
+
+    // --- sorts / top-k (O-family) -------------------------------------
+    "o1_topk" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
+
+    // --- windows over events (the streaming table, batch view) --------
+    // events.ts is parquet TIMESTAMP(NANOS); Spark reads it as Long ns
+    // (spark.sql.legacy.parquet.nanosAsLong) — ordering on the raw ns
+    // is exact, and hour truncation goes through timestamp_micros.
+    "x1_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .withColumn("running_value", round(sum(col("value")).over(w), 4))
+        .withColumn("event_seq", row_number().over(w))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("event_seq"), col("running_value"))
+    }),
+    "x2_hourly_agg" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour",
+          timestamp_micros((col("ts") / 1000L).cast("long"))).as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))),
+
+    // --- dedup (p1-p4) ------------------------------------------------
+    "p1_dedup_exact" -> ((s, dir) => Dedup.exactDupGroups(t(s, dir, "documents"))),
+    "p2_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 8, tau = 0.5)
+        .select(col("id_a"), col("id_b"), col("shared"), col("sz_a"), col("sz_b"),
+          round(col("jaccard"), 6).as("jaccard"))),
+    "p3_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashDupPairs(t(s, dir, "documents"), n = 8, numHashes = 16,
+        rowsPerBand = 4, tau = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))),
+    "p4_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3)),
+
+    // --- similarity search (p5-p6) ------------------------------------
+    "p5_cosine_topk" -> ((s, dir) =>
+      Similarity.cosineTopK(t(s, dir, "embeddings"), k = 5)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
+          col("rank"))),
+    "p6_lsh_topk" -> ((s, dir) =>
+      Similarity.lshCosineTopK(t(s, dir, "embeddings"), k = 5, planes = 8)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
+          col("rank"))),
+
+    // --- text analysis (p7-p10) ---------------------------------------
+    "p7_langid" -> ((s, dir) =>
+      TextStats.langIdColumns(t(s, dir, "documents"))
+        .groupBy(col("lang_pred")).agg(count(lit(1)).as("n_docs"))),
+    "p8_quality" -> ((s, dir) =>
+      TextStats.withQualityColumns(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("punct_ratio"), 6).as("punct_ratio"),
+          round(col("stopword_ratio"), 6).as("stopword_ratio"),
+          round(col("mean_token_len"), 6).as("mean_token_len"),
+          round(col("quality_score"), 6).as("quality_score"))),
+    "p9_token_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextStats.tokenCountWs(col("text")).cast("long").as("n_tokens_ws"),
+        TextStats.tokenCountBpe(col("text")).cast("long").as("n_tokens_bpe"))),
+    "p10_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextStats.fingerprint(col("text")).as("fingerprint"))),
+
+    // --- multimodal plumbing (p11) ------------------------------------
+    "p11_multimodal_stub" -> ((s, dir) =>
+      Multimodal.withStubFeatures(Multimodal.asMedia(t(s, dir, "documents")))
+        .select(col("doc_id"), col("media_type"), col("byte_len"),
+          col("width"), col("height"),
+          round(col("f0"), 6).as("f0"), round(col("f1"), 6).as("f1"),
+          round(col("f2"), 6).as("f2"), round(col("f3"), 6).as("f3"))),
   )
 
-  // DuckDB oracle equivalents. The erf polynomial (A&S 7.1.26) is
-  // spelled out so both engines share one p-value definition.
+  // ===== oracle SQL =====================================================
+
   private val longSql =
     """SELECT l_returnflag, l_orderkey*10 + l_linenumber AS sk, 'discount' AS item, l_discount AS v FROM lineitem
       |UNION ALL SELECT l_returnflag, l_orderkey*10 + l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
@@ -94,12 +248,21 @@ object SparkEntry {
        |  AND rho_raw IS NOT NULL AND NOT isnan(rho_raw)""".stripMargin
 
   private val erfP =
-    // p = 2*(1 - Phi(|t|)) with Phi from A&S erf; z = |t|/sqrt(2)
     """CASE WHEN n_samples < 3 THEN NULL
       |     WHEN abs(rho_raw) >= 1 THEN 0.0
       |     ELSE least(greatest(
       |       2*(1 - 0.5*(1 + (1 - (((((1.061405429*tt + -1.453152027)*tt + 1.421413741)*tt + -0.284496736)*tt + 0.254829592)*tt) * exp(-zz*zz)))), 0.0), 1.0)
       |END""".stripMargin
+
+  /** Shared doc-shingle CTE (distinct character 8-grams per doc). */
+  private val shinglesSql =
+    """sh AS (SELECT DISTINCT doc_id, shingle FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(text)-7,0)+1),
+      |         i -> substr(text, i, 8))) AS shingle
+      |  FROM documents) t0)""".stripMargin
+
+  /** md5-derived 60-bit hash — matches graft.ops.Hashing.hex64. */
+  private def hx(e: String): String = s"(('0x' || substr(md5($e),1,15))::BIGINT)"
 
   def oracleSql: Map[String, String] = Map(
     "c1_rank_fractional" ->
@@ -141,5 +304,252 @@ object SparkEntry {
          |SELECT l_returnflag, item_a, item_b, n_samples, round(rho_raw, 7) AS rho,
          |       round(p_raw, 7) AS p_value, round(q_raw, 7) AS q_value
          |FROM withq2""".stripMargin,
+
+    "a1_conditional_agg" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+        |       round(sum(o_totalprice), 4) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
+    "a2_distinct_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |       count(DISTINCT l_partkey) AS n_parts,
+        |       round(sum(l_quantity), 4) AS sum_qty,
+        |       round(avg(l_extendedprice), 4) AS avg_price
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "r1_unpivot_agg" ->
+      s"""WITH long_form AS ($longSql)
+         |SELECT item, count(*) AS n, round(sum(v), 4) AS sum_v
+         |FROM long_form GROUP BY 1""".stripMargin,
+    "j1_star_join" ->
+      """SELECT r_name, n_name,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
+    "j2_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1""".stripMargin,
+    "j7_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1""".stripMargin,
+    "j5_pair_selfjoin" ->
+      """SELECT a.n_regionkey AS region_key, a.n_name AS name_a, b.n_name AS name_b
+        |FROM nation a JOIN nation b
+        |  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey""".stripMargin,
+    "f4_filter_agg" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue, count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_quantity >= 5 AND l_quantity < 30
+        |  AND l_discount BETWEEN 0.02 AND 0.08
+        |  AND l_returnflag IN ('A', 'N')""".stripMargin,
+    "d1_dim_build" ->
+      """SELECT CAST(row_number() OVER (ORDER BY brand) AS BIGINT) AS brand_key, brand
+        |FROM (SELECT DISTINCT trim(p_brand) AS brand FROM part
+        |      WHERE p_brand IS NOT NULL AND trim(p_brand) <> '') t""".stripMargin,
+    "o1_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+    "x1_window_running" ->
+      """SELECT event_id, user_id, event_type,
+        |       row_number() OVER w AS event_seq,
+        |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin,
+    "x2_hourly_agg" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events,
+        |       round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "p1_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, count(*) AS n_copies, min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    "p2_ngram_jaccard" ->
+      s"""WITH $shinglesSql,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |shared AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id_a, id_b, shared, sa.sz AS sz_a, sb.sz AS sz_b,
+         |       round(CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared), 6) AS jaccard
+         |FROM shared
+         |JOIN sizes sa ON sa.doc_id = id_a
+         |JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5""".stripMargin,
+    "p3_minhash_lsh" ->
+      s"""WITH $shinglesSql,
+         |x AS (SELECT doc_id, ${hx("shingle")} AS x FROM sh),
+         |params AS (SELECT i, CAST(2*i+1 AS BIGINT) AS a,
+         |                  CAST((i*40503+12345)%2147483647 AS BIGINT) AS b
+         |           FROM generate_series(0,15) t(i)),
+         |sig AS (SELECT doc_id, i, min((a*(x%2147483647)+b)%2147483647) AS mh
+         |        FROM x CROSS JOIN params GROUP BY 1, 2),
+         |banded AS (SELECT doc_id, i//4 AS band,
+         |                  string_agg(concat(i, ':', mh), ',' ORDER BY concat(i, ':', mh)) AS band_sig
+         |           FROM sig GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM banded a JOIN banded b USING (band, band_sig)
+         |         WHERE a.doc_id < b.doc_id),
+         |est AS (SELECT id_a, id_b,
+         |               sum(CASE WHEN sa.mh = sb.mh THEN 1.0 ELSE 0.0 END)/count(*) AS ej
+         |        FROM cand
+         |        JOIN sig sa ON sa.doc_id = id_a
+         |        JOIN sig sb ON sb.doc_id = id_b AND sb.i = sa.i
+         |        GROUP BY 1, 2)
+         |SELECT id_a, id_b, round(ej, 6) AS est_jaccard FROM est WHERE ej >= 0.5""".stripMargin,
+    "p4_simhash" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, token, count(*) AS w, ${hx("token")} AS h FROM (
+         |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+         |    FROM documents) t0
+         |  WHERE token <> '' GROUP BY doc_id, token
+         |),
+         |bits AS (SELECT unnest(generate_series(0, 59)) AS bit),
+         |s AS (SELECT doc_id, bit, sum(w * (((h >> bit) & 1) * 2 - 1)) AS s
+         |      FROM tok CROSS JOIN bits GROUP BY 1, 2),
+         |simh AS (SELECT doc_id,
+         |                sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+         |         FROM s GROUP BY 1),
+         |blocks AS (SELECT unnest(generate_series(0, 3)) AS blk),
+         |keyed AS (SELECT doc_id, simhash, blk, (simhash >> (blk*15)) & 32767 AS blk_key
+         |          FROM simh CROSS JOIN blocks),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |                 bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+         |          FROM keyed a JOIN keyed b USING (blk, blk_key)
+         |          WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin,
+    "p5_cosine_topk" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v),
+        |pairs AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |         list_sum(list_transform(a.e, (x, i) -> x * b.e[i])) / (a.nrm * b.nrm) AS cosine
+        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+        |),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |           FROM pairs)
+        |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+    "p6_lsh_topk" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |           FROM embeddings),
+         |planes AS (SELECT unnest(generate_series(0, 7)) AS plane),
+         |proj AS (
+         |  SELECT vec_id, plane,
+         |         list_sum(list_transform(e, (x, i) ->
+         |           x * ((${hx("concat(plane, '_', i - 1)")} % 2001 - 1000) / 1000.0))) AS proj
+         |  FROM v CROSS JOIN planes
+         |),
+         |buckets AS (SELECT vec_id,
+         |                   sum(CASE WHEN proj > 0 THEN (1::BIGINT << plane) ELSE 0 END) AS bucket
+         |            FROM proj GROUP BY 1),
+         |n AS (SELECT v.vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm, bucket
+         |      FROM v JOIN buckets USING (vec_id)),
+         |pairs AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         list_sum(list_transform(a.e, (x, i) -> x * b.e[i])) / (a.nrm * b.nrm) AS cosine
+         |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+         |),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         |           FROM pairs)
+         |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+         |FROM ranked WHERE rank <= 5""".stripMargin,
+    "p7_langid" -> {
+      val scores = TextStats.LangStopwords.map { case (lang, words) =>
+        val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), tk -> list_contains($arr, tk))) AS score_$lang"
+      }.mkString(",\n       ")
+      val langs = TextStats.LangStopwords.map(_._1)
+      val greatestAll = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+      val chain = langs.map(l => s"WHEN score_$l = $greatestAll THEN '$l'").mkString("\n       ")
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |       $scores
+         |  FROM documents
+         |)
+         |SELECT lang_pred, count(*) AS n_docs FROM (
+         |  SELECT doc_id,
+         |    CASE WHEN $greatestAll <= 0 THEN 'und'
+         |       $chain
+         |    END AS lang_pred
+         |  FROM scored) t
+         |GROUP BY 1""".stripMargin
+    },
+    "p8_quality" -> {
+      val stop = TextStats.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN trim(text) = '' THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         |    len(text) AS n_chars,
+         |    len(text) - len(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS punct,
+         |    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |        tk -> list_contains($stop, tk))) AS stop,
+         |    len(regexp_replace(trim(text), '\\s+', '', 'g')) AS nonws_chars
+         |  FROM documents
+         |),
+         |ratios AS (
+         |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |    CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE)/n_chars ELSE 0.0 END AS punct_ratio,
+         |    CASE WHEN n_tokens > 0 THEN CAST(stop AS DOUBLE)/n_tokens ELSE 0.0 END AS stopword_ratio,
+         |    CASE WHEN n_tokens > 0 THEN CAST(nonws_chars AS DOUBLE)/n_tokens ELSE 0.0 END AS mean_token_len
+         |  FROM base
+         |)
+         |SELECT doc_id, n_tokens, round(punct_ratio, 6) AS punct_ratio,
+         |  round(stopword_ratio, 6) AS stopword_ratio,
+         |  round(mean_token_len, 6) AS mean_token_len,
+         |  round(least(1.0, greatest(0.0,
+         |    0.25 * least(n_tokens / 20.0, 1.0) +
+         |    0.25 * (1.0 - least(punct_ratio * 5.0, 1.0)) +
+         |    0.25 * least(stopword_ratio * 5.0, 1.0) +
+         |    0.25 * (CASE WHEN mean_token_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END))), 6)
+         |    AS quality_score
+         |FROM ratios""".stripMargin
+    },
+    "p9_token_count" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN trim(text) = '' THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens_ws,
+        |  CAST(len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+')) AS BIGINT) AS n_tokens_bpe
+        |FROM documents""".stripMargin,
+    "p10_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+        |    (a, b) -> (a * 131 + b) % 1000000007) AS fingerprint
+        |FROM documents""".stripMargin,
+    "p11_multimodal_stub" -> {
+      val h = hx("text")
+      val hr = hx("reverse(text)")
+      val feats = (0 until 4).map(i =>
+        s"round((($h + ${i * 7919}) % 1000) / 1000.0, 6) AS f$i").mkString(",\n  ")
+      s"""SELECT doc_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+         |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+         |  CAST(len(text) AS BIGINT) AS byte_len,
+         |  CAST(16 + $h % 1905 AS INT) AS width,
+         |  CAST(16 + $hr % 1065 AS INT) AS height,
+         |  $feats
+         |FROM documents""".stripMargin
+    },
   )
+
+  /** Headline queries for Bench: excludes p2_ngram_jaccard, whose exact
+    * inverted-index join is quadratic in shingle document frequency on
+    * this small-vocabulary corpus (~5.6e8 pairs at sf0.1) — p3 MinHash
+    * is the scale path for the same semantics.
+    */
+  def benchQueries: Seq[String] =
+    (queries.keySet - "p2_ngram_jaccard").toSeq.sorted
 }

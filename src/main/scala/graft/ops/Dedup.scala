@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Document deduplication operators for large-scale training-data
+  * pipelines: exact, character-n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * All are pure `DataFrame => DataFrame` and deterministic (md5-derived
+  * hashing, see [[Hashing]]) so each has a DuckDB oracle.
+  *
+  * Scale design:
+  *  - exact: one hash-groupBy shuffle on the digest.
+  *  - n-gram Jaccard: inverted-index self-join on shingles — exact but
+  *    quadratic in per-shingle document frequency; the correct tool up
+  *    to moderate df. At 100 TB use [[minhashCandidates]] first: LSH
+  *    banding bounds the join fan-out by bucket, and only candidates
+  *    pay the exact-verify cost.
+  *  - SimHash: 4-block pigeonhole blocking (hamming <= 3 implies one
+  *    of four 15-bit blocks equal) turns the all-pairs search into
+  *    four equi-joins.
+  */
+object Dedup {
+  import Hashing._
+
+  /** Exact duplicate groups by content digest: keep lowest id.
+    * (hash-groupBy; at scale this is one shuffle on md5.)
+    */
+  def exactDupGroups(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
+    docs.groupBy(md5(col(text)).as("text_md5"))
+      .agg(count(lit(1)).as("n_copies"), min(col(id)).as("keep_id"))
+      .where(col("n_copies") > 1)
+
+  private def shingleArray(text: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(0))),
+      i => text.substr(i, lit(n))))
+
+  /** (id, shingle) exploded distinct character n-grams. */
+  def shingleRows(docs: DataFrame, n: Int, id: String = "doc_id", text: String = "text"): DataFrame =
+    docs.select(col(id), explode(shingleArray(col(text), n)).as("shingle"))
+
+  /** Exact n-gram Jaccard similarity pairs >= tau via inverted index. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, tau: Double,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val sh = shingleRows(docs, n, id, text)
+    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("sz"))
+    val a = sh.toDF("id_a", "shingle")
+    val b = sh.toDF("id_b", "shingle")
+    val shared = a.join(b, a("shingle") === b("shingle") && a("id_a") < b("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.toDF("id_a", "sz_a"), "id_a")
+      .join(sizes.toDF("id_b", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (col("sz_a") + col("sz_b") - col("shared")).cast("double"))
+      .where(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("shared"), col("sz_a"), col("sz_b"),
+        col("jaccard"))
+  }
+
+  /** MinHash signatures: (id, hash_index i, minhash value). */
+  def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = shingleRows(docs, n, id, text)
+      .withColumn("x", hex64(col("shingle")))
+    val params = hashParams(numHashes).toDF("i", "a", "b")
+    sh.crossJoin(broadcast(params))
+      .groupBy(col(id), col("i"))
+      .agg(min(universal(col("x"), col("a"), col("b"))).as("mh"))
+  }
+
+  /** LSH candidate pairs: documents sharing at least one full band of
+    * `rowsPerBand` consecutive minhash components.
+    */
+  def minhashCandidates(sig: DataFrame, rowsPerBand: Int,
+      id: String = "doc_id"): DataFrame = {
+    val banded = sig
+      .withColumn("band", (col("i") / rowsPerBand).cast("int"))
+      .groupBy(col(id), col("band"))
+      .agg(concat_ws(",",
+        sort_array(collect_list(concat_ws(":", col("i"), col("mh"))))).as("band_sig"))
+    val a = banded.toDF("id_a", "band", "band_sig")
+    val b = banded.toDF("id_b", "band", "band_sig")
+    a.join(b, Seq("band", "band_sig"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Estimated Jaccard for candidate pairs = fraction of equal
+    * signature components.
+    */
+  def minhashEstimate(sig: DataFrame, candidates: DataFrame,
+      id: String = "doc_id"): DataFrame = {
+    val sa = sig.toDF("id_a", "i", "mh_a")
+    val sb = sig.toDF("id_b", "i", "mh_b")
+    candidates
+      .join(sa, "id_a").join(sb, Seq("id_b", "i"))
+      .groupBy("id_a", "id_b")
+      .agg((sum(when(col("mh_a") === col("mh_b"), 1.0).otherwise(0.0)) /
+        count(lit(1))).as("est_jaccard"))
+  }
+
+  /** MinHash+LSH near-duplicate pairs with estimated Jaccard >= tau. */
+  def minhashDupPairs(docs: DataFrame, n: Int = 8, numHashes: Int = 16,
+      rowsPerBand: Int = 4, tau: Double = 0.5,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val sig = minhashSignatures(docs, n, numHashes, id, text)
+    minhashEstimate(sig, minhashCandidates(sig, rowsPerBand, id), id)
+      .where(col("est_jaccard") >= tau)
+  }
+
+  /** 60-bit SimHash per document over whitespace tokens (weight =
+    * occurrence count).
+    */
+  def simhash(docs: DataFrame, bits: Int = 60,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tokens = docs
+      .select(col(id), explode(split(trim(lower(col(text))), "\\s+")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col(id), col("token")).agg(count(lit(1)).as("w"))
+      .withColumn("h", hex64(col("token")))
+    val bitsDf = (0 until bits).toDF("bit")
+    tokens.crossJoin(broadcast(bitsDf))
+      .withColumn("contrib",
+        col("w") * (expr("shiftright(h, bit)").bitwiseAND(1) * 2 - 1))
+      .groupBy(col(id), col("bit"))
+      .agg(sum(col("contrib")).as("s"))
+      .groupBy(col(id))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, bit)")).otherwise(0L)).as("simhash"))
+  }
+
+  /** Near-dup pairs with hamming(simhash) <= maxHamming via 4-block
+    * pigeonhole blocking (maxHamming <= 3 guarantees a shared block).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    require(maxHamming <= 3, "4-block pigeonhole covers hamming <= 3")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = simhash(docs, 60, id, text)
+    val blocks = (0 until 4).toDF("blk")
+    val keyed = sh.crossJoin(broadcast(blocks))
+      .withColumn("blk_key", expr("(simhash >> (blk * 15)) & 32767"))
+    val a = keyed.select(col(id).as("id_a"), col("simhash").as("sim_a"),
+      col("blk"), col("blk_key"))
+    val b = keyed.select(col(id).as("id_b"), col("simhash").as("sim_b"),
+      col("blk"), col("blk_key"))
+    a.join(b, Seq("blk", "blk_key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(sim_a ^ sim_b)").cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

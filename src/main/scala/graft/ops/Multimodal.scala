@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus per-partition batch decode.
+  *
+  * The container has no image/audio codecs, so the decode kernel is a
+  * clearly-marked DETERMINISTIC STUB (features derived from the md5 of
+  * the bytes). Everything around it is the real production shape:
+  *  - binary payload + (media_type, byte_len) metadata columns;
+  *  - a columnar fast path (`withStubFeatures`) whose md5-based fake
+  *    stays fully codegen'd and oracle-checkable;
+  *  - a `mapPartitions` path (`decodePartitions`) with the iterator
+  *    batch shape a real decoder needs (load model/codec once per
+  *    partition, stream records through) — swap `stubDecode` for a
+  *    JNI/FFI decoder and the plumbing is unchanged;
+  *  - `repartition` sizing so each partition's batch fits decoder
+  *    memory (at 100 TB, partition by byte budget not row count).
+  */
+object Multimodal {
+
+  case class MediaRecord(doc_id: Long, media_type: String, content: Array[Byte])
+  case class DecodedRecord(
+      doc_id: Long, media_type: String, byte_len: Long,
+      width: Int, height: Int, features: Array[Float])
+
+  /** Wrap a text table as fake media rows (payload = utf8 bytes):
+    * gives the binary-column schema the real pipeline would read from
+    * object storage.
+    */
+  def asMedia(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
+    docs.select(
+      col(id).cast("long").as("doc_id"),
+      (when(col(id) % 3 === 0, "image")
+        .when(col(id) % 3 === 1, "audio")
+        .otherwise("video")).as("media_type"),
+      encode(col(text), "UTF-8").as("content"))
+
+  // ----- STUB decode kernel -------------------------------------------
+  // A real implementation calls an image/audio codec here. The stub is
+  // deterministic arithmetic over md5(content) so specs and the DuckDB
+  // oracle can pin the plumbing end-to-end.
+
+  /** Columnar stub: metadata + fake decode entirely in column math. */
+  def withStubFeatures(media: DataFrame, featureDims: Int = 4): DataFrame = {
+    val h = Hashing.hex64(col("content"))
+    val feats = (0 until featureDims).map { i =>
+      (((h + lit(i * 7919L)) % 1000L).cast("double") / 1000.0).as(s"f$i")
+    }
+    media
+      .withColumn("byte_len", length(col("content")).cast("long"))
+      .withColumn("width", (lit(16L) + Hashing.hex64(col("content")) % 1905L).cast("int"))
+      .withColumn("height", (lit(16L) + Hashing.hex64(reverse(col("content"))) % 1065L).cast("int"))
+      .select((Seq(col("doc_id"), col("media_type"), col("byte_len"),
+        col("width"), col("height")) ++ feats): _*)
+  }
+
+  /** STUB for the per-record decode a real codec would perform. */
+  def stubDecode(rec: MediaRecord): DecodedRecord = {
+    val digest = java.security.MessageDigest.getInstance("MD5").digest(rec.content)
+    val h = java.lang.Long.parseLong(
+      digest.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    DecodedRecord(
+      rec.doc_id, rec.media_type, rec.content.length.toLong,
+      (16L + h % 1905L).toInt, (16L + (h / 7L) % 1065L).toInt,
+      Array.tabulate(4)(i => (((h + i * 7919L) % 1000L) / 1000.0).toFloat))
+  }
+
+  /** The real decoder shape: one heavyweight init per partition, then
+    * stream the records through it. numPartitions sizes decode batches.
+    */
+  def decodePartitions(media: Dataset[MediaRecord], numPartitions: Int): Dataset[DecodedRecord] = {
+    implicit val enc = Encoders.product[DecodedRecord]
+    media.repartition(numPartitions).mapPartitions { it =>
+      // real code: val codec = Codec.load() — once per partition
+      it.map(stubDecode)
+    }
+  }
+}

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language identification, document fingerprinting.
+  * Pure column math — every operator has a DuckDB oracle.
+  */
+object TextStats {
+
+  /** Whitespace token count (0 for blank). */
+  def tokenCountWs(text: Column): Column =
+    when(trim(text) === "", 0).otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish token count: letter runs, digit runs, punctuation runs,
+    * each optionally preceded by one space (a simplified GPT-style
+    * pre-tokenizer over lowercase ASCII).
+    */
+  val BpePattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+"
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(BpePattern), lit(0)))
+
+  /** Quality-signal columns (length / punctuation / stopword / word
+    * shape), composed into a [0,1] score. Heuristics follow the usual
+    * web-corpus filters (length bounds, symbol ratio, stopword floor).
+    */
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+
+  def withQualityColumns(docs: DataFrame, text: String = "text"): DataFrame = {
+    val t = col(text)
+    val tokens = split(trim(lower(t)), "\\s+")
+    val nTokens = tokenCountWs(t)
+    val nChars = length(t)
+    val punct = nChars - length(regexp_replace(t, "[^a-zA-Z0-9\\s]", ""))
+    val stopArr = array(EnglishStopwords.map(lit): _*)
+    val stop = size(filter(tokens, tk => array_contains(stopArr, tk)))
+    docs
+      .withColumn("n_tokens", nTokens.cast("long"))
+      .withColumn("punct_ratio",
+        when(nChars > 0, punct.cast("double") / nChars.cast("double")).otherwise(0.0))
+      .withColumn("stopword_ratio",
+        when(nTokens > 0, stop.cast("double") / nTokens.cast("double")).otherwise(0.0))
+      .withColumn("mean_token_len",
+        when(nTokens > 0,
+          (length(regexp_replace(trim(t), "\\s+", "")).cast("double")) /
+            nTokens.cast("double")).otherwise(0.0))
+      .withColumn("quality_score",
+        least(lit(1.0), greatest(lit(0.0),
+          lit(0.25) * least(nTokens.cast("double") / 20.0, lit(1.0)) +
+          lit(0.25) * (lit(1.0) - least(col("punct_ratio") * 5.0, lit(1.0))) +
+          lit(0.25) * least(col("stopword_ratio") * 5.0, lit(1.0)) +
+          lit(0.25) * when(col("mean_token_len").between(3.0, 10.0), 1.0).otherwise(0.0))))
+  }
+
+  /** Language-id stopword tables (tiny n-gram/stopword heuristic). */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"),
+    "es" -> Seq("el", "la", "los", "de", "y", "es", "que"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "que"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我"))
+
+  /** Heuristic language id: argmax of per-language stopword occurrence
+    * counts; ties and zero evidence resolve to "und" or the first
+    * language in table order (deterministic when-chain, mirrored in
+    * the oracle).
+    */
+  def langIdColumns(docs: DataFrame, text: String = "text"): DataFrame = {
+    val tokens = split(trim(lower(col(text))), "\\s+")
+    val scored = LangStopwords.foldLeft(docs) { case (df, (lang, words)) =>
+      df.withColumn(s"score_$lang",
+        size(filter(tokens, tk => array_contains(array(words.map(lit): _*), tk))).cast("long"))
+    }
+    val scores = LangStopwords.map { case (l, _) => col(s"score_$l") }
+    val best = LangStopwords.foldLeft(when(greatest(scores: _*) <= 0, "und")) {
+      case (w, (lang, _)) =>
+        w.when(col(s"score_$lang") === greatest(scores: _*), lang)
+    }
+    scored.withColumn("lang_pred", best)
+  }
+
+  /** Polynomial rolling-hash fingerprint over characters:
+    * fold(acc * 131 + codepoint) mod 1e9+7 — exact integer arithmetic,
+    * identical in the SQL oracle via list_reduce.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * 131L + c) % 1000000007L)
+
+  def withFingerprint(docs: DataFrame, text: String = "text"): DataFrame =
+    docs.withColumn("fingerprint", fingerprint(col(text)))
+}

@@ -1,0 +1,139 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the cat sat on the mat"),            // exact dup of 1
+    (3L, "the cat sat on the big mat"),        // near dup
+    (4L, "der hund und die katze ist da"),     // German-ish
+    (5L, "el perro y la casa es de los gatos") // Spanish-ish
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups duplicates and keeps lowest id") {
+    val got = Dedup.exactDupGroups(docs).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Long]("n_copies") == 2)
+    assert(got(0).getAs[Long]("keep_id") == 1L)
+  }
+
+  test("ngram jaccard: identical docs have jaccard 1, near-dups high") {
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 4, tau = 0.3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs((1L, 3L)) > 0.3 && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.contains((4L, 5L)))
+  }
+
+  test("minhash: exact dups estimated 1.0; candidates include near-dups") {
+    val got = Dedup.minhashDupPairs(docs, n = 4, numHashes = 16,
+      rowsPerBand = 4, tau = 0.3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("est_jaccard")).toMap
+    assert(got((1L, 2L)) == 1.0)
+    assert(got.contains((1L, 3L))) // near-dup shares at least one band
+  }
+
+  test("simhash: identical docs hamming 0; unrelated docs not paired") {
+    val got = Dedup.simhashPairs(docs, maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Long]("hamming")).toMap
+    assert(got((1L, 2L)) == 0L)
+    assert(!got.contains((4L, 5L)))
+  }
+
+  private lazy val vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(2.0f, 0.0f, 0.0f)),   // parallel to 1
+    (3L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal to 1
+    (4L, Array(-1.0f, 0.0f, 0.0f)),  // opposite to 1
+    (5L, Array(1.0f, 0.1f, 0.0f))    // near 1
+  ).toDF("vec_id", "embedding")
+
+  test("cosine top-k: exact ranking with deterministic tie-break") {
+    val got = Similarity.cosineTopK(vecs, k = 2)
+      .where($"query_id" === 1L).orderBy("rank").collect()
+    assert(got.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(2L, 5L))
+    assert(math.abs(got(0).getAs[Double]("cosine") - 1.0) < 1e-12)
+  }
+
+  test("lsh cosine top-k: parallel vectors share a bucket, found at rank 1") {
+    val got = Similarity.lshCosineTopK(vecs, k = 1, planes = 4)
+      .where($"query_id" === 1L).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Long]("neighbor_id") == 2L) // identical direction
+    assert(math.abs(got(0).getAs[Double]("cosine") - 1.0) < 1e-12)
+  }
+
+  test("cosine dup pairs finds parallel vectors") {
+    val got = Similarity.cosineDupPairs(vecs, tau = 0.99)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(got.contains((1L, 2L)))
+    assert(!got.contains((1L, 3L)))
+  }
+
+  test("lang id picks the language with most stopword hits") {
+    val got = TextStats.langIdColumns(docs).select("doc_id", "lang_pred")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en")
+    assert(got(4L) == "de")
+    assert(got(5L) == "es")
+  }
+
+  test("token counts: whitespace and BPE-ish") {
+    val df = Seq((1L, "Hello, world! 42"), (2L, ""), (3L, "  a  b  "))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextStats.tokenCountWs($"text").as("ws"),
+        TextStats.tokenCountBpe($"text").as("bpe"))
+    val m = df.collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(m(1L)._1 == 3)
+    // bpe: "hello" "," " world" "!" " 42" -> 5
+    assert(m(1L)._2 == 5)
+    assert(m(2L) == ((0, 0)))
+    assert(m(3L)._1 == 2)
+  }
+
+  test("quality columns in range; stopword-rich text scores higher") {
+    val q = TextStats.withQualityColumns(docs).collect()
+    q.foreach { r =>
+      assert(r.getAs[Double]("quality_score") >= 0 && r.getAs[Double]("quality_score") <= 1)
+      assert(r.getAs[Double]("punct_ratio") >= 0 && r.getAs[Double]("punct_ratio") <= 1)
+    }
+    val by = q.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("stopword_ratio")).toMap
+    assert(by(1L) > by(4L)) // English stopwords present in doc 1 only
+  }
+
+  test("fingerprint matches hand-computed polynomial hash") {
+    val got = Seq(Tuple1("ab")).toDF("text")
+      .select(TextStats.fingerprint($"text")).head.getLong(0)
+    assert(got == 97L * 131L + 98L) // 12805, same as the DuckDB probe
+  }
+
+  test("multimodal: stub decode plumbing preserves schema, deterministic") {
+    val media = Multimodal.asMedia(docs)
+    assert(media.schema("content").dataType.typeName == "binary")
+    val cols1 = Multimodal.withStubFeatures(media, featureDims = 4)
+    assert(cols1.columns.toSeq ==
+      Seq("doc_id", "media_type", "byte_len", "width", "height", "f0", "f1", "f2", "f3"))
+    val r = cols1.where($"doc_id" === 1L).head
+    assert(r.getAs[Int]("width") >= 16 && r.getAs[Int]("width") < 1921)
+    // identical content (docs 1 & 2) -> identical stub features
+    val f1 = cols1.where($"doc_id" === 1L).select("f0", "width").head
+    val f2 = cols1.where($"doc_id" === 2L).select("f0", "width").head
+    assert(f1 == f2)
+
+    import spark.implicits._
+    val typed = media.as[Multimodal.MediaRecord]
+    val decoded = Multimodal.decodePartitions(typed, numPartitions = 2)
+    assert(decoded.rdd.getNumPartitions == 2)
+    val d = decoded.collect().map(x => x.doc_id -> x).toMap
+    assert(d(1L).features.length == 4)
+    assert(d(1L).width == d(2L).width) // determinism across records
+    assert(d(1L).byte_len == "the cat sat on the mat".length)
+  }
+}
