@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] with a small heap GC-thrashes; the box has 128 GiB
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // Spark's generated doConsume methods for wide aggregations exceed
+  // HotSpot's 8000-bytecode JIT limit and would run interpreted forever
+  // (measured 20x on wide-agg stages); standard Spark tuning:
+  "-XX:-DontCompileHugeMethods",
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -26,6 +26,10 @@ object GraftSession {
       // yields NaN-and-drop (§2.6 C4); ANSI mode would raise instead.
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Generated methods beyond HotSpot's JIT limits run interpreted
+      // or stall C2; falling back to Volcano beyond this size is far
+      // more predictable on this box (see BENCH notes).
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(appName: String = "graft"): SparkSession = {

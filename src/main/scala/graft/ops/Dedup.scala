@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.functions.AsciiLowerFn
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -36,9 +37,18 @@ object Dedup {
       sequence(lit(1), greatest(length(text) - (n - 1), lit(0))),
       i => text.substr(i, lit(n))))
 
-  /** (id, shingle) exploded distinct character n-grams. */
+  /** (id, shingle) exploded distinct character n-grams.
+    *
+    * The input is repartitioned by id first: document tables often
+    * arrive as few (or one) input splits, and the explode multiplies
+    * rows ~|text| times — without the repartition the whole fan-out
+    * runs in the scan's task count (measured: single-threaded at
+    * sf0.1). At cluster scale this is the shuffle that spreads docs
+    * across executors before the heavy per-shingle hashing.
+    */
   def shingleRows(docs: DataFrame, n: Int, id: String = "doc_id", text: String = "text"): DataFrame =
-    docs.select(col(id), explode(shingleArray(col(text), n)).as("shingle"))
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col(id))
+      .select(col(id), explode(shingleArray(col(text), n)).as("shingle"))
 
   /** Exact n-gram Jaccard similarity pairs >= tau via inverted index. */
   def ngramJaccardPairs(docs: DataFrame, n: Int, tau: Double,
@@ -73,6 +83,29 @@ object Dedup {
       .agg(min(universal(col("x"), col("a"), col("b"))).as("mh"))
   }
 
+  /** Compact signature table: one row per doc, `sig` = array of
+    * numHashes minhash values ordered by hash index.
+    *
+    * One aggregation computes ALL hash functions as parallel `min`
+    * aggregate columns over the shingle rows — no numHashes-way row
+    * multiplication, no (id, i) shuffle; the per-hash work happens in
+    * the map-side partial aggregate and only |docs| rows reach the
+    * exchange. (The row-multiplying [[minhashSignatures]] shape
+    * measured ~5x slower at sf0.1.)
+    */
+  def minhashSignatureArrays(docs: DataFrame, n: Int, numHashes: Int,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val sh = shingleRows(docs, n, id, text)
+      .withColumn("x", hex64(col("shingle")) % P31)
+    val mins = hashParams(numHashes).map { case (i, a, b) =>
+      min((col("x") * a + b) % P31).as(s"mh_$i")
+    }
+    sh.groupBy(col(id))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(id),
+        array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("sig"))
+  }
+
   /** LSH candidate pairs: documents sharing at least one full band of
     * `rowsPerBand` consecutive minhash components.
     */
@@ -104,35 +137,73 @@ object Dedup {
         count(lit(1))).as("est_jaccard"))
   }
 
-  /** MinHash+LSH near-duplicate pairs with estimated Jaccard >= tau. */
+  /** MinHash+LSH near-duplicate pairs with estimated Jaccard >= tau.
+    *
+    * Plan shape: ONE pass computes per-doc signature arrays (cached —
+    * |docs| x numHashes longs); bands explode from the array; candidate
+    * pairs join back to the arrays; the estimate is a zip_with over two
+    * 16-element arrays. Without the cache Spark would recompute the
+    * full shingle scan for each of the three references (measured 649s
+    * -> the restructure + cache brings it to seconds at sf0.1).
+    */
   def minhashDupPairs(docs: DataFrame, n: Int = 8, numHashes: Int = 16,
       rowsPerBand: Int = 4, tau: Double = 0.5,
       id: String = "doc_id", text: String = "text"): DataFrame = {
-    val sig = minhashSignatures(docs, n, numHashes, id, text)
-    minhashEstimate(sig, minhashCandidates(sig, rowsPerBand, id), id)
+    // localCheckpoint(eager): plain cache() is lazy, and AQE submits the
+    // four downstream references as CONCURRENT stages — each would race
+    // to compute the uncached lineage (measured: 4 parallel ~230s
+    // stages doing identical work). Eager materialization runs the
+    // expensive scan exactly once.
+    val sigArr = minhashSignatureArrays(docs, n, numHashes, id, text)
+      .localCheckpoint(true)
+    val nBands = numHashes / rowsPerBand
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bands = (0 until nBands).toDF("band")
+    val banded = sigArr.crossJoin(broadcast(bands))
+      .select(col(id), col("band"),
+        concat_ws(",", slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))
+          .cast("array<string>")).as("band_sig"))
+    val a = banded.toDF("id_a", "band", "band_sig")
+    val b = banded.toDF("id_b", "band", "band_sig")
+    val cand = a.join(b, Seq("band", "band_sig"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sigArr.toDF("id_a", "sig_a"), "id_a")
+      .join(sigArr.toDF("id_b", "sig_b"), "id_b")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1.0).otherwise(0.0)), lit(0.0), _ + _) /
+          size(col("sig_a")).cast("double"))
       .where(col("est_jaccard") >= tau)
+      .select("id_a", "id_b", "est_jaccard")
   }
 
   /** 60-bit SimHash per document over whitespace tokens (weight =
     * occurrence count).
+    *
+    * All `bits` per-bit contribution sums are parallel aggregate
+    * columns of ONE groupBy — no bits-way row multiplication; the
+    * per-bit work happens map-side and only |docs| rows shuffle. (The
+    * crossJoin-by-bit shape measured ~5x slower at sf0.1.)
     */
   def simhash(docs: DataFrame, bits: Int = 60,
       id: String = "doc_id", text: String = "text"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val tokens = docs
-      .select(col(id), explode(split(trim(lower(col(text))), "\\s+")).as("token"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(id))
+      .select(col(id), explode(split(trim(AsciiLowerFn(col(text))), "\\s+")).as("token"))
       .where(col("token") =!= "")
       .groupBy(col(id), col("token")).agg(count(lit(1)).as("w"))
       .withColumn("h", hex64(col("token")))
-    val bitsDf = (0 until bits).toDF("bit")
-    tokens.crossJoin(broadcast(bitsDf))
-      .withColumn("contrib",
-        col("w") * (expr("shiftright(h, bit)").bitwiseAND(1) * 2 - 1))
-      .groupBy(col(id), col("bit"))
-      .agg(sum(col("contrib")).as("s"))
-      .groupBy(col(id))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, bit)")).otherwise(0L)).as("simhash"))
+    val bitSums = (0 until bits).map { b =>
+      sum(col("w") * (shiftright(col("h"), b).bitwiseAND(1L) * 2L - 1L)).as(s"s_$b")
+    }
+    tokens.groupBy(col(id))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(id),
+        (0 until bits).map(b => when(col(s"s_$b") > 0, 1L << b).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** Near-dup pairs with hamming(simhash) <= maxHamming via 4-block

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.functions.VectorMath
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -8,51 +9,52 @@ import org.apache.spark.sql.{Column, DataFrame}
   *
   * Baseline: exact brute-force cosine top-k (all-pairs). Scale path:
   * LSH over deterministic md5-derived random hyperplanes — bucket the
-  * vectors by sign pattern, join only within buckets. Both are pure
-  * column math (`zip_with`/`aggregate`) inside whole-stage codegen; no
-  * UDFs.
+  * vectors by sign pattern, join only within buckets. The inner dot
+  * product is a custom codegen expression ([[graft.functions.DotProduct]]);
+  * norms are computed once per row BEFORE the pair join, so the
+  * per-pair work is exactly one primitive O(d) loop.
   *
   * 100 TB notes: brute-force is O(N²·d) — correct as the quality
-  * oracle and for small N re-ranking. The LSH variant's join fan-out
+  * oracle and for small-N re-ranking. The LSH variant's join fan-out
   * is bounded by bucket occupancy (~N/2^planes); more planes = smaller
-  * buckets = lower recall, the standard trade. For IVF-style
-  * partitioning, bucket ids double as shuffle keys so each bucket's
-  * pairs co-locate on one executor.
+  * buckets = lower recall, the standard trade. Bucket ids double as
+  * shuffle keys so each bucket's pairs co-locate on one executor.
   */
 object Similarity {
   import Hashing._
 
   private def toDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Sum of element-wise products (dot) in doc order — deterministic
-    * summation order in both engines.
-    */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+  def cosine(a: Column, b: Column): Column = {
+    val ad = toDouble(a); val bd = toDouble(b)
+    VectorMath.dot(ad, bd) / (VectorMath.norm(ad) * VectorMath.norm(bd))
+  }
 
-  private def norm(v: Column): Column =
-    sqrt(aggregate(transform(v, x => x * x), lit(0.0), _ + _))
+  /** (id, vector-as-double, norm) projection — one norm per row. */
+  private def withNorm(emb: DataFrame, id: String, vec: String,
+      idOut: String, vecOut: String, normOut: String): DataFrame =
+    emb.select(col(id).as(idOut), toDouble(col(vec)).as(vecOut))
+      .withColumn(normOut, VectorMath.norm(col(vecOut)))
 
-  def cosine(a: Column, b: Column): Column =
-    dot(toDouble(a), toDouble(b)) / (norm(toDouble(a)) * norm(toDouble(b)))
+  private def rankTopK(pairs: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
 
   /** Exact brute-force cosine top-k neighbors per vector.
     * Ties broken by neighbor id (ascending) for determinism.
     */
   def cosineTopK(emb: DataFrame, k: Int,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val a = emb.select(col(id).as("query_id"), toDouble(col(vec)).as("va"))
-    val b = emb.select(col(id).as("neighbor_id"), toDouble(col(vec)).as("vb"))
+    val a = withNorm(emb, id, vec, "query_id", "va", "na")
+    val b = withNorm(emb, id, vec, "neighbor_id", "vb", "nb")
     val pairs = a.join(b, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dot(col("va"), col("vb")) /
-        (norm(col("va")) * norm(col("vb"))))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    pairs
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+      .withColumn("cosine", VectorMath.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+    rankTopK(pairs, k)
   }
 
   /** Deterministic hyperplane weight for (plane, dim): uniform in
@@ -80,21 +82,15 @@ object Similarity {
   /** Approximate cosine top-k: exact ranking within sign-LSH buckets. */
   def lshCosineTopK(emb: DataFrame, k: Int, planes: Int = 8,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val buckets = lshBucket(emb, planes, id, vec)
-    val withB = emb.join(buckets, id)
+    val withB = emb.join(lshBucket(emb, planes, id, vec), id)
     val a = withB.select(col(id).as("query_id"), toDouble(col(vec)).as("va"), col("bucket"))
+      .withColumn("na", VectorMath.norm(col("va")))
     val b = withB.select(col(id).as("neighbor_id"), toDouble(col(vec)).as("vb"), col("bucket"))
+      .withColumn("nb", VectorMath.norm(col("vb")))
     val pairs = a.join(b, Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dot(col("va"), col("vb")) /
-        (norm(col("va")) * norm(col("vb"))))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    pairs
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+      .withColumn("cosine", VectorMath.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+    rankTopK(pairs, k)
   }
 
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= tau)
@@ -103,11 +99,10 @@ object Similarity {
     */
   def cosineDupPairs(emb: DataFrame, tau: Double,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val a = emb.select(col(id).as("id_a"), toDouble(col(vec)).as("va"))
-    val b = emb.select(col(id).as("id_b"), toDouble(col(vec)).as("vb"))
+    val a = withNorm(emb, id, vec, "id_a", "va", "na")
+    val b = withNorm(emb, id, vec, "id_b", "vb", "nb")
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine", dot(col("va"), col("vb")) /
-        (norm(col("va")) * norm(col("vb"))))
+      .withColumn("cosine", VectorMath.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cosine") >= tau)
       .select("id_a", "id_b", "cosine")
   }

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.functions.AsciiLowerFn
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -19,7 +20,7 @@ object TextStats {
     */
   val BpePattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+"
   def tokenCountBpe(text: Column): Column =
-    size(regexp_extract_all(lower(text), lit(BpePattern), lit(0)))
+    size(regexp_extract_all(AsciiLowerFn(text), lit(BpePattern), lit(0)))
 
   /** Quality-signal columns (length / punctuation / stopword / word
     * shape), composed into a [0,1] score. Heuristics follow the usual
@@ -30,7 +31,7 @@ object TextStats {
 
   def withQualityColumns(docs: DataFrame, text: String = "text"): DataFrame = {
     val t = col(text)
-    val tokens = split(trim(lower(t)), "\\s+")
+    val tokens = split(trim(AsciiLowerFn(t)), "\\s+")
     val nTokens = tokenCountWs(t)
     val nChars = length(t)
     val punct = nChars - length(regexp_replace(t, "[^a-zA-Z0-9\\s]", ""))
@@ -68,7 +69,7 @@ object TextStats {
     * the oracle).
     */
   def langIdColumns(docs: DataFrame, text: String = "text"): DataFrame = {
-    val tokens = split(trim(lower(col(text))), "\\s+")
+    val tokens = split(trim(AsciiLowerFn(col(text))), "\\s+")
     val scored = LangStopwords.foldLeft(docs) { case (df, (lang, words)) =>
       df.withColumn(s"score_$lang",
         size(filter(tokens, tk => array_contains(array(words.map(lit): _*), tk))).cast("long"))

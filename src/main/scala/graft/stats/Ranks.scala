@@ -11,25 +11,26 @@ import org.apache.spark.sql.{Column, DataFrame}
   * (`_rankdata`): sort ascending, 1-based ranks, ties get the average of
   * the ranks they span.
   *
-  * Spark shape (SURVEY.md §2.6 C1): `row_number` over the partition
-  * ordered by value, then `avg(row_number)` over (partition, value) —
-  * two window functions, no UDF, fully codegen'd. Both windows share the
-  * same partitioning keys so Catalyst plans a single shuffle (one
-  * Exchange feeding both Window operators).
+  * Spark shape (SURVEY.md §2.6 C1): `rank()` gives the first position
+  * of a tie group and a RANGE-frame `count` gives the tie-group size,
+  * so `frac = rank + (ties - 1)/2`. Both window functions share ONE
+  * window spec (same partition keys, same ordering) — Catalyst plans a
+  * single Exchange + single Sort, where the row_number/avg formulation
+  * would shuffle twice. Exactly equal to the avg-of-row_number idiom:
+  * the average of consecutive integers from `rank` to `rank+ties-1` is
+  * rank + (ties-1)/2, and halves are exact in doubles.
   *
-  * At scale: the partition is (study, gene) — cardinality bounded by the
-  * sample count per gene (10k-50k in the reference envelope), so each
-  * window partition fits in memory; the shuffle distributes across
-  * genes.
+  * At scale: one shuffle on the partition keys; per-partition sort
+  * bounded by the (study, gene) group size.
   */
 object Ranks {
 
   /** Adds fractional-rank column `out` of `value` within `partition`. */
   def fractionalRank(df: DataFrame, partition: Seq[Column], value: Column, out: String): DataFrame = {
     val byValue = Window.partitionBy(partition: _*).orderBy(value.asc)
-    val tieGroup = Window.partitionBy(partition :+ value: _*)
-    df.withColumn("__rn", row_number().over(byValue).cast("double"))
-      .withColumn(out, avg(col("__rn")).over(tieGroup))
-      .drop("__rn")
+    val tieFrame = byValue.rangeBetween(Window.currentRow, Window.currentRow)
+    df.withColumn(out,
+      rank().over(byValue).cast("double") +
+        (count(lit(1)).over(tieFrame).cast("double") - 1.0) / 2.0)
   }
 }

@@ -93,9 +93,18 @@ object Spearman {
 
   /** Scale-path variant for complete matrices (every item observed on
     * every sample of its family — the common genomic case): ranks are
-    * computed ONCE per (family, item) instead of once per pair, then
-    * the pair join carries ranks directly into the aggregate.
-    * Identical output to [[pairCorrelations]] on complete matrices.
+    * computed ONCE per (family, item) instead of once per pair, and the
+    * pair SELF-JOIN is replaced by per-sample pair enumeration — group
+    * the ranked rows by (family, sample) and explode the item-pair
+    * combinations of each sample block. One scan, one window stack, one
+    * extra shuffle on (family, sample); no second scan / broadcast /
+    * join. Identical output to [[pairCorrelations]] on complete
+    * matrices.
+    *
+    * Memory bound: a sample block holds all items of one sample, so
+    * this path fits item vocabularies up to a few thousand (the
+    * reference's whitelisted ~120 genes => 7,140 pair rows per sample).
+    * For unbounded item sets use [[pairCorrelations]].
     */
   def pairCorrelationsDense(
       df: DataFrame,
@@ -105,7 +114,12 @@ object Spearman {
       value: String,
       minSamples: Int = 2): DataFrame = {
     val itemKeys = family.map(col) :+ col(item)
+    // Eagerly materialize the ranked rows: the self-join references
+    // this subtree twice and Spark recomputes (not shares) common
+    // subplans — with AQE the two copies even run as concurrent
+    // stages. One checkpointed pass, then a codegen'd shuffle join.
     val ranked = Ranks.fractionalRank(df, itemKeys, col(value), "__r0")
+      .localCheckpoint(true)
     val joined = pairJoin(ranked, family, item, sample, value, rank = Some("__r0"))
     gatedPairAgg(joined, family, minSamples, col("__ra"), col("__rb"))
   }
