@@ -83,10 +83,15 @@ object SparkEntry {
           round(sum(col("l_quantity")), 4).as("sum_qty"),
           round(avg(col("l_extendedprice")), 4).as("avg_price"))),
 
-    // --- reshaping (R1) -----------------------------------------------
+    // --- reshaping (R1/R2) --------------------------------------------
     "r1_unpivot_agg" -> ((s, dir) =>
       lineitemLong(s, dir).groupBy(col("item"))
         .agg(count(lit(1)).as("n"), round(sum(col("v")), 4).as("sum_v"))),
+    // R2: long -> wide (the inverse reshape of R1).
+    "r2_pivot" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(col("l_quantity")), 4))),
 
     // --- joins (J1/J2/J5/J7) ------------------------------------------
     "j1_star_join" -> ((s, dir) => {
@@ -111,9 +116,17 @@ object SparkEntry {
         .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))),
     "j7_anti_join" -> ((s, dir) =>
       t(s, dir, "customer")
-        .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+        .join(t(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("c_custkey")),
           Seq("c_custkey"), "left_anti")
         .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))),
+    "j3_broadcast_lookup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))),
     "j5_pair_selfjoin" -> ((s, dir) => {
       val n = t(s, dir, "nation")
       val a = n.select(col("n_regionkey").as("rk"), col("n_nationkey").as("nk_a"),
@@ -125,6 +138,15 @@ object SparkEntry {
     }),
 
     // --- filters / predicate pushdown (F1/F4/F6) ----------------------
+    // F1: gene-whitelist analog — broadcast left-semi join of the big
+    // fact against a small filtered dimension key set, pre-aggregation.
+    "f1_semijoin_filter" -> ((s, dir) => {
+      val whitelist = t(s, dir, "part").where(col("p_size") <= 10)
+        .select(col("p_partkey").as("l_partkey"))
+      t(s, dir, "lineitem").join(broadcast(whitelist), Seq("l_partkey"), "left_semi")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 4).as("sum_qty"))
+    }),
     "f4_filter_agg" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .where(col("l_quantity") >= 5 && col("l_quantity") < 30 &&
@@ -140,6 +162,28 @@ object SparkEntry {
         .distinct()
         .withColumn("brand_key", row_number().over(Window.orderBy(col("brand"))).cast("long"))
         .select("brand_key", "brand")),
+    // D3: conditional-fill dimension merge (reference sample-upsert
+    // semantics: an existing non-UNKNOWN value wins; UNKNOWN/absent is
+    // filled from the update side). Snapshots are derived from
+    // `customer` by key residue so the merge exercises matched,
+    // left-only, and right-only rows.
+    "d3_merge_upsert" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val existing = c.where(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 2 === 0, lit("UNKNOWN"))
+            .otherwise(col("c_mktsegment")).as("segment"),
+          col("c_nationkey").as("nation_key"))
+      val updates = c.where(col("c_custkey") % 3 =!= 1)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment_new"),
+          col("c_nationkey").as("nation_new"))
+      existing.join(updates, Seq("c_custkey"), "full_outer")
+        .select(col("c_custkey"),
+          when(col("segment").isNull || col("segment") === "UNKNOWN",
+            coalesce(col("segment_new"), col("segment"), lit("UNKNOWN")))
+            .otherwise(col("segment")).as("segment"),
+          coalesce(col("nation_key"), col("nation_new")).as("nation_key"))
+    }),
 
     // --- sorts / top-k (O-family) -------------------------------------
     "o1_topk" -> ((s, dir) =>
@@ -167,9 +211,42 @@ object SparkEntry {
           timestamp_micros((col("ts") / 1000L).cast("long"))).as("hour"),
           col("event_type"))
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))),
+    // X3: sessionization (gaps-and-islands) — lag/gap flag, running-sum
+    // session ids, per-session rollup. ts is raw parquet nanos (Long);
+    // integer DIV keeps microsecond output exact (a double division
+    // would lose sub-µs precision at 2^60 magnitudes).
+    "x3_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val gapNs = 30L * 60L * 1000000000L
+      t(s, dir, "events")
+        .withColumn("new_sess",
+          when(lag(col("ts"), 1).over(w).isNull ||
+            col("ts") - lag(col("ts"), 1).over(w) > gapNs, 1L).otherwise(0L))
+        .withColumn("session_seq", sum(col("new_sess")).over(w))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("sum_value"),
+          expr("CAST(min(ts) DIV 1000 AS BIGINT)").as("session_start_us"))
+    }),
+    // X4: semi-structured props — JSON field extraction + agg.
+    "x4_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),
+          countDistinct(col("k")).as("n_distinct_k"))),
 
     // --- dedup (p1-p4) ------------------------------------------------
-    "p1_dedup_exact" -> ((s, dir) => Dedup.exactDupGroups(t(s, dir, "documents"))),
+    // The corpus has no byte-identical duplicates, so plant some: every
+    // 50th doc re-appears under a shifted id — the dup groups the
+    // operator must find are exactly those (keep_id = original).
+    "p1_dedup_exact" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val planted = d.where(col("doc_id") % 50 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+      Dedup.exactDupGroups(d.unionByName(planted))
+    }),
     "p2_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 8, tau = 0.5)
         .select(col("id_a"), col("id_b"), col("shared"), col("sz_a"), col("sz_b"),
@@ -190,6 +267,11 @@ object SparkEntry {
       Similarity.lshCosineTopK(t(s, dir, "embeddings"), k = 5, planes = 8)
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
           col("rank"))),
+    // tau=0.45 sits just inside the corpus' cosine tail (max ~0.51) so
+    // the threshold variant returns a small non-empty pair set.
+    "p12_embedding_dup" -> ((s, dir) =>
+      Similarity.cosineDupPairs(t(s, dir, "embeddings"), tau = 0.45)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))),
 
     // --- text analysis (p7-p10) ---------------------------------------
     "p7_langid" -> ((s, dir) =>
@@ -336,8 +418,56 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
     "j7_anti_join" ->
       """SELECT c_mktsegment, count(*) AS n_customers FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |GROUP BY 1""".stripMargin,
+    "j3_broadcast_lookup" ->
+      """SELECT p_brand,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin,
+    "f1_semijoin_filter" ->
+      """SELECT l_returnflag, count(*) AS n_rows, round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey AND p_size <= 10)
+        |GROUP BY 1""".stripMargin,
+    "r2_pivot" ->
+      """SELECT l_returnflag,
+        |       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS "F",
+        |       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS "O"
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "d3_merge_upsert" ->
+      """WITH existing AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 2 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS segment,
+        |         c_nationkey AS nation_key
+        |  FROM customer WHERE c_custkey % 3 <> 0),
+        |updates AS (
+        |  SELECT c_custkey, c_mktsegment AS segment_new, c_nationkey AS nation_new
+        |  FROM customer WHERE c_custkey % 3 <> 1)
+        |SELECT COALESCE(e.c_custkey, u.c_custkey) AS c_custkey,
+        |       CASE WHEN e.segment IS NULL OR e.segment = 'UNKNOWN'
+        |            THEN COALESCE(u.segment_new, e.segment, 'UNKNOWN')
+        |            ELSE e.segment END AS segment,
+        |       COALESCE(e.nation_key, u.nation_new) AS nation_key
+        |FROM existing e FULL OUTER JOIN updates u ON e.c_custkey = u.c_custkey""".stripMargin,
+    "x3_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tns, value FROM events),
+        |g AS (SELECT *, CASE WHEN lag(tns) OVER w IS NULL
+        |                       OR tns - lag(tns) OVER w > 1800000000000 THEN 1 ELSE 0 END AS new_sess
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tns ASC, event_id ASC)),
+        |s AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tns ASC, event_id ASC
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |      FROM g)
+        |SELECT user_id, session_seq, count(*) AS n_events, round(sum(value), 4) AS sum_value,
+        |       CAST(min(tns) // 1000 AS BIGINT) AS session_start_us
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    "x4_json_extract" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+        |       count(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS n_distinct_k
+        |FROM events GROUP BY 1""".stripMargin,
     "j5_pair_selfjoin" ->
       """SELECT a.n_regionkey AS region_key, a.n_name AS name_a, b.n_name AS name_b
         |FROM nation a JOIN nation b
@@ -368,8 +498,12 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "p1_dedup_exact" ->
-      """SELECT md5(text) AS text_md5, count(*) AS n_copies, min(doc_id) AS keep_id
-        |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0)
+        |SELECT md5(text) AS text_md5, count(*) AS n_copies, min(doc_id) AS keep_id
+        |FROM all_docs GROUP BY 1 HAVING count(*) > 1""".stripMargin,
     "p2_ngram_jaccard" ->
       s"""WITH $shinglesSql,
          |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
@@ -465,6 +599,17 @@ object SparkEntry {
          |           FROM pairs)
          |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
          |FROM ranked WHERE rank <= 5""".stripMargin,
+    "p12_embedding_dup" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         list_sum(list_transform(a.e, (x, i) -> x * b.e[i])) / (a.nrm * b.nrm) AS cosine
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |)
+        |SELECT id_a, id_b, round(cosine, 6) AS cosine
+        |FROM pairs WHERE cosine >= 0.45""".stripMargin,
     "p7_langid" -> {
       val scores = TextStats.LangStopwords.map { case (lang, words) =>
         val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")

@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+For each query dumped by graft.Verify (<out>/<name>/*.parquet) run the
+matching oracle SQL from <out>/oracle_sql.json in DuckDB against the
+sfDir parquet tables, sort columns by name, sort rows, and compare.
+"""
+import json, sys, glob, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(rows):
+    out = []
+    for row in rows:
+        vals = []
+        for v in row:
+            if isinstance(v, float):
+                if math.isnan(v):
+                    vals.append("NaN")
+                else:
+                    # driver rounds; queries pre-round — normalize -0.0 and ulp noise
+                    vals.append(f"{v + 0.0:.9g}")
+            else:
+                vals.append(str(v))
+        out.append(tuple(vals))
+    out.sort()
+    return out
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name in sorted(oracle):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"MISSING  {name}: no spark result")
+            n_bad += 1
+            continue
+        try:
+            odf = con.execute(oracle[name]).fetch_arrow_table()
+            sdf = con.execute(
+                f"SELECT * FROM read_parquet({files!r})").fetch_arrow_table()
+        except Exception as e:
+            print(f"ERROR    {name}: {e}")
+            n_bad += 1
+            continue
+        ocols = sorted(odf.column_names)
+        scols = sorted(sdf.column_names)
+        if ocols != scols:
+            print(f"SCHEMA   {name}: spark={scols} oracle={ocols}")
+            n_bad += 1
+            continue
+        orows = canon(odf.select(ocols).to_pandas().itertuples(index=False, name=None))
+        srows = canon(sdf.select(scols).to_pandas().itertuples(index=False, name=None))
+        if len(orows) != len(srows):
+            print(f"ROWS     {name}: spark={len(srows)} oracle={len(orows)}")
+            n_bad += 1
+        elif orows != srows:
+            diff = sum(1 for a, b in zip(orows, srows) if a != b)
+            print(f"VALUES   {name}: {diff}/{len(orows)} rows differ")
+            for a, b in list(zip(orows, srows))[:2000]:
+                if a != b:
+                    print(f"  oracle: {a}\n  spark : {b}")
+                    break
+            n_bad += 1
+        else:
+            print(f"OK       {name}: {len(srows)} rows")
+            n_ok += 1
+    print(f"\n{n_ok} ok, {n_bad} bad")
+    return 1 if n_bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
