@@ -214,7 +214,10 @@ object Dedup {
     require(maxHamming <= 3, "4-block pigeonhole covers hamming <= 3")
     val spark = docs.sparkSession
     import spark.implicits._
-    val sh = simhash(docs, 60, id, text)
+    // Materialize the signature table once: the self-join references it
+    // twice and Spark recomputes (not shares) common subplans — without
+    // this the whole tokenize+aggregate pipeline runs twice.
+    val sh = simhash(docs, 60, id, text).localCheckpoint(true)
     val blocks = (0 until 4).toDF("blk")
     val keyed = sh.crossJoin(broadcast(blocks))
       .withColumn("blk_key", expr("(simhash >> (blk * 15)) & 32767"))
@@ -226,7 +229,9 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         expr("bit_count(sim_a ^ sim_b)").cast("long").as("hamming"))
-      .distinct()
+      // cheap per-row hamming gate BEFORE the dedup shuffle: distinct
+      // then only carries true near-dup pairs, not every block collision
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

@@ -45,14 +45,22 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Spread the streamed side of a nested-loop pair join: embedding
+    * tables often arrive as one input split, and the O(N·broadcast)
+    * probe loop otherwise runs in that single task (measured: the whole
+    * brute-force scan single-threaded at sf0.1).
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Exact brute-force cosine top-k neighbors per vector.
     * Ties broken by neighbor id (ascending) for determinism.
     */
   def cosineTopK(emb: DataFrame, k: Int,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val a = withNorm(emb, id, vec, "query_id", "va", "na")
+    val a = spread(withNorm(emb, id, vec, "query_id", "va", "na"))
     val b = withNorm(emb, id, vec, "neighbor_id", "vb", "nb")
-    val pairs = a.join(b, col("query_id") =!= col("neighbor_id"))
+    val pairs = a.join(broadcast(b), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", VectorMath.dot(col("va"), col("vb")) / (col("na") * col("nb")))
     rankTopK(pairs, k)
   }
@@ -99,9 +107,9 @@ object Similarity {
     */
   def cosineDupPairs(emb: DataFrame, tau: Double,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val a = withNorm(emb, id, vec, "id_a", "va", "na")
+    val a = spread(withNorm(emb, id, vec, "id_a", "va", "na"))
     val b = withNorm(emb, id, vec, "id_b", "vb", "nb")
-    a.join(b, col("id_a") < col("id_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
       .withColumn("cosine", VectorMath.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cosine") >= tau)
       .select("id_a", "id_b", "cosine")

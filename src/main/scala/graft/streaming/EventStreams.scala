@@ -41,15 +41,20 @@ object EventStreams {
     * after `gapMinutes` of inactivity (processing-time timeout), then
     * emits one summary row. mapGroupsWithState is the custom-state
     * primitive (SURVEY.md — KeyValueGroupedDataset state shape).
+    *
+    * `timeout` defaults to the production processing-time clock; tests
+    * pass `NoTimeout` because a wall-clock timeout cannot be driven
+    * deterministically from MemoryStream (and keeps the micro-batch
+    * loop alive under `processAllAvailable`).
     */
-  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionOut] = {
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout): Dataset[SessionOut] = {
     implicit val stateEnc = Encoders.product[SessionState]
     implicit val outEnc = Encoders.product[SessionOut]
     implicit val longEnc = Encoders.scalaLong
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, SessionOut](
-        GroupStateTimeout.ProcessingTimeTimeout) {
+      .mapGroupsWithState[SessionState, SessionOut](timeout) {
         case (userId, rows, state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
@@ -64,7 +69,8 @@ object EventStreams {
               prev.count + evs.size, prev.sum + evs.map(_.value).sum,
               math.min(prev.startMs, minMs), math.max(prev.lastMs, maxMs))
             state.update(next)
-            state.setTimeoutDuration(s"$gapMinutes minutes")
+            if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
+              state.setTimeoutDuration(s"$gapMinutes minutes")
             SessionOut(userId, next.count, next.sum, next.lastMs - next.startMs)
           }
       }

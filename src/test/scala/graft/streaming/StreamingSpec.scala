@@ -1,0 +1,105 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import java.sql.Timestamp
+
+/** Structured Streaming specs driven by MemoryStream so each trigger is
+  * deterministic (no wall-clock dependence except the explicitly-noted
+  * processing-time session timeout, which is not exercised here).
+  */
+class StreamingSpec extends SparkSpec {
+  import EventStreams._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("hourlyCounts: streaming tumbling window equals batch agg after all data arrives") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+
+    val source = MemoryStream[Event]
+    val events = Seq(
+      Event(1L, ts(0), 1L, "click", 1.0),
+      Event(2L, ts(10), 1L, "click", 2.0),
+      Event(3L, ts(20), 2L, "view", 4.0),
+      Event(4L, ts(59), 2L, "click", 8.0))
+    source.addData(events: _*)
+
+    val q = hourlyCounts(source.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      val got = s.table("hourly")
+        .select("hour", "event_type", "n_events", "sum_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      val expected = events.toDF()
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(got == expected)
+      assert(got.map(_._1).forall(_ == Timestamp.valueOf("2026-01-01 10:00:00")))
+    } finally q.stop()
+  }
+
+  test("hourlyCounts: watermark closes old windows (late row beyond 1h is dropped)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+
+    val source = MemoryStream[Event]
+    val q = hourlyCounts(source.toDF())
+      .writeStream.format("memory").queryName("hourly_wm")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: one row at 10:00; batch 2 advances event time to 13:00,
+      // moving the watermark (13:00 - 1h = 12:00) past the 10:00 window.
+      source.addData(Event(1L, ts(0), 1L, "click", 1.0))
+      q.processAllAvailable()
+      source.addData(Event(2L, Timestamp.valueOf("2026-01-01 13:00:00"), 1L, "click", 2.0))
+      q.processAllAvailable()
+      // batch 3: a late arrival for the already-closed 10:00 window.
+      source.addData(Event(3L, ts(30), 1L, "click", 64.0))
+      q.processAllAvailable()
+      val rows = s.table("hourly_wm")
+        .select("hour", "n_events", "sum_value")
+        .as[(Timestamp, Long, Double)].collect()
+        .map { case (h, n, v) => (h.toString, (n, v)) }.toMap
+      // Append mode emits a window only once it is closed by the
+      // watermark: the 10:00 window must show only the on-time row.
+      assert(rows("2026-01-01 10:00:00.0") == ((1L, 1.0)))
+      assert(!rows.contains("2026-01-01 13:00:00.0")) // still open
+    } finally q.stop()
+  }
+
+  test("sessionize: per-user state accumulates counts/sums across triggers") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+
+    val source = MemoryStream[Event]
+    val q = sessionize(source.toDS(), gapMinutes = 30,
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      source.addData(Event(1L, ts(0), 7L, "click", 1.0), Event(2L, ts(5), 7L, "view", 2.0))
+      q.processAllAvailable()
+      source.addData(Event(3L, ts(10), 7L, "click", 4.0), Event(4L, ts(1), 9L, "view", 8.0))
+      q.processAllAvailable()
+      val latest = s.table("sessions")
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n"), max(col("sum_value")).as("sum"),
+          max(col("duration_ms")).as("dur"))
+        .as[(Long, Long, Double, Long)].collect()
+        .map { case (u, n, v, d) => (u, (n, v, d)) }.toMap
+      assert(latest(7L) == ((3L, 7.0, 10L * 60 * 1000)))
+      assert(latest(9L) == ((1L, 8.0, 0L)))
+    } finally q.stop()
+  }
+}
