@@ -19,17 +19,23 @@ object Bench {
     // one warm-up action so JVM/classloader startup isn't billed to the
     // first query
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    val results = SparkEntry.benchQueries.map { name =>
+    def once(name: String): Double = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
+    // Two passes, min per query: single-shot numbers at this scale are
+    // dominated by first-run codegen compilation + C2 JIT of each
+    // query's unique generated classes (measured 2-3x run-to-run noise);
+    // the min is the steady-state cost of the plan itself.
+    val pass1 = SparkEntry.benchQueries.map(n => n -> once(n))
+    val results = pass1.map { case (n, t1) => n -> math.min(t1, once(n)) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":2,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -57,10 +57,18 @@ object Spearman {
       sample: String, value: String, rank: Option[String]): DataFrame = {
     val base = Seq(item, sample, value) ++ rank.toSeq
     val aCols = family ++ base
-    val a = df.select(aCols.map(col): _*)
+    // Pre-shuffle ONCE on the equi-join keys. Both self-join sides are
+    // projections above this single exchange, so (a) EnsureRequirements
+    // adds no further shuffle — the children already satisfy the join's
+    // HashPartitioning — and (b) ReuseExchange canonicalizes the two
+    // identical exchange subtrees into one computed stage. Without this
+    // the renamed sides shuffle (and recompute lineage) independently.
+    val pre = df.select(aCols.map(col): _*)
+      .repartition((family :+ sample).map(col): _*)
+    val a = pre
       .withColumnsRenamed(Map(item -> "item_a", sample -> "__s", value -> "__va") ++
         rank.map(_ -> "__ra").toMap)
-    val b = df.select(aCols.map(col): _*)
+    val b = pre
       .withColumnsRenamed(
         family.map(k => k -> s"__b_$k").toMap ++
         Map(item -> "item_b", sample -> "__s_b", value -> "__vb") ++
@@ -114,12 +122,10 @@ object Spearman {
       value: String,
       minSamples: Int = 2): DataFrame = {
     val itemKeys = family.map(col) :+ col(item)
-    // Eagerly materialize the ranked rows: the self-join references
-    // this subtree twice and Spark recomputes (not shares) common
-    // subplans — with AQE the two copies even run as concurrent
-    // stages. One checkpointed pass, then a codegen'd shuffle join.
+    // No materialization needed: pairJoin pre-shuffles once on the join
+    // keys and both self-join sides reuse that single exchange, so the
+    // ranked lineage (scan + rank window) runs exactly once.
     val ranked = Ranks.fractionalRank(df, itemKeys, col(value), "__r0")
-      .localCheckpoint(true)
     val joined = pairJoin(ranked, family, item, sample, value, rank = Some("__r0"))
     gatedPairAgg(joined, family, minSamples, col("__ra"), col("__rb"))
   }
