@@ -267,6 +267,10 @@ object SparkEntry {
       Similarity.lshCosineTopK(t(s, dir, "embeddings"), k = 5, planes = 8)
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
           col("rank"))),
+    "p13_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfCosineTopK(t(s, dir, "embeddings"), k = 5, nCentroids = 8, nProbe = 2)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
+          col("rank"))),
     // tau=0.45 sits just inside the corpus' cosine tail (max ~0.51) so
     // the threshold variant returns a small non-empty pair set.
     "p12_embedding_dup" -> ((s, dir) =>
@@ -599,6 +603,33 @@ object SparkEntry {
          |           FROM pairs)
          |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
          |FROM ranked WHERE rank <= 5""".stripMargin,
+    "p13_ivf_topk" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v),
+        |cents AS (SELECT vec_id AS cid, e AS cv, nrm AS cn FROM n ORDER BY vec_id ASC LIMIT 8),
+        |sims AS (
+        |  SELECT n.vec_id, cid,
+        |         list_sum(list_transform(e, (x, i) -> x * cv[i])) / (nrm * cn) AS sim
+        |  FROM n CROSS JOIN cents
+        |),
+        |cells AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                    ORDER BY sim DESC, cid ASC) AS rk FROM sims),
+        |assign AS (SELECT vec_id, cid AS cell FROM cells WHERE rk = 1),
+        |probes AS (SELECT vec_id, cid AS cell FROM cells WHERE rk <= 2),
+        |pairs AS (
+        |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+        |         list_sum(list_transform(qa.e, (x, i) -> x * na.e[i])) / (qa.nrm * na.nrm) AS cosine
+        |  FROM probes p
+        |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+        |  JOIN n qa ON qa.vec_id = p.vec_id
+        |  JOIN n na ON na.vec_id = a.vec_id
+        |),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |           FROM pairs)
+        |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+        |FROM ranked WHERE rank <= 5""".stripMargin,
     "p12_embedding_dup" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
         |           FROM embeddings),

@@ -101,6 +101,62 @@ object Similarity {
     rankTopK(pairs, k)
   }
 
+  /** IVF (inverted-file) coarse quantization: assign every vector to
+    * its nearest of `nCentroids` centroid vectors (cosine, ties to the
+    * lowest centroid id). Centroids are the `nCentroids` vectors with
+    * the smallest ids — deterministic (no RNG, oracle-replicable) and a
+    * stand-in for a k-means codebook: swap `centroids` for trained
+    * ones without touching the search path.
+    *
+    * Returns (idOut, vecOut, normOut, cell).
+    */
+  private def ivfAssign(emb: DataFrame, nCentroids: Int,
+      id: String, vec: String,
+      idOut: String, vecOut: String, normOut: String): DataFrame = {
+    val vs = withNorm(emb, id, vec, idOut, vecOut, normOut)
+    val cents = withNorm(emb, id, vec, "__cid", "__cv", "__cn")
+      .orderBy(col("__cid").asc).limit(nCentroids)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idOut))
+      .orderBy(col("__sim").desc, col("__cid").asc)
+    spread(vs).join(broadcast(cents))
+      .withColumn("__sim",
+        VectorMath.dot(col(vecOut), col("__cv")) / (col(normOut) * col("__cn")))
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .select(col(idOut), col(vecOut), col(normOut), col("__cid").as("cell"))
+  }
+
+  /** IVF approximate cosine top-k: queries probe their `nProbe` nearest
+    * centroid cells and rank exactly within the union of those cells'
+    * inverted lists.
+    *
+    * 100 TB shape: the cell id is the shuffle key — each cell's list
+    * co-locates, the probe join is an equi-join on `cell`, and fan-out
+    * is bounded by list occupancy (~N/nCentroids x nProbe per query).
+    * Recall/cost trades by nProbe exactly as in FAISS-style IVF-Flat.
+    */
+  def ivfCosineTopK(emb: DataFrame, k: Int, nCentroids: Int = 8, nProbe: Int = 2,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val lists = ivfAssign(emb, nCentroids, id, vec, "neighbor_id", "vb", "nb")
+    val vs = withNorm(emb, id, vec, "query_id", "va", "na")
+    val cents = withNorm(emb, id, vec, "__cid", "__cv", "__cn")
+      .orderBy(col("__cid").asc).limit(nCentroids)
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("__sim").desc, col("__cid").asc)
+    val probes = spread(vs).join(broadcast(cents))
+      .withColumn("__sim",
+        VectorMath.dot(col("va"), col("__cv")) / (col("na") * col("__cn")))
+      .withColumn("__rk", row_number().over(wProbe))
+      .where(col("__rk") <= nProbe)
+      .select(col("query_id"), col("va"), col("na"), col("__cid").as("cell"))
+    val pairs = probes.join(lists, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorMath.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+    rankTopK(pairs, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= tau)
     * — exact all-pairs; compose with [[lshBucket]] for the blocked
     * variant at scale.

@@ -70,6 +70,21 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(got(0).getAs[Double]("cosine") - 1.0) < 1e-12)
   }
 
+  test("ivf cosine top-k: probed cells contain the parallel vector; self excluded") {
+    // nCentroids=2 -> centroids are vectors 1 and 2 (both +x): every
+    // vector lands in one of two +x cells; nProbe=2 searches both, so
+    // recall here equals the exact search.
+    val got = Similarity.ivfCosineTopK(vecs, k = 2, nCentroids = 2, nProbe = 2)
+      .where($"query_id" === 1L).orderBy("rank").collect()
+    assert(got.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(2L, 5L))
+    assert(math.abs(got(0).getAs[Double]("cosine") - 1.0) < 1e-12)
+    // nProbe=1 searches a single cell: results come only from cells
+    // (still rank-1 parallel neighbor for vector 1)
+    val one = Similarity.ivfCosineTopK(vecs, k = 1, nCentroids = 2, nProbe = 1)
+      .where($"query_id" === 1L).collect()
+    assert(one.head.getAs[Long]("neighbor_id") == 2L)
+  }
+
   test("cosine dup pairs finds parallel vectors") {
     val got = Similarity.cosineDupPairs(vecs, tau = 0.99)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
