@@ -57,25 +57,27 @@ object Spearman {
       sample: String, value: String, rank: Option[String]): DataFrame = {
     val base = Seq(item, sample, value) ++ rank.toSeq
     val aCols = family ++ base
-    // Pre-shuffle ONCE on the equi-join keys. Both self-join sides are
-    // projections above this single exchange, so (a) EnsureRequirements
-    // adds no further shuffle — the children already satisfy the join's
-    // HashPartitioning — and (b) ReuseExchange canonicalizes the two
-    // identical exchange subtrees into one computed stage. Without this
-    // the renamed sides shuffle (and recompute lineage) independently.
+    // Pre-shuffle ONCE on the equi-join keys, then self-join via plan
+    // aliases over the SAME subtree: the two sides canonicalize
+    // identically, so ReuseExchange computes the shuffle (and the whole
+    // upstream lineage — scan, rank window) exactly once, and
+    // EnsureRequirements adds no further shuffle because the children
+    // already satisfy the join's HashPartitioning. (Side-b columns
+    // renamed AFTER the join; dataset-alias `col("a.x")` refs keep the
+    // self-join conditions unambiguous.)
     val pre = df.select(aCols.map(col): _*)
       .repartition((family :+ sample).map(col): _*)
-    val a = pre
-      .withColumnsRenamed(Map(item -> "item_a", sample -> "__s", value -> "__va") ++
-        rank.map(_ -> "__ra").toMap)
-    val b = pre
-      .withColumnsRenamed(
-        family.map(k => k -> s"__b_$k").toMap ++
-        Map(item -> "item_b", sample -> "__s_b", value -> "__vb") ++
-        rank.map(_ -> "__rb").toMap)
-    val cond = (family.map(k => col(k) === col(s"__b_$k")) :+
-      (col("__s") === col("__s_b")) :+ (col("item_a") < col("item_b"))).reduce(_ && _)
-    a.join(b, cond).drop("__s_b").drop(family.map(k => s"__b_$k"): _*)
+    val cond = (family.map(k => col(s"a.$k") === col(s"b.$k")) :+
+      (col(s"a.$sample") === col(s"b.$sample")) :+
+      (col(s"a.$item") < col(s"b.$item"))).reduce(_ && _)
+    val aSide = (family :+ sample).map(k => col(s"a.$k")) ++
+      (Seq(col(s"a.$item").as("item_a"), col(s"a.$value").as("__va")) ++
+        rank.map(r => col(s"a.$r").as("__ra")))
+    val bSide = Seq(col(s"b.$item").as("item_b"), col(s"b.$value").as("__vb")) ++
+      rank.map(r => col(s"b.$r").as("__rb"))
+    pre.as("a").join(pre.as("b"), cond)
+      .select(aSide ++ bSide: _*)
+      .drop(sample)
   }
 
   /** Exact per-pair Spearman (ranks over the shared-sample
