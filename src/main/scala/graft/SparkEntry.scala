@@ -296,13 +296,20 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextStats.fingerprint(col("text")).as("fingerprint"))),
 
-    // --- multimodal plumbing (p11) ------------------------------------
+    // --- multimodal plumbing (p11/p14) --------------------------------
     "p11_multimodal_stub" -> ((s, dir) =>
       Multimodal.withStubFeatures(Multimodal.asMedia(t(s, dir, "documents")))
         .select(col("doc_id"), col("media_type"), col("byte_len"),
           col("width"), col("height"),
           round(col("f0"), 6).as("f0"), round(col("f1"), 6).as("f1"),
           round(col("f2"), 6).as("f2"), round(col("f3"), 6).as("f3"))),
+    // binary frame chunks hashed for compare; the corpus is ASCII so
+    // the oracle can chunk the VARCHAR with identical byte offsets.
+    "p14_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.asMedia(t(s, dir, "documents")),
+        frameBytes = 16, stride = 2)
+        .select(col("doc_id"), col("frame_no"), col("frame_len"),
+          md5(col("frame_bytes")).as("frame_md5"))),
   )
 
   // ===== oracle SQL =====================================================
@@ -705,6 +712,19 @@ object SparkEntry {
         |    list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
         |    (a, b) -> (a * 131 + b) % 1000000007) AS fingerprint
         |FROM documents""".stripMargin,
+    "p14_frame_sample" ->
+      """WITH media AS (
+        |  SELECT doc_id, text AS content FROM documents WHERE doc_id % 3 = 2),
+        |f AS (
+        |  SELECT doc_id,
+        |         unnest(generate_series(0,
+        |           greatest(CAST(ceil(len(content)/16.0) AS INT) - 1, 0), 2)) AS frame_no,
+        |         content
+        |  FROM media)
+        |SELECT doc_id, frame_no,
+        |       CAST(len(substring(content, frame_no*16 + 1, 16)) AS BIGINT) AS frame_len,
+        |       md5(substring(content, frame_no*16 + 1, 16)) AS frame_md5
+        |FROM f""".stripMargin,
     "p11_multimodal_stub" -> {
       val h = hx("text")
       val hr = hx("reverse(text)")

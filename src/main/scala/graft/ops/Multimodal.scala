@@ -78,4 +78,42 @@ object Multimodal {
       it.map(stubDecode)
     }
   }
+
+  /** Resize plumbing: rescale decoded dimensions to fit a bounding box
+    * preserving aspect ratio (the metadata transform of a real resize;
+    * the pixel kernel is the decoder's job). Pure column math over the
+    * decoded table — stays codegen'd, no data movement.
+    */
+  def withResize(decoded: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val scale = least(
+      lit(maxW).cast("double") / col("width"),
+      lit(maxH).cast("double") / col("height"),
+      lit(1.0))
+    decoded
+      .withColumn("resized_w", greatest(floor(col("width") * scale), lit(1)).cast("int"))
+      .withColumn("resized_h", greatest(floor(col("height") * scale), lit(1)).cast("int"))
+  }
+
+  /** Frame sampling: explode a video payload into every `stride`-th
+    * fixed-size chunk ("frame"), keyed (doc_id, frame_no). The chunking
+    * is the STUB for codec frame extraction; the generator shape —
+    * explode bounded by payload size, one output row per sampled frame,
+    * shuffle key (doc_id) — is the real pipeline's. At 100 TB the
+    * explode multiplies rows by frames-per-video, so repartition by id
+    * first (same rationale as Dedup.shingleRows).
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    require(frameBytes > 0 && stride > 0)
+    val nFrames = ceil(length(col("content")).cast("double") / frameBytes).cast("int")
+    media
+      .where(col("media_type") === "video")
+      .repartition(media.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride))).as("frame_no"),
+        col("content"))
+      .select(col("doc_id"), col("frame_no"),
+        col("content").substr(col("frame_no") * frameBytes + 1, lit(frameBytes))
+          .as("frame_bytes"))
+      .withColumn("frame_len", length(col("frame_bytes")).cast("long"))
+  }
 }

@@ -151,4 +151,38 @@ class OpsSpec extends SparkSpec {
     assert(d(1L).width == d(2L).width) // determinism across records
     assert(d(1L).byte_len == "the cat sat on the mat".length)
   }
+
+  test("multimodal: resize fits bounding box preserving aspect; no upscale") {
+    import spark.implicits._
+    val decoded = Seq((1L, 1920, 1080), (2L, 100, 50), (3L, 10, 2000))
+      .toDF("doc_id", "width", "height")
+    val r = Multimodal.withResize(decoded, maxW = 640, maxH = 360)
+      .select("doc_id", "resized_w", "resized_h")
+      .collect().map(x => x.getLong(0) -> ((x.getInt(1), x.getInt(2)))).toMap
+    assert(r(1L) == ((640, 360)))       // exact 3x downscale
+    assert(r(2L) == ((100, 50)))        // already fits: untouched
+    assert(r(3L) == ((1, 360)))         // extreme aspect clamps to >= 1
+  }
+
+  test("multimodal: frame sampling chunks video payloads with stride") {
+    import spark.implicits._
+    val media = Multimodal.asMedia(docs)  // doc_id % 3 == 2 -> video
+    val frames = Multimodal.sampleFrames(media, frameBytes = 4, stride = 2)
+      .orderBy("doc_id", "frame_no").collect()
+    assert(frames.nonEmpty)
+    // every sampled frame index is a stride multiple; chunks cover the
+    // payload: frame k starts at byte k*frameBytes
+    assert(frames.forall(_.getAs[Int]("frame_no") % 2 == 0))
+    val byDoc = frames.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (id, fs) =>
+      val content = media.where($"doc_id" === id).head.getAs[Array[Byte]]("content")
+      fs.foreach { f =>
+        val k = f.getAs[Int]("frame_no")
+        val expected = content.slice(k * 4, k * 4 + 4)
+        assert(f.getAs[Array[Byte]]("frame_bytes").toSeq == expected.toSeq)
+      }
+      // last sampled frame may be short; all others are full
+      assert(fs.init.forall(_.getAs[Long]("frame_len") == 4L))
+    }
+  }
 }
