@@ -229,6 +229,22 @@ object SparkEntry {
           round(sum(col("value")), 4).as("sum_value"),
           expr("CAST(min(ts) DIV 1000 AS BIGINT)").as("session_start_us"))
     }),
+    // X5: as-of join — every click picks the most recent purchase
+    // value at-or-before it per user. Right side pre-aggregated to
+    // unique (user, ts) so tie-breaks are deterministic cross-engine.
+    "x5_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("purchase_value"))
+      ops.AsOfJoin.asof(clicks, purchases, Seq("user_id"), "ts", Seq("purchase_value"))
+        .select(col("event_id"), col("user_id"),
+          expr("CAST(ts DIV 1000 AS BIGINT)").as("ts_us"),
+          round(col("value"), 4).as("value"),
+          round(col("purchase_value"), 4).as("purchase_value"))
+    }),
     // X4: semi-structured props — JSON field extraction + agg.
     "x4_json_extract" -> ((s, dir) =>
       t(s, dir, "events")
@@ -474,6 +490,18 @@ object SparkEntry {
         |SELECT user_id, session_seq, count(*) AS n_events, round(sum(value), 4) AS sum_value,
         |       CAST(min(tns) // 1000 AS BIGINT) AS session_start_us
         |FROM s GROUP BY 1, 2""".stripMargin,
+    "x5_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+        |purch AS (
+        |  SELECT user_id, ts, max(value) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id,
+        |       CAST(epoch_ns(c.ts) // 1000 AS BIGINT) AS ts_us,
+        |       round(c.value, 4) AS value,
+        |       round(p.purchase_value, 4) AS purchase_value
+        |FROM clicks c ASOF LEFT JOIN purch p
+        |  ON c.user_id = p.user_id AND p.ts <= c.ts""".stripMargin,
     "x4_json_extract" ->
       """SELECT event_type, count(*) AS n_events,
         |       sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,

@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** As-of join semantics (AsOfJoin.scala): at-or-before pick, co-timed
+  * tie, carry-forward across multiple probes, no-prior-row null,
+  * per-key isolation.
+  */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asof: most recent at-or-before per key; null before first; keys isolated") {
+    val left = Seq(
+      // (id, key, t, lv)
+      (1L, "u1", 5L, 0.5),
+      (2L, "u1", 10L, 0.6),   // co-timed with a right row: joins it
+      (3L, "u1", 15L, 0.7),
+      (4L, "u1", 30L, 0.8),
+      (5L, "u2", 50L, 0.9),   // u2 has no right rows at all
+      (6L, "u3", 5L, 1.0)     // before u3's only right row
+    ).toDF("id", "key", "t", "lv")
+    val right = Seq(
+      ("u1", 10L, 100.0),
+      ("u1", 20L, 200.0),
+      ("u3", 7L, 300.0)
+    ).toDF("key", "t", "rv")
+
+    val got = AsOfJoin.asof(left, right, Seq("key"), "t", Seq("rv"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[java.lang.Double]("rv")).map(_.toDouble)).toMap
+
+    assert(got(1L).isEmpty)            // t=5 before first right t=10
+    assert(got(2L).contains(100.0))    // co-timed <= joins
+    assert(got(3L).contains(100.0))    // carried forward
+    assert(got(4L).contains(200.0))    // superseded by t=20
+    assert(got(5L).isEmpty)            // key with no right side
+    assert(got(6L).isEmpty)            // before u3's right row
+    // left columns all preserved
+    val cols = AsOfJoin.asof(left, right, Seq("key"), "t", Seq("rv")).columns.toSeq
+    assert(cols == Seq("id", "key", "t", "lv", "rv"))
+  }
+
+  test("asof: payload name collision with left rejected") {
+    val l = Seq((1L, "k", 1L, 1.0)).toDF("id", "key", "t", "rv")
+    val r = Seq(("k", 1L, 2.0)).toDF("key", "t", "rv")
+    assertThrows[IllegalArgumentException](
+      AsOfJoin.asof(l, r, Seq("key"), "t", Seq("rv")))
+  }
+}
