@@ -53,8 +53,41 @@ class CorrelationJob(spark: SparkSession, warehouseDir: String) {
     val long = facts.join(broadcast(dimSample), Seq("sample_key")) // J1
       .select(col("study_key"), col("gene_key"), col("gsm_accession"), col("expression_value"))
 
-    val pairs = Spearman.pairCorrelations(long, Seq("study_key"),
-      "gene_key", "gsm_accession", "expression_value", minSamples)
+    // Per-study path choice: a COMPLETE matrix (every gene observed on
+    // every sample — facts are unique on (sample, gene, study), so
+    // complete ⟺ rows = genes × samples) lets the dense path rank once
+    // per gene instead of once per pair: O(G·n) window work instead of
+    // O(G²·n), identical output (ranks over shared samples equal global
+    // ranks when nothing is missing; pinned by StatsSpec). Incomplete
+    // studies take the exact shared-sample path. The per-study stats
+    // are a metrics-scale driver collect, not a data collect.
+    val shape = long.groupBy("study_key").agg(
+      countDistinct("gene_key").as("g"),
+      countDistinct("gsm_accession").as("s"),
+      count(lit(1)).as("n")).collect()
+    // study_key arrives as IntegerType when read back off hive-style
+    // partition directories — go through Number, not a fixed cast
+    def asLong(r: org.apache.spark.sql.Row, c: String): Long =
+      r.getAs[Number](c).longValue()
+    val (completeKeys, sparseKeys) = shape.partition(r =>
+      asLong(r, "n") == asLong(r, "g") * asLong(r, "s"))
+    def run(keys: Array[Long], dense: Boolean): Option[DataFrame] =
+      if (keys.isEmpty) None
+      else {
+        val subset = long.where(col("study_key").isin(keys: _*))
+        Some(
+          if (dense) Spearman.pairCorrelationsDense(subset, Seq("study_key"),
+            "gene_key", "gsm_accession", "expression_value", minSamples)
+          else Spearman.pairCorrelations(subset, Seq("study_key"),
+            "gene_key", "gsm_accession", "expression_value", minSamples))
+      }
+    val pairs = Seq(
+      run(completeKeys.map(asLong(_, "study_key")), dense = true),
+      run(sparseKeys.map(asLong(_, "study_key")), dense = false))
+      .flatten.reduceOption(_ unionByName _)
+      // no facts at all: empty-but-correctly-shaped result
+      .getOrElse(Spearman.pairCorrelations(long, Seq("study_key"),
+        "gene_key", "gsm_accession", "expression_value", minSamples))
       .withColumnRenamed("item_a", "gene_a_key")
       .withColumnRenamed("item_b", "gene_b_key")
 
