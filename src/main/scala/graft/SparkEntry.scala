@@ -245,6 +245,26 @@ object SparkEntry {
           round(col("value"), 4).as("value"),
           round(col("purchase_value"), 4).as("purchase_value"))
     }),
+    // X6: band/interval join — every error event paired with same-user
+    // events within +/- 5 minutes, as a bucketized equi-join (no
+    // nested-loop range join).
+    // Times are compared at microsecond precision: DuckDB's TIMESTAMP
+    // is µs, so the raw parquet nanos are truncated identically on
+    // both sides before banding.
+    "x6_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts_us", expr("CAST(ts DIV 1000 AS BIGINT)"))
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"), col("ts_us"))
+      val others = ev.select(col("event_id").as("other_id"), col("user_id"),
+        col("ts_us"), col("event_type").as("other_type"))
+      val fiveMinUs = 5L * 60L * 1000000L
+      ops.RangeJoin.bandJoin(errors, others, Seq("user_id"), "ts_us", "ts_us",
+        before = fiveMinUs, after = fiveMinUs)
+        .where(col("error_id") =!= col("other_id"))
+        .select(col("error_id"), col("other_id"), col("user_id"), col("other_type"),
+          (col("right_ts_us") - col("ts_us")).as("delta_us"))
+    }),
     // X4: semi-structured props — JSON field extraction + agg.
     "x4_json_extract" -> ((s, dir) =>
       t(s, dir, "events")
@@ -502,6 +522,14 @@ object SparkEntry {
         |       round(p.purchase_value, 4) AS purchase_value
         |FROM clicks c ASOF LEFT JOIN purch p
         |  ON c.user_id = p.user_id AND p.ts <= c.ts""".stripMargin,
+    "x6_interval_join" ->
+      """SELECT e.event_id AS error_id, a.event_id AS other_id, e.user_id,
+        |       a.event_type AS other_type,
+        |       epoch_us(a.ts) - epoch_us(e.ts) AS delta_us
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |JOIN events a ON a.user_id = e.user_id AND a.event_id <> e.event_id
+        |  AND epoch_us(a.ts) BETWEEN epoch_us(e.ts) - 300000000
+        |                         AND epoch_us(e.ts) + 300000000""".stripMargin,
     "x4_json_extract" ->
       """SELECT event_type, count(*) AS n_events,
         |       sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
