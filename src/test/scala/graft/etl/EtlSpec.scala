@@ -239,6 +239,56 @@ class EtlSpec extends SparkSpec {
     assert(wh.read("fact_gene_pair_corr").count() == 3)
   }
 
+  test("correlation: mixed complete/incomplete studies in one run exercises both Spearman paths") {
+    val root = tmpDir()
+    makeStudy(root) // GSE9006: bad cell -> incomplete matrix -> exact path
+    val d = Files.createDirectories(root.resolve("GSE0002"))
+    write(d, "metadata_GSE0002.tsv",
+      metadataTsv.replace("GSE9006", "GSE0002").replace("GSE_OTHER", "GSE0002"))
+    write(d, "expression_GSE0002.tsv", // complete 3x4 matrix -> dense path
+      "gene\tGSM1\tGSM2\tGSM3\tGSM4\n" +
+        "ENSG1\t1.0\t2.0\t3.0\t4.0\n" +
+        "ENSG2\t2.0\t4.0\t6.0\t8.0\n" +
+        "ENSG3\t9.0\t5.0\t1.0\t0.5\n")
+    val filter = write(root, "filter.tsv", filterTsv)
+    val whDir = tmpDir().toString
+    val results = new EtlJob(spark, config(root, filter), whDir).run()
+    assert(results.forall(_.error.isEmpty))
+
+    val summary = new CorrelationJob(spark, whDir).run()
+    assert(summary.studies.toSet == Set("GSE9006", "GSE0002"))
+    assert(summary.pairs == 6) // C(3,2) per study
+
+    val wh = new Warehouse(spark, whDir)
+    val studyKeys = wh.read("dim_study").collect()
+      .map(r => r.getAs[String]("gse_accession") -> r.getAs[Long]("study_key")).toMap
+    val geneKeys = wh.read("dim_gene").collect()
+      .map(r => r.getAs[String]("ensembl_id") -> r.getAs[Long]("gene_key")).toMap
+    val corr = wh.read("fact_gene_pair_corr").collect()
+      .groupBy(_.getAs[Number]("study_key").longValue())
+    assert(corr(studyKeys("GSE9006")).length == 3)
+    assert(corr(studyKeys("GSE0002")).length == 3)
+
+    def pair(study: String, a: String, b: String) =
+      corr(studyKeys(study)).find(r =>
+        r.getAs[Long]("gene_a_key") == geneKeys(a) &&
+          r.getAs[Long]("gene_b_key") == geneKeys(b)).get
+    // identical ENSG1/ENSG2 values in both studies -> identical pair
+    // stats from the two different paths
+    val sparse12 = pair("GSE9006", "ENSG1", "ENSG2")
+    val dense12 = pair("GSE0002", "ENSG1", "ENSG2")
+    assert(sparse12.getAs[Long]("n_samples") == 4 && dense12.getAs[Long]("n_samples") == 4)
+    assert(math.abs(sparse12.getAs[Double]("rho_spearman") - 1.0) < 1e-12)
+    assert(math.abs(dense12.getAs[Double]("rho_spearman") - 1.0) < 1e-12)
+    assert(sparse12.getAs[Double]("p_value") == dense12.getAs[Double]("p_value"))
+    // complete study's ENSG1/ENSG3 strictly decreasing over all 4 samples
+    val dense13 = pair("GSE0002", "ENSG1", "ENSG3")
+    assert(dense13.getAs[Long]("n_samples") == 4)
+    assert(math.abs(dense13.getAs[Double]("rho_spearman") + 1.0) < 1e-12)
+    // incomplete study's ENSG1/ENSG3 only shares 3 samples
+    assert(pair("GSE9006", "ENSG1", "ENSG3").getAs[Long]("n_samples") == 3)
+  }
+
   test("X6: differing experiment accession is overridden to directory accession") {
     val root = tmpDir()
     makeStudy(root)
