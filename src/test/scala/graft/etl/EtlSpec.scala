@@ -239,6 +239,31 @@ class EtlSpec extends SparkSpec {
     assert(wh.read("fact_gene_pair_corr").count() == 3)
   }
 
+  test("golden: requirements-doc metadata example normalizes exactly " +
+      "(docs/genomic-etl-requirements.md:453-459)") {
+    val root = tmpDir()
+    val p = write(root, "metadata_GSE9006.tsv",
+      """refinebio_accession_code	experiment_accession	refinebio_age	refinebio_sex	refinebio_platform	characteristics_ch1_Age	characteristics_ch1_Sex	characteristics_ch1_Illness
+        |GSM228562	GSE9006	16	female	GPL96	16 yrs	F	Healthy
+        |GSM228563	GSE9006		female	GPL96	16 yrs	F	Healthy
+        |GSM228564	GSE9006	25	male	GPL96	25 yrs	M	UNKNOWN
+        |""".stripMargin)
+    val out = Metadata.load(spark, p.toString, FieldMappingConfig())
+      .orderBy("gsm_accession").collect()
+      .map(r => r.getAs[String]("gsm_accession") ->
+        ((r.getAs[String]("age"), r.getAs[String]("sex"),
+          r.getAs[String]("platform_accession"), r.getAs[String]("illness_label")))).toMap
+    assert(out("GSM228562") == (("16", "female", "GPL96", "Healthy")))
+    // blank refinebio_age: the exact-match candidate fails for this ROW
+    // and resolution falls through to the next candidate header
+    // (characteristics_ch1_Age), exactly like _first_non_empty
+    // (reference metadata_processing.py:60-102)
+    assert(out("GSM228563") == (("16 yrs", "female", "GPL96", "Healthy")))
+    // an explicit "UNKNOWN" cell is a VALUE here (F8 maps it to a null
+    // FK later, at dim resolution - not at normalization)
+    assert(out("GSM228564") == (("25", "male", "GPL96", "UNKNOWN")))
+  }
+
   test("correlation: mixed complete/incomplete studies in one run exercises both Spearman paths") {
     val root = tmpDir()
     makeStudy(root) // GSE9006: bad cell -> incomplete matrix -> exact path
