@@ -314,6 +314,32 @@ class EtlSpec extends SparkSpec {
     assert(pair("GSE9006", "ENSG1", "ENSG3").getAs[Long]("n_samples") == 3)
   }
 
+  test("n=2 edge (tests/test_correlation.py:69-85): pair kept, p stored 1.0, q null") {
+    val root = tmpDir()
+    val d = Files.createDirectories(root.resolve("GSE0003"))
+    write(d, "metadata_GSE0003.tsv",
+      """refinebio_accession_code	experiment_accession
+        |GSM1	GSE0003
+        |GSM2	GSE0003
+        |""".stripMargin)
+    write(d, "expression_GSE0003.tsv",
+      "gene\tGSM1\tGSM2\nENSG1\t1.0\t2.0\nENSG2\t5.0\t3.0\n")
+    val filter = write(root, "filter.tsv", filterTsv)
+    val whDir = tmpDir().toString
+    new EtlJob(spark, config(root, filter), whDir).run()
+    new CorrelationJob(spark, whDir).run()
+
+    val corr = new Warehouse(spark, whDir).read("fact_gene_pair_corr").collect()
+    assert(corr.length == 1) // n = 2 >= MIN_SAMPLES_FOR_CORRELATION
+    val r = corr.head
+    assert(r.getAs[Long]("n_samples") == 2)
+    assert(math.abs(r.getAs[Double]("rho_spearman") + 1.0) < 1e-12) // opposite monotone
+    // |rho| >= 1 would give p = 0.0 per C3... but n < 3 takes priority:
+    // p is NaN/null in compute, stored as 1.0 (C4 persist policy)
+    assert(r.getAs[Double]("p_value") == 1.0)
+    assert(r.isNullAt(r.fieldIndex("q_value")))
+  }
+
   test("X6: differing experiment accession is overridden to directory accession") {
     val root = tmpDir()
     makeStudy(root)
