@@ -36,6 +36,111 @@ class EtlJob(spark: SparkSession, config: AppConfig, warehouseDir: String) {
     }
   }
 
+  private case class Prep(acc: String, samples: DataFrame, melted: DataFrame)
+
+  /** Scale path (SURVEY.md §2.10 X1): studies become DATA parallelism.
+    * All studies' rows flow through ONE set of batched plans — one
+    * upsert per dimension, one whitelist-filtered melt union, one
+    * anti-join dedup, one fact append — instead of a per-study driver
+    * loop issuing jobs study by study. With hundreds of studies the
+    * loop is scheduler-bound; here the union is a single pipeline whose
+    * parallelism is the data itself.
+    *
+    * Failure isolation (X3) happens where the reference's format errors
+    * surface: driver-side file discovery and header validation. A study
+    * failing there is reported and excluded; the distributed execution
+    * then runs over the good studies only. Warehouse contents are
+    * value-identical to [[run]] (surrogate keys may be assigned in a
+    * different order).
+    */
+  def runUnioned(): Seq[StudyResult] = {
+    val genes = GeneFilter.load(spark, config.processing.geneFilterFile.toString)
+    val dirs = StudyDiscovery.discoverStudyDirs(config.processing.inputDirectory)
+
+    val attempts: Seq[Either[StudyResult, Prep]] = dirs.map { dir =>
+      try {
+        val files = StudyDiscovery.discoverStudyFiles(dir)
+        val acc = files.studyAccession
+        val raw = Metadata.load(spark, files.metadataFile.toString, config.fieldMappings)
+        if (raw.limit(1).count() == 0)
+          throw new StudyProcessingError(s"No valid samples found in metadata ${files.metadataFile}")
+        val mismatches = Metadata.mismatchCount(raw, acc)
+        if (mismatches > 0)
+          log.warn(s"$mismatches samples referenced differing study accession (expected $acc)")
+        val samples = Metadata.overrideStudyAccession(raw, acc)
+        val expected = samples.select("gsm_accession").distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+        val melted = ExpressionMatrix.load(spark, files.expressionFile.toString, expected)
+          .withColumn("study_accession", lit(acc))
+        Right(Prep(acc, samples, melted))
+      } catch {
+        case e: Exception =>
+          log.error(s"Failed to prepare study ${dir.getFileName}: ${e.getMessage}")
+          Left(StudyResult(dir.getFileName.toString, 0, 0, Some(e.getMessage)))
+      }
+    }
+    val failures = attempts.collect { case Left(f) => f }
+    val preps = attempts.collect { case Right(p) => p }
+    if (preps.isEmpty) return failures
+
+    val allSamples = preps.map(_.samples).reduce(_ unionByName _).cache()
+
+    // ---- dims: one upsert each across every study -----------------------
+    wh.writeDim("dim_study", Dims.upsertDim(wh.read("dim_study"),
+      allSamples.select(col("study_accession").as("gse_accession")),
+      "study_key", "gse_accession"))
+    val studyDim = wh.read("dim_study")
+      .select(col("gse_accession").as("study_accession"), col("study_key"))
+    wh.writeDim("dim_platform", Dims.upsertDim(wh.read("dim_platform"),
+      allSamples.select(col("platform_accession")), "platform_key", "platform_accession"))
+    wh.writeDim("dim_illness", Dims.upsertDim(wh.read("dim_illness"),
+      allSamples.select(col("illness_label")), "illness_key", "illness_label"))
+
+    val incoming = Dims.resolveFk(
+      Dims.resolveFk(
+        allSamples.withColumn("__ord", monotonically_increasing_id())
+          .join(broadcast(studyDim), Seq("study_accession")),
+        wh.read("dim_platform"), "platform_accession", "platform_accession", "platform_key"),
+      wh.read("dim_illness"), "illness_label", "illness_label", "illness_key")
+      .select("gsm_accession", "study_key", "platform_key", "illness_key", "age", "sex", "__ord")
+    wh.writeDim("dim_sample", Dims.upsertSampleDim(wh.read("dim_sample"), incoming))
+
+    // ---- facts: one melt union, one key join, one dedup, one append -----
+    val allMelted = preps.map(_.melted).reduce(_ unionByName _)
+    val filtered = GeneFilter.filterGenes(allMelted, genes, "gene_id")
+    wh.writeDim("dim_gene", Dims.upsertGeneDim(wh.read("dim_gene"),
+      filtered.select(col("gene_id").as("ensembl_id"))))
+
+    // sample dim joins on (gsm, study) WITHOUT an explicit broadcast:
+    // across many studies it is not small; AQE picks the strategy.
+    val sampleDim = wh.read("dim_sample")
+      .select(col("gsm_accession").as("sample_accession"), col("study_key"), col("sample_key"))
+    val geneDim = wh.read("dim_gene").select(col("ensembl_id").as("gene_id"), col("gene_key"))
+    val keyed = filtered
+      .join(broadcast(studyDim), Seq("study_accession"))
+      .join(sampleDim, Seq("sample_accession", "study_key"))
+      .join(broadcast(geneDim), Seq("gene_id"))
+      .select("sample_key", "gene_key", "study_key", "expression_value")
+    val existing = wh.read("fact_expression").select("sample_key", "gene_key")
+    val fresh = keyed.join(existing, Seq("sample_key", "gene_key"), "left_anti").cache()
+
+    val factsByStudy = fresh.groupBy("study_key").count().collect()
+      .map(r => r.getAs[Number]("study_key").longValue() -> r.getAs[Long]("count")).toMap
+    wh.appendFacts("fact_expression", fresh)
+    fresh.unpersist()
+
+    val samplesByAcc = allSamples.groupBy("study_accession").count().collect()
+      .map(r => r.getAs[String]("study_accession") -> r.getAs[Long]("count")).toMap
+    allSamples.unpersist()
+    val keyByAcc = studyDim.collect()
+      .map(r => r.getAs[String]("study_accession") -> r.getAs[Long]("study_key")).toMap
+    val ok = preps.map { p =>
+      StudyResult(p.acc, samplesByAcc.getOrElse(p.acc, 0L),
+        keyByAcc.get(p.acc).flatMap(factsByStudy.get).getOrElse(0L))
+    }
+    (ok ++ failures).sortBy(_.accession)
+  }
+
   def processStudy(files: StudyFiles, geneWhitelist: DataFrame): StudyResult = {
     val acc = files.studyAccession
 

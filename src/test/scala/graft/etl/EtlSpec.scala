@@ -340,6 +340,60 @@ class EtlSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("q_value")))
   }
 
+  test("X1: unioned ETL produces a value-identical warehouse to the per-study loop") {
+    val root = tmpDir()
+    makeStudy(root) // GSE9006 (incomplete matrix + messy metadata)
+    val d = Files.createDirectories(root.resolve("GSE0002"))
+    write(d, "metadata_GSE0002.tsv",
+      metadataTsv.replace("GSE9006", "GSE0002").replace("GSE_OTHER", "GSE0002"))
+    write(d, "expression_GSE0002.tsv",
+      "gene\tGSM1\tGSM2\tGSM3\tGSM4\nENSG1\t1.0\t2.0\t3.0\t4.0\nENSG2\t2.0\t4.0\t6.0\t8.0\n")
+    // a broken study must fail in BOTH modes without hurting the others
+    val bad = Files.createDirectories(root.resolve("GSEBAD"))
+    write(bad, "metadata_GSEBAD.tsv", "wrong\tcols\nx\ty\n")
+    write(bad, "expression_GSEBAD.tsv", "gene\tGSMX\nENSG1\t1\n")
+    val filter = write(root, "filter.tsv", filterTsv)
+
+    val whSeq = tmpDir().toString
+    val whUni = tmpDir().toString
+    val rSeq = new EtlJob(spark, config(root, filter), whSeq).run()
+    val rUni = new EtlJob(spark, config(root, filter), whUni).runUnioned()
+
+    // same per-study outcomes
+    def summary(rs: Seq[EtlJob#StudyResult]) =
+      rs.map(r => (r.accession, r.samples, r.facts, r.error.isDefined)).sortBy(_._1)
+    assert(summary(rSeq) == summary(rUni))
+    assert(rSeq.count(_.error.isDefined) == 1)
+
+    // value-identical warehouses (keys may be assigned in another
+    // order, so compare natural-value tuples through the dims)
+    def factTuples(whDir: String) = {
+      val wh = new Warehouse(spark, whDir)
+      wh.read("fact_expression")
+        .join(wh.read("dim_sample")
+          .select("sample_key", "gsm_accession", "age", "sex"), "sample_key")
+        .join(wh.read("dim_gene"), "gene_key")
+        .join(wh.read("dim_study"), "study_key")
+        .select("gse_accession", "gsm_accession", "ensembl_id", "expression_value",
+          "age", "sex")
+        .collect().map(_.toSeq).toSet
+    }
+    assert(factTuples(whSeq) == factTuples(whUni))
+    def dimVals(whDir: String, table: String, natural: String) =
+      new Warehouse(spark, whDir).read(table).select(natural)
+        .collect().map(_.getString(0)).toSet
+    assert(dimVals(whSeq, "dim_platform", "platform_accession") ==
+      dimVals(whUni, "dim_platform", "platform_accession"))
+    assert(dimVals(whSeq, "dim_illness", "illness_label") ==
+      dimVals(whUni, "dim_illness", "illness_label"))
+
+    // idempotent re-run in union mode too (J7 holds across the union)
+    val rerun = new EtlJob(spark, config(root, filter), whUni).runUnioned()
+    assert(rerun.filter(_.error.isEmpty).forall(_.facts == 0))
+    assert(factTuples(whUni).size == new Warehouse(spark, whUni)
+      .read("fact_expression").count().toInt)
+  }
+
   test("X6: differing experiment accession is overridden to directory accession") {
     val root = tmpDir()
     makeStudy(root)
