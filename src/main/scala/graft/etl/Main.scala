@@ -19,7 +19,10 @@ object Main {
         val cfg = EtlConfig.load(opts.get("config").flatMap(_.headOption)
           .getOrElse { usage(); sys.exit(2) })
         val wh = opts.get("warehouse").flatMap(_.headOption).getOrElse("./warehouse")
-        val results = new EtlJob(spark, cfg, wh).run()
+        val job = new EtlJob(spark, cfg, wh)
+        val results =
+          if (opts.get("mode").flatMap(_.headOption).contains("unioned")) job.runUnioned()
+          else job.run()
         results.foreach { r =>
           val status = r.error.map(e => s"FAILED: $e").getOrElse("ok")
           println(s"study=${r.accession} samples=${r.samples} facts=${r.facts} $status")
@@ -47,6 +50,6 @@ object Main {
     }
 
   private def usage(): Unit = System.err.println(
-    """usage: graft.etl.Main etl --config <yaml> [--warehouse <dir>]
+    """usage: graft.etl.Main etl --config <yaml> [--warehouse <dir>] [--mode unioned]
       |       graft.etl.Main correlate [--warehouse <dir>] [--study <GSE>]...""".stripMargin)
 }
