@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+/** Differential property tests: the scalable formulations of the as-of
+  * and band joins must equal their naive O(L·R) definitions on random
+  * small inputs (10 trials each — every trial is a full Spark job).
+  */
+object OpsPropertySpec extends Properties("graft.ops") {
+
+  private lazy val spark = SparkSpec.session
+
+  private val rows: Gen[(List[(Long, String, Long)], List[(Long, String, Long, Double)])] =
+    for {
+      nl <- Gen.choose(1, 12)
+      nr <- Gen.choose(0, 12)
+      keys = Seq("a", "b")
+      l <- Gen.listOfN(nl, for {
+        k <- Gen.oneOf(keys); t <- Gen.choose(0L, 50L)
+      } yield (k, t))
+      r <- Gen.listOfN(nr, for {
+        k <- Gen.oneOf(keys); t <- Gen.choose(0L, 50L); v <- Gen.choose(1, 999)
+      } yield (k, t, v.toDouble))
+    } yield (
+      l.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) },
+      // unique (key, time) on the right: as-of tie-break among identical
+      // times is undefined in both formulations
+      r.zipWithIndex.map { case ((k, t, v), i) => (1000L + i, k, t, v) }
+        .groupBy(x => (x._2, x._3)).map(_._2.head).toList)
+
+  propertyWithSeed("asof == naive greatest-at-or-before", None) =
+    Prop.forAllNoShrink(rows) { case (ls, rs) =>
+      val s = spark
+      import s.implicits._
+      val left = ls.toDF("lid", "key", "t")
+      val right = rs.toDF("rid", "key", "t", "v")
+        .select(col("key"), col("t"), col("v"))
+      val got = AsOfJoin.asof(left, right, Seq("key"), "t", Seq("v"))
+        .select("lid", "v").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double]))
+        .toMap
+      val want = ls.map { case (lid, k, t) =>
+        val cands = rs.filter(r => r._2 == k && r._3 <= t)
+        lid -> (if (cands.isEmpty) None
+                else Some(cands.maxBy(_._3)).map(_._4))
+      }.toMap
+      got == want
+    }
+
+  propertyWithSeed("bandJoin == naive between filter", None) =
+    Prop.forAllNoShrink(rows, Gen.choose(0L, 10L), Gen.choose(0L, 10L)) {
+      case ((ls, rs), before, after) =>
+        import org.scalacheck.Prop.propBoolean
+        (before + after > 0) ==> {
+          val s = spark
+          import s.implicits._
+          val left = ls.toDF("lid", "key", "t")
+          val right = rs.toDF("rid", "key", "t", "v").select("rid", "key", "t")
+          val got = RangeJoin.bandJoin(left, right, Seq("key"), "t", "t", before, after)
+            .select("lid", "rid").as[(Long, Long)].collect().toSet
+          val want = (for {
+            (lid, lk, lt) <- ls
+            (rid, rk, rt, _) <- rs
+            if lk == rk && rt >= lt - before && rt <= lt + after
+          } yield (lid, rid)).toSet
+          got == want
+        }
+    }
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+}
