@@ -207,8 +207,10 @@ object SparkEntry {
     }),
     "x2_hourly_agg" -> ((s, dir) =>
       t(s, dir, "events")
+        // integer DIV: a double division of 2^60-magnitude nanos loses
+        // sub-µs precision and can flip events across hour boundaries
         .groupBy(date_trunc("hour",
-          timestamp_micros((col("ts") / 1000L).cast("long"))).as("hour"),
+          timestamp_micros(expr("CAST(ts DIV 1000 AS BIGINT)"))).as("hour"),
           col("event_type"))
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))),
     // X3: sessionization (gaps-and-islands) — lag/gap flag, running-sum

@@ -23,13 +23,19 @@ object Dims {
 
   /** D1/D2 generic unique dimension upsert. `incoming` has one column
     * = naturalCol. Returns the updated dim (existing ∪ keyed-new).
+    * `dropUnknown`: platform/illness never create an UNKNOWN dim row
+    * (F8 maps those to null FKs); genes keep UNKNOWN-valued ids (no
+    * UNKNOWN guard in the reference's get_or_create_gene).
     */
   def upsertDim(existing: DataFrame, incoming: DataFrame,
-      keyCol: String, naturalCol: String): DataFrame = {
+      keyCol: String, naturalCol: String, dropUnknown: Boolean = true): DataFrame = {
+    val guard =
+      if (dropUnknown) col(naturalCol).isNotNull && col(naturalCol) =!= "" &&
+        col(naturalCol) =!= UnknownValue
+      else col(naturalCol).isNotNull && col(naturalCol) =!= ""
     val fresh = incoming
       .select(trim(col(naturalCol)).as(naturalCol))
-      .where(col(naturalCol).isNotNull && col(naturalCol) =!= "" &&
-        col(naturalCol) =!= UnknownValue)
+      .where(guard)
       .distinct()
       .join(existing, Seq(naturalCol), "left_anti")
     val maxKey = existing.agg(coalesce(max(col(keyCol)), lit(0L))).head.getLong(0)
@@ -39,21 +45,8 @@ object Dims {
     existing.select(col(keyCol), col(naturalCol)).unionByName(keyed)
   }
 
-  /** Genes keep UNKNOWN-valued ids (no UNKNOWN guard in the reference's
-    * get_or_create_gene) — only blank is dropped.
-    */
-  def upsertGeneDim(existing: DataFrame, incoming: DataFrame): DataFrame = {
-    val fresh = incoming
-      .select(trim(col("ensembl_id")).as("ensembl_id"))
-      .where(col("ensembl_id").isNotNull && col("ensembl_id") =!= "")
-      .distinct()
-      .join(existing, Seq("ensembl_id"), "left_anti")
-    val maxKey = existing.agg(coalesce(max(col("gene_key")), lit(0L))).head.getLong(0)
-    val keyed = fresh.withColumn("gene_key",
-      lit(maxKey) + row_number().over(Window.orderBy(col("ensembl_id"))).cast("long"))
-      .select(col("gene_key"), col("ensembl_id"))
-    existing.select(col("gene_key"), col("ensembl_id")).unionByName(keyed)
-  }
+  def upsertGeneDim(existing: DataFrame, incoming: DataFrame): DataFrame =
+    upsertDim(existing, incoming, "gene_key", "ensembl_id", dropUnknown = false)
 
   /** D3: sample-dimension merge-upsert on (gsm_accession, study_key).
     *

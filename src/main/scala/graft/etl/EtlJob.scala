@@ -121,6 +121,9 @@ class EtlJob(spark: SparkSession, config: AppConfig, warehouseDir: String) {
       .join(sampleDim, Seq("sample_accession", "study_key"))
       .join(broadcast(geneDim), Seq("gene_id"))
       .select("sample_key", "gene_key", "study_key", "expression_value")
+      // intra-batch dedup, same contract as processStudy
+      .groupBy("sample_key", "gene_key", "study_key")
+      .agg(min(col("expression_value")).as("expression_value"))
     val existing = wh.read("fact_expression").select("sample_key", "gene_key")
     val fresh = keyed.join(existing, Seq("sample_key", "gene_key"), "left_anti").cache()
 
@@ -205,6 +208,12 @@ class EtlJob(spark: SparkSession, config: AppConfig, warehouseDir: String) {
       .join(broadcast(geneDim), Seq("gene_id"))            // J4
       .select(col("sample_key"), col("gene_key"), lit(studyKey).as("study_key"),
         col("expression_value"))
+      // intra-batch dedup: the reference's per-row seen-set also drops
+      // duplicates WITHIN one file (repeated gene row / repeated GSM
+      // column); min() is the deterministic stand-in for its
+      // first-in-file-order pick
+      .groupBy("sample_key", "gene_key", "study_key")
+      .agg(min(col("expression_value")).as("expression_value"))
 
     val existing = wh.read("fact_expression")
       .where(col("study_key") === studyKey)                // F7: partition-pruned

@@ -21,9 +21,15 @@ object StudyDiscovery {
   private def glob(dir: Path, pattern: String): Seq[Path] = {
     val m = java.nio.file.FileSystems.getDefault.getPathMatcher(s"glob:$pattern")
     if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator.asScala
-      .filter(p => m.matches(p.getFileName))
-      .toSeq.sortBy(_.getFileName.toString)
+    else {
+      // Files.list holds an open DirectoryStream — close it, or a run
+      // over thousands of studies leaks an fd per call
+      val s = Files.list(dir)
+      try s.iterator.asScala
+        .filter(p => m.matches(p.getFileName))
+        .toSeq.sortBy(_.getFileName.toString)
+      finally s.close()
+    }
   }
 
   private def stem(p: Path): String = {

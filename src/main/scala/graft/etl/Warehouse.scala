@@ -35,12 +35,16 @@ class Warehouse(spark: SparkSession, baseDir: String) {
     val dir = new java.io.File(path(table))
     if (dir.exists()) {
       def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        if (!f.delete())
+          throw new java.io.IOException(s"Failed to delete $f while replacing dim $table")
       }
       rm(dir)
     }
-    new java.io.File(tmp).renameTo(dir)
-    ()
+    // a silently-failed rename would leave the dim missing/stale and
+    // the next read would reassign surrogate keys from the wrong max
+    if (!new java.io.File(tmp).renameTo(dir))
+      throw new java.io.IOException(s"Failed to move $tmp into place for dim $table")
   }
 
   def appendFacts(table: String, df: DataFrame): Unit =

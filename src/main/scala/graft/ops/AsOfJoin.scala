@@ -39,23 +39,32 @@ object AsOfJoin {
 
     // Tagged union: right rows sort BEFORE left rows at equal time so a
     // co-timed right row is visible to the left row (<= semantics).
+    // The payload travels as ONE struct per right row: last(ignoreNulls)
+    // then picks the latest right ROW atomically — per-column carry
+    // would skip null payload fields and mix values from different
+    // right rows (true as-of, like DuckDB ASOF, must not).
+    val pStruct = struct(payload.map(col): _*)
+    val pType = {
+      val f = right.select(pStruct.as("__p")).schema("__p").dataType
+      f
+    }
     val l = left
       .withColumn("__side", lit(1))
-      .select((leftCols.map(col) :+ col("__side")) ++
-        payload.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+      .withColumn("__p", lit(null).cast(pType))
     val r = right
       .withColumn("__side", lit(0))
+      .withColumn("__p", pStruct)
       .select((leftCols.map(c =>
         if (keys.contains(c) || c == time) col(c)
-        else lit(null).cast(left.schema(c).dataType).as(c)) :+ col("__side")) ++
-        payload.map(col): _*)
+        else lit(null).cast(left.schema(c).dataType).as(c)) :+
+        col("__side") :+ col("__p")): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(time).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = l.unionByName(r)
-      .select((leftCols.map(col) :+ col("__side")) ++
-        payload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
-    carried.where(col("__side") === 1).drop("__side")
+    val carried = l.unionByName(r.select(l.columns.map(col): _*))
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+    carried.where(col("__side") === 1)
+      .select(leftCols.map(col) ++ payload.map(c => col(s"__p.$c").as(c)): _*)
   }
 }

@@ -33,9 +33,14 @@ object Dedup {
       .where(col("n_copies") > 1)
 
   private def shingleArray(text: Column, n: Int): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(text) - (n - 1), lit(0))),
-      i => text.substr(i, lit(n))))
+    // texts shorter than n have NO shingles: without the guard,
+    // sequence(1, 0) yields [1, 0] (Spark auto-steps -1 when start >
+    // stop) and emits spurious whole-text/empty shingles the oracle
+    // (DuckDB range(), empty when stop < start) never produces
+    when(length(text) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n)))))
 
   /** (id, shingle) exploded distinct character n-grams.
     *

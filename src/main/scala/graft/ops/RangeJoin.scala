@@ -19,8 +19,9 @@ import org.apache.spark.sql.{Column, DataFrame}
   *
   * Times are integer (e.g. epoch nanos); bucket indices are computed
   * in decimal then floored, so 2^60-magnitude nanos never pass through
-  * a double. Right-side keys/time arrive renamed with a `right_`
-  * prefix in the output (callers keep both sides' payloads).
+  * a double. The right side's keys and time arrive renamed with a
+  * `right_` prefix in the output; its remaining (payload) columns keep
+  * their names and must be disjoint from the left's (enforced).
   */
 object RangeJoin {
 
@@ -32,12 +33,17 @@ object RangeJoin {
     require(before >= 0 && after >= 0 && before + after > 0,
       "band width must be positive")
     val w = before + after
-    // All right columns that could collide with the left get a right_
-    // prefix BEFORE the join: no same-lineage ambiguous references.
+    // The join keys and right time get a right_ prefix BEFORE the join
+    // (no same-lineage ambiguous references); every OTHER right column
+    // must already be disjoint from the left — rejected here rather
+    // than surfacing later as AMBIGUOUS_REFERENCE on the output.
     require((keys :+ rTime).forall(right.columns.contains),
       s"right side must contain ${keys.mkString(",")} and $rTime")
-    val r0 = (keys :+ rTime).distinct
-      .foldLeft(right)((df, c) => df.withColumnRenamed(c, s"right_$c"))
+    val renamed = (keys :+ rTime).distinct
+    val overlap = right.columns.filterNot(renamed.contains).filter(left.columns.contains)
+    require(overlap.isEmpty,
+      s"right columns ${overlap.mkString(",")} collide with left columns — rename them first")
+    val r0 = renamed.foldLeft(right)((df, c) => df.withColumnRenamed(c, s"right_$c"))
     val rt = col(s"right_$rTime")
 
     val l = left.withColumn("__bucket",

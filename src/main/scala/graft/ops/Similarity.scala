@@ -110,7 +110,13 @@ object Similarity {
     *
     * Returns (idOut, vecOut, normOut, cell).
     */
-  private def ivfAssign(emb: DataFrame, nCentroids: Int,
+  /** One ranked vector-by-centroid similarity table serving BOTH the
+    * inverted-list assignment (rank 1) and the query probes (rank <=
+    * nProbe) — computing them separately would run the dominant
+    * N x nCentroids dot-product scan twice.
+    * Returns (idOut, vecOut, normOut, cell, __rk).
+    */
+  private def ivfRankedCells(emb: DataFrame, nCentroids: Int,
       id: String, vec: String,
       idOut: String, vecOut: String, normOut: String): DataFrame = {
     val vs = withNorm(emb, id, vec, idOut, vecOut, normOut)
@@ -123,8 +129,7 @@ object Similarity {
       .withColumn("__sim",
         VectorMath.dot(col(vecOut), col("__cv")) / (col(normOut) * col("__cn")))
       .withColumn("__rk", row_number().over(w))
-      .where(col("__rk") === 1)
-      .select(col(idOut), col(vecOut), col(normOut), col("__cid").as("cell"))
+      .select(col(idOut), col(vecOut), col(normOut), col("__cid").as("cell"), col("__rk"))
   }
 
   /** IVF approximate cosine top-k: queries probe their `nProbe` nearest
@@ -138,19 +143,17 @@ object Similarity {
     */
   def ivfCosineTopK(emb: DataFrame, k: Int, nCentroids: Int = 8, nProbe: Int = 2,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val lists = ivfAssign(emb, nCentroids, id, vec, "neighbor_id", "vb", "nb")
-    val vs = withNorm(emb, id, vec, "query_id", "va", "na")
-    val cents = withNorm(emb, id, vec, "__cid", "__cv", "__cn")
-      .orderBy(col("__cid").asc).limit(nCentroids)
-    val wProbe = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("__sim").desc, col("__cid").asc)
-    val probes = spread(vs).join(broadcast(cents))
-      .withColumn("__sim",
-        VectorMath.dot(col("va"), col("__cv")) / (col("na") * col("__cn")))
-      .withColumn("__rk", row_number().over(wProbe))
-      .where(col("__rk") <= nProbe)
-      .select(col("query_id"), col("va"), col("na"), col("__cid").as("cell"))
+    // materialize the ranked cells once; assignment and probes are two
+    // filters over the same subtree (localCheckpoint — Spark would
+    // otherwise recompute the scan for each reference)
+    val cells = ivfRankedCells(emb, nCentroids, id, vec, "vid", "v", "nrm")
+      .localCheckpoint(true)
+    val lists = cells.where(col("__rk") === 1)
+      .select(col("vid").as("neighbor_id"), col("v").as("vb"), col("nrm").as("nb"),
+        col("cell"))
+    val probes = cells.where(col("__rk") <= nProbe)
+      .select(col("vid").as("query_id"), col("v").as("va"), col("nrm").as("na"),
+        col("cell"))
     val pairs = probes.join(lists, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", VectorMath.dot(col("va"), col("vb")) / (col("na") * col("nb")))

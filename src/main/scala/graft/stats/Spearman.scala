@@ -103,18 +103,19 @@ object Spearman {
 
   /** Scale-path variant for complete matrices (every item observed on
     * every sample of its family — the common genomic case): ranks are
-    * computed ONCE per (family, item) instead of once per pair, and the
-    * pair SELF-JOIN is replaced by per-sample pair enumeration — group
-    * the ranked rows by (family, sample) and explode the item-pair
-    * combinations of each sample block. One scan, one window stack, one
-    * extra shuffle on (family, sample); no second scan / broadcast /
-    * join. Identical output to [[pairCorrelations]] on complete
-    * matrices.
+    * computed ONCE per (family, item) instead of once per pair, then
+    * the ranked rows pair up through [[pairJoin]]'s self-join — both
+    * sides of which are aliases over ONE pre-shuffled subtree, so the
+    * scan + rank window + exchange execute once (AQE exchange reuse).
+    * Identical output to [[pairCorrelations]] on complete matrices:
+    * with nothing missing, ranks over the shared samples equal the
+    * global per-item ranks (pinned by StatsSpec).
     *
-    * Memory bound: a sample block holds all items of one sample, so
-    * this path fits item vocabularies up to a few thousand (the
-    * reference's whitelisted ~120 genes => 7,140 pair rows per sample).
-    * For unbounded item sets use [[pairCorrelations]].
+    * Cost model: O(I·n log n) window work + a P·n-row join output
+    * (P = item pairs) feeding the gated aggregate — vs the exact
+    * path's O(P·n log n) per-pair rank windows. For incomplete
+    * matrices use [[pairCorrelations]], which is the semantics, not
+    * just the slower plan.
     */
   def pairCorrelationsDense(
       df: DataFrame,

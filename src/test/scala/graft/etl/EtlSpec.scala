@@ -394,6 +394,21 @@ class EtlSpec extends SparkSpec {
       .read("fact_expression").count().toInt)
   }
 
+  test("intra-batch duplicate gene rows collapse to one fact (reference seen-set parity)") {
+    val root = tmpDir()
+    val d = Files.createDirectories(root.resolve("GSE0004"))
+    write(d, "metadata_GSE0004.tsv",
+      "refinebio_accession_code\texperiment_accession\nGSM1\tGSE0004\nGSM2\tGSE0004\n")
+    write(d, "expression_GSE0004.tsv",
+      "gene\tGSM1\tGSM2\nENSG1\t1.0\t2.0\nENSG1\t9.0\t9.0\nENSG2\t3.0\t4.0\n")
+    val filter = write(root, "filter.tsv", filterTsv)
+    val whDir = tmpDir().toString
+    val res = new EtlJob(spark, config(root, filter), whDir).run()
+    assert(res.head.error.isEmpty)
+    assert(res.head.facts == 4) // 2 genes x 2 samples, not 6
+    assert(new Warehouse(spark, whDir).read("fact_expression").count() == 4)
+  }
+
   test("X6: differing experiment accession is overridden to directory accession") {
     val root = tmpDir()
     makeStudy(root)

@@ -40,6 +40,17 @@ class AsOfJoinSpec extends SparkSpec {
     assert(cols == Seq("id", "key", "t", "lv", "rv"))
   }
 
+  test("asof: a later right row with NULL payload supersedes an earlier value (row-atomic carry)") {
+    val left = Seq((1L, "u", 10L)).toDF("id", "key", "t")
+    val right = Seq(
+      ("u", 1L, Some(10.0), Some(1.0)),
+      ("u", 5L, None, Some(2.0))        // latest at-or-before: rv null, rw 2.0
+    ).toDF("key", "t", "rv", "rw")
+    val got = AsOfJoin.asof(left, right, Seq("key"), "t", Seq("rv", "rw")).head
+    assert(got.isNullAt(got.fieldIndex("rv")))            // NOT 10.0 from the older row
+    assert(got.getAs[Double]("rw") == 2.0)                // both fields from the SAME row
+  }
+
   test("asof: payload name collision with left rejected") {
     val l = Seq((1L, "k", 1L, 1.0)).toDF("id", "key", "t", "rv")
     val r = Seq(("k", 1L, 2.0)).toDF("key", "t", "rv")

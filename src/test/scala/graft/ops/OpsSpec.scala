@@ -85,6 +85,13 @@ class OpsSpec extends SparkSpec {
     assert(one.head.getAs[Long]("neighbor_id") == 2L)
   }
 
+  test("shingles: texts shorter than n produce no shingles (sequence(1,0) guard)") {
+    val d = Seq((1L, "abc"), (2L, ""), (3L, ""), (4L, "exactly8")).toDF("doc_id", "text")
+    assert(Dedup.shingleRows(d, 8).count() == 1) // only the 8-char doc
+    // two empty docs must NOT surface as a jaccard-1.0 duplicate pair
+    assert(Dedup.ngramJaccardPairs(d, 8, 0.1).count() == 0)
+  }
+
   test("cosine dup pairs finds parallel vectors") {
     val got = Similarity.cosineDupPairs(vecs, tau = 0.99)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
