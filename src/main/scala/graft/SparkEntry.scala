@@ -83,6 +83,13 @@ object SparkEntry {
           round(sum(col("l_quantity")), 4).as("sum_qty"),
           round(avg(col("l_extendedprice")), 4).as("avg_price"))),
 
+    "a3_percentiles" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))),
+
     // --- reshaping (R1/R2) --------------------------------------------
     "r1_unpivot_agg" -> ((s, dir) =>
       lineitemLong(s, dir).groupBy(col("item"))
@@ -447,6 +454,13 @@ object SparkEntry {
         |       round(sum(l_quantity), 4) AS sum_qty,
         |       round(avg(l_extendedprice), 4) AS avg_price
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "a3_percentiles" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |       round(quantile_cont(l_extendedprice, 0.5), 4) AS median,
+        |       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        |       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "r1_unpivot_agg" ->
       s"""WITH long_form AS ($longSql)
          |SELECT item, count(*) AS n, round(sum(v), 4) AS sum_v
