@@ -4,7 +4,7 @@ import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
 import graft.stats.{BenjaminiHochberg, PValues, Ranks, Spearman}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -58,7 +58,7 @@ object SparkEntry {
 
   // ===== queries ========================================================
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- stats core ---------------------------------------------------
     "c1_rank_fractional" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -217,7 +217,7 @@ object SparkEntry {
         // integer DIV: a double division of 2^60-magnitude nanos loses
         // sub-µs precision and can flip events across hour boundaries
         .groupBy(date_trunc("hour",
-          timestamp_micros(expr("CAST(ts DIV 1000 AS BIGINT)"))).as("hour"),
+          timestamp_micros(expr("CAST((ts - pmod(ts, 1000)) DIV 1000 AS BIGINT)"))).as("hour"),
           col("event_type"))
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))),
     // X3: sessionization (gaps-and-islands) — lag/gap flag, running-sum
@@ -236,7 +236,7 @@ object SparkEntry {
         .groupBy(col("user_id"), col("session_seq"))
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value")), 4).as("sum_value"),
-          expr("CAST(min(ts) DIV 1000 AS BIGINT)").as("session_start_us"))
+          expr("CAST((min(ts) - pmod(min(ts), 1000)) DIV 1000 AS BIGINT)").as("session_start_us"))
     }),
     // X5: as-of join — every click picks the most recent purchase
     // value at-or-before it per user. Right side pre-aggregated to
@@ -250,7 +250,7 @@ object SparkEntry {
         .agg(max(col("value")).as("purchase_value"))
       ops.AsOfJoin.asof(clicks, purchases, Seq("user_id"), "ts", Seq("purchase_value"))
         .select(col("event_id"), col("user_id"),
-          expr("CAST(ts DIV 1000 AS BIGINT)").as("ts_us"),
+          expr("CAST((ts - pmod(ts, 1000)) DIV 1000 AS BIGINT)").as("ts_us"),
           round(col("value"), 4).as("value"),
           round(col("purchase_value"), 4).as("purchase_value"))
     }),
@@ -262,7 +262,7 @@ object SparkEntry {
     // both sides before banding.
     "x6_interval_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-        .withColumn("ts_us", expr("CAST(ts DIV 1000 AS BIGINT)"))
+        .withColumn("ts_us", expr("CAST((ts - pmod(ts, 1000)) DIV 1000 AS BIGINT)"))
       val errors = ev.where(col("event_type") === "error")
         .select(col("event_id").as("error_id"), col("user_id"), col("ts_us"))
       val others = ev.select(col("event_id").as("other_id"), col("user_id"),
@@ -402,7 +402,7 @@ object SparkEntry {
   /** md5-derived 60-bit hash — matches graft.ops.Hashing.hex64. */
   private def hx(e: String): String = s"(('0x' || substr(md5($e),1,15))::BIGINT)"
 
-  def oracleSql: Map[String, String] = Map(
+  lazy val oracleSql: Map[String, String] = Map(
     "c1_rank_fractional" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
         |       avg(rn) OVER (PARTITION BY l_returnflag, l_quantity) AS frac_rank
