@@ -121,7 +121,10 @@ class CorrelationJob(spark: SparkSession, warehouseDir: String) {
       .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ssxxx"))
     val out = correlationsFor(keys, computedAt).cache()
     val n = out.count()
-    wh.overwriteStudyPartitions("fact_gene_pair_corr", out)
+    // explicit delete-then-append over the RESOLVED keys: a study whose
+    // recomputation is empty must still lose its stale rows (dynamic
+    // partition overwrite only touches partitions present in the frame)
+    wh.replaceStudyPartitions("fact_gene_pair_corr", out, keys)
     out.unpersist()
     JobSummary(targets.map(_.getAs[String]("gse_accession")).toSeq, n)
   }

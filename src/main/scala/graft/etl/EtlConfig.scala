@@ -70,9 +70,15 @@ object EtlConfig {
     def str(m: Map[String, AnyRef], k: String): Option[String] =
       m.get(k).map(_.toString)
     def int(m: Map[String, AnyRef], k: String, default: Int): Int =
-      str(m, k).map(_.toInt).getOrElse(default)
+      str(m, k).map(v => try v.toInt catch {
+        case _: NumberFormatException =>
+          throw new ConfigurationError(s"$k must be an integer, got '$v' ($yamlPath)")
+      }).getOrElse(default)
     def bool(m: Map[String, AnyRef], k: String, default: Boolean): Boolean =
-      str(m, k).map(_.toBoolean).getOrElse(default)
+      str(m, k).map(v => try v.toBoolean catch {
+        case _: IllegalArgumentException =>
+          throw new ConfigurationError(s"$k must be true/false, got '$v' ($yamlPath)")
+      }).getOrElse(default)
     def strs(m: Map[String, AnyRef], k: String): Option[Seq[String]] =
       m.get(k).collect { case l: java.util.List[_] => l.asScala.map(_.toString).toSeq }
 

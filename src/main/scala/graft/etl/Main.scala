@@ -20,9 +20,14 @@ object Main {
           .getOrElse { usage(); sys.exit(2) })
         val wh = opts.get("warehouse").flatMap(_.headOption).getOrElse("./warehouse")
         val job = new EtlJob(spark, cfg, wh)
-        val results =
-          if (opts.get("mode").flatMap(_.headOption).contains("unioned")) job.runUnioned()
-          else job.run()
+        val mode = opts.get("mode").flatMap(_.headOption).getOrElse("sequential")
+        val results = mode match {
+          case "unioned"    => job.runUnioned()
+          case "sequential" => job.run()
+          case other =>
+            System.err.println(s"Unknown --mode: $other (expected sequential|unioned)")
+            usage(); sys.exit(2)
+        }
         results.foreach { r =>
           val status = r.error.map(e => s"FAILED: $e").getOrElse("ok")
           println(s"study=${r.accession} samples=${r.samples} facts=${r.facts} $status")

@@ -68,7 +68,11 @@ object StudyDiscovery {
   /** All study directories under the input dir, sorted (pipeline.py:319-323). */
   def discoverStudyDirs(inputDir: Path): Seq[Path] =
     if (!Files.isDirectory(inputDir)) Seq.empty
-    else Files.list(inputDir).iterator.asScala
-      .filter(Files.isDirectory(_))
-      .toSeq.sortBy(_.getFileName.toString)
+    else {
+      val s = Files.list(inputDir)
+      try s.iterator.asScala
+        .filter(Files.isDirectory(_))
+        .toSeq.sortBy(_.getFileName.toString)
+      finally s.close()
+    }
 }

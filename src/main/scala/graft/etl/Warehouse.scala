@@ -1,5 +1,6 @@
 package graft.etl
 
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
@@ -7,55 +8,81 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *
   * Facts are partitioned by `study_key`, which gives:
   *  - partition pruning for per-study predicates (F7);
-  *  - per-study replace via dynamic partition overwrite (S7 — the
-  *    reference's delete-then-insert, repositories.py:303-309, without
-  *    a delete);
+  *  - per-study replace (S7 — the reference's delete-then-insert,
+  *    repositories.py:303-309, as an explicit partition delete + append
+  *    so a study whose NEW result is empty still loses its stale rows);
   *  - per-study write atomicity through the task-commit protocol (the
   *    contract of X2/X3, mechanism replaced per SURVEY.md §7.5).
+  *
+  * All filesystem operations go through the Hadoop FileSystem of the
+  * warehouse URI — java.io.File would silently report every table
+  * absent on hdfs:// or s3a:// and corrupt surrogate keys. Reads always
+  * apply the declared schema: a partitioned append of ZERO rows leaves
+  * a parquet-less directory that schema inference cannot read, and the
+  * declared types also pin partition columns to LongType (inference
+  * would narrow them to Integer).
   */
 class Warehouse(spark: SparkSession, baseDir: String) {
   import Warehouse._
 
   def path(table: String): String = s"$baseDir/$table"
 
-  private def exists(table: String): Boolean =
-    new java.io.File(path(table)).exists()
+  private def fs: FileSystem =
+    new HPath(baseDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  def read(table: String): DataFrame =
-    if (exists(table)) spark.read.parquet(path(table))
+  private def exists(table: String): Boolean = fs.exists(new HPath(path(table)))
+
+  def read(table: String): DataFrame = {
+    val dir = new HPath(path(table))
+    val old = new HPath(path(table) + "__old")
+    // crash recovery for writeDim's swap: the live dir vanished after
+    // the old one was set aside -> the set-aside copy is the truth
+    if (!fs.exists(dir) && fs.exists(old) && !fs.rename(old, dir))
+      throw new java.io.IOException(s"Failed to recover dim $table from $old")
+    if (exists(table))
+      spark.read.schema(schemas(table)).parquet(path(table))
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemas(table))
+  }
 
-  /** Dims are tiny: rewritten whole per batch via tmp + atomic rename
-    * (can't overwrite a path that is also the read source of the plan).
+  /** Dims are tiny: rewritten whole per batch via a tmp write and a
+    * rename sequence (old -> __old, tmp -> live, drop __old) whose
+    * crash windows are all recoverable: before the first rename the old
+    * dim is live; between the renames read() restores __old; after, the
+    * new dim is live. (Can't overwrite in place — the target is also
+    * the read source of the plan.)
     */
   def writeDim(table: String, df: DataFrame): Unit = {
-    val tmp = path(table) + "__tmp"
-    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
-    val dir = new java.io.File(path(table))
-    if (dir.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        if (!f.delete())
-          throw new java.io.IOException(s"Failed to delete $f while replacing dim $table")
-      }
-      rm(dir)
-    }
-    // a silently-failed rename would leave the dim missing/stale and
-    // the next read would reassign surrogate keys from the wrong max
-    if (!new java.io.File(tmp).renameTo(dir))
+    val tmp = new HPath(path(table) + "__tmp")
+    val old = new HPath(path(table) + "__old")
+    val dir = new HPath(path(table))
+    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (fs.exists(old) && !fs.delete(old, true))
+      throw new java.io.IOException(s"Failed to clear stale $old")
+    if (fs.exists(dir) && !fs.rename(dir, old))
+      throw new java.io.IOException(s"Failed to set aside current dim $table")
+    if (!fs.rename(tmp, dir))
       throw new java.io.IOException(s"Failed to move $tmp into place for dim $table")
+    fs.delete(old, true)
+    ()
   }
 
   def appendFacts(table: String, df: DataFrame): Unit =
     df.write.mode(SaveMode.Append).partitionBy("study_key").parquet(path(table))
 
-  /** S7: replace exactly the study partitions present in `df`. */
-  def overwriteStudyPartitions(table: String, df: DataFrame): Unit =
-    df.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("study_key")
-      .parquet(path(table))
+  /** S7: replace the given studies' partitions with `df`'s rows —
+    * explicit delete-then-append, the reference's semantics. Dynamic
+    * partition overwrite alone cannot express "this study now has no
+    * rows": it only touches partitions PRESENT in the frame, so a
+    * study whose recomputation is empty would keep its stale rows.
+    */
+  def replaceStudyPartitions(table: String, df: DataFrame, studyKeys: Seq[Long]): Unit = {
+    studyKeys.foreach { k =>
+      fs.delete(new HPath(s"${path(table)}/study_key=$k"), true)
+    }
+    if (studyKeys.nonEmpty)
+      df.write.mode(SaveMode.Append).partitionBy("study_key").parquet(path(table))
+  }
 }
 
 object Warehouse {

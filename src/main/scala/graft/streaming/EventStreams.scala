@@ -38,40 +38,62 @@ object EventStreams {
         col("n_events"), col("sum_value"))
 
   /** Session aggregation with explicit state: a user's session closes
-    * after `gapMinutes` of inactivity (processing-time timeout), then
-    * emits one summary row. mapGroupsWithState is the custom-state
-    * primitive (SURVEY.md — KeyValueGroupedDataset state shape).
+    * after `gapMinutes` of inactivity, then emits exactly ONE summary
+    * row (Append semantics — no intermediate rows while a session is
+    * open). flatMapGroupsWithState is the custom-state primitive
+    * (SURVEY.md — KeyValueGroupedDataset state shape).
+    *
+    * Sessions split on EVENT-time gaps inside the data too: a batch
+    * (or replay) carrying events 5 hours apart emits the closed
+    * sessions between them — a processing-time timeout alone would
+    * merge a whole replayed day into one session. The timeout is only
+    * the liveness mechanism that closes the LAST open session when a
+    * user goes quiet.
     *
     * `timeout` defaults to the production processing-time clock; tests
     * pass `NoTimeout` because a wall-clock timeout cannot be driven
     * deterministically from MemoryStream (and keeps the micro-batch
-    * loop alive under `processAllAvailable`).
+    * loop alive under `processAllAvailable`). EventTimeTimeout is
+    * rejected: nothing here sets a timeout timestamp, so it would
+    * leak state forever.
     */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
       timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout): Dataset[SessionOut] = {
+    require(timeout != GroupStateTimeout.EventTimeTimeout,
+      "EventTimeTimeout unsupported: no timeout timestamp is set")
     implicit val stateEnc = Encoders.product[SessionState]
     implicit val outEnc = Encoders.product[SessionOut]
     implicit val longEnc = Encoders.scalaLong
+    val gapMs = gapMinutes * 60000L
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, SessionOut](timeout) {
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), timeout) {
         case (userId, rows, state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            SessionOut(userId, s.count, s.sum, s.lastMs - s.startMs)
+            Iterator(SessionOut(userId, s.count, s.sum, s.lastMs - s.startMs))
           } else {
-            val evs = rows.toSeq
-            val minMs = evs.map(_.ts.getTime).min
-            val maxMs = evs.map(_.ts.getTime).max
-            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, minMs, minMs))
-            val next = SessionState(
-              prev.count + evs.size, prev.sum + evs.map(_.value).sum,
-              math.min(prev.startMs, minMs), math.max(prev.lastMs, maxMs))
-            state.update(next)
+            val closed = Seq.newBuilder[SessionOut]
+            var cur = state.getOption
+            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastMs > gapMs =>
+                  closed += SessionOut(userId, s.count, s.sum, s.lastMs - s.startMs)
+                  cur = Some(SessionState(1L, e.value, t, t))
+                case Some(s) =>
+                  cur = Some(SessionState(s.count + 1L, s.sum + e.value,
+                    s.startMs, math.max(s.lastMs, t)))
+                case None =>
+                  cur = Some(SessionState(1L, e.value, t, t))
+              }
+            }
+            cur.foreach(state.update)
             if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
               state.setTimeoutDuration(s"$gapMinutes minutes")
-            SessionOut(userId, next.count, next.sum, next.lastMs - next.startMs)
+            closed.result().iterator
           }
       }
   }

@@ -409,6 +409,31 @@ class EtlSpec extends SparkSpec {
     assert(new Warehouse(spark, whDir).read("fact_expression").count() == 4)
   }
 
+  test("warehouse: empty partitioned append leaves the table readable; empty replace deletes stale partitions") {
+    val whDir = tmpDir().toString
+    val wh = new Warehouse(spark, whDir)
+    val schema = Warehouse.schemas("fact_gene_pair_corr")
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+    // a zero-row partitioned append writes no parquet files — the read
+    // must still work (declared schema, not inference)
+    wh.appendFacts("fact_gene_pair_corr", empty)
+    assert(wh.read("fact_gene_pair_corr").count() == 0)
+    assert(wh.read("fact_gene_pair_corr").schema("study_key").dataType ==
+      org.apache.spark.sql.types.LongType)
+
+    // stale rows of a re-run study must vanish even when the new
+    // result is empty (reference delete-then-insert semantics)
+    import spark.implicits._
+    val rows = Seq((1L, 2L, None: Option[Long], 0.5, 0.1, Some(0.2), 3L, "t", 7L))
+      .toDF(schema.fieldNames: _*)
+    wh.replaceStudyPartitions("fact_gene_pair_corr", rows, Seq(7L))
+    assert(wh.read("fact_gene_pair_corr").count() == 1)
+    wh.replaceStudyPartitions("fact_gene_pair_corr", empty, Seq(7L))
+    assert(wh.read("fact_gene_pair_corr").count() == 0)
+  }
+
   test("X6: differing experiment accession is overridden to directory accession") {
     val root = tmpDir()
     makeStudy(root)

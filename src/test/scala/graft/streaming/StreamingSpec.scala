@@ -77,7 +77,7 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("sessionize: per-user state accumulates counts/sums across triggers") {
+  test("sessionize: event-time gaps close sessions across and within batches (Append)") {
     val s = spark
     import s.implicits._
     implicit val sq = s.sqlContext
@@ -86,20 +86,37 @@ class StreamingSpec extends SparkSpec {
     val q = sessionize(source.toDS(), gapMinutes = 30,
       timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
       .writeStream.format("memory").queryName("sessions")
-      .outputMode(OutputMode.Update()).start()
+      .outputMode(OutputMode.Append()).start()
     try {
+      // batch 1: an open session for u7 — nothing may be emitted yet
       source.addData(Event(1L, ts(0), 7L, "click", 1.0), Event(2L, ts(5), 7L, "view", 2.0))
       q.processAllAvailable()
-      source.addData(Event(3L, ts(10), 7L, "click", 4.0), Event(4L, ts(1), 9L, "view", 8.0))
+      assert(s.table("sessions").count() == 0)
+      // batch 2: u7 event 5 hours later closes the first session (gap
+      // split across batches); u9 opens its own
+      source.addData(
+        Event(3L, Timestamp.valueOf("2026-01-01 15:00:00"), 7L, "click", 4.0),
+        Event(4L, ts(1), 9L, "view", 8.0))
       q.processAllAvailable()
-      val latest = s.table("sessions")
-        .groupBy(col("user_id"))
-        .agg(max(col("n_events")).as("n"), max(col("sum_value")).as("sum"),
-          max(col("duration_ms")).as("dur"))
-        .as[(Long, Long, Double, Long)].collect()
-        .map { case (u, n, v, d) => (u, (n, v, d)) }.toMap
-      assert(latest(7L) == ((3L, 7.0, 10L * 60 * 1000)))
-      assert(latest(9L) == ((1L, 8.0, 0L)))
+      val closed1 = s.table("sessions")
+        .select("user_id", "n_events", "sum_value", "duration_ms")
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(closed1 == Set((7L, 2L, 3.0, 5L * 60 * 1000)))
+      // batch 3: u9 gets two events in ONE batch separated by > gap —
+      // the intra-batch gap closes the session containing event 4
+      source.addData(
+        Event(5L, Timestamp.valueOf("2026-01-01 11:00:00"), 9L, "view", 16.0),
+        Event(6L, Timestamp.valueOf("2026-01-01 12:00:00"), 9L, "view", 32.0))
+      q.processAllAvailable()
+      val closed2 = s.table("sessions")
+        .select("user_id", "n_events", "sum_value", "duration_ms")
+        .as[(Long, Long, Double, Long)].collect().toSet
+      // u9: 10:01 -> 11:00 (59 min) splits, 11:00 -> 12:00 splits too;
+      // the 12:00 session stays open (nothing emitted for it)
+      assert(closed2 == Set(
+        (7L, 2L, 3.0, 5L * 60 * 1000),
+        (9L, 1L, 8.0, 0L),
+        (9L, 1L, 16.0, 0L)))
     } finally q.stop()
   }
 }
