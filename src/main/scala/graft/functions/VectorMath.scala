@@ -25,7 +25,13 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // fail fast on ragged vectors: a silently-truncated dot product
+    // yields wrong cosines (norms still use the full arrays) and
+    // corrupts every downstream ranking
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"graft_dot: mismatched vector lengths $n vs ${y.numElements()}")
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -37,7 +43,11 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_dot: mismatched vector lengths " + $n + " vs " + $b.numElements());
+         |}
          |double ${ev.value}Acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  ${ev.value}Acc += $a.getDouble($i) * $b.getDouble($i);

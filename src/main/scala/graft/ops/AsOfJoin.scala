@@ -52,6 +52,11 @@ object AsOfJoin {
       .withColumn("__side", lit(1))
       .withColumn("__p", lit(null).cast(pType))
     val r = right
+      // SQL equi/inequality semantics: a null key or null time never
+      // matches anything — but window partitioning GROUPS nulls, so
+      // such right rows must not enter the union at all (left rows
+      // with null keys then correctly keep a null payload)
+      .where((keys :+ time).map(col(_).isNotNull).reduce(_ && _))
       .withColumn("__side", lit(0))
       .withColumn("__p", pStruct)
       .select((leftCols.map(c =>
@@ -59,8 +64,12 @@ object AsOfJoin {
         else lit(null).cast(left.schema(c).dataType).as(c)) :+
         col("__side") :+ col("__p")): _*)
 
+    // __p as the final sort key: right rows tied on (time) are peers
+    // otherwise, and last() would pick whichever the shuffle left
+    // last — ordering by the payload struct makes the pick (the
+    // largest payload tuple) deterministic
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(time).asc, col("__side").asc)
+      .orderBy(col(time).asc, col("__side").asc, col("__p").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r.select(l.columns.map(col): _*))
       .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))

@@ -154,6 +154,9 @@ object Dedup {
   def minhashDupPairs(docs: DataFrame, n: Int = 8, numHashes: Int = 16,
       rowsPerBand: Int = 4, tau: Double = 0.5,
       id: String = "doc_id", text: String = "text"): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must divide into bands of rowsPerBand ($rowsPerBand) — " +
+        "trailing components would silently never form a band")
     // localCheckpoint(eager): plain cache() is lazy, and AQE submits the
     // four downstream references as CONCURRENT stages — each would race
     // to compute the uncached lineage (measured: 4 parallel ~230s

@@ -57,14 +57,22 @@ object Multimodal {
         col("width"), col("height")) ++ feats): _*)
   }
 
-  /** STUB for the per-record decode a real codec would perform. */
+  /** STUB for the per-record decode a real codec would perform.
+    * Arithmetic matches [[withStubFeatures]] exactly (same md5-derived
+    * width/height/features) so the two decode paths are interchangeable
+    * and both validate against the same oracle.
+    */
   def stubDecode(rec: MediaRecord): DecodedRecord = {
-    val digest = java.security.MessageDigest.getInstance("MD5").digest(rec.content)
-    val h = java.lang.Long.parseLong(
-      digest.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    def hex64(bytes: Array[Byte]): Long = {
+      val digest = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      java.lang.Long.parseLong(
+        digest.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val h = hex64(rec.content)
+    val hr = hex64(rec.content.reverse)
     DecodedRecord(
       rec.doc_id, rec.media_type, rec.content.length.toLong,
-      (16L + h % 1905L).toInt, (16L + (h / 7L) % 1065L).toInt,
+      (16L + h % 1905L).toInt, (16L + hr % 1065L).toInt,
       Array.tabulate(4)(i => (((h + i * 7919L) % 1000L) / 1000.0).toFloat))
   }
 
@@ -107,6 +115,9 @@ object Multimodal {
     val nFrames = ceil(length(col("content")).cast("double") / frameBytes).cast("int")
     media
       .where(col("media_type") === "video")
+      // zero-length payloads have no frames (sequence(0, 0) would
+      // otherwise emit one spurious empty frame)
+      .where(length(col("content")) > 0)
       .repartition(media.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         explode(sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride))).as("frame_no"),

@@ -30,11 +30,17 @@ object Similarity {
     VectorMath.dot(ad, bd) / (VectorMath.norm(ad) * VectorMath.norm(bd))
   }
 
-  /** (id, vector-as-double, norm) projection — one norm per row. */
+  /** (id, vector-as-double, norm) projection — one norm per row.
+    * Zero-norm vectors are EXCLUDED: their cosine is NaN, which Spark
+    * orders above every double, so one all-zeros embedding would
+    * otherwise become the rank-1 neighbor of every query and pass any
+    * dup threshold (NaN >= tau is true in non-ANSI mode).
+    */
   private def withNorm(emb: DataFrame, id: String, vec: String,
       idOut: String, vecOut: String, normOut: String): DataFrame =
     emb.select(col(id).as(idOut), toDouble(col(vec)).as(vecOut))
       .withColumn(normOut, VectorMath.norm(col(vecOut)))
+      .where(col(normOut) > 0.0)
 
   private def rankTopK(pairs: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -90,27 +96,31 @@ object Similarity {
   /** Approximate cosine top-k: exact ranking within sign-LSH buckets. */
   def lshCosineTopK(emb: DataFrame, k: Int, planes: Int = 8,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    // materialize the bucketed table once: the self-join sides project
+    // different columns, so neither exchange reuse nor subplan sharing
+    // applies and the dims-by-planes bucket lineage would run twice
     val withB = emb.join(lshBucket(emb, planes, id, vec), id)
-    val a = withB.select(col(id).as("query_id"), toDouble(col(vec)).as("va"), col("bucket"))
-      .withColumn("na", VectorMath.norm(col("va")))
-    val b = withB.select(col(id).as("neighbor_id"), toDouble(col(vec)).as("vb"), col("bucket"))
-      .withColumn("nb", VectorMath.norm(col("vb")))
+      .select(col(id), toDouble(col(vec)).as("__v"), col("bucket"))
+      .withColumn("__n", VectorMath.norm(col("__v")))
+      .where(col("__n") > 0.0)
+      .localCheckpoint(true)
+    val a = withB.select(col(id).as("query_id"), col("__v").as("va"),
+      col("__n").as("na"), col("bucket"))
+    val b = withB.select(col(id).as("neighbor_id"), col("__v").as("vb"),
+      col("__n").as("nb"), col("bucket"))
     val pairs = a.join(b, Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", VectorMath.dot(col("va"), col("vb")) / (col("na") * col("nb")))
     rankTopK(pairs, k)
   }
 
-  /** IVF (inverted-file) coarse quantization: assign every vector to
-    * its nearest of `nCentroids` centroid vectors (cosine, ties to the
-    * lowest centroid id). Centroids are the `nCentroids` vectors with
-    * the smallest ids — deterministic (no RNG, oracle-replicable) and a
-    * stand-in for a k-means codebook: swap `centroids` for trained
-    * ones without touching the search path.
+  /** IVF (inverted-file) coarse quantization: each vector ranks the
+    * `nCentroids` centroid vectors by cosine (ties to the lowest
+    * centroid id). Centroids are the `nCentroids` vectors with the
+    * smallest ids — deterministic (no RNG, oracle-replicable) and a
+    * stand-in for a k-means codebook.
     *
-    * Returns (idOut, vecOut, normOut, cell).
-    */
-  /** One ranked vector-by-centroid similarity table serving BOTH the
+    * One ranked vector-by-centroid similarity table serving BOTH the
     * inverted-list assignment (rank 1) and the query probes (rank <=
     * nProbe) — computing them separately would run the dominant
     * N x nCentroids dot-product scan twice.
