@@ -6,9 +6,12 @@ import org.apache.spark.sql.SparkSession
   *
   * Local mode is the test harness; the settings are chosen so the same
   * logical plans scale to a real cluster: AQE handles runtime
-  * coalescing/skew, shuffle partitions default to the local core count
-  * (overridden by `spark.sql.shuffle.partitions` on a cluster), and all
-  * timestamps are pinned to UTC for oracle parity.
+  * coalescing/skew, and all timestamps are pinned to UTC for oracle
+  * parity. NOTE: `.master(local[n])` and the shuffle-partition count
+  * are EXPLICIT here and take precedence over spark-submit --conf /
+  * spark-defaults — a cluster deployment should build its own session
+  * and apply only the semantic settings below (ANSI off, UTC,
+  * nanosAsLong, AQE) rather than reuse this local-mode builder.
   */
 object GraftSession {
   def builder(appName: String = "graft", cores: String = "32"): SparkSession.Builder =
