@@ -220,6 +220,32 @@ object SparkEntry {
           timestamp_micros(expr("CAST((ts - pmod(ts, 1000)) DIV 1000 AS BIGINT)"))).as("hour"),
           col("event_type"))
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))),
+    // X7: Structured Streaming parity — the SAME hourly aggregation as
+    // x2, but executed as an unbounded plan over the file source with
+    // Trigger.AvailableNow, drained to completion, and returned from
+    // the complete-mode sink. Hash-matches the batch oracle: streaming
+    // and batch are two physical executions of one logical query.
+    "x7_stream_hourly" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // the file source wants a DIRECTORY to monitor; the testdata
+      // table is a single file — stage it into one
+      val staged = java.nio.file.Files.createTempDirectory("graft_stream_events")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("events.parquet"))
+      staged.toFile.deleteOnExit()
+      val sink = s"stream_hourly_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val agg = s.readStream.schema(schema).parquet(staged.toString)
+        .groupBy(date_trunc("hour",
+          timestamp_micros(expr("CAST((ts - pmod(ts, 1000)) DIV 1000 AS BIGINT)"))).as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+    }),
     // X3: sessionization (gaps-and-islands) — lag/gap flag, running-sum
     // session ids, per-session rollup. ts is raw parquet nanos (Long);
     // integer DIV keeps microsecond output exact (a double division
@@ -526,6 +552,10 @@ object SparkEntry {
         |SELECT user_id, session_seq, count(*) AS n_events, round(sum(value), 4) AS sum_value,
         |       CAST(min(tns) // 1000 AS BIGINT) AS session_start_us
         |FROM s GROUP BY 1, 2""".stripMargin,
+    "x7_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events,
+        |       round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "x5_asof_join" ->
       """WITH clicks AS (
         |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
