@@ -208,7 +208,7 @@ object SparkEntry {
         .orderBy(col("ts").asc, col("event_id").asc)
       t(s, dir, "events")
         .withColumn("running_value", round(sum(col("value")).over(w), 4))
-        .withColumn("event_seq", row_number().over(w))
+        .withColumn("event_seq", row_number().over(w).cast("long"))
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("event_seq"), col("running_value"))
     }),
@@ -333,15 +333,15 @@ object SparkEntry {
     "p5_cosine_topk" -> ((s, dir) =>
       Similarity.cosineTopK(t(s, dir, "embeddings"), k = 5)
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
-          col("rank"))),
+          col("rank").cast("long").as("rank"))),
     "p6_lsh_topk" -> ((s, dir) =>
       Similarity.lshCosineTopK(t(s, dir, "embeddings"), k = 5, planes = 8)
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
-          col("rank"))),
+          col("rank").cast("long").as("rank"))),
     "p13_ivf_topk" -> ((s, dir) =>
       Similarity.ivfCosineTopK(t(s, dir, "embeddings"), k = 5, nCentroids = 8, nProbe = 2)
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
-          col("rank"))),
+          col("rank").cast("long").as("rank"))),
     // tau=0.45 sits just inside the corpus' cosine tail (max ~0.51) so
     // the threshold variant returns a small non-empty pair set.
     "p12_embedding_dup" -> ((s, dir) =>
@@ -379,7 +379,7 @@ object SparkEntry {
     "p14_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.asMedia(t(s, dir, "documents")),
         frameBytes = 16, stride = 2)
-        .select(col("doc_id"), col("frame_no"), col("frame_len"),
+        .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"), col("frame_len"),
           md5(col("frame_bytes")).as("frame_md5"))),
   )
 
@@ -471,7 +471,7 @@ object SparkEntry {
 
     "a1_conditional_agg" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
-        |       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
         |       round(sum(o_totalprice), 4) AS sum_price
         |FROM orders GROUP BY 1""".stripMargin,
     "a2_distinct_agg" ->
@@ -578,7 +578,7 @@ object SparkEntry {
         |                         AND epoch_us(e.ts) + 300000000""".stripMargin,
     "x4_json_extract" ->
       """SELECT event_type, count(*) AS n_events,
-        |       sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+        |       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
         |       count(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS n_distinct_k
         |FROM events GROUP BY 1""".stripMargin,
     "j5_pair_selfjoin" ->

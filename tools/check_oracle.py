@@ -57,6 +57,26 @@ def main(sf_dir, out_dir):
             print(f"SCHEMA   {name}: spark={scols} oracle={ocols}")
             n_bad += 1
             continue
+        # Dtype-FAMILY mismatches break the driver's value hash even when
+        # stringified values agree (round 1: DuckDB sum(int) -> DECIMAL(38,0)
+        # vs Spark LongType). int32/int64 width differences are tolerated.
+        def family(t):
+            t = str(t)
+            if t.startswith("decimal"):
+                return "decimal"
+            if t.startswith(("int", "uint")):
+                return "int"
+            if t in ("float", "double") or t.startswith("float"):
+                return "float"
+            return t
+        fam_bad = [c for c in ocols
+                   if family(odf.schema.field(c).type) != family(sdf.schema.field(c).type)]
+        if fam_bad:
+            det = {c: (str(sdf.schema.field(c).type), str(odf.schema.field(c).type))
+                   for c in fam_bad}
+            print(f"DTYPE    {name}: spark-vs-oracle {det}")
+            n_bad += 1
+            continue
         orows = canon(odf.select(ocols).to_pandas().itertuples(index=False, name=None))
         srows = canon(sdf.select(scols).to_pandas().itertuples(index=False, name=None))
         if len(orows) != len(srows):
