@@ -25,22 +25,29 @@ object SparkEntry {
   // ===== analytical core (C1-C6 over TPC-H-ish data) ===================
 
   /** lineitem metrics unpivoted to long form (R1): family =
-    * l_returnflag, item = metric name, sample = orderkey*10+linenumber.
+    * l_returnflag, item = metric name, sample = orderkey*100+linenumber.
+    * The testdata contains duplicated (orderkey, linenumber) rows, so
+    * the matrix is made genuinely unique per (family, sample) by a
+    * max-aggregate first — a true gene x sample matrix shape, which is
+    * what the dense Spearman path (and its wide pivot plan) requires.
     */
   private def lineitemLong(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
-      .select(col("l_returnflag"),
-        (col("l_orderkey") * 10 + col("l_linenumber")).as("sk"),
-        col("l_discount").as("discount"),
-        col("l_extendedprice").as("extendedprice"),
-        col("l_quantity").as("quantity"))
+      .groupBy(col("l_returnflag"),
+        (col("l_orderkey") * 100 + col("l_linenumber")).as("sk"))
+      .agg(max(col("l_discount")).as("discount"),
+        max(col("l_extendedprice")).as("extendedprice"),
+        max(col("l_quantity")).as("quantity"))
       .unpivot(Array(col("l_returnflag"), col("sk")),
         Array(col("discount"), col("extendedprice"), col("quantity")),
         "item", "v")
 
+  private val LineitemItems = Seq("discount", "extendedprice", "quantity")
+
   private def spearmanPairs(s: SparkSession, dir: String): DataFrame =
     Spearman.pairCorrelationsDense(
-      lineitemLong(s, dir), Seq("l_returnflag"), "item", "sk", "v")
+      lineitemLong(s, dir), Seq("l_returnflag"), "item", "sk", "v",
+      knownItems = Some(LineitemItems))
 
   private def corrPipeline(s: SparkSession, dir: String): DataFrame = {
     val withP = spearmanPairs(s, dir)
@@ -83,12 +90,16 @@ object SparkEntry {
           round(sum(col("l_quantity")), 4).as("sum_qty"),
           round(avg(col("l_extendedprice")), 4).as("avg_price"))),
 
+    // ONE percentile aggregate computing all four points: each separate
+    // percentile(..) call maintains its own value buffer over the same
+    // column (4x the aggregation state and sort work; measured ~3x
+    // slower at sf0.1 than the fused array form).
     "a3_percentiles" -> ((s, dir) =>
       t(s, dir, "lineitem").groupBy(col("l_returnflag"))
-        .agg(round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median"),
-          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
-          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))),
+        .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.99))").as("pc"))
+        .select(col("l_returnflag"),
+          round(col("pc")(0), 4).as("p25"), round(col("pc")(1), 4).as("median"),
+          round(col("pc")(2), 4).as("p75"), round(col("pc")(3), 4).as("p99"))),
 
     // --- reshaping (R1/R2) --------------------------------------------
     "r1_unpivot_agg" -> ((s, dir) =>
@@ -363,9 +374,13 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextStats.tokenCountWs(col("text")).cast("long").as("n_tokens_ws"),
         TextStats.tokenCountBpe(col("text")).cast("long").as("n_tokens_bpe"))),
+    // repartition first: the doc table is one input split and the
+    // per-char rolling hash is the heaviest per-row text op (measured:
+    // whole scan in ONE task, 2.2 s at sf0.1)
     "p10_fingerprint" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"),
-        TextStats.fingerprint(col("text")).as("fingerprint"))),
+      t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fingerprint"))),
 
     // --- multimodal plumbing (p11/p14) --------------------------------
     "p11_multimodal_stub" -> ((s, dir) =>
@@ -386,12 +401,18 @@ object SparkEntry {
   // ===== oracle SQL =====================================================
 
   private val longSql =
-    """SELECT l_returnflag, l_orderkey*10 + l_linenumber AS sk, 'discount' AS item, l_discount AS v FROM lineitem
-      |UNION ALL SELECT l_returnflag, l_orderkey*10 + l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
-      |UNION ALL SELECT l_returnflag, l_orderkey*10 + l_linenumber, 'quantity', l_quantity FROM lineitem""".stripMargin
+    """uni AS (
+      |  SELECT l_returnflag, l_orderkey*100 + l_linenumber AS sk,
+      |         max(l_discount) AS discount, max(l_extendedprice) AS extendedprice,
+      |         max(l_quantity) AS quantity
+      |  FROM lineitem GROUP BY 1, 2),
+      |long_form AS (
+      |  SELECT l_returnflag, sk, 'discount' AS item, discount AS v FROM uni
+      |  UNION ALL SELECT l_returnflag, sk, 'extendedprice', extendedprice FROM uni
+      |  UNION ALL SELECT l_returnflag, sk, 'quantity', quantity FROM uni)""".stripMargin
 
   private val pairsSql =
-    s"""WITH long_form AS ($longSql),
+    s"""WITH $longSql,
        |ranked AS (
        |  SELECT l_returnflag, sk, item, v,
        |         avg(rn) OVER (PARTITION BY l_returnflag, item, v) AS r
@@ -488,7 +509,7 @@ object SparkEntry {
         |       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
         |FROM lineitem GROUP BY 1""".stripMargin,
     "r1_unpivot_agg" ->
-      s"""WITH long_form AS ($longSql)
+      s"""WITH $longSql
          |SELECT item, count(*) AS n, round(sum(v), 4) AS sum_v
          |FROM long_form GROUP BY 1""".stripMargin,
     "j1_star_join" ->

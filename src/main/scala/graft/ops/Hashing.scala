@@ -23,6 +23,17 @@ object Hashing {
   def hex64(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Driver-side twin of [[hex64]] — byte-identical derivation, for
+    * precomputing small deterministic parameter tables (LSH hyperplane
+    * weights) as literals instead of per-row md5 evaluation.
+    */
+  def hex64Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** i-th universal hash of an already-hex64'd value. */
   def universal(x: Column, a: Column, b: Column): Column =
     (a * (x % P31) + b) % P31

@@ -71,39 +71,52 @@ object Similarity {
     rankTopK(pairs, k)
   }
 
-  /** Deterministic hyperplane weight for (plane, dim): uniform in
-    * [-1, 1] derived from md5 — identical in the SQL oracle.
+  /** Deterministic hyperplane weight matrix (planes x dims), uniform in
+    * [-1, 1] derived from md5 — identical derivation in the SQL oracle
+    * (`hx(concat(plane, '_', dim))`), but computed ONCE on the driver:
+    * it is a tiny planes x d parameter table, and evaluating the md5
+    * per (row, plane, dim) instead measured 8.6 s in ONE task at sf0.1
+    * (a 12.8M-row posexplode pipeline for what is 512 constants).
     */
-  private def planeWeight(plane: Column, dim: Column): Column =
-    ((hex64(concat_ws("_", plane, dim)) % 2001L) - 1000L).cast("double") / 1000.0
+  private def planeWeights(planes: Int, d: Int): Array[Array[Double]] =
+    Array.tabulate(planes, d)((p, i) =>
+      ((Hashing.hex64Local(s"${p}_${i}") % 2001L) - 1000L).toDouble / 1000.0)
+
+  /** Vector dimensionality probe (one-row driver action). */
+  private def vecDim(emb: DataFrame, vec: String): Int =
+    emb.select(size(col(vec)).as("d")).head.getInt(0)
+
+  /** Sign-bucket column: bit p set iff dot(v, hyperplane_p) > 0.
+    * Each projection is one codegen dot against a literal weight row —
+    * per-row column math, no explode, no shuffle.
+    */
+  private def bucketCol(vd: Column, planes: Int, d: Int): Column = {
+    val w = planeWeights(planes, d)
+    (0 until planes).map { p =>
+      when(VectorMath.dot(vd, typedlit(w(p).toSeq)) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
 
   /** Sign-LSH bucket id from `planes` hyperplanes. */
   def lshBucket(emb: DataFrame, planes: Int,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val planesDf = (0 until planes).toDF("plane")
-    val dims = emb.select(col(id), posexplode(toDouble(col(vec))).as(Seq("dim", "x")))
-    dims.crossJoin(broadcast(planesDf))
-      .withColumn("wx", col("x") * planeWeight(col("plane"), col("dim")))
-      .groupBy(col(id), col("plane"))
-      .agg(sum(col("wx")).as("proj"))
-      .groupBy(col(id))
-      .agg(sum(when(col("proj") > 0, expr("shiftleft(1L, plane)")).otherwise(0L))
-        .as("bucket"))
+    val d = vecDim(emb, vec)
+    emb.select(col(id), bucketCol(toDouble(col(vec)), planes, d).as("bucket"))
   }
 
-  /** Approximate cosine top-k: exact ranking within sign-LSH buckets. */
+  /** Approximate cosine top-k: exact ranking within sign-LSH buckets.
+    * The bucket id is per-row column math (literal hyperplanes), so the
+    * two self-join sides just recompute the cheap scan; the join
+    * shuffles both sides by bucket — each bucket's exact ranking
+    * co-locates on one executor.
+    */
   def lshCosineTopK(emb: DataFrame, k: Int, planes: Int = 8,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    // materialize the bucketed table once: the self-join sides project
-    // different columns, so neither exchange reuse nor subplan sharing
-    // applies and the dims-by-planes bucket lineage would run twice
-    val withB = emb.join(lshBucket(emb, planes, id, vec), id)
-      .select(col(id), toDouble(col(vec)).as("__v"), col("bucket"))
+    val d = vecDim(emb, vec)
+    val withB = spread(emb.select(col(id), toDouble(col(vec)).as("__v")))
+      .withColumn("bucket", bucketCol(col("__v"), planes, d))
       .withColumn("__n", VectorMath.norm(col("__v")))
       .where(col("__n") > 0.0)
-      .localCheckpoint(true)
     val a = withB.select(col(id).as("query_id"), col("__v").as("va"),
       col("__n").as("na"), col("bucket"))
     val b = withB.select(col(id).as("neighbor_id"), col("__v").as("vb"),
@@ -120,26 +133,37 @@ object Similarity {
     * smallest ids — deterministic (no RNG, oracle-replicable) and a
     * stand-in for a k-means codebook.
     *
-    * One ranked vector-by-centroid similarity table serving BOTH the
-    * inverted-list assignment (rank 1) and the query probes (rank <=
-    * nProbe) — computing them separately would run the dominant
-    * N x nCentroids dot-product scan twice.
+    * The codebook is tiny (nCentroids vectors), so it is COLLECTED and
+    * inlined as literals: each row computes its nCentroids cosines and
+    * sorts a nCentroids-element struct array in place — per-row column
+    * math replacing the previous N x nCentroids row explosion + window
+    * shuffle (which also needed an eager checkpoint to avoid double
+    * computation; this form is cheap enough to just recompute per
+    * reference). Emits ranks 1..maxRank.
     * Returns (idOut, vecOut, normOut, cell, __rk).
     */
-  private def ivfRankedCells(emb: DataFrame, nCentroids: Int,
+  private def ivfRankedCells(emb: DataFrame, nCentroids: Int, maxRank: Int,
       id: String, vec: String,
       idOut: String, vecOut: String, normOut: String): DataFrame = {
     val vs = withNorm(emb, id, vec, idOut, vecOut, normOut)
-    val cents = withNorm(emb, id, vec, "__cid", "__cv", "__cn")
-      .orderBy(col("__cid").asc).limit(nCentroids)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idOut))
-      .orderBy(col("__sim").desc, col("__cid").asc)
-    spread(vs).join(broadcast(cents))
-      .withColumn("__sim",
-        VectorMath.dot(col(vecOut), col("__cv")) / (col(normOut) * col("__cn")))
-      .withColumn("__rk", row_number().over(w))
-      .select(col(idOut), col(vecOut), col(normOut), col("__cid").as("cell"), col("__rk"))
+    val cents = vs.orderBy(col(idOut).asc).limit(nCentroids).collect()
+    // struct(-sim, cid) sorted ascending = sim descending, cid ascending;
+    // `+ 0.0` normalizes -0.0 so a zero cosine ties identically to SQL
+    val entries = cents.map { r =>
+      val cid = r.getAs[Number](0).longValue()
+      val cv = r.getSeq[Double](1)
+      val cn = r.getDouble(2)
+      struct(
+        ((VectorMath.dot(col(vecOut), typedlit(cv)) / (col(normOut) * lit(cn))) * -1.0
+          + 0.0).as("ns"),
+        lit(cid).as("cid"))
+    }
+    spread(vs)
+      .select(col(idOut), col(vecOut), col(normOut),
+        posexplode(slice(sort_array(array(entries.toSeq: _*)), 1, maxRank))
+          .as(Seq("__p", "__s")))
+      .select(col(idOut), col(vecOut), col(normOut),
+        col("__s.cid").as("cell"), (col("__p") + 1).as("__rk"))
   }
 
   /** IVF approximate cosine top-k: queries probe their `nProbe` nearest
@@ -153,11 +177,8 @@ object Similarity {
     */
   def ivfCosineTopK(emb: DataFrame, k: Int, nCentroids: Int = 8, nProbe: Int = 2,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    // materialize the ranked cells once; assignment and probes are two
-    // filters over the same subtree (localCheckpoint — Spark would
-    // otherwise recompute the scan for each reference)
-    val cells = ivfRankedCells(emb, nCentroids, id, vec, "vid", "v", "nrm")
-      .localCheckpoint(true)
+    val cells = ivfRankedCells(emb, nCentroids, math.max(1, nProbe), id, vec,
+      "vid", "v", "nrm")
     val lists = cells.where(col("__rk") === 1)
       .select(col("vid").as("neighbor_id"), col("v").as("vb"), col("nrm").as("nb"),
         col("cell"))
