@@ -257,6 +257,41 @@ object SparkEntry {
       q.awaitTermination()
       s.table(sink)
     }),
+    // X8: Structured Streaming parity for sessionization — the SAME
+    // gap-split semantics as x3, but executed as a
+    // flatMapGroupsWithState state machine over the file source
+    // (SURVEY.md §2.9 custom-state shape). A per-user sentinel event
+    // staged gap+1ms past the global max deterministically closes each
+    // user's trailing session (the sentinel's own session never
+    // emits); session_seq comes from the state's per-user counter.
+    // Hash-matches the batch x3 oracle.
+    "x8_stream_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, Trigger}
+      val ev = t(s, dir, "events")
+      val gapNs = 30L * 60L * 1000000000L
+      val maxNs = ev.agg(max(col("ts"))).head.getLong(0)
+      val core = ev.select(col("event_id"), col("ts").as("ts_ns"),
+        col("user_id"), col("value"))
+      val sentinels = ev.select(col("user_id")).distinct()
+        .select(lit(-1L).as("event_id"), lit(maxNs + gapNs + 1000000L).as("ts_ns"),
+          col("user_id"), lit(0.0).as("value"))
+      val staged = java.nio.file.Files.createTempDirectory("graft_stream_sessions")
+      staged.toFile.deleteOnExit()
+      core.unionByName(sentinels).write.mode("overwrite").parquet(staged.toString)
+      import s.implicits._
+      val stream = s.readStream.schema(core.schema).parquet(staged.toString)
+        .as[graft.streaming.EventStreams.EventNs]
+      val sink = s"stream_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = graft.streaming.EventStreams
+        .sessionizeNs(stream, gapNs, GroupStateTimeout.NoTimeout)
+        .toDF()
+        .select(col("user_id"), col("session_seq"), col("n_events"),
+          round(col("sum_value"), 4).as("sum_value"), col("session_start_us"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+    }),
     // X3: sessionization (gaps-and-islands) — lag/gap flag, running-sum
     // session ids, per-session rollup. ts is raw parquet nanos (Long);
     // integer DIV keeps microsecond output exact (a double division
@@ -449,6 +484,21 @@ object SparkEntry {
   /** md5-derived 60-bit hash — matches graft.ops.Hashing.hex64. */
   private def hx(e: String): String = s"(('0x' || substr(md5($e),1,15))::BIGINT)"
 
+  /** Shared by x3 (batch windows) and x8 (streaming state machine):
+    * one logical sessionization, two physical executions.
+    */
+  private val sessionizeSql =
+    """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tns, value FROM events),
+      |g AS (SELECT *, CASE WHEN lag(tns) OVER w IS NULL
+      |                       OR tns - lag(tns) OVER w > 1800000000000 THEN 1 ELSE 0 END AS new_sess
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tns ASC, event_id ASC)),
+      |s AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tns ASC, event_id ASC
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |      FROM g)
+      |SELECT user_id, session_seq, count(*) AS n_events, round(sum(value), 4) AS sum_value,
+      |       CAST(min(tns) // 1000 AS BIGINT) AS session_start_us
+      |FROM s GROUP BY 1, 2""".stripMargin
+
   lazy val oracleSql: Map[String, String] = Map(
     "c1_rank_fractional" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
@@ -562,17 +612,9 @@ object SparkEntry {
         |            ELSE e.segment END AS segment,
         |       COALESCE(e.nation_key, u.nation_new) AS nation_key
         |FROM existing e FULL OUTER JOIN updates u ON e.c_custkey = u.c_custkey""".stripMargin,
-    "x3_sessionize" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tns, value FROM events),
-        |g AS (SELECT *, CASE WHEN lag(tns) OVER w IS NULL
-        |                       OR tns - lag(tns) OVER w > 1800000000000 THEN 1 ELSE 0 END AS new_sess
-        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tns ASC, event_id ASC)),
-        |s AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tns ASC, event_id ASC
-        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
-        |      FROM g)
-        |SELECT user_id, session_seq, count(*) AS n_events, round(sum(value), 4) AS sum_value,
-        |       CAST(min(tns) // 1000 AS BIGINT) AS session_start_us
-        |FROM s GROUP BY 1, 2""".stripMargin,
+    "x3_sessionize" -> sessionizeSql,
+    // streaming twin — same gap-split semantics, same oracle
+    "x8_stream_sessionize" -> sessionizeSql,
     "x7_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events,
         |       round(sum(value), 4) AS sum_value

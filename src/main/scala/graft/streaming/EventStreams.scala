@@ -22,9 +22,22 @@ object EventStreams {
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 
-  case class SessionState(count: Long, sum: Double, startMs: Long, lastMs: Long)
+  /** Nanosecond-precision event for the sessionizer core (the events
+    * parquet carries TIMESTAMP(NANOS), read as raw long ns).
+    */
+  case class EventNs(event_id: Long, ts_ns: Long, user_id: Long, value: Double)
+
+  case class SessionState(seq: Long, count: Long, sum: Double, startNs: Long,
+      lastNs: Long)
   case class SessionOut(user_id: Long, n_events: Long, sum_value: Double,
       duration_ms: Long)
+
+  /** Closed-session summary: seq is 1-based per user in event-time
+    * order; start/end are microseconds (truncated from ns) — the batch
+    * x3_sessionize output shape.
+    */
+  case class SessionRow(user_id: Long, session_seq: Long, n_events: Long,
+      sum_value: Double, session_start_us: Long, session_end_us: Long)
 
   /** Hourly tumbling-window aggregate with a 1-hour watermark — the
     * streaming twin of the batch x2_hourly_agg query.
@@ -59,40 +72,61 @@ object EventStreams {
     */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
       timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout): Dataset[SessionOut] = {
+    implicit val outEnc = Encoders.product[SessionOut]
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ns = events.map(e => EventNs(e.event_id,
+      e.ts.getTime * 1000000L + (e.ts.getNanos % 1000000L), e.user_id, e.value))
+    sessionizeNs(ns, gapMinutes * 60000000000L, timeout, gapMinutes)
+      .map(r => SessionOut(r.user_id, r.n_events, r.sum_value,
+        (r.session_end_us - r.session_start_us) / 1000L))
+  }
+
+  /** Nanosecond core of [[sessionize]]: identical gap-split state
+    * machine over raw ns timestamps (exact against the batch window
+    * formulation — no ms truncation can flip a borderline gap), with a
+    * per-user session counter carried in state so emitted sessions are
+    * numbered 1..k in event-time order exactly like the batch
+    * running-sum session id.
+    */
+  def sessionizeNs(events: Dataset[EventNs], gapNs: Long,
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout,
+      timeoutMinutes: Int = 30): Dataset[SessionRow] = {
     require(timeout != GroupStateTimeout.EventTimeTimeout,
       "EventTimeTimeout unsupported: no timeout timestamp is set")
     implicit val stateEnc = Encoders.product[SessionState]
-    implicit val outEnc = Encoders.product[SessionOut]
+    implicit val outEnc = Encoders.product[SessionRow]
     implicit val longEnc = Encoders.scalaLong
-    val gapMs = gapMinutes * 60000L
+    def emit(userId: Long, s: SessionState): SessionRow =
+      SessionRow(userId, s.seq, s.count, s.sum, s.startNs / 1000L, s.lastNs / 1000L)
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, SessionOut](
+      .flatMapGroupsWithState[SessionState, SessionRow](
         OutputMode.Append(), timeout) {
         case (userId, rows, state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(SessionOut(userId, s.count, s.sum, s.lastMs - s.startMs))
+            Iterator(emit(userId, s))
           } else {
-            val closed = Seq.newBuilder[SessionOut]
+            val closed = Seq.newBuilder[SessionRow]
             var cur = state.getOption
-            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-              val t = e.ts.getTime
+            rows.toSeq.sortBy(e => (e.ts_ns, e.event_id)).foreach { e =>
+              val t = e.ts_ns
               cur match {
-                case Some(s) if t - s.lastMs > gapMs =>
-                  closed += SessionOut(userId, s.count, s.sum, s.lastMs - s.startMs)
-                  cur = Some(SessionState(1L, e.value, t, t))
+                case Some(s) if t - s.lastNs > gapNs =>
+                  closed += emit(userId, s)
+                  cur = Some(SessionState(s.seq + 1L, 1L, e.value, t, t))
                 case Some(s) =>
-                  cur = Some(SessionState(s.count + 1L, s.sum + e.value,
-                    s.startMs, math.max(s.lastMs, t)))
+                  cur = Some(SessionState(s.seq, s.count + 1L, s.sum + e.value,
+                    s.startNs, math.max(s.lastNs, t)))
                 case None =>
-                  cur = Some(SessionState(1L, e.value, t, t))
+                  cur = Some(SessionState(1L, 1L, e.value, t, t))
               }
             }
             cur.foreach(state.update)
             if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
-              state.setTimeoutDuration(s"$gapMinutes minutes")
+              state.setTimeoutDuration(s"$timeoutMinutes minutes")
             closed.result().iterator
           }
       }

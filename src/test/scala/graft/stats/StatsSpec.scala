@@ -114,6 +114,47 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("dense wide and join plans agree (items straddle WideItemLimit)") {
+    // 34 items forces the pair self-join plan; the same data truncated
+    // to 6 items takes the wide pivot plan. Pairs present in both
+    // outputs must agree exactly — same ranks, same corr, same gates.
+    val rng = new scala.util.Random(11)
+    val rows = for {
+      g <- (10 to 43).map(i => s"g$i"); s <- (1 to 8).map(i => s"s$i")
+    } yield ("ST1", g, s, rng.nextDouble() * 100)
+    val df = rows.toDF("study", "gene", "sample", "v")
+    assert(Spearman.WideItemLimit < 34)
+    val joinPath = Spearman.pairCorrelationsDense(df, Seq("study"), "gene", "sample", "v")
+      .orderBy("item_a", "item_b").collect()
+    assert(joinPath.length == 34 * 33 / 2)
+    val small = df.where(col("gene").isin((10 to 15).map(i => s"g$i"): _*))
+    val widePath = Spearman.pairCorrelationsDense(small, Seq("study"), "gene", "sample", "v")
+      .orderBy("item_a", "item_b").collect()
+    assert(widePath.length == 15)
+    val byPair = joinPath.map(r =>
+      (r.getAs[String]("item_a"), r.getAs[String]("item_b")) -> r).toMap
+    widePath.foreach { w =>
+      val j = byPair((w.getAs[String]("item_a"), w.getAs[String]("item_b")))
+      assert(w.getAs[Long]("n_samples") == j.getAs[Long]("n_samples"))
+      assert(math.abs(w.getAs[Double]("rho") - j.getAs[Double]("rho")) < 1e-12)
+    }
+  }
+
+  test("wide dense path: incomplete matrix pairs over shared samples with global ranks") {
+    // g1 on s1..s4, g2 on s2..s4: global g1 ranks on the intersection
+    // are (1,2,3) (s1's 999 is rank 4, excluded by the pair), g2 ranks
+    // (3,2,1) -> rho = -1 over n = 3 shared samples.
+    val df = Seq(
+      ("ST1", "g1", "s1", 999.0), ("ST1", "g1", "s2", 10.0),
+      ("ST1", "g1", "s3", 20.0), ("ST1", "g1", "s4", 30.0),
+      ("ST1", "g2", "s2", 3.0), ("ST1", "g2", "s3", 2.0), ("ST1", "g2", "s4", 1.0))
+      .toDF("study", "gene", "sample", "v")
+    val out = Spearman.pairCorrelationsDense(df, Seq("study"), "gene", "sample", "v").collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("n_samples") == 3)
+    assert(math.abs(out(0).getAs[Double]("rho") + 1.0) < 1e-12)
+  }
+
   test("p-value: null when n<3, 0 at |rho|=1, clamped to [0,1]") {
     val df = Seq((0.5, 10L), (1.0, 5L), (-1.0, 5L), (0.9, 2L), (0.0, 30L))
       .toDF("rho", "n")
