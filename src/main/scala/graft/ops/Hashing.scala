@@ -17,11 +17,12 @@ object Hashing {
   /** Mersenne prime 2^31-1: (a*(x%p)+b) stays within int64. */
   val P31: Long = 2147483647L
 
-  /** 60-bit integer hash from md5 hex (identical in Spark and DuckDB:
-    * `('0x' || substr(md5(x),1,15))::BIGINT`).
+  /** 60-bit integer hash from md5 (identical in Spark and DuckDB:
+    * `('0x' || substr(md5(x),1,15))::BIGINT`) — computed digest-bytes
+    * -> long by a codegen expression ([[graft.functions.Md5Hex64]]);
+    * no per-row hex-string round trip.
     */
-  def hex64(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def hex64(c: Column): Column = graft.functions.Md5Hex64Fn(c)
 
   /** Driver-side twin of [[hex64]] — byte-identical derivation, for
     * precomputing small deterministic parameter tables (LSH hyperplane

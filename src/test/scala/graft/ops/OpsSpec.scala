@@ -14,6 +14,19 @@ class OpsSpec extends SparkSpec {
     (5L, "el perro y la casa es de los gatos") // Spanish-ish
   ).toDF("doc_id", "text")
 
+  test("md5 hex64 expression equals the hex-string route bit-for-bit") {
+    // Hashing.hex64 is the codegen digest-bytes->long expression; the
+    // oracle computes ('0x' || substr(md5(x),1,15))::BIGINT. Pin the
+    // Spark-side equivalence against conv(substring(md5)) on ASCII,
+    // unicode, empty, and long inputs.
+    val strs = Seq("", "a", "the cat", "ümläut π中文", "x" * 10000,
+      "0", " leading", "trailing ").toDF("s")
+    val got = strs.select(
+      Hashing.hex64(col("s")).as("fast"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("ref")).collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("exact dedup groups duplicates and keeps lowest id") {
     val got = Dedup.exactDupGroups(docs).collect()
     assert(got.length == 1)
