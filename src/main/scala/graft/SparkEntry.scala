@@ -22,6 +22,20 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Recursive delete for the streaming queries' staged temp dirs
+    * (deleteOnExit is a no-op on non-empty directories — without this,
+    * every bench/verify pass would leak a parquet copy under /tmp).
+    */
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => Files.deleteIfExists(q))
+      finally walk.close()
+    }
+  }
+
   // ===== analytical core (C1-C6 over TPC-H-ish data) ===================
 
   /** lineitem metrics unpivoted to long form (R1): family =
@@ -245,7 +259,6 @@ object SparkEntry {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"),
         staged.resolve("events.parquet"))
-      staged.toFile.deleteOnExit()
       val sink = s"stream_hourly_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val agg = s.readStream.schema(schema).parquet(staged.toString)
         .groupBy(date_trunc("hour",
@@ -254,7 +267,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
       val q = agg.writeStream.format("memory").queryName(sink)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      try q.awaitTermination() finally deleteRecursively(staged)
       s.table(sink)
     }),
     // X8: Structured Streaming parity for sessionization — the SAME
@@ -269,28 +282,34 @@ object SparkEntry {
       import org.apache.spark.sql.streaming.{GroupStateTimeout, Trigger}
       val ev = t(s, dir, "events")
       val gapNs = 30L * 60L * 1000000000L
-      val maxNs = ev.agg(max(col("ts"))).head.getLong(0)
-      val core = ev.select(col("event_id"), col("ts").as("ts_ns"),
-        col("user_id"), col("value"))
-      val sentinels = ev.select(col("user_id")).distinct()
-        .select(lit(-1L).as("event_id"), lit(maxNs + gapNs + 1000000L).as("ts_ns"),
-          col("user_id"), lit(0.0).as("value"))
-      val staged = java.nio.file.Files.createTempDirectory("graft_stream_sessions")
-      staged.toFile.deleteOnExit()
-      core.unionByName(sentinels).write.mode("overwrite").parquet(staged.toString)
-      import s.implicits._
-      val stream = s.readStream.schema(core.schema).parquet(staged.toString)
-        .as[graft.streaming.EventStreams.EventNs]
-      val sink = s"stream_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = graft.streaming.EventStreams
-        .sessionizeNs(stream, gapNs, GroupStateTimeout.NoTimeout)
-        .toDF()
-        .select(col("user_id"), col("session_seq"), col("n_events"),
-          round(col("sum_value"), 4).as("sum_value"), col("session_start_us"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.table(sink)
+      val maxRow = ev.agg(max(col("ts"))).head
+      if (maxRow.isNullAt(0))
+        // empty events: the oracle yields the empty session set
+        ev.select(col("user_id"), lit(0L).as("session_seq"), lit(0L).as("n_events"),
+          lit(0.0).as("sum_value"), lit(0L).as("session_start_us")).where(lit(false))
+      else {
+        val maxNs = maxRow.getLong(0)
+        val core = ev.select(col("event_id"), col("ts").as("ts_ns"),
+          col("user_id"), col("value"))
+        val sentinels = ev.select(col("user_id")).distinct()
+          .select(lit(-1L).as("event_id"), lit(maxNs + gapNs + 1000000L).as("ts_ns"),
+            col("user_id"), lit(0.0).as("value"))
+        val staged = java.nio.file.Files.createTempDirectory("graft_stream_sessions")
+        core.unionByName(sentinels).write.mode("overwrite").parquet(staged.toString)
+        import s.implicits._
+        val stream = s.readStream.schema(core.schema).parquet(staged.toString)
+          .as[graft.streaming.EventStreams.EventNs]
+        val sink = s"stream_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val q = graft.streaming.EventStreams
+          .sessionizeNs(stream, gapNs, GroupStateTimeout.NoTimeout)
+          .toDF()
+          .select(col("user_id"), col("session_seq"), col("n_events"),
+            round(col("sum_value"), 4).as("sum_value"), col("session_start_us"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally deleteRecursively(staged)
+        s.table(sink)
+      }
     }),
     // X3: sessionization (gaps-and-islands) — lag/gap flag, running-sum
     // session ids, per-session rollup. ts is raw parquet nanos (Long);

@@ -28,12 +28,9 @@ object Hashing {
     * precomputing small deterministic parameter tables (LSH hyperplane
     * weights) as literals instead of per-row md5 evaluation.
     */
-  def hex64Local(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val hex = d.map(b => f"$b%02x").mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
-  }
+  def hex64Local(s: String): Long =
+    graft.functions.Md5Hex64Math.hashBytes(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   /** i-th universal hash of an already-hex64'd value. */
   def universal(x: Column, a: Column, b: Column): Column =

@@ -63,13 +63,8 @@ object Multimodal {
     * and both validate against the same oracle.
     */
   def stubDecode(rec: MediaRecord): DecodedRecord = {
-    def hex64(bytes: Array[Byte]): Long = {
-      val digest = java.security.MessageDigest.getInstance("MD5").digest(bytes)
-      java.lang.Long.parseLong(
-        digest.take(8).map("%02x".format(_)).mkString.take(15), 16)
-    }
-    val h = hex64(rec.content)
-    val hr = hex64(rec.content.reverse)
+    val h = graft.functions.Md5Hex64Math.hashBytes(rec.content)
+    val hr = graft.functions.Md5Hex64Math.hashBytes(rec.content.reverse)
     DecodedRecord(
       rec.doc_id, rec.media_type, rec.content.length.toLong,
       (16L + h % 1905L).toInt, (16L + hr % 1065L).toInt,

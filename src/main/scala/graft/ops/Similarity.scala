@@ -82,9 +82,12 @@ object Similarity {
     Array.tabulate(planes, d)((p, i) =>
       ((Hashing.hex64Local(s"${p}_${i}") % 2001L) - 1000L).toDouble / 1000.0)
 
-  /** Vector dimensionality probe (one-row driver action). */
-  private def vecDim(emb: DataFrame, vec: String): Int =
-    emb.select(size(col(vec)).as("d")).head.getInt(0)
+  /** Vector dimensionality probe (one-row driver action over the
+    * non-null vectors); None when the table has no usable vector.
+    */
+  private def vecDim(emb: DataFrame, vec: String): Option[Int] =
+    emb.where(col(vec).isNotNull && size(col(vec)) > 0)
+      .select(size(col(vec)).as("d")).head(1).headOption.map(_.getInt(0))
 
   /** Sign-bucket column: bit p set iff dot(v, hyperplane_p) > 0.
     * Each projection is one codegen dot against a literal weight row —
@@ -97,11 +100,19 @@ object Similarity {
     }.reduce(_ + _)
   }
 
-  /** Sign-LSH bucket id from `planes` hyperplanes. */
+  /** Sign-LSH bucket id from `planes` hyperplanes. Null/empty vectors
+    * produce no row (matching the explode-based formulation this
+    * replaced — they must not congregate in a real bucket).
+    */
   def lshBucket(emb: DataFrame, planes: Int,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val d = vecDim(emb, vec)
-    emb.select(col(id), bucketCol(toDouble(col(vec)), planes, d).as("bucket"))
+    val usable = emb.where(col(vec).isNotNull && size(col(vec)) > 0)
+    vecDim(emb, vec) match {
+      case Some(d) =>
+        usable.select(col(id), bucketCol(toDouble(col(vec)), planes, d).as("bucket"))
+      case None =>
+        usable.select(col(id), lit(0L).as("bucket")) // provably empty
+    }
   }
 
   /** Approximate cosine top-k: exact ranking within sign-LSH buckets.
@@ -112,8 +123,10 @@ object Similarity {
     */
   def lshCosineTopK(emb: DataFrame, k: Int, planes: Int = 8,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val d = vecDim(emb, vec)
-    val withB = spread(emb.select(col(id), toDouble(col(vec)).as("__v")))
+    val d = vecDim(emb, vec).getOrElse(0) // 0 only when no usable vectors -> empty below
+    val withB = spread(emb
+      .where(col(vec).isNotNull && size(col(vec)) > 0)
+      .select(col(id), toDouble(col(vec)).as("__v")))
       .withColumn("bucket", bucketCol(col("__v"), planes, d))
       .withColumn("__n", VectorMath.norm(col("__v")))
       .where(col("__n") > 0.0)
@@ -147,10 +160,14 @@ object Similarity {
       idOut: String, vecOut: String, normOut: String): DataFrame = {
     val vs = withNorm(emb, id, vec, idOut, vecOut, normOut)
     val cents = vs.orderBy(col(idOut).asc).limit(nCentroids).collect()
+    if (cents.isEmpty) // no usable vectors: empty result, id-typed cell
+      return vs.withColumn("cell", col(idOut)).withColumn("__rk", lit(1))
+        .where(lit(false))
     // struct(-sim, cid) sorted ascending = sim descending, cid ascending;
-    // `+ 0.0` normalizes -0.0 so a zero cosine ties identically to SQL
+    // `+ 0.0` normalizes -0.0 so a zero cosine ties identically to SQL.
+    // cid literal keeps the id column's own type (string ids included).
     val entries = cents.map { r =>
-      val cid = r.getAs[Number](0).longValue()
+      val cid = r.get(0)
       val cv = r.getSeq[Double](1)
       val cn = r.getDouble(2)
       struct(

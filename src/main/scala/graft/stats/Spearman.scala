@@ -130,20 +130,36 @@ object Spearman {
     val itemKeys = family.map(col) :+ col(item)
     val ranked = Ranks.fractionalRank(df, itemKeys, col(value), "__r0")
     // Item inventory: passed by callers that know it, else one tiny
-    // driver action on a distinct of one column. Small item sets take
-    // the wide path — all P pair correlations in ONE aggregation pass
-    // with no self-join at all. NOTE the wide path additionally
-    // requires (family, item, sample) to be UNIQUE (a true matrix):
-    // its pivot collapses duplicate observations, where the join path
-    // pairs them cross-product-style like the equivalent SQL join.
+    // driver action on a distinct of one column. Canonicalized
+    // (dedup + ascending) regardless of source so the wide path's
+    // pair enumeration matches the join path's `item_a < item_b`
+    // condition even when a caller passes an unsorted/duplicated list.
+    // Small item sets (2..WideItemLimit) take the wide path — all P
+    // pair correlations in ONE aggregation pass with no self-join at
+    // all; <2 items routes to the join path, which yields the empty
+    // result naturally. The wide path validates the (family, item,
+    // sample) uniqueness its pivot requires (raise_error on duplicate
+    // observations — the join path would cross-product them instead,
+    // and silent divergence between the two plans is worse than a
+    // loud failure).
     val items = knownItems.getOrElse(
       df.select(col(item)).distinct().orderBy(col(item).asc).collect().map(_.get(0)).toSeq)
-    if (items.nonEmpty && items.length <= WideItemLimit)
+      .distinct.sortWith(sqlLt)
+    if (items.length >= 2 && items.length <= WideItemLimit)
       widePairAgg(ranked, family, item, sample, value, minSamples, items)
     else {
       val joined = pairJoin(ranked, family, item, sample, value, rank = Some("__r0"))
       gatedPairAgg(joined, family, minSamples, col("__ra"), col("__rb"))
     }
+  }
+
+  /** SQL-ordering comparator for item inventory values (the common
+    * scalar item-key types; anything else falls back to string order).
+    */
+  private def sqlLt(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: String, y: String) => x < y
+    case (x: java.lang.Number, y: java.lang.Number) => x.doubleValue < y.doubleValue
+    case _ => String.valueOf(a) < String.valueOf(b)
   }
 
   /** Above this item count the wide plan's P(P-1)/2·7 aggregate columns
@@ -176,9 +192,24 @@ object Spearman {
     val pivotAggs = items.zipWithIndex.flatMap { case (it, i) =>
       Seq(max(when(col(item) === lit(it), col("__r0"))).as(s"__r_$i"),
         max(when(col(item) === lit(it), col(value))).as(s"__v_$i"))
-    }
+    } :+ count(lit(1)).as("__nobs")
+    // uniqueness guard: a (family, sample) group must have at most one
+    // observation per item; more rows than present items means a
+    // duplicate the pivot would silently collapse (the join path would
+    // cross-product it) — fail loudly instead
+    val present = items.indices
+      .map(i => when(col(s"__r_$i").isNotNull, 1L).otherwise(0L))
+      .reduce(_ + _)
+    // the guard wraps __r_0 (read by every (0, j) pair aggregate) —
+    // a free-standing dropped column would be pruned away unevaluated
     val wide = ranked.groupBy((family.map(col) :+ col(sample)): _*)
       .agg(pivotAggs.head, pivotAggs.tail: _*)
+      .withColumn("__r_0",
+        when(col("__nobs") > present, raise_error(concat(
+          lit("Spearman wide path requires unique (family, item, sample) " +
+            "observations; duplicate found at sample="), col(sample).cast("string"))))
+          .otherwise(col("__r_0")))
+      .drop("__nobs")
     val pairs = for { i <- 0 until n; j <- i + 1 until n } yield (i, j)
     val pairAggs = pairs.flatMap { case (i, j) =>
       val (ri, rj) = (col(s"__r_$i"), col(s"__r_$j"))

@@ -98,6 +98,36 @@ class OpsSpec extends SparkSpec {
     assert(one.head.getAs[Long]("neighbor_id") == 2L)
   }
 
+  test("similarity edge cases: empty table, null/empty vectors, string ids") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    assert(Similarity.lshCosineTopK(empty, k = 3).count() == 0)
+    assert(Similarity.ivfCosineTopK(empty, k = 3).count() == 0)
+    assert(Similarity.lshBucket(empty, planes = 4).count() == 0)
+
+    // null and zero-length vectors are dropped, not bucketed together
+    val mixed = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.1f)), (3L, Seq(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+      .unionByName(Seq((4L, null.asInstanceOf[Seq[Float]]), (5L, Seq.empty[Float]))
+        .toDF("vec_id", "embedding"))
+    val buckets = Similarity.lshBucket(mixed, planes = 4).collect()
+    assert(buckets.map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    val topk = Similarity.lshCosineTopK(mixed, k = 2)
+    assert(!topk.select("query_id").as[Long].collect().exists(q => q == 4L || q == 5L))
+
+    // string ids flow through the IVF centroid literals
+    val strIds = Seq(("a", Seq(1.0f, 0.0f)), ("b", Seq(0.9f, 0.1f)), ("c", Seq(0.0f, 1.0f)))
+      .toDF("doc", "embedding")
+    val ivf = Similarity.ivfCosineTopK(strIds, k = 2, nCentroids = 2, nProbe = 2,
+      id = "doc").collect()
+    assert(ivf.nonEmpty)
+    assert(ivf.forall(r => Set("a", "b", "c").contains(r.getAs[String]("query_id"))))
+  }
+
   test("shingles: texts shorter than n produce no shingles (sequence(1,0) guard)") {
     val d = Seq((1L, "abc"), (2L, ""), (3L, ""), (4L, "exactly8")).toDF("doc_id", "text")
     assert(Dedup.shingleRows(d, 8).count() == 1) // only the 8-char doc

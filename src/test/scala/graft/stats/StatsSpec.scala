@@ -140,6 +140,30 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("dense path edge cases: 1 item yields empty; unsorted knownItems canonicalize; dup observation fails loudly") {
+    val one = Seq(("ST1", "g1", "s1", 1.0), ("ST1", "g1", "s2", 2.0))
+      .toDF("study", "gene", "sample", "v")
+    assert(Spearman.pairCorrelationsDense(one, Seq("study"), "gene", "sample", "v").count() == 0)
+
+    val two = Seq(("ST1", "b", "s1", 1.0), ("ST1", "b", "s2", 2.0),
+      ("ST1", "a", "s1", 2.0), ("ST1", "a", "s2", 4.0))
+      .toDF("study", "gene", "sample", "v")
+    val out = Spearman.pairCorrelationsDense(two, Seq("study"), "gene", "sample", "v",
+      knownItems = Some(Seq("b", "a", "b"))).collect() // unsorted + duplicated list
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("item_a") == "a" && out(0).getAs[String]("item_b") == "b")
+
+    val dup = Seq(("ST1", "g1", "s1", 1.0), ("ST1", "g1", "s1", 5.0),
+      ("ST1", "g1", "s2", 2.0), ("ST1", "g2", "s1", 3.0), ("ST1", "g2", "s2", 1.0))
+      .toDF("study", "gene", "sample", "v")
+    val ex = intercept[Exception] {
+      Spearman.pairCorrelationsDense(dup, Seq("study"), "gene", "sample", "v").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("unique (family, item, sample)")))
+  }
+
   test("wide dense path: incomplete matrix pairs over shared samples with global ranks") {
     // g1 on s1..s4, g2 on s2..s4: global g1 ranks on the intersection
     // are (1,2,3) (s1's 999 is rank 4, excluded by the pair), g2 ranks
