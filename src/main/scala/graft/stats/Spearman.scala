@@ -142,8 +142,14 @@ object Spearman {
     // observations — the join path would cross-product them instead,
     // and silent divergence between the two plans is worse than a
     // loud failure).
+    // The probe LIMITs at WideItemLimit+1: deciding the path only needs
+    // "more than the limit?", so a large inventory (the genomic case —
+    // hundreds of genes) short-circuits instead of paying a full
+    // distinct+sort; at or under the limit, the probe IS the complete
+    // inventory and is canonicalized driver-side.
     val items = knownItems.getOrElse(
-      df.select(col(item)).distinct().orderBy(col(item).asc).collect().map(_.get(0)).toSeq)
+      df.select(col(item)).distinct().limit(WideItemLimit + 1)
+        .collect().map(_.get(0)).toSeq)
       .distinct.sortWith(sqlLt)
     if (items.length >= 2 && items.length <= WideItemLimit)
       widePairAgg(ranked, family, item, sample, value, minSamples, items)

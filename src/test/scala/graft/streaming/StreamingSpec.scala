@@ -119,4 +119,32 @@ class StreamingSpec extends SparkSpec {
         (9L, 1L, 16.0, 0L)))
     } finally q.stop()
   }
+
+  test("sessionizeNs: per-user session_seq continues across batches; start_us truncates ns") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val gapNs = 30L * 60 * 1000000000L
+    val base = 1767225600L * 1000000000L + 1234 // ns with sub-us component
+    val source = MemoryStream[EventNs]
+    val q = sessionizeNs(source.toDS(), gapNs,
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("sessions_ns")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: session 1 closed by an intra-batch gap; session 2 open
+      source.addData(EventNs(1L, base, 7L, 1.0), EventNs(2L, base + 2 * gapNs, 7L, 2.0))
+      q.processAllAvailable()
+      // batch 2: a third event beyond the gap closes session 2 (seq
+      // carried in state across the batch boundary)
+      source.addData(EventNs(3L, base + 4 * gapNs, 7L, 4.0))
+      q.processAllAvailable()
+      val rows = s.table("sessions_ns")
+        .select("user_id", "session_seq", "n_events", "session_start_us")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(rows == Set(
+        (7L, 1L, 1L, base / 1000),
+        (7L, 2L, 1L, (base + 2 * gapNs) / 1000)))
+    } finally q.stop()
+  }
 }
