@@ -81,10 +81,14 @@ object SparkEntry {
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- stats core ---------------------------------------------------
+    // l_quantity has ~50 distinct values and only 3 flag partitions:
+    // the low-cardinality rank (counts table + broadcast join) keeps
+    // the scan fully parallel where the window variant would sort each
+    // flag's rows in ONE task (the whole query single-threaded x3).
     "c1_rank_fractional" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity")
-      Ranks.fractionalRank(li, Seq(col("l_returnflag")), col("l_quantity"), "frac_rank")
+      Ranks.fractionalRankLowCard(li, Seq("l_returnflag"), col("l_quantity"), "frac_rank")
     }),
     "c2_spearman_pairs" -> ((s, dir) =>
       spearmanPairs(s, dir).select(col("l_returnflag"), col("item_a"), col("item_b"),
@@ -443,6 +447,15 @@ object SparkEntry {
           col("width"), col("height"),
           round(col("f0"), 6).as("f0"), round(col("f1"), 6).as("f1"),
           round(col("f2"), 6).as("f2"), round(col("f3"), 6).as("f3"))),
+    // P15: resize metadata transform — decoded dims fit a 224x224 box,
+    // aspect preserved, never upscaled (pure column math; the pixel
+    // kernel is the decoder's job).
+    "p15_resize" -> ((s, dir) =>
+      Multimodal.withResize(
+        Multimodal.withStubFeatures(Multimodal.asMedia(t(s, dir, "documents"))),
+        maxW = 224, maxH = 224)
+        .select(col("doc_id"), col("width"), col("height"),
+          col("resized_w"), col("resized_h"))),
     // binary frame chunks hashed for compare; the corpus is ASCII so
     // the oracle can chunk the VARCHAR with identical byte offsets.
     "p14_frame_sample" -> ((s, dir) =>
@@ -909,6 +922,23 @@ object SparkEntry {
         |       CAST(len(substring(content, frame_no*16 + 1, 16)) AS BIGINT) AS frame_len,
         |       md5(substring(content, frame_no*16 + 1, 16)) AS frame_md5
         |FROM f""".stripMargin,
+    "p15_resize" -> {
+      val h = hx("text")
+      val hr = hx("reverse(text)")
+      s"""WITH dims AS (
+         |  SELECT doc_id,
+         |    CAST(16 + $h % 1905 AS INT) AS width,
+         |    CAST(16 + $hr % 1065 AS INT) AS height
+         |  FROM documents
+         |),
+         |scaled AS (
+         |  SELECT *, least(224.0 / width, 224.0 / height, 1.0) AS scale FROM dims
+         |)
+         |SELECT doc_id, width, height,
+         |       CAST(greatest(floor(width * scale), 1) AS INT) AS resized_w,
+         |       CAST(greatest(floor(height * scale), 1) AS INT) AS resized_h
+         |FROM scaled""".stripMargin
+    },
     "p11_multimodal_stub" -> {
       val h = hx("text")
       val hr = hx("reverse(text)")

@@ -33,4 +33,36 @@ object Ranks {
       rank().over(byValue).cast("double") +
         (count(lit(1)).over(tieFrame).cast("double") - 1.0) / 2.0)
   }
+
+  /** Low-cardinality variant: identical output, different physical
+    * shape. The window formulation sorts each partition in ONE task —
+    * with few, huge partitions (e.g. 3 return-flags over 10^9 rows)
+    * that is the scan's whole parallelism. When `value` has few
+    * distinct values, rank arithmetic only needs per-(partition, value)
+    * counts: frac = (rows below) + (ties + 1)/2. The counts table is
+    * tiny (|partition| x |distinct values|), its cumulative window is
+    * driver-scale work, and the big table gets its ranks by BROADCAST
+    * join — fully parallel, no large sort anywhere.
+    *
+    * Use when distinct(value) per partition is small enough to
+    * broadcast (~10^5 rows); the window variant is the general path.
+    */
+  def fractionalRankLowCard(df: DataFrame, partition: Seq[String], value: Column,
+      out: String): DataFrame = {
+    val pcols = partition.map(col)
+    val withRv = df.withColumn("__rv", value)
+    val counts = withRv.groupBy((pcols :+ col("__rv")): _*)
+      .agg(count(lit(1)).as("__ties"))
+    val cum = Window.partitionBy(pcols: _*).orderBy(col("__rv").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranks = counts
+      .withColumn("__below", coalesce(sum(col("__ties")).over(cum), lit(0L)))
+      .select((pcols :+ col("__rv") :+
+        (col("__below").cast("double") + (col("__ties").cast("double") + 1.0) / 2.0)
+          .as(out)): _*)
+    // NULL values: the equi-join drops them (the window variant ranks
+    // them first) — callers must pre-filter nulls, same contract as
+    // the Spearman pipeline (F3/F4 drop them upstream).
+    withRv.join(broadcast(ranks), partition :+ "__rv").drop("__rv")
+  }
 }

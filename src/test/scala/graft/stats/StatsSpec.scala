@@ -26,6 +26,22 @@ class StatsSpec extends SparkSpec {
     assert(got.toSeq == Seq(1.0, 2.5, 2.5, 4.0))
   }
 
+  test("low-cardinality fractional rank equals the window formulation") {
+    val rng = new scala.util.Random(3)
+    val rows = (1 to 500).map(i =>
+      (if (i % 2 == 0) "A" else "B", i.toLong, (rng.nextInt(7) + 1).toDouble))
+    val df = rows.toDF("grp", "id", "v")
+    val win = Ranks.fractionalRank(df, Seq(col("grp")), col("v"), "r")
+      .select("grp", "id", "r").orderBy("grp", "id").collect()
+    val low = Ranks.fractionalRankLowCard(df, Seq("grp"), col("v"), "r")
+      .select("grp", "id", "r").orderBy("grp", "id").collect()
+    assert(win.length == low.length && win.length == 500)
+    win.zip(low).foreach { case (w, l) =>
+      assert(w.getString(0) == l.getString(0) && w.getLong(1) == l.getLong(1))
+      assert(w.getDouble(2) == l.getDouble(2)) // halves are exact doubles
+    }
+  }
+
   test("spearman: monotone pair has rho 1, canonical ordering, pair count C(3,2)") {
     // mirrors tests/test_correlation.py:11-38 — 3 genes, 3 shared samples
     val rows = for {
