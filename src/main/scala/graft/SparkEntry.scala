@@ -119,6 +119,18 @@ object SparkEntry {
           round(col("pc")(0), 4).as("p25"), round(col("pc")(1), 4).as("median"),
           round(col("pc")(2), 4).as("p75"), round(col("pc")(3), 4).as("p99"))),
 
+    // hierarchical subtotals: ROLLUP/CUBE produce the same plan family
+    // as plain groupBy (Expand + partial/final agg) — subtotal rows
+    // carry NULL group keys on both engines
+    "a4_rollup" -> ((s, dir) =>
+      t(s, dir, "orders").rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 4).as("sum_price"))),
+    "a5_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem").cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 4).as("sum_qty"))),
+
     // --- reshaping (R1/R2) --------------------------------------------
     "r1_unpivot_agg" -> ((s, dir) =>
       lineitemLong(s, dir).groupBy(col("item"))
@@ -369,6 +381,43 @@ object SparkEntry {
         .select(col("error_id"), col("other_id"), col("user_id"), col("other_type"),
           (col("right_ts_us") - col("ts_us")).as("delta_us"))
     }),
+    // X9: STREAM-STREAM interval join — the x6 band join as two
+    // watermarked unbounded sides with an event-time range condition
+    // (Spark buffers both sides' state, bounded by the watermark; the
+    // range condition lets it evict). Same oracle as x6: one logical
+    // join, batch and streaming physical executions.
+    "x9_stream_interval_join" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val staged = java.nio.file.Files.createTempDirectory("graft_stream_join")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("events.parquet"))
+      def stream() = s.readStream.schema(schema).parquet(staged.toString)
+        .withColumn("ts_us", expr("CAST((ts - pmod(ts, 1000)) DIV 1000 AS BIGINT)"))
+        .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      val errors = stream().where(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"),
+          col("ts_us"), col("ts_t").as("err_t"))
+        .withWatermark("err_t", "10 minutes")
+      val others = stream()
+        .select(col("event_id").as("other_id"), col("user_id").as("user_id_b"),
+          col("ts_us").as("right_ts_us"), col("event_type").as("other_type"),
+          col("ts_t").as("oth_t"))
+        .withWatermark("oth_t", "10 minutes")
+      val joined = errors.join(others,
+        col("user_id") === col("user_id_b") &&
+          col("oth_t") >= col("err_t") - expr("INTERVAL 5 MINUTES") &&
+          col("oth_t") <= col("err_t") + expr("INTERVAL 5 MINUTES") &&
+          col("error_id") =!= col("other_id"))
+        .select(col("error_id"), col("other_id"), col("user_id"), col("other_type"),
+          (col("right_ts_us") - col("ts_us")).as("delta_us"))
+      val sink = s"stream_join_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally deleteRecursively(staged)
+      s.table(sink)
+    }),
     // X4: semi-structured props — JSON field extraction + agg.
     "x4_json_extract" -> ((s, dir) =>
       t(s, dir, "events")
@@ -516,6 +565,18 @@ object SparkEntry {
   /** md5-derived 60-bit hash — matches graft.ops.Hashing.hex64. */
   private def hx(e: String): String = s"(('0x' || substr(md5($e),1,15))::BIGINT)"
 
+  /** Shared by x6 (batch bucketized band join) and x9 (stream-stream
+    * watermarked interval join): one logical join, two executions.
+    */
+  private val intervalJoinSql =
+    """SELECT e.event_id AS error_id, a.event_id AS other_id, e.user_id,
+      |       a.event_type AS other_type,
+      |       epoch_us(a.ts) - epoch_us(e.ts) AS delta_us
+      |FROM (SELECT * FROM events WHERE event_type = 'error') e
+      |JOIN events a ON a.user_id = e.user_id AND a.event_id <> e.event_id
+      |  AND epoch_us(a.ts) BETWEEN epoch_us(e.ts) - 300000000
+      |                         AND epoch_us(e.ts) + 300000000""".stripMargin
+
   /** Shared by x3 (batch windows) and x8 (streaming state machine):
     * one logical sessionization, two physical executions.
     */
@@ -583,6 +644,14 @@ object SparkEntry {
         |       round(sum(l_quantity), 4) AS sum_qty,
         |       round(avg(l_extendedprice), 4) AS avg_price
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "a4_rollup" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 4) AS sum_price
+        |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin,
+    "a5_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |       round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "a3_percentiles" ->
       """SELECT l_returnflag,
         |       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
@@ -663,14 +732,9 @@ object SparkEntry {
         |       round(p.purchase_value, 4) AS purchase_value
         |FROM clicks c ASOF LEFT JOIN purch p
         |  ON c.user_id = p.user_id AND p.ts <= c.ts""".stripMargin,
-    "x6_interval_join" ->
-      """SELECT e.event_id AS error_id, a.event_id AS other_id, e.user_id,
-        |       a.event_type AS other_type,
-        |       epoch_us(a.ts) - epoch_us(e.ts) AS delta_us
-        |FROM (SELECT * FROM events WHERE event_type = 'error') e
-        |JOIN events a ON a.user_id = e.user_id AND a.event_id <> e.event_id
-        |  AND epoch_us(a.ts) BETWEEN epoch_us(e.ts) - 300000000
-        |                         AND epoch_us(e.ts) + 300000000""".stripMargin,
+    "x6_interval_join" -> intervalJoinSql,
+    // stream-stream twin — same band semantics, same oracle
+    "x9_stream_interval_join" -> intervalJoinSql,
     "x4_json_extract" ->
       """SELECT event_type, count(*) AS n_events,
         |       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
@@ -958,8 +1022,13 @@ object SparkEntry {
   /** Headline queries for Bench: excludes p2_ngram_jaccard, whose exact
     * inverted-index join is quadratic in shingle document frequency on
     * this small-vocabulary corpus (~5.6e8 pairs at sf0.1) — p3 MinHash
-    * is the scale path for the same semantics.
+    * is the scale path for the same semantics — and
+    * x9_stream_interval_join, which buffers BOTH full sides in the
+    * streaming state store by design (stream-stream join capability
+    * demo; x6 is the batch throughput path for the same band-join
+    * semantics and stays in the headline). Both remain in the
+    * correctness gate via `queries`.
     */
   def benchQueries: Seq[String] =
-    (queries.keySet - "p2_ngram_jaccard").toSeq.sorted
+    (queries.keySet - "p2_ngram_jaccard" - "x9_stream_interval_join").toSeq.sorted
 }
