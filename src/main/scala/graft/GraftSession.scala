@@ -37,7 +37,12 @@ object GraftSession {
 
   def getOrCreate(appName: String = "graft"): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = builder(appName, cpus).getOrCreate()
+    val spark = builder(appName, cpus)
+      // custom expressions (erf, md5-hex64, dot) on the SQL surface too;
+      // clusters can equivalently set
+      // spark.sql.extensions=graft.functions.GraftExtensions
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

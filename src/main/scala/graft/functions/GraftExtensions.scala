@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions registering this engine's custom Catalyst
+  * expressions in the SQL function registry, so `spark.sql` users get
+  * the same surface as the Column API:
+  *
+  *   spark.sql("SELECT graft_erf(z), graft_md5_hex64(s), graft_dot(a, b)")
+  *
+  * Install via `.withExtensions(new GraftExtensions)` (GraftSession
+  * does) or `spark.sql.extensions=graft.functions.GraftExtensions`
+  * on any cluster — no code changes, standard plugin mechanism.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_erf"),
+      info("graft_erf", "graft_erf(x) - Gauss error function (A&S 7.1.26)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_erf takes exactly 1 argument")
+        Erf(org.apache.spark.sql.catalyst.expressions.Cast(
+          args.head, org.apache.spark.sql.types.DoubleType))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_md5_hex64"),
+      info("graft_md5_hex64",
+        "graft_md5_hex64(s) - 60-bit integer hash from the md5 digest " +
+          "(equals ('0x' || substr(md5(s),1,15))::BIGINT)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_md5_hex64 takes exactly 1 argument")
+        Md5Hex64(org.apache.spark.sql.catalyst.expressions.Cast(
+          args.head, org.apache.spark.sql.types.StringType))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      info("graft_dot",
+        "graft_dot(a, b) - primitive-loop dot product of two array<double>."),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_dot takes exactly 2 arguments")
+        DotProduct(args.head, args(1))
+      }))
+  }
+}

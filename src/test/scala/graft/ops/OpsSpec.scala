@@ -14,6 +14,17 @@ class OpsSpec extends SparkSpec {
     (5L, "el perro y la casa es de los gatos") // Spanish-ish
   ).toDF("doc_id", "text")
 
+  test("custom expressions are SQL-callable via GraftExtensions") {
+    val r = spark.sql(
+      """SELECT graft_erf(1.0) AS e,
+        |       graft_md5_hex64('abc') AS h,
+        |       graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d""".stripMargin).head()
+    assert(math.abs(r.getAs[Double]("e") - 0.8427007929) < 2e-7)
+    assert(r.getAs[Long]("h") ==
+      java.lang.Long.parseLong("900150983cd24fb".take(15), 16))
+    assert(r.getAs[Double]("d") == 11.0)
+  }
+
   test("md5 hex64 expression equals the hex-string route bit-for-bit") {
     // Hashing.hex64 is the codegen digest-bytes->long expression; the
     // oracle computes ('0x' || substr(md5(x),1,15))::BIGINT. Pin the
