@@ -201,6 +201,21 @@ object SparkEntry {
         .select(col("rk").as("region_key"), col("name_a"), col("name_b"))
     }),
 
+    // J8 (extension): salted join against a HOT key — ~60% of lineitem rows share
+    // bucket 0 (synthetic skew); the salt spreads them over 8
+    // sub-partitions so no single reducer owns the hot key. Result is
+    // identical to the plain join (the oracle).
+    "j8_skew_join" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .withColumn("bucket",
+          when(col("l_orderkey") % 10 < 6, 0L).otherwise(col("l_orderkey") % 100))
+      val dim = t(s, dir, "nation")
+        .select((col("n_nationkey") * 4).as("bucket"), col("n_name").as("bucket_name"))
+      ops.SkewJoin.saltedJoin(big, dim, Seq("bucket"), factor = 8)
+        .groupBy(col("bucket"), col("bucket_name"))
+        .agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 4).as("sum_qty"))
+    }),
+
     // --- filters / predicate pushdown (F1/F4/F6) ----------------------
     // F1: gene-whitelist analog — broadcast left-semi join of the big
     // fact against a small filtered dimension key set, pre-aggregation.
@@ -759,6 +774,16 @@ object SparkEntry {
         |       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
         |       count(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS n_distinct_k
         |FROM events GROUP BY 1""".stripMargin,
+    "j8_skew_join" ->
+      """WITH big AS (
+        |  SELECT *, CASE WHEN l_orderkey % 10 < 6 THEN 0
+        |                 ELSE l_orderkey % 100 END AS bucket
+        |  FROM lineitem),
+        |dim AS (SELECT n_nationkey * 4 AS bucket, n_name AS bucket_name FROM nation)
+        |SELECT b.bucket, d.bucket_name, count(*) AS n_rows,
+        |       round(sum(b.l_quantity), 4) AS sum_qty
+        |FROM big b JOIN dim d ON b.bucket = d.bucket
+        |GROUP BY 1, 2""".stripMargin,
     "j5_pair_selfjoin" ->
       """SELECT a.n_regionkey AS region_key, a.n_name AS name_a, b.n_name AS name_b
         |FROM nation a JOIN nation b

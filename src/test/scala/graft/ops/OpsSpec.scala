@@ -14,6 +14,20 @@ class OpsSpec extends SparkSpec {
     (5L, "el perro y la casa es de los gatos") // Spanish-ish
   ).toDF("doc_id", "text")
 
+  test("salted join returns exactly the plain join's rows on skewed keys") {
+    val big = (1 to 2000).map(i => (if (i % 10 < 7) 0L else i % 13L, i.toLong))
+      .toDF("k", "payload")
+    val small = Seq((0L, "hot"), (3L, "a"), (7L, "b"), (99L, "absent")).toDF("k", "label")
+    val plain = big.join(small, Seq("k")).groupBy("k", "label")
+      .agg(count(lit(1)).as("n"), sum("payload").as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val salted = SkewJoin.saltedJoin(big, small, Seq("k"), factor = 5)
+      .groupBy("k", "label").agg(count(lit(1)).as("n"), sum("payload").as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(salted == plain)
+    assert(plain.exists(_._1 == 0L)) // the hot key is actually exercised
+  }
+
   test("custom expressions are SQL-callable via GraftExtensions") {
     val r = spark.sql(
       """SELECT graft_erf(1.0) AS e,
