@@ -70,6 +70,25 @@ class Warehouse(spark: SparkSession, baseDir: String) {
   def appendFacts(table: String, df: DataFrame): Unit =
     df.write.mode(SaveMode.Append).partitionBy("study_key").parquet(path(table))
 
+  /** Bucketed twin for co-located joins: two tables bucketed by the
+    * same key into the same bucket count join WITHOUT any exchange —
+    * each bucket pairs with its counterpart by file layout, so the
+    * biggest shuffle of a fact⋈fact or fact⋈big-dim join disappears
+    * (the 100 TB lever the builder prompt calls "bucketing for
+    * co-located joins"; pinned by BucketingSpec's no-Exchange plan
+    * assertion). Bucketed layout requires the session catalog
+    * (`saveAsTable`); the data itself still lives under this
+    * warehouse's directory via the explicit path option.
+    */
+  def writeBucketed(table: String, df: DataFrame, bucketCol: String,
+      buckets: Int): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .option("path", path(table))
+      .saveAsTable(table)
+  }
+
   /** S7: replace the given studies' partitions with `df`'s rows —
     * explicit delete-then-append, the reference's semantics. Dynamic
     * partition overwrite alone cannot express "this study now has no
