@@ -19,6 +19,12 @@ object GraftSession {
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
+      // custom expressions (erf, md5-hex64, dot) on the SQL surface of
+      // EVERY engine session — Verify/Bench build via this builder, so
+      // registering only in getOrCreate would drift their config from
+      // the tested one; clusters can equivalently set
+      // spark.sql.extensions=graft.functions.GraftExtensions
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -37,12 +43,7 @@ object GraftSession {
 
   def getOrCreate(appName: String = "graft"): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = builder(appName, cpus)
-      // custom expressions (erf, md5-hex64, dot) on the SQL surface too;
-      // clusters can equivalently set
-      // spark.sql.extensions=graft.functions.GraftExtensions
-      .withExtensions(new graft.functions.GraftExtensions)
-      .getOrCreate()
+    val spark = builder(appName, cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -48,7 +48,14 @@ object SparkEntry {
   private def stagedDir(key: String)(populate: java.nio.file.Path => Unit): java.nio.file.Path =
     stagedDirs.computeIfAbsent(key, _ => {
       val p = java.nio.file.Files.createTempDirectory("graft_staged")
-      populate(p)
+      try populate(p)
+      catch {
+        case e: Throwable =>
+          // a failed populate never reaches the map/shutdown hook —
+          // delete here or the partial copy leaks on every retry
+          deleteRecursively(p)
+          throw e
+      }
       p
     })
 

@@ -82,11 +82,11 @@ class Warehouse(spark: SparkSession, baseDir: String) {
     */
   def writeBucketed(table: String, df: DataFrame, bucketCol: String,
       buckets: Int): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .option("path", path(table))
-      .saveAsTable(table)
+      .saveAsTable(s"`$table`")
   }
 
   /** S7: replace the given studies' partitions with `df`'s rows —

@@ -44,7 +44,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_dot(a, b) - primitive-loop dot product of two array<double>."),
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_dot takes exactly 2 arguments")
-        DotProduct(args.head, args(1))
+        // cast like the Column wrapper does: DotProduct reads 8-byte
+        // doubles positionally, so an int-element array would be
+        // misread, not coerced
+        val arrD = org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)
+        DotProduct(
+          org.apache.spark.sql.catalyst.expressions.Cast(args.head, arrD),
+          org.apache.spark.sql.catalyst.expressions.Cast(args(1), arrD))
       }))
   }
 }

@@ -30,10 +30,17 @@ object SkewJoin {
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       factor: Int): DataFrame = {
     require(factor >= 1, "salt factor must be >= 1")
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "saltedJoin reserves the __salt column name; rename it on the inputs")
     val salted = big.withColumn("__salt",
       pmod(monotonically_increasing_id(), lit(factor.toLong)))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(factor.toLong - 1))))
-    salted.join(replicated, keys :+ "__salt").drop("__salt")
+    // merge hint: salting only means anything under a PARTITIONED join
+    // — callers reach for it precisely when the small side is too big
+    // (or too replicated) to broadcast; without the hint a small test
+    // dim would plan as BroadcastHashJoin and the salt would spread
+    // nothing while still paying the explode
+    salted.join(replicated.hint("merge"), keys :+ "__salt").drop("__salt")
   }
 }

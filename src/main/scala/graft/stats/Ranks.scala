@@ -60,9 +60,15 @@ object Ranks {
       .select((pcols :+ col("__rv") :+
         (col("__below").cast("double") + (col("__ties").cast("double") + 1.0) / 2.0)
           .as(out)): _*)
-    // NULL values: the equi-join drops them (the window variant ranks
-    // them first) — callers must pre-filter nulls, same contract as
-    // the Spearman pipeline (F3/F4 drop them upstream).
-    withRv.join(broadcast(ranks), partition :+ "__rv").drop("__rv")
+    // Null-safe join on the partition keys so NULL-keyed groups rank
+    // like the window variant (partitionBy groups them together). NULL
+    // VALUES still drop — callers must pre-filter them, same contract
+    // as the Spearman pipeline (F3/F4 drop them upstream).
+    val rankSide = ranks.select(
+      (partition.map(k => col(k).as(s"__rk_$k")) :+ col("__rv").as("__rrv") :+ col(out)): _*)
+    val cond = (partition.map(k => col(k) <=> col(s"__rk_$k")) :+
+      (col("__rv") === col("__rrv"))).reduce(_ && _)
+    withRv.join(broadcast(rankSide), cond)
+      .drop((partition.map(k => s"__rk_$k") :+ "__rrv" :+ "__rv"): _*)
   }
 }

@@ -29,7 +29,10 @@ class StatsSpec extends SparkSpec {
   test("low-cardinality fractional rank equals the window formulation") {
     val rng = new scala.util.Random(3)
     val rows = (1 to 500).map(i =>
-      (if (i % 2 == 0) "A" else "B", i.toLong, (rng.nextInt(7) + 1).toDouble))
+      // every third group key NULL: both variants must rank those
+      // rows together as their own group (null-safe join)
+      (if (i % 3 == 0) null else if (i % 2 == 0) "A" else "B",
+        i.toLong, (rng.nextInt(7) + 1).toDouble))
     val df = rows.toDF("grp", "id", "v")
     val win = Ranks.fractionalRank(df, Seq(col("grp")), col("v"), "r")
       .select("grp", "id", "r").orderBy("grp", "id").collect()
@@ -40,6 +43,7 @@ class StatsSpec extends SparkSpec {
       assert(w.getString(0) == l.getString(0) && w.getLong(1) == l.getLong(1))
       assert(w.getDouble(2) == l.getDouble(2)) // halves are exact doubles
     }
+    assert(low.exists(_.isNullAt(0))) // the null group survived the join
   }
 
   test("spearman: monotone pair has rho 1, canonical ordering, pair count C(3,2)") {
