@@ -477,6 +477,28 @@ object SparkEntry {
         .withColumn("doc_id", col("doc_id") + 100000L)
       Dedup.exactDupGroups(d.unionByName(planted))
     }),
+    // P16: STREAMING exact dedup — the p1 dup-group detection as a
+    // stateful streaming aggregation over an incoming document stream
+    // (state keyed by content digest; the shape of online corpus dedup
+    // in a training-data pipeline). Same planted dups, same oracle.
+    "p16_stream_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val staged = stagedDir(s"docs_dup:$dir") { p =>
+        val planted = d.where(col("doc_id") % 50 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000L)
+        d.unionByName(planted).write.mode("overwrite").parquet(p.toString)
+      }
+      val sink = s"stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = s.readStream.schema(d.schema).parquet(staged.toString)
+        .groupBy(md5(col("text")).as("text_md5"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+        .where(col("n_copies") > 1)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+    }),
     "p2_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 8, tau = 0.5)
         .select(col("id_a"), col("id_b"), col("shared"), col("sz_a"), col("sz_b"),
@@ -605,6 +627,17 @@ object SparkEntry {
 
   /** md5-derived 60-bit hash — matches graft.ops.Hashing.hex64. */
   private def hx(e: String): String = s"(('0x' || substr(md5($e),1,15))::BIGINT)"
+
+  /** Shared by p1 (batch hash-groupBy dedup) and p16 (stateful
+    * streaming dedup): one logical dup-group query, two executions.
+    */
+  private val exactDedupSql =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0)
+      |SELECT md5(text) AS text_md5, count(*) AS n_copies, min(doc_id) AS keep_id
+      |FROM all_docs GROUP BY 1 HAVING count(*) > 1""".stripMargin
 
   /** Shared by x6 (batch bucketized band join) and x9 (stream-stream
     * watermarked interval join): one logical join, two executions.
@@ -820,13 +853,9 @@ object SparkEntry {
         |       round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
-    "p1_dedup_exact" ->
-      """WITH all_docs AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0)
-        |SELECT md5(text) AS text_md5, count(*) AS n_copies, min(doc_id) AS keep_id
-        |FROM all_docs GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    "p1_dedup_exact" -> exactDedupSql,
+    // streaming twin — same planted dups, same oracle
+    "p16_stream_dedup" -> exactDedupSql,
     "p2_ngram_jaccard" ->
       s"""WITH $shinglesSql,
          |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
