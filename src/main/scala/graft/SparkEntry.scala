@@ -117,6 +117,21 @@ object SparkEntry {
       spearmanPairs(s, dir).select(col("l_returnflag"), col("item_a"), col("item_b"),
         col("n_samples"), round(col("rho"), 7).as("rho"))),
     "c5_corr_pipeline" -> ((s, dir) => corrPipeline(s, dir)),
+    // J5/J6 + C1/C2 EXACT path: ranks computed per pair over the
+    // shared-sample INTERSECTION (the reference's semantics on
+    // incomplete matrices). Items = order priorities, samples =
+    // custkeys — most custkeys lack orders in some priority, so every
+    // pair has a different shared-sample set and the intersection is
+    // actually load-bearing (c2's dense path would be wrong here).
+    "j6_spearman_exact" -> ((s, dir) => {
+      val long = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("item"), col("o_custkey").as("sk"))
+        .agg(max(col("o_totalprice")).as("v"))
+        .withColumn("fam", lit(1L))
+      Spearman.pairCorrelations(long, Seq("fam"), "item", "sk", "v")
+        .select(col("item_a"), col("item_b"), col("n_samples"),
+          round(col("rho"), 7).as("rho"))
+    }),
 
     // --- aggregations (A1/A2) -----------------------------------------
     "a1_conditional_agg" -> ((s, dir) =>
@@ -707,6 +722,29 @@ object SparkEntry {
          |       round(p_raw, 7) AS p_value, round(q_raw, 7) AS q_value
          |FROM withq2""".stripMargin,
 
+    "j6_spearman_exact" ->
+      """WITH uni AS (
+        |  SELECT o_orderpriority AS item, o_custkey AS sk, max(o_totalprice) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |j AS (
+        |  SELECT a.item AS item_a, b.item AS item_b, a.sk AS sk, a.v AS va, b.v AS vb
+        |  FROM uni a JOIN uni b ON a.sk = b.sk AND a.item < b.item),
+        |rn AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY item_a, item_b ORDER BY va) AS DOUBLE) AS rna,
+        |            CAST(row_number() OVER (PARTITION BY item_a, item_b ORDER BY vb) AS DOUBLE) AS rnb
+        |  FROM j),
+        |r AS (
+        |  SELECT *, avg(rna) OVER (PARTITION BY item_a, item_b, va) AS ra,
+        |            avg(rnb) OVER (PARTITION BY item_a, item_b, vb) AS rb
+        |  FROM rn),
+        |agg AS (
+        |  SELECT item_a, item_b, count(*) AS n_samples, corr(ra, rb) AS rho_raw,
+        |         min(va) AS mina, max(va) AS maxa, min(vb) AS minb, max(vb) AS maxb
+        |  FROM r GROUP BY 1, 2)
+        |SELECT item_a, item_b, n_samples, round(rho_raw, 7) AS rho
+        |FROM agg
+        |WHERE n_samples >= 2 AND mina < maxa AND minb < maxb
+        |  AND rho_raw IS NOT NULL AND NOT isnan(rho_raw)""".stripMargin,
     "a1_conditional_agg" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
