@@ -39,6 +39,13 @@ object GraftSession {
       // or stall C2; falling back to Volcano beyond this size is far
       // more predictable on this box (see BENCH notes).
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      // several operators pin eager localCheckpoint blocks (Spearman
+      // pair subtree, MinHash/SimHash signatures); the ContextCleaner
+      // only reclaims them after a driver GC and its default forced-GC
+      // interval is 30min — long multi-query sessions (Bench: ~90
+      // query executions in one JVM) otherwise accumulate dead blocks
+      // and degrade later queries
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(appName: String = "graft"): SparkSession = {
