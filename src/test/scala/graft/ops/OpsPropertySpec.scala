@@ -69,6 +69,29 @@ object OpsPropertySpec extends Properties("graft.ops") {
         }
     }
 
+  propertyWithSeed("saltedJoin == plain join for any factor", None) =
+    Prop.forAllNoShrink(rows, Gen.choose(1, 6)) { case ((ls, rs), factor) =>
+      val s = spark
+      import s.implicits._
+      val big = ls.toDF("lid", "key", "t")
+      val small = rs.map(r => (r._2, r._4)).distinct.toDF("key", "v")
+      val got = SkewJoin.saltedJoin(big, small, Seq("key"), factor)
+        .select("lid", "v").as[(Long, Double)].collect().sorted.toSeq
+      val want = big.join(small, Seq("key"))
+        .select("lid", "v").as[(Long, Double)].collect().sorted.toSeq
+      got == want
+    }
+
+  propertyWithSeed("hex64 codegen == md5 hex-string route on random strings", None) =
+    Prop.forAllNoShrink(Gen.listOfN(8, Gen.asciiPrintableStr)) { strs =>
+      val s = spark
+      import s.implicits._
+      val df = (strs :+ "").toDF("x")
+      df.select(Hashing.hex64(col("x")).as("a"),
+        conv(substring(md5(col("x")), 1, 15), 16, 10).cast("long").as("b"))
+        .collect().forall(r => r.getLong(0) == r.getLong(1))
+    }
+
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
     p.withMinSuccessfulTests(10)
 }
