@@ -157,6 +157,21 @@ object SparkEntry {
           round(col("pc")(0), 4).as("p25"), round(col("pc")(1), 4).as("median"),
           round(col("pc")(2), 4).as("p75"), round(col("pc")(3), 4).as("p99"))),
 
+    // A6: sketch aggregates — HLL++ distinct and t-digest-style
+    // percentile approximation. These are the 100 TB path for A2/A3
+    // (mergeable partial state, bytes-bounded per group, no exact
+    // distinct shuffle); cross-engine sketches differ by construction,
+    // so this query has NO oracle entry — the driver records the
+    // weaker rows-only check, and the exact twins (a2/a3) remain the
+    // value oracle.
+    "a6_sketches" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 10000)").as("pc"))
+        .select(col("l_returnflag"), col("approx_parts"),
+          round(col("pc")(0), 4).as("approx_median"),
+          round(col("pc")(1), 4).as("approx_p99"))),
+
     // hierarchical subtotals: ROLLUP/CUBE produce the same plan family
     // as plain groupBy (Expand + partial/final agg) — subtotal rows
     // carry NULL group keys on both engines
