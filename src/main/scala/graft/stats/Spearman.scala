@@ -87,8 +87,47 @@ object Spearman {
     *
     * Input: long-form rows (family..., item, sample, value).
     * Output: (family..., item_a, item_b, n_samples, rho) — gated.
+    *
+    * Plan: pair self-join, then ONE aggregation pass with the
+    * [[graft.functions.SpearmanStat]] typed aggregate — the P·n-row
+    * join output partial-aggregates map-side into compact per-pair
+    * (va, vb) primitive buffers, so the only exchange carries ~16
+    * bytes/sample with the pair key stored once per map partition, and
+    * ranking happens per-pair at merge completion (two primitive-array
+    * sorts + rank binary searches). Replaces the previous two
+    * per-pair fractional-rank windows + `corr`, which shuffled and
+    * sorted all P·n ranked rows (measured 2×35.7 M-row sorts on the
+    * 4-study scale fixture). [[pairCorrelationsWindowed]] keeps that
+    * plan for the equality-pinning spec.
     */
   def pairCorrelations(
+      df: DataFrame,
+      family: Seq[String],
+      item: String,
+      sample: String,
+      value: String,
+      minSamples: Int = 2): DataFrame = {
+    val joined = pairJoin(df, family, item, sample, value, rank = None)
+    val pairKeys = family.map(col) ++ Seq(col("item_a"), col("item_b"))
+    joined
+      .groupBy(pairKeys: _*)
+      .agg(graft.functions.SpearmanStatFn(col("__va"), col("__vb")).as("__s"))
+      .select((pairKeys ++ Seq(
+        col("__s.n_samples").as("n_samples"), col("__s.rho").as("rho"),
+        col("__s.min_a").as("__mina"), col("__s.max_a").as("__maxa"),
+        col("__s.min_b").as("__minb"), col("__s.max_b").as("__maxb"))): _*)
+      .where(col("n_samples") >= minSamples &&
+        col("__mina") < col("__maxa") && col("__minb") < col("__maxb") &&
+        !isnan(col("rho")) && col("rho").isNotNull)
+      .drop("__mina", "__maxa", "__minb", "__maxb")
+  }
+
+  /** The pre-round-3 exact plan (two per-pair rank windows + `corr`
+    * over the P·n join output) — retained as the independent
+    * formulation that pins [[pairCorrelations]]'s typed-aggregate plan
+    * in StatsSpec. Not used by any job path.
+    */
+  private[graft] def pairCorrelationsWindowed(
       df: DataFrame,
       family: Seq[String],
       item: String,

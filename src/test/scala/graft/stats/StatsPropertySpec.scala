@@ -94,6 +94,41 @@ object StatsPropertySpec extends Properties("graft.stats") {
       ps.forall(p => p >= 0.0 && p <= 1.0) && math.abs(ps(0) - ps(1)) < 1e-12
     }
 
+  // Pins the round-3 typed-aggregate exact plan (SpearmanStat, one agg
+  // pass) to the independent window formulation (two fractional-rank
+  // windows + corr) on random INCOMPLETE matrices with forced ties —
+  // same pairs, same n, rho equal to 1e-9.
+  private val incompleteMatrix: Gen[List[(String, Int, Double)]] = for {
+    nItems <- Gen.choose(2, 5)
+    nSamples <- Gen.choose(2, 10)
+    cells <- Gen.sequence[List[Option[(String, Int, Double)]], Option[(String, Int, Double)]](
+      for { i <- (0 until nItems).toList; s <- (0 until nSamples).toList } yield
+        for {
+          present <- Gen.prob(0.75)
+          // 5 distinct values → heavy ties
+          v <- Gen.choose(0, 4)
+        } yield if (present) Some((s"g$i", s, v.toDouble)) else None)
+  } yield cells.flatten
+
+  propertyWithSeed("typed-agg exact path == windowed exact path (incomplete, tied)", None) =
+    Prop.forAllNoShrink(incompleteMatrix) { rows =>
+      rows.isEmpty || {
+        val s = spark
+        import s.implicits._
+        val df = rows.toDF("item", "sk", "v").withColumn("fam", lit("f"))
+        def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getString(1))
+        val agg = Spearman.pairCorrelations(df, Seq("fam"), "item", "sk", "v")
+          .select("item_a", "item_b", "n_samples", "rho").collect()
+          .map(r => key(r) -> ((r.getLong(2), r.getDouble(3)))).toMap
+        val win = Spearman.pairCorrelationsWindowed(df, Seq("fam"), "item", "sk", "v")
+          .select("item_a", "item_b", "n_samples", "rho").collect()
+          .map(r => key(r) -> ((r.getLong(2), r.getDouble(3)))).toMap
+        agg.keySet == win.keySet && agg.forall { case (k, (n, rho)) =>
+          win(k)._1 == n && math.abs(win(k)._2 - rho) < 1e-9
+        }
+      }
+    }
+
   // Cap trials globally: the Spark-backed properties dominate runtime.
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
     p.withMinSuccessfulTests(15)
