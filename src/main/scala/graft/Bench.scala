@@ -30,16 +30,27 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    // Two passes, min per query: single-shot numbers at this scale are
+    // Three passes, min per query: single-shot numbers at this scale are
     // dominated by first-run codegen compilation + C2 JIT of each
     // query's unique generated classes (measured 2-3x run-to-run noise);
-    // the min is the steady-state cost of the plan itself.
-    val pass1 = SparkEntry.benchQueries.map(n => n -> once(n))
-    val results = pass1.map { case (n, t1) => n -> math.min(t1, once(n)) }
-    val qs = results.map { case (k, v) => JsonUtil.quote(k) + ":" + v }
+    // the min is the steady-state cost of the plan itself. min-of-two
+    // still let noise masquerade as regression (round-2 verdict: five
+    // shared queries moved >50% with no causal commit) — the third pass
+    // plus the reported per-query spread (max-min) separates plan cost
+    // from load/GC variance.
+    val passes = 3
+    val all: Seq[Seq[(String, Double)]] =
+      (1 to passes).map(_ => SparkEntry.benchQueries.map(n => n -> once(n)))
+    val byQuery = SparkEntry.benchQueries.map { n =>
+      val ts = all.map(_.toMap.apply(n))
+      (n, ts.min, ts.max - ts.min)
+    }
+    val qs = byQuery.map { case (k, v, _) => JsonUtil.quote(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":2,"queries":$qs,"sf":${JsonUtil.quote(sfDir)}}""")
+    val spread = byQuery.map { case (k, _, d) => JsonUtil.quote(k) + ":" + d }
+      .mkString("{", ",", "}")
+    val total = byQuery.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"spread":$spread,"sf":${JsonUtil.quote(sfDir)}}""")
     spark.stop()
   }
 }

@@ -59,6 +59,22 @@ object SparkEntry {
       p
     })
 
+  /** Drain a finished memory-sink table into a local DataFrame and drop
+    * the temp view. The memory sink pins its full result in driver
+    * memory for as long as the view exists; with a fresh UUID-named sink
+    * per execution (needed — a streaming query cannot reuse a running
+    * query's name) the copies would otherwise accumulate across Bench's
+    * repeated passes for the JVM lifetime. Results here are small
+    * (aggregates / session summaries), so the defensive copy is cheap.
+    */
+  private def drainMemorySink(s: SparkSession, sink: String): DataFrame = {
+    val out = s.table(sink)
+    val rows = out.collect()
+    val df = s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    s.catalog.dropTempView(sink)
+    df
+  }
+
   // ===== analytical core (C1-C6 over TPC-H-ish data) ===================
 
   /** lineitem metrics unpivoted to long form (R1): family =
@@ -353,7 +369,7 @@ object SparkEntry {
       val q = agg.writeStream.format("memory").queryName(sink)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.table(sink)
+      drainMemorySink(s, sink)
     }),
     // X8: Structured Streaming parity for sessionization — the SAME
     // gap-split semantics as x3, but executed as a
@@ -394,7 +410,7 @@ object SparkEntry {
           .writeStream.format("memory").queryName(sink)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-        s.table(sink)
+        drainMemorySink(s, sink)
       }
     }),
     // X3: sessionization (gaps-and-islands) — lag/gap flag, running-sum
@@ -487,7 +503,7 @@ object SparkEntry {
       val q = joined.writeStream.format("memory").queryName(sink)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.table(sink)
+      drainMemorySink(s, sink)
     }),
     // X4: semi-structured props — JSON field extraction + agg.
     "x4_json_extract" -> ((s, dir) =>
@@ -527,7 +543,7 @@ object SparkEntry {
         .writeStream.format("memory").queryName(sink)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.table(sink)
+      drainMemorySink(s, sink)
     }),
     "p2_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 8, tau = 0.5)

@@ -20,7 +20,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 class CorrelationJob(spark: SparkSession, warehouseDir: String) {
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
-  private val wh = new Warehouse(spark, warehouseDir)
+  private val wh = Warehouse(spark, warehouseDir)
 
   /** J2 + F6 + O6: studies having >= 1 expression fact, optionally
     * restricted to the requested accessions (order-preserving dedup of

@@ -18,17 +18,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 class EtlJob(spark: SparkSession, config: AppConfig, warehouseDir: String) {
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
-  private val wh = new Warehouse(spark, warehouseDir)
+  private val wh = Warehouse(spark, warehouseDir, config.database)
 
   case class StudyResult(accession: String, samples: Long, facts: Long,
-      error: Option[String] = None)
+      error: Option[String] = None, skipped: Boolean = false)
 
-  def run(): Seq[StudyResult] = {
+  /** Sequential per-study run. With `resume = true`, studies whose
+    * [[StudyState]] row is terminal (facts_loaded) are skipped without
+    * touching their data — the D4 resume surface. The default processes
+    * everything and relies on the J7 anti-join for idempotence, the
+    * reference's own behavior for studies it has already finished
+    * (their cleared state means a plain re-run re-scans them too).
+    */
+  def run(resume: Boolean = false): Seq[StudyResult] = {
     val genes = GeneFilter.load(spark, config.processing.geneFilterFile.toString)
     val dirs = StudyDiscovery.discoverStudyDirs(config.processing.inputDirectory)
+    val done = if (resume) StudyState.completed(wh) else Set.empty[String]
     dirs.map { dir =>
-      try processStudy(StudyDiscovery.discoverStudyFiles(dir), genes)
-      catch {
+      try {
+        val files = StudyDiscovery.discoverStudyFiles(dir)
+        if (done.contains(files.studyAccession)) {
+          log.info(s"Skipping completed study ${files.studyAccession} (resume)")
+          StudyResult(files.studyAccession, 0, 0, skipped = true)
+        } else processStudy(files, genes)
+      } catch {
         case e: Exception =>
           log.error(s"Failed to process study ${dir.getFileName}: ${e.getMessage}")
           StudyResult(dir.getFileName.toString, 0, 0, Some(e.getMessage))
@@ -53,26 +66,32 @@ class EtlJob(spark: SparkSession, config: AppConfig, warehouseDir: String) {
     * value-identical to [[run]] (surrogate keys may be assigned in a
     * different order).
     */
-  def runUnioned(): Seq[StudyResult] = {
+  def runUnioned(resume: Boolean = false): Seq[StudyResult] = {
     val genes = GeneFilter.load(spark, config.processing.geneFilterFile.toString)
     val dirs = StudyDiscovery.discoverStudyDirs(config.processing.inputDirectory)
+    val done = if (resume) StudyState.completed(wh) else Set.empty[String]
 
     val attempts: Seq[Either[StudyResult, Prep]] = dirs.map { dir =>
       try {
         val files = StudyDiscovery.discoverStudyFiles(dir)
         val acc = files.studyAccession
-        val raw = Metadata.load(spark, files.metadataFile.toString, config.fieldMappings)
-        if (raw.limit(1).count() == 0)
-          throw new StudyProcessingError(s"No valid samples found in metadata ${files.metadataFile}")
-        val mismatches = Metadata.mismatchCount(raw, acc)
-        if (mismatches > 0)
-          log.warn(s"$mismatches samples referenced differing study accession (expected $acc)")
-        val samples = Metadata.overrideStudyAccession(raw, acc)
-        val expected = samples.select("gsm_accession").distinct()
-          .collect().map(_.getString(0)).toSeq.sorted
-        val melted = ExpressionMatrix.load(spark, files.expressionFile.toString, expected)
-          .withColumn("study_accession", lit(acc))
-        Right(Prep(acc, samples, melted))
+        if (done.contains(acc)) {
+          log.info(s"Skipping completed study $acc (resume)")
+          Left(StudyResult(acc, 0, 0, skipped = true))
+        } else {
+          val raw = Metadata.load(spark, files.metadataFile.toString, config.fieldMappings)
+          if (raw.limit(1).count() == 0)
+            throw new StudyProcessingError(s"No valid samples found in metadata ${files.metadataFile}")
+          val mismatches = Metadata.mismatchCount(raw, acc)
+          if (mismatches > 0)
+            log.warn(s"$mismatches samples referenced differing study accession (expected $acc)")
+          val samples = Metadata.overrideStudyAccession(raw, acc)
+          val expected = samples.select("gsm_accession").distinct()
+            .collect().map(_.getString(0)).toSeq.sorted
+          val melted = ExpressionMatrix.load(spark, files.expressionFile.toString, expected)
+            .withColumn("study_accession", lit(acc))
+          Right(Prep(acc, samples, melted))
+        }
       } catch {
         case e: Exception =>
           log.error(s"Failed to prepare study ${dir.getFileName}: ${e.getMessage}")
@@ -104,6 +123,9 @@ class EtlJob(spark: SparkSession, config: AppConfig, warehouseDir: String) {
       wh.read("dim_illness"), "illness_label", "illness_label", "illness_key")
       .select("gsm_accession", "study_key", "platform_key", "illness_key", "age", "sex", "__ord")
     wh.writeDim("dim_sample", Dims.upsertSampleDim(wh.read("dim_sample"), incoming))
+    // D4: metadata phase committed for every prepared study
+    StudyState.upsert(wh, spark, preps.map(_.acc), metadataLoaded = true,
+      factsLoaded = false)
 
     // ---- facts: one melt union, one key join, one dedup, one append -----
     val allMelted = preps.map(_.melted).reduce(_ unionByName _)
@@ -131,6 +153,10 @@ class EtlJob(spark: SparkSession, config: AppConfig, warehouseDir: String) {
       .map(r => r.getAs[Number]("study_key").longValue() -> r.getAs[Long]("count")).toMap
     wh.appendFacts("fact_expression", fresh)
     fresh.unpersist()
+    // D4 terminal state: the batch analog of the reference's
+    // clear_state-on-success (pipeline.py:299-301) — see StudyState
+    StudyState.upsert(wh, spark, preps.map(_.acc), metadataLoaded = true,
+      factsLoaded = true)
 
     val samplesByAcc = allSamples.groupBy("study_accession").count().collect()
       .map(r => r.getAs[String]("study_accession") -> r.getAs[Long]("count")).toMap
@@ -179,6 +205,8 @@ class EtlJob(spark: SparkSession, config: AppConfig, warehouseDir: String) {
       wh.read("dim_illness"), "illness_label", "illness_label", "illness_key")
       .select("gsm_accession", "study_key", "platform_key", "illness_key", "age", "sex", "__ord")
     wh.writeDim("dim_sample", Dims.upsertSampleDim(wh.read("dim_sample"), incoming))
+    // D4: metadata phase committed (pipeline.py:274-280)
+    StudyState.upsert(wh, spark, Seq(acc), metadataLoaded = true, factsLoaded = false)
 
     val quality = Metadata.quality(samples0).head
     if (config.logging.logDataQuality) {
@@ -224,6 +252,8 @@ class EtlJob(spark: SparkSession, config: AppConfig, warehouseDir: String) {
     val factCount = fresh.count()
     wh.appendFacts("fact_expression", fresh)
     fresh.unpersist()
+    // D4 terminal state: batch analog of clear_state-on-success
+    StudyState.upsert(wh, spark, Seq(acc), metadataLoaded = true, factsLoaded = true)
 
     val sampleCount = samples0.count()
     samples0.unpersist()

@@ -18,7 +18,14 @@ object Main {
       case "etl" =>
         val cfg = EtlConfig.load(opts.get("config").flatMap(_.headOption)
           .getOrElse { usage(); sys.exit(2) })
-        val wh = opts.get("warehouse").flatMap(_.headOption).getOrElse("./warehouse")
+        // warehouse target: explicit flag, else the config's connection
+        // string when it names a JDBC database (the reference's
+        // deployment shape — database.connection_string IS the target),
+        // else the local parquet default
+        val wh = opts.get("warehouse").flatMap(_.headOption).getOrElse(
+          if (cfg.database.connectionString.startsWith("jdbc:"))
+            cfg.database.connectionString
+          else "./warehouse")
         val job = new EtlJob(spark, cfg, wh)
         val mode = opts.get("mode").flatMap(_.headOption).getOrElse("sequential")
         val results = mode match {
@@ -55,6 +62,6 @@ object Main {
     }
 
   private def usage(): Unit = System.err.println(
-    """usage: graft.etl.Main etl --config <yaml> [--warehouse <dir>] [--mode unioned]
-      |       graft.etl.Main correlate [--warehouse <dir>] [--study <GSE>]...""".stripMargin)
+    """usage: graft.etl.Main etl --config <yaml> [--warehouse <dir|jdbc:url>] [--mode unioned]
+      |       graft.etl.Main correlate [--warehouse <dir|jdbc:url>] [--study <GSE>]...""".stripMargin)
 }

@@ -4,7 +4,37 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
-/** Parquet star-schema warehouse (SURVEY.md §2.1 S6-S8).
+/** Star-schema warehouse interface (SURVEY.md §2.1 S5-S8).
+  *
+  * Two backends, selected by [[Warehouse.apply]] on the connection
+  * string — the same dispatch the reference does on its SQLAlchemy URL
+  * (reference database.py:19-60):
+  *
+  *  - [[ParquetWarehouse]] (default): partitioned parquet, the scale
+  *    path — a directory/URI target.
+  *  - [[JdbcWarehouse]]: any JDBC URL (`jdbc:derby:...`,
+  *    `jdbc:postgresql://...`), the compatibility path matching the
+  *    reference's SQLite/SQL Server/Postgres deployments.
+  *
+  * The contract either backend must honor:
+  *  - `read` of an absent table is an EMPTY frame with the declared
+  *    schema (S8 create-on-first-write bootstrap);
+  *  - `writeDim` replaces a dim wholesale and is crash-recoverable
+  *    (the swap never loses the previous version);
+  *  - `appendFacts` is append-only; uniqueness comes from the J7
+  *    anti-join upstream, not a constraint;
+  *  - `replaceStudyPartitions` is delete-then-insert per study (S7,
+  *    reference repositories.py:303-309) — a study whose NEW result is
+  *    empty still loses its stale rows.
+  */
+trait Warehouse {
+  def read(table: String): DataFrame
+  def writeDim(table: String, df: DataFrame): Unit
+  def appendFacts(table: String, df: DataFrame): Unit
+  def replaceStudyPartitions(table: String, df: DataFrame, studyKeys: Seq[Long]): Unit
+}
+
+/** Parquet warehouse — the scale backend.
   *
   * Facts are partitioned by `study_key`, which gives:
   *  - partition pruning for per-study predicates (F7);
@@ -22,7 +52,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * declared types also pin partition columns to LongType (inference
   * would narrow them to Integer).
   */
-class Warehouse(spark: SparkSession, baseDir: String) {
+class ParquetWarehouse(spark: SparkSession, baseDir: String) extends Warehouse {
   import Warehouse._
 
   def path(table: String): String = s"$baseDir/$table"
@@ -105,6 +135,24 @@ class Warehouse(spark: SparkSession, baseDir: String) {
 }
 
 object Warehouse {
+
+  /** Backend dispatch on the connection string, like the reference's
+    * SQLAlchemy URL (database.py:28-36): a `jdbc:` URL gets the JDBC
+    * backend, anything else is a parquet directory/URI.
+    */
+  def apply(spark: SparkSession, target: String): Warehouse =
+    if (target.startsWith("jdbc:")) new JdbcWarehouse(spark, target)
+    else new ParquetWarehouse(spark, target)
+
+  /** As [[apply]], but wiring the reference's database tuning knobs
+    * (config.py:14-18) into the JDBC backend.
+    */
+  def apply(spark: SparkSession, target: String, db: DatabaseConfig): Warehouse =
+    if (target.startsWith("jdbc:"))
+      new JdbcWarehouse(spark, target, db.batchSize, db.maxRetries,
+        db.retryBackoffSeconds)
+    else new ParquetWarehouse(spark, target)
+
   private def f(n: String, t: DataType, nullable: Boolean = false) =
     StructField(n, t, nullable)
 
@@ -127,5 +175,12 @@ object Warehouse {
       f("illness_key", LongType, nullable = true), f("rho_spearman", DoubleType),
       f("p_value", DoubleType), f("q_value", DoubleType, nullable = true),
       f("n_samples", LongType), f("computed_at", StringType),
-      f("study_key", LongType))))
+      f("study_key", LongType))),
+    // D4 resume-state analog (reference models.py:124-131): per-study,
+    // batch-granular — Spark has no row-at-a-time resume, so
+    // last_processed_gene/last_sample_index collapse into the two
+    // batch-level flags (SURVEY.md §7.5).
+    "etl_study_state" -> StructType(Seq(
+      f("study_accession", StringType), f("metadata_loaded", BooleanType),
+      f("facts_loaded", BooleanType), f("updated_at", TimestampType))))
 }

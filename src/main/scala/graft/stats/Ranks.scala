@@ -60,14 +60,15 @@ object Ranks {
       .select((pcols :+ col("__rv") :+
         (col("__below").cast("double") + (col("__ties").cast("double") + 1.0) / 2.0)
           .as(out)): _*)
-    // Null-safe join on the partition keys so NULL-keyed groups rank
-    // like the window variant (partitionBy groups them together). NULL
-    // VALUES still drop — callers must pre-filter them, same contract
-    // as the Spearman pipeline (F3/F4 drop them upstream).
+    // Null-safe join on the partition keys AND the value so NULL-keyed
+    // groups and NULL values both rank exactly like the window variant:
+    // partitionBy groups null keys together, and orderBy(asc) puts null
+    // values first — which is also where the cumulative window above
+    // placed the null-value group, so the arithmetic already agrees.
     val rankSide = ranks.select(
       (partition.map(k => col(k).as(s"__rk_$k")) :+ col("__rv").as("__rrv") :+ col(out)): _*)
     val cond = (partition.map(k => col(k) <=> col(s"__rk_$k")) :+
-      (col("__rv") === col("__rrv"))).reduce(_ && _)
+      (col("__rv") <=> col("__rrv"))).reduce(_ && _)
     withRv.join(broadcast(rankSide), cond)
       .drop((partition.map(k => s"__rk_$k") :+ "__rrv" :+ "__rv"): _*)
   }

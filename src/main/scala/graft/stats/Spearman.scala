@@ -198,13 +198,31 @@ object Spearman {
     }
   }
 
-  /** SQL-ordering comparator for item inventory values (the common
-    * scalar item-key types; anything else falls back to string order).
+  /** SQL-ordering comparator for item inventory values, matching
+    * Spark's own ordering so the wide path's item_a/item_b labeling
+    * agrees with the join path's `item_a < item_b` condition: strings
+    * compare by UTF-8 byte order (UTF8String semantics — UTF-16 char
+    * order diverges for supplementary code points), integrals compare
+    * as longs (a double round-trip loses precision above 2^53), and
+    * only mixed integral/floating pairs take the double route (Spark's
+    * implicit widening for such comparisons). Anything else falls back
+    * to string order.
     */
   private def sqlLt(a: Any, b: Any): Boolean = (a, b) match {
-    case (x: String, y: String) => x < y
-    case (x: java.lang.Number, y: java.lang.Number) => x.doubleValue < y.doubleValue
+    case (x: String, y: String) =>
+      java.util.Arrays.compareUnsigned(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+    case (x: java.lang.Number, y: java.lang.Number) =>
+      if (isIntegral(x) && isIntegral(y)) x.longValue < y.longValue
+      else x.doubleValue < y.doubleValue
     case _ => String.valueOf(a) < String.valueOf(b)
+  }
+
+  private def isIntegral(n: java.lang.Number): Boolean = n match {
+    case _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
+        _: java.lang.Long => true
+    case _ => false
   }
 
   /** Above this item count the wide plan's P(P-1)/2·7 aggregate columns
@@ -229,9 +247,16 @@ object Spearman {
     * aggregate columns) it would not compile efficiently — the join
     * path takes over above [[WideItemLimit]].
     */
-  private def widePairAgg(ranked: DataFrame, family: Seq[String], item: String,
+  private def widePairAgg(ranked0: DataFrame, family: Seq[String], item: String,
       sample: String, value: String, minSamples: Int, items: Seq[Any]): DataFrame = {
     val n = items.length
+    // Restrict to the canonicalized inventory (and non-null items, which
+    // `isin` drops naturally): a knownItems subset or stray NULL item
+    // must behave like the join path — those rows simply don't pair —
+    // rather than inflate __nobs and trip the duplicate guard below.
+    // Ranks are per (family, item) partitions, so dropping whole item
+    // groups after ranking leaves the kept items' ranks untouched.
+    val ranked = ranked0.where(col(item).isin(items: _*))
     // pivot: one rank + one value column per item (at most one row per
     // (family, sample, item) in a dense matrix — max picks it)
     val pivotAggs = items.zipWithIndex.flatMap { case (it, i) =>

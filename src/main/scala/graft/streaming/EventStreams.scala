@@ -88,6 +88,17 @@ object EventStreams {
     * per-user session counter carried in state so emitted sessions are
     * numbered 1..k in event-time order exactly like the batch
     * running-sum session id.
+    *
+    * Ordering contract: events are sorted WITHIN each micro-batch, but
+    * the state machine requires event-time order ACROSS batches too —
+    * an event older than the carried `state.lastNs` cannot be merged
+    * correctly (the session it belongs to may already be closed, and
+    * `startNs` is never lowered). Rather than silently produce wrong
+    * sessions, such an event fails the query loudly. In practice the
+    * contract holds for AvailableNow over a static source (everything
+    * arrives in one batch) and for in-order sources; a genuinely
+    * out-of-order stream needs a watermark-buffered reorder upstream
+    * before this operator.
     */
   def sessionizeNs(events: Dataset[EventNs], gapNs: Long,
       timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout,
@@ -114,6 +125,14 @@ object EventStreams {
             rows.toSeq.sortBy(e => (e.ts_ns, e.event_id)).foreach { e =>
               val t = e.ts_ns
               cur match {
+                // batch-internal order is guaranteed by the sort above,
+                // so t < lastNs can only mean cross-batch disorder —
+                // fail loudly per the ordering contract (Scaladoc)
+                case Some(s) if t < s.lastNs =>
+                  throw new IllegalStateException(
+                    s"sessionizeNs: out-of-order event across micro-batches for " +
+                      s"user $userId (ts_ns=$t < state.lastNs=${s.lastNs}); " +
+                      "this operator requires event-time order across batches")
                 case Some(s) if t - s.lastNs > gapNs =>
                   closed += emit(userId, s)
                   cur = Some(SessionState(s.seq + 1L, 1L, e.value, t, t))

@@ -13,7 +13,7 @@ class BucketingSpec extends SparkSpec {
 
   test("bucketed fact-dim join plans without any shuffle exchange") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bucketing").toString
-    val wh = new Warehouse(spark, dir)
+    val wh = new ParquetWarehouse(spark, dir)
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ, not BHJ
     try {

@@ -137,7 +137,7 @@ class EtlSpec extends SparkSpec {
   }
 
   test("D1/D2: dim upsert is idempotent with deterministic keys") {
-    val wh = new Warehouse(spark, tmpDir().toString)
+    val wh = Warehouse(spark, tmpDir().toString)
     val d0 = wh.read("dim_platform")
     val d1 = Dims.upsertDim(d0, Seq("GPL97", "GPL96", "GPL96", "UNKNOWN", " ")
       .toDF("platform_accession"), "platform_key", "platform_accession")
@@ -153,7 +153,7 @@ class EtlSpec extends SparkSpec {
   }
 
   test("D3: sample upsert conditional update (tests/test_repositories.py:28-64)") {
-    val wh = new Warehouse(spark, tmpDir().toString)
+    val wh = Warehouse(spark, tmpDir().toString)
     def inc(rows: Seq[(String, Long, Option[Long], Option[Long], String, String, Long)]) =
       rows.toDF("gsm_accession", "study_key", "platform_key", "illness_key", "age", "sex", "__ord")
     // first batch: UNKNOWN age, platform set
@@ -194,7 +194,7 @@ class EtlSpec extends SparkSpec {
     // ENSG3/GSM4 cell is "bad" -> dropped => 3*4 - 1 = 11
     assert(results.head.facts == 11)
 
-    val wh = new Warehouse(spark, whDir)
+    val wh = Warehouse(spark, whDir)
     assert(wh.read("dim_study").count() == 1)
     assert(wh.read("dim_gene").count() == 3)
     assert(wh.read("dim_platform").count() == 2)  // GPL96, GPL97
@@ -284,7 +284,7 @@ class EtlSpec extends SparkSpec {
     assert(summary.studies.toSet == Set("GSE9006", "GSE0002"))
     assert(summary.pairs == 6) // C(3,2) per study
 
-    val wh = new Warehouse(spark, whDir)
+    val wh = Warehouse(spark, whDir)
     val studyKeys = wh.read("dim_study").collect()
       .map(r => r.getAs[String]("gse_accession") -> r.getAs[Long]("study_key")).toMap
     val geneKeys = wh.read("dim_gene").collect()
@@ -329,7 +329,7 @@ class EtlSpec extends SparkSpec {
     new EtlJob(spark, config(root, filter), whDir).run()
     new CorrelationJob(spark, whDir).run()
 
-    val corr = new Warehouse(spark, whDir).read("fact_gene_pair_corr").collect()
+    val corr = Warehouse(spark, whDir).read("fact_gene_pair_corr").collect()
     assert(corr.length == 1) // n = 2 >= MIN_SAMPLES_FOR_CORRELATION
     val r = corr.head
     assert(r.getAs[Long]("n_samples") == 2)
@@ -368,7 +368,7 @@ class EtlSpec extends SparkSpec {
     // value-identical warehouses (keys may be assigned in another
     // order, so compare natural-value tuples through the dims)
     def factTuples(whDir: String) = {
-      val wh = new Warehouse(spark, whDir)
+      val wh = Warehouse(spark, whDir)
       wh.read("fact_expression")
         .join(wh.read("dim_sample")
           .select("sample_key", "gsm_accession", "age", "sex"), "sample_key")
@@ -380,7 +380,7 @@ class EtlSpec extends SparkSpec {
     }
     assert(factTuples(whSeq) == factTuples(whUni))
     def dimVals(whDir: String, table: String, natural: String) =
-      new Warehouse(spark, whDir).read(table).select(natural)
+      Warehouse(spark, whDir).read(table).select(natural)
         .collect().map(_.getString(0)).toSet
     assert(dimVals(whSeq, "dim_platform", "platform_accession") ==
       dimVals(whUni, "dim_platform", "platform_accession"))
@@ -390,7 +390,7 @@ class EtlSpec extends SparkSpec {
     // idempotent re-run in union mode too (J7 holds across the union)
     val rerun = new EtlJob(spark, config(root, filter), whUni).runUnioned()
     assert(rerun.filter(_.error.isEmpty).forall(_.facts == 0))
-    assert(factTuples(whUni).size == new Warehouse(spark, whUni)
+    assert(factTuples(whUni).size == Warehouse(spark, whUni)
       .read("fact_expression").count().toInt)
   }
 
@@ -406,12 +406,12 @@ class EtlSpec extends SparkSpec {
     val res = new EtlJob(spark, config(root, filter), whDir).run()
     assert(res.head.error.isEmpty)
     assert(res.head.facts == 4) // 2 genes x 2 samples, not 6
-    assert(new Warehouse(spark, whDir).read("fact_expression").count() == 4)
+    assert(Warehouse(spark, whDir).read("fact_expression").count() == 4)
   }
 
   test("warehouse: empty partitioned append leaves the table readable; empty replace deletes stale partitions") {
     val whDir = tmpDir().toString
-    val wh = new Warehouse(spark, whDir)
+    val wh = Warehouse(spark, whDir)
     val schema = Warehouse.schemas("fact_gene_pair_corr")
     def empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -440,7 +440,7 @@ class EtlSpec extends SparkSpec {
     val filter = write(root, "filter.tsv", filterTsv)
     val whDir = tmpDir().toString
     new EtlJob(spark, config(root, filter), whDir).run()
-    val wh = new Warehouse(spark, whDir)
+    val wh = Warehouse(spark, whDir)
     // GSM4 row claimed GSE_OTHER but must land in GSE9006
     assert(wh.read("dim_study").count() == 1)
     val s = wh.read("dim_sample").where($"gsm_accession" === "GSM4").head

@@ -1,0 +1,147 @@
+package graft.etl
+
+import graft.SparkSpec
+import java.nio.file.{Files, Path}
+
+/** S5 parity: the full ETL + correlation pipeline against an embedded
+  * JDBC database (Derby — the in-process JVM database, standing in for
+  * the reference's SQLite deployment, database.py:19-36). Everything
+  * the parquet E2E slice asserts must hold bit-for-bit over JDBC: same
+  * star schema, same keys, same correlation rows, same idempotence.
+  */
+class JdbcWarehouseSpec extends SparkSpec {
+
+  private def tmpDir(): Path = {
+    val d = Files.createTempDirectory("graft-jdbc")
+    d.toFile.deleteOnExit(); d
+  }
+
+  // keep derby.log out of the repo working dir
+  System.setProperty("derby.system.home", tmpDir().toString)
+
+  private def write(dir: Path, name: String, content: String): Path = {
+    val p = dir.resolve(name)
+    Files.writeString(p, content); p
+  }
+
+  private val metadataTsv =
+    """refinebio_accession_code	experiment_accession	refinebio_age	refinebio_sex	refinebio_platform	characteristics_ch2_illness
+      |GSM1	GSE9006	16	female	GPL96	Healthy
+      |GSM2	GSE9006		female	GPL96	Healthy
+      |GSM3	GSE9006	25	male	GPL96	Diabetes
+      |	GSE9006	1	male	GPL96	Healthy
+      |GSM4	GSE_OTHER	30	male	GPL97	Diabetes
+      |""".stripMargin
+
+  private val expressionTsv =
+    """gene	GSM1	GSM2	GSM3	GSM4
+      |ENSG1	1.0	2.0	3.0	4.0
+      |ENSG2	2.0	4.0	6.0	8.0
+      |ENSG3	9.0	5.0	1.0	bad
+      |ENSGX	1	1	1	1
+      |
+      |""".stripMargin
+
+  private val filterTsv = "ensembl_id\nENSG1\nENSG2\nENSG3\n"
+
+  private def makeStudy(root: Path, gse: String = "GSE9006"): Path = {
+    val d = Files.createDirectories(root.resolve(gse))
+    write(d, s"metadata_$gse.tsv", metadataTsv)
+    write(d, s"expression_$gse.tsv", expressionTsv)
+    d
+  }
+
+  private def config(root: Path, filter: Path, url: String): AppConfig = AppConfig(
+    DatabaseConfig(url, batchSize = 500, maxRetries = 2, retryBackoffSeconds = 0),
+    ProcessingConfig(root, filter),
+    LoggingConfig(logLevel = "WARN"))
+
+  private def derbyUrl(): String =
+    s"jdbc:derby:${tmpDir()}/wh;create=true"
+
+  test("S5 E2E: ETL + correlation over embedded Derby matches the parquet slice") {
+    val root = tmpDir()
+    makeStudy(root)
+    val filter = write(root, "filter.tsv", filterTsv)
+    val url = derbyUrl()
+    val cfg = config(root, filter, url)
+
+    val job = new EtlJob(spark, cfg, url)
+    val results = job.run()
+    assert(results.length == 1 && results.head.error.isEmpty)
+    assert(results.head.samples == 4)
+    assert(results.head.facts == 11) // 3 genes x 4 samples - 1 bad cell
+
+    val wh = Warehouse(spark, url)
+    assert(wh.isInstanceOf[JdbcWarehouse])
+    assert(wh.read("dim_study").count() == 1)
+    assert(wh.read("dim_gene").count() == 3)
+    assert(wh.read("dim_platform").count() == 2)
+    assert(wh.read("dim_illness").count() == 2)
+    assert(wh.read("dim_sample").count() == 4)
+    assert(wh.read("fact_expression").count() == 11)
+
+    // declared schema round-trips through the dialect (names, order,
+    // types; nullability is the one JDBC-metadata difference — a DB
+    // read can't promise non-null without lying to the optimizer)
+    assert(wh.read("fact_expression").schema.map(f => (f.name, f.dataType)) ==
+      Warehouse.schemas("fact_expression").map(f => (f.name, f.dataType)))
+    assert(wh.read("dim_sample").schema.fieldNames.toSeq ==
+      Warehouse.schemas("dim_sample").fieldNames.toSeq)
+
+    // idempotent re-run: J7 anti-join against the JDBC-read facts
+    val rerun = job.run()
+    assert(rerun.head.facts == 0)
+    assert(wh.read("fact_expression").count() == 11)
+
+    // correlation job over JDBC (reference tests/test_correlation_job.py:143-181)
+    val corrJob = new CorrelationJob(spark, url)
+    val summary = corrJob.run()
+    assert(summary.studies == Seq("GSE9006"))
+    assert(summary.pairs == 3)
+    val corr = wh.read("fact_gene_pair_corr").collect()
+    assert(corr.length == 3)
+    val k = wh.read("dim_gene").collect()
+      .map(r => r.getAs[String]("ensembl_id") -> r.getAs[Long]("gene_key")).toMap
+    val byPair = corr.map(r =>
+      (r.getAs[Long]("gene_a_key"), r.getAs[Long]("gene_b_key")) -> r).toMap
+    val r12 = byPair((k("ENSG1"), k("ENSG2")))
+    assert(math.abs(r12.getAs[Double]("rho_spearman") - 1.0) < 1e-12)
+    assert(r12.getAs[Long]("n_samples") == 4)
+    val r13 = byPair((k("ENSG1"), k("ENSG3")))
+    assert(r13.getAs[Long]("n_samples") == 3) // bad cell -> shared-sample path
+    assert(math.abs(r13.getAs[Double]("rho_spearman") + 1.0) < 1e-12)
+    corr.foreach(r => assert(r.isNullAt(r.fieldIndex("illness_key"))))
+
+    // S7 delete-then-insert replace: re-run keeps exactly 3 rows
+    assert(corrJob.run().pairs == 3)
+    assert(wh.read("fact_gene_pair_corr").count() == 3)
+  }
+
+  test("JDBC writeDim swap is crash-recoverable: __old restores on read") {
+    import spark.implicits._
+    val url = derbyUrl()
+    val wh = Warehouse(spark, url).asInstanceOf[JdbcWarehouse]
+    wh.writeDim("dim_gene", Seq((1L, "ENSG1")).toDF("gene_key", "ensembl_id"))
+    assert(wh.read("dim_gene").count() == 1)
+
+    // simulate the crash window: live renamed away, tmp never landed
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("RENAME TABLE dim_gene TO dim_gene__old")
+      st.close()
+    } finally conn.close()
+    val rows = wh.read("dim_gene").collect()
+    assert(rows.length == 1 && rows.head.getString(1) == "ENSG1")
+    // and the recovery is durable: table is live again
+    assert(wh.read("dim_gene").count() == 1)
+  }
+
+  test("JDBC read of an absent table is an empty frame with the declared schema") {
+    val wh = Warehouse(spark, derbyUrl())
+    val df = wh.read("fact_gene_pair_corr")
+    assert(df.schema == Warehouse.schemas("fact_gene_pair_corr"))
+    assert(df.count() == 0)
+  }
+}
