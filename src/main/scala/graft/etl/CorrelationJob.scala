@@ -18,7 +18,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   the reference's persist-time NaN policy (C4: null p stored as 1.0,
   *   q null when p invalid) → dynamic partition overwrite (S7 replace).
   */
-class CorrelationJob(spark: SparkSession, warehouseDir: String) {
+/** @param exactPValues opt-in exact Student-t p-values (the reference's
+  *   scipy primary path, correlation.py:11-12); the default stays the
+  *   normal approximation the cross-engine oracle pins
+  *   (correlation.py:50-61, SURVEY.md §7.4.2).
+  */
+class CorrelationJob(spark: SparkSession, warehouseDir: String,
+    exactPValues: Boolean = false) {
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
   private val wh = Warehouse(spark, warehouseDir)
 
@@ -92,7 +98,8 @@ class CorrelationJob(spark: SparkSession, warehouseDir: String) {
       .withColumnRenamed("item_b", "gene_b_key")
 
     val withP = pairs.withColumn("p_raw",
-      PValues.spearmanP(col("rho"), col("n_samples")))
+      if (exactPValues) PValues.spearmanPExact(col("rho"), col("n_samples"))
+      else PValues.spearmanP(col("rho"), col("n_samples")))
     val withQ = BenjaminiHochberg.qValues(withP, Seq(col("study_key")), col("p_raw"), "q_value")
 
     withQ.select(

@@ -43,7 +43,8 @@ object Main {
       case "correlate" =>
         val wh = opts.get("warehouse").flatMap(_.headOption).getOrElse("./warehouse")
         val studies = opts.getOrElse("study", Seq.empty)
-        val summary = new CorrelationJob(spark, wh).run(studies)
+        val exactP = opts.get("exact-p").flatMap(_.headOption).exists(_.toBoolean)
+        val summary = new CorrelationJob(spark, wh, exactPValues = exactP).run(studies)
         println(s"studies=${summary.studies.mkString(",")} pairs=${summary.pairs}")
       case other =>
         System.err.println(s"Unknown command: $other"); usage(); sys.exit(2)
@@ -63,5 +64,5 @@ object Main {
 
   private def usage(): Unit = System.err.println(
     """usage: graft.etl.Main etl --config <yaml> [--warehouse <dir|jdbc:url>] [--mode unioned]
-      |       graft.etl.Main correlate [--warehouse <dir|jdbc:url>] [--study <GSE>]...""".stripMargin)
+      |       graft.etl.Main correlate [--warehouse <dir|jdbc:url>] [--study <GSE>]... [--exact-p true]""".stripMargin)
 }

@@ -39,6 +39,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           args.head, org.apache.spark.sql.types.StringType))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_tdist_p2"),
+      info("graft_tdist_p2",
+        "graft_tdist_p2(t, df) - two-sided Student-t survival " +
+          "probability P(|T_df| >= |t|) via the regularized incomplete beta."),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_tdist_p2 takes exactly 2 arguments")
+        def d(e: Expression) = org.apache.spark.sql.catalyst.expressions.Cast(
+          e, org.apache.spark.sql.types.DoubleType)
+        StudentTTwoSidedP(d(args.head), d(args(1)))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       info("graft_dot",
         "graft_dot(a, b) - primitive-loop dot product of two array<double>."),

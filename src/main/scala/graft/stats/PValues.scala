@@ -29,4 +29,23 @@ object PValues {
       .when(absRho >= 1.0, lit(0.0))
       .otherwise(clamped)
   }
+
+  /** Exact (Student-t) two-sided Spearman p-value — the reference's
+    * PRIMARY path (scipy.stats.spearmanr, correlation.py:11-12,128):
+    * p = P(|T_{n-2}| >= |t|) via the regularized incomplete beta
+    * ([[graft.functions.StudentTFn]], codegen'd). Same gates as the
+    * approx path: null when n < 3, 0 at |rho| >= 1. Opt in where scipy
+    * parity at small n matters; the normal approximation overstates
+    * tail p by up to ~0.05 absolute at n = 5 and converges by n ≈ 30
+    * (measured in StatsSpec's property test).
+    */
+  def spearmanPExact(rho: Column, n: Column): Column = {
+    val absRho = abs(rho)
+    val t = rho * sqrt((n.cast("double") - lit(2.0)) / (lit(1.0) - rho * rho))
+    val p = graft.functions.StudentTFn(abs(t), n.cast("double") - lit(2.0))
+    val clamped = least(greatest(p, lit(0.0)), lit(1.0))
+    when(n < 3, lit(null).cast("double"))
+      .when(absRho >= 1.0, lit(0.0))
+      .otherwise(clamped)
+  }
 }

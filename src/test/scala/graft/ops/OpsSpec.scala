@@ -32,11 +32,16 @@ class OpsSpec extends SparkSpec {
     val r = spark.sql(
       """SELECT graft_erf(1.0) AS e,
         |       graft_md5_hex64('abc') AS h,
-        |       graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d""".stripMargin).head()
+        |       graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |       graft_tdist_p2(0.0, 10.0) AS t0,
+        |       graft_tdist_p2(2.228, 10.0) AS t1""".stripMargin).head()
     assert(math.abs(r.getAs[Double]("e") - 0.8427007929) < 2e-7)
     assert(r.getAs[Long]("h") ==
       java.lang.Long.parseLong("900150983cd24fb".take(15), 16))
     assert(r.getAs[Double]("d") == 11.0)
+    assert(r.getAs[Double]("t0") == 1.0) // t=0 is the distribution median
+    // 2.228 is the classic t_{0.025, df=10} critical value
+    assert(math.abs(r.getAs[Double]("t1") - 0.05) < 1e-4)
   }
 
   test("md5 hex64 expression equals the hex-string route bit-for-bit") {

@@ -94,6 +94,36 @@ object StatsPropertySpec extends Properties("graft.stats") {
       ps.forall(p => p >= 0.0 && p <= 1.0) && math.abs(ps(0) - ps(1)) < 1e-12
     }
 
+  propertyWithSeed("exact t-dist p == commons-math3 TDistribution at n in [3,100]", None) =
+    Prop.forAllNoShrink(Gen.chooseNum(-0.999, 0.999), Gen.choose(3, 100)) { (rho, n) =>
+      val s = spark
+      import s.implicits._
+      val df = Seq((rho, n)).toDF("rho", "n")
+      val got = df.select(PValues.spearmanPExact(col("rho"), col("n")).as("p"))
+        .as[Double].head()
+      val t = rho * math.sqrt((n - 2.0) / (1.0 - rho * rho))
+      val dist = new org.apache.commons.math3.distribution.TDistribution(n - 2.0)
+      val want = 2.0 * (1.0 - dist.cumulativeProbability(math.abs(t)))
+      // the incomplete-beta identity and the CDF route are the same
+      // function computed two ways; agreement is to numerical noise
+      math.abs(got - want) < 1e-9 && got >= 0.0 && got <= 1.0
+    }
+
+  propertyWithSeed("normal-approx p converges to exact p by n ~ 30", None) =
+    Prop.forAllNoShrink(Gen.chooseNum(-0.95, 0.95), Gen.choose(30, 500)) { (rho, n) =>
+      val s = spark
+      import s.implicits._
+      val df = Seq((rho, n)).toDF("rho", "n")
+      val Array(approx, exact) = df.select(
+        PValues.spearmanP(col("rho"), col("n")).as("a"),
+        PValues.spearmanPExact(col("rho"), col("n")).as("e"))
+        .as[(Double, Double)].collect().flatMap(t => Array(t._1, t._2))
+      // documented tolerance (SURVEY §7.4.2): the A&S erf approximation
+      // carries ~1.5e-7; the t->normal gap at n>=30 stays under ~2e-2
+      // absolute and shrinks as 1/n
+      math.abs(approx - exact) < 0.02 + 30.0 / (n * n)
+    }
+
   // Pins the round-3 typed-aggregate exact plan (SpearmanStat, one agg
   // pass) to the independent window formulation (two fractional-rank
   // windows + corr) on random INCOMPLETE matrices with forced ties —
