@@ -22,11 +22,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   scipy primary path, correlation.py:11-12); the default stays the
   *   normal approximation the cross-engine oracle pins
   *   (correlation.py:50-61, SURVEY.md §7.4.2).
+  * @param useBucketedFacts read facts from the bucketed catalog table
+  *   written by [[CorrelationJob.bucketizeFacts]] — the scan then
+  *   arrives hash-partitioned by `gene_key`, which satisfies the dense
+  *   path's (study, gene) rank-window distribution, so the window's
+  *   Exchange of ALL fact rows disappears (the first and largest
+  *   shuffle of the dense plan; pinned by BucketingSpec). At 100 TB the
+  *   bucketize is paid once per warehouse load, the rank shuffle once
+  *   per correlation run.
   */
 class CorrelationJob(spark: SparkSession, warehouseDir: String,
-    exactPValues: Boolean = false) {
+    exactPValues: Boolean = false, useBucketedFacts: Boolean = false) {
+  import CorrelationJob.BucketedFactsTable
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
   private val wh = Warehouse(spark, warehouseDir)
+
+  private def factSource(): DataFrame =
+    if (useBucketedFacts) spark.table(BucketedFactsTable)
+    else wh.read("fact_expression")
 
   /** J2 + F6 + O6: studies having >= 1 expression fact, optionally
     * restricted to the requested accessions (order-preserving dedup of
@@ -53,7 +66,7 @@ class CorrelationJob(spark: SparkSession, warehouseDir: String,
   /** The analytical core as one DataFrame, pairs keyed and gated. */
   def correlationsFor(studyKeys: Seq[Long], computedAt: String,
       minSamples: Int = 2): DataFrame = {
-    val facts = wh.read("fact_expression")
+    val facts = factSource()
       .where(col("study_key").isin(studyKeys: _*)) // partition pruning
     val dimSample = wh.read("dim_sample").select("sample_key", "gsm_accession")
     val long = facts.join(broadcast(dimSample), Seq("sample_key")) // J1
@@ -134,5 +147,33 @@ class CorrelationJob(spark: SparkSession, warehouseDir: String,
     wh.replaceStudyPartitions("fact_gene_pair_corr", out, keys)
     out.unpersist()
     JobSummary(targets.map(_.getAs[String]("gse_accession")).toSeq, n)
+  }
+}
+
+object CorrelationJob {
+
+  /** Catalog name of the bucketed fact twin (bucketed layout needs the
+    * session catalog — see [[ParquetWarehouse.writeBucketed]]).
+    */
+  val BucketedFactsTable = "fact_expression_bucketed"
+
+  /** One-time (per warehouse load) re-layout of `fact_expression` into
+    * a catalog table bucketed by `gene_key` and partitioned by
+    * `study_key` — study pruning is preserved, and every correlation
+    * run over it skips the dense path's rank-window Exchange because
+    * the scan is already hash-partitioned on a subset of the window's
+    * (study, gene) keys. Parquet warehouses only: bucketing is a file
+    * layout, meaningless over JDBC.
+    */
+  def bucketizeFacts(spark: SparkSession, warehouseDir: String,
+      buckets: Int = 32): Unit = {
+    val wh = Warehouse(spark, warehouseDir) match {
+      case p: ParquetWarehouse => p
+      case _ => throw new IllegalArgumentException(
+        "bucketizeFacts requires a parquet warehouse (bucketing is file layout)")
+    }
+    wh.writeBucketed(BucketedFactsTable, wh.read("fact_expression"),
+      bucketCol = "gene_key", buckets = buckets,
+      partitionCols = Seq("study_key"))
   }
 }

@@ -111,11 +111,12 @@ class ParquetWarehouse(spark: SparkSession, baseDir: String) extends Warehouse {
     * warehouse's directory via the explicit path option.
     */
   def writeBucketed(table: String, df: DataFrame, bucketCol: String,
-      buckets: Int): Unit = {
+      buckets: Int, partitionCols: Seq[String] = Nil): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    df.write.mode(SaveMode.Overwrite)
+    val w = df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .option("path", path(table))
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .saveAsTable(s"`$table`")
   }
 

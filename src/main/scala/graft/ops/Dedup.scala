@@ -162,6 +162,12 @@ object Dedup {
     // to compute the uncached lineage (measured: 4 parallel ~230s
     // stages doing identical work). Eager materialization runs the
     // expensive scan exactly once.
+    // Cluster trade: localCheckpoint TRUNCATES lineage and stores the
+    // blocks on executors only — losing an executor mid-query fails the
+    // job (no recompute path) and it must be resubmitted. Acceptable
+    // here because the checkpoint lives for one query, not a pipeline;
+    // on a preemptible/spot cluster swap in df.checkpoint() (reliable,
+    // HDFS-backed) at the cost of a write.
     val sigArr = minhashSignatureArrays(docs, n, numHashes, id, text)
       .localCheckpoint(true)
     val nBands = numHashes / rowsPerBand
@@ -225,6 +231,8 @@ object Dedup {
     // Materialize the signature table once: the self-join references it
     // twice and Spark recomputes (not shares) common subplans — without
     // this the whole tokenize+aggregate pipeline runs twice.
+    // eager checkpoint for the same AQE-race reason as minhashDupPairs
+    // (and with the same executor-loss recompute trade documented there)
     val sh = simhash(docs, 60, id, text).localCheckpoint(true)
     val blocks = (0 until 4).toDF("blk")
     val keyed = sh.crossJoin(broadcast(blocks))

@@ -65,7 +65,10 @@ object Spearman {
     // TWICE in ~half of runs. The checkpoint pins cost at O(rows)
     // storage — the ranked long-form table, the small side of the
     // pair computation (the join OUTPUT is the P·n blow-up, and that
-    // is never materialized).
+    // is never materialized). Cluster trade: localCheckpoint truncates
+    // lineage into executor-local blocks — an executor lost mid-query
+    // fails the job instead of recomputing; swap for df.checkpoint()
+    // (reliable storage) on preemptible clusters.
     val pre = df.select(aCols.map(col): _*)
       .repartition((family :+ sample).map(col): _*)
       .localCheckpoint(true)
@@ -165,7 +168,8 @@ object Spearman {
       sample: String,
       value: String,
       minSamples: Int = 2,
-      knownItems: Option[Seq[Any]] = None): DataFrame = {
+      knownItems: Option[Seq[Any]] = None,
+      wideLimit: Int = WideItemLimit): DataFrame = {
     val itemKeys = family.map(col) :+ col(item)
     val ranked = Ranks.fractionalRank(df, itemKeys, col(value), "__r0")
     // Item inventory: passed by callers that know it, else one tiny
@@ -173,24 +177,22 @@ object Spearman {
     // (dedup + ascending) regardless of source so the wide path's
     // pair enumeration matches the join path's `item_a < item_b`
     // condition even when a caller passes an unsorted/duplicated list.
-    // Small item sets (2..WideItemLimit) take the wide path — all P
-    // pair correlations in ONE aggregation pass with no self-join at
-    // all; <2 items routes to the join path, which yields the empty
-    // result naturally. The wide path validates the (family, item,
-    // sample) uniqueness its pivot requires (raise_error on duplicate
-    // observations — the join path would cross-product them instead,
-    // and silent divergence between the two plans is worse than a
-    // loud failure).
-    // The probe LIMITs at WideItemLimit+1: deciding the path only needs
+    // Item sets of 2..wideLimit take the wide (pivot) plan; the
+    // DEFAULT wideLimit is 0 — the join plan measured faster at every
+    // shape tried (see WideItemLimit) — so the wide plan is opt-in,
+    // for callers that want its stricter uniqueness validation
+    // (raise_error on duplicate observations — the join path would
+    // cross-product them instead).
+    // The probe LIMITs at wideLimit+1: deciding the path only needs
     // "more than the limit?", so a large inventory (the genomic case —
     // hundreds of genes) short-circuits instead of paying a full
     // distinct+sort; at or under the limit, the probe IS the complete
     // inventory and is canonicalized driver-side.
     val items = knownItems.getOrElse(
-      df.select(col(item)).distinct().limit(WideItemLimit + 1)
+      df.select(col(item)).distinct().limit(wideLimit + 1)
         .collect().map(_.get(0)).toSeq)
       .distinct.sortWith(sqlLt)
-    if (items.length >= 2 && items.length <= WideItemLimit)
+    if (items.length >= 2 && items.length <= wideLimit)
       widePairAgg(ranked, family, item, sample, value, minSamples, items)
     else {
       val joined = pairJoin(ranked, family, item, sample, value, rank = Some("__r0"))
@@ -225,10 +227,36 @@ object Spearman {
     case _ => false
   }
 
-  /** Above this item count the wide plan's P(P-1)/2·7 aggregate columns
-    * stop being codegen-friendly and the pair self-join wins.
+  /** Default item-count ceiling for the wide (pivot) plan — 0: the
+    * JOIN plan is the measured winner at every shape tried, so the
+    * wide plan is opt-in via the `wideLimit` parameter.
+    *
+    * Round-3 measurements (ProbeWideCrossover on the 4-study × 5,000
+    * sample scale fixture; ProbeC2Path on the sf0.1 bench shape):
+    *
+    *   I      wide      join     (scale fixture, seconds)
+    *   3      4.8       1.9
+    *   8      9.5       2.3
+    *   16     11.3      4.8
+    *   32     54.4      2.0
+    *   64     668       4.4
+    *   120    (hours)   9.6
+    *   c2 sf0.1 shape: wide 2.65, join 2.36 (steady state)
+    *
+    * The wide plan's round-2 3× win at I=3 was measured against the
+    * PRE-round-3 join formulation (two per-pair rank windows over the
+    * P·n join output); once the join route carried per-item ranks and
+    * the exact path became one typed-aggregate pass, the join plan won
+    * everywhere. Two structural reasons the wide plan loses at scale:
+    * its final aggregate has only |families| groups (parallelism
+    * collapses to the family count — 4 single-threaded groups on the
+    * fixture), and P(P−1)/2·6 aggregate columns blow past codegen
+    * limits (48 MiB task binaries at I=64). Retained as an opt-in
+    * because its per-(family,sample) uniqueness guard (raise_error on
+    * duplicate observations) is stricter than the join path's, and
+    * StatsSpec pins the two plans' equality.
     */
-  val WideItemLimit = 32
+  val WideItemLimit = 0
 
   /** Wide (pivot-style) dense Spearman: reshape the ranked long form to
     * one row per (family, sample) with a rank and value column per item

@@ -43,4 +43,57 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_b_dim")
     }
   }
+
+  test("bucketized facts: rank window plans without exchange, job output unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucketing2").toString
+    val wh = new ParquetWarehouse(spark, dir)
+    try {
+      // tiny star warehouse: 1 study, 4 genes x 6 samples, complete
+      wh.writeDim("dim_study", Seq((1L, "GSE1")).toDF("study_key", "gse_accession"))
+      wh.writeDim("dim_gene",
+        (1L to 4L).map(k => (k, s"ENSG$k")).toDF("gene_key", "ensembl_id"))
+      wh.writeDim("dim_sample",
+        (1L to 6L).map(k => (k, s"GSM$k", 1L, Option.empty[Long], Option.empty[Long],
+          "UNKNOWN", "UNKNOWN"))
+          .toDF("sample_key", "gsm_accession", "study_key", "platform_key",
+            "illness_key", "age", "sex"))
+      val facts = for { g <- 1L to 4L; s <- 1L to 6L } yield
+        (s, g, 1L, (g * 7 + s * 3 % 5).toDouble)
+      wh.appendFacts("fact_expression",
+        facts.toDF("sample_key", "gene_key", "study_key", "expression_value"))
+
+      val plainOut = new CorrelationJob(spark, dir).run()
+      assert(plainOut.pairs == 6)
+      def corrRows() = wh.read("fact_gene_pair_corr")
+        .drop("computed_at") // differs per run by design
+        .collect().map(_.toSeq).toSet
+      val plainRows = corrRows()
+
+      CorrelationJob.bucketizeFacts(spark, dir, buckets = 4)
+
+      // the dense path's first shuffle: a rank window partitioned by
+      // (study, gene). The bucketed scan is hash-partitioned on
+      // gene_key — a subset of the window keys — so NO Exchange plans;
+      // the plain parquet read must shuffle.
+      val bucketed = spark.table(CorrelationJob.BucketedFactsTable)
+      val rankedB = graft.stats.Ranks.fractionalRank(bucketed,
+        Seq(col("study_key"), col("gene_key")), col("expression_value"), "r")
+      rankedB.collect()
+      val planB = rankedB.queryExecution.executedPlan.toString
+      assert(!planB.contains("Exchange"),
+        s"bucketed rank window should not shuffle:\n$planB")
+      val rankedP = graft.stats.Ranks.fractionalRank(wh.read("fact_expression"),
+        Seq(col("study_key"), col("gene_key")), col("expression_value"), "r")
+      rankedP.collect()
+      assert(rankedP.queryExecution.executedPlan.toString.contains("Exchange"))
+
+      // value check: the bucketed job replaces the partitions with
+      // byte-identical correlation rows
+      val bucketedOut = new CorrelationJob(spark, dir, useBucketedFacts = true).run()
+      assert(bucketedOut.pairs == 6)
+      assert(corrRows() == plainRows)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${CorrelationJob.BucketedFactsTable}")
+    }
+  }
 }

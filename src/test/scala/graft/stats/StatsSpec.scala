@@ -134,21 +134,22 @@ class StatsSpec extends SparkSpec {
     }
   }
 
-  test("dense wide and join plans agree (items straddle WideItemLimit)") {
-    // 34 items forces the pair self-join plan; the same data truncated
-    // to 6 items takes the wide pivot plan. Pairs present in both
-    // outputs must agree exactly — same ranks, same corr, same gates.
+  test("dense wide and join plans agree (wide is opt-in via wideLimit)") {
+    // The default (WideItemLimit = 0) routes everything to the join
+    // plan; an explicit wideLimit opts the 6-item subset into the wide
+    // pivot plan. Pairs present in both outputs must agree exactly —
+    // same ranks, same corr, same gates.
     val rng = new scala.util.Random(11)
     val rows = for {
       g <- (10 to 43).map(i => s"g$i"); s <- (1 to 8).map(i => s"s$i")
     } yield ("ST1", g, s, rng.nextDouble() * 100)
     val df = rows.toDF("study", "gene", "sample", "v")
-    assert(Spearman.WideItemLimit < 34)
     val joinPath = Spearman.pairCorrelationsDense(df, Seq("study"), "gene", "sample", "v")
       .orderBy("item_a", "item_b").collect()
     assert(joinPath.length == 34 * 33 / 2)
     val small = df.where(col("gene").isin((10 to 15).map(i => s"g$i"): _*))
-    val widePath = Spearman.pairCorrelationsDense(small, Seq("study"), "gene", "sample", "v")
+    val widePath = Spearman.pairCorrelationsDense(small, Seq("study"), "gene", "sample", "v",
+      wideLimit = 32)
       .orderBy("item_a", "item_b").collect()
     assert(widePath.length == 15)
     val byPair = joinPath.map(r =>
@@ -169,15 +170,19 @@ class StatsSpec extends SparkSpec {
       ("ST1", "a", "s1", 2.0), ("ST1", "a", "s2", 4.0))
       .toDF("study", "gene", "sample", "v")
     val out = Spearman.pairCorrelationsDense(two, Seq("study"), "gene", "sample", "v",
-      knownItems = Some(Seq("b", "a", "b"))).collect() // unsorted + duplicated list
+      knownItems = Some(Seq("b", "a", "b")), // unsorted + duplicated list
+      wideLimit = 32).collect()
     assert(out.length == 1)
     assert(out(0).getAs[String]("item_a") == "a" && out(0).getAs[String]("item_b") == "b")
 
+    // the duplicate-observation guard is the wide plan's stricter
+    // validation — the reason the plan stays available as an opt-in
     val dup = Seq(("ST1", "g1", "s1", 1.0), ("ST1", "g1", "s1", 5.0),
       ("ST1", "g1", "s2", 2.0), ("ST1", "g2", "s1", 3.0), ("ST1", "g2", "s2", 1.0))
       .toDF("study", "gene", "sample", "v")
     val ex = intercept[Exception] {
-      Spearman.pairCorrelationsDense(dup, Seq("study"), "gene", "sample", "v").collect()
+      Spearman.pairCorrelationsDense(dup, Seq("study"), "gene", "sample", "v",
+        wideLimit = 32).collect()
     }
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
@@ -193,7 +198,8 @@ class StatsSpec extends SparkSpec {
       ("ST1", "g1", "s3", 20.0), ("ST1", "g1", "s4", 30.0),
       ("ST1", "g2", "s2", 3.0), ("ST1", "g2", "s3", 2.0), ("ST1", "g2", "s4", 1.0))
       .toDF("study", "gene", "sample", "v")
-    val out = Spearman.pairCorrelationsDense(df, Seq("study"), "gene", "sample", "v").collect()
+    val out = Spearman.pairCorrelationsDense(df, Seq("study"), "gene", "sample", "v",
+      wideLimit = 32).collect()
     assert(out.length == 1)
     assert(out(0).getAs[Long]("n_samples") == 3)
     assert(math.abs(out(0).getAs[Double]("rho") + 1.0) < 1e-12)
