@@ -505,6 +505,32 @@ object SparkEntry {
       q.awaitTermination()
       drainMemorySink(s, sink)
     }),
+    // X10: STREAM-STATIC join — the third Structured Streaming join
+    // shape (after x9's stream-stream): an unbounded event stream
+    // enriched against a bounded dimension computed in batch, then
+    // aggregated. The static side re-evaluates per micro-batch in real
+    // deployments (slowly-changing dims come free); here it is a
+    // per-type average the oracle recomputes in SQL.
+    "x10_stream_static_join" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val staged = stagedDir(s"events:$dir") { p =>
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          p.resolve("events.parquet"))
+      }
+      val dim = t(s, dir, "events").groupBy(col("event_type"))
+        .agg(round(avg(col("value")), 4).as("type_avg"))
+      val joined = s.readStream.schema(schema).parquet(staged.toString)
+        .join(broadcast(dim), Seq("event_type")) // stream-static join
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), max(col("type_avg")).as("type_avg"))
+      val sink = s"stream_static_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      drainMemorySink(s, sink)
+    }),
     // X4: semi-structured props — JSON field extraction + agg.
     "x4_json_extract" -> ((s, dir) =>
       t(s, dir, "events")
@@ -544,6 +570,29 @@ object SparkEntry {
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       drainMemorySink(s, sink)
+    }),
+    // P17: deterministic sampling — hash-Bernoulli (pure map, no
+    // shuffle, membership stable under layout changes and appends) +
+    // per-language stratified top-k by hash order (no RNG anywhere, so
+    // the DuckDB oracle reproduces the sample bit-for-bit).
+    "p17_hash_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      ops.Sampling.bernoulliByHash(d, col("doc_id"), 20)
+        .select(lit("bernoulli").as("sample_kind"), col("doc_id"), col("lang"))
+        .unionByName(
+          ops.Sampling.stratifiedTopK(d, Seq("lang"), col("doc_id"), 10)
+            .select(lit("stratified").as("sample_kind"), col("doc_id"), col("lang")))
+    }),
+    // P18: normalized-text dedup — catches re-punctuated/re-cased
+    // near-copies that exact md5 misses. Planted: every 40th doc
+    // re-appears uppercased with extra punctuation; normalization must
+    // collapse it onto its original.
+    "p18_normalized_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val planted = d.where(col("doc_id") % 40 === 0)
+        .withColumn("doc_id", col("doc_id") + 200000L)
+        .withColumn("text", concat(upper(col("text")), lit("  !!!")))
+      Dedup.normalizedDupGroups(d.unionByName(planted))
     }),
     "p2_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 8, tau = 0.5)
@@ -878,6 +927,12 @@ object SparkEntry {
     "x6_interval_join" -> intervalJoinSql,
     // stream-stream twin — same band semantics, same oracle
     "x9_stream_interval_join" -> intervalJoinSql,
+    "x10_stream_static_join" ->
+      """WITH dim AS (SELECT event_type, round(avg(value), 4) AS type_avg
+        |             FROM events GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n_events, max(d.type_avg) AS type_avg
+        |FROM events e JOIN dim d ON e.event_type = d.event_type
+        |GROUP BY 1""".stripMargin,
     "x4_json_extract" ->
       """SELECT event_type, count(*) AS n_events,
         |       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
@@ -925,6 +980,27 @@ object SparkEntry {
     "p1_dedup_exact" -> exactDedupSql,
     // streaming twin — same planted dups, same oracle
     "p16_stream_dedup" -> exactDedupSql,
+    "p17_hash_sample" ->
+      s"""WITH h AS (SELECT doc_id, lang,
+         |                  ${hx("CAST(doc_id AS VARCHAR)")} AS hk
+         |           FROM documents)
+         |SELECT 'bernoulli' AS sample_kind, doc_id, lang FROM h WHERE hk % 100 < 20
+         |UNION ALL
+         |SELECT 'stratified' AS sample_kind, doc_id, lang FROM (
+         |  SELECT doc_id, lang,
+         |         row_number() OVER (PARTITION BY lang ORDER BY hk ASC, doc_id ASC) AS rn
+         |  FROM h) t
+         |WHERE rn <= 10""".stripMargin,
+    "p18_normalized_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000, upper(text) || '  !!!' FROM documents
+        |  WHERE doc_id % 40 = 0
+        |)
+        |SELECT md5(trim(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')))) AS norm_md5,
+        |       count(*) AS n_copies, min(doc_id) AS keep_id
+        |FROM corpus GROUP BY 1 HAVING count(*) > 1""".stripMargin,
     "p2_ngram_jaccard" ->
       s"""WITH $shinglesSql,
          |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),

@@ -32,6 +32,26 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), min(col(id)).as("keep_id"))
       .where(col("n_copies") > 1)
 
+  /** Canonical text-normalization key: strip non-alphanumerics to
+    * single spaces FIRST (so lowercasing only ever sees ASCII — Unicode
+    * case-folding is engine-specific and would break cross-engine
+    * dedup-key parity), then lowercase and trim. Case, punctuation and
+    * whitespace differences collapse; word content is preserved.
+    */
+  def normalizedText(text: Column): Column =
+    trim(lower(regexp_replace(text, "[^a-zA-Z0-9]+", " ")))
+
+  /** Exact dedup after text normalization — catches the re-encoded/
+    * re-punctuated near-copies exact md5 misses, at exact-dedup cost
+    * (one hash shuffle on the normalized digest; the normalization is
+    * per-row codegen'd column math).
+    */
+  def normalizedDupGroups(docs: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame =
+    docs.groupBy(md5(normalizedText(col(text))).as("norm_md5"))
+      .agg(count(lit(1)).as("n_copies"), min(col(id)).as("keep_id"))
+      .where(col("n_copies") > 1)
+
   private def shingleArray(text: Column, n: Int): Column =
     // texts shorter than n have NO shingles: without the guard,
     // sequence(1, 0) yields [1, 0] (Spark auto-steps -1 when start >

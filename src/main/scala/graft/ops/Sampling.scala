@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * Spark's own `df.sample` is seed-dependent per partition SPLIT — the
+  * same row can fall in or out when the file layout changes, which
+  * makes corpus snapshots unreproducible. Hashing a stable key instead
+  * gives samples that are (a) reproducible across runs, layouts and
+  * engines, (b) consistent under incremental appends (a doc's
+  * membership never flips), and (c) cheap: the Bernoulli variant is
+  * pure per-row column math inside whole-stage codegen — no shuffle at
+  * any scale.
+  *
+  * The hash is the engine's md5-derived 60-bit key
+  * ([[graft.ops.Hashing.hex64]], a codegen expression), so the DuckDB
+  * oracle can reproduce membership bit-for-bit.
+  */
+object Sampling {
+
+  private def hashKey(key: Column): Column = Hashing.hex64(key.cast("string"))
+
+  /** Deterministic Bernoulli sample: keeps rows whose key hashes into
+    * the lowest `pct` of 100 buckets. Membership depends only on the
+    * key value. Map-side only — scales to any size.
+    */
+  def bernoulliByHash(df: DataFrame, key: Column, pct: Int): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"pct must be in [0,100], got $pct")
+    // hex64 is 60-bit non-negative, so % and pmod agree
+    df.where(hashKey(key) % 100 < pct)
+  }
+
+  /** Deterministic stratified sample: exactly `k` rows per stratum
+    * (fewer when the stratum is smaller), chosen by hash order of the
+    * key — stable across runs and engines, no RNG.
+    *
+    * One shuffle on the strata keys; per-stratum work is a top-k sort.
+    * For heavily skewed strata at extreme scale, pre-filter with
+    * [[bernoulliByHash]] at a rate that overshoots k, then rank — the
+    * window then sorts a bounded candidate set instead of the stratum.
+    */
+  def stratifiedTopK(df: DataFrame, strata: Seq[String], key: Column,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(strata.map(col): _*)
+      .orderBy(hashKey(key).asc, key.asc)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__rn")
+  }
+}

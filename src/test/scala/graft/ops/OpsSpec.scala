@@ -14,6 +14,43 @@ class OpsSpec extends SparkSpec {
     (5L, "el perro y la casa es de los gatos") // Spanish-ish
   ).toDF("doc_id", "text")
 
+  test("hash sampling: deterministic, rate-bounded, stratified-k exact") {
+    val d = (1L to 2000L).map(i => (i, s"lang${i % 4}")).toDF("doc_id", "lang")
+    val s1 = Sampling.bernoulliByHash(d, col("doc_id"), 20)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val s2 = Sampling.bernoulliByHash(d, col("doc_id"), 20)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(s1 == s2) // deterministic: same rows every run
+    // 20% of 2000 with hash scatter: a generous band, not a coin flip
+    assert(s1.size > 300 && s1.size < 500, s"got ${s1.size}")
+    // membership is stable under appends: the sample of a subset is
+    // the subset of the sample
+    val subset = Sampling.bernoulliByHash(d.where(col("doc_id") <= 1000), col("doc_id"), 20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(subset == s1.filter(_ <= 1000L).toSet)
+    assert(Sampling.bernoulliByHash(d, col("doc_id"), 0).count() == 0)
+    assert(Sampling.bernoulliByHash(d, col("doc_id"), 100).count() == 2000)
+
+    val strat = Sampling.stratifiedTopK(d, Seq("lang"), col("doc_id"), 7)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(strat.size == 4 && strat.values.forall(_ == 7L))
+    // a stratum smaller than k yields the whole stratum
+    val tiny = Sampling.stratifiedTopK(d.where(col("doc_id") <= 2), Seq("lang"),
+      col("doc_id"), 7)
+    assert(tiny.count() == 2)
+  }
+
+  test("normalized dedup collapses case/punctuation/whitespace variants only") {
+    val variants = docs.unionByName(Seq(
+      (11L, "THE CAT sat on the mat!!!"),   // case+punct variant of 1/2
+      (14L, "der hund,  und die katze; ist da") // punct+spacing variant of 4
+    ).toDF("doc_id", "text"))
+    val groups = Dedup.normalizedDupGroups(variants).collect()
+      .map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_copies")).toMap
+    // 1,2,11 collapse (keep 1); 4,14 collapse (keep 4); 3 and 5 stay unique
+    assert(groups == Map(1L -> 3L, 4L -> 2L))
+  }
+
   test("salted join returns exactly the plain join's rows on skewed keys") {
     val big = (1 to 2000).map(i => (if (i % 10 < 7) 0L else i % 13L, i.toLong))
       .toDF("k", "payload")
