@@ -594,6 +594,10 @@ object SparkEntry {
         .withColumn("text", concat(upper(col("text")), lit("  !!!")))
       Dedup.normalizedDupGroups(d.unionByName(planted))
     }),
+    // P19: TF-IDF top terms per document — term stats for corpus
+    // analysis/quality filtering; df-table broadcast, one top-k window.
+    "p19_tfidf_topterms" -> ((s, dir) =>
+      ops.TextStats.topTermsTfidf(t(s, dir, "documents"), k = 3)),
     "p2_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 8, tau = 0.5)
         .select(col("id_a"), col("id_b"), col("shared"), col("sz_a"), col("sz_b"),
@@ -991,6 +995,24 @@ object SparkEntry {
          |         row_number() OVER (PARTITION BY lang ORDER BY hk ASC, doc_id ASC) AS rn
          |  FROM h) t
          |WHERE rn <= 10""".stripMargin,
+    "p19_tfidf_topterms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents
+        |),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf, df, round(tf * ln(n.n / df), 9) AS s
+        |  FROM tf JOIN dft USING (term) CROSS JOIN n
+        |),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term ASC) AS rn
+        |  FROM scored
+        |)
+        |SELECT doc_id, term, tf, df, round(s, 6) AS tfidf
+        |FROM ranked WHERE rn <= 3""".stripMargin,
     "p18_normalized_dedup" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -119,23 +119,53 @@ class JdbcWarehouse(
   def read(table: String): DataFrame = {
     // crash recovery for writeDim's swap, mirroring ParquetWarehouse:
     // live vanished after old was set aside -> the set-aside is truth
-    withConn(s"read $table") { conn =>
+    val (present, bounds) = withConn(s"read $table") { conn =>
       if (!tableExists(conn, table) && tableExists(conn, table + "__old"))
         exec(conn, s"RENAME TABLE ${table}__old TO $table")
-      tableExists(conn, table)
-    } match {
-      case true =>
-        val schema = schemas(table)
-        spark.read.format("jdbc")
-          .option("url", url).option("dbtable", table).load()
-          // pin declared names/order/types regardless of dialect
-          // round-trip quirks (e.g. case-folded identifiers)
-          .toDF(schema.fieldNames.toIndexedSeq: _*)
-          .select(schema.fields.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)
-      case false =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[Row], schemas(table))
+      (tableExists(conn, table),
+        if (tableExists(conn, table)) studyKeyBounds(conn, table) else None)
     }
+    if (present) {
+      val schema = schemas(table)
+      val base = spark.read.format("jdbc")
+        .option("url", url).option("dbtable", table)
+      // Fact tables read PARTITIONED on study_key when it spans a
+      // range: Spark issues one bounded query per partition so the
+      // scan parallelizes instead of draining the whole table through
+      // one connection (dims are tiny and read single-stream).
+      val reader = bounds match {
+        case Some((lo, hi)) if hi > lo =>
+          base.option("partitionColumn", "study_key")
+            .option("lowerBound", lo)
+            .option("upperBound", hi + 1)
+            .option("numPartitions", math.min(8L, hi - lo + 1).toString)
+        case _ => base
+      }
+      reader.load()
+        // pin declared names/order/types regardless of dialect
+        // round-trip quirks (e.g. case-folded identifiers)
+        .toDF(schema.fieldNames.toIndexedSeq: _*)
+        .select(schema.fields.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)
+    } else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schemas(table))
+  }
+
+  /** min/max study_key for the partitioned fact read; None for tables
+    * without the column or with no rows.
+    */
+  private def studyKeyBounds(conn: Connection, table: String): Option[(Long, Long)] = {
+    if (!schemas(table).fieldNames.contains("study_key")) return None
+    val st = conn.createStatement()
+    try {
+      val rs = st.executeQuery(
+        s"""SELECT min("study_key"), max("study_key") FROM $table""")
+      try {
+        if (rs.next() && rs.getObject(1) != null)
+          Some((rs.getLong(1), rs.getLong(2)))
+        else None
+      } finally rs.close()
+    } finally st.close()
   }
 
   /** Same recoverable swap as the parquet backend, in DDL: write the

@@ -82,6 +82,49 @@ object TextStats {
     scored.withColumn("lang_pred", best)
   }
 
+  /** Top-k terms per document by TF-IDF.
+    *
+    * Plan shape at scale: tokens explode after a repartition on the
+    * doc id (single-split corpora would otherwise fan out in one
+    * task), term frequencies partial-aggregate map-side, the document
+    * frequency table is vocabulary-sized and BROADCASTs back onto the
+    * per-doc rows, and the only remaining shuffle is the per-doc top-k
+    * window. `totalDocs` is one driver scalar (count), the same class
+    * of metadata collect the correlation job's shape probe uses.
+    *
+    * Determinism: scores round to 9dp BEFORE ranking (ln differs in
+    * the last ulp across engines; ranking the rounded score with a
+    * term tiebreak keeps Spark and the SQL oracle identical), and the
+    * output score rounds to 6dp.
+    */
+  def topTermsTfidf(docs: DataFrame, k: Int, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val tokens = docs
+      .repartition(spark.sparkContext.defaultParallelism, col(id))
+      .select(col(id), explode(split(trim(lower(col(text))), "\\s+")).as("term"))
+      .where(col("term") =!= "")
+    // tf feeds BOTH the df table and the scored rows — materialize it
+    // once (eager, same AQE-reuse-race rationale as Dedup's minhash
+    // checkpoint; same executor-loss recompute trade). The df
+    // aggregation is per-term with map-side partials, NOT a window
+    // over term partitions: stopword-grade hot terms would put one
+    // term's whole posting list in a single window task, while the
+    // aggregate + broadcast route has no skewed task anywhere.
+    val tf = tokens.groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dfTable = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.count()
+    val scored = tf.join(broadcast(dfTable), Seq("term"))
+      .withColumn("__s", round(col("tf") * log(lit(n.toDouble) / col("df")), 9))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col("__s").desc, col("term").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select(col(id), col("term"), col("tf"), col("df"),
+        round(col("__s"), 6).as("tfidf"))
+  }
+
   /** Polynomial rolling-hash fingerprint over characters:
     * fold(acc * 131 + codepoint) mod 1e9+7 — exact integer arithmetic,
     * identical in the SQL oracle via list_reduce.

@@ -144,4 +144,35 @@ class JdbcWarehouseSpec extends SparkSpec {
     assert(df.schema == Warehouse.schemas("fact_gene_pair_corr"))
     assert(df.count() == 0)
   }
+
+  test("JDBC fact reads partition on study_key when it spans a range") {
+    import spark.implicits._
+    val wh = Warehouse(spark, derbyUrl())
+    val facts = (1L to 400L).map(i =>
+      (i % 50, i % 120, i % 4 + 1, i.toDouble))
+      .toDF("sample_key", "gene_key", "study_key", "expression_value")
+    wh.appendFacts("fact_expression", facts)
+    val back = wh.read("fact_expression")
+    assert(back.count() == 400)
+    assert(back.rdd.getNumPartitions > 1,
+      s"expected a partitioned JDBC scan, got ${back.rdd.getNumPartitions} partition(s)")
+    // values survive the bounded per-partition queries (no row lost or
+    // duplicated at the partition boundaries)
+    assert(back.agg(org.apache.spark.sql.functions.sum("expression_value"))
+      .head.getDouble(0) == (1L to 400L).sum.toDouble)
+  }
+
+  test("X4: driver-side connection acquisition retries with backoff, then surfaces") {
+    val wh = new JdbcWarehouse(spark, "jdbc:derby:/nonexistent/nope;create=false",
+      maxRetries = 3, retryBackoffSeconds = 0)
+    var attempts = 0
+    val ex = intercept[java.sql.SQLException] {
+      wh.withRetries("probe") {
+        attempts += 1
+        throw new java.sql.SQLException(s"boom $attempts")
+      }
+    }
+    assert(attempts == 3)          // maxRetries attempts total
+    assert(ex.getMessage == "boom 3") // the LAST failure surfaces
+  }
 }

@@ -40,6 +40,22 @@ class OpsSpec extends SparkSpec {
     assert(tiny.count() == 2)
   }
 
+  test("tfidf top terms: distinctive terms outrank ubiquitous ones") {
+    val corpus = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "banana banana banana")).toDF("doc_id", "text")
+    val top = TextStats.topTermsTfidf(corpus, k = 1).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("term")).toMap
+    // banana appears in every doc -> idf = ln(1) = 0, never the top
+    // term where any alternative exists
+    assert(top(1L) == "apple")  // tf=2, df=1
+    assert(top(2L) == "cherry") // tf=1, df=1 beats banana's zero idf
+    assert(top(3L) == "banana") // only term present, tfidf 0 still ranks
+    val all = TextStats.topTermsTfidf(corpus, k = 5)
+    assert(all.count() == 2 + 2 + 1) // no invented rows beyond the vocabulary
+  }
+
   test("normalized dedup collapses case/punctuation/whitespace variants only") {
     val variants = docs.unionByName(Seq(
       (11L, "THE CAT sat on the mat!!!"),   // case+punct variant of 1/2
