@@ -598,6 +598,17 @@ object SparkEntry {
     // analysis/quality filtering; df-table broadcast, one top-k window.
     "p19_tfidf_topterms" -> ((s, dir) =>
       ops.TextStats.topTermsTfidf(t(s, dir, "documents"), k = 3)),
+    // P20: sliding-window chunking (context-length preprocessing) —
+    // 200-char windows advancing 150; summarized per chunk by the
+    // rolling-hash fingerprint so the oracle checks every chunk's
+    // CONTENT without shipping the chunk text itself.
+    "p20_chunking" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      ops.TextStats.chunkText(d, size = 200, stride = 150)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_len"),
+          ops.TextStats.fingerprint(col("chunk")).as("chunk_fp"))
+    }),
     "p2_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 8, tau = 0.5)
         .select(col("id_a"), col("id_b"), col("shared"), col("sz_a"), col("sz_b"),
@@ -1013,6 +1024,22 @@ object SparkEntry {
         |)
         |SELECT doc_id, term, tf, df, round(s, 6) AS tfidf
         |FROM ranked WHERE rn <= 3""".stripMargin,
+    "p20_chunking" ->
+      """WITH c AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |idx AS (
+        |  SELECT doc_id, text,
+        |         unnest(range(0, CASE WHEN len <= 200 THEN 1
+        |                              ELSE (len - 200 + 149) // 150 + 1 END)) AS i
+        |  FROM c
+        |),
+        |ch AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |              substr(text, CAST(i * 150 + 1 AS BIGINT), 200) AS chunk
+        |       FROM idx)
+        |SELECT doc_id, chunk_idx, CAST(length(chunk) AS BIGINT) AS chunk_len,
+        |       list_reduce(list_prepend(0::BIGINT,
+        |         list_transform(string_split(chunk, ''), c -> ascii(c)::BIGINT)),
+        |         (a, b) -> (a * 131 + b) % 1000000007) AS chunk_fp
+        |FROM ch""".stripMargin,
     "p18_normalized_dedup" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

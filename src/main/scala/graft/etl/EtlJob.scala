@@ -115,6 +115,15 @@ class EtlJob(spark: SparkSession, config: AppConfig, warehouseDir: String) {
     wh.writeDim("dim_illness", Dims.upsertDim(wh.read("dim_illness"),
       allSamples.select(col("illness_label")), "illness_key", "illness_label"))
 
+    // __ord pins the reference's "first row in file wins" duplicate-GSM
+    // resolution (Dims.upsertSampleDim). monotonically_increasing_id is
+    // (partitionId << 33 | rowInPartition): ordering by it IS file order
+    // here because each study's metadata is ONE file (splits of a single
+    // file pack in offset order) and a union concatenates children's
+    // partitions in order — so the order is deterministic across reruns
+    // and layouts FOR THIS INPUT SHAPE. A multi-file-per-study metadata
+    // source would break that (scan packs files by size); switch to a
+    // per-file zipWithIndex if that shape ever appears.
     val incoming = Dims.resolveFk(
       Dims.resolveFk(
         allSamples.withColumn("__ord", monotonically_increasing_id())
@@ -197,6 +206,8 @@ class EtlJob(spark: SparkSession, config: AppConfig, warehouseDir: String) {
       samples.select(col("illness_label")), "illness_key", "illness_label")
     wh.writeDim("dim_illness", dimIllness)
 
+    // __ord = file order; deterministic for a single-file metadata read
+    // (see the runUnioned call site for the full argument)
     val incoming = Dims.resolveFk(
       Dims.resolveFk(
         samples.withColumn("__ord", monotonically_increasing_id())

@@ -125,6 +125,35 @@ object TextStats {
         round(col("__s"), 6).as("tfidf"))
   }
 
+  /** Overlapping sliding-window chunks of `size` characters advancing
+    * by `stride` — the context-length preprocessing step of an LLM
+    * training pipeline (documents larger than the model window become
+    * overlapping windows; the final chunk is the remainder). Pure
+    * per-row column math: `sequence` + `transform` + `posexplode`, no
+    * shuffle, no UDF — the fan-out multiplies rows ~len/stride times,
+    * so callers on single-split corpora should repartition first (the
+    * same consideration as [[Dedup.shingleRows]]).
+    *
+    * Chunk count k is the smallest k with (k-1)*stride + size >= len
+    * (1 for texts within one window); chunk i covers characters
+    * [i*stride + 1, i*stride + size].
+    */
+  def chunkText(docs: DataFrame, size: Int, stride: Int,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    require(size >= 1 && stride >= 1 && stride <= size,
+      s"need 1 <= stride <= size, got size=$size stride=$stride")
+    val len = length(col(text)).cast("long")
+    // Column `/` is true division (double) — cast back to long; the
+    // numerator is non-negative in this branch so truncation = floor
+    val k = when(len <= size, lit(1L))
+      .otherwise(((len - size + stride - 1) / stride).cast("long") + 1L)
+    docs.select(col(id),
+        posexplode(transform(sequence(lit(0L), k - 1L),
+          i => col(text).substr((i * stride + 1L).cast("int"), lit(size)))))
+      .select(col(id), col("pos").cast("long").as("chunk_idx"),
+        col("col").as("chunk"), length(col("col")).cast("long").as("chunk_len"))
+  }
+
   /** Polynomial rolling-hash fingerprint over characters:
     * fold(acc * 131 + codepoint) mod 1e9+7 — exact integer arithmetic,
     * identical in the SQL oracle via list_reduce.

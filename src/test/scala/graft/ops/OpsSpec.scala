@@ -56,6 +56,27 @@ class OpsSpec extends SparkSpec {
     assert(all.count() == 2 + 2 + 1) // no invented rows beyond the vocabulary
   }
 
+  test("chunking: window boundaries, remainders, and degenerate lengths") {
+    val d = Seq(
+      (1L, "abcdefghij"), // len 10
+      (2L, "abcde"),      // len == size
+      (3L, "abcdef"),     // len == size + 1 -> second chunk is remainder
+      (4L, "")            // empty -> one empty chunk
+    ).toDF("doc_id", "text")
+    val chunks = TextStats.chunkText(d, size = 5, stride = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    // doc 1: k = ceil((10-5)/3)+1 = 3 chunks at offsets 0,3,6
+    assert(chunks((1L, 0L)) == "abcde")
+    assert(chunks((1L, 1L)) == "defgh")
+    assert(chunks((1L, 2L)) == "ghij") // remainder, shorter than size
+    assert(chunks((2L, 0L)) == "abcde" && !chunks.contains((2L, 1L)))
+    assert(chunks((3L, 0L)) == "abcde" && chunks((3L, 1L)) == "def")
+    assert(chunks((4L, 0L)) == "")
+    // every character position is covered by at least one chunk
+    val covered = chunks.collect { case ((1L, i), c) => (i * 3, i * 3 + c.length) }
+    assert(covered.exists(_._1 == 0) && covered.map(_._2).max == 10)
+  }
+
   test("normalized dedup collapses case/punctuation/whitespace variants only") {
     val variants = docs.unionByName(Seq(
       (11L, "THE CAT sat on the mat!!!"),   // case+punct variant of 1/2
