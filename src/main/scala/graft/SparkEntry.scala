@@ -323,6 +323,18 @@ object SparkEntry {
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(20)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
+    // O-family set operations: INTERSECT/EXCEPT plan as aggregates/
+    // anti-joins under Catalyst (no sort-based set algebra needed).
+    "o2_setops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val highValue = o.where(col("o_totalprice") > 150000)
+        .select(col("o_custkey")).distinct()
+      val urgent = o.where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey")).distinct()
+      highValue.intersect(urgent).withColumn("set_kind", lit("both"))
+        .unionByName(
+          highValue.except(urgent).withColumn("set_kind", lit("high_only")))
+    }),
 
     // --- windows over events (the streaming table, batch view) --------
     // events.ts is parquet TIMESTAMP(NANOS); Spark reads it as Long ns
@@ -609,6 +621,12 @@ object SparkEntry {
         .select(col("doc_id"), col("chunk_idx"), col("chunk_len"),
           ops.TextStats.fingerprint(col("chunk")).as("chunk_fp"))
     }),
+    // P21: concat-then-split sequence packing (GPT-style batching) —
+    // per-language shards so the running token offset is a sharded
+    // window, never a global single-partition prefix sum.
+    "p21_sequence_packing" -> ((s, dir) =>
+      ops.TextStats.packSequences(t(s, dir, "documents"), seqLen = 256,
+        shard = Seq("lang"), order = "doc_id")),
     "p2_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 8, tau = 0.5)
         .select(col("id_a"), col("id_b"), col("shared"), col("sz_a"), col("sz_b"),
@@ -980,6 +998,12 @@ object SparkEntry {
     "o1_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+    "o2_setops" ->
+      """WITH hv AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 150000),
+        |     ur AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT o_custkey, 'both' AS set_kind FROM (SELECT * FROM hv INTERSECT SELECT * FROM ur) a
+        |UNION ALL
+        |SELECT o_custkey, 'high_only' AS set_kind FROM (SELECT * FROM hv EXCEPT SELECT * FROM ur) b""".stripMargin,
     "x1_window_running" ->
       """SELECT event_id, user_id, event_type,
         |       row_number() OVER w AS event_seq,
@@ -1024,6 +1048,30 @@ object SparkEntry {
         |)
         |SELECT doc_id, term, tf, df, round(s, 6) AS tfidf
         |FROM ranked WHERE rn <= 3""".stripMargin,
+    "p21_sequence_packing" ->
+      """WITH tokc AS (
+        |  SELECT lang, doc_id,
+        |         CAST(CASE WHEN trim(text) = '' THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n
+        |  FROM documents
+        |),
+        |pos AS (
+        |  SELECT lang, doc_id, n,
+        |         sum(n) OVER (PARTITION BY lang ORDER BY doc_id ASC
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS s
+        |  FROM tokc WHERE n > 0
+        |),
+        |b AS (
+        |  -- sum(BIGINT) widens to HUGEINT, which range() rejects
+        |  SELECT lang, doc_id, n, s,
+        |         unnest(range(CAST(s // 256 AS BIGINT),
+        |                      CAST((s + n - 1) // 256 + 1 AS BIGINT))) AS seq_id
+        |  FROM pos
+        |)
+        |SELECT lang, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+        |       CAST(least(s + n, (seq_id + 1) * 256) - greatest(s, seq_id * 256) AS BIGINT)
+        |         AS tokens_in_seq
+        |FROM b""".stripMargin,
     "p20_chunking" ->
       """WITH c AS (SELECT doc_id, text, length(text) AS len FROM documents),
         |idx AS (

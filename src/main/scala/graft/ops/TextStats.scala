@@ -154,6 +154,39 @@ object TextStats {
         col("col").as("chunk"), length(col("col")).cast("long").as("chunk_len"))
   }
 
+  /** Concat-then-split sequence packing — the GPT-style batching step:
+    * documents concatenate in `order` within each shard and the token
+    * stream cuts into fixed `seqLen` sequences, documents spanning cut
+    * points. Output: one row per (shard, sequence, document) with the
+    * document's token count inside that sequence.
+    *
+    * The running token offset is a window over the SHARD, not the
+    * corpus: a global prefix-sum would serialize into one partition,
+    * while per-shard packing (shard = language, source, or a hash
+    * bucket) keeps every partition independent — the standard
+    * distributed packing layout, losing only cross-shard packing
+    * density (bounded by one partial sequence per shard).
+    */
+  def packSequences(docs: DataFrame, seqLen: Int, shard: Seq[String],
+      order: String, text: String = "text"): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be positive, got $seqLen")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shard.map(col): _*).orderBy(col(order).asc)
+    val L = lit(seqLen.toLong)
+    val counted = docs
+      .withColumn("__n", tokenCountWs(col(text)).cast("long"))
+      .where(col("__n") > 0) // zero-token docs occupy no sequence
+      .withColumn("__start", sum(col("__n")).over(w) - col("__n"))
+    counted
+      .withColumn("seq_id", explode(sequence(
+        (col("__start") / L).cast("long"),
+        ((col("__start") + col("__n") - 1L) / L).cast("long"))))
+      .select((shard.map(col) :+ col("seq_id") :+ col(order) :+
+        (least(col("__start") + col("__n"), (col("seq_id") + 1L) * L) -
+          greatest(col("__start"), col("seq_id") * L)).cast("long")
+          .as("tokens_in_seq")): _*)
+  }
+
   /** Polynomial rolling-hash fingerprint over characters:
     * fold(acc * 131 + codepoint) mod 1e9+7 — exact integer arithmetic,
     * identical in the SQL oracle via list_reduce.

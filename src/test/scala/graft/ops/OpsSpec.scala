@@ -77,6 +77,31 @@ class OpsSpec extends SparkSpec {
     assert(covered.exists(_._1 == 0) && covered.map(_._2).max == 10)
   }
 
+  test("sequence packing: exact fill, remainder tail, boundary-spanning docs") {
+    // shard A token stream: 3 + 4 + 6 = 13 tokens into L=5 sequences
+    // -> seqs of 5, 5, 3; doc 2 spans the 0/1 cut, doc 3 spans 1/2
+    val d = Seq(
+      ("A", 1L, "t t t"),
+      ("A", 2L, "t t t t"),
+      ("A", 3L, "t t t t t t"),
+      ("A", 4L, "   "),        // zero tokens: occupies no sequence
+      ("B", 5L, "t t")).toDF("lang", "doc_id", "text")
+    val packed = TextStats.packSequences(d, seqLen = 5, Seq("lang"), "doc_id")
+    val rows = packed.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(rows == Map(
+      ("A", 0L, 1L) -> 3L, ("A", 0L, 2L) -> 2L,   // seq 0: full
+      ("A", 1L, 2L) -> 2L, ("A", 1L, 3L) -> 3L,   // seq 1: full
+      ("A", 2L, 3L) -> 3L,                        // seq 2: remainder
+      ("B", 0L, 5L) -> 2L))
+    // invariants: no sequence overfills; token mass is conserved
+    val perSeq = packed.groupBy("lang", "seq_id")
+      .agg(sum("tokens_in_seq").as("fill")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(perSeq.values.forall(_ <= 5L))
+    assert(perSeq.values.sum == 13L + 2L)
+  }
+
   test("normalized dedup collapses case/punctuation/whitespace variants only") {
     val variants = docs.unionByName(Seq(
       (11L, "THE CAT sat on the mat!!!"),   // case+punct variant of 1/2
