@@ -621,6 +621,34 @@ object SparkEntry {
         .select(col("doc_id"), col("chunk_idx"), col("chunk_len"),
           ops.TextStats.fingerprint(col("chunk")).as("chunk_fp"))
     }),
+    // P22: duplicate-component resolution — the step after pair
+    // generation: a multi-signal dedup graph (exact-md5 edges +
+    // normalized-text edges over planted copy chains) collapsed into
+    // canonical groups by distributed min-label propagation
+    // (ops.ConnectedComponents). Components here span BOTH relations:
+    // {X, X+100k, X+300k} are byte-identical, X+200k joins them only
+    // through the normalized key.
+    "p22_dup_components" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val seed = d.where(col("doc_id") % 50 === 0)
+      val corpus = d
+        .unionByName(seed.withColumn("doc_id", col("doc_id") + 100000L))
+        .unionByName(seed.withColumn("doc_id", col("doc_id") + 300000L))
+        .unionByName(seed.select((col("doc_id") + 200000L).as("doc_id"),
+          concat(upper(col("text")), lit("  !!!")).as("text")))
+      val keyed = corpus.select(col("doc_id"),
+        md5(col("text")).as("k_exact"),
+        md5(Dedup.normalizedText(col("text"))).as("k_norm"))
+        .localCheckpoint(true)
+      def pairsOn(k: String) = {
+        val a = keyed.select(col("doc_id").as("id_a"), col(k).as("__k"))
+        val b = keyed.select(col("doc_id").as("id_b"), col(k).as("__k"))
+        a.join(b, Seq("__k")).where(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+      }
+      val edges = pairsOn("k_exact").unionByName(pairsOn("k_norm")).distinct()
+      ops.ConnectedComponents.connectedComponents(edges)
+    }),
     // P21: concat-then-split sequence packing (GPT-style batching) —
     // per-language shards so the running token offset is a sharded
     // window, never a global single-partition prefix sum.
@@ -1048,6 +1076,32 @@ object SparkEntry {
         |)
         |SELECT doc_id, term, tf, df, round(s, 6) AS tfidf
         |FROM ranked WHERE rn <= 3""".stripMargin,
+    "p22_dup_components" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0
+        |  UNION ALL SELECT doc_id + 300000, text FROM documents WHERE doc_id % 50 = 0
+        |  UNION ALL SELECT doc_id + 200000, upper(text) || '  !!!' FROM documents WHERE doc_id % 50 = 0
+        |),
+        |keyed AS (
+        |  SELECT doc_id, md5(text) AS k_exact,
+        |         md5(trim(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')))) AS k_norm
+        |  FROM corpus
+        |),
+        |edges AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v FROM keyed a JOIN keyed b
+        |    ON a.k_exact = b.k_exact AND a.doc_id <> b.doc_id
+        |  UNION
+        |  SELECT a.doc_id, b.doc_id FROM keyed a JOIN keyed b
+        |    ON a.k_norm = b.k_norm AND a.doc_id <> b.doc_id
+        |),
+        |verts AS (SELECT DISTINCT u AS id FROM edges),
+        |reach AS (
+        |  SELECT id, id AS r FROM verts
+        |  UNION
+        |  SELECT e.v AS id, reach.r FROM reach JOIN edges e ON reach.id = e.u
+        |)
+        |SELECT id, min(r) AS component FROM reach GROUP BY id""".stripMargin,
     "p21_sequence_packing" ->
       """WITH tokc AS (
         |  SELECT lang, doc_id,

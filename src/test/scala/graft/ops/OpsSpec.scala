@@ -102,6 +102,23 @@ class OpsSpec extends SparkSpec {
     assert(perSeq.values.sum == 13L + 2L)
   }
 
+  test("connected components: chains propagate, components stay separate") {
+    // 1-2-3-4-5 is a diameter-4 chain (min label must hop 4 times),
+    // {10,11,12} a triangle, {20} a self-loop
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 20L)).toDF("id_a", "id_b")
+    val cc = ConnectedComponents.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(cc(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(cc(_) == 10L))
+    assert(cc(20L) == 20L)
+    assert(cc.size == 9)
+    // non-convergence surfaces loudly instead of returning partial labels
+    intercept[IllegalStateException] {
+      ConnectedComponents.connectedComponents(edges, maxIter = 2)
+    }
+  }
+
   test("normalized dedup collapses case/punctuation/whitespace variants only") {
     val variants = docs.unionByName(Seq(
       (11L, "THE CAT sat on the mat!!!"),   // case+punct variant of 1/2
