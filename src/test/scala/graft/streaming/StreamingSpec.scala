@@ -147,4 +147,33 @@ class StreamingSpec extends SparkSpec {
         (7L, 2L, 1L, (base + 2 * gapNs) / 1000)))
     } finally q.stop()
   }
+
+  test("sessionizeNs: cross-batch out-of-order event fails loudly, not silently") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val gapNs = 30L * 60 * 1000000000L
+    val base = 1767225600L * 1000000000L
+    val source = MemoryStream[EventNs]
+    val q = sessionizeNs(source.toDS(), gapNs,
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory")
+      .queryName("sessions_disorder")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      source.addData(EventNs(1L, base + gapNs, 7L, 1.0))
+      q.processAllAvailable()
+      // batch 2 delivers an event OLDER than the carried state —
+      // the ordering contract (Scaladoc) is violated; the query must
+      // surface the IllegalStateException instead of merging wrong
+      source.addData(EventNs(2L, base, 7L, 2.0))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        Option(t).toSeq.flatMap(e => e +: causes(e.getCause))
+      assert(causes(ex).exists(c => c.isInstanceOf[IllegalStateException] &&
+        c.getMessage.contains("out-of-order event across micro-batches")))
+    } finally q.stop()
+  }
 }
