@@ -97,6 +97,18 @@ object SparkEntry {
 
   private val LineitemItems = Seq("discount", "extendedprice", "quantity")
 
+  /** The x2 hourly aggregation over any events-shaped frame (shared by
+    * the parquet/JSONL/ORC source-parity queries). Integer DIV: a
+    * double division of 2^60-magnitude nanos loses sub-µs precision
+    * and can flip events across hour boundaries.
+    */
+  private def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour",
+        timestamp_micros(expr("CAST((ts - pmod(ts, 1000)) DIV 1000 AS BIGINT)"))).as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+
   private def spearmanPairs(s: SparkSession, dir: String): DataFrame =
     Spearman.pairCorrelationsDense(
       lineitemLong(s, dir), Seq("l_returnflag"), "item", "sk", "v",
@@ -349,14 +361,28 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("event_seq"), col("running_value"))
     }),
-    "x2_hourly_agg" -> ((s, dir) =>
-      t(s, dir, "events")
-        // integer DIV: a double division of 2^60-magnitude nanos loses
-        // sub-µs precision and can flip events across hour boundaries
-        .groupBy(date_trunc("hour",
-          timestamp_micros(expr("CAST((ts - pmod(ts, 1000)) DIV 1000 AS BIGINT)"))).as("hour"),
-          col("event_type"))
-        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))),
+    "x2_hourly_agg" -> ((s, dir) => hourlyAgg(t(s, dir, "events"))),
+    // S-family source-format parity: the SAME events rows round-trip
+    // through other formats Spark sources natively, then run the x2
+    // aggregation — hash-identical to the parquet-sourced oracle.
+    // JSON-lines: schema-on-read with an explicit schema (inference
+    // would widen the ns-long ts), line-splittable at scale.
+    "s10_jsonl_source" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val staged = stagedDir(s"events_jsonl:$dir") { p =>
+        ev.write.mode("overwrite").json(p.toString)
+      }
+      hourlyAgg(s.read.schema(ev.schema).json(staged.toString))
+    }),
+    // ORC: the other columnar format with predicate pushdown + column
+    // pruning; same declared-schema read discipline as parquet.
+    "s11_orc_source" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val staged = stagedDir(s"events_orc:$dir") { p =>
+        ev.write.mode("overwrite").orc(p.toString)
+      }
+      hourlyAgg(s.read.schema(ev.schema).orc(staged.toString))
+    }),
     // X7: Structured Streaming parity — the SAME hourly aggregation as
     // x2, but executed as an unbounded plan over the file source with
     // Trigger.AvailableNow, drained to completion, and returned from
@@ -787,6 +813,11 @@ object SparkEntry {
   /** Shared by p1 (batch hash-groupBy dedup) and p16 (stateful
     * streaming dedup): one logical dup-group query, two executions.
     */
+  private val hourlyAggSql =
+    """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events,
+      |       round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   private val exactDedupSql =
     """WITH all_docs AS (
       |  SELECT doc_id, text FROM documents
@@ -1039,10 +1070,10 @@ object SparkEntry {
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin,
-    "x2_hourly_agg" ->
-      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events,
-        |       round(sum(value), 4) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin,
+    "x2_hourly_agg" -> hourlyAggSql,
+    // source-format parity twins: same rows through JSONL / ORC
+    "s10_jsonl_source" -> hourlyAggSql,
+    "s11_orc_source" -> hourlyAggSql,
 
     "p1_dedup_exact" -> exactDedupSql,
     // streaming twin — same planted dups, same oracle
