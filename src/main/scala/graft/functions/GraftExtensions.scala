@@ -20,6 +20,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer rule: fuse N percentile(c, p_i) buffers into one
+    // percentile(c, array(...)) — measured ~3x on 4-percentile aggs
+    // (BASELINE.md round-2 a3); runs after the main batches so literal
+    // percentages are already constant-folded
+    ext.injectOptimizerRule(_ => graft.plans.FusePercentiles)
     ext.injectFunction((
       FunctionIdentifier("graft_erf"),
       info("graft_erf", "graft_erf(x) - Gauss error function (A&S 7.1.26)."),
