@@ -174,16 +174,19 @@ object SparkEntry {
           round(sum(col("l_quantity")), 4).as("sum_qty"),
           round(avg(col("l_extendedprice")), 4).as("avg_price"))),
 
-    // ONE percentile aggregate computing all four points: each separate
-    // percentile(..) call maintains its own value buffer over the same
-    // column (4x the aggregation state and sort work; measured ~3x
-    // slower at sf0.1 than the fused array form).
+    // Written in the NATURAL form — four separate percentile calls —
+    // and planned as ONE array-percentile buffer by the FusePercentiles
+    // optimizer rule (plans/FusePercentiles.scala, measured ~3x: each
+    // separate percentile otherwise keeps its own value buffer and
+    // sorts the same column again). Round 2 hand-fused this query; the
+    // rule now gives every query that plan.
     "a3_percentiles" -> ((s, dir) =>
       t(s, dir, "lineitem").groupBy(col("l_returnflag"))
-        .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.99))").as("pc"))
-        .select(col("l_returnflag"),
-          round(col("pc")(0), 4).as("p25"), round(col("pc")(1), 4).as("median"),
-          round(col("pc")(2), 4).as("p75"), round(col("pc")(3), 4).as("p99"))),
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))),
 
     // A6: sketch aggregates — HLL++ distinct and t-digest-style
     // percentile approximation. These are the 100 TB path for A2/A3
