@@ -1429,10 +1429,14 @@ object SparkEntry {
     },
   )
 
-  /** Headline queries for Bench: excludes p2_ngram_jaccard, whose exact
-    * inverted-index join is quadratic in shingle document frequency on
-    * this small-vocabulary corpus (~5.6e8 pairs at sf0.1) — p3 MinHash
-    * is the scale path for the same semantics — and
+  /** Headline queries for Bench: excludes p2_ngram_jaccard — now the
+    * prefix-filtered All-Pairs plan (Dedup.ngramJaccardPairsPrefix),
+    * which cut sf0.1 from est. hours (quadratic inverted index,
+    * ~5.6e8 candidate pairs) to ~160 s, but the small-vocabulary
+    * synthetic corpus is prefix filtering's adversarial case (rare
+    * shingles are still shared corpus-wide) and exact all-pairs stays
+    * minutes-scale — p3 MinHash is the approximate scale path for the
+    * same semantics — and
     * x9_stream_interval_join, which buffers BOTH full sides in the
     * streaming state store by design (stream-stream join capability
     * demo; x6 is the batch throughput path for the same band-join

@@ -75,8 +75,12 @@ object Dedup {
     docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col(id))
       .select(col(id), explode(shingleArray(col(text), n)).as("shingle"))
 
-  /** Exact n-gram Jaccard similarity pairs >= tau via inverted index. */
-  def ngramJaccardPairs(docs: DataFrame, n: Int, tau: Double,
+  /** Exact n-gram Jaccard similarity pairs >= tau — full inverted
+    * index, quadratic in per-shingle document frequency. Retained as
+    * the independent formulation that pins [[ngramJaccardPairsPrefix]]
+    * in OpsSpec; the prefix-filtered plan is the production path.
+    */
+  private[ops] def ngramJaccardPairsFull(docs: DataFrame, n: Int, tau: Double,
       id: String = "doc_id", text: String = "text"): DataFrame = {
     val sh = shingleRows(docs, n, id, text)
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("sz"))
@@ -84,6 +88,10 @@ object Dedup {
     val b = sh.toDF("id_b", "shingle")
     val shared = a.join(b, a("shingle") === b("shingle") && a("id_a") < b("id_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
+    jaccardGate(shared, sizes, tau)
+  }
+
+  private def jaccardGate(shared: DataFrame, sizes: DataFrame, tau: Double): DataFrame =
     shared
       .join(sizes.toDF("id_a", "sz_a"), "id_a")
       .join(sizes.toDF("id_b", "sz_b"), "id_b")
@@ -93,7 +101,64 @@ object Dedup {
       .where(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), col("shared"), col("sz_a"), col("sz_b"),
         col("jaccard"))
+
+  /** Exact n-gram Jaccard pairs >= tau via PREFIX FILTERING (Bayardo et
+    * al. "Scaling Up All Pairs Similarity Search" / SSJoin): order each
+    * document's shingles by global document frequency (rarest first —
+    * tie-broken by shingle value so the order is total and
+    * deterministic) and index only the first |S| − ceil(tau·|S|) + 1 of
+    * them. Two documents with J >= tau MUST share a prefix shingle, so
+    * candidate generation joins ONLY on prefix rows — the inverted
+    * index's fan-out collapses from every co-occurring pair (quadratic
+    * in shingle document frequency; stopword-grade shingles dominate)
+    * to pairs sharing a RARE shingle. A length filter (|S_b| >=
+    * tau·|S_a|) prunes further before verification; verification joins
+    * the candidate pairs back onto the full shingle lists for exact
+    * intersection counts, so the output is EXACTLY the quadratic
+    * plan's — same oracle, pinned by OpsSpec.
+    *
+    * Scale shape: shingle scan (+df aggregate, map-side partials), one
+    * per-doc rank window (bounded by document length), the candidate
+    * equi-join on prefix shingles, and two verification joins bounded
+    * by candidate count x document shingles.
+    */
+  def ngramJaccardPairsPrefix(docs: DataFrame, n: Int, tau: Double,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0,1], got $tau")
+    // one shingle materialization feeds df counts, the prefix rank, and
+    // both verification sides (same AQE-race rationale as minhash)
+    val sh = shingleRows(docs, n, id, text).localCheckpoint(true)
+    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("sz"))
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col("__df").asc, col("shingle").asc)
+    val prefix = sh.join(dfreq, "shingle")
+      .withColumn("__pos", row_number().over(w))
+      .join(sizes, Seq(id.toString))
+      .where(col("__pos") <= col("sz") - ceil(col("sz") * tau) + 1L)
+      .select(col(id), col("shingle"), col("sz"))
+    val pa = prefix.toDF("id_a", "shingle", "sz_a")
+    val pb = prefix.toDF("id_b", "shingle", "sz_b")
+    val cand = pa.join(pb, pa("shingle") === pb("shingle") && pa("id_a") < pb("id_b"))
+      // length filter: J >= tau bounds the size ratio by tau
+      .where(col("sz_b") >= ceil(col("sz_a") * tau) &&
+        col("sz_a") >= ceil(col("sz_b") * tau))
+      .select("id_a", "id_b").distinct()
+    // exact verification: expand each candidate pair with a's shingles,
+    // keep those also present for b, count the intersection
+    val shared = cand
+      .join(sh.toDF("id_a", "shingle"), "id_a")
+      .join(sh.toDF("id_b", "shingle"), Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
+    jaccardGate(shared, sizes, tau)
   }
+
+  /** Exact n-gram Jaccard pairs — the production (prefix-filtered)
+    * plan; see [[ngramJaccardPairsPrefix]].
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, tau: Double,
+      id: String = "doc_id", text: String = "text"): DataFrame =
+    ngramJaccardPairsPrefix(docs, n, tau, id, text)
 
   /** MinHash signatures: (id, hash_index i, minhash value). */
   def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int,

@@ -180,6 +180,25 @@ class OpsSpec extends SparkSpec {
     assert(got(0).getAs[Long]("keep_id") == 1L)
   }
 
+  test("prefix-filtered jaccard equals the full inverted index exactly") {
+    // random short texts over a tiny alphabet produce heavy shingle
+    // collisions AND many sub-threshold pairs — the prefix filter must
+    // reproduce the full plan's output exactly (no lost pair, no extra)
+    val rng = new scala.util.Random(42)
+    val corpus = (1L to 60L).map { i =>
+      (i, (1 to 12 + rng.nextInt(20)).map(_ => "ab".charAt(rng.nextInt(2))).mkString)
+    }.toDF("doc_id", "text")
+    for (tau <- Seq(0.3, 0.5, 0.8)) {
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select("id_a", "id_b", "shared", "sz_a", "sz_b")
+        .collect().map(_.toSeq).toSet
+      val full = canon(Dedup.ngramJaccardPairsFull(corpus, n = 3, tau))
+      val pref = canon(Dedup.ngramJaccardPairsPrefix(corpus, n = 3, tau))
+      assert(pref == full, s"tau=$tau: prefix filter diverged from full index")
+      assert(full.nonEmpty, s"tau=$tau: fixture produced no pairs — test is vacuous")
+    }
+  }
+
   test("ngram jaccard: identical docs have jaccard 1, near-dups high") {
     val pairs = Dedup.ngramJaccardPairs(docs, n = 4, tau = 0.3)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
