@@ -94,16 +94,40 @@ object Dims {
         .otherwise(coalesce(col("sex"), lit(UnknownValue))).as("sex"))
 
     val maxKey = existing.agg(coalesce(max(col("sample_key")), lit(0L))).head.getLong(0)
-    val fresh = joined.where(col("sample_key").isNull).select(
-      col("i_gsm").as("gsm_accession"), col("i_study").as("study_key"),
-      col("i_platform").as("platform_key"), col("i_illness").as("illness_key"),
-      coalesce(col("i_age"), lit(UnknownValue)).as("age"),
-      coalesce(col("i_sex"), lit(UnknownValue)).as("sex"))
-      .withColumn("sample_key", lit(maxKey) +
-        row_number().over(Window.orderBy(col("gsm_accession"), col("study_key"))).cast("long"))
+    // Unlike the bounded-vocabulary dims, new SAMPLES can be millions of
+    // rows per batch (envelope: 50k samples/study x hundreds of studies)
+    // — a row_number window with no partition would sort them all in ONE
+    // task. zipKeys assigns the identical dense numbering through a
+    // parallel range-partitioned sort instead.
+    val fresh = zipKeys(
+      joined.where(col("sample_key").isNull).select(
+        col("i_gsm").as("gsm_accession"), col("i_study").as("study_key"),
+        col("i_platform").as("platform_key"), col("i_illness").as("illness_key"),
+        coalesce(col("i_age"), lit(UnknownValue)).as("age"),
+        coalesce(col("i_sex"), lit(UnknownValue)).as("sex")),
+      Seq("gsm_accession", "study_key"), "sample_key", maxKey)
 
     matchedOrExisting.unionByName(fresh.select(
       "sample_key", "gsm_accession", "study_key", "platform_key", "illness_key", "age", "sex"))
+  }
+
+  /** Deterministic dense keys offset+1..offset+N in `orderCols` order,
+    * assigned WITHOUT a single-partition window: orderBy is a parallel
+    * range-partitioned sort, and zipWithIndex numbers rows by
+    * (partition, position) — identical values to
+    * `row_number().over(Window.orderBy(...))`, minus the one-task sort.
+    * The RDD round-trip breaks codegen only for this keyed subset.
+    */
+  private def zipKeys(df: DataFrame, orderCols: Seq[String], keyCol: String,
+      offset: Long): DataFrame = {
+    val sorted = df.orderBy(orderCols.map(col(_).asc): _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        keyCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (offset + i + 1L))
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
   }
 
   /** Resolve a dim's natural value to its nullable FK with the UNKNOWN
