@@ -713,6 +713,14 @@ object SparkEntry {
     "p12_embedding_dup" -> ((s, dir) =>
       Similarity.cosineDupPairs(t(s, dir, "embeddings"), tau = 0.45)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))),
+    // P23: the blocked scale twin of p12 — near-dup pairs found within
+    // sign-LSH buckets, OR-amplified over 3 independent 4-plane bands
+    // (a pair survives if ANY band co-buckets it; bands raise recall,
+    // planes bound each band's join fan-out).
+    "p23_blocked_neardup" -> ((s, dir) =>
+      Similarity.cosineDupPairsBlocked(t(s, dir, "embeddings"), tau = 0.45,
+        planes = 4, bands = 3)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))),
 
     // --- text analysis (p7-p10) ---------------------------------------
     "p7_langid" -> ((s, dir) =>
@@ -1281,6 +1289,30 @@ object SparkEntry {
          |           FROM pairs)
          |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
          |FROM ranked WHERE rank <= 5""".stripMargin,
+    "p23_blocked_neardup" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |           FROM embeddings),
+         |planes AS (SELECT unnest(generate_series(0, 11)) AS plane),
+         |proj AS (
+         |  SELECT vec_id, plane // 4 AS band, plane % 4 AS bit,
+         |         list_sum(list_transform(e, (x, i) ->
+         |           x * ((${hx("concat(plane, '_', i - 1)")} % 2001 - 1000) / 1000.0))) AS proj
+         |  FROM v CROSS JOIN planes
+         |),
+         |buckets AS (SELECT vec_id, band,
+         |                   sum(CASE WHEN proj > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS bucket
+         |            FROM proj GROUP BY 1, 2),
+         |n AS (SELECT v.vec_id, band, bucket, e,
+         |             sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm
+         |      FROM v JOIN buckets USING (vec_id)),
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         list_sum(list_transform(a.e, (x, i) -> x * b.e[i])) / (a.nrm * b.nrm) AS cosine
+         |  FROM n a JOIN n b ON a.band = b.band AND a.bucket = b.bucket
+         |                    AND a.vec_id < b.vec_id
+         |)
+         |SELECT id_a, id_b, round(min(cosine), 6) AS cosine FROM pairs
+         |WHERE cosine >= 0.45 GROUP BY 1, 2""".stripMargin,
     "p13_ivf_topk" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
         |           FROM embeddings),

@@ -91,12 +91,15 @@ object Similarity {
 
   /** Sign-bucket column: bit p set iff dot(v, hyperplane_p) > 0.
     * Each projection is one codegen dot against a literal weight row —
-    * per-row column math, no explode, no shuffle.
+    * per-row column math, no explode, no shuffle. `firstPlane` selects
+    * which global hyperplanes form this bucket (OR-amplified blocking
+    * uses disjoint plane groups per band).
     */
-  private def bucketCol(vd: Column, planes: Int, d: Int): Column = {
-    val w = planeWeights(planes, d)
+  private def bucketCol(vd: Column, planes: Int, d: Int, firstPlane: Int = 0): Column = {
+    val w = planeWeights(firstPlane + planes, d)
     (0 until planes).map { p =>
-      when(VectorMath.dot(vd, typedlit(w(p).toSeq)) > 0, lit(1L << p)).otherwise(lit(0L))
+      when(VectorMath.dot(vd, typedlit(w(firstPlane + p).toSeq)) > 0,
+        lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 
@@ -209,8 +212,8 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= tau)
-    * — exact all-pairs; compose with [[lshBucket]] for the blocked
-    * variant at scale.
+    * — exact all-pairs quality oracle; [[cosineDupPairsBlocked]] is the
+    * scale path.
     */
   def cosineDupPairs(emb: DataFrame, tau: Double,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
@@ -220,5 +223,45 @@ object Similarity {
       .withColumn("cosine", VectorMath.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cosine") >= tau)
       .select("id_a", "id_b", "cosine")
+  }
+
+  /** LSH-BLOCKED embedding near-dup pairs — the scale path for
+    * [[cosineDupPairs]]: `bands` independent sign-LSH bucketings over
+    * disjoint hyperplane groups (OR-amplification, the sign-LSH analog
+    * of MinHash banding); vectors pair when ANY band co-buckets them,
+    * then gate on exact cosine >= tau. A pair at angle theta survives
+    * one band with probability (1 - theta/pi)^planes, and misses all
+    * bands with (1 - (1-theta/pi)^planes)^bands — bands raise recall,
+    * planes bound each band's bucket occupancy (join fan-out). Fully
+    * deterministic — the oracle replays the blocking bit-for-bit.
+    *
+    * Scale shape: the banded frame is band-tagged rows of the one
+    * vector scan; the candidate join shuffles on (band, bucket); the
+    * per-band duplicate hits collapse in the same aggregation that
+    * gates on cosine (computed once per pair via min over identical
+    * values, not once per band).
+    */
+  def cosineDupPairsBlocked(emb: DataFrame, tau: Double, planes: Int = 4,
+      bands: Int = 3, id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val d = vecDim(emb, vec).getOrElse(0)
+    val base = spread(emb
+      .where(col(vec).isNotNull && size(col(vec)) > 0)
+      .select(col(id), toDouble(col(vec)).as("__v")))
+      .withColumn("__n", VectorMath.norm(col("__v")))
+      .where(col("__n") > 0.0)
+    val banded = (0 until bands).map { band =>
+      base.withColumn("band", lit(band))
+        .withColumn("bucket", bucketCol(col("__v"), planes, d, band * planes))
+    }.reduce(_ unionByName _)
+    val a = banded.select(col(id).as("id_a"), col("__v").as("va"),
+      col("__n").as("na"), col("band"), col("bucket"))
+    val b = banded.select(col(id).as("id_b"), col("__v").as("vb"),
+      col("__n").as("nb"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine", VectorMath.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .where(col("cosine") >= tau)
+      // a pair co-bucketed by several bands appears once
+      .groupBy(col("id_a"), col("id_b")).agg(min(col("cosine")).as("cosine"))
   }
 }

@@ -119,6 +119,29 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("blocked near-dup: subset of exact pairs; near-zero angles always survive") {
+    val rng = new scala.util.Random(9)
+    def vecClose(b: Array[Double]) = b.map(_ + (rng.nextDouble() - 0.5) * 0.01).toSeq
+    val bases = (0 until 5).map(_ => Array.fill(16)(rng.nextDouble() - 0.5))
+    // 3 tight copies of each base (angle ~0) + lone noise vectors
+    val rows = bases.zipWithIndex.flatMap { case (bs, gi) =>
+      (0 until 3).map(j => (gi * 10L + j, vecClose(bs)))
+    } ++ (100L to 119L).map(i => (i, Array.fill(16)(rng.nextDouble() - 0.5).toSeq))
+    val emb = rows.toDF("vec_id", "embedding")
+    val exact = Similarity.cosineDupPairs(emb, tau = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Similarity.cosineDupPairsBlocked(emb, tau = 0.9, planes = 4, bands = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked.subsetOf(exact)) // blocking never invents pairs
+    // each tight triple's 3 pairs sit at ~0 angle: sign patterns agree
+    // on every plane, so every band co-buckets them — full recall
+    val tight = bases.indices.flatMap { gi =>
+      Seq((gi * 10L, gi * 10L + 1), (gi * 10L, gi * 10L + 2), (gi * 10L + 1, gi * 10L + 2))
+    }.toSet
+    assert(tight.subsetOf(exact))
+    assert(tight.subsetOf(blocked))
+  }
+
   test("normalized dedup collapses case/punctuation/whitespace variants only") {
     val variants = docs.unionByName(Seq(
       (11L, "THE CAT sat on the mat!!!"),   // case+punct variant of 1/2
