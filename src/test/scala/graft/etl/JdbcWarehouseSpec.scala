@@ -89,10 +89,16 @@ class JdbcWarehouseSpec extends SparkSpec {
     assert(wh.read("dim_sample").schema.fieldNames.toSeq ==
       Warehouse.schemas("dim_sample").fieldNames.toSeq)
 
+    // D4 state rides the same JDBC backend (BOOLEAN/TIMESTAMP columns
+    // through the dialect): terminal row observable after the run
+    assert(StudyState.completed(wh) == Set("GSE9006"))
+
     // idempotent re-run: J7 anti-join against the JDBC-read facts
     val rerun = job.run()
     assert(rerun.head.facts == 0)
     assert(wh.read("fact_expression").count() == 11)
+    // resume over JDBC skips the finished study entirely
+    assert(job.run(resume = true).head.skipped)
 
     // correlation job over JDBC (reference tests/test_correlation_job.py:143-181)
     val corrJob = new CorrelationJob(spark, url)
