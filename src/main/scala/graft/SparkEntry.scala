@@ -722,6 +722,14 @@ object SparkEntry {
         planes = 4, bands = 3)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))),
 
+    // P24: per-vector symmetric int8 quantization — embedding storage/
+    // index preprocessing; code-sum + reconstruction mse replayed
+    // exactly by the oracle (round half-away-from-zero both engines).
+    "p24_quantize_int8" -> ((s, dir) =>
+      Similarity.quantizeInt8(t(s, dir, "embeddings"))
+        .select(col("vec_id"), round(col("scale"), 9).as("scale"),
+          col("q_sum"), round(col("mse"), 12).as("mse"))),
+
     // --- text analysis (p7-p10) ---------------------------------------
     "p7_langid" -> ((s, dir) =>
       TextStats.langIdColumns(t(s, dir, "documents"))
@@ -1313,6 +1321,24 @@ object SparkEntry {
          |)
          |SELECT id_a, id_b, round(min(cosine), 6) AS cosine FROM pairs
          |WHERE cosine >= 0.45 GROUP BY 1, 2""".stripMargin,
+    "p24_quantize_int8" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |           FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0),
+        |s AS (SELECT vec_id, e,
+        |             list_reduce(list_prepend(0.0, list_transform(e, x -> abs(x))),
+        |               (a, b) -> greatest(a, b)) / 127.0 AS scale
+        |      FROM v),
+        |q AS (SELECT vec_id, e, scale,
+        |             CASE WHEN scale = 0 THEN list_transform(e, x -> 0::BIGINT)
+        |                  ELSE list_transform(e, x ->
+        |                    greatest(-127::BIGINT, least(127::BIGINT,
+        |                      CAST(round(x / scale, 0) AS BIGINT)))) END AS codes
+        |      FROM s)
+        |SELECT vec_id, round(scale, 9) AS scale,
+        |       CAST(list_sum(codes) AS BIGINT) AS q_sum,
+        |       round(list_sum(list_transform(range(1, len(e) + 1), i ->
+        |         pow(e[i] - codes[i] * scale, 2))) / len(e), 12) AS mse
+        |FROM q""".stripMargin,
     "p13_ivf_topk" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
         |           FROM embeddings),

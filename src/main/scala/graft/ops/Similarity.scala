@@ -225,6 +225,33 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Per-vector symmetric int8 quantization — the storage/ANN-index
+    * preprocessing step: scale = max|v_i| / 127, codes q_i =
+    * round(v_i / scale) in [-127, 127], reconstruction v̂_i = q_i·scale.
+    * Pure per-row column math (one pass for the scale, one for codes +
+    * error), no shuffle; zero vectors quantize to all-zero codes with
+    * scale 0. Returns (id, scale, q_sum, mse): the code-sum is a
+    * content check the oracle can replay exactly (round() is
+    * half-away-from-zero on BOTH engines), mse is the mean squared
+    * reconstruction error the quality gate watches.
+    */
+  def quantizeInt8(emb: DataFrame, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame =
+    emb.where(col(vec).isNotNull && size(col(vec)) > 0)
+      .select(col(id), toDouble(col(vec)).as("__v"))
+      .withColumn("__scale",
+        aggregate(col("__v"), lit(0.0), (acc, x) => greatest(acc, abs(x))) / 127.0)
+      .withColumn("__q",
+        when(col("__scale") === 0.0, transform(col("__v"), _ => lit(0L)))
+          .otherwise(transform(col("__v"), x =>
+            greatest(lit(-127L),
+              least(lit(127L), round(x / col("__scale"), 0).cast("long"))))))
+      .select(col(id), col("__scale").as("scale"),
+        aggregate(col("__q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+        (aggregate(zip_with(col("__v"), col("__q"),
+            (x, qi) => pow(x - qi.cast("double") * col("__scale"), 2.0)),
+          lit(0.0), (acc, e) => acc + e) / size(col("__v"))).as("mse"))
+
   /** LSH-BLOCKED embedding near-dup pairs — the scale path for
     * [[cosineDupPairs]]: `bands` independent sign-LSH bucketings over
     * disjoint hyperplane groups (OR-amplification, the sign-LSH analog

@@ -142,6 +142,25 @@ class OpsSpec extends SparkSpec {
     assert(tight.subsetOf(blocked))
   }
 
+  test("int8 quantization: scale, codes, zero vectors, error bound") {
+    val emb = Seq(
+      (1L, Seq(1.27, -1.27, 0.635, 0.0)), // exact grid: zero error
+      (2L, Seq(0.0, 0.0, 0.0)),           // zero vector -> scale 0, codes 0
+      (3L, Seq(0.1, 0.2, -0.05))).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2), r.getDouble(3)))).toMap
+    val (s1, q1, m1) = out(1L)
+    assert(math.abs(s1 - 0.01) < 1e-12) // 1.27/127
+    assert(q1 == 127L - 127L + 64L + 0L) // codes 127,-127,64(round .5 away),0
+    // only 0.635 has a residual: (0.635 - 64*0.01)^2 / 4 = 6.25e-6
+    assert(math.abs(m1 - 6.25e-6) < 1e-12)
+    val (s2, q2, m2) = out(2L)
+    assert(s2 == 0.0 && q2 == 0L && m2 == 0.0)
+    // per-component reconstruction error is bounded by (scale/2)^2
+    val (s3, _, m3) = out(3L)
+    assert(m3 <= s3 * s3 / 4.0 + 1e-15)
+  }
+
   test("normalized dedup collapses case/punctuation/whitespace variants only") {
     val variants = docs.unionByName(Seq(
       (11L, "THE CAT sat on the mat!!!"),   // case+punct variant of 1/2
