@@ -45,12 +45,23 @@ object Bench {
       val ts = all.map(_.toMap.apply(n))
       (n, ts.min, ts.max - ts.min)
     }
-    val qs = byQuery.map { case (k, v, _) => JsonUtil.quote(k) + ":" + v }
+    // 3-decimal precision: the round-3 artifact lost its queries dict
+    // to the driver's bounded tail capture because full-precision
+    // doubles doubled the line length. Locale.ROOT pins '.' decimals.
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = byQuery.map { case (k, v, _) => JsonUtil.quote(k) + ":" + fmt(v) }
       .mkString("{", ",", "}")
-    val spread = byQuery.map { case (k, _, d) => JsonUtil.quote(k) + ":" + d }
+    val spread = byQuery.map { case (k, _, d) => JsonUtil.quote(k) + ":" + fmt(d) }
       .mkString("{", ",", "}")
     val total = byQuery.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"spread":$spread,"sf":${JsonUtil.quote(sfDir)}}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":$passes,"queries":$qs,"spread":$spread,"sf":${JsonUtil.quote(sfDir)}}"""
+    println(line)
+    // belt-and-braces: a file copy survives any stdout truncation
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case NonFatal(e) => System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

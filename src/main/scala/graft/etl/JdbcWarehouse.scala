@@ -76,13 +76,28 @@ class JdbcWarehouse(
     }
 
   /** JDBC metadata stores unquoted identifiers case-folded (upper for
-    * Derby/Postgres-style catalogs); probe both foldings.
+    * Derby/Postgres-style catalogs); probe both foldings. The pattern
+    * argument of getTables treats `_` as a single-char wildcard and
+    * every warehouse table name contains underscores (fact_expression,
+    * etl_study_state), so a similarly-named table could false-positive
+    * the probe — escape `_`/`%` with the driver's escape string.
     */
   private def tableExists(conn: Connection, table: String): Boolean = {
     val md = conn.getMetaData
+    val esc = Option(md.getSearchStringEscape).filter(_.nonEmpty)
+    def pattern(n: String) = esc match {
+      case Some(e) => n.replace(e, e + e).replace("_", e + "_").replace("%", e + "%")
+      case None    => n
+    }
     def probe(n: String) = {
-      val rs = md.getTables(null, null, n, Array("TABLE"))
-      try rs.next() finally rs.close()
+      val rs = md.getTables(null, null, pattern(n), Array("TABLE"))
+      // even escaped, re-check the returned names exactly (a driver
+      // with no escape string falls back to pattern matching)
+      try {
+        var hit = false
+        while (!hit && rs.next()) hit = rs.getString("TABLE_NAME").equalsIgnoreCase(n)
+        hit
+      } finally rs.close()
     }
     probe(table.toUpperCase) || probe(table) || probe(table.toLowerCase)
   }
@@ -141,11 +156,19 @@ class JdbcWarehouse(
             .option("numPartitions", math.min(8L, hi - lo + 1).toString)
         case _ => base
       }
-      reader.load()
-        // pin declared names/order/types regardless of dialect
-        // round-trip quirks (e.g. case-folded identifiers)
-        .toDF(schema.fieldNames.toIndexedSeq: _*)
-        .select(schema.fields.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)
+      // Pin declared names/order/types by NAME (case-insensitive), not
+      // position: a pre-existing reference database (Postgres/SQL
+      // Server) may store columns in a different physical order, and a
+      // positional rename would silently shift values across columns.
+      val loaded = reader.load()
+      val byFolded = loaded.columns.map(c => c.toLowerCase -> c).toMap
+      val projection = schema.fields.map { f =>
+        val actual = byFolded.getOrElse(f.name.toLowerCase, throw new IllegalStateException(
+          s"JDBC table $table: declared column ${f.name} absent in fetched schema " +
+            s"(${loaded.columns.mkString(", ")})"))
+        col(actual).cast(f.dataType).as(f.name)
+      }
+      loaded.select(projection.toIndexedSeq: _*)
     } else
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], schemas(table))
@@ -177,13 +200,28 @@ class JdbcWarehouse(
     */
   def writeDim(table: String, df: DataFrame): Unit = {
     writer(df, table).mode(SaveMode.Overwrite).option("dbtable", table + "__tmp").save()
+    // The swap body is RE-ENTRY SAFE for the retry loop: __old is only
+    // dropped while live exists (a stale leftover of a previous
+    // completed swap), never when it is the sole surviving copy. A
+    // retry after "live -> __old succeeded, __tmp -> live failed" sees
+    // no live table, skips both the drop and the set-aside, and
+    // reattempts only the promote; if retries exhaust there, __old
+    // survives and read()'s recovery restores it.
     withConn(s"swap dim $table") { conn =>
-      if (tableExists(conn, table + "__old"))
-        exec(conn, s"DROP TABLE ${table}__old")
-      if (tableExists(conn, table))
-        exec(conn, s"RENAME TABLE $table TO ${table}__old")
-      exec(conn, s"RENAME TABLE ${table}__tmp TO $table")
-      if (tableExists(conn, table + "__old"))
+      if (tableExists(conn, table + "__tmp")) {
+        if (tableExists(conn, table)) {
+          if (tableExists(conn, table + "__old"))
+            exec(conn, s"DROP TABLE ${table}__old")
+          exec(conn, s"RENAME TABLE $table TO ${table}__old")
+        }
+        exec(conn, s"RENAME TABLE ${table}__tmp TO $table")
+      }
+    }
+    // destructive cleanup only after the promote committed, in its own
+    // retried block — a failure here leaves a stale __old that the next
+    // writeDim (or read-recovery, which prefers live) handles
+    withConn(s"cleanup dim $table") { conn =>
+      if (tableExists(conn, table) && tableExists(conn, table + "__old"))
         exec(conn, s"DROP TABLE ${table}__old")
     }
   }

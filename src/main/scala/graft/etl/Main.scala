@@ -11,10 +11,20 @@ import graft.GraftSession
 object Main {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) { usage(); sys.exit(2) }
+    val spark = GraftSession.getOrCreate(s"graft-${args.head}")
+    val code = try run(args, spark) finally spark.stop()
+    if (code != 0) sys.exit(code)
+  }
+
+  /** The CLI body with the caller owning the session and the exit code
+    * returned, not thrown — lets specs drive the real command surface
+    * (flag parsing included) on the shared test session.
+    */
+  def run(args: Array[String], spark: org.apache.spark.sql.SparkSession): Int = {
+    if (args.isEmpty) { usage(); return 2 }
     val cmd = args.head
     val opts = parse(args.tail.toList, Map.empty)
-    val spark = GraftSession.getOrCreate(s"graft-$cmd")
-    try cmd match {
+    cmd match {
       case "etl" =>
         val cfg = EtlConfig.load(opts.get("config").flatMap(_.headOption)
           .getOrElse { usage(); sys.exit(2) })
@@ -28,32 +38,60 @@ object Main {
           else "./warehouse")
         val job = new EtlJob(spark, cfg, wh)
         val mode = opts.get("mode").flatMap(_.headOption).getOrElse("sequential")
+        // The reference resumes unconditionally — every run loads state
+        // and skips completed studies (reference pipeline.py:101-105,
+        // 255-270) — so resume is the DEFAULT; --no-resume forces a full
+        // re-scan (still idempotent via the J7 anti-join, just slower).
+        val resume = !flag(opts, "no-resume")
         val results = mode match {
-          case "unioned"    => job.runUnioned()
-          case "sequential" => job.run()
+          case "unioned"    => job.runUnioned(resume)
+          case "sequential" => job.run(resume)
           case other =>
             System.err.println(s"Unknown --mode: $other (expected sequential|unioned)")
             usage(); sys.exit(2)
         }
         results.foreach { r =>
-          val status = r.error.map(e => s"FAILED: $e").getOrElse("ok")
+          val status =
+            if (r.skipped) "skipped (resume)"
+            else r.error.map(e => s"FAILED: $e").getOrElse("ok")
           println(s"study=${r.accession} samples=${r.samples} facts=${r.facts} $status")
         }
-        if (results.exists(_.error.isDefined)) sys.exit(1)
+        if (results.exists(_.error.isDefined)) 1 else 0
       case "correlate" =>
         val wh = opts.get("warehouse").flatMap(_.headOption).getOrElse("./warehouse")
         val studies = opts.getOrElse("study", Seq.empty)
-        val exactP = opts.get("exact-p").flatMap(_.headOption).exists(_.toBoolean)
+        val exactP = flag(opts, "exact-p")
         val summary = new CorrelationJob(spark, wh, exactPValues = exactP).run(studies)
         println(s"studies=${summary.studies.mkString(",")} pairs=${summary.pairs}")
+        0
       case other =>
-        System.err.println(s"Unknown command: $other"); usage(); sys.exit(2)
-    } finally spark.stop()
+        System.err.println(s"Unknown command: $other"); usage(); 2
+    }
   }
+
+  /** Boolean options accept a bare flag (`--exact-p`), an explicit
+    * `true`/`false` value, or repeated mention; any other value is a
+    * usage error (exit 2), never a raw exception.
+    */
+  private val flagKeys = Set("exact-p", "no-resume")
+
+  private def flag(opts: Map[String, Seq[String]], key: String): Boolean =
+    opts.get(key) match {
+      case None => false
+      case Some(vs) => vs.lastOption.forall(v => v.toBooleanOption.getOrElse {
+        System.err.println(s"--$key expects true|false, got: $v")
+        usage(); sys.exit(2)
+      })
+    }
 
   @annotation.tailrec
   private def parse(args: List[String], acc: Map[String, Seq[String]]): Map[String, Seq[String]] =
     args match {
+      // a flag key followed by another option (or nothing) is bare true
+      case key :: rest if key.startsWith("--") && flagKeys(key.drop(2)) &&
+          rest.headOption.forall(_.startsWith("--")) =>
+        val k = key.drop(2)
+        parse(rest, acc.updated(k, acc.getOrElse(k, Seq.empty)))
       case key :: value :: rest if key.startsWith("--") =>
         val k = key.drop(2)
         parse(rest, acc.updated(k, acc.getOrElse(k, Seq.empty) :+ value))
@@ -63,6 +101,6 @@ object Main {
     }
 
   private def usage(): Unit = System.err.println(
-    """usage: graft.etl.Main etl --config <yaml> [--warehouse <dir|jdbc:url>] [--mode unioned]
-      |       graft.etl.Main correlate [--warehouse <dir|jdbc:url>] [--study <GSE>]... [--exact-p true]""".stripMargin)
+    """usage: graft.etl.Main etl --config <yaml> [--warehouse <dir|jdbc:url>] [--mode unioned] [--no-resume]
+      |       graft.etl.Main correlate [--warehouse <dir|jdbc:url>] [--study <GSE>]... [--exact-p]""".stripMargin)
 }

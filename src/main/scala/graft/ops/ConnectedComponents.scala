@@ -52,15 +52,21 @@ object ConnectedComponents {
         .join(labels.alias("l"), col("n.id") === col("l.id"))
         .where(col("n.component") =!= col("l.component"))
         .limit(1).count()
+      // superseded checkpoint blocks would otherwise pile up in the
+      // block manager for the JVM lifetime (one label table per round)
+      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
-    if (!converged)
+    sym.unpersist()
+    if (!converged) {
+      labels.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
-          "component diameter exceeds the bound; raise maxIter or use a " +
-          "contraction variant for long-chain graphs")
+          "component diameter exceeds the bound; raise maxIter or use " +
+          "connectedComponentsStar for long-chain graphs")
+    }
     labels
   }
 }

@@ -434,6 +434,41 @@ class EtlSpec extends SparkSpec {
     assert(wh.read("fact_gene_pair_corr").count() == 0)
   }
 
+  test("CLI: resume is the DEFAULT — a re-run skips the completed study; --no-resume re-scans") {
+    val root = tmpDir()
+    makeStudy(root)
+    val filter = write(root, "filter.tsv", filterTsv)
+    val whDir = tmpDir().toString
+    val yaml = write(root, "etl.yaml",
+      s"""database:
+         |  connection_string: unused
+         |processing:
+         |  input_directory: $root
+         |  gene_filter_file: $filter
+         |logging:
+         |  log_level: WARN
+         |""".stripMargin)
+    def runCli(args: String*): String = {
+      val out = new java.io.ByteArrayOutputStream()
+      val code = Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+        Main.run(args.toArray, spark)
+      }
+      assert(code == 0, s"exit $code; output: $out")
+      out.toString("UTF-8")
+    }
+    val first = runCli("etl", "--config", yaml.toString, "--warehouse", whDir)
+    assert(first.contains("facts=11 ok"))
+    // default resume (reference pipeline.py:101-105 resumes every run):
+    // the completed study is skipped via its terminal state row, no
+    // re-scan of its data
+    val second = runCli("etl", "--config", yaml.toString, "--warehouse", whDir)
+    assert(second.contains("skipped (resume)"), second)
+    // --no-resume forces the full pass; J7 still yields zero new facts
+    val third = runCli("etl", "--config", yaml.toString, "--warehouse", whDir, "--no-resume")
+    assert(third.contains("facts=0 ok"), third)
+    assert(Warehouse(spark, whDir).read("fact_expression").count() == 11)
+  }
+
   test("X6: differing experiment accession is overridden to directory accession") {
     val root = tmpDir()
     makeStudy(root)
