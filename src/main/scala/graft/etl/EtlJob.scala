@@ -116,18 +116,14 @@ class EtlJob(spark: SparkSession, config: AppConfig, warehouseDir: String) {
       allSamples.select(col("illness_label")), "illness_key", "illness_label"))
 
     // __ord pins the reference's "first row in file wins" duplicate-GSM
-    // resolution (Dims.upsertSampleDim). monotonically_increasing_id is
-    // (partitionId << 33 | rowInPartition): ordering by it IS file order
-    // here because each study's metadata is ONE file (splits of a single
-    // file pack in offset order) and a union concatenates children's
-    // partitions in order — so the order is deterministic across reruns
-    // and layouts FOR THIS INPUT SHAPE. A multi-file-per-study metadata
-    // source would break that (scan packs files by size); switch to a
-    // per-file zipWithIndex if that shape ever appears.
+    // resolution (Dims.upsertSampleDim). It comes from Metadata.load:
+    // per-file byte offsets, so the order is FILE order regardless of
+    // how the scan packs splits — safe for multi-file metadata too.
+    // (Cross-study collisions are harmless: __ord only orders rows
+    // within one (gsm, study) group.)
     val incoming = Dims.resolveFk(
       Dims.resolveFk(
-        allSamples.withColumn("__ord", monotonically_increasing_id())
-          .join(broadcast(studyDim), Seq("study_accession")),
+        allSamples.join(broadcast(studyDim), Seq("study_accession")),
         wh.read("dim_platform"), "platform_accession", "platform_accession", "platform_key"),
       wh.read("dim_illness"), "illness_label", "illness_label", "illness_key")
       .select("gsm_accession", "study_key", "platform_key", "illness_key", "age", "sex", "__ord")
@@ -206,12 +202,11 @@ class EtlJob(spark: SparkSession, config: AppConfig, warehouseDir: String) {
       samples.select(col("illness_label")), "illness_key", "illness_label")
     wh.writeDim("dim_illness", dimIllness)
 
-    // __ord = file order; deterministic for a single-file metadata read
-    // (see the runUnioned call site for the full argument)
+    // __ord = per-file byte offset from Metadata.load — true file
+    // order under any split layout (see the runUnioned call site)
     val incoming = Dims.resolveFk(
       Dims.resolveFk(
-        samples.withColumn("__ord", monotonically_increasing_id())
-          .withColumn("study_key", lit(studyKey)),
+        samples.withColumn("study_key", lit(studyKey)),
         wh.read("dim_platform"), "platform_accession", "platform_accession", "platform_key"),
       wh.read("dim_illness"), "illness_label", "illness_label", "illness_key")
       .select("gsm_accession", "study_key", "platform_key", "illness_key", "age", "sex", "__ord")

@@ -54,19 +54,78 @@ object Metadata {
     else coalesce((exprs :+ lit(UnknownValue)): _*)
   }
 
-  /** Read + normalize one metadata TSV to SampleMetadata shape. */
+  /** Read + normalize metadata TSV(s) to SampleMetadata shape, plus a
+    * `__ord` column pinning FILE order: (index of the file in sorted
+    * path order) ⧺ (byte offset of the record within its file).
+    *
+    * Why not `monotonically_increasing_id`: that reflects scan
+    * PARTITION order, and the file scan packs splits by SIZE, not path
+    * — two metadata files can come out transposed, flipping which
+    * duplicate-GSM row "wins" (reference semantics: first row in file
+    * order, repositories.py:188-251). The Hadoop record offset is
+    * derived from content alone, so the ordinal survives any split
+    * layout; rows parse through `from_csv`, the same Univocity parser
+    * as `spark.read.csv`.
+    */
   def load(spark: SparkSession, path: String, mappings: FieldMappingConfig,
-      enforceRequired: Boolean = true): DataFrame = {
-    val raw = spark.read
-      .options(Map("sep" -> "\t", "header" -> "true", "inferSchema" -> "false"))
-      .csv(path)
-    normalize(raw, mappings, enforceRequired, context = path)
+      enforceRequired: Boolean = true): DataFrame =
+    listInputFiles(spark, path).zipWithIndex
+      .map { case (file, idx) =>
+        normalize(rawWithOrdinal(spark, file, idx), mappings, enforceRequired, file)
+      }
+      .reduce(_ unionByName _)
+
+  /** Files matched by `path` (file, directory, or glob) in sorted path
+    * order — the deterministic S1-style ordering the ordinal encodes.
+    */
+  private def listInputFiles(spark: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+    val files = matched
+      .flatMap(st => if (st.isDirectory) fs.listStatus(st.getPath).toSeq else Seq(st))
+      .filter(st => st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+    if (files.isEmpty)
+      throw new MetadataFormatError(s"Metadata path $path matched no files")
+    files.map(_.getPath.toString).sorted
   }
 
-  /** Normalize an already-read all-strings metadata DataFrame. */
+  /** One file → all-strings DataFrame in header shape + `__ord`.
+    * TextInputFormat's record key IS the record's byte offset in the
+    * file; the header is the offset-0 record. fileIdx lives in the
+    * ordinal's high bits (44-bit offsets ⇒ files up to 16 TiB).
+    */
+  private def rawWithOrdinal(spark: SparkSession, file: String, fileIdx: Int): DataFrame = {
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import org.apache.hadoop.mapreduce.lib.input.TextInputFormat
+    import spark.implicits._
+    val headerLine = spark.read.text(file).head(1).headOption.map(_.getString(0))
+      .getOrElse(throw new MetadataFormatError(s"Metadata file $file is empty"))
+    val headers = headerLine.split("\t", -1).map(_.trim)
+    val schema = org.apache.spark.sql.types.StructType(
+      headers.map(org.apache.spark.sql.types.StructField(_,
+        org.apache.spark.sql.types.StringType)))
+    spark.sparkContext
+      .newAPIHadoopFile(file, classOf[TextInputFormat],
+        classOf[LongWritable], classOf[Text])
+      .map { case (off, line) => (off.get, line.toString) } // Text is reused: copy now
+      .toDF("__off", "__line")
+      .where(col("__off") > 0) // drop the header record
+      .select(
+        from_csv(col("__line"), schema, Map("sep" -> "\t")).as("__r"),
+        (lit(fileIdx.toLong << 44) + col("__off")).as("__ord"))
+      .select(col("__r.*"), col("__ord"))
+  }
+
+  /** Normalize an already-read all-strings metadata DataFrame. A
+    * `__ord` column, when present (the [[load]] path), passes through.
+    */
   def normalize(raw: DataFrame, mappings: FieldMappingConfig,
       enforceRequired: Boolean = true, context: String = "<df>"): DataFrame = {
-    val headers = raw.columns.toSeq
+    val headers = raw.columns.toSeq.filterNot(_ == "__ord")
     val required = Seq("refinebio_accession_code", "experiment_accession")
     val missing = required.filterNot(headers.contains)
     if (enforceRequired && missing.nonEmpty)
@@ -76,14 +135,16 @@ object Metadata {
     def colOr(h: String): Column =
       if (headers.contains(h)) trim(col(h)) else lit("")
 
-    raw.select(
-        colOr("refinebio_accession_code").as("gsm_accession"),
-        coalesce(when(colOr("experiment_accession") =!= "",
-          colOr("experiment_accession")), lit(UnknownValue)).as("study_accession"),
-        resolveField(headers, mappings.platformFields).as("platform_accession"),
-        resolveField(headers, mappings.illnessFields).as("illness_label"),
-        resolveField(headers, mappings.ageFields).as("age"),
-        resolveField(headers, mappings.sexFields).as("sex"))
+    val fields = Seq(
+      colOr("refinebio_accession_code").as("gsm_accession"),
+      coalesce(when(colOr("experiment_accession") =!= "",
+        colOr("experiment_accession")), lit(UnknownValue)).as("study_accession"),
+      resolveField(headers, mappings.platformFields).as("platform_accession"),
+      resolveField(headers, mappings.illnessFields).as("illness_label"),
+      resolveField(headers, mappings.ageFields).as("age"),
+      resolveField(headers, mappings.sexFields).as("sex")) ++
+      (if (raw.columns.contains("__ord")) Seq(col("__ord")) else Nil)
+    raw.select(fields: _*)
       .where(col("gsm_accession") =!= "") // F5: blank-GSM rows dropped
   }
 

@@ -434,6 +434,38 @@ class EtlSpec extends SparkSpec {
     assert(wh.read("fact_gene_pair_corr").count() == 0)
   }
 
+  test("__ord is FILE order: multi-file metadata where path order ≠ size order resolves duplicate GSMs first-file-wins") {
+    val root = tmpDir()
+    val metaDir = Files.createDirectories(root.resolve("meta"))
+    val header = "refinebio_accession_code\texperiment_accession\trefinebio_age\trefinebio_sex"
+    // a_: lexically FIRST but much SMALLER — a size-packed scan (what
+    // monotonically_increasing_id ordered by) would put b_'s split
+    // first and flip the winner
+    write(metaDir, "a_meta.tsv",
+      s"$header\nGSMDUP\tGSEX\t11\tfemale\n")
+    val bulk = (1 to 2000).map(i => s"GSMF$i\tGSEX\t$i\tmale").mkString("\n")
+    write(metaDir, "b_meta.tsv",
+      s"$header\nGSMDUP\tGSEX\t99\tmale\n$bulk\n")
+    val df = Metadata.load(spark, metaDir.toString, FieldMappingConfig())
+    assert(df.count() == 2002)
+    // every a_meta row ordinal < every b_meta row ordinal
+    val aMax = df.where($"gsm_accession" === "GSMDUP" && $"age" === "11")
+      .head.getAs[Long]("__ord")
+    val bMin = df.where($"age" === "99").head.getAs[Long]("__ord")
+    assert(aMax < bMin)
+    // end-to-end: the duplicate-GSM group keeps the FIRST file's values
+    val wh = Warehouse(spark, tmpDir().toString)
+    val incoming = Dims.resolveFk(
+      Dims.resolveFk(df.withColumn("study_key", lit(1L)),
+        wh.read("dim_platform"), "platform_accession", "platform_accession", "platform_key"),
+      wh.read("dim_illness"), "illness_label", "illness_label", "illness_key")
+      .select("gsm_accession", "study_key", "platform_key", "illness_key", "age", "sex", "__ord")
+    val dim = Dims.upsertSampleDim(wh.read("dim_sample"), incoming)
+    val dup = dim.where($"gsm_accession" === "GSMDUP").head
+    assert(dup.getAs[String]("age") == "11")
+    assert(dup.getAs[String]("sex") == "female")
+  }
+
   test("CLI: resume is the DEFAULT — a re-run skips the completed study; --no-resume re-scans") {
     val root = tmpDir()
     makeStudy(root)
