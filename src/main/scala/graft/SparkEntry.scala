@@ -704,6 +704,17 @@ object SparkEntry {
       Similarity.lshCosineTopK(t(s, dir, "embeddings"), k = 5, planes = 8)
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
           col("rank").cast("long").as("rank"))),
+    // P25: OR-amplified banded LSH top-k — p6 with recall amplification
+    // (4 bands x 4 disjoint planes: per-band collision (1-theta/pi)^4,
+    // any-band survival 1-(1-(1-theta/pi)^4)^4; RecallSpec measures
+    // recall@5 lifting from p6's ~0.02 to ~0.5 on the same corpus).
+    "p25_lsh_topk_banded" -> ((s, dir) =>
+      Similarity.lshCosineTopK(t(s, dir, "embeddings"), k = 5, planes = 4, bands = 4)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
+          col("rank").cast("long").as("rank"))),
+    // p13's codebook is the DEFAULT kmeans path: deterministic seeded
+    // init (hex64 order) + 3 Lloyd rounds, replayed step-for-step by
+    // the DuckDB oracle.
     "p13_ivf_topk" -> ((s, dir) =>
       Similarity.ivfCosineTopK(t(s, dir, "embeddings"), k = 5, nCentroids = 8, nProbe = 2)
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
@@ -828,6 +839,62 @@ object SparkEntry {
 
   /** md5-derived 60-bit hash — matches graft.ops.Hashing.hex64. */
   private def hx(e: String): String = s"(('0x' || substr(md5($e),1,15))::BIGINT)"
+
+  /** p13's DuckDB oracle: replays the deterministic spherical k-means
+    * codebook step-for-step (seeded init by hex64(id) order, 3 Lloyd
+    * rounds — assignment = highest cosine with ties to the lowest cid,
+    * update = element-wise mean via zipped unnest), then the nProbe=2
+    * probe join and exact in-cell ranking. Built by a helper because
+    * the Lloyd round repeats verbatim; `aK/mK/cK` name iteration K.
+    */
+  private def ivfKmeansOracleSql: String = {
+    def lloyd(k: Int): String = {
+      val prev = s"c${k - 1}"
+      s"""a$k AS (SELECT vec_id, e, cid FROM (
+         |  SELECT n.vec_id, n.e, c.cid,
+         |         row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |           list_sum(list_transform(n.e, (x, i) -> x * c.cv[i])) / (n.nrm * c.cn) DESC,
+         |           c.cid ASC) AS rk
+         |  FROM n CROSS JOIN $prev c) WHERE rk = 1),
+         |m$k AS (SELECT cid, idx, avg(val) AS m FROM (
+         |  SELECT cid, unnest(e) AS val, unnest(range(1, len(e) + 1)) AS idx FROM a$k)
+         |  GROUP BY cid, idx),
+         |c$k AS (SELECT cid, list(m ORDER BY idx) AS cv, sqrt(sum(m * m)) AS cn
+         |  FROM m$k GROUP BY cid HAVING sqrt(sum(m * m)) > 0)""".stripMargin
+    }
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |           FROM embeddings),
+       |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v
+       |      WHERE sqrt(list_sum(list_transform(e, x -> x*x))) > 0),
+       |seed AS (SELECT row_number() OVER (ORDER BY ${hx("CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC) - 1 AS cid,
+       |                e AS cv, nrm AS cn
+       |         FROM n ORDER BY ${hx("CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC LIMIT 8),
+       |c0 AS (SELECT cid, cv, cn FROM seed WHERE cn > 0),
+       |${lloyd(1)},
+       |${lloyd(2)},
+       |${lloyd(3)},
+       |cells AS (SELECT vec_id, cid, rk FROM (
+       |  SELECT n.vec_id, c.cid,
+       |         row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |           list_sum(list_transform(n.e, (x, i) -> x * c.cv[i])) / (n.nrm * c.cn) DESC,
+       |           c.cid ASC) AS rk
+       |  FROM n CROSS JOIN c3 c) WHERE rk <= 2),
+       |assign AS (SELECT vec_id, cid AS cell FROM cells WHERE rk = 1),
+       |probes AS (SELECT vec_id, cid AS cell FROM cells WHERE rk <= 2),
+       |pairs AS (
+       |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+       |         list_sum(list_transform(qa.e, (x, i) -> x * na.e[i])) / (qa.nrm * na.nrm) AS cosine
+       |  FROM probes p
+       |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+       |  JOIN n qa ON qa.vec_id = p.vec_id
+       |  JOIN n na ON na.vec_id = a.vec_id
+       |),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |           FROM pairs)
+       |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+       |FROM ranked WHERE rank <= 5""".stripMargin
+  }
 
   /** Shared by p1 (batch hash-groupBy dedup) and p16 (stateful
     * streaming dedup): one logical dup-group query, two executions.
@@ -1339,33 +1406,36 @@ object SparkEntry {
         |       round(list_sum(list_transform(range(1, len(e) + 1), i ->
         |         pow(e[i] - codes[i] * scale, 2))) / len(e), 12) AS mse
         |FROM q""".stripMargin,
-    "p13_ivf_topk" ->
-      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-        |           FROM embeddings),
-        |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v),
-        |cents AS (SELECT vec_id AS cid, e AS cv, nrm AS cn FROM n ORDER BY vec_id ASC LIMIT 8),
-        |sims AS (
-        |  SELECT n.vec_id, cid,
-        |         list_sum(list_transform(e, (x, i) -> x * cv[i])) / (nrm * cn) AS sim
-        |  FROM n CROSS JOIN cents
-        |),
-        |cells AS (SELECT *, row_number() OVER (PARTITION BY vec_id
-        |                    ORDER BY sim DESC, cid ASC) AS rk FROM sims),
-        |assign AS (SELECT vec_id, cid AS cell FROM cells WHERE rk = 1),
-        |probes AS (SELECT vec_id, cid AS cell FROM cells WHERE rk <= 2),
-        |pairs AS (
-        |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
-        |         list_sum(list_transform(qa.e, (x, i) -> x * na.e[i])) / (qa.nrm * na.nrm) AS cosine
-        |  FROM probes p
-        |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id
-        |  JOIN n qa ON qa.vec_id = p.vec_id
-        |  JOIN n na ON na.vec_id = a.vec_id
-        |),
-        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
-        |                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
-        |           FROM pairs)
-        |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
-        |FROM ranked WHERE rank <= 5""".stripMargin,
+    "p13_ivf_topk" -> ivfKmeansOracleSql,
+    "p25_lsh_topk_banded" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |           FROM embeddings),
+         |planes AS (SELECT unnest(generate_series(0, 15)) AS plane),
+         |proj AS (
+         |  SELECT vec_id, plane // 4 AS band, plane % 4 AS bit,
+         |         list_sum(list_transform(e, (x, i) ->
+         |           x * ((${hx("concat(plane, '_', i - 1)")} % 2001 - 1000) / 1000.0))) AS proj
+         |  FROM v CROSS JOIN planes
+         |),
+         |buckets AS (SELECT vec_id, band,
+         |                   sum(CASE WHEN proj > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS bucket
+         |            FROM proj GROUP BY 1, 2),
+         |n AS (SELECT v.vec_id, band, bucket, e,
+         |             sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm
+         |      FROM v JOIN buckets USING (vec_id)
+         |      WHERE sqrt(list_sum(list_transform(e, x -> x*x))) > 0),
+         |pairs AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         min(list_sum(list_transform(a.e, (x, i) -> x * b.e[i])) / (a.nrm * b.nrm)) AS cosine
+         |  FROM n a JOIN n b ON a.band = b.band AND a.bucket = b.bucket
+         |                    AND a.vec_id <> b.vec_id
+         |  GROUP BY 1, 2
+         |),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         |           FROM pairs)
+         |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+         |FROM ranked WHERE rank <= 5""".stripMargin,
     "p12_embedding_dup" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
         |           FROM embeddings),

@@ -124,30 +124,103 @@ object Similarity {
     * shuffles both sides by bucket — each bucket's exact ranking
     * co-locates on one executor.
     */
-  def lshCosineTopK(emb: DataFrame, k: Int, planes: Int = 8,
+  def lshCosineTopK(emb: DataFrame, k: Int, planes: Int = 8, bands: Int = 1,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     val d = vecDim(emb, vec).getOrElse(0) // 0 only when no usable vectors -> empty below
-    val withB = spread(emb
+    val base = spread(emb
       .where(col(vec).isNotNull && size(col(vec)) > 0)
       .select(col(id), toDouble(col(vec)).as("__v")))
-      .withColumn("bucket", bucketCol(col("__v"), planes, d))
       .withColumn("__n", VectorMath.norm(col("__v")))
       .where(col("__n") > 0.0)
-    val a = withB.select(col(id).as("query_id"), col("__v").as("va"),
-      col("__n").as("na"), col("bucket"))
-    val b = withB.select(col(id).as("neighbor_id"), col("__v").as("vb"),
-      col("__n").as("nb"), col("bucket"))
-    val pairs = a.join(b, Seq("bucket"))
+    // OR-amplification over disjoint hyperplane groups (bands = 1 is
+    // plain single-bucketing LSH): a neighbor at angle theta co-buckets
+    // in one `planes`-bit band w.p. (1-theta/pi)^planes and survives
+    // ANY band w.p. 1-(1-(1-theta/pi)^planes)^bands — bands buy recall,
+    // planes bound per-band bucket occupancy (fan-out ~ N/2^planes).
+    // Single-band 8-plane recall@5 is ~2% on a mid-angle (cos~0.4)
+    // corpus (RecallSpec pins it); real retrieval wants bands >= 4.
+    val banded = (0 until bands).map { band =>
+      base.withColumn("band", lit(band))
+        .withColumn("bucket", bucketCol(col("__v"), planes, d, band * planes))
+    }.reduce(_ unionByName _)
+    val a = banded.select(col(id).as("query_id"), col("__v").as("va"),
+      col("__n").as("na"), col("band"), col("bucket"))
+    val b = banded.select(col(id).as("neighbor_id"), col("__v").as("vb"),
+      col("__n").as("nb"), col("band"), col("bucket"))
+    val pairs = a.join(b, Seq("band", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", VectorMath.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      // a pair co-bucketed by several bands carries identical cosines;
+      // collapse before ranking so rank counts each neighbor once
+      .groupBy(col("query_id"), col("neighbor_id")).agg(min(col("cosine")).as("cosine"))
     rankTopK(pairs, k)
   }
 
+  /** Deterministic spherical k-means codebook (the real IVF codebook;
+    * Lloyd iterations as DataFrame aggregations):
+    *  - init: the `nCentroids` vectors with the smallest
+    *    (hex64(id as string), id) — a seeded pseudo-random draw both
+    *    engines replay, immune to "the lowest ids all live in one
+    *    dense region" (the previous smallest-id stand-in's skew mode);
+    *  - each round: assign every vector to its highest-cosine centroid
+    *    (ties to the lowest centroid id — same struct-sort as probing),
+    *    recompute centroids as element-wise means via d parallel
+    *    `avg(element_at)` aggregate columns (map-side partials, one
+    *    |cells|-row shuffle, no N×d explode);
+    *  - cells that lose all members or average to the zero vector drop.
+    *
+    * 100 TB: each round is one aggregation over the corpus; fit the
+    * codebook on a deterministic hash-sample ([[Sampling]]) when N is
+    * corpus-scale — the assignment step is the only full pass needed.
+    * Floating-point note: `avg` partial-aggregation order perturbs
+    * centroid coordinates at the last-ulp level; assignments only flip
+    * if a vector's two best centroids tie within ~1e-15 cosine, so the
+    * downstream ranking (exact cosines between ORIGINAL vectors) is
+    * stable across engines and runs.
+    */
+  private[ops] def fitCodebookKMeans(emb: DataFrame, nCentroids: Int, iters: Int,
+      id: String, vec: String): Seq[(Int, Seq[Double], Double)] = {
+    val vs = withNorm(emb, id, vec, "vid", "v", "nrm").cache()
+    try {
+      val seedRows = vs
+        .withColumn("__h", Hashing.hex64(col("vid").cast("string")))
+        .orderBy(col("__h").asc, col("vid").asc)
+        .limit(nCentroids)
+        .select(col("v"), col("nrm")).collect()
+      var cents = seedRows.zipWithIndex.map { case (r, i) =>
+        (i, r.getSeq[Double](0), r.getDouble(1))
+      }.toSeq.filter(_._3 > 0)
+      if (cents.isEmpty) return Seq.empty
+      val d = cents.head._2.length
+      for (_ <- 1 to iters) {
+        val entries = cents.map { case (cid, cv, cn) =>
+          struct(
+            ((VectorMath.dot(col("v"), typedlit(cv)) / (col("nrm") * lit(cn))) * -1.0
+              + 0.0).as("ns"),
+            lit(cid).as("cid"))
+        }
+        val assigned = vs.withColumn("cell",
+          sort_array(array(entries: _*)).getItem(0).getField("cid"))
+        val aggs = (1 to d).map(j => avg(element_at(col("v"), j)).as(s"m_$j"))
+        cents = assigned.groupBy("cell").agg(aggs.head, aggs.tail: _*).collect()
+          .toSeq.map { r =>
+            val m = (1 to d).map(j => r.getAs[Double](s"m_$j"))
+            (r.getAs[Int]("cell"), m, math.sqrt(m.map(x => x * x).sum))
+          }
+          .filter(_._3 > 0)
+          .sortBy(_._1)
+      }
+      cents
+    } finally vs.unpersist()
+  }
+
   /** IVF (inverted-file) coarse quantization: each vector ranks the
-    * `nCentroids` centroid vectors by cosine (ties to the lowest
-    * centroid id). Centroids are the `nCentroids` vectors with the
-    * smallest ids — deterministic (no RNG, oracle-replicable) and a
-    * stand-in for a k-means codebook.
+    * codebook's centroid vectors by cosine (ties to the lowest
+    * centroid id). `codebook` picks the centroids:
+    *  - "kmeans" (default): [[fitCodebookKMeans]], 3 Lloyd rounds;
+    *  - "minid": the `nCentroids` vectors with the smallest ids — the
+    *    zero-training stand-in (unbounded cell skew when low ids
+    *    cluster; kept for comparison and as IvfCodebookSpec's baseline).
     *
     * The codebook is tiny (nCentroids vectors), so it is COLLECTED and
     * inlined as literals: each row computes its nCentroids cosines and
@@ -160,31 +233,54 @@ object Similarity {
     */
   private def ivfRankedCells(emb: DataFrame, nCentroids: Int, maxRank: Int,
       id: String, vec: String,
-      idOut: String, vecOut: String, normOut: String): DataFrame = {
+      idOut: String, vecOut: String, normOut: String,
+      codebook: String = "kmeans"): DataFrame = {
     val vs = withNorm(emb, id, vec, idOut, vecOut, normOut)
-    val cents = vs.orderBy(col(idOut).asc).limit(nCentroids).collect()
-    if (cents.isEmpty) // no usable vectors: empty result, id-typed cell
-      return vs.withColumn("cell", col(idOut)).withColumn("__rk", lit(1))
-        .where(lit(false))
     // struct(-sim, cid) sorted ascending = sim descending, cid ascending;
     // `+ 0.0` normalizes -0.0 so a zero cosine ties identically to SQL.
-    // cid literal keeps the id column's own type (string ids included).
-    val entries = cents.map { r =>
-      val cid = r.get(0)
-      val cv = r.getSeq[Double](1)
-      val cn = r.getDouble(2)
-      struct(
-        ((VectorMath.dot(col(vecOut), typedlit(cv)) / (col(normOut) * lit(cn))) * -1.0
-          + 0.0).as("ns"),
-        lit(cid).as("cid"))
+    // cid literal keeps the cell id's own type (string ids included).
+    val entries: Seq[Column] = codebook match {
+      case "kmeans" =>
+        fitCodebookKMeans(emb, nCentroids, iters = 3, id, vec).map {
+          case (cid, cv, cn) =>
+            struct(
+              ((VectorMath.dot(col(vecOut), typedlit(cv)) / (col(normOut) * lit(cn))) * -1.0
+                + 0.0).as("ns"),
+              lit(cid).as("cid"))
+        }
+      case "minid" =>
+        vs.orderBy(col(idOut).asc).limit(nCentroids).collect().toSeq.map { r =>
+          val cid = r.get(0)
+          val cv = r.getSeq[Double](1)
+          val cn = r.getDouble(2)
+          struct(
+            ((VectorMath.dot(col(vecOut), typedlit(cv)) / (col(normOut) * lit(cn))) * -1.0
+              + 0.0).as("ns"),
+            lit(cid).as("cid"))
+        }
+      case other => throw new IllegalArgumentException(
+        s"codebook must be kmeans|minid, got $other")
     }
+    if (entries.isEmpty) // no usable vectors: empty result, id-typed cell
+      return vs.withColumn("cell", col(idOut)).withColumn("__rk", lit(1))
+        .where(lit(false))
     spread(vs)
       .select(col(idOut), col(vecOut), col(normOut),
-        posexplode(slice(sort_array(array(entries.toSeq: _*)), 1, maxRank))
+        posexplode(slice(sort_array(array(entries: _*)), 1, maxRank))
           .as(Seq("__p", "__s")))
       .select(col(idOut), col(vecOut), col(normOut),
         col("__s.cid").as("cell"), (col("__p") + 1).as("__rk"))
   }
+
+  /** Cell assignment view of the IVF quantizer: (id, cell) — the rank-1
+    * cell per vector. Exposed for occupancy/skew inspection and tests.
+    */
+  def ivfAssignments(emb: DataFrame, nCentroids: Int,
+      codebook: String = "kmeans",
+      id: String = "vec_id", vec: String = "embedding"): DataFrame =
+    ivfRankedCells(emb, nCentroids, maxRank = 1, id, vec, "vid", "v", "nrm", codebook)
+      .where(col("__rk") === 1)
+      .select(col("vid").as(id), col("cell"))
 
   /** IVF approximate cosine top-k: queries probe their `nProbe` nearest
     * centroid cells and rank exactly within the union of those cells'
@@ -196,9 +292,10 @@ object Similarity {
     * Recall/cost trades by nProbe exactly as in FAISS-style IVF-Flat.
     */
   def ivfCosineTopK(emb: DataFrame, k: Int, nCentroids: Int = 8, nProbe: Int = 2,
-      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+      id: String = "vec_id", vec: String = "embedding",
+      codebook: String = "kmeans"): DataFrame = {
     val cells = ivfRankedCells(emb, nCentroids, math.max(1, nProbe), id, vec,
-      "vid", "v", "nrm")
+      "vid", "v", "nrm", codebook)
     val lists = cells.where(col("__rk") === 1)
       .select(col("vid").as("neighbor_id"), col("v").as("vb"), col("nrm").as("nb"),
         col("cell"))

@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Cell-occupancy guard for the IVF codebook (round-3 verdict #2): the
+  * min-id stand-in picks the `nCentroids` LOWEST-id vectors as
+  * centroids, so a corpus whose low ids are near-duplicates (sorted
+  * ingest putting boilerplate first — a realistic corpus shape) yields
+  * `nCentroids` identical centroids: every vector ties on cosine, the
+  * lowest cid wins every tie, and ONE cell holds the whole table — at
+  * 100 TB that cell is one straggler executor, exactly the skew
+  * SkewJoin exists to kill. The deterministic k-means codebook seeds by
+  * hex64(id) order (id-independent pseudo-random draw) and separates
+  * the clusters in 3 Lloyd rounds.
+  */
+class IvfCodebookSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 400 vectors in 8-dim space, three clusters A/B/C at 55%/30%/15%
+  // around orthogonal axes with deterministic jitter; ids 0..7 are
+  // EXACT copies of A's base vector — the min-id codebook's worst case.
+  private lazy val skewed = {
+    val bases = Map(
+      'A' -> Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f),
+      'B' -> Array(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f),
+      'C' -> Array(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f))
+    def jitter(i: Int, j: Int): Float = (((i * 31 + j * 7) % 13) - 6) * 0.01f
+    val rows = (0 until 400).map { i =>
+      val cluster = if (i < 8) 'A' else if (i % 20 < 11) 'A' else if (i % 20 < 17) 'B' else 'C'
+      val v = bases(cluster).zipWithIndex.map { case (b, j) =>
+        if (i < 8) b else b + jitter(i, j) // ids 0..7: exact duplicates
+      }
+      (i.toLong, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private def occupancy(codebook: String): Map[Any, Long] =
+    Similarity.ivfAssignments(skewed, nCentroids = 8, codebook = codebook)
+      .groupBy("cell").count().collect()
+      .map(r => r.get(0) -> r.getLong(1)).toMap
+
+  test("min-id codebook collapses the duplicate-prefix corpus into one cell; k-means separates it") {
+    val minid = occupancy("minid")
+    val kmeans = occupancy("kmeans")
+    info(s"minid cells=${minid.size} max=${minid.values.max}")
+    info(s"kmeans cells=${kmeans.size} max=${kmeans.values.max}")
+    // min-id: 8 identical centroids -> every cosine ties -> lowest cid
+    // takes every vector: one 400-row cell
+    assert(minid.values.max >= 360, s"stand-in no longer degenerate? $minid")
+    // k-means: max cell bounded by the dominant cluster (55% = 220)
+    // plus jitter-margin strays; 0.7*N would already kill a straggler
+    assert(kmeans.values.max <= 280,
+      s"kmeans max occupancy ${kmeans.values.max} > 280 — codebook stopped separating clusters")
+    assert(kmeans.size >= 3,
+      s"kmeans found ${kmeans.size} cells — expected at least the 3 planted clusters")
+    // every vector is assigned in both (no rows dropped by the codebook)
+    assert(minid.values.sum == 400 && kmeans.values.sum == 400)
+  }
+}

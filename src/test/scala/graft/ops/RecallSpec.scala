@@ -1,0 +1,155 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Recall floors for the APPROXIMATE operators against their exact
+  * in-repo twins (round-3 verdict #1: the DuckDB oracles replay the
+  * same approximation, so a change that silently craters recall — bad
+  * hyperplane constants, skewed codebook, banding bug — would still
+  * hash-match; recall is the one quality axis only these specs guard).
+  *
+  * Every operator here is DETERMINISTIC (md5-derived hyperplanes /
+  * hash params, id-ordered tie-breaks), so on the fixed sf0.01 tables
+  * recall is a constant, not a random variable: each floor is pinned
+  * just under the measured value, and the LSH survival formula in each
+  * test argues the measured value is the expected one, not a lucky
+  * draw — where possible the test computes the formula's prediction
+  * from the exact twin's similarity distribution and asserts the
+  * measured recall lands on it.
+  */
+class RecallSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.01"
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  /** Fraction of `exact` pairs present in `approx` (both canonical
+    * id_a < id_b).
+    */
+  private def pairRecall(exact: DataFrame, approx: DataFrame): (Long, Long, Double) = {
+    val e = exact.select("id_a", "id_b")
+    val hits = e.join(approx.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_semi").count()
+    val total = e.count()
+    (hits, total, if (total == 0) 1.0 else hits.toDouble / total)
+  }
+
+  /** Mean over queries of |approx@k ∩ exact@k| / |exact@k|. */
+  private def topkRecall(exact: DataFrame, approx: DataFrame): Double = {
+    val e = exact.select("query_id", "neighbor_id")
+    val hits = e.join(approx.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hit"))
+    e.groupBy("query_id").agg(count(lit(1)).as("total"))
+      .join(hits, Seq("query_id"), "left")
+      .select(avg(coalesce(col("hit"), lit(0L)).cast("double") / col("total")))
+      .head.getDouble(0)
+  }
+
+  /** Any-band LSH survival probability per exact top-k edge, averaged:
+    * 1 - (1 - (1-theta/pi)^planes)^bands with theta from the edge's
+    * exact cosine.
+    */
+  private def lshPredictedTopkRecall(exact: DataFrame, planes: Int, bands: Int): Double =
+    exact.select(avg(lit(1.0) -
+        pow(lit(1.0) - pow(lit(1.0) - acos(col("cosine")) / math.Pi, planes.toDouble),
+          bands.toDouble)))
+      .head.getDouble(0)
+
+  test("p3 recall: MinHash+LSH finds every exact n-gram-Jaccard pair (vs p2 twin)") {
+    val exact = Dedup.ngramJaccardPairs(docs, n = 8, tau = 0.5).cache()
+    val approx = Dedup.minhashDupPairs(docs, n = 8, numHashes = 16,
+      rowsPerBand = 4, tau = 0.5).cache()
+    val (hits, total, recall) = pairRecall(exact, approx)
+    info(s"p3 overall: $hits/$total recall=$recall")
+    assert(total > 0, "exact twin found no pairs — the corpus fixture changed")
+    // Floor rationale: this corpus' true dup pairs are high-Jaccard
+    // (all 25 sit at J >= 0.8), where banding theory (r=4 rows, b=4
+    // bands) gives candidate probability 1-(1-J^4)^4 >= 0.878 and the
+    // 16-hash estimate gate passes w.p. > 0.998; measured recall is
+    // 25/25 = 1.0. Floor 0.9 catches a banding/hash regression without
+    // being brittle to a few near-threshold pairs.
+    assert(recall >= 0.9, s"p3 recall $recall < 0.9 ($hits/$total)")
+    val hi = exact.where(col("jaccard") >= 0.8)
+    val (hHits, hTotal, hRecall) = pairRecall(hi, approx)
+    info(s"p3 J>=0.8 tier: $hHits/$hTotal recall=$hRecall")
+    assert(hRecall >= 0.95, s"p3 J>=0.8 recall $hRecall < 0.95 ($hHits/$hTotal)")
+    exact.unpersist(); approx.unpersist()
+  }
+
+  test("p23 recall: blocked near-dup pairs land on their own survival formula (vs p12 twin)") {
+    val exact = Similarity.cosineDupPairs(emb, tau = 0.45).cache()
+    val approx = Similarity.cosineDupPairsBlocked(emb, tau = 0.45, planes = 4, bands = 3)
+    val (hits, total, recall) = pairRecall(exact, approx)
+    // The operator's own survival formula: a pair at angle theta is
+    // co-bucketed by one 4-plane band w.p. (1-theta/pi)^4 and missed by
+    // all 3 bands w.p. (1-(1-theta/pi)^4)^3. At tau=0.45 the exact
+    // pairs sit near the threshold (cos 0.45-0.51), predicting ~0.458;
+    // measured 7/14 = 0.5. The two-sided check pins the implementation
+    // TO the theory — a hyperplane-derivation bug that halves recall
+    // (or a blocking bug that silently degenerates to all-pairs,
+    // recall 1.0) both fail it.
+    val predicted = exact.select(
+      avg(lit(1.0) - pow(lit(1.0) - pow(lit(1.0) - acos(col("cosine")) / math.Pi, 4.0), 3.0)))
+      .head.getDouble(0)
+    info(s"p23: $hits/$total recall=$recall formulaPrediction=$predicted")
+    assert(total > 0, "exact twin found no pairs — the corpus fixture changed")
+    assert(math.abs(recall - predicted) <= 0.2,
+      s"p23 recall $recall drifted from its formula prediction $predicted")
+    assert(recall >= 0.3, s"p23 recall $recall < 0.3")
+    exact.unpersist()
+  }
+
+  test("p6 recall@5: single-band sign-LSH matches its (low) theoretical recall — p25 banding is the fix") {
+    val exact = Similarity.cosineTopK(emb, k = 5).cache()
+    val approx = Similarity.lshCosineTopK(emb, k = 5, planes = 8)
+    val r = topkRecall(exact, approx)
+    // Single-band 8-plane LSH on a mid-angle corpus (exact top-5
+    // cosines ~0.3-0.5, theta ~60-72deg) collides w.p. (1-theta/pi)^8
+    // ~ 0.02-0.03 — the measured 0.02 recall IS the theory, not a bug:
+    // one bucketing cannot retrieve mid-angle neighbors. The check
+    // pins measured to predicted so the hyperplane derivation stays
+    // honest; the p25 banded variant below is the retrieval-grade
+    // configuration of the same operator.
+    val predicted = lshPredictedTopkRecall(exact, planes = 8, bands = 1)
+    info(s"p6 recall@5=$r predicted=$predicted")
+    assert(math.abs(r - predicted) <= 0.05,
+      s"p6 recall $r drifted from its formula prediction $predicted")
+    exact.unpersist()
+  }
+
+  test("p25 recall@5: OR-amplified banded LSH lifts recall to its formula's level") {
+    val exact = Similarity.cosineTopK(emb, k = 5).cache()
+    val approx = Similarity.lshCosineTopK(emb, k = 5, planes = 4, bands = 4)
+    val r = topkRecall(exact, approx)
+    // 4 bands x 4 disjoint planes: per-band collision (1-theta/pi)^4,
+    // any-band survival 1-(1-(1-theta/pi)^4)^4 — predicted ~0.45 on
+    // this corpus' top-5 angle distribution; measured 0.4356 (the gap
+    // is bucket-granularity: co-bucketed non-neighbors displace true
+    // neighbors past rank 5). 20x p6's single-band recall at the same
+    // 16-hyperplane budget.
+    val predicted = lshPredictedTopkRecall(exact, planes = 4, bands = 4)
+    info(s"p25 recall@5=$r predicted=$predicted")
+    assert(math.abs(r - predicted) <= 0.15,
+      s"p25 recall $r drifted from its formula prediction $predicted")
+    assert(r >= 0.3, s"p25 recall $r < 0.3")
+    exact.unpersist()
+  }
+
+  test("p13 recall@5: IVF with the k-means codebook beats its nProbe share and the min-id stand-in") {
+    val exact = Similarity.cosineTopK(emb, k = 5).cache()
+    val kmeans = Similarity.ivfCosineTopK(emb, k = 5, nCentroids = 8, nProbe = 2)
+    val r = topkRecall(exact, kmeans)
+    info(s"p13 recall@5 (kmeans)=$r")
+    // nProbe=2 of 8 cells scans ~25% of a randomly-partitioned corpus;
+    // a codebook that actually clusters must beat that share because
+    // neighbors co-locate in the probed cells. Measured: 0.52 with the
+    // k-means codebook (the min-id stand-in scored 0.445 on the same
+    // corpus). Floor 0.4 catches a codebook collapse (all-one-cell ->
+    // recall ~nProbe-share of a skewed partition) while tolerating
+    // data-noise-scale movement.
+    assert(r >= 0.4, s"p13 kmeans recall $r < 0.4")
+    exact.unpersist()
+  }
+}
