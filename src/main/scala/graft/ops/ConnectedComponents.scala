@@ -69,4 +69,74 @@ object ConnectedComponents {
     }
     labels
   }
+
+  /** Large-star/small-star contraction (the public MapReduce
+    * connected-components algorithm of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) — the
+    * diameter-INDEPENDENT variant behind the same (id, component)
+    * contract: converges in O(log² n) rounds on any graph shape, where
+    * [[connectedComponents]]' min-label propagation needs
+    * diameter-many rounds (right for near-clique dedup groups,
+    * hopeless for chain-shaped dup graphs — transcription chains,
+    * near-dup sequences — which need one round per hop).
+    *
+    * Per round, on the canonical hi>lo edge list:
+    *  - LARGE-STAR: every vertex links its strictly-larger neighbors
+    *    to its minimum neighbor-or-self — long tails fold toward small
+    *    ids in parallel;
+    *  - SMALL-STAR: every vertex links its smaller neighbors and
+    *    itself to their minimum — stars flatten.
+    * Fixpoint when the edge set stops changing; the surviving edges
+    * are (member, component-min) stars. Scale shape per round: two
+    * groupBy-min aggregations + joins keyed on vertex id, lineage cut
+    * per round with eager localCheckpoints (same executor-loss trade
+    * as [[connectedComponents]]).
+    */
+  def connectedComponentsStar(edges: DataFrame, src: String = "id_a",
+      dst: String = "id_b", maxIter: Int = 50): DataFrame = {
+    val vertices = edges.select(col(src).as("id"))
+      .unionByName(edges.select(col(dst).as("id")))
+      .distinct().localCheckpoint(true)
+    var cur = edges
+      .select(greatest(col(src), col(dst)).as("hi"), least(col(src), col(dst)).as("lo"))
+      .where(col("hi") =!= col("lo")) // self-loops carry no connectivity
+      .distinct().localCheckpoint(true)
+    var iter = 0
+    var converged = cur.isEmpty
+    while (iter < maxIter && !converged) {
+      // large-star: from each endpoint u, every neighbor v > u gains
+      // the edge (v, min(neighbors(u) ∪ {u}))
+      val sym = cur.select(col("hi").as("u"), col("lo").as("v"))
+        .unionByName(cur.select(col("lo").as("u"), col("hi").as("v")))
+      val lmins = sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val large = sym.join(lmins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo")) // m <= u < v: canonical
+        .distinct()
+      // small-star: each hi links its (all-smaller) neighbors and
+      // itself to their minimum
+      val smins = large.groupBy("hi").agg(min(col("lo")).as("m"))
+      val small = large.join(smins, "hi")
+        .select(col("lo").as("x"), col("m"))
+        .unionByName(smins.select(col("hi").as("x"), col("m")))
+        .where(col("x") =!= col("m"))
+        .select(col("x").as("hi"), col("m").as("lo"))
+        .distinct().localCheckpoint(true)
+      // fixpoint = identical edge set (both sides are distinct)
+      val changed = small.count() != cur.count() ||
+        small.except(cur).limit(1).count() > 0
+      cur.unpersist()
+      cur = small
+      converged = !changed
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter rounds " +
+          "(theory bound is O(log² n) — check for pathological input)")
+    val childMap = cur.select(col("hi").as("id"), col("lo").as("component"))
+    vertices.join(childMap, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
 }
