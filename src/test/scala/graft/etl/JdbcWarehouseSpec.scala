@@ -168,6 +168,27 @@ class JdbcWarehouseSpec extends SparkSpec {
       .head.getDouble(0) == (1L to 400L).sum.toDouble)
   }
 
+  test("F7 over JDBC: the per-study predicate pushes into the JDBC scan (PushedFilters)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val wh = Warehouse(spark, derbyUrl())
+    val facts = (1L to 200L).map(i => (i % 50, i % 20, i % 4 + 1, i.toDouble))
+      .toDF("sample_key", "gene_key", "study_key", "expression_value")
+    wh.appendFacts("fact_expression", facts)
+    // the correlation job's F7 scan shape: fact read filtered to one
+    // study. The filter must reach the DATABASE (the scan node's
+    // PushedFilters), not run Spark-side over a full-table drain —
+    // at warehouse scale that is the difference between one indexed
+    // study read and shipping every study over one connection.
+    val oneStudy = wh.read("fact_expression").where(col("study_key") === 2L)
+    assert(oneStudy.count() == 50)
+    val scan = oneStudy.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("JDBCRelation"))
+      .getOrElse(fail(s"no JDBC scan node in:\n${oneStudy.queryExecution.executedPlan}"))
+    assert(scan.contains("PushedFilters") && scan.contains("EqualTo(study_key,2)"),
+      s"study_key predicate not pushed into the JDBC scan:\n$scan")
+  }
+
   test("X4: driver-side connection acquisition retries with backoff, then surfaces") {
     val wh = new JdbcWarehouse(spark, "jdbc:derby:/nonexistent/nope;create=false",
       maxRetries = 3, retryBackoffSeconds = 0)
