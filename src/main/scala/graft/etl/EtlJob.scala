@@ -66,9 +66,16 @@ class EtlJob(spark: SparkSession, config: AppConfig, warehouseDir: String) {
     * value-identical to [[run]] (surrogate keys may be assigned in a
     * different order).
     */
-  def runUnioned(resume: Boolean = false): Seq[StudyResult] = {
+  def runUnioned(resume: Boolean = false): Seq[StudyResult] =
+    processUnioned(StudyDiscovery.discoverStudyDirs(config.processing.inputDirectory), resume)
+
+  /** The unioned pipeline over an EXPLICIT study-directory list — the
+    * shared engine of [[runUnioned]] (which discovers from the config
+    * root) and [[graft.streaming.StreamingEtl]] (which receives newly
+    * arrived directories per micro-batch).
+    */
+  def processUnioned(dirs: Seq[java.nio.file.Path], resume: Boolean = false): Seq[StudyResult] = {
     val genes = GeneFilter.load(spark, config.processing.geneFilterFile.toString)
-    val dirs = StudyDiscovery.discoverStudyDirs(config.processing.inputDirectory)
     val done = if (resume) StudyState.completed(wh) else Set.empty[String]
 
     val attempts: Seq[Either[StudyResult, Prep]] = dirs.map { dir =>

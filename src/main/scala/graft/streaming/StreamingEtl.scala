@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.etl.{AppConfig, EtlJob}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Incremental study ingest — the streaming twin of [[graft.etl.EtlJob]]
+  * (SURVEY.md §2.9's forward extension: studies ARRIVE over time and
+  * the warehouse keeps up; the reference is batch-only by REQ-014).
+  *
+  * Arrival protocol: a MANIFEST directory. Each file dropped there
+  * lists newly arrived study directory paths, one per line — the
+  * standard notification pattern for object-store ingest (a path
+  * listing is atomic to publish; watching raw study files would race
+  * half-written TSV pairs). The streaming text source's checkpointed
+  * file log gives exactly-once manifest processing across restarts.
+  *
+  * Each micro-batch routes its studies through the SAME batched plans
+  * as `EtlJob.runUnioned` ([[graft.etl.EtlJob.processUnioned]]): one
+  * upsert per dimension, one whitelist-filtered melt union, one
+  * anti-join fact dedup, one append, StudyState committed per phase.
+  * So the warehouse after N arrival batches is value-identical to one
+  * batch load of the same studies (StreamingEtlSpec pins it), and a
+  * REPLAYED batch — crash between the foreachBatch side-effect and the
+  * checkpoint commit — lands zero new facts (X2 idempotence: J7
+  * anti-join + resume-skip of terminal studies).
+  *
+  * 100 TB: the manifest stream is driver-scale (paths, not data); all
+  * heavy lifting stays in the distributed batch plans, which scale
+  * with the studies IN the batch, not the warehouse size (F7-pruned
+  * anti-join reads). Run with [[ingestAvailable]] on a schedule or a
+  * long-lived `Trigger.ProcessingTime` query — same code path.
+  */
+class StreamingEtl(spark: SparkSession, config: AppConfig, warehouseDir: String) {
+  private val job = new EtlJob(spark, config, warehouseDir)
+
+  /** Drain every unprocessed manifest entry (Trigger.AvailableNow) and
+    * stop; returns the per-study results of THIS drain. `resume = true`
+    * (the default, matching the CLI) skips studies already terminal in
+    * StudyState — re-listed studies are reported `skipped`.
+    */
+  def ingestAvailable(manifestDir: String, checkpointDir: String,
+      resume: Boolean = true): Seq[EtlJob#StudyResult] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[EtlJob#StudyResult]
+    val query = spark.readStream
+      .format("text")
+      .load(manifestDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the manifest batch is driver-scale: a handful of paths
+        val dirs = batch.collect().map(_.getString(0).trim)
+          .filter(_.nonEmpty).distinct.sorted
+          .map(java.nio.file.Paths.get(_)).toSeq
+        if (dirs.nonEmpty) buf.synchronized { buf ++= job.processUnioned(dirs, resume) }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    buf.synchronized(buf.toSeq)
+  }
+}

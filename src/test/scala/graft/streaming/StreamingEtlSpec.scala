@@ -1,0 +1,111 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.etl._
+import java.nio.file.{Files, Path}
+
+/** Incremental streaming ingest parity (round-3 verdict #4): studies
+  * arriving over two manifest batches must produce a warehouse
+  * value-identical to the one-shot batch load, with exactly-once
+  * manifest processing across query restarts and resume-skip of
+  * re-listed studies.
+  */
+class StreamingEtlSpec extends SparkSpec {
+
+  private def tmpDir(): Path = {
+    val d = Files.createTempDirectory("graft-setl")
+    d.toFile.deleteOnExit(); d
+  }
+
+  private def write(dir: Path, name: String, content: String): Path = {
+    val p = dir.resolve(name)
+    Files.writeString(p, content); p
+  }
+
+  private val metadataTsv =
+    """refinebio_accession_code	experiment_accession	refinebio_age	refinebio_sex	refinebio_platform	characteristics_ch2_illness
+      |GSM1	GSE9006	16	female	GPL96	Healthy
+      |GSM2	GSE9006		female	GPL96	Healthy
+      |GSM3	GSE9006	25	male	GPL96	Diabetes
+      |GSM4	GSE9006	30	male	GPL97	Diabetes
+      |""".stripMargin
+
+  private val expressionTsv =
+    """gene	GSM1	GSM2	GSM3	GSM4
+      |ENSG1	1.0	2.0	3.0	4.0
+      |ENSG2	2.0	4.0	6.0	8.0
+      |ENSG3	9.0	5.0	1.0	bad
+      |""".stripMargin
+
+  private val filterTsv = "ensembl_id\nENSG1\nENSG2\nENSG3\n"
+
+  private def makeStudy(root: Path, gse: String): Path = {
+    val d = Files.createDirectories(root.resolve(gse))
+    write(d, s"metadata_$gse.tsv", metadataTsv.replace("GSE9006", gse))
+    write(d, s"expression_$gse.tsv",
+      if (gse == "GSE0002") expressionTsv.replace("bad", "0.5") else expressionTsv)
+    d
+  }
+
+  private def config(root: Path, filter: Path): AppConfig = AppConfig(
+    DatabaseConfig("unused"),
+    ProcessingConfig(root, filter),
+    LoggingConfig(logLevel = "WARN"))
+
+  /** Natural-value fact tuples through the dims — surrogate keys may be
+    * assigned in a different order between the two loads.
+    */
+  private def factTuples(whDir: String): Set[Seq[Any]] = {
+    val wh = Warehouse(spark, whDir)
+    wh.read("fact_expression")
+      .join(wh.read("dim_sample")
+        .select("sample_key", "gsm_accession", "age", "sex"), "sample_key")
+      .join(wh.read("dim_gene"), "gene_key")
+      .join(wh.read("dim_study"), "study_key")
+      .select("gse_accession", "gsm_accession", "ensembl_id", "expression_value",
+        "age", "sex")
+      .collect().map(_.toSeq).toSet
+  }
+
+  test("two-batch streaming arrival ≡ one-shot batch load; restart drains only new manifests; re-listed studies skip") {
+    val root = tmpDir()
+    val a = makeStudy(root, "GSE9006")
+    val b = makeStudy(root, "GSE0002")
+    val filter = write(root, "filter.tsv", filterTsv)
+    val cfg = config(root, filter)
+
+    // one-shot batch baseline over both studies
+    val whBatch = tmpDir().toString
+    val batchResults = new EtlJob(spark, cfg, whBatch).run()
+    assert(batchResults.forall(_.error.isEmpty))
+
+    // streaming: manifest batch 1 lists study A only
+    val whStream = tmpDir().toString
+    val manifests = tmpDir()
+    val checkpoint = tmpDir().resolve("ckpt").toString
+    write(manifests, "arrival_1.txt", s"$a\n")
+    val etl = new StreamingEtl(spark, cfg, whStream)
+    val r1 = etl.ingestAvailable(manifests.toString, checkpoint)
+    assert(r1.map(_.accession) == Seq("GSE9006") && r1.head.facts == 11)
+
+    // batch 2 arrives; a RESTARTED query (same checkpoint) must drain
+    // only the new manifest — exactly-once across restarts
+    write(manifests, "arrival_2.txt", s"$b\n")
+    val r2 = etl.ingestAvailable(manifests.toString, checkpoint)
+    assert(r2.map(_.accession) == Seq("GSE0002") && r2.head.facts == 12)
+
+    // the incremental warehouse is value-identical to the batch load
+    assert(factTuples(whStream) == factTuples(whBatch))
+    assert(factTuples(whStream).size == 23)
+
+    // a manifest RE-LISTING a finished study is skipped via StudyState
+    // (resume default), not re-scanned; zero new facts either way
+    write(manifests, "arrival_3.txt", s"$a\n")
+    val r3 = etl.ingestAvailable(manifests.toString, checkpoint)
+    assert(r3.map(r => (r.accession, r.skipped)) == Seq(("GSE9006", true)))
+    assert(factTuples(whStream).size == 23)
+
+    // an empty drain (no new manifests) is a no-op
+    assert(etl.ingestAvailable(manifests.toString, checkpoint).isEmpty)
+  }
+}
