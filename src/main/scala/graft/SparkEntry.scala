@@ -684,6 +684,30 @@ object SparkEntry {
     "p21_sequence_packing" -> ((s, dir) =>
       ops.TextStats.packSequences(t(s, dir, "documents"), seqLen = 256,
         shard = Seq("lang"), order = "doc_id")),
+    // P26: benchmark decontamination — the deterministic doc_id%50
+    // slice stands in for an eval set; flagged = >= 3 shared distinct
+    // word 3-grams. Benchmark side broadcasts (tiny vs corpus).
+    "p26_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      ops.TextStats.contaminationPairs(
+        docs,
+        docs.where(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("bench_id"), col("text")),
+        n = 3, minShared = 3)
+        .select(col("doc_id"), col("bench_id"), col("shared_ngrams"))
+    }),
+    // P27: intra-doc repetition ratio (Gopher-style quality signal)
+    "p27_repetition" -> ((s, dir) =>
+      ops.TextStats.withRepetitionColumns(t(s, dir, "documents"), n = 2)
+        .select(col("doc_id"), col("n_ngrams"),
+          round(col("dup_ngram_ratio"), 6).as("dup_ngram_ratio"))),
+    // P28: PII detect + redact; the redacted text ships as its rolling
+    // fingerprint so the oracle checks content parity without a text
+    // column in the hash
+    "p28_pii_redact" -> ((s, dir) =>
+      ops.TextStats.withPiiColumns(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          ops.TextStats.fingerprint(col("redacted")).as("redacted_fp"))),
     "p2_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 8, tau = 0.5)
         .select(col("id_a"), col("id_b"), col("shared"), col("sz_a"), col("sz_b"),
@@ -1193,6 +1217,45 @@ object SparkEntry {
         |)
         |SELECT doc_id, term, tf, df, round(s, 6) AS tfidf
         |FROM ranked WHERE rn <= 3""".stripMargin,
+    "p26_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |              FROM documents WHERE trim(text) <> ''),
+        |grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |            range(0, len(tk) - 2),
+        |            i -> array_to_string(list_slice(tk, i + 1, i + 3), ' ')))) AS ng
+        |          FROM toks WHERE len(tk) >= 3),
+        |bench AS (SELECT doc_id AS bench_id, ng FROM grams WHERE doc_id % 50 = 0)
+        |SELECT g.doc_id, b.bench_id, count(*) AS shared_ngrams
+        |FROM grams g JOIN bench b USING (ng)
+        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+    "p27_repetition" ->
+      """WITH toks AS (SELECT doc_id, text,
+        |                     string_split_regex(trim(lower(text)), '\s+') AS tk
+        |              FROM documents),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN trim(text) = '' OR len(tk) < 2 THEN CAST([] AS VARCHAR[])
+        |             ELSE list_transform(range(0, len(tk) - 1),
+        |               i -> array_to_string(list_slice(tk, i + 1, i + 2), ' ')) END AS grams
+        |      FROM toks)
+        |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_ngrams,
+        |       round(CASE WHEN len(grams) > 0
+        |         THEN (len(grams) - len(list_distinct(grams))) / CAST(len(grams) AS DOUBLE)
+        |         ELSE 0.0 END, 6) AS dup_ngram_ratio
+        |FROM g""".stripMargin,
+    "p28_pii_redact" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |         CAST(len(regexp_extract_all(text, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phones,
+        |         regexp_replace(regexp_replace(text,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |           '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS red
+        |  FROM documents)
+        |SELECT doc_id, n_emails, n_phones,
+        |       list_reduce(list_prepend(0::BIGINT,
+        |         list_transform(string_split(red, ''), c -> ascii(c)::BIGINT)),
+        |         (a, b) -> (a * 131 + b) % 1000000007) AS redacted_fp
+        |FROM r""".stripMargin,
     "p22_dup_components" ->
       """WITH RECURSIVE corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -199,4 +199,87 @@ object TextStats {
 
   def withFingerprint(docs: DataFrame, text: String = "text"): DataFrame =
     docs.withColumn("fingerprint", fingerprint(col(text)))
+
+  /** Word n-grams: whitespace tokens of the lowercased text, n
+    * consecutive tokens joined by one space; texts with fewer than n
+    * tokens have none. `distinctGrams` controls multiplicity (overlap
+    * ops want the SET, repetition scoring wants duplicates kept).
+    */
+  private def wordNgramArray(text: Column, n: Int, distinctGrams: Boolean): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    val grams = transform(sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    when(trim(text) === "" || size(toks) < n, array().cast("array<string>"))
+      .otherwise(if (distinctGrams) array_distinct(grams) else grams)
+  }
+
+  /** Benchmark decontamination — the train/test overlap guard a
+    * pretraining pipeline runs before training: corpus documents
+    * sharing >= `minShared` distinct word n-grams with a benchmark
+    * document are flagged (eval items that leaked into the training
+    * corpus inflate downstream scores).
+    *
+    * Scale shape: the benchmark is TINY next to the corpus (thousands
+    * of eval items vs billions of docs), so the benchmark n-gram set
+    * BROADCASTS and the corpus side streams map-side through the hash
+    * join; the per-(doc, bench) counts partial-aggregate. The only
+    * corpus-sized movements are the pre-explode repartition (spreads
+    * single-split corpora, same rationale as [[Dedup.shingleRows]])
+    * and the final doc-keyed aggregation — never an n-gram-keyed
+    * corpus shuffle.
+    */
+  def contaminationPairs(corpus: DataFrame, benchmark: DataFrame, n: Int,
+      minShared: Long, id: String = "doc_id", text: String = "text",
+      benchId: String = "bench_id"): DataFrame = {
+    val c = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism, col(id))
+      .select(col(id), explode(wordNgramArray(col(text), n, distinctGrams = true)).as("__ng"))
+    val b = benchmark
+      .select(col(benchId), explode(wordNgramArray(col(text), n, distinctGrams = true)).as("__ng"))
+    // both sides are per-doc DISTINCT n-grams, so the join-match count
+    // IS the distinct shared-n-gram count
+    c.join(broadcast(b), Seq("__ng"))
+      .groupBy(col(id), col(benchId))
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .where(col("shared_ngrams") >= minShared)
+  }
+
+  /** Intra-document repetition (a Gopher-style quality signal): the
+    * fraction of word n-grams that are repeats of an earlier n-gram in
+    * the same document. Boilerplate/spam text scores high; natural
+    * prose low. Pure per-row column math, no shuffle.
+    */
+  def withRepetitionColumns(docs: DataFrame, n: Int = 2,
+      text: String = "text"): DataFrame = {
+    val grams = wordNgramArray(col(text), n, distinctGrams = false)
+    docs
+      .withColumn("n_ngrams", size(grams).cast("long"))
+      .withColumn("dup_ngram_ratio",
+        when(size(grams) > 0,
+          (size(grams) - size(array_distinct(grams))).cast("double") /
+            size(grams).cast("double"))
+          .otherwise(0.0))
+  }
+
+  /** PII detection + redaction — the scrubbing pass of a training-data
+    * pipeline: count email/phone matches and rewrite them to
+    * placeholder tags. Patterns stay in the RE2-compatible subset
+    * (char classes, bounded quantifiers, word boundaries — no
+    * lookaround/backrefs) so Spark's Java regex and the DuckDB oracle
+    * agree match-for-match. Per-row codegen column math, no shuffle.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  def withPiiColumns(docs: DataFrame, text: String = "text"): DataFrame =
+    docs
+      .withColumn("n_emails",
+        size(regexp_extract_all(col(text), lit(EmailPattern), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col(text), lit(PhonePattern), lit(0))).cast("long"))
+      // email first, then phone over the already-redacted text — the
+      // oracle replays the same order
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col(text), EmailPattern, "<EMAIL>"),
+          PhonePattern, "<PHONE>"))
 }

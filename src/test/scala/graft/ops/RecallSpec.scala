@@ -78,6 +78,40 @@ class RecallSpec extends SparkSpec {
     exact.unpersist(); approx.unpersist()
   }
 
+  test("p4: pigeonhole blocking is COMPLETE at its hamming radius; fingerprint catches half the Jaccard dups") {
+    // p4's guarantee axis is HAMMING, not Jaccard: the 4-block
+    // pigeonhole is lossless for hamming <= 3 (3 differing bits can
+    // dirty at most 3 of 4 blocks), so vs a brute-force hamming scan
+    // the blocked result must be EXACTLY equal — recall 1.0, found by
+    // construction, and a blocking bug (wrong block width, dropped
+    // band) breaks equality immediately.
+    val approx = Dedup.simhashPairs(docs, maxHamming = 3).cache()
+    val sh = Dedup.simhash(docs, 60)
+    val brute = sh.toDF("id_a", "sim_a")
+      .join(sh.toDF("id_b", "sim_b"), col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .where(col("hamming") <= 3)
+      .select("id_a", "id_b")
+    val bruteSet = brute.collect().map(r => (r.get(0), r.get(1))).toSet
+    val blockedSet = approx.select("id_a", "id_b").collect()
+      .map(r => (r.get(0), r.get(1))).toSet
+    info(s"p4 hamming<=3 pairs: brute=${bruteSet.size} blocked=${blockedSet.size}")
+    assert(bruteSet.nonEmpty, "no hamming<=3 pairs — the corpus fixture changed")
+    assert(blockedSet == bruteSet,
+      s"pigeonhole blocking lost/invented pairs: missing=${bruteSet -- blockedSet} extra=${blockedSet -- bruteSet}")
+    // Fidelity axis: overlap with the exact char-8-shingle Jaccard
+    // pairs. Token-level jitter spreads near-identical docs to hamming
+    // 0-9 (measured distribution: 13 pairs at <=3, 10 more at 4-5, 2
+    // at 9), so the 60-bit/radius-3 configuration catches 13/25 = 0.52
+    // of the J>=0.5 pairs — the standard SimHash granularity trade;
+    // radius-insensitive dedup is p3's (MinHash) job.
+    val exact = Dedup.ngramJaccardPairs(docs, n = 8, tau = 0.5)
+    val (hits, total, recall) = pairRecall(exact, approx)
+    info(s"p4 vs exact Jaccard: $hits/$total recall=$recall")
+    assert(recall >= 0.4, s"p4 Jaccard-tier recall $recall < 0.4 ($hits/$total)")
+    approx.unpersist()
+  }
+
   test("p23 recall: blocked near-dup pairs land on their own survival formula (vs p12 twin)") {
     val exact = Similarity.cosineDupPairs(emb, tau = 0.45).cache()
     val approx = Similarity.cosineDupPairsBlocked(emb, tau = 0.45, planes = 4, bands = 3)

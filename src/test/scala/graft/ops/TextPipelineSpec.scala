@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Fixture-level behavior of the round-4 text-pipeline operators
+  * (p26 decontamination, p27 repetition, p28 PII) — the oracle gate
+  * checks corpus-scale parity; these pin the semantics on inputs where
+  * the expected values are hand-checkable, including shapes the
+  * synthetic corpus doesn't exercise (real emails/phones, blank text).
+  */
+class TextPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("p26: contamination flags docs sharing >= minShared distinct word n-grams with a benchmark") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "quick brown fox jumps high above everything else today"), // shares 3-grams with bench 10
+      (3L, "completely different text with no overlap at all"),
+      (4L, "")).toDF("doc_id", "text")
+    val bench = Seq(
+      (10L, "the quick brown fox jumps over fences")).toDF("bench_id", "text")
+    val got = TextStats.contaminationPairs(corpus, bench, n = 3, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1 shares: "the quick brown", "quick brown fox", "brown fox
+    // jumps", "fox jumps over" = 4; doc 2 shares only 2 ("quick brown
+    // fox", "brown fox jumps") -> below threshold; doc 3/4 none
+    assert(got == Set((1L, 10L, 4L)))
+    // lowering the threshold admits doc 2
+    val loose = TextStats.contaminationPairs(corpus, bench, n = 3, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose == Set((1L, 10L), (2L, 10L)))
+  }
+
+  test("p27: repetition ratio separates boilerplate from prose; blank/short texts score 0") {
+    val docs = Seq(
+      (1L, "buy now buy now buy now buy now"),   // bigrams: 7, distinct 2
+      (2L, "each word appears exactly once here"), // no repeated bigram
+      (3L, "one"),                                 // < n tokens
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextStats.withRepetitionColumns(docs, n = 2)
+      .select("doc_id", "n_ngrams", "dup_ngram_ratio")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((7L, 5.0 / 7.0)))
+    assert(got(2L) == ((5L, 0.0)))
+    assert(got(3L) == ((0L, 0.0)))
+    assert(got(4L) == ((0L, 0.0)))
+  }
+
+  test("p28: PII counts and redaction on real email/phone shapes") {
+    val docs = Seq(
+      (1L, "contact alice@example.com or bob.smith+x@mail.co.uk now"),
+      (2L, "call 555-123-4567 or 555 987 6543 today"),
+      (3L, "mixed: c@d.org and 111-222-3333"),
+      (4L, "no pii here, just text with @ and 12345")).toDF("doc_id", "text")
+    val got = TextStats.withPiiColumns(docs)
+      .select("doc_id", "n_emails", "n_phones", "redacted")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L)._1 == 2 && got(1L)._2 == 0)
+    assert(got(1L)._3 == "contact <EMAIL> or <EMAIL> now")
+    assert(got(2L)._1 == 0 && got(2L)._2 == 2)
+    assert(got(2L)._3 == "call <PHONE> or <PHONE> today")
+    assert(got(3L) == ((1L, 1L, "mixed: <EMAIL> and <PHONE>")))
+    assert(got(4L) == ((0L, 0L, "no pii here, just text with @ and 12345")))
+  }
+}
