@@ -248,16 +248,30 @@ object TextStats {
     * fraction of word n-grams that are repeats of an earlier n-gram in
     * the same document. Boilerplate/spam text scores high; natural
     * prose low. Pure per-row column math, no shuffle.
+    *
+    * The TOTAL n-gram count is arithmetic (tokens - n + 1) — only the
+    * DISTINCT count needs the materialized gram array, so the
+    * string-building transform runs exactly once per row (building it
+    * per derived column measured 4x slower at sf0.1).
     */
   def withRepetitionColumns(docs: DataFrame, n: Int = 2,
       text: String = "text"): DataFrame = {
-    val grams = wordNgramArray(col(text), n, distinctGrams = false)
-    docs
-      .withColumn("n_ngrams", size(grams).cast("long"))
+    // document tables often arrive as ONE split (small parquet files);
+    // the n-gram distinct is the heaviest per-row expression in the
+    // text family, so spread it across the cluster first (same
+    // rationale as Dedup.shingleRows — at real corpus scale the scan
+    // has enough splits and AQE coalesces the no-op exchange)
+    val spreadDocs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val toks = split(trim(lower(col(text))), "\\s+")
+    val total = when(trim(col(text)) === "", lit(0L))
+      .otherwise(greatest(size(toks) - (n - 1), lit(0)).cast("long"))
+    val nDistinct = size(array_distinct(wordNgramArray(col(text), n, distinctGrams = false)))
+      .cast("long")
+    spreadDocs
+      .withColumn("n_ngrams", total)
       .withColumn("dup_ngram_ratio",
-        when(size(grams) > 0,
-          (size(grams) - size(array_distinct(grams))).cast("double") /
-            size(grams).cast("double"))
+        when(col("n_ngrams") > 0,
+          (col("n_ngrams") - nDistinct).cast("double") / col("n_ngrams").cast("double"))
           .otherwise(0.0))
   }
 
@@ -272,7 +286,9 @@ object TextStats {
   val PhonePattern = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
 
   def withPiiColumns(docs: DataFrame, text: String = "text"): DataFrame =
-    docs
+    // three regex passes per row — spread single-split corpora first
+    // (see withRepetitionColumns)
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .withColumn("n_emails",
         size(regexp_extract_all(col(text), lit(EmailPattern), lit(0))).cast("long"))
       .withColumn("n_phones",
