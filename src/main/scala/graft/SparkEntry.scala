@@ -684,6 +684,14 @@ object SparkEntry {
     "p21_sequence_packing" -> ((s, dir) =>
       ops.TextStats.packSequences(t(s, dir, "documents"), seqLen = 256,
         shard = Seq("lang"), order = "doc_id")),
+    // P29: token-budgeted per-source sampling — the data-mixing step:
+    // each source contributes its maximal hash-ordered document prefix
+    // under an 800-token budget (deterministic, append-stable,
+    // monotone in the budget).
+    "p29_token_budget" -> ((s, dir) =>
+      ops.Sampling.tokenBudgetSample(t(s, dir, "documents"),
+        strata = Seq("source"), budgetTokens = 800L)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))),
     // P26: benchmark decontamination — the deterministic doc_id%50
     // slice stands in for an eval set; flagged = >= 3 shared distinct
     // word 3-grams. Benchmark side broadcasts (tiny vs corpus).
@@ -1217,6 +1225,16 @@ object SparkEntry {
         |)
         |SELECT doc_id, term, tf, df, round(s, 6) AS tfidf
         |FROM ranked WHERE rn <= 3""".stripMargin,
+    "p29_token_budget" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |             CASE WHEN trim(text) = '' THEN 0
+         |                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         |             ${hx("CAST(doc_id AS VARCHAR)")} AS h
+         |           FROM documents),
+         |c AS (SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS cum_tokens
+         |      FROM t)
+         |SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 800""".stripMargin,
     "p26_decontaminate" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
         |              FROM documents WHERE trim(text) <> ''),

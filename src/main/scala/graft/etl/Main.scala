@@ -57,6 +57,31 @@ object Main {
           println(s"study=${r.accession} samples=${r.samples} facts=${r.facts} $status")
         }
         if (results.exists(_.error.isDefined)) 1 else 0
+      case "etl-stream" =>
+        // incremental ingest: drain all unprocessed arrival manifests
+        // (see graft.streaming.StreamingEtl); run on a schedule for
+        // continuous ingest — the checkpoint makes each drain pick up
+        // exactly the manifests that arrived since the last one
+        val cfg = EtlConfig.load(opts.get("config").flatMap(_.headOption)
+          .getOrElse { usage(); sys.exit(2) })
+        val wh = opts.get("warehouse").flatMap(_.headOption).getOrElse(
+          if (cfg.database.connectionString.startsWith("jdbc:"))
+            cfg.database.connectionString
+          else "./warehouse")
+        val manifest = opts.get("manifest").flatMap(_.headOption)
+          .getOrElse { usage(); sys.exit(2) }
+        val checkpoint = opts.get("checkpoint").flatMap(_.headOption)
+          .getOrElse(s"$wh/_etl_stream_checkpoint")
+        val resume = !flag(opts, "no-resume")
+        val results = new graft.streaming.StreamingEtl(spark, cfg, wh)
+          .ingestAvailable(manifest, checkpoint, resume)
+        results.foreach { r =>
+          val status =
+            if (r.skipped) "skipped (resume)"
+            else r.error.map(e => s"FAILED: $e").getOrElse("ok")
+          println(s"study=${r.accession} samples=${r.samples} facts=${r.facts} $status")
+        }
+        if (results.exists(_.error.isDefined)) 1 else 0
       case "correlate" =>
         val wh = opts.get("warehouse").flatMap(_.headOption).getOrElse("./warehouse")
         val studies = opts.getOrElse("study", Seq.empty)
@@ -102,5 +127,6 @@ object Main {
 
   private def usage(): Unit = System.err.println(
     """usage: graft.etl.Main etl --config <yaml> [--warehouse <dir|jdbc:url>] [--mode unioned] [--no-resume]
+      |       graft.etl.Main etl-stream --config <yaml> --manifest <dir> [--warehouse <dir|jdbc:url>] [--checkpoint <dir>] [--no-resume]
       |       graft.etl.Main correlate [--warehouse <dir|jdbc:url>] [--study <GSE>]... [--exact-p]""".stripMargin)
 }

@@ -50,4 +50,31 @@ object Sampling {
       .where(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** Token-budgeted per-stratum sampling — the data-MIXING step of a
+    * pretraining pipeline: each stratum (source, language, ...)
+    * contributes the largest hash-ordered PREFIX of its documents
+    * whose cumulative token count fits `budgetTokens`. Hash order
+    * makes the prefix a deterministic pseudo-random draw (stable
+    * across runs/layouts/appends, like every sampler here); the prefix
+    * property means a document's membership only depends on the
+    * stratum's smaller-hash documents, so growing the budget only ADDS
+    * documents — mixture ratios can be tuned monotonically.
+    *
+    * One shuffle on the strata keys; the cumulative sum is a per-
+    * stratum window (never corpus-global — same layout argument as
+    * [[TextStats.packSequences]]). Output adds n_tokens and the
+    * running cum_tokens (<= budget by construction).
+    */
+  def tokenBudgetSample(df: DataFrame, strata: Seq[String], budgetTokens: Long,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    val w = Window.partitionBy(strata.map(col): _*)
+      .orderBy(hashKey(col(id)).asc, col(id).asc)
+    df.withColumn("n_tokens", TextStats.tokenCountWs(col(text)).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      // cumsum is monotone within the stratum, so this keeps exactly
+      // the maximal prefix that fits
+      .where(col("cum_tokens") <= budgetTokens)
+  }
 }

@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Physical-plan assertions for the round-4 operators — the structural
+  * claims SURVEY.md §9 makes, pinned the way BucketingSpec pins the
+  * bucketed join: the plan must not contain the shapes that stop
+  * scaling (cartesian/nested-loop pair joins, corpus-global
+  * single-partition exchanges), independent of what AQE picks among
+  * the good shapes.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def executedPlan(query: String): String = {
+    val df = SparkEntry.queries(query)(spark, sfDir)
+    df.write.mode("overwrite").format("noop").save() // finalize AQE
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def assertNoDisasterJoin(q: String, plan: String): Unit = {
+    assert(!plan.contains("CartesianProduct"),
+      s"$q plans a cartesian product:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"$q plans a nested-loop join:\n$plan")
+  }
+
+  test("p26 decontamination: benchmark side broadcasts; no sort-merge over corpus n-grams") {
+    val plan = executedPlan("p26_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark n-gram join should be a broadcast hash join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a sort-merge join means the corpus n-grams shuffled on the join key:\n$plan")
+    assertNoDisasterJoin("p26", plan)
+  }
+
+  test("p25 banded LSH / p6 / p13 / p23: candidate joins are equi-joins, never cartesian") {
+    Seq("p25_lsh_topk_banded", "p6_lsh_topk", "p13_ivf_topk", "p23_blocked_neardup")
+      .foreach { q => assertNoDisasterJoin(q, executedPlan(q)) }
+  }
+
+  test("p29 token budget / p21 packing: the running sum is per-stratum, never a single-partition exchange") {
+    Seq("p29_token_budget", "p21_sequence_packing").foreach { q =>
+      val plan = executedPlan(q)
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"$q plans a corpus-global single-partition exchange:\n$plan")
+    }
+  }
+}

@@ -47,6 +47,34 @@ class TextPipelineSpec extends SparkSpec {
     assert(got(4L) == ((0L, 0.0)))
   }
 
+  test("p29: token-budget sampling keeps a maximal per-stratum prefix, monotone in budget, append-stable") {
+    val docs = Seq(
+      (1L, "srcA", "one two three"),            // 3 tokens
+      (2L, "srcA", "a b c d e f g h"),          // 8
+      (3L, "srcA", "x y"),                      // 2
+      (4L, "srcA", ""),                         // 0
+      (5L, "srcB", "alpha beta gamma delta")    // 4
+    ).toDF("doc_id", "source", "text")
+    def ids(budget: Long, df: org.apache.spark.sql.DataFrame = docs): Set[Long] =
+      Sampling.tokenBudgetSample(df, Seq("source"), budget)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    // budget sweep: each stratum's kept set grows monotonically and
+    // cum_tokens never exceeds the budget
+    val sweep = Seq(0L, 2L, 5L, 10L, 100L).map(b => b -> ids(b))
+    sweep.sliding(2).foreach { case Seq((b1, s1), (b2, s2)) =>
+      assert(s1.subsetOf(s2), s"budget $b1 -> $b2 dropped docs: ${s1 -- s2}")
+    }
+    // zero-token docs consume no budget: they stay IN whenever they
+    // precede the cut in hash order (doc 4 hashes first in srcA here)
+    assert(ids(0) == Set(4L))
+    assert(ids(100) == Set(1L, 2L, 3L, 4L, 5L)) // everything fits
+    val sample = Sampling.tokenBudgetSample(docs, Seq("source"), 10L)
+    assert(sample.collect().forall(_.getAs[Long]("cum_tokens") <= 10L))
+    // append stability: adding a NEW stratum never changes srcA's cut
+    val more = docs.unionByName(Seq((9L, "srcC", "k l m")).toDF("doc_id", "source", "text"))
+    assert(ids(10, more).filter(_ <= 4L) == ids(10).filter(_ <= 4L))
+  }
+
   test("p28: PII counts and redaction on real email/phone shapes") {
     val docs = Seq(
       (1L, "contact alice@example.com or bob.smith+x@mail.co.uk now"),

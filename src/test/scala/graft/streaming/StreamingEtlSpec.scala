@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import graft.etl._
+import graft.etl.Main
 import java.nio.file.{Files, Path}
 
 /** Incremental streaming ingest parity (round-3 verdict #4): studies
@@ -107,5 +108,31 @@ class StreamingEtlSpec extends SparkSpec {
 
     // an empty drain (no new manifests) is a no-op
     assert(etl.ingestAvailable(manifests.toString, checkpoint).isEmpty)
+  }
+
+  test("CLI: etl-stream drains manifests through Main with the same results") {
+    val root = tmpDir()
+    val a = makeStudy(root, "GSE9006")
+    val filter = write(root, "filter.tsv", filterTsv)
+    val yaml = write(root, "etl.yaml",
+      s"""database:
+         |  connection_string: unused
+         |processing:
+         |  input_directory: $root
+         |  gene_filter_file: $filter
+         |logging:
+         |  log_level: WARN
+         |""".stripMargin)
+    val whDir = tmpDir().toString
+    val manifests = tmpDir()
+    write(manifests, "m1.txt", s"$a\n")
+    val out = new java.io.ByteArrayOutputStream()
+    val code = Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      Main.run(Array("etl-stream", "--config", yaml.toString, "--warehouse", whDir,
+        "--manifest", manifests.toString), spark)
+    }
+    assert(code == 0, s"exit $code: $out")
+    assert(out.toString("UTF-8").contains("study=GSE9006 samples=4 facts=11 ok"), out.toString)
+    assert(factTuples(whDir).size == 11)
   }
 }
