@@ -144,6 +144,47 @@ class JdbcWarehouseSpec extends SparkSpec {
     assert(wh.read("dim_gene").count() == 1)
   }
 
+  test("JDBC swap retry: a crash between set-aside and promote loses neither copy") {
+    import spark.implicits._
+    val url = derbyUrl()
+    val wh = Warehouse(spark, url).asInstanceOf[JdbcWarehouse]
+    wh.writeDim("dim_gene", Seq((1L, "ENSG1")).toDF("gene_key", "ensembl_id"))
+
+    // simulate the MID-SWAP crash: a new version sits in __tmp, live
+    // has been renamed to __old, the promote never ran
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("RENAME TABLE dim_gene TO dim_gene__old")
+      st.close()
+    } finally conn.close()
+    Seq((1L, "ENSG1"), (2L, "ENSG2")).toDF("gene_key", "ensembl_id")
+      .write.format("jdbc").option("url", url)
+      .option("dbtable", "dim_gene__tmp")
+      .option("createTableColumnTypes", "ensembl_id VARCHAR(64)").save()
+
+    // read() recovery prefers the SET-ASIDE (the last version known
+    // complete) — the un-promoted __tmp is not trusted
+    assert(wh.read("dim_gene").collect().map(_.getString(1)).toSeq == Seq("ENSG1"))
+
+    // the next writeDim (= what a retry reduces to) completes the
+    // upgrade without a window where NO copy exists: final state is
+    // the new version, leftovers gone
+    wh.writeDim("dim_gene", Seq((1L, "ENSG1"), (2L, "ENSG2"), (3L, "ENSG3"))
+      .toDF("gene_key", "ensembl_id"))
+    assert(wh.read("dim_gene").count() == 3)
+    val c2 = java.sql.DriverManager.getConnection(url)
+    try {
+      val md = c2.getMetaData
+      def exists(n: String) = {
+        val rs = md.getTables(null, null, n.toUpperCase, Array("TABLE"))
+        try rs.next() finally rs.close()
+      }
+      assert(!exists("dim_gene__old") && !exists("dim_gene__tmp"),
+        "swap leftovers survived the completed writeDim")
+    } finally c2.close()
+  }
+
   test("JDBC read of an absent table is an empty frame with the declared schema") {
     val wh = Warehouse(spark, derbyUrl())
     val df = wh.read("fact_gene_pair_corr")
