@@ -69,6 +69,9 @@ object Sampling {
   def tokenBudgetSample(df: DataFrame, strata: Seq[String], budgetTokens: Long,
       id: String = "doc_id", text: String = "text"): DataFrame = {
     require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    require(strata.nonEmpty,
+      "strata must be non-empty — an unpartitioned running sum would " +
+        "serialize the whole corpus into one task (shard by source/lang/hash bucket)")
     val w = Window.partitionBy(strata.map(col): _*)
       .orderBy(hashKey(col(id)).asc, col(id).asc)
     df.withColumn("n_tokens", TextStats.tokenCountWs(col(text)).cast("long"))

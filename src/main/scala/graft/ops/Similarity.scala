@@ -126,6 +126,8 @@ object Similarity {
     */
   def lshCosineTopK(emb: DataFrame, k: Int, planes: Int = 8, bands: Int = 1,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    require(planes >= 1 && planes <= 62, s"planes must be in [1,62] (bucket is a long bitmask), got $planes")
+    require(bands >= 1, s"bands must be >= 1, got $bands")
     val d = vecDim(emb, vec).getOrElse(0) // 0 only when no usable vectors -> empty below
     val base = spread(emb
       .where(col(vec).isNotNull && size(col(vec)) > 0)
@@ -367,6 +369,8 @@ object Similarity {
     */
   def cosineDupPairsBlocked(emb: DataFrame, tau: Double, planes: Int = 4,
       bands: Int = 3, id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    require(planes >= 1 && planes <= 62, s"planes must be in [1,62] (bucket is a long bitmask), got $planes")
+    require(bands >= 1, s"bands must be >= 1, got $bands")
     val d = vecDim(emb, vec).getOrElse(0)
     val base = spread(emb
       .where(col(vec).isNotNull && size(col(vec)) > 0)

@@ -231,6 +231,8 @@ object TextStats {
   def contaminationPairs(corpus: DataFrame, benchmark: DataFrame, n: Int,
       minShared: Long, id: String = "doc_id", text: String = "text",
       benchId: String = "bench_id"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     val c = corpus
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism, col(id))
       .select(col(id), explode(wordNgramArray(col(text), n, distinctGrams = true)).as("__ng"))
