@@ -152,10 +152,13 @@ object Similarity {
     val pairs = a.join(b, Seq("band", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", VectorMath.dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      // a pair co-bucketed by several bands carries identical cosines;
-      // collapse before ranking so rank counts each neighbor once
-      .groupBy(col("query_id"), col("neighbor_id")).agg(min(col("cosine")).as("cosine"))
-    rankTopK(pairs, k)
+    // a pair co-bucketed by several bands carries identical cosines;
+    // collapse before ranking so rank counts each neighbor once. With
+    // one band a pair occurs at most once — skip the extra exchange.
+    val collapsed =
+      if (bands == 1) pairs
+      else pairs.groupBy(col("query_id"), col("neighbor_id")).agg(min(col("cosine")).as("cosine"))
+    rankTopK(collapsed, k)
   }
 
   /** Deterministic spherical k-means codebook (the real IVF codebook;
@@ -181,8 +184,16 @@ object Similarity {
     * stable across engines and runs.
     */
   private[ops] def fitCodebookKMeans(emb: DataFrame, nCentroids: Int, iters: Int,
-      id: String, vec: String): Seq[(Int, Seq[Double], Double)] = {
-    val vs = withNorm(emb, id, vec, "vid", "v", "nrm").cache()
+      id: String, vec: String, fitSamplePct: Int = 100): Seq[(Int, Seq[Double], Double)] = {
+    require(fitSamplePct >= 1 && fitSamplePct <= 100,
+      s"fitSamplePct must be in [1,100], got $fitSamplePct")
+    // at corpus scale the codebook fits on a deterministic hash-sample
+    // (centroid quality needs thousands of vectors per cell, not the
+    // corpus) — the full table only pays the final assignment pass
+    val fitInput =
+      if (fitSamplePct >= 100) emb
+      else Sampling.bernoulliByHash(emb, col(id), fitSamplePct)
+    val vs = withNorm(fitInput, id, vec, "vid", "v", "nrm").cache()
     try {
       val seedRows = vs
         .withColumn("__h", Hashing.hex64(col("vid").cast("string")))
@@ -236,14 +247,14 @@ object Similarity {
   private def ivfRankedCells(emb: DataFrame, nCentroids: Int, maxRank: Int,
       id: String, vec: String,
       idOut: String, vecOut: String, normOut: String,
-      codebook: String = "kmeans"): DataFrame = {
+      codebook: String = "kmeans", fitSamplePct: Int = 100): DataFrame = {
     val vs = withNorm(emb, id, vec, idOut, vecOut, normOut)
     // struct(-sim, cid) sorted ascending = sim descending, cid ascending;
     // `+ 0.0` normalizes -0.0 so a zero cosine ties identically to SQL.
     // cid literal keeps the cell id's own type (string ids included).
     val entries: Seq[Column] = codebook match {
       case "kmeans" =>
-        fitCodebookKMeans(emb, nCentroids, iters = 3, id, vec).map {
+        fitCodebookKMeans(emb, nCentroids, iters = 3, id, vec, fitSamplePct).map {
           case (cid, cv, cn) =>
             struct(
               ((VectorMath.dot(col(vecOut), typedlit(cv)) / (col(normOut) * lit(cn))) * -1.0
@@ -278,9 +289,9 @@ object Similarity {
     * cell per vector. Exposed for occupancy/skew inspection and tests.
     */
   def ivfAssignments(emb: DataFrame, nCentroids: Int,
-      codebook: String = "kmeans",
+      codebook: String = "kmeans", fitSamplePct: Int = 100,
       id: String = "vec_id", vec: String = "embedding"): DataFrame =
-    ivfRankedCells(emb, nCentroids, maxRank = 1, id, vec, "vid", "v", "nrm", codebook)
+    ivfRankedCells(emb, nCentroids, maxRank = 1, id, vec, "vid", "v", "nrm", codebook, fitSamplePct)
       .where(col("__rk") === 1)
       .select(col("vid").as(id), col("cell"))
 
@@ -295,9 +306,9 @@ object Similarity {
     */
   def ivfCosineTopK(emb: DataFrame, k: Int, nCentroids: Int = 8, nProbe: Int = 2,
       id: String = "vec_id", vec: String = "embedding",
-      codebook: String = "kmeans"): DataFrame = {
+      codebook: String = "kmeans", fitSamplePct: Int = 100): DataFrame = {
     val cells = ivfRankedCells(emb, nCentroids, math.max(1, nProbe), id, vec,
-      "vid", "v", "nrm", codebook)
+      "vid", "v", "nrm", codebook, fitSamplePct)
     val lists = cells.where(col("__rk") === 1)
       .select(col("vid").as("neighbor_id"), col("v").as("vb"), col("nrm").as("nb"),
         col("cell"))

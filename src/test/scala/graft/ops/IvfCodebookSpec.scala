@@ -58,4 +58,18 @@ class IvfCodebookSpec extends SparkSpec {
     // every vector is assigned in both (no rows dropped by the codebook)
     assert(minid.values.sum == 400 && kmeans.values.sum == 400)
   }
+
+  test("fitting the codebook on a hash-sample still separates the clusters and assigns every vector") {
+    // the corpus-scale path: Lloyd rounds over a deterministic 50%
+    // Bernoulli sample, assignment over the full table
+    val occ = Similarity.ivfAssignments(skewed, nCentroids = 8,
+        codebook = "kmeans", fitSamplePct = 50)
+      .groupBy("cell").count().collect()
+      .map(r => r.get(0) -> r.getLong(1)).toMap
+    info(s"sampled-fit cells=${occ.size} max=${occ.values.max}")
+    assert(occ.values.sum == 400)
+    assert(occ.values.max <= 280,
+      s"sampled-fit codebook stopped separating: $occ")
+    assert(occ.size >= 3)
+  }
 }
