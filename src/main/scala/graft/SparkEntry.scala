@@ -1261,14 +1261,17 @@ object SparkEntry {
         |         ELSE 0.0 END, 6) AS dup_ngram_ratio
         |FROM g""".stripMargin,
     "p28_pii_redact" ->
-      """WITH r AS (
+      """WITH e AS (
         |  SELECT doc_id,
         |         CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-        |         CAST(len(regexp_extract_all(text, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phones,
-        |         regexp_replace(regexp_replace(text,
-        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |           '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS red
-        |  FROM documents)
+        |         regexp_replace(text,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS er
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_emails,
+        |         CAST(len(regexp_extract_all(er, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phones,
+        |         regexp_replace(er, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS red
+        |  FROM e)
         |SELECT doc_id, n_emails, n_phones,
         |       list_reduce(list_prepend(0::BIGINT,
         |         list_transform(string_split(red, ''), c -> ascii(c)::BIGINT)),

@@ -6,9 +6,20 @@ import graft.GraftSession
   * scripts/run_correlation_job.py:29-48).
   *
   *   graft.etl.Main etl --config etl.yaml --warehouse <dir>
+  *   graft.etl.Main etl-stream --config etl.yaml --manifest <dir>
   *   graft.etl.Main correlate --warehouse <dir> [--study GSE1 --study GSE2 ...]
   */
 object Main {
+
+  /** Malformed command line — caught at the [[run]] boundary and turned
+    * into usage + exit code 2, NEVER sys.exit: run()'s contract is that
+    * specs can drive the full command surface (bad input included) on
+    * the shared test JVM/session.
+    */
+  private final class UsageError(msg: String) extends RuntimeException(msg)
+
+  private def usageError(msg: String): Nothing = throw new UsageError(msg)
+
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) { usage(); sys.exit(2) }
     val spark = GraftSession.getOrCreate(s"graft-${args.head}")
@@ -22,12 +33,22 @@ object Main {
     */
   def run(args: Array[String], spark: org.apache.spark.sql.SparkSession): Int = {
     if (args.isEmpty) { usage(); return 2 }
+    try runChecked(args, spark)
+    catch {
+      case e: UsageError =>
+        if (e.getMessage.nonEmpty) System.err.println(e.getMessage)
+        usage(); 2
+    }
+  }
+
+  private def runChecked(args: Array[String], spark: org.apache.spark.sql.SparkSession): Int = {
     val cmd = args.head
     val opts = parse(args.tail.toList, Map.empty)
+    def required(key: String): String =
+      opts.get(key).flatMap(_.headOption).getOrElse(usageError(s"--$key is required"))
     cmd match {
       case "etl" =>
-        val cfg = EtlConfig.load(opts.get("config").flatMap(_.headOption)
-          .getOrElse { usage(); sys.exit(2) })
+        val cfg = EtlConfig.load(required("config"))
         // warehouse target: explicit flag, else the config's connection
         // string when it names a JDBC database (the reference's
         // deployment shape — database.connection_string IS the target),
@@ -46,41 +67,33 @@ object Main {
         val results = mode match {
           case "unioned"    => job.runUnioned(resume)
           case "sequential" => job.run(resume)
-          case other =>
-            System.err.println(s"Unknown --mode: $other (expected sequential|unioned)")
-            usage(); sys.exit(2)
+          case other => usageError(s"Unknown --mode: $other (expected sequential|unioned)")
         }
-        results.foreach { r =>
-          val status =
-            if (r.skipped) "skipped (resume)"
-            else r.error.map(e => s"FAILED: $e").getOrElse("ok")
-          println(s"study=${r.accession} samples=${r.samples} facts=${r.facts} $status")
-        }
+        printResults(results)
         if (results.exists(_.error.isDefined)) 1 else 0
       case "etl-stream" =>
         // incremental ingest: drain all unprocessed arrival manifests
         // (see graft.streaming.StreamingEtl); run on a schedule for
         // continuous ingest — the checkpoint makes each drain pick up
         // exactly the manifests that arrived since the last one
-        val cfg = EtlConfig.load(opts.get("config").flatMap(_.headOption)
-          .getOrElse { usage(); sys.exit(2) })
+        val cfg = EtlConfig.load(required("config"))
         val wh = opts.get("warehouse").flatMap(_.headOption).getOrElse(
           if (cfg.database.connectionString.startsWith("jdbc:"))
             cfg.database.connectionString
           else "./warehouse")
-        val manifest = opts.get("manifest").flatMap(_.headOption)
-          .getOrElse { usage(); sys.exit(2) }
-        val checkpoint = opts.get("checkpoint").flatMap(_.headOption)
-          .getOrElse(s"$wh/_etl_stream_checkpoint")
+        val manifest = required("manifest")
+        // the checkpoint must be a FILESYSTEM path — when the warehouse
+        // is a JDBC URL there is no directory to nest it under
+        val checkpoint = opts.get("checkpoint").flatMap(_.headOption).getOrElse {
+          if (wh.startsWith("jdbc:"))
+            usageError("--checkpoint is required when the warehouse is a JDBC URL " +
+              "(the streaming checkpoint needs a filesystem directory)")
+          s"$wh/_etl_stream_checkpoint"
+        }
         val resume = !flag(opts, "no-resume")
         val results = new graft.streaming.StreamingEtl(spark, cfg, wh)
           .ingestAvailable(manifest, checkpoint, resume)
-        results.foreach { r =>
-          val status =
-            if (r.skipped) "skipped (resume)"
-            else r.error.map(e => s"FAILED: $e").getOrElse("ok")
-          println(s"study=${r.accession} samples=${r.samples} facts=${r.facts} $status")
-        }
+        printResults(results)
         if (results.exists(_.error.isDefined)) 1 else 0
       case "correlate" =>
         val wh = opts.get("warehouse").flatMap(_.headOption).getOrElse("./warehouse")
@@ -89,10 +102,17 @@ object Main {
         val summary = new CorrelationJob(spark, wh, exactPValues = exactP).run(studies)
         println(s"studies=${summary.studies.mkString(",")} pairs=${summary.pairs}")
         0
-      case other =>
-        System.err.println(s"Unknown command: $other"); usage(); 2
+      case other => usageError(s"Unknown command: $other")
     }
   }
+
+  private def printResults(results: Seq[EtlJob#StudyResult]): Unit =
+    results.foreach { r =>
+      val status =
+        if (r.skipped) "skipped (resume)"
+        else r.error.map(e => s"FAILED: $e").getOrElse("ok")
+      println(s"study=${r.accession} samples=${r.samples} facts=${r.facts} $status")
+    }
 
   /** Boolean options accept a bare flag (`--exact-p`), an explicit
     * `true`/`false` value, or repeated mention; any other value is a
@@ -103,10 +123,8 @@ object Main {
   private def flag(opts: Map[String, Seq[String]], key: String): Boolean =
     opts.get(key) match {
       case None => false
-      case Some(vs) => vs.lastOption.forall(v => v.toBooleanOption.getOrElse {
-        System.err.println(s"--$key expects true|false, got: $v")
-        usage(); sys.exit(2)
-      })
+      case Some(vs) => vs.lastOption.forall(v => v.toBooleanOption.getOrElse(
+        usageError(s"--$key expects true|false, got: $v")))
     }
 
   @annotation.tailrec
@@ -121,8 +139,7 @@ object Main {
         val k = key.drop(2)
         parse(rest, acc.updated(k, acc.getOrElse(k, Seq.empty) :+ value))
       case Nil => acc
-      case other :: _ =>
-        System.err.println(s"Unexpected argument: $other"); usage(); sys.exit(2)
+      case other :: _ => usageError(s"Unexpected argument: $other")
     }
 
   private def usage(): Unit = System.err.println(

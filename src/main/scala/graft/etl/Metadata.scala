@@ -97,14 +97,28 @@ object Metadata {
     * TextInputFormat's record key IS the record's byte offset in the
     * file; the header is the offset-0 record. fileIdx lives in the
     * ordinal's high bits (44-bit offsets ⇒ files up to 16 TiB).
+    *
+    * The header line is read DRIVER-side through the FileSystem (a
+    * few-KB stream read) — a Spark job per file just for the header
+    * would make a multi-file load scheduler-bound.
     */
+  private def headerLine(spark: SparkSession, file: String): String = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+      Option(reader.readLine())
+        .getOrElse(throw new MetadataFormatError(s"Metadata file $file is empty"))
+    } finally in.close()
+  }
+
   private def rawWithOrdinal(spark: SparkSession, file: String, fileIdx: Int): DataFrame = {
     import org.apache.hadoop.io.{LongWritable, Text}
     import org.apache.hadoop.mapreduce.lib.input.TextInputFormat
     import spark.implicits._
-    val headerLine = spark.read.text(file).head(1).headOption.map(_.getString(0))
-      .getOrElse(throw new MetadataFormatError(s"Metadata file $file is empty"))
-    val headers = headerLine.split("\t", -1).map(_.trim)
+    val headers = headerLine(spark, file).split("\t", -1).map(_.trim)
     val schema = org.apache.spark.sql.types.StructType(
       headers.map(org.apache.spark.sql.types.StructField(_,
         org.apache.spark.sql.types.StringType)))

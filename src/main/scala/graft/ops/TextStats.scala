@@ -288,16 +288,23 @@ object TextStats {
   val PhonePattern = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
 
   def withPiiColumns(docs: DataFrame, text: String = "text"): DataFrame =
-    // three regex passes per row — spread single-split corpora first
+    // regex passes per row — spread single-split corpora first
     // (see withRepetitionColumns)
     docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      // redaction order: emails first, then phones over the already
+      // email-redacted text. The COUNTS follow the same cascade — the
+      // phone count is taken on the email-redacted text — so
+      // n_emails/n_phones always equal the <EMAIL>/<PHONE> placeholder
+      // occurrences in `redacted` (a phone-shaped substring inside an
+      // email, e.g. 555-123-4567@relay.example.com, counts as the
+      // email that swallowed it, not as both).
       .withColumn("n_emails",
         size(regexp_extract_all(col(text), lit(EmailPattern), lit(0))).cast("long"))
+      .withColumn("__email_redacted",
+        regexp_replace(col(text), EmailPattern, "<EMAIL>"))
       .withColumn("n_phones",
-        size(regexp_extract_all(col(text), lit(PhonePattern), lit(0))).cast("long"))
-      // email first, then phone over the already-redacted text — the
-      // oracle replays the same order
+        size(regexp_extract_all(col("__email_redacted"), lit(PhonePattern), lit(0))).cast("long"))
       .withColumn("redacted",
-        regexp_replace(regexp_replace(col(text), EmailPattern, "<EMAIL>"),
-          PhonePattern, "<PHONE>"))
+        regexp_replace(col("__email_redacted"), PhonePattern, "<PHONE>"))
+      .drop("__email_redacted")
 }

@@ -15,7 +15,10 @@ class PlanShapeSpec extends SparkSpec {
 
   private def executedPlan(query: String): String = {
     val df = SparkEntry.queries(query)(spark, sfDir)
-    df.write.mode("overwrite").format("noop").save() // finalize AQE
+    // execute THIS df's own QueryExecution (a write would plan a fresh
+    // one and leave df's AdaptiveSparkPlan un-finalized) so the string
+    // below is the post-AQE final plan, BucketingSpec-style
+    df.collect()
     df.queryExecution.executedPlan.toString
   }
 

@@ -80,7 +80,8 @@ class TextPipelineSpec extends SparkSpec {
       (1L, "contact alice@example.com or bob.smith+x@mail.co.uk now"),
       (2L, "call 555-123-4567 or 555 987 6543 today"),
       (3L, "mixed: c@d.org and 111-222-3333"),
-      (4L, "no pii here, just text with @ and 12345")).toDF("doc_id", "text")
+      (4L, "no pii here, just text with @ and 12345"),
+      (5L, "odd: 555-123-4567@relay.example.com")).toDF("doc_id", "text")
     val got = TextStats.withPiiColumns(docs)
       .select("doc_id", "n_emails", "n_phones", "redacted")
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
@@ -90,5 +91,8 @@ class TextPipelineSpec extends SparkSpec {
     assert(got(2L)._3 == "call <PHONE> or <PHONE> today")
     assert(got(3L) == ((1L, 1L, "mixed: <EMAIL> and <PHONE>")))
     assert(got(4L) == ((0L, 0L, "no pii here, just text with @ and 12345")))
+    // a phone-shaped substring swallowed by an email counts ONCE, as
+    // the email — counts always equal the placeholders in `redacted`
+    assert(got(5L) == ((1L, 0L, "odd: <EMAIL>")))
   }
 }
