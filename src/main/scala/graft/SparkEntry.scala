@@ -692,6 +692,13 @@ object SparkEntry {
       ops.Sampling.tokenBudgetSample(t(s, dir, "documents"),
         strata = Seq("source"), budgetTokens = 800L)
         .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))),
+    // P30: the composed curation funnel — quality gate -> normalized
+    // dedup -> greedy SimHash near-dup drop -> per-source token budget.
+    // Every stage is an already-verified operator; this query verifies
+    // the COMPOSITION end-to-end against one oracle.
+    "p30_curation_funnel" -> ((s, dir) =>
+      ops.Curation.curate(t(s, dir, "documents"), minQuality = 0.78,
+        budgetTokens = 800L, maxHamming = 3, strata = Seq("source"))),
     // P26: benchmark decontamination — the deterministic doc_id%50
     // slice stands in for an eval set; flagged = >= 3 shared distinct
     // word 3-grams. Benchmark side broadcasts (tiny vs corpus).
@@ -1225,6 +1232,52 @@ object SparkEntry {
         |)
         |SELECT doc_id, term, tf, df, round(s, 6) AS tfidf
         |FROM ranked WHERE rn <= 3""".stripMargin,
+    "p30_curation_funnel" -> {
+      val stop = TextStats.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH base AS (
+         |  SELECT doc_id, source, text,
+         |    CASE WHEN trim(text) = '' THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         |    len(text) AS n_chars,
+         |    len(text) - len(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS punct,
+         |    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |        tk -> list_contains($stop, tk))) AS stop,
+         |    len(regexp_replace(trim(text), '\\s+', '', 'g')) AS nonws_chars
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, source, text, n_tokens FROM base
+         |  WHERE round(least(1.0, greatest(0.0,
+         |      0.25 * least(n_tokens / 20.0, 1.0) +
+         |      0.25 * (1.0 - least((CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE)/n_chars ELSE 0.0 END) * 5.0, 1.0)) +
+         |      0.25 * least((CASE WHEN n_tokens > 0 THEN CAST(stop AS DOUBLE)/n_tokens ELSE 0.0 END) * 5.0, 1.0) +
+         |      0.25 * (CASE WHEN (CASE WHEN n_tokens > 0 THEN CAST(nonws_chars AS DOUBLE)/n_tokens ELSE 0.0 END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END))), 6) >= 0.78),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM g
+         |         GROUP BY md5(trim(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g'))))),
+         |dd AS (SELECT g.* FROM g JOIN keep USING (doc_id)),
+         |tok AS (SELECT doc_id, token, count(*) AS w, ${hx("token")} AS h FROM (
+         |         SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+         |         FROM dd) t0
+         |       WHERE token <> '' GROUP BY doc_id, token),
+         |bits AS (SELECT unnest(generate_series(0, 59)) AS bit),
+         |s AS (SELECT doc_id, bit, sum(w * (((h >> bit) & 1) * 2 - 1)) AS s
+         |      FROM tok CROSS JOIN bits GROUP BY 1, 2),
+         |simh AS (SELECT doc_id,
+         |                sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+         |         FROM s GROUP BY 1),
+         |blocks AS (SELECT unnest(generate_series(0, 3)) AS blk),
+         |keyed AS (SELECT doc_id, simhash, blk, (simhash >> (blk*15)) & 32767 AS blk_key
+         |          FROM simh CROSS JOIN blocks),
+         |drops AS (SELECT DISTINCT b.doc_id AS doc_id
+         |          FROM keyed a JOIN keyed b USING (blk, blk_key)
+         |          WHERE a.doc_id < b.doc_id
+         |            AND bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |sv AS (SELECT * FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+         |c AS (SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |             CAST(sum(n_tokens) OVER (PARTITION BY source
+         |               ORDER BY ${hx("CAST(doc_id AS VARCHAR)")}, doc_id) AS BIGINT) AS cum_tokens
+         |      FROM sv)
+         |SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 800""".stripMargin
+    },
     "p29_token_budget" ->
       s"""WITH t AS (SELECT doc_id, source,
          |             CASE WHEN trim(text) = '' THEN 0

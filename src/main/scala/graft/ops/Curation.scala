@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end curation funnel — the composition every pretraining
+  * data pipeline actually runs, assembled from this engine's verified
+  * stages so the interop itself is oracle-checked (p30):
+  *
+  *  1. QUALITY GATE — [[TextStats.withQualityColumns]] score >=
+  *     `minQuality`, compared at 6-dp rounding on BOTH engines (the
+  *     per-row score is a fixed expression tree, so the raw doubles
+  *     already agree bit-for-bit; the rounding is belt-and-braces for
+  *     docs sitting exactly on the threshold).
+  *  2. NORMALIZED DEDUP — one survivor per normalized-text digest
+  *     ([[Dedup.normalizedText]]), minimum id wins.
+  *  3. NEAR-DUP DROP — SimHash hamming<=maxHamming pairs among the
+  *     stage-2 survivors; the LARGER id of every pair drops. This is
+  *     the greedy pairwise rule, deliberately join-local: one
+  *     candidate join + one anti-join, no iteration. When transitive
+  *     chains matter, route the pairs through
+  *     [[ConnectedComponents]] instead and keep component minima.
+  *  4. TOKEN BUDGET — per-stratum maximal hash-ordered prefix
+  *     ([[Sampling.tokenBudgetSample]]) for mixture control.
+  *
+  * Scale shape: stages 1-2 are per-row math + one digest-keyed
+  * aggregation; stage 3 is the pigeonhole-blocked pair join (bounded
+  * fan-out); stage 4 is a per-stratum window. Nothing in the funnel
+  * introduces a shuffle the standalone operators don't already have.
+  */
+object Curation {
+
+  def curate(docs: DataFrame, minQuality: Double = 0.5, budgetTokens: Long = 800L,
+      maxHamming: Int = 3, strata: Seq[String] = Seq("source"),
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val originalShape = docs.columns.map(col).toIndexedSeq
+
+    // 1: quality gate (6-dp comparison, see scaladoc)
+    val gated = TextStats.withQualityColumns(docs, text)
+      .where(round(col("quality_score"), 6) >= minQuality)
+      .select(originalShape: _*)
+
+    // 2: normalized dedup, min id per digest
+    val keep = gated
+      .groupBy(md5(Dedup.normalizedText(col(text))).as("__digest"))
+      .agg(min(col(id)).as(id))
+      .select(id)
+    val deduped = gated.join(keep, Seq(id), "left_semi")
+
+    // 3: greedy near-dup drop — the larger id of every hamming pair
+    val drops = Dedup.simhashPairs(deduped, maxHamming, id, text)
+      .select(col("id_b").as(id)).distinct()
+    val survivors = deduped.join(drops, Seq(id), "left_anti")
+
+    // 4: per-stratum token budget
+    Sampling.tokenBudgetSample(survivors, strata, budgetTokens, id, text)
+      .select((col(id) +: strata.map(col) :+ col("n_tokens") :+ col("cum_tokens")): _*)
+  }
+}

@@ -75,6 +75,33 @@ class TextPipelineSpec extends SparkSpec {
     assert(ids(10, more).filter(_ <= 4L) == ids(10).filter(_ <= 4L))
   }
 
+  test("p30: every funnel stage cuts — quality gate, normalized dup, order-permuted near-dup, budget") {
+    val docs = Seq(
+      // srcA: d1 good prose (score 0.875); d2 is d1's tokens PERMUTED —
+      // different normalized digest (survives stage 2) but an identical
+      // token multiset means an IDENTICAL SimHash (hamming 0), so stage
+      // 3 drops the larger id deterministically; d3 normalizes to
+      // exactly d1 (punctuation-only delta) -> stage-2 dup; d4 is
+      // punct-heavy junk (score 0.3) -> gate-dropped
+      (1L, "srcA", "the quick brown fox jumps over the lazy dog today"),
+      (2L, "srcA", "today dog lazy the over jumps fox brown quick the"),
+      (3L, "srcA", "The quick brown fox jumps over the lazy dog today!!!"),
+      (4L, "srcA", "#### !!!! ???? ****"),
+      // srcB: two equal-quality docs; a 12-token budget admits only the
+      // hash-first one
+      (5L, "srcB", "the cat sat on the mat and it was that fine day"),
+      (6L, "srcB", "it is that the dog ran to the park and then home")
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.curate(docs, minQuality = 0.5, budgetTokens = 12L,
+      maxHamming = 3, strata = Seq("source"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.keySet.filter(_ <= 4L) == Set(1L),
+      s"srcA should keep exactly d1: $out")
+    assert(out(1L) == 10L)
+    assert(out.keySet.count(_ >= 5L) == 1,
+      s"srcB's 12-token budget admits exactly one 12-token doc: $out")
+  }
+
   test("p28: PII counts and redaction on real email/phone shapes") {
     val docs = Seq(
       (1L, "contact alice@example.com or bob.smith+x@mail.co.uk now"),
