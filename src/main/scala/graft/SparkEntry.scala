@@ -879,6 +879,77 @@ object SparkEntry {
   /** md5-derived 60-bit hash — matches graft.ops.Hashing.hex64. */
   private def hx(e: String): String = s"(('0x' || substr(md5($e),1,15))::BIGINT)"
 
+  // ---- shared oracle fragments -------------------------------------
+  // p30's funnel oracle composes the p8/p4/p29 STAGE oracles from
+  // these fragments (same pattern as hourlyAggSql/exactDedupSql), so a
+  // formula change in a stage twin cannot silently diverge from the
+  // composed query — the drift the funnel exists to catch.
+
+  private def stopListSql: String =
+    TextStats.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Raw per-doc quality signals over `rel` (p8 + p30 stage 1). */
+  private def qualityBaseSql(rel: String, passCols: String): String =
+    s"""SELECT $passCols, text,
+       |    CASE WHEN trim(text) = '' THEN 0
+       |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+       |    len(text) AS n_chars,
+       |    len(text) - len(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS punct,
+       |    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |        tk -> list_contains($stopListSql, tk))) AS stop,
+       |    len(regexp_replace(trim(text), '\\s+', '', 'g')) AS nonws_chars
+       |  FROM $rel""".stripMargin
+
+  /** Ratio columns over the `base` CTE (p8 + p30 stage 1). */
+  private def qualityRatiosSql(passCols: String): String =
+    s"""SELECT $passCols, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |    CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE)/n_chars ELSE 0.0 END AS punct_ratio,
+       |    CASE WHEN n_tokens > 0 THEN CAST(stop AS DOUBLE)/n_tokens ELSE 0.0 END AS stopword_ratio,
+       |    CASE WHEN n_tokens > 0 THEN CAST(nonws_chars AS DOUBLE)/n_tokens ELSE 0.0 END AS mean_token_len
+       |  FROM base""".stripMargin
+
+  /** The composite score over the ratio columns, 6-dp rounded. */
+  private val qualityScoreSql: String =
+    """round(least(1.0, greatest(0.0,
+      |    0.25 * least(n_tokens / 20.0, 1.0) +
+      |    0.25 * (1.0 - least(punct_ratio * 5.0, 1.0)) +
+      |    0.25 * least(stopword_ratio * 5.0, 1.0) +
+      |    0.25 * (CASE WHEN mean_token_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END))), 6)""".stripMargin
+
+  /** SimHash + 4-block pigeonhole candidate pairs over `rel`, ending
+    * in a `simpairs(id_a, id_b, hamming)` CTE (p4 + p30 stage 3).
+    */
+  private def simhashPairsCtesSql(rel: String): String =
+    s"""tok AS (
+       |  SELECT doc_id, token, count(*) AS w, ${hx("token")} AS h FROM (
+       |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+       |    FROM $rel) t0
+       |  WHERE token <> '' GROUP BY doc_id, token
+       |),
+       |bits AS (SELECT unnest(generate_series(0, 59)) AS bit),
+       |s AS (SELECT doc_id, bit, sum(w * (((h >> bit) & 1) * 2 - 1)) AS s
+       |      FROM tok CROSS JOIN bits GROUP BY 1, 2),
+       |simh AS (SELECT doc_id,
+       |                sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+       |         FROM s GROUP BY 1),
+       |blocks AS (SELECT unnest(generate_series(0, 3)) AS blk),
+       |keyed AS (SELECT doc_id, simhash, blk, (simhash >> (blk*15)) & 32767 AS blk_key
+       |          FROM simh CROSS JOIN blocks),
+       |simpairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |                 bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+       |          FROM keyed a JOIN keyed b USING (blk, blk_key)
+       |          WHERE a.doc_id < b.doc_id)""".stripMargin
+
+  /** Per-source token-budget window over `rel(doc_id, source,
+    * n_tokens)` + final projection (p29 + p30 stage 4).
+    */
+  private def budgetWindowSql(rel: String, budget: Int): String =
+    s"""c AS (SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |             CAST(sum(n_tokens) OVER (PARTITION BY source
+       |               ORDER BY ${hx("CAST(doc_id AS VARCHAR)")}, doc_id) AS BIGINT) AS cum_tokens
+       |      FROM $rel)
+       |SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= $budget""".stripMargin
+
   /** p13's DuckDB oracle: replays the deterministic spherical k-means
     * codebook step-for-step (seeded init by hex64(id) order, 3 Lloyd
     * rounds — assignment = highest cosine with ties to the lowest cid,
@@ -1232,62 +1303,26 @@ object SparkEntry {
         |)
         |SELECT doc_id, term, tf, df, round(s, 6) AS tfidf
         |FROM ranked WHERE rn <= 3""".stripMargin,
-    "p30_curation_funnel" -> {
-      val stop = TextStats.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
-      s"""WITH base AS (
-         |  SELECT doc_id, source, text,
-         |    CASE WHEN trim(text) = '' THEN 0
-         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
-         |    len(text) AS n_chars,
-         |    len(text) - len(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS punct,
-         |    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-         |        tk -> list_contains($stop, tk))) AS stop,
-         |    len(regexp_replace(trim(text), '\\s+', '', 'g')) AS nonws_chars
-         |  FROM documents),
-         |g AS (
-         |  SELECT doc_id, source, text, n_tokens FROM base
-         |  WHERE round(least(1.0, greatest(0.0,
-         |      0.25 * least(n_tokens / 20.0, 1.0) +
-         |      0.25 * (1.0 - least((CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE)/n_chars ELSE 0.0 END) * 5.0, 1.0)) +
-         |      0.25 * least((CASE WHEN n_tokens > 0 THEN CAST(stop AS DOUBLE)/n_tokens ELSE 0.0 END) * 5.0, 1.0) +
-         |      0.25 * (CASE WHEN (CASE WHEN n_tokens > 0 THEN CAST(nonws_chars AS DOUBLE)/n_tokens ELSE 0.0 END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END))), 6) >= 0.78),
+    // the funnel oracle IS the stage oracles composed — every block
+    // below comes from the same fragment the p8/p4/p29 twins render
+    "p30_curation_funnel" ->
+      s"""WITH base AS (${qualityBaseSql("documents", "doc_id, source")}),
+         |ratios AS (${qualityRatiosSql("doc_id, source, text")}),
+         |g AS (SELECT doc_id, source, text, n_tokens FROM ratios
+         |      WHERE $qualityScoreSql >= 0.78),
          |keep AS (SELECT min(doc_id) AS doc_id FROM g
          |         GROUP BY md5(trim(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g'))))),
          |dd AS (SELECT g.* FROM g JOIN keep USING (doc_id)),
-         |tok AS (SELECT doc_id, token, count(*) AS w, ${hx("token")} AS h FROM (
-         |         SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
-         |         FROM dd) t0
-         |       WHERE token <> '' GROUP BY doc_id, token),
-         |bits AS (SELECT unnest(generate_series(0, 59)) AS bit),
-         |s AS (SELECT doc_id, bit, sum(w * (((h >> bit) & 1) * 2 - 1)) AS s
-         |      FROM tok CROSS JOIN bits GROUP BY 1, 2),
-         |simh AS (SELECT doc_id,
-         |                sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
-         |         FROM s GROUP BY 1),
-         |blocks AS (SELECT unnest(generate_series(0, 3)) AS blk),
-         |keyed AS (SELECT doc_id, simhash, blk, (simhash >> (blk*15)) & 32767 AS blk_key
-         |          FROM simh CROSS JOIN blocks),
-         |drops AS (SELECT DISTINCT b.doc_id AS doc_id
-         |          FROM keyed a JOIN keyed b USING (blk, blk_key)
-         |          WHERE a.doc_id < b.doc_id
-         |            AND bit_count(xor(a.simhash, b.simhash)) <= 3),
-         |sv AS (SELECT * FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
-         |c AS (SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
-         |             CAST(sum(n_tokens) OVER (PARTITION BY source
-         |               ORDER BY ${hx("CAST(doc_id AS VARCHAR)")}, doc_id) AS BIGINT) AS cum_tokens
-         |      FROM sv)
-         |SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 800""".stripMargin
-    },
+         |${simhashPairsCtesSql("dd")},
+         |sv AS (SELECT * FROM dd WHERE doc_id NOT IN
+         |         (SELECT id_b FROM simpairs WHERE hamming <= 3)),
+         |${budgetWindowSql("sv", 800)}""".stripMargin,
     "p29_token_budget" ->
       s"""WITH t AS (SELECT doc_id, source,
          |             CASE WHEN trim(text) = '' THEN 0
-         |                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
-         |             ${hx("CAST(doc_id AS VARCHAR)")} AS h
+         |                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
          |           FROM documents),
-         |c AS (SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
-         |             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS cum_tokens
-         |      FROM t)
-         |SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 800""".stripMargin,
+         |${budgetWindowSql("t", 800)}""".stripMargin,
     "p26_decontaminate" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
         |              FROM documents WHERE trim(text) <> ''),
@@ -1442,26 +1477,8 @@ object SparkEntry {
          |        GROUP BY 1, 2)
          |SELECT id_a, id_b, round(ej, 6) AS est_jaccard FROM est WHERE ej >= 0.5""".stripMargin,
     "p4_simhash" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, token, count(*) AS w, ${hx("token")} AS h FROM (
-         |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
-         |    FROM documents) t0
-         |  WHERE token <> '' GROUP BY doc_id, token
-         |),
-         |bits AS (SELECT unnest(generate_series(0, 59)) AS bit),
-         |s AS (SELECT doc_id, bit, sum(w * (((h >> bit) & 1) * 2 - 1)) AS s
-         |      FROM tok CROSS JOIN bits GROUP BY 1, 2),
-         |simh AS (SELECT doc_id,
-         |                sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
-         |         FROM s GROUP BY 1),
-         |blocks AS (SELECT unnest(generate_series(0, 3)) AS blk),
-         |keyed AS (SELECT doc_id, simhash, blk, (simhash >> (blk*15)) & 32767 AS blk_key
-         |          FROM simh CROSS JOIN blocks),
-         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         |                 bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
-         |          FROM keyed a JOIN keyed b USING (blk, blk_key)
-         |          WHERE a.doc_id < b.doc_id)
-         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin,
+      s"""WITH ${simhashPairsCtesSql("documents")}
+         |SELECT id_a, id_b, hamming FROM simpairs WHERE hamming <= 3""".stripMargin,
     "p5_cosine_topk" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
         |           FROM embeddings),
@@ -1605,37 +1622,14 @@ object SparkEntry {
          |  FROM scored) t
          |GROUP BY 1""".stripMargin
     },
-    "p8_quality" -> {
-      val stop = TextStats.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
-      s"""WITH base AS (
-         |  SELECT doc_id, text,
-         |    CASE WHEN trim(text) = '' THEN 0
-         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
-         |    len(text) AS n_chars,
-         |    len(text) - len(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS punct,
-         |    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-         |        tk -> list_contains($stop, tk))) AS stop,
-         |    len(regexp_replace(trim(text), '\\s+', '', 'g')) AS nonws_chars
-         |  FROM documents
-         |),
-         |ratios AS (
-         |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-         |    CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE)/n_chars ELSE 0.0 END AS punct_ratio,
-         |    CASE WHEN n_tokens > 0 THEN CAST(stop AS DOUBLE)/n_tokens ELSE 0.0 END AS stopword_ratio,
-         |    CASE WHEN n_tokens > 0 THEN CAST(nonws_chars AS DOUBLE)/n_tokens ELSE 0.0 END AS mean_token_len
-         |  FROM base
-         |)
+    "p8_quality" ->
+      s"""WITH base AS (${qualityBaseSql("documents", "doc_id")}),
+         |ratios AS (${qualityRatiosSql("doc_id")})
          |SELECT doc_id, n_tokens, round(punct_ratio, 6) AS punct_ratio,
          |  round(stopword_ratio, 6) AS stopword_ratio,
          |  round(mean_token_len, 6) AS mean_token_len,
-         |  round(least(1.0, greatest(0.0,
-         |    0.25 * least(n_tokens / 20.0, 1.0) +
-         |    0.25 * (1.0 - least(punct_ratio * 5.0, 1.0)) +
-         |    0.25 * least(stopword_ratio * 5.0, 1.0) +
-         |    0.25 * (CASE WHEN mean_token_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END))), 6)
-         |    AS quality_score
-         |FROM ratios""".stripMargin
-    },
+         |  $qualityScoreSql AS quality_score
+         |FROM ratios""".stripMargin,
     "p9_token_count" ->
       """SELECT doc_id,
         |  CAST(CASE WHEN trim(text) = '' THEN 0

@@ -46,17 +46,19 @@ object Main {
     val opts = parse(args.tail.toList, Map.empty)
     def required(key: String): String =
       opts.get(key).flatMap(_.headOption).getOrElse(usageError(s"--$key is required"))
+    // warehouse target: explicit flag, else the config's connection
+    // string when it names a JDBC database (the reference's deployment
+    // shape — database.connection_string IS the target), else the
+    // local parquet default
+    def warehouseFor(cfg: AppConfig): String =
+      opts.get("warehouse").flatMap(_.headOption).getOrElse(
+        if (cfg.database.connectionString.startsWith("jdbc:"))
+          cfg.database.connectionString
+        else "./warehouse")
     cmd match {
       case "etl" =>
         val cfg = EtlConfig.load(required("config"))
-        // warehouse target: explicit flag, else the config's connection
-        // string when it names a JDBC database (the reference's
-        // deployment shape — database.connection_string IS the target),
-        // else the local parquet default
-        val wh = opts.get("warehouse").flatMap(_.headOption).getOrElse(
-          if (cfg.database.connectionString.startsWith("jdbc:"))
-            cfg.database.connectionString
-          else "./warehouse")
+        val wh = warehouseFor(cfg)
         val job = new EtlJob(spark, cfg, wh)
         val mode = opts.get("mode").flatMap(_.headOption).getOrElse("sequential")
         // The reference resumes unconditionally — every run loads state
@@ -77,10 +79,7 @@ object Main {
         // continuous ingest — the checkpoint makes each drain pick up
         // exactly the manifests that arrived since the last one
         val cfg = EtlConfig.load(required("config"))
-        val wh = opts.get("warehouse").flatMap(_.headOption).getOrElse(
-          if (cfg.database.connectionString.startsWith("jdbc:"))
-            cfg.database.connectionString
-          else "./warehouse")
+        val wh = warehouseFor(cfg)
         val manifest = required("manifest")
         // the checkpoint must be a FILESYSTEM path — when the warehouse
         // is a JDBC URL there is no directory to nest it under

@@ -103,9 +103,16 @@ object Metadata {
     * would make a multi-file load scheduler-bound.
     */
   private def headerLine(spark: SparkSession, file: String): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(file)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
+    val fs = p.getFileSystem(conf)
+    val raw = fs.open(p)
+    // honor the same codec resolution the TextInputFormat body scan
+    // uses — a .tsv.gz header must decompress, not parse gzip bytes
+    val in = Option(new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
+        .getCodec(p))
+      .map(_.createInputStream(raw): java.io.InputStream)
+      .getOrElse(raw)
     try {
       val reader = new java.io.BufferedReader(
         new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))

@@ -35,17 +35,25 @@ object Curation {
       id: String = "doc_id", text: String = "text"): DataFrame = {
     val originalShape = docs.columns.map(col).toIndexedSeq
 
-    // 1: quality gate (6-dp comparison, see scaladoc)
+    // 1: quality gate (6-dp comparison, see scaladoc). Eagerly
+    // materialized: the gated frame feeds BOTH sides of the stage-2
+    // dedup (digest groupBy + semi-join back), and without the
+    // checkpoint the per-row regex pipeline re-evaluates per branch —
+    // the same measured rationale as Dedup.minhashDupPairs' cache
+    // (and the same executor-loss recompute trade, documented there).
     val gated = TextStats.withQualityColumns(docs, text)
       .where(round(col("quality_score"), 6) >= minQuality)
       .select(originalShape: _*)
+      .localCheckpoint(true)
 
-    // 2: normalized dedup, min id per digest
+    // 2: normalized dedup, min id per digest; materialized for the
+    // same reason — stage 3 reads it twice (simhash input + anti-join
+    // left side)
     val keep = gated
       .groupBy(md5(Dedup.normalizedText(col(text))).as("__digest"))
       .agg(min(col(id)).as(id))
       .select(id)
-    val deduped = gated.join(keep, Seq(id), "left_semi")
+    val deduped = gated.join(keep, Seq(id), "left_semi").localCheckpoint(true)
 
     // 3: greedy near-dup drop — the larger id of every hamming pair
     val drops = Dedup.simhashPairs(deduped, maxHamming, id, text)

@@ -16,10 +16,13 @@ class PlanShapeSpec extends SparkSpec {
   private def executedPlan(query: String): String = {
     val df = SparkEntry.queries(query)(spark, sfDir)
     // execute THIS df's own QueryExecution (a write would plan a fresh
-    // one and leave df's AdaptiveSparkPlan un-finalized) so the string
-    // below is the post-AQE final plan, BucketingSpec-style
+    // one and leave df's AdaptiveSparkPlan un-finalized), then keep
+    // only the final-plan section: the AdaptiveSparkPlanExec dump
+    // also prints "== Initial Plan ==", and a negative assertion
+    // matching the PRE-AQE text would fail on exactly the runtime
+    // conversions this suite is meant to tolerate
     df.collect()
-    df.queryExecution.executedPlan.toString
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
   }
 
   private def assertNoDisasterJoin(q: String, plan: String): Unit = {
