@@ -141,10 +141,14 @@ object Similarity {
     // planes bound per-band bucket occupancy (fan-out ~ N/2^planes).
     // Single-band 8-plane recall@5 is ~2% on a mid-angle (cos~0.4)
     // corpus (RecallSpec pins it); real retrieval wants bands >= 4.
-    val banded = (0 until bands).map { band =>
+    val bandedPlan = (0 until bands).map { band =>
       base.withColumn("band", lit(band))
         .withColumn("bucket", bucketCol(col("__v"), planes, d, band * planes))
     }.reduce(_ unionByName _)
+    // both join sides reference the banded frame; for multi-band runs
+    // materialize it once (eager — same AQE concurrent-recompute
+    // rationale and executor-loss trade as Dedup.minhashDupPairs)
+    val banded = if (bands == 1) bandedPlan else bandedPlan.localCheckpoint(true)
     val a = banded.select(col(id).as("query_id"), col("__v").as("va"),
       col("__n").as("na"), col("band"), col("bucket"))
     val b = banded.select(col(id).as("neighbor_id"), col("__v").as("vb"),
