@@ -130,10 +130,13 @@ object Main {
   private def parse(args: List[String], acc: Map[String, Seq[String]]): Map[String, Seq[String]] =
     args match {
       // a flag key followed by another option (or nothing) is bare true
+      // — recorded as an explicit "true" so that with repeated
+      // mentions the LAST one wins (e.g. `--no-resume false
+      // --no-resume` resumes off)
       case key :: rest if key.startsWith("--") && flagKeys(key.drop(2)) &&
           rest.headOption.forall(_.startsWith("--")) =>
         val k = key.drop(2)
-        parse(rest, acc.updated(k, acc.getOrElse(k, Seq.empty)))
+        parse(rest, acc.updated(k, acc.getOrElse(k, Seq.empty) :+ "true"))
       case key :: value :: rest if key.startsWith("--") =>
         val k = key.drop(2)
         parse(rest, acc.updated(k, acc.getOrElse(k, Seq.empty) :+ value))

@@ -125,7 +125,18 @@ object Metadata {
     import org.apache.hadoop.io.{LongWritable, Text}
     import org.apache.hadoop.mapreduce.lib.input.TextInputFormat
     import spark.implicits._
-    val headers = headerLine(spark, file).split("\t", -1).map(_.trim)
+    val rawNames = headerLine(spark, file).split("\t", -1).map(_.trim)
+    // duplicate header cells get the same position-suffix rename
+    // spark.read.csv applied (makeSafeHeader): the exact-name candidate
+    // no longer matches but the digit-stripped tier-3 rule still does —
+    // wide GEO/refinebio exports repeat characteristic columns. A
+    // literal __ord header is also renamed so the appended ordinal
+    // column stays unambiguous.
+    val dupCounts = rawNames.groupBy(identity).view.mapValues(_.length).toMap
+    val headers = rawNames.zipWithIndex.map { case (n, i) =>
+      val deduped = if (dupCounts(n) > 1) s"$n$i" else n
+      if (deduped == "__ord") s"__ord_hdr$i" else deduped
+    }
     val schema = org.apache.spark.sql.types.StructType(
       headers.map(org.apache.spark.sql.types.StructField(_,
         org.apache.spark.sql.types.StringType)))

@@ -256,25 +256,20 @@ object Similarity {
     // struct(-sim, cid) sorted ascending = sim descending, cid ascending;
     // `+ 0.0` normalizes -0.0 so a zero cosine ties identically to SQL.
     // cid literal keeps the cell id's own type (string ids included).
+    // ONE builder serves both codebooks — the scoring expression must
+    // stay identical between them (and to the oracle).
+    def entry(cid: Any, cv: Seq[Double], cn: Double): Column =
+      struct(
+        ((VectorMath.dot(col(vecOut), typedlit(cv)) / (col(normOut) * lit(cn))) * -1.0
+          + 0.0).as("ns"),
+        lit(cid).as("cid"))
     val entries: Seq[Column] = codebook match {
       case "kmeans" =>
-        fitCodebookKMeans(emb, nCentroids, iters = 3, id, vec, fitSamplePct).map {
-          case (cid, cv, cn) =>
-            struct(
-              ((VectorMath.dot(col(vecOut), typedlit(cv)) / (col(normOut) * lit(cn))) * -1.0
-                + 0.0).as("ns"),
-              lit(cid).as("cid"))
-        }
+        fitCodebookKMeans(emb, nCentroids, iters = 3, id, vec, fitSamplePct)
+          .map { case (cid, cv, cn) => entry(cid, cv, cn) }
       case "minid" =>
-        vs.orderBy(col(idOut).asc).limit(nCentroids).collect().toSeq.map { r =>
-          val cid = r.get(0)
-          val cv = r.getSeq[Double](1)
-          val cn = r.getDouble(2)
-          struct(
-            ((VectorMath.dot(col(vecOut), typedlit(cv)) / (col(normOut) * lit(cn))) * -1.0
-              + 0.0).as("ns"),
-            lit(cid).as("cid"))
-        }
+        vs.orderBy(col(idOut).asc).limit(nCentroids).collect().toSeq
+          .map(r => entry(r.get(0), r.getSeq[Double](1), r.getDouble(2)))
       case other => throw new IllegalArgumentException(
         s"codebook must be kmeans|minid, got $other")
     }
@@ -392,10 +387,13 @@ object Similarity {
       .select(col(id), toDouble(col(vec)).as("__v")))
       .withColumn("__n", VectorMath.norm(col("__v")))
       .where(col("__n") > 0.0)
-    val banded = (0 until bands).map { band =>
+    val bandedPlan = (0 until bands).map { band =>
       base.withColumn("band", lit(band))
         .withColumn("bucket", bucketCol(col("__v"), planes, d, band * planes))
     }.reduce(_ unionByName _)
+    // same double-reference materialization as lshCosineTopK: both
+    // join sides read the banded frame
+    val banded = if (bands == 1) bandedPlan else bandedPlan.localCheckpoint(true)
     val a = banded.select(col(id).as("id_a"), col("__v").as("va"),
       col("__n").as("na"), col("band"), col("bucket"))
     val b = banded.select(col(id).as("id_b"), col("__v").as("vb"),

@@ -34,13 +34,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 class StreamingEtl(spark: SparkSession, config: AppConfig, warehouseDir: String) {
   private val job = new EtlJob(spark, config, warehouseDir)
 
+  /** Thrown inside foreachBatch to FAIL the micro-batch when a study
+    * errored: an uncommitted batch keeps its manifests unprocessed, so
+    * the next drain retries them (succeeded studies replay as resume
+    * skips / zero-fact anti-joins).
+    */
+  private final class StudyBatchFailed(val failed: Seq[String])
+    extends RuntimeException(s"studies failed in this batch: ${failed.mkString(", ")}")
+
   /** Drain every unprocessed manifest entry (Trigger.AvailableNow) and
     * stop; returns the per-study results of THIS drain. `resume = true`
     * (the default, matching the CLI) skips studies already terminal in
     * StudyState — re-listed studies are reported `skipped`.
+    *
+    * Failure semantics: with `failOpen = false` (default) a per-study
+    * failure FAILS the micro-batch, so its manifests stay unprocessed
+    * and the next drain retries them — a transient error (FS hiccup)
+    * self-heals, at the cost that a permanently broken study blocks
+    * its manifest until fixed or re-drained with `failOpen = true`,
+    * which commits the batch and reports the failure once (batch-mode
+    * behavior: the study is only retried when re-listed).
     */
   def ingestAvailable(manifestDir: String, checkpointDir: String,
-      resume: Boolean = true): Seq[EtlJob#StudyResult] = {
+      resume: Boolean = true, failOpen: Boolean = false): Seq[EtlJob#StudyResult] = {
     val buf = scala.collection.mutable.ArrayBuffer.empty[EtlJob#StudyResult]
     val query = spark.readStream
       .format("text")
@@ -51,13 +67,27 @@ class StreamingEtl(spark: SparkSession, config: AppConfig, warehouseDir: String)
         val dirs = batch.collect().map(_.getString(0).trim)
           .filter(_.nonEmpty).distinct.sorted
           .map(java.nio.file.Paths.get(_)).toSeq
-        if (dirs.nonEmpty) buf.synchronized { buf ++= job.processUnioned(dirs, resume) }
+        if (dirs.nonEmpty) {
+          val results = job.processUnioned(dirs, resume)
+          buf.synchronized { buf ++= results }
+          val failed = results.collect { case r if r.error.isDefined => r.accession }
+          if (failed.nonEmpty && !failOpen) throw new StudyBatchFailed(failed)
+        }
         ()
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
-    query.awaitTermination()
+    try query.awaitTermination()
+    catch {
+      case e: org.apache.spark.sql.streaming.StreamingQueryException
+          if causeChain(e).exists(_.isInstanceOf[StudyBatchFailed]) =>
+        // our own batch-fail signal: the per-study errors are already
+        // in the results; the manifest stays uncommitted for retry
+    }
     buf.synchronized(buf.toSeq)
   }
+
+  private def causeChain(t: Throwable): Iterator[Throwable] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
 }

@@ -434,6 +434,21 @@ class EtlSpec extends SparkSpec {
     assert(wh.read("fact_gene_pair_corr").count() == 0)
   }
 
+  test("S3: duplicated header cells rename with position suffixes; tier-3 matching still resolves the field") {
+    val root = tmpDir()
+    // wide GEO/refinebio exports repeat characteristic columns; the
+    // CSV-reader path auto-renamed duplicates and the ordinal path
+    // must match: refinebio_age appears twice -> refinebio_age2/_age3,
+    // the exact candidate misses, and the digit-stripped rule matches
+    // both in column order (blank first occurrence falls through)
+    val p = write(root, "metadata_DUP.tsv",
+      "refinebio_accession_code\texperiment_accession\trefinebio_age\trefinebio_age\n" +
+        "GSM1\tGSED\t\t42\n")
+    val r = Metadata.load(spark, p.toString, FieldMappingConfig()).head
+    assert(r.getAs[String]("age") == "42")
+    assert(r.getAs[String]("gsm_accession") == "GSM1")
+  }
+
   test("__ord is FILE order: multi-file metadata where path order ≠ size order resolves duplicate GSMs first-file-wins") {
     val root = tmpDir()
     val metaDir = Files.createDirectories(root.resolve("meta"))

@@ -110,6 +110,36 @@ class StreamingEtlSpec extends SparkSpec {
     assert(etl.ingestAvailable(manifests.toString, checkpoint).isEmpty)
   }
 
+  test("a failed study fails the batch: its manifest stays unprocessed and the next drain retries it") {
+    val root = tmpDir()
+    val filter = write(root, "filter.tsv", filterTsv)
+    val cfg = config(root, filter)
+    val whDir = tmpDir().toString
+    val manifests = tmpDir()
+    val checkpoint = tmpDir().resolve("ckpt").toString
+    val etl = new StreamingEtl(spark, cfg, whDir)
+
+    // broken study: metadata has the wrong columns
+    val d = Files.createDirectories(root.resolve("GSE9006"))
+    write(d, "metadata_GSE9006.tsv", "wrong\tcols\nx\ty\n")
+    write(d, "expression_GSE9006.tsv", expressionTsv)
+    write(manifests, "m1.txt", s"$d\n")
+    val r1 = etl.ingestAvailable(manifests.toString, checkpoint)
+    assert(r1.exists(_.error.isDefined), s"expected a failed study: $r1")
+    assert(factTuples(whDir).isEmpty)
+
+    // the operator FIXES the study in place; the same (uncommitted)
+    // manifest is retried by the next drain — a transient failure
+    // self-heals with no re-publication
+    write(d, "metadata_GSE9006.tsv", metadataTsv)
+    val r2 = etl.ingestAvailable(manifests.toString, checkpoint)
+    assert(r2.map(r => (r.accession, r.error.isEmpty)) == Seq(("GSE9006", true)), r2.toString)
+    assert(factTuples(whDir).size == 11)
+
+    // committed now: a further drain is empty
+    assert(etl.ingestAvailable(manifests.toString, checkpoint).isEmpty)
+  }
+
   test("CLI: etl-stream drains manifests through Main with the same results") {
     val root = tmpDir()
     val a = makeStudy(root, "GSE9006")
