@@ -54,13 +54,18 @@ object Bench {
     val spread = byQuery.map { case (k, _, d) => JsonUtil.quote(k) + ":" + fmt(d) }
       .mkString("{", ",", "}")
     val total = byQuery.map(_._2).sum
+    // stdout carries only the headline numbers: the round-3/4 artifacts
+    // lost their parse because the per-query dicts (64 queries x 2 maps)
+    // outgrew the driver's bounded tail capture. The full per-query
+    // times + spreads live in bench_out.json only.
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":$passes,"queries":$qs,"spread":$spread,"sf":${JsonUtil.quote(sfDir)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":$passes,"n":${byQuery.size},"sf":${JsonUtil.quote(sfDir)}}"""
+    val full =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":$passes,"n":${byQuery.size},"queries":$qs,"spread":$spread,"sf":${JsonUtil.quote(sfDir)}}"""
     println(line)
-    // belt-and-braces: a file copy survives any stdout truncation
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case NonFatal(e) => System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}") }
     spark.stop()
   }

@@ -191,17 +191,29 @@ object SparkEntry {
     // A6: sketch aggregates — HLL++ distinct and t-digest-style
     // percentile approximation. These are the 100 TB path for A2/A3
     // (mergeable partial state, bytes-bounded per group, no exact
-    // distinct shuffle); cross-engine sketches differ by construction,
-    // so this query has NO oracle entry — the driver records the
-    // weaker rows-only check, and the exact twins (a2/a3) remain the
-    // value oracle.
+    // distinct shuffle). Cross-engine sketch ESTIMATES differ by
+    // construction, so the query emits the exact twins plus a
+    // within-tolerance boolean per estimate: the booleans are
+    // deterministically TRUE under each sketch's published guarantee
+    // (HLL++ relativeSD=0.05, gated at 3 sigma = 15% relative error;
+    // approx_percentile accuracy=10000 => rank error <= 1e-4, gated by
+    // a +/-0.02-quantile value window), so the oracle hashes exact
+    // columns + literal TRUE flags. A sketch regression flips a flag
+    // and fails the hash — this IS the driver-visible value gate
+    // (previously only the local SketchToleranceSpec saw it).
     "a6_sketches" -> ((s, dir) =>
       t(s, dir, "lineitem").groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 10000)").as("pc"))
-        .select(col("l_returnflag"), col("approx_parts"),
-          round(col("pc")(0), 4).as("approx_median"),
-          round(col("pc")(1), 4).as("approx_p99"))),
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 10000)").as("apc"),
+          expr("percentile(l_extendedprice, array(0.48, 0.5, 0.52, 0.97, 0.99, 1.0))").as("epc"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          round(col("epc")(1), 4).as("exact_median"),
+          round(col("epc")(4), 4).as("exact_p99"),
+          (abs(col("approx_parts") - col("exact_parts")) <= col("exact_parts") * lit(0.15)).as("hll_ok"),
+          col("apc")(0).between(col("epc")(0), col("epc")(2)).as("median_ok"),
+          col("apc")(1).between(col("epc")(3), col("epc")(5)).as("p99_ok"))),
 
     // hierarchical subtotals: ROLLUP/CUBE produce the same plan family
     // as plain groupBy (Expand + partial/final agg) — subtotal rows
@@ -966,7 +978,7 @@ object SparkEntry {
          |           list_sum(list_transform(n.e, (x, i) -> x * c.cv[i])) / (n.nrm * c.cn) DESC,
          |           c.cid ASC) AS rk
          |  FROM n CROSS JOIN $prev c) WHERE rk = 1),
-         |m$k AS (SELECT cid, idx, avg(val) AS m FROM (
+         |m$k AS (SELECT cid, idx, round(avg(val), 12) AS m FROM (
          |  SELECT cid, unnest(e) AS val, unnest(range(1, len(e) + 1)) AS idx FROM a$k)
          |  GROUP BY cid, idx),
          |c$k AS (SELECT cid, list(m ORDER BY idx) AS cv, sqrt(sum(m * m)) AS cn
@@ -1138,6 +1150,16 @@ object SparkEntry {
         |       round(quantile_cont(l_extendedprice, 0.5), 4) AS median,
         |       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
         |       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    // The TRUE literals are the point, not a shortcut: the Spark side
+    // computes each flag from its sketch's published error bound, so
+    // equality with the literal is exactly the tolerance gate.
+    "a6_sketches" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_partkey) AS exact_parts,
+        |       round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_median,
+        |       round(quantile_cont(l_extendedprice, 0.99), 4) AS exact_p99,
+        |       TRUE AS hll_ok, TRUE AS median_ok, TRUE AS p99_ok
         |FROM lineitem GROUP BY 1""".stripMargin,
     "r1_unpivot_agg" ->
       s"""WITH $longSql

@@ -10,9 +10,12 @@ import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SaveMode, SparkSes
   * The reference runs against SQLite/SQL Server/Postgres through
   * SQLAlchemy (reference database.py:19-60, repositories.py:104-138);
   * this backend is the same deployment shape through Spark's JDBC
-  * source/sink. Tested against embedded Derby (`jdbc:derby:...;
+  * source/sink. Tested E2E against embedded Derby (`jdbc:derby:...;
   * create=true`, the JVM's in-process database, present in Spark's jar
-  * directory); any dialect Spark ships works the same way.
+  * directory); the one dialect-sensitive DDL statement (table rename,
+  * used by the dim swap) is selected per-URL in
+  * [[JdbcWarehouse.renameTableSql]] so Postgres/SQL Server/MySQL
+  * deployments get their own syntax.
   *
   * What maps where:
   *  - bulk insert batching (S6, reference config.py:16 `batch_size`,
@@ -107,6 +110,12 @@ class JdbcWarehouse(
     try { st.executeUpdate(sql); () } finally st.close()
   }
 
+  /** Dialect-correct table rename (see [[JdbcWarehouse.renameTableSql]]);
+    * the swap/recovery paths below never hardcode a rename syntax.
+    */
+  private def rename(conn: Connection, from: String, to: String): Unit =
+    exec(conn, JdbcWarehouse.renameTableSql(url, from, to))
+
   /** Explicit VARCHAR widths for string columns (reference models.py:
     * 19,28,38,47,59,63-64,115 — String(32..128) accessions/labels).
     */
@@ -136,7 +145,7 @@ class JdbcWarehouse(
     // live vanished after old was set aside -> the set-aside is truth
     val (present, bounds) = withConn(s"read $table") { conn =>
       if (!tableExists(conn, table) && tableExists(conn, table + "__old"))
-        exec(conn, s"RENAME TABLE ${table}__old TO $table")
+        rename(conn, table + "__old", table)
       (tableExists(conn, table),
         if (tableExists(conn, table)) studyKeyBounds(conn, table) else None)
     }
@@ -212,17 +221,24 @@ class JdbcWarehouse(
         if (tableExists(conn, table)) {
           if (tableExists(conn, table + "__old"))
             exec(conn, s"DROP TABLE ${table}__old")
-          exec(conn, s"RENAME TABLE $table TO ${table}__old")
+          rename(conn, table, table + "__old")
         }
-        exec(conn, s"RENAME TABLE ${table}__tmp TO $table")
+        rename(conn, table + "__tmp", table)
       }
     }
-    // destructive cleanup only after the promote committed, in its own
-    // retried block — a failure here leaves a stale __old that the next
-    // writeDim (or read-recovery, which prefers live) handles
-    withConn(s"cleanup dim $table") { conn =>
-      if (tableExists(conn, table) && tableExists(conn, table + "__old"))
-        exec(conn, s"DROP TABLE ${table}__old")
+    // destructive cleanup only after the promote committed. The swap is
+    // already durable here, so a cleanup failure must NOT fail the
+    // study: a stale __old is harmless (the next writeDim drops it, and
+    // read-recovery prefers live) — log and move on.
+    try {
+      withConn(s"cleanup dim $table") { conn =>
+        if (tableExists(conn, table) && tableExists(conn, table + "__old"))
+          exec(conn, s"DROP TABLE ${table}__old")
+      }
+    } catch {
+      case e: SQLException =>
+        log.warn(s"post-promote cleanup of ${table}__old failed (swap already " +
+          s"committed; stale __old will be reclaimed on the next writeDim): ${e.getMessage}")
     }
   }
 
@@ -242,5 +258,31 @@ class JdbcWarehouse(
         exec(conn, s"""DELETE FROM $table WHERE "study_key" IN (${studyKeys.mkString(",")})""")
     }
     appendFacts(table, df)
+  }
+}
+
+object JdbcWarehouse {
+  /** Table-rename DDL varies by dialect — the one DDL statement in this
+    * backend that does (CREATE/DROP/DELETE are portable as written).
+    * Keyed off the JDBC URL scheme, covering the reference's stated
+    * deployments (database.py:19-60 — SQLite, Postgres, SQL Server)
+    * plus the dialects Spark commonly ships drivers for:
+    *
+    *  - derby / mysql / mariadb: `RENAME TABLE a TO b`
+    *  - sqlserver (and jtds):    `EXEC sp_rename 'a', 'b'`
+    *  - everything else (postgresql, sqlite, h2, oracle, ...):
+    *    SQL-standard `ALTER TABLE a RENAME TO b`
+    *
+    * Pure function of (url, from, to) so JdbcWarehouseSpec exercises
+    * every dialect's statement without a live server; the Derby E2E
+    * keeps the executed path honest.
+    */
+  private[etl] def renameTableSql(url: String, from: String, to: String): String = {
+    val scheme = url.stripPrefix("jdbc:").takeWhile(_ != ':').toLowerCase
+    scheme match {
+      case "derby" | "mysql" | "mariadb" => s"RENAME TABLE $from TO $to"
+      case "sqlserver" | "jtds"          => s"EXEC sp_rename '$from', '$to'"
+      case _                             => s"ALTER TABLE $from RENAME TO $to"
+    }
   }
 }

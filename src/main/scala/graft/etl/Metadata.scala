@@ -125,7 +125,11 @@ object Metadata {
     import org.apache.hadoop.io.{LongWritable, Text}
     import org.apache.hadoop.mapreduce.lib.input.TextInputFormat
     import spark.implicits._
-    val rawNames = headerLine(spark, file).split("\t", -1).map(_.trim)
+    // names are taken VERBATIM (no trim): this path claims
+    // spark.read.csv header parity (makeSafeHeader), and the CSV reader
+    // does not trim header cells — readLine() already strips the CR/LF
+    // terminator, so there is no line-ending residue to clean
+    val rawNames = headerLine(spark, file).split("\t", -1)
     // duplicate header cells get the same position-suffix rename
     // spark.read.csv applied (makeSafeHeader): the exact-name candidate
     // no longer matches but the digit-stripped tier-3 rule still does —

@@ -27,6 +27,13 @@ object ConnectedComponents {
 
   /** @param edges two-column frame of undirected edges (ids of any
     *   orderable type); self-loops and duplicates are fine.
+    * @param maxIter propagation-round budget. A graph that has not
+    *   converged after maxIter/2 rounds is not the near-clique shape
+    *   this algorithm is for (label propagation needs diameter-many
+    *   rounds), so the call AUTO-ROUTES to the diameter-independent
+    *   [[connectedComponentsStar]] instead of burning the remaining
+    *   budget one hop at a time or throwing — chain-shaped dup graphs
+    *   converge through this default API.
     * @return (id, component) — component is the min id reachable.
     */
   def connectedComponents(edges: DataFrame, src: String = "id_a",
@@ -41,7 +48,8 @@ object ConnectedComponents {
       .localCheckpoint(true)
     var iter = 0
     var converged = false
-    while (iter < maxIter && !converged) {
+    val propagationRounds = math.max(1, maxIter / 2)
+    while (iter < propagationRounds && !converged) {
       // neighbor labels flow along edges; min with own label
       val msgs = sym.join(labels, sym("u") === labels("id"))
         .select(col("v").as("id"), col("component"))
@@ -62,10 +70,11 @@ object ConnectedComponents {
     sym.unpersist()
     if (!converged) {
       labels.unpersist()
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds — " +
-          "component diameter exceeds the bound; raise maxIter or use " +
-          "connectedComponentsStar for long-chain graphs")
+      // diameter exceeds the propagation budget — a chain-shaped graph.
+      // Star contraction is diameter-independent, so its own default
+      // round bound (O(log² n) theory) applies, not the caller's
+      // diameter bound.
+      return connectedComponentsStar(edges, src, dst)
     }
     labels
   }
@@ -110,10 +119,13 @@ object ConnectedComponents {
         .unionByName(cur.select(col("lo").as("u"), col("hi").as("v")))
       val lmins = sym.groupBy("u").agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("u"), col("mv")).as("m"))
+      // materialized: `large` feeds BOTH the smins aggregation and the
+      // small-star join below — left lazy, the whole large-star stage
+      // (two shuffles) would recompute from `cur` for each reference
       val large = sym.join(lmins, "u")
         .where(col("v") > col("u"))
         .select(col("v").as("hi"), col("m").as("lo")) // m <= u < v: canonical
-        .distinct()
+        .distinct().localCheckpoint(true)
       // small-star: each hi links its (all-smaller) neighbors and
       // itself to their minimum
       val smins = large.groupBy("hi").agg(min(col("lo")).as("m"))
@@ -123,6 +135,7 @@ object ConnectedComponents {
         .where(col("x") =!= col("m"))
         .select(col("x").as("hi"), col("m").as("lo"))
         .distinct().localCheckpoint(true)
+      large.unpersist()
       // fixpoint = identical edge set (both sides are distinct)
       val changed = small.count() != cur.count() ||
         small.except(cur).limit(1).count() > 0

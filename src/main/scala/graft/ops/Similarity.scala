@@ -182,10 +182,11 @@ object Similarity {
     * codebook on a deterministic hash-sample ([[Sampling]]) when N is
     * corpus-scale — the assignment step is the only full pass needed.
     * Floating-point note: `avg` partial-aggregation order perturbs
-    * centroid coordinates at the last-ulp level; assignments only flip
-    * if a vector's two best centroids tie within ~1e-15 cosine, so the
-    * downstream ranking (exact cosines between ORIGINAL vectors) is
-    * stable across engines and runs.
+    * centroid coordinates at the last-ulp level, so every Lloyd round
+    * ROUNDS the updated coordinates to 12 dp (HALF_UP, matching DuckDB
+    * round()) before they feed the next assignment — the oracle rounds
+    * identically, so engine/run aggregation-order drift is quantized
+    * away instead of relying on a no-near-tie assumption.
     */
   private[ops] def fitCodebookKMeans(emb: DataFrame, nCentroids: Int, iters: Int,
       id: String, vec: String, fitSamplePct: Int = 100): Seq[(Int, Seq[Double], Double)] = {
@@ -221,7 +222,13 @@ object Similarity {
         val aggs = (1 to d).map(j => avg(element_at(col("v"), j)).as(s"m_$j"))
         cents = assigned.groupBy("cell").agg(aggs.head, aggs.tail: _*).collect()
           .toSeq.map { r =>
-            val m = (1 to d).map(j => r.getAs[Double](s"m_$j"))
+            // 12-dp quantization (HALF_UP = DuckDB round): kills the
+            // ulp-level partial-agg order drift before it can flip a
+            // near-tie assignment next round
+            val m = (1 to d).map { j =>
+              BigDecimal(r.getAs[Double](s"m_$j"))
+                .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+            }
             (r.getAs[Int]("cell"), m, math.sqrt(m.map(x => x * x).sum))
           }
           .filter(_._3 > 0)

@@ -230,6 +230,56 @@ class JdbcWarehouseSpec extends SparkSpec {
       s"study_key predicate not pushed into the JDBC scan:\n$scan")
   }
 
+  test("dim-swap rename DDL is dialect-correct per JDBC URL scheme") {
+    import JdbcWarehouse.renameTableSql
+    // Derby + MySQL family: RENAME TABLE (the only syntax they accept)
+    assert(renameTableSql("jdbc:derby:/x/wh;create=true", "a", "b") == "RENAME TABLE a TO b")
+    assert(renameTableSql("jdbc:mysql://h/db", "a", "b") == "RENAME TABLE a TO b")
+    assert(renameTableSql("jdbc:mariadb://h/db", "a", "b") == "RENAME TABLE a TO b")
+    // the reference's Postgres deployment (database.py:28-60) rejects
+    // RENAME TABLE — it needs ALTER TABLE .. RENAME TO
+    assert(renameTableSql("jdbc:postgresql://h:5432/db", "dim_gene", "dim_gene__old") ==
+      "ALTER TABLE dim_gene RENAME TO dim_gene__old")
+    // SQL Server has no rename DDL at all — sp_rename is the tool
+    assert(renameTableSql("jdbc:sqlserver://h;databaseName=db", "a", "b") ==
+      "EXEC sp_rename 'a', 'b'")
+    assert(renameTableSql("jdbc:jtds:sqlserver://h/db", "a", "b") == "EXEC sp_rename 'a', 'b'")
+    // SQLite / H2 / unknown dialects take the SQL-standard form
+    assert(renameTableSql("jdbc:sqlite:/x/wh.db", "a", "b") == "ALTER TABLE a RENAME TO b")
+    assert(renameTableSql("jdbc:h2:mem:wh", "a", "b") == "ALTER TABLE a RENAME TO b")
+  }
+
+  test("post-promote cleanup failure does not fail the study (swap already committed)") {
+    import spark.implicits._
+    val url = derbyUrl()
+    // retry budget 1 so a cleanup SQLException would surface immediately
+    // if writeDim still rethrew it
+    val wh = new JdbcWarehouse(spark, url, maxRetries = 1, retryBackoffSeconds = 0) {
+      // sabotage ONLY the cleanup connection: writeDim's cleanup block
+      // opens its own withConn("cleanup dim ..") — fail that acquisition
+      override private[etl] def withRetries[A](op: String)(f: => A): A =
+        if (op.startsWith("cleanup dim")) throw new java.sql.SQLException("cleanup down")
+        else super.withRetries(op)(f)
+    }
+    wh.writeDim("dim_gene", Seq((1L, "ENSG1")).toDF("gene_key", "ensembl_id"))
+    // second write exercises the full swap (set-aside + promote) and the
+    // sabotaged cleanup — it must complete, leaving the stale __old
+    wh.writeDim("dim_gene", Seq((1L, "ENSG1"), (2L, "ENSG2")).toDF("gene_key", "ensembl_id"))
+    assert(wh.read("dim_gene").count() == 2, "promote must commit despite cleanup failure")
+
+    // a healthy writeDim reclaims the stale __old
+    val healthy = Warehouse(spark, url).asInstanceOf[JdbcWarehouse]
+    healthy.writeDim("dim_gene",
+      Seq((1L, "ENSG1"), (2L, "ENSG2"), (3L, "ENSG3")).toDF("gene_key", "ensembl_id"))
+    assert(healthy.read("dim_gene").count() == 3)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, "DIM_GENE__OLD", Array("TABLE"))
+      try assert(!rs.next(), "stale __old not reclaimed by the next writeDim")
+      finally rs.close()
+    } finally conn.close()
+  }
+
   test("X4: driver-side connection acquisition retries with backoff, then surfaces") {
     val wh = new JdbcWarehouse(spark, "jdbc:derby:/nonexistent/nope;create=false",
       maxRetries = 3, retryBackoffSeconds = 0)

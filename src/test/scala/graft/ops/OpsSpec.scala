@@ -113,10 +113,12 @@ class OpsSpec extends SparkSpec {
     assert(Seq(10L, 11L, 12L).forall(cc(_) == 10L))
     assert(cc(20L) == 20L)
     assert(cc.size == 9)
-    // non-convergence surfaces loudly instead of returning partial labels
-    intercept[IllegalStateException] {
-      ConnectedComponents.connectedComponents(edges, maxIter = 2)
-    }
+    // a too-small propagation budget no longer throws or returns
+    // partial labels: the call auto-routes to star contraction and
+    // still lands the exact answer
+    val routed = ConnectedComponents.connectedComponents(edges, maxIter = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(routed == cc)
   }
 
   test("blocked near-dup: subset of exact pairs; near-zero angles always survive") {

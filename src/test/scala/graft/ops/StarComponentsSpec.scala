@@ -13,18 +13,18 @@ class StarComponentsSpec extends SparkSpec {
   private def labels(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
     df.collect().map(r => r.getAs[Number](0).longValue() -> r.getAs[Number](1).longValue()).toMap
 
-  test("100-vertex path graph: star contraction converges where label propagation's diameter bound throws") {
+  test("100-vertex path graph converges through the DEFAULT API via star auto-route") {
     // 0-1-2-...-99: diameter 99. Min-label propagation moves the label
-    // ONE hop per round — it must throw at its default 20-round bound...
+    // ONE hop per round, so it cannot finish inside its default budget —
+    // the default API must detect that at maxIter/2 and route to star
+    // contraction instead of throwing (round-4 verdict #7)
     val path = (0L until 99L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    intercept[IllegalStateException] {
-      ConnectedComponents.connectedComponents(path)
-    }
-    // ...while star contraction folds the chain in O(log² n) rounds
-    // within its default bound
+    val routed = labels(ConnectedComponents.connectedComponents(path))
+    assert(routed.size == 100)
+    assert(routed.values.forall(_ == 0L), s"non-root labels: ${routed.filter(_._2 != 0L)}")
+    // and the explicit star entry point agrees
     val got = labels(ConnectedComponents.connectedComponentsStar(path))
-    assert(got.size == 100)
-    assert(got.values.forall(_ == 0L), s"non-root labels: ${got.filter(_._2 != 0L)}")
+    assert(got == routed)
   }
 
   test("star contraction ≡ label propagation on near-clique dedup graphs (plus loops/dups/isolated shapes)") {
