@@ -930,6 +930,9 @@ object SparkEntry {
 
   /** SimHash + 4-block pigeonhole candidate pairs over `rel`, ending
     * in a `simpairs(id_a, id_b, hamming)` CTE (p4 + p30 stage 3).
+    * Replays the Scala side's hot-bucket guard: identical simhashes
+    * collapse to a min-id representative before the block join and
+    * re-enter as hamming-0 star edges.
     */
   private def simhashPairsCtesSql(rel: String): String =
     s"""tok AS (
@@ -944,13 +947,17 @@ object SparkEntry {
        |simh AS (SELECT doc_id,
        |                sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
        |         FROM s GROUP BY 1),
+       |sgrp AS (SELECT simhash, min(doc_id) AS rep FROM simh GROUP BY 1),
+       |sstars AS (SELECT g.rep AS id_a, s.doc_id AS id_b, CAST(0 AS BIGINT) AS hamming
+       |           FROM simh s JOIN sgrp g USING (simhash) WHERE s.doc_id <> g.rep),
        |blocks AS (SELECT unnest(generate_series(0, 3)) AS blk),
-       |keyed AS (SELECT doc_id, simhash, blk, (simhash >> (blk*15)) & 32767 AS blk_key
-       |          FROM simh CROSS JOIN blocks),
+       |keyed AS (SELECT g.rep AS doc_id, g.simhash, blk, (g.simhash >> (blk*15)) & 32767 AS blk_key
+       |          FROM sgrp g CROSS JOIN blocks),
        |simpairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |                 bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
        |          FROM keyed a JOIN keyed b USING (blk, blk_key)
-       |          WHERE a.doc_id < b.doc_id)""".stripMargin
+       |          WHERE a.doc_id < b.doc_id
+       |          UNION ALL SELECT id_a, id_b, hamming FROM sstars)""".stripMargin
 
   /** Per-source token-budget window over `rel(doc_id, source,
     * n_tokens)` + final projection (p29 + p30 stage 4).
@@ -1485,9 +1492,14 @@ object SparkEntry {
          |           FROM generate_series(0,15) t(i)),
          |sig AS (SELECT doc_id, i, min((a*(x%2147483647)+b)%2147483647) AS mh
          |        FROM x CROSS JOIN params GROUP BY 1, 2),
+         |sigkey AS (SELECT doc_id, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig_key
+         |           FROM sig GROUP BY 1),
+         |grp AS (SELECT sig_key, min(doc_id) AS rep FROM sigkey GROUP BY 1),
+         |stars AS (SELECT g.rep AS id_a, s.doc_id AS id_b, 1.0 AS ej
+         |          FROM sigkey s JOIN grp g USING (sig_key) WHERE s.doc_id <> g.rep),
          |banded AS (SELECT doc_id, i//4 AS band,
          |                  string_agg(concat(i, ':', mh), ',' ORDER BY concat(i, ':', mh)) AS band_sig
-         |           FROM sig GROUP BY 1, 2),
+         |           FROM sig WHERE doc_id IN (SELECT rep FROM grp) GROUP BY 1, 2),
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |         FROM banded a JOIN banded b USING (band, band_sig)
          |         WHERE a.doc_id < b.doc_id),
@@ -1497,7 +1509,9 @@ object SparkEntry {
          |        JOIN sig sa ON sa.doc_id = id_a
          |        JOIN sig sb ON sb.doc_id = id_b AND sb.i = sa.i
          |        GROUP BY 1, 2)
-         |SELECT id_a, id_b, round(ej, 6) AS est_jaccard FROM est WHERE ej >= 0.5""".stripMargin,
+         |SELECT id_a, id_b, round(ej, 6) AS est_jaccard FROM (
+         |  SELECT id_a, id_b, ej FROM est WHERE ej >= 0.5
+         |  UNION ALL SELECT id_a, id_b, ej FROM stars)""".stripMargin,
     "p4_simhash" ->
       s"""WITH ${simhashPairsCtesSql("documents")}
          |SELECT id_a, id_b, hamming FROM simpairs WHERE hamming <= 3""".stripMargin,

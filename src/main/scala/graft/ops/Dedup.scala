@@ -235,6 +235,22 @@ object Dedup {
     * 16-element arrays. Without the cache Spark would recompute the
     * full shingle scan for each of the three references (measured 649s
     * -> the restructure + cache brings it to seconds at sf0.1).
+    *
+    * HOT-BUCKET GUARD (the 100 TB skew fix): an identical-doc flood —
+    * 10^6 boilerplate copies, routine in web corpora — lands every copy
+    * in the SAME bucket on EVERY band, making the candidate self-join
+    * quadratic in the flood size inside one task. Documents with
+    * identical full signatures are therefore collapsed to one
+    * representative (min id) BEFORE pairing; each group re-enters the
+    * output as rep->member star edges (est_jaccard 1.0 — the signatures
+    * are identical by construction). Pair semantics under the guard:
+    * within/between identical-signature groups, member pairs are
+    * REPRESENTED by their star + rep-pair edges rather than enumerated
+    * — the duplicate components (and the keep-min decision built on
+    * them, see [[ConnectedComponents]]) are provably unchanged, and on
+    * a corpus with no repeated signatures the output is identical to
+    * the unguarded plan (pinned by HotBucketSpec against
+    * [[minhashDupPairsUnguarded]]).
     */
   def minhashDupPairs(docs: DataFrame, n: Int = 8, numHashes: Int = 16,
       rowsPerBand: Int = 4, tau: Double = 0.5,
@@ -242,6 +258,7 @@ object Dedup {
     require(numHashes % rowsPerBand == 0,
       s"numHashes ($numHashes) must divide into bands of rowsPerBand ($rowsPerBand) — " +
         "trailing components would silently never form a band")
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0,1], got $tau")
     // localCheckpoint(eager): plain cache() is lazy, and AQE submits the
     // four downstream references as CONCURRENT stages — each would race
     // to compute the uncached lineage (measured: 4 parallel ~230s
@@ -253,6 +270,56 @@ object Dedup {
     // here because the checkpoint lives for one query, not a pipeline;
     // on a preemptible/spot cluster swap in df.checkpoint() (reliable,
     // HDFS-backed) at the cost of a write.
+    val sigArr = minhashSignatureArrays(docs, n, numHashes, id, text)
+      .localCheckpoint(true)
+    // collapse identical signatures: one digest-keyed aggregation (the
+    // same shuffle shape as exact dedup); checkpointed because stars,
+    // the banded frame and both estimate joins all read it
+    val keyed = sigArr.withColumn("__sig_key", concat_ws(",", col("sig")))
+    val grp = keyed.groupBy(col("__sig_key"))
+      .agg(min(col(id)).as("__rep"), first(col("sig")).as("sig"))
+      .localCheckpoint(true)
+    val stars = keyed.join(grp.select(col("__sig_key"), col("__rep")), "__sig_key")
+      .where(col(id) =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col(id).as("id_b"),
+        lit(1.0).as("est_jaccard"))
+    val reps = grp.select(col("__rep").as(id), col("sig"))
+    val nBands = numHashes / rowsPerBand
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bands = (0 until nBands).toDF("band")
+    val banded = reps.crossJoin(broadcast(bands))
+      .select(col(id), col("band"),
+        concat_ws(",", slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))
+          .cast("array<string>")).as("band_sig"))
+    val a = banded.toDF("id_a", "band", "band_sig")
+    val b = banded.toDF("id_b", "band", "band_sig")
+    val cand = a.join(b, Seq("band", "band_sig"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val repPairs = cand
+      .join(reps.toDF("id_a", "sig_a"), "id_a")
+      .join(reps.toDF("id_b", "sig_b"), "id_b")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1.0).otherwise(0.0)), lit(0.0), _ + _) /
+          size(col("sig_a")).cast("double"))
+      .where(col("est_jaccard") >= tau)
+      .select("id_a", "id_b", "est_jaccard")
+    // stars carry est 1.0 >= tau (tau <= 1 by the require above)
+    repPairs.unionByName(stars)
+  }
+
+  /** The UNGUARDED formulation — candidate join over every document,
+    * no signature collapse. Quadratic in the largest identical-
+    * signature group, so never the production path; retained as the
+    * independent formulation HotBucketSpec pins [[minhashDupPairs]]
+    * against on repeated-signature-free corpora (the
+    * [[ngramJaccardPairsFull]] pattern).
+    */
+  private[ops] def minhashDupPairsUnguarded(docs: DataFrame, n: Int = 8,
+      numHashes: Int = 16, rowsPerBand: Int = 4, tau: Double = 0.5,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
     val sigArr = minhashSignatureArrays(docs, n, numHashes, id, text)
       .localCheckpoint(true)
     val nBands = numHashes / rowsPerBand
@@ -307,10 +374,22 @@ object Dedup {
 
   /** Near-dup pairs with hamming(simhash) <= maxHamming via 4-block
     * pigeonhole blocking (maxHamming <= 3 guarantees a shared block).
+    *
+    * Carries the same HOT-BUCKET GUARD as [[minhashDupPairs]]: docs
+    * with IDENTICAL simhash collapse to one representative (min id)
+    * before the block join — an identical-doc flood shares all four
+    * block keys, so unguarded the join is quadratic in the flood size.
+    * Groups re-enter the output as rep->member star edges (hamming 0 —
+    * identical hashes by construction); distinct simhash values are at
+    * hamming >= 1, so stars and rep pairs never collide. Duplicate
+    * components, and every drop-larger-id consumer (Curation stage 3),
+    * are provably unchanged; repeated-simhash-free corpora get the
+    * exact unguarded output (HotBucketSpec vs
+    * [[simhashPairsUnguarded]]).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
       id: String = "doc_id", text: String = "text"): DataFrame = {
-    require(maxHamming <= 3, "4-block pigeonhole covers hamming <= 3")
+    require(maxHamming >= 0 && maxHamming <= 3, "4-block pigeonhole covers hamming <= 3")
     val spark = docs.sparkSession
     import spark.implicits._
     // Materialize the signature table once: the self-join references it
@@ -318,6 +397,41 @@ object Dedup {
     // this the whole tokenize+aggregate pipeline runs twice.
     // eager checkpoint for the same AQE-race reason as minhashDupPairs
     // (and with the same executor-loss recompute trade documented there)
+    val sh = simhash(docs, 60, id, text).localCheckpoint(true)
+    // hot-bucket guard: one groupBy on the 60-bit hash; checkpointed
+    // because stars and the block join both read it
+    val grp = sh.groupBy(col("simhash")).agg(min(col(id)).as("__rep"))
+      .localCheckpoint(true)
+    val stars = sh.join(grp, "simhash")
+      .where(col(id) =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col(id).as("id_b"), lit(0L).as("hamming"))
+    val reps = grp.select(col("__rep").as(id), col("simhash"))
+    val blocks = (0 until 4).toDF("blk")
+    val keyed = reps.crossJoin(broadcast(blocks))
+      .withColumn("blk_key", expr("(simhash >> (blk * 15)) & 32767"))
+    val a = keyed.select(col(id).as("id_a"), col("simhash").as("sim_a"),
+      col("blk"), col("blk_key"))
+    val b = keyed.select(col(id).as("id_b"), col("simhash").as("sim_b"),
+      col("blk"), col("blk_key"))
+    a.join(b, Seq("blk", "blk_key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(sim_a ^ sim_b)").cast("long").as("hamming"))
+      // cheap per-row hamming gate BEFORE the dedup shuffle: distinct
+      // then only carries true near-dup pairs, not every block collision
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+      .unionByName(stars)
+  }
+
+  /** The UNGUARDED simhash pairing (block join over every document) —
+    * quadratic in the largest identical-simhash group; retained for
+    * HotBucketSpec's equivalence pin only.
+    */
+  private[ops] def simhashPairsUnguarded(docs: DataFrame, maxHamming: Int = 3,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val sh = simhash(docs, 60, id, text).localCheckpoint(true)
     val blocks = (0 until 4).toDF("blk")
     val keyed = sh.crossJoin(broadcast(blocks))
@@ -330,8 +444,6 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         expr("bit_count(sim_a ^ sim_b)").cast("long").as("hamming"))
-      // cheap per-row hamming gate BEFORE the dedup shuffle: distinct
-      // then only carries true near-dup pairs, not every block collision
       .where(col("hamming") <= maxHamming)
       .distinct()
   }
