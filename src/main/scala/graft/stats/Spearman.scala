@@ -200,6 +200,104 @@ object Spearman {
     }
   }
 
+  /** Blocked pair enumeration — the unfiltered-gene (20k+ items) scale
+    * path (SURVEY §7.4.6's open item, round-4 verdict #2).
+    *
+    * [[pairCorrelationsDense]]'s pair join keys on (family, sample):
+    * every sample's I item-rows meet in ONE join group, which streams
+    * I²/2 pair rows into that task's partial-aggregate hash map — at
+    * the reference's unfiltered envelope (I≈20k ⇒ P≈2·10⁸ pairs) the
+    * per-task pair fan-out and live aggregation state blow up even
+    * though total work is inherently O(P·n).
+    *
+    * This variant buckets the ITEM INVENTORY into `nBlocks` ordered
+    * blocks (ntile over the distinct items — a window over I rows, not
+    * the data) and enumerates pairs per BLOCK-PAIR: side a replicates
+    * each row to block-pairs (g, g..B), side b to (1..h, h), and the
+    * join keys on (family, sample, g1, g2). Each join group now holds
+    * (I/B)² pairs — per-task state shrinks quadratically in B for a
+    * B/2-fold row replication in the exchange — and the
+    * per-(family,sample) hot key is structurally gone. Block order
+    * follows item order, so cross-block pairs are canonical by
+    * construction and same-block pairs add the usual `item_a < item_b`
+    * residual. Ranks are computed once per item (dense semantics) and
+    * the join output feeds the same gated aggregate, so the exchange
+    * after enumeration carries per-pair aggregate buffers exactly like
+    * the dense path. Output is IDENTICAL to [[pairCorrelationsDense]]
+    * on any input (StatsSpec pins it, complete and incomplete).
+    *
+    * Measured (ProbeBlockedSpearman, 1 family x 200 samples, complete
+    * matrix, local 32 threads):
+    *
+    *   I      dense-join   blocked B=4   B=8    B=16
+    *   500    11.6 s       (10.8 s at B=16)
+    *   2000   38-47 s      48 s          60 s   78 s
+    *
+    * Wall growth I=500 -> I=2000 (16x the pairs): dense 3.3x, blocked
+    * 7.2x at B=16 — both far under the pair-count growth. Locally the
+    * dense join is already balanced (samples >> cores), so blocking
+    * buys nothing but its B/2-fold replication overhead — B=4 is at
+    * parity. The blocked path's value is the STATE BOUND: a dense
+    * partial-aggregate partition sees every pair key (P ~ 2*10^8
+    * buffers at I=20k — spill thrash), the blocked one at most its
+    * block-pairs' (I/B)^2. Hence the auto default targets ~500 items
+    * per block (the measured parity point) and grows B with I: state
+    * stays ~250k buffers per block-pair while replication only rises
+    * where the dense path would already be dying.
+    */
+  def pairCorrelationsBlocked(
+      df: DataFrame,
+      family: Seq[String],
+      item: String,
+      sample: String,
+      value: String,
+      minSamples: Int = 2,
+      nBlocks: Int = 0): DataFrame = {
+    require(nBlocks >= 0, s"nBlocks must be >= 1, or 0 for auto, got $nBlocks")
+    val itemKeys = family.map(col) :+ col(item)
+    val ranked = Ranks.fractionalRank(df, itemKeys, col(value), "__r0")
+    // ordered block per item: ntile over the DISTINCT item inventory —
+    // a single-task window over I rows (the inventory, not the corpus),
+    // broadcast back. Block order = item order, so g1 < g2 implies
+    // item_a < item_b for cross-block pairs.
+    val inventory = df.select(col(item)).distinct()
+    val blocks =
+      if (nBlocks > 0) nBlocks
+      // auto: ~500 items per block (ProbeBlockedSpearman's parity
+      // point), capped so replication stays bounded. The inventory
+      // count is a tiny aggregate over distinct items.
+      else math.max(1, math.min(64, (inventory.count() / 500L).toInt + 1))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(item))
+    val blkMap = inventory.withColumn("__blk", ntile(blocks).over(w))
+    val pre = ranked.join(broadcast(blkMap), Seq(item))
+      .select((family.map(col) ++ Seq(col(item), col(sample), col(value),
+        col("__r0"), col("__blk"))): _*)
+      .repartition((family :+ sample).map(col): _*)
+      .localCheckpoint(true) // same AQE-race + reuse rationale as pairJoin
+    val aSide = pre
+      .withColumn("__g2", explode(sequence(col("__blk"), lit(blocks))))
+      .withColumnRenamed("__blk", "__g1")
+    val bSide = pre
+      .withColumn("__g1", explode(sequence(lit(1), col("__blk"))))
+      .withColumnRenamed("__blk", "__g2")
+      .select((Seq(col(s"$sample").as("__sb"), col("__g1"), col("__g2"),
+        col(item).as("item_b"), col(value).as("__vb"), col("__r0").as("__rb")) ++
+        family.map(k => col(k).as(s"__fb_$k"))): _*)
+    val cond = (family.map(k => col(k) === col(s"__fb_$k")) ++ Seq(
+      col(sample) === col("__sb"),
+      col("a.__g1") === col("b.__g1"),
+      col("a.__g2") === col("b.__g2"),
+      // same-block pairs need the theta residual; cross-block pairs are
+      // ordered by block construction
+      col("a.__g1") =!= col("a.__g2") || col(item) < col("item_b")))
+      .reduce(_ && _)
+    val joined = aSide.as("a").join(bSide.as("b"), cond)
+      .select((family.map(col) ++ Seq(
+        col(item).as("item_a"), col(value).as("__va"), col("__r0").as("__ra"),
+        col("item_b"), col("__vb"), col("__rb"))): _*)
+    gatedPairAgg(joined, family, minSamples, col("__ra"), col("__rb"))
+  }
+
   /** SQL-ordering comparator for item inventory values, matching
     * Spark's own ordering so the wide path's item_a/item_b labeling
     * agrees with the join path's `item_a < item_b` condition: strings

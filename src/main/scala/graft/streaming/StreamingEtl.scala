@@ -42,6 +42,36 @@ class StreamingEtl(spark: SparkSession, config: AppConfig, warehouseDir: String)
   private final class StudyBatchFailed(val failed: Seq[String])
     extends RuntimeException(s"studies failed in this batch: ${failed.mkString(", ")}")
 
+  /** ONE query builder behind both triggers — the "same code path"
+    * claim in the class scaladoc is structural, not aspirational:
+    * [[ingestAvailable]] (drain-and-stop) and [[ingestProcessingTime]]
+    * (long-lived) differ only in the Trigger they pass here.
+    */
+  private def startQuery(manifestDir: String, checkpointDir: String,
+      trigger: Trigger, resume: Boolean, failOpen: Boolean,
+      sink: Seq[EtlJob#StudyResult] => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .format("text")
+      .load(manifestDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the manifest batch is driver-scale: a handful of paths
+        val dirs = batch.collect().map(_.getString(0).trim)
+          .filter(_.nonEmpty).distinct.sorted
+          .map(java.nio.file.Paths.get(_)).toSeq
+        if (dirs.nonEmpty) {
+          val results = job.processUnioned(dirs, resume)
+          sink(results)
+          val failed = results.collect { case r if r.error.isDefined => r.accession }
+          if (failed.nonEmpty && !failOpen) throw new StudyBatchFailed(failed)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** Drain every unprocessed manifest entry (Trigger.AvailableNow) and
     * stop; returns the per-study results of THIS drain. `resume = true`
     * (the default, matching the CLI) skips studies already terminal in
@@ -58,26 +88,8 @@ class StreamingEtl(spark: SparkSession, config: AppConfig, warehouseDir: String)
   def ingestAvailable(manifestDir: String, checkpointDir: String,
       resume: Boolean = true, failOpen: Boolean = false): Seq[EtlJob#StudyResult] = {
     val buf = scala.collection.mutable.ArrayBuffer.empty[EtlJob#StudyResult]
-    val query = spark.readStream
-      .format("text")
-      .load(manifestDir)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // the manifest batch is driver-scale: a handful of paths
-        val dirs = batch.collect().map(_.getString(0).trim)
-          .filter(_.nonEmpty).distinct.sorted
-          .map(java.nio.file.Paths.get(_)).toSeq
-        if (dirs.nonEmpty) {
-          val results = job.processUnioned(dirs, resume)
-          buf.synchronized { buf ++= results }
-          val failed = results.collect { case r if r.error.isDefined => r.accession }
-          if (failed.nonEmpty && !failOpen) throw new StudyBatchFailed(failed)
-        }
-        ()
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val query = startQuery(manifestDir, checkpointDir, Trigger.AvailableNow(),
+      resume, failOpen, rs => buf.synchronized { buf ++= rs; () })
     try query.awaitTermination()
     catch {
       case e: org.apache.spark.sql.streaming.StreamingQueryException
@@ -87,6 +99,27 @@ class StreamingEtl(spark: SparkSession, config: AppConfig, warehouseDir: String)
     }
     buf.synchronized(buf.toSeq)
   }
+
+  /** Long-lived ingest: the SAME query as [[ingestAvailable]] under a
+    * `Trigger.ProcessingTime` — manifests dropped while the query runs
+    * are picked up on the next tick, with the identical micro-batch
+    * body (batched union plans, StudyState, batch-fail retry
+    * semantics). Returns the running [[StreamingQuery]]; the caller
+    * owns its lifecycle (`processAllAvailable` to block until drained,
+    * `stop()` to end). Per-batch results stream to `onResults`.
+    *
+    * A crash between the warehouse side-effect and the checkpoint
+    * commit replays the batch on restart; the replay lands ZERO new
+    * facts (resume-skip of terminal studies + the J7 anti-join) —
+    * StreamingEtlSpec pins this by restoring a pre-batch checkpoint.
+    */
+  def ingestProcessingTime(manifestDir: String, checkpointDir: String,
+      interval: String = "1 second", resume: Boolean = true,
+      failOpen: Boolean = false)(
+      onResults: Seq[EtlJob#StudyResult] => Unit = _ => ())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    startQuery(manifestDir, checkpointDir, Trigger.ProcessingTime(interval),
+      resume, failOpen, onResults)
 
   private def causeChain(t: Throwable): Iterator[Throwable] =
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null)

@@ -11,17 +11,20 @@ import org.apache.spark.sql.functions._
   * hash-match; recall is the one quality axis only these specs guard).
   *
   * Every operator here is DETERMINISTIC (md5-derived hyperplanes /
-  * hash params, id-ordered tie-breaks), so on the fixed sf0.01 tables
-  * recall is a constant, not a random variable: each floor is pinned
-  * just under the measured value, and the LSH survival formula in each
-  * test argues the measured value is the expected one, not a lucky
-  * draw — where possible the test computes the formula's prediction
-  * from the exact twin's similarity distribution and asserts the
-  * measured recall lands on it.
+  * hash params, id-ordered tie-breaks), so on a fixed corpus recall is
+  * a constant, not a random variable: each floor is pinned just under
+  * the measured value, and the LSH survival formula in each test
+  * argues the measured value is the expected one, not a lucky draw —
+  * where possible the test computes the formula's prediction from the
+  * exact twin's similarity distribution and asserts the measured
+  * recall lands on it. The formula-pinned checks adapt to the corpus
+  * automatically, which is what lets the SAME tests run at sf0.01
+  * ([[RecallSpec]], the fast default) and sf0.1 ([[RecallAtScaleSpec]],
+  * round-4 verdict #8 — a recall-degrading change cannot hide behind
+  * the small fixture).
   */
-class RecallSpec extends SparkSpec {
+abstract class RecallFloorsSpec(sfDir: String) extends SparkSpec {
 
-  private val sfDir = "/root/testdata/sf0.01"
   private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
   private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
 
@@ -31,6 +34,25 @@ class RecallSpec extends SparkSpec {
   private def pairRecall(exact: DataFrame, approx: DataFrame): (Long, Long, Double) = {
     val e = exact.select("id_a", "id_b")
     val hits = e.join(approx.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_semi").count()
+    val total = e.count()
+    (hits, total, if (total == 0) 1.0 else hits.toDouble / total)
+  }
+
+  /** Recall under the hot-bucket guard's collapsed pair semantics: an
+    * exact pair counts as FOUND when its endpoints land in the same
+    * connected component of the approx pair graph — identical-signature
+    * groups are represented by star + rep edges rather than enumerated
+    * (HotBucketSpec pins the equivalence), so component membership, not
+    * raw pair presence, is the honest retrieval measure for the dedup
+    * operators.
+    */
+  private def componentPairRecall(exact: DataFrame, approx: DataFrame): (Long, Long, Double) = {
+    val comp = ConnectedComponents.connectedComponents(approx.select("id_a", "id_b"))
+    val e = exact.select("id_a", "id_b")
+    val hits = e
+      .join(comp.toDF("id_a", "__ca"), Seq("id_a"))
+      .join(comp.toDF("id_b", "__cb"), Seq("id_b"))
+      .where(col("__ca") === col("__cb")).count()
     val total = e.count()
     (hits, total, if (total == 0) 1.0 else hits.toDouble / total)
   }
@@ -57,25 +79,23 @@ class RecallSpec extends SparkSpec {
           bands.toDouble)))
       .head.getDouble(0)
 
-  test("p3 recall: MinHash+LSH finds every exact n-gram-Jaccard pair (vs p2 twin)") {
+  test("p3 recall: MinHash+LSH finds (or star-represents) every exact n-gram-Jaccard pair") {
     val exact = Dedup.ngramJaccardPairs(docs, n = 8, tau = 0.5).cache()
     val approx = Dedup.minhashDupPairs(docs, n = 8, numHashes = 16,
       rowsPerBand = 4, tau = 0.5).cache()
-    val (hits, total, recall) = pairRecall(exact, approx)
+    val (hits, total, recall) = componentPairRecall(exact, approx)
     info(s"p3 overall: $hits/$total recall=$recall")
     assert(total > 0, "exact twin found no pairs — the corpus fixture changed")
-    // Floor rationale: this corpus' true dup pairs are high-Jaccard
-    // (all 25 sit at J >= 0.8), where banding theory (r=4 rows, b=4
-    // bands) gives candidate probability 1-(1-J^4)^4 >= 0.878 and the
-    // 16-hash estimate gate passes w.p. > 0.998; measured recall is
-    // 24/25 = 0.96 — the one "miss" is the member-member pair of an
-    // identical-signature triple, which the hot-bucket guard represents
-    // by its two star edges instead of enumerating (HotBucketSpec pins
-    // the components equivalence). Floor 0.9 catches a banding/hash
-    // regression without being brittle to a few near-threshold pairs.
+    // Floor rationale: true dup pairs on these corpora are high-Jaccard
+    // (at sf0.01 all 25 sit at J >= 0.8), where banding theory (r=4
+    // rows, b=4 bands) gives candidate probability 1-(1-J^4)^4 >= 0.878
+    // and the 16-hash estimate gate passes w.p. > 0.998; measured
+    // component recall is 25/25 = 1.0 at sf0.01. Floor 0.9 catches a
+    // banding/hash regression without being brittle to a few
+    // near-threshold pairs.
     assert(recall >= 0.9, s"p3 recall $recall < 0.9 ($hits/$total)")
     val hi = exact.where(col("jaccard") >= 0.8)
-    val (hHits, hTotal, hRecall) = pairRecall(hi, approx)
+    val (hHits, hTotal, hRecall) = componentPairRecall(hi, approx)
     info(s"p3 J>=0.8 tier: $hHits/$hTotal recall=$hRecall")
     assert(hRecall >= 0.95, s"p3 J>=0.8 recall $hRecall < 0.95 ($hHits/$hTotal)")
     exact.unpersist(); approx.unpersist()
@@ -84,32 +104,38 @@ class RecallSpec extends SparkSpec {
   test("p4: pigeonhole blocking is COMPLETE at its hamming radius; fingerprint catches half the Jaccard dups") {
     // p4's guarantee axis is HAMMING, not Jaccard: the 4-block
     // pigeonhole is lossless for hamming <= 3 (3 differing bits can
-    // dirty at most 3 of 4 blocks), so vs a brute-force hamming scan
-    // the blocked result must be EXACTLY equal — recall 1.0, found by
-    // construction, and a blocking bug (wrong block width, dropped
-    // band) breaks equality immediately.
+    // dirty at most 3 of 4 blocks). Under the hot-bucket guard the
+    // blocked pairs are a SUBSET of the brute-force hamming pairs
+    // (stars are hamming-0 pairs) whose connected components must be
+    // IDENTICAL — a blocking bug (wrong block width, dropped band)
+    // loses a component link; an inventing bug adds a pair brute
+    // doesn't have.
     val approx = Dedup.simhashPairs(docs, maxHamming = 3).cache()
     val sh = Dedup.simhash(docs, 60)
     val brute = sh.toDF("id_a", "sim_a")
       .join(sh.toDF("id_b", "sim_b"), col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .where(col("hamming") <= 3)
-      .select("id_a", "id_b")
+      .select("id_a", "id_b").cache()
     val bruteSet = brute.collect().map(r => (r.get(0), r.get(1))).toSet
     val blockedSet = approx.select("id_a", "id_b").collect()
       .map(r => (r.get(0), r.get(1))).toSet
     info(s"p4 hamming<=3 pairs: brute=${bruteSet.size} blocked=${blockedSet.size}")
     assert(bruteSet.nonEmpty, "no hamming<=3 pairs — the corpus fixture changed")
-    assert(blockedSet == bruteSet,
-      s"pigeonhole blocking lost/invented pairs: missing=${bruteSet -- blockedSet} extra=${blockedSet -- bruteSet}")
+    assert((blockedSet -- bruteSet).isEmpty,
+      s"pigeonhole blocking invented pairs: ${blockedSet -- bruteSet}")
+    val (cHits, cTotal, cRecall) = componentPairRecall(brute, approx)
+    assert(cRecall == 1.0,
+      s"pigeonhole blocking lost component links: $cHits/$cTotal")
+    brute.unpersist()
     // Fidelity axis: overlap with the exact char-8-shingle Jaccard
     // pairs. Token-level jitter spreads near-identical docs to hamming
-    // 0-9 (measured distribution: 13 pairs at <=3, 10 more at 4-5, 2
-    // at 9), so the 60-bit/radius-3 configuration catches 13/25 = 0.52
-    // of the J>=0.5 pairs — the standard SimHash granularity trade;
+    // 0-9 (sf0.01 distribution: 13 pairs at <=3, 10 more at 4-5, 2
+    // at 9), so the 60-bit/radius-3 configuration catches ~half the
+    // J>=0.5 pairs — the standard SimHash granularity trade;
     // radius-insensitive dedup is p3's (MinHash) job.
     val exact = Dedup.ngramJaccardPairs(docs, n = 8, tau = 0.5)
-    val (hits, total, recall) = pairRecall(exact, approx)
+    val (hits, total, recall) = componentPairRecall(exact, approx)
     info(s"p4 vs exact Jaccard: $hits/$total recall=$recall")
     assert(recall >= 0.4, s"p4 Jaccard-tier recall $recall < 0.4 ($hits/$total)")
     approx.unpersist()
@@ -122,11 +148,11 @@ class RecallSpec extends SparkSpec {
     // The operator's own survival formula: a pair at angle theta is
     // co-bucketed by one 4-plane band w.p. (1-theta/pi)^4 and missed by
     // all 3 bands w.p. (1-(1-theta/pi)^4)^3. At tau=0.45 the exact
-    // pairs sit near the threshold (cos 0.45-0.51), predicting ~0.458;
-    // measured 7/14 = 0.5. The two-sided check pins the implementation
-    // TO the theory — a hyperplane-derivation bug that halves recall
-    // (or a blocking bug that silently degenerates to all-pairs,
-    // recall 1.0) both fail it.
+    // pairs sit near the threshold (cos 0.45-0.51), predicting ~0.458
+    // at sf0.01; measured 7/14 = 0.5 there. The two-sided check pins
+    // the implementation TO the theory — a hyperplane-derivation bug
+    // that halves recall (or a blocking bug that silently degenerates
+    // to all-pairs, recall 1.0) both fail it.
     val predicted = exact.select(
       avg(lit(1.0) - pow(lit(1.0) - pow(lit(1.0) - acos(col("cosine")) / math.Pi, 4.0), 3.0)))
       .head.getDouble(0)
@@ -144,11 +170,11 @@ class RecallSpec extends SparkSpec {
     val r = topkRecall(exact, approx)
     // Single-band 8-plane LSH on a mid-angle corpus (exact top-5
     // cosines ~0.3-0.5, theta ~60-72deg) collides w.p. (1-theta/pi)^8
-    // ~ 0.02-0.03 — the measured 0.02 recall IS the theory, not a bug:
-    // one bucketing cannot retrieve mid-angle neighbors. The check
-    // pins measured to predicted so the hyperplane derivation stays
-    // honest; the p25 banded variant below is the retrieval-grade
-    // configuration of the same operator.
+    // ~ 0.02-0.03 — the measured ~0.02 recall IS the theory, not a
+    // bug: one bucketing cannot retrieve mid-angle neighbors. The
+    // check pins measured to predicted so the hyperplane derivation
+    // stays honest; the p25 banded variant below is the
+    // retrieval-grade configuration of the same operator.
     val predicted = lshPredictedTopkRecall(exact, planes = 8, bands = 1)
     info(s"p6 recall@5=$r predicted=$predicted")
     assert(math.abs(r - predicted) <= 0.05,
@@ -162,10 +188,10 @@ class RecallSpec extends SparkSpec {
     val r = topkRecall(exact, approx)
     // 4 bands x 4 disjoint planes: per-band collision (1-theta/pi)^4,
     // any-band survival 1-(1-(1-theta/pi)^4)^4 — predicted ~0.45 on
-    // this corpus' top-5 angle distribution; measured 0.4356 (the gap
-    // is bucket-granularity: co-bucketed non-neighbors displace true
-    // neighbors past rank 5). 20x p6's single-band recall at the same
-    // 16-hyperplane budget.
+    // the sf0.01 top-5 angle distribution; measured 0.4356 there (the
+    // gap is bucket-granularity: co-bucketed non-neighbors displace
+    // true neighbors past rank 5). 20x p6's single-band recall at the
+    // same 16-hyperplane budget.
     val predicted = lshPredictedTopkRecall(exact, planes = 4, bands = 4)
     info(s"p25 recall@5=$r predicted=$predicted")
     assert(math.abs(r - predicted) <= 0.15,
@@ -181,12 +207,33 @@ class RecallSpec extends SparkSpec {
     info(s"p13 recall@5 (kmeans)=$r")
     // nProbe=2 of 8 cells scans ~25% of a randomly-partitioned corpus;
     // a codebook that actually clusters must beat that share because
-    // neighbors co-locate in the probed cells. Measured: 0.52 with the
-    // k-means codebook (the min-id stand-in scored 0.445 on the same
-    // corpus). Floor 0.4 catches a codebook collapse (all-one-cell ->
-    // recall ~nProbe-share of a skewed partition) while tolerating
-    // data-noise-scale movement.
+    // neighbors co-locate in the probed cells. Measured at sf0.01:
+    // 0.52 with the k-means codebook (the min-id stand-in scored 0.445
+    // on the same corpus). Floor 0.4 catches a codebook collapse
+    // (all-one-cell -> recall ~nProbe-share of a skewed partition)
+    // while tolerating data-noise-scale movement.
     assert(r >= 0.4, s"p13 kmeans recall $r < 0.4")
     exact.unpersist()
   }
+}
+
+/** The fast default: sf0.01, runs in every `sbt test`. */
+class RecallSpec extends RecallFloorsSpec("/root/testdata/sf0.01")
+
+/** The same floors at sf0.1 (round-4 verdict #8): 10x the corpus
+  * makes the O(N^2) exact twins the dominant cost (~15 min wall at
+  * local[32]), so this suite is opt-in —
+  *
+  *   GRAFT_SLOW=1 sbt "testOnly graft.ops.RecallAtScaleSpec"
+  *
+  * — and run (with results recorded in BASELINE.md) each round rather
+  * than on every `sbt test`. Measured 2026-08-13, all floors hold:
+  * p3 256/256 = 1.0, p4 complete at its radius + 0.73 Jaccard tier,
+  * p23 0.389 vs predicted 0.460, p6 0.0215 vs 0.0225, p25 0.473 vs
+  * 0.477, p13 0.485 (floor 0.4).
+  */
+class RecallAtScaleSpec extends RecallFloorsSpec("/root/testdata/sf0.1") {
+  override protected def withFixture(test: NoArgTest): org.scalatest.Outcome =
+    if (sys.env.contains("GRAFT_SLOW")) super.withFixture(test)
+    else cancel("sf0.1 recall floors are opt-in: set GRAFT_SLOW=1 (≈15 min)")
 }

@@ -161,6 +161,37 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("blocked pair enumeration equals the dense join plan (complete, incomplete, multi-family, odd block counts)") {
+    val rng = new scala.util.Random(13)
+    // complete 2-family matrix + an incomplete variant (30% dropped):
+    // blocked must equal dense on BOTH — same global per-item ranks,
+    // same shared-sample corr, same gates
+    val complete = for {
+      st <- Seq("ST1", "ST2"); g <- (10 to 30).map(i => s"g$i"); s <- (1 to 9).map(i => s"s$i")
+    } yield (st, g, s, rng.nextDouble() * 100)
+    val incomplete = complete.filter(_ => rng.nextDouble() > 0.3)
+    for ((rows, label) <- Seq((complete, "complete"), (incomplete, "incomplete"));
+         nBlocks <- Seq(1, 3, 16, 64)) {
+      val df = rows.toDF("study", "gene", "sample", "v")
+      val dense = Spearman.pairCorrelationsDense(df, Seq("study"), "gene", "sample", "v")
+        .orderBy("study", "item_a", "item_b").collect()
+      val blocked = Spearman.pairCorrelationsBlocked(df, Seq("study"), "gene", "sample", "v",
+        nBlocks = nBlocks)
+        .orderBy("study", "item_a", "item_b").collect()
+      assert(dense.length == blocked.length,
+        s"$label nBlocks=$nBlocks: ${dense.length} dense vs ${blocked.length} blocked pairs")
+      dense.zip(blocked).foreach { case (d, b) =>
+        assert(d.getAs[String]("study") == b.getAs[String]("study") &&
+          d.getAs[String]("item_a") == b.getAs[String]("item_a") &&
+          d.getAs[String]("item_b") == b.getAs[String]("item_b"),
+          s"$label nBlocks=$nBlocks: pair key mismatch")
+        assert(d.getAs[Long]("n_samples") == b.getAs[Long]("n_samples"))
+        assert(math.abs(d.getAs[Double]("rho") - b.getAs[Double]("rho")) < 1e-12,
+          s"$label nBlocks=$nBlocks: rho diverged")
+      }
+    }
+  }
+
   test("dense path edge cases: 1 item yields empty; unsorted knownItems canonicalize; dup observation fails loudly") {
     val one = Seq(("ST1", "g1", "s1", 1.0), ("ST1", "g1", "s2", 2.0))
       .toDF("study", "gene", "sample", "v")

@@ -140,6 +140,94 @@ class StreamingEtlSpec extends SparkSpec {
     assert(etl.ingestAvailable(manifests.toString, checkpoint).isEmpty)
   }
 
+  test("long-lived ProcessingTime query ingests manifests dropped while running (round-4 verdict #6)") {
+    val root = tmpDir()
+    val a = makeStudy(root, "GSE9006")
+    val b = makeStudy(root, "GSE0002")
+    val filter = write(root, "filter.tsv", filterTsv)
+    val cfg = config(root, filter)
+
+    // batch baseline for value-identity
+    val whBatch = tmpDir().toString
+    assert(new EtlJob(spark, cfg, whBatch).run().forall(_.error.isEmpty))
+
+    val whStream = tmpDir().toString
+    val manifests = tmpDir()
+    val checkpoint = tmpDir().resolve("ckpt").toString
+    val etl = new StreamingEtl(spark, cfg, whStream)
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    // first manifest present at start; the second drops mid-flight
+    write(manifests, "arrival_1.txt", s"$a\n")
+    val query = etl.ingestProcessingTime(manifests.toString, checkpoint,
+      interval = "50 milliseconds") { rs =>
+      results.synchronized { results ++= rs.map(r => (r.accession, r.facts)); () }
+    }
+    try {
+      query.processAllAvailable()
+      assert(results.synchronized(results.toList) == List(("GSE9006", 11L)))
+
+      // second manifest arrives WHILE the query runs — the next tick
+      // must ingest it through the same micro-batch body
+      write(manifests, "arrival_2.txt", s"$b\n")
+      query.processAllAvailable()
+      assert(results.synchronized(results.toList) ==
+        List(("GSE9006", 11L), ("GSE0002", 12L)))
+    } finally query.stop()
+
+    // two live ticks == one batch load, value-identical
+    assert(factTuples(whStream) == factTuples(whBatch))
+  }
+
+  test("replayed second batch (crash between side-effect and checkpoint commit) lands zero facts") {
+    val root = tmpDir()
+    val a = makeStudy(root, "GSE9006")
+    val b = makeStudy(root, "GSE0002")
+    val filter = write(root, "filter.tsv", filterTsv)
+    val cfg = config(root, filter)
+    val whDir = tmpDir().toString
+    val manifests = tmpDir()
+    val ckpt = tmpDir().resolve("ckpt")
+    val etl = new StreamingEtl(spark, cfg, whDir)
+
+    write(manifests, "m1.txt", s"$a\n")
+    assert(etl.ingestAvailable(manifests.toString, ckpt.toString).map(_.facts) == Seq(11L))
+
+    // snapshot the checkpoint BEFORE batch 2: restoring it afterwards
+    // simulates the crash window where the warehouse side-effect
+    // committed but the streaming checkpoint did not
+    val snap = tmpDir().resolve("ckpt_snap")
+    copyTree(ckpt, snap)
+    write(manifests, "m2.txt", s"$b\n")
+    assert(etl.ingestAvailable(manifests.toString, ckpt.toString).map(_.facts) == Seq(12L))
+    val after = factTuples(whDir)
+    assert(after.size == 23)
+
+    // "crash": roll the checkpoint back and re-drain — batch 2 REPLAYS
+    deleteTree(ckpt)
+    copyTree(snap, ckpt)
+    val replay = etl.ingestAvailable(manifests.toString, ckpt.toString)
+    // the replayed study resolves as a resume-skip (terminal in
+    // StudyState): zero new facts, warehouse byte-identical
+    assert(replay.map(r => (r.accession, r.skipped, r.facts)) == Seq(("GSE0002", true, 0L)),
+      replay.toString)
+    assert(factTuples(whDir) == after)
+  }
+
+  private def copyTree(from: Path, to: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    Files.walk(from).iterator().asScala.foreach { p =>
+      val dest = to.resolve(from.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(dest)
+      else { Files.createDirectories(dest.getParent); Files.copy(p, dest); () }
+    }
+  }
+
+  private def deleteTree(p: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+      .iterator().asScala.foreach(f => { Files.deleteIfExists(f); () })
+  }
+
   test("CLI: etl-stream drains manifests through Main with the same results") {
     val root = tmpDir()
     val a = makeStudy(root, "GSE9006")
