@@ -201,19 +201,30 @@ object SparkEntry {
     // columns + literal TRUE flags. A sketch regression flips a flag
     // and fails the hash — this IS the driver-visible value gate
     // (previously only the local SketchToleranceSpec saw it).
-    "a6_sketches" -> ((s, dir) =>
-      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+    // Plan shape: the distinct counts and the percentile buffers run in
+    // SEPARATE aggregations joined on the 3-row group space. Fusing them
+    // routes the TypedImperative percentile buffers through the
+    // countDistinct rewrite — a buffer per (flag, partkey) partial group
+    // instead of one per flag — measured 0.4 s -> 10.6 s at sf0.1. Split,
+    // each scan is column-pruned and keeps its cheap two-phase plan.
+    "a6_sketches" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val dist = li.groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+      val pct = li.groupBy(col("l_returnflag"))
+        .agg(
           expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 10000)").as("apc"),
           expr("percentile(l_extendedprice, array(0.48, 0.5, 0.52, 0.97, 0.99, 1.0))").as("epc"))
+      dist.join(pct, Seq("l_returnflag"))
         .select(col("l_returnflag"), col("exact_parts"),
           round(col("epc")(1), 4).as("exact_median"),
           round(col("epc")(4), 4).as("exact_p99"),
           (abs(col("approx_parts") - col("exact_parts")) <= col("exact_parts") * lit(0.15)).as("hll_ok"),
           col("apc")(0).between(col("epc")(0), col("epc")(2)).as("median_ok"),
-          col("apc")(1).between(col("epc")(3), col("epc")(5)).as("p99_ok"))),
+          col("apc")(1).between(col("epc")(3), col("epc")(5)).as("p99_ok"))
+    }),
 
     // hierarchical subtotals: ROLLUP/CUBE produce the same plan family
     // as plain groupBy (Expand + partial/final agg) — subtotal rows
