@@ -193,13 +193,16 @@ object SparkEntry {
     // (mergeable partial state, bytes-bounded per group, no exact
     // distinct shuffle). Cross-engine sketch ESTIMATES differ by
     // construction, so the query emits the exact twins plus a
-    // within-tolerance boolean per estimate: the booleans are
-    // deterministically TRUE under each sketch's published guarantee
-    // (HLL++ relativeSD=0.05, gated at 3 sigma = 15% relative error;
-    // approx_percentile accuracy=10000 => rank error <= 1e-4, gated by
-    // a +/-0.02-quantile value window), so the oracle hashes exact
-    // columns + literal TRUE flags. A sketch regression flips a flag
-    // and fails the hash — this IS the driver-visible value gate
+    // within-tolerance boolean per estimate: the percentile flags are
+    // deterministically TRUE (approx_percentile accuracy=10000 => rank
+    // error <= 1e-4 is a HARD bound of the GK sketch, gated by a
+    // +/-0.02-quantile value window); the HLL flag is gated at 5 sigma
+    // (relativeSD=0.05 is a STANDARD error, not a bound, so the gate
+    // is probabilistic — ~6e-7 false-fail per group at 5 sigma, vs
+    // ~1e-3 at the 3-sigma gate this replaces, which could flip on a
+    // regenerated fixture with no sketch regression). The oracle
+    // hashes exact columns + literal TRUE flags; a sketch regression
+    // flips a flag and fails the hash — the driver-visible value gate
     // (previously only the local SketchToleranceSpec saw it).
     // Plan shape: the distinct counts and the percentile buffers run in
     // SEPARATE aggregations joined on the 3-row group space. Fusing them
@@ -221,7 +224,7 @@ object SparkEntry {
         .select(col("l_returnflag"), col("exact_parts"),
           round(col("epc")(1), 4).as("exact_median"),
           round(col("epc")(4), 4).as("exact_p99"),
-          (abs(col("approx_parts") - col("exact_parts")) <= col("exact_parts") * lit(0.15)).as("hll_ok"),
+          (abs(col("approx_parts") - col("exact_parts")) <= col("exact_parts") * lit(0.25)).as("hll_ok"),
           col("apc")(0).between(col("epc")(0), col("epc")(2)).as("median_ok"),
           col("apc")(1).between(col("epc")(3), col("epc")(5)).as("p99_ok"))
     }),
@@ -996,7 +999,7 @@ object SparkEntry {
          |           list_sum(list_transform(n.e, (x, i) -> x * c.cv[i])) / (n.nrm * c.cn) DESC,
          |           c.cid ASC) AS rk
          |  FROM n CROSS JOIN $prev c) WHERE rk = 1),
-         |m$k AS (SELECT cid, idx, round(avg(val), 12) AS m FROM (
+         |m$k AS (SELECT cid, idx, round(avg(val), 6) AS m FROM (
          |  SELECT cid, unnest(e) AS val, unnest(range(1, len(e) + 1)) AS idx FROM a$k)
          |  GROUP BY cid, idx),
          |c$k AS (SELECT cid, list(m ORDER BY idx) AS cv, sqrt(sum(m * m)) AS cn

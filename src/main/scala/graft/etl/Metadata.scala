@@ -128,7 +128,13 @@ object Metadata {
     // names are taken VERBATIM (no trim): this path claims
     // spark.read.csv header parity (makeSafeHeader), and the CSV reader
     // does not trim header cells — readLine() already strips the CR/LF
-    // terminator, so there is no line-ending residue to clean
+    // terminator, so there is no line-ending residue to clean.
+    // Verbatim is also REFERENCE parity, not just CSV-reader parity:
+    // csv.DictReader keeps fieldnames untrimmed, the required-column
+    // check is a verbatim set difference (metadata_processing.py:118-123
+    // — a padded required header fails there too), and a padded
+    // optional header still resolves through the tier-3 rule because
+    // _normalize_header strips whitespace (:58), as does ours.
     val rawNames = headerLine(spark, file).split("\t", -1)
     // duplicate header cells get the same position-suffix rename
     // spark.read.csv applied (makeSafeHeader): the exact-name candidate

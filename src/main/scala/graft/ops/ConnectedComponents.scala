@@ -73,7 +73,13 @@ object ConnectedComponents {
       // diameter exceeds the propagation budget — a chain-shaped graph.
       // Star contraction is diameter-independent, so its own default
       // round bound (O(log² n) theory) applies, not the caller's
-      // diameter bound.
+      // diameter bound. Loud, because the caller's tuned budget was
+      // spent and the graph is being re-solved from scratch.
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"label propagation did not converge in $propagationRounds rounds " +
+          s"(half of maxIter=$maxIter); re-routing to large-star/small-star " +
+          "contraction — if this graph shape is expected, call " +
+          "connectedComponentsStar directly and skip the wasted rounds")
       return connectedComponentsStar(edges, src, dst)
     }
     labels

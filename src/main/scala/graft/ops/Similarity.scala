@@ -183,10 +183,13 @@ object Similarity {
     * corpus-scale — the assignment step is the only full pass needed.
     * Floating-point note: `avg` partial-aggregation order perturbs
     * centroid coordinates at the last-ulp level, so every Lloyd round
-    * ROUNDS the updated coordinates to 12 dp (HALF_UP, matching DuckDB
-    * round()) before they feed the next assignment — the oracle rounds
-    * identically, so engine/run aggregation-order drift is quantized
-    * away instead of relying on a no-near-tie assumption.
+    * ROUNDS the updated coordinates to 6 dp (HALF_UP; the oracle's
+    * round(avg, 6) twins it) before they feed the next assignment —
+    * engine/run aggregation-order drift is quantized away instead of
+    * relying on a no-near-tie assumption. The grid is 6 dp because the
+    * two engines round differently AT the grid boundary (float-multiply
+    * vs exact decimal — see the in-body comment); the coarser grid
+    * makes boundary coincidence ~1e-10 per coordinate.
     */
   private[ops] def fitCodebookKMeans(emb: DataFrame, nCentroids: Int, iters: Int,
       id: String, vec: String, fitSamplePct: Int = 100): Seq[(Int, Seq[Double], Double)] = {
@@ -222,12 +225,20 @@ object Similarity {
         val aggs = (1 to d).map(j => avg(element_at(col("v"), j)).as(s"m_$j"))
         cents = assigned.groupBy("cell").agg(aggs.head, aggs.tail: _*).collect()
           .toSeq.map { r =>
-            // 12-dp quantization (HALF_UP = DuckDB round): kills the
-            // ulp-level partial-agg order drift before it can flip a
-            // near-tie assignment next round
+            // 6-dp quantization (HALF_UP, twinned with round(avg,6) in
+            // the DuckDB oracle): kills the ulp-level partial-agg order
+            // drift before it can flip a near-tie assignment next
+            // round. 6 dp, not 12: DuckDB's round() goes through a
+            // x*10^s float multiply whose ~0.5-ulp product error can
+            // cross a .5 boundary that exact-decimal BigDecimal does
+            // not — at scale 12 that window is ~1e-4 of the grid per
+            // coordinate, at scale 6 it is ~1e-10, i.e. negligible
+            // across dims x centroids x rounds. A 1e-6 centroid grid
+            // is still ~9 orders coarser than the drift being removed
+            // and immaterial to codebook quality.
             val m = (1 to d).map { j =>
               BigDecimal(r.getAs[Double](s"m_$j"))
-                .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
             }
             (r.getAs[Int]("cell"), m, math.sqrt(m.map(x => x * x).sum))
           }

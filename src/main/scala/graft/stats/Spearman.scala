@@ -260,7 +260,9 @@ object Spearman {
     // a single-task window over I rows (the inventory, not the corpus),
     // broadcast back. Block order = item order, so g1 < g2 implies
     // item_a < item_b for cross-block pairs.
-    val inventory = df.select(col(item)).distinct()
+    // materialized once: auto mode counts it AND blkMap re-reads it —
+    // uncheckpointed, each would be its own full distinct scan of df
+    val inventory = df.select(col(item)).distinct().localCheckpoint(true)
     val blocks =
       if (nBlocks > 0) nBlocks
       // auto: ~500 items per block (ProbeBlockedSpearman's parity
@@ -274,6 +276,7 @@ object Spearman {
         col("__r0"), col("__blk"))): _*)
       .repartition((family :+ sample).map(col): _*)
       .localCheckpoint(true) // same AQE-race + reuse rationale as pairJoin
+    inventory.unpersist() // consumed into pre's eager checkpoint above
     val aSide = pre
       .withColumn("__g2", explode(sequence(col("__blk"), lit(blocks))))
       .withColumnRenamed("__blk", "__g1")

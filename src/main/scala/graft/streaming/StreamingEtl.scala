@@ -103,10 +103,21 @@ class StreamingEtl(spark: SparkSession, config: AppConfig, warehouseDir: String)
   /** Long-lived ingest: the SAME query as [[ingestAvailable]] under a
     * `Trigger.ProcessingTime` — manifests dropped while the query runs
     * are picked up on the next tick, with the identical micro-batch
-    * body (batched union plans, StudyState, batch-fail retry
-    * semantics). Returns the running [[StreamingQuery]]; the caller
-    * owns its lifecycle (`processAllAvailable` to block until drained,
-    * `stop()` to end). Per-batch results stream to `onResults`.
+    * body (batched union plans, StudyState). Returns the running
+    * [[StreamingQuery]]; the caller owns its lifecycle
+    * (`processAllAvailable` to block until drained, `stop()` to end).
+    * Per-batch results stream to `onResults`.
+    *
+    * Failure semantics DIFFER from the drain form because a long-lived
+    * query has no "next drain": with `failOpen = false` a per-study
+    * failure FAIL-STOPS the query (it terminates with the
+    * StudyBatchFailed cause; later manifest drops are not consumed
+    * until a restart, which replays the uncommitted batch). That is
+    * the right mode when an operator supervises restarts. The default
+    * here is therefore `failOpen = true` — unattended batch-mode
+    * semantics: the batch commits, the failure is reported once via
+    * `onResults`, the query keeps ticking, and the study is retried
+    * when re-listed (exactly the CLI's per-study isolation, X3).
     *
     * A crash between the warehouse side-effect and the checkpoint
     * commit replays the batch on restart; the replay lands ZERO new
@@ -115,7 +126,7 @@ class StreamingEtl(spark: SparkSession, config: AppConfig, warehouseDir: String)
     */
   def ingestProcessingTime(manifestDir: String, checkpointDir: String,
       interval: String = "1 second", resume: Boolean = true,
-      failOpen: Boolean = false)(
+      failOpen: Boolean = true)(
       onResults: Seq[EtlJob#StudyResult] => Unit = _ => ())
       : org.apache.spark.sql.streaming.StreamingQuery =
     startQuery(manifestDir, checkpointDir, Trigger.ProcessingTime(interval),

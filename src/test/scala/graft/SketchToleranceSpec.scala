@@ -2,7 +2,9 @@ package graft
 
 /** The sketch tolerance gate now lives INSIDE a6_sketches: the query
   * emits, per group, the exact twins plus a within-tolerance boolean
-  * per estimate (HLL++ gated at 3*rsd = 15% relative; approx_percentile
+  * per estimate (HLL++ gated at 5*rsd = 25% relative — rsd is a
+  * standard error not a bound, and 5 sigma makes the probabilistic
+  * gate's false-fail odds ~6e-7 per group; approx_percentile
   * gated by a +/-0.02-quantile exact-value window, far wider than its
   * eps = 1/accuracy = 1e-4 rank guarantee). The DuckDB oracle hashes
   * the exact columns and literal TRUE flags, so a sketch regression is
