@@ -725,6 +725,32 @@ object SparkEntry {
     "p30_curation_funnel" -> ((s, dir) =>
       ops.Curation.curate(t(s, dir, "documents"), minQuality = 0.78,
         budgetTokens = 800L, maxHamming = 3, strata = Seq("source"))),
+    // P31: deterministic train/val/test assignment over the same
+    // 100-bucket hash space as p17's Bernoulli sampler (a pct-p sample
+    // is a bucket prefix, so dev samples inherit the production split).
+    // Map-only codegen — a free column on the scan at any scale.
+    "p31_split_assign" -> ((s, dir) =>
+      ops.Sampling.splitAssign(t(s, dir, "documents"), col("doc_id"),
+        Seq(("train", 80), ("val", 10), ("test", 10)))
+        .select(col("doc_id"), col("source"), col("split"))),
+    // P32: deterministic reshard — shard + in-shard position IS the
+    // reproducible training read order; per-shard sorts, never a
+    // corpus-global ORDER BY.
+    "p32_reshard" -> ((s, dir) =>
+      ops.Sampling.shardByHash(t(s, dir, "documents"), col("doc_id"), 8)
+        .select(col("doc_id"), col("shard").cast("long").as("shard"),
+          col("pos").cast("long").as("pos"))),
+    // P33: per-domain boilerplate line removal (CCNet/RefinedWeb line
+    // dedup) — drops lines shared by >= 2 docs of a source, reassembles
+    // documents in line order. This corpus has single-line unique docs,
+    // so the oracle pins the explode/threshold/reassemble machinery
+    // byte-for-byte (text_clean == text, nothing dropped); the planted
+    // drop behavior is spec-pinned (BoilerplateSpec).
+    "p33_boilerplate" -> ((s, dir) =>
+      ops.TextStats.dropBoilerplateLines(t(s, dir, "documents"), minDocs = 2)
+        .select(col("doc_id"), col("source"),
+          ops.TextStats.fingerprint(col("text_clean")).as("clean_fp"),
+          col("n_kept"), col("n_dropped"))),
     // P26: benchmark decontamination — the deterministic doc_id%50
     // slice stands in for an eval set; flagged = >= 3 shared distinct
     // word 3-grams. Benchmark side broadcasts (tiny vs corpus).
@@ -1366,6 +1392,42 @@ object SparkEntry {
          |                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
          |           FROM documents),
          |${budgetWindowSql("t", 800)}""".stripMargin,
+    "p31_split_assign" ->
+      s"""SELECT doc_id, source,
+         |       CASE WHEN ${hx("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+         |            WHEN ${hx("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM documents""".stripMargin,
+    "p32_reshard" ->
+      s"""SELECT doc_id,
+         |       ${hx("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+         |       row_number() OVER (
+         |         PARTITION BY ${hx("CAST(doc_id AS VARCHAR)")} % 8
+         |         ORDER BY ${hx("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC) AS pos
+         |FROM documents""".stripMargin,
+    "p33_boilerplate" ->
+      """WITH l AS (
+        |  SELECT doc_id, source, unnest(ls) AS line,
+        |         unnest(range(1, len(ls) + 1)) AS idx
+        |  FROM (SELECT doc_id, source, string_split(text, chr(10)) AS ls
+        |        FROM documents)),
+        |b AS (
+        |  SELECT source, md5(line) AS digest FROM l
+        |  GROUP BY source, md5(line) HAVING count(DISTINCT doc_id) >= 2),
+        |k AS (
+        |  SELECT l.* FROM l WHERE NOT EXISTS (
+        |    SELECT 1 FROM b WHERE b.source = l.source AND b.digest = md5(l.line))),
+        |r AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text_clean,
+        |         count(*) AS n_kept
+        |  FROM k GROUP BY doc_id)
+        |SELECT d.doc_id, d.source,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(string_split(coalesce(r.text_clean, ''), ''), c -> ascii(c)::BIGINT)),
+        |    (a, b) -> (a * 131 + b) % 1000000007) AS clean_fp,
+        |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(len(string_split(d.text, chr(10))) - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped
+        |FROM documents d LEFT JOIN r USING (doc_id)""".stripMargin,
     "p26_decontaminate" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
         |              FROM documents WHERE trim(text) <> ''),

@@ -51,6 +51,54 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Deterministic split assignment — train/val/test labeling over the
+    * SAME 100-bucket hash space as [[bernoulliByHash]]: `splits` lists
+    * (name, pct) in order, pcts summing to 100, and a row whose bucket
+    * falls in the i-th cumulative range gets the i-th name. Membership
+    * depends only on the key, so splits are stable across runs,
+    * layouts, appends AND consistent with bernoulliByHash — a pct-p
+    * Bernoulli sample of the corpus is exactly a prefix of the same
+    * buckets, so sampled dev corpora inherit the production split.
+    *
+    * Map-only column math inside codegen — no shuffle at any scale; at
+    * 100 TB this is a free column on the existing scan.
+    */
+  def splitAssign(df: DataFrame, key: Column, splits: Seq[(String, Int)],
+      out: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "splits must be non-empty")
+    require(splits.forall(_._2 > 0), s"every split pct must be > 0, got $splits")
+    require(splits.map(_._2).sum == 100,
+      s"split pcts must sum to 100, got ${splits.map(_._2).sum}")
+    val bucket = hashKey(key) % 100
+    val cuts = splits.map(_._1).zip(splits.scanLeft(0)(_ + _._2).tail)
+    // ascending cut ladder: first matching WHEN wins, last split is the
+    // ELSE (bucket < 100 always)
+    val assign = cuts.init.foldRight(lit(cuts.last._1): Column) {
+      case ((name, cut), rest) => when(bucket < cut, lit(name)).otherwise(rest)
+    }
+    df.withColumn(out, assign)
+  }
+
+  /** Deterministic reshard — the global-shuffle step of a training
+    * pipeline: every row gets a `shard` in [0, nShards) by key hash and
+    * a dense `pos` (1-based) inside its shard, ordered by (hash, key).
+    * Reading shards in pos order IS the reproducible training order —
+    * no RNG, no seed file, identical across engines and re-runs, and a
+    * re-ingested corpus reshards identically.
+    *
+    * One shuffle on `shard`; the per-shard sort runs parallel across
+    * shards (never a corpus-global ORDER BY — at 100 TB a global sort
+    * serializes range boundaries through one exchange; hash sharding
+    * needs none). Pick nShards >> executors so AQE can balance.
+    */
+  def shardByHash(df: DataFrame, key: Column, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val h = hashKey(key)
+    val w = Window.partitionBy(col("shard")).orderBy(h.asc, key.asc)
+    df.withColumn("shard", (h % nShards).cast("int"))
+      .withColumn("pos", row_number().over(w))
+  }
+
   /** Token-budgeted per-stratum sampling — the data-MIXING step of a
     * pretraining pipeline: each stratum (source, language, ...)
     * contributes the largest hash-ordered PREFIX of its documents

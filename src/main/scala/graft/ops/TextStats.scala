@@ -307,4 +307,57 @@ object TextStats {
       .withColumn("redacted",
         regexp_replace(col("__email_redacted"), PhonePattern, "<PHONE>"))
       .drop("__email_redacted")
+
+  /** Per-domain boilerplate LINE removal (the CCNet/RefinedWeb line-dedup
+    * signal): a line occurring in >= `minDocs` DISTINCT documents of the
+    * same `src` (nav menus, cookie banners, footers) is boilerplate;
+    * every occurrence is dropped and each document is reassembled from
+    * its surviving lines in original order. Complements the
+    * whole-document dedup family ([[Dedup]]): those drop COPIES of a
+    * document, this drops the template furniture WITHIN otherwise-unique
+    * documents.
+    *
+    * Output: (id, src, text_clean, n_kept, n_dropped) — one row per
+    * input document, including documents whose every line dropped
+    * (empty text_clean via the final left join).
+    *
+    * 100 TB: one explode -> (src, line-digest) distinct-doc count; the
+    * boilerplate set keeps only digests over the threshold — the
+    * heavy-hitter tail, bounded by total_lines/minDocs — and is
+    * anti-joined back on (src, digest), so no full-line strings ride
+    * the wide shuffles. Reassembly aggregates by document id (the
+    * explode's own key, so AQE coalesces the two same-key exchanges).
+    * An identical-LINE flood is the common case by design here (that is
+    * what boilerplate is) and stays linear: lines only group and count,
+    * never self-join.
+    */
+  def dropBoilerplateLines(docs: DataFrame, minDocs: Int,
+      id: String = "doc_id", src: String = "source",
+      text: String = "text"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    // -1 keeps trailing empty lines so n_kept + n_dropped = line count
+    val lines = docs
+      .select(col(id), col(src), posexplode(split(col(text), "\n", -1)))
+      .withColumnRenamed("pos", "idx")
+      .withColumnRenamed("col", "line")
+      .withColumn("digest", md5(col("line")))
+    val boiler = lines.groupBy(col(src), col("digest"))
+      .agg(countDistinct(col(id)).as("df"))
+      .where(col("df") >= minDocs)
+      .select(col(src), col("digest"))
+    val kept = lines.join(boiler, Seq(src, "digest"), "left_anti")
+    val rebuilt = kept.groupBy(col(id)).agg(
+      array_join(
+        transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+          x => x.getField("line")), "\n").as("text_clean"),
+      count(lit(1)).as("n_kept"))
+    docs
+      .select(col(id), col(src),
+        size(split(col(text), "\n", -1)).cast("long").as("__n_lines"))
+      .join(rebuilt, Seq(id), "left")
+      .select(col(id), col(src),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
 }

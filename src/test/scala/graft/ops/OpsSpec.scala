@@ -40,6 +40,91 @@ class OpsSpec extends SparkSpec {
     assert(tiny.count() == 2)
   }
 
+  test("split assign: total partition, bernoulli-consistent, guards") {
+    val d = (1L to 2000L).map(i => (i, s"lang${i % 4}")).toDF("doc_id", "lang")
+    val splits = Seq(("train", 80), ("val", 10), ("test", 10))
+    val assigned = Sampling.splitAssign(d, col("doc_id"), splits)
+    // total partition: every row labeled, rough proportions hold
+    val byName = assigned.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(byName.keySet == Set("train", "val", "test"))
+    assert(byName.values.sum == 2000L)
+    assert(byName("train") > 1400 && byName("train") < 1800, s"got $byName")
+    // the SAME hash space as bernoulliByHash: a pct-20 sample is a
+    // bucket prefix, so it must land entirely inside 'train' (cut 80)
+    val sampleIds = Sampling.bernoulliByHash(d, col("doc_id"), 20)
+      .select("doc_id").as[Long].collect().toSet
+    val trainIds = assigned.where(col("split") === "train")
+      .select("doc_id").as[Long].collect().toSet
+    assert(sampleIds.subsetOf(trainIds))
+    // deterministic across runs
+    val again = Sampling.splitAssign(d, col("doc_id"), splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(assigned.select("doc_id", "split").as[(Long, String)]
+      .collect().toMap == again)
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(d, col("doc_id"), Seq(("a", 50), ("b", 40)))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(d, col("doc_id"), Seq.empty)
+    }
+  }
+
+  test("reshard: dense per-shard positions, deterministic, lossless") {
+    val d = (1L to 1000L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val sharded = Sampling.shardByHash(d, col("doc_id"), 8)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Int)].collect()
+    assert(sharded.length == 1000) // lossless: one output row per input
+    assert(sharded.map(_._1).toSet == (1L to 1000L).toSet)
+    assert(sharded.forall { case (_, s, _) => s >= 0 && s < 8 })
+    // positions are dense 1..n within every shard — the training read
+    // order has no gaps and no collisions
+    sharded.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+    }
+    // deterministic: identical assignment on a re-run
+    val again = Sampling.shardByHash(d, col("doc_id"), 8)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Int)].collect()
+    assert(sharded.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // nShards=1 degenerates to a single global order
+    val one = Sampling.shardByHash(d, col("doc_id"), 1)
+    assert(one.where(col("shard") =!= 0).count() == 0)
+    assert(one.agg(max(col("pos"))).head.getInt(0) == 1000)
+  }
+
+  test("boilerplate lines: planted template dropped per-source, order kept") {
+    val corpus = Seq(
+      // src0: three docs share header/footer template lines
+      (1L, "src0", "MENU\nunique alpha text\nCOPYRIGHT"),
+      (2L, "src0", "MENU\nunique beta text\nCOPYRIGHT"),
+      (3L, "src0", "MENU\nunique gamma text\nCOPYRIGHT"),
+      // src1: same MENU line but only ONE doc in this source has it —
+      // thresholds are per-source, so here it survives
+      (4L, "src1", "MENU\nsolo delta text"),
+      // src0: a doc that is ONLY template lines drops to empty
+      (5L, "src0", "MENU\nCOPYRIGHT")
+    ).toDF("doc_id", "source", "text")
+    val out = TextStats.dropBoilerplateLines(corpus, minDocs = 2)
+      .select("doc_id", "text_clean", "n_kept", "n_dropped")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out.size == 5) // every input doc present, including all-dropped
+    assert(out(1L) == ((1L, "unique alpha text", 1L, 2L)))
+    assert(out(2L) == ((2L, "unique beta text", 1L, 2L)))
+    assert(out(3L) == ((3L, "unique gamma text", 1L, 2L)))
+    assert(out(4L) == ((4L, "MENU\nsolo delta text", 2L, 0L))) // per-source
+    assert(out(5L) == ((5L, "", 0L, 2L)))
+    // multi-line survivors keep original line order
+    val ordered = TextStats.dropBoilerplateLines(
+      Seq((6L, "s", "z last\na first\nm mid"),
+        (7L, "s", "other\ndoc")).toDF("doc_id", "source", "text"),
+      minDocs = 2)
+      .where(col("doc_id") === 6L).select("text_clean").as[String].head()
+    assert(ordered == "z last\na first\nm mid")
+    intercept[IllegalArgumentException] {
+      TextStats.dropBoilerplateLines(corpus, minDocs = 1)
+    }
+  }
+
   test("tfidf top terms: distinctive terms outrank ubiquitous ones") {
     val corpus = Seq(
       (1L, "apple banana apple"),

@@ -65,4 +65,24 @@ class PlanShapeSpec extends SparkSpec {
         s"$q plans a corpus-global single-partition exchange:\n$plan")
     }
   }
+
+  test("p31 split assign: map-only — no exchange of any kind") {
+    val plan = executedPlan("p31_split_assign")
+    assert(!plan.contains("Exchange"),
+      s"split assignment must be a free column on the scan:\n$plan")
+  }
+
+  test("p32 reshard: per-shard sort, never a global one") {
+    val plan = executedPlan("p32_reshard")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"reshard plans a corpus-global exchange:\n$plan")
+    // a global ORDER BY would appear as a range exchange
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"reshard plans a global sort:\n$plan")
+    assertNoDisasterJoin("p32", plan)
+  }
+
+  test("p33 boilerplate: group-and-count shape, no line self-join") {
+    assertNoDisasterJoin("p33", executedPlan("p33_boilerplate"))
+  }
 }
