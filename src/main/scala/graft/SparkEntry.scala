@@ -747,6 +747,9 @@ object SparkEntry {
     // byte-for-byte (text_clean == text, nothing dropped); the planted
     // drop behavior is spec-pinned (BoilerplateSpec).
     "p33_boilerplate" -> ((s, dir) =>
+      // no single-split repartition here (unlike p20/p27/p28): the
+      // per-line work is one split + one md5 — measured at parity with
+      // the spread-scan variant, so the extra shuffle buys nothing
       ops.TextStats.dropBoilerplateLines(t(s, dir, "documents"), minDocs = 2)
         .select(col("doc_id"), col("source"),
           ops.TextStats.fingerprint(col("text_clean")).as("clean_fp"),
