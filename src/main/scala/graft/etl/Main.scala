@@ -90,10 +90,32 @@ object Main {
           s"$wh/_etl_stream_checkpoint"
         }
         val resume = !flag(opts, "no-resume")
-        val results = new graft.streaming.StreamingEtl(spark, cfg, wh)
-          .ingestAvailable(manifest, checkpoint, resume)
-        printResults(results)
-        if (results.exists(_.error.isDefined)) 1 else 0
+        val etl = new graft.streaming.StreamingEtl(spark, cfg, wh)
+        if (flag(opts, "follow")) {
+          // long-lived mode: keep ticking until the query is stopped
+          // (operator signal / spark.streams stop). failOpen semantics
+          // are ingestProcessingTime's default: a failing study is
+          // reported per batch and retried when re-listed; the query
+          // never fail-stops unattended.
+          val interval = opts.get("interval").flatMap(_.headOption)
+            .getOrElse("10 seconds")
+          @volatile var sawError = false
+          val query = etl.ingestProcessingTime(manifest, checkpoint,
+            interval, resume) { rs =>
+            printResults(rs)
+            if (rs.exists(_.error.isDefined)) sawError = true
+          }
+          try { query.awaitTermination(); if (sawError) 1 else 0 }
+          catch {
+            case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+              System.err.println(s"stream terminated: ${e.getMessage}")
+              1
+          }
+        } else {
+          val results = etl.ingestAvailable(manifest, checkpoint, resume)
+          printResults(results)
+          if (results.exists(_.error.isDefined)) 1 else 0
+        }
       case "correlate" =>
         val wh = opts.get("warehouse").flatMap(_.headOption).getOrElse("./warehouse")
         val studies = opts.getOrElse("study", Seq.empty)
@@ -117,7 +139,7 @@ object Main {
     * `true`/`false` value, or repeated mention; any other value is a
     * usage error (exit 2), never a raw exception.
     */
-  private val flagKeys = Set("exact-p", "no-resume")
+  private val flagKeys = Set("exact-p", "no-resume", "follow")
 
   private def flag(opts: Map[String, Seq[String]], key: String): Boolean =
     opts.get(key) match {
@@ -146,6 +168,6 @@ object Main {
 
   private def usage(): Unit = System.err.println(
     """usage: graft.etl.Main etl --config <yaml> [--warehouse <dir|jdbc:url>] [--mode unioned] [--no-resume]
-      |       graft.etl.Main etl-stream --config <yaml> --manifest <dir> [--warehouse <dir|jdbc:url>] [--checkpoint <dir>] [--no-resume]
+      |       graft.etl.Main etl-stream --config <yaml> --manifest <dir> [--warehouse <dir|jdbc:url>] [--checkpoint <dir>] [--no-resume] [--follow [--interval "10 seconds"]]
       |       graft.etl.Main correlate [--warehouse <dir|jdbc:url>] [--study <GSE>]... [--exact-p]""".stripMargin)
 }

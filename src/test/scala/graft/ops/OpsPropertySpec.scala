@@ -92,6 +92,50 @@ object OpsPropertySpec extends Properties("graft.ops") {
         .collect().forall(r => r.getLong(0) == r.getLong(1))
     }
 
+  propertyWithSeed("splitAssign partitions totally and matches the bucket math", None) =
+    Prop.forAllNoShrink(Gen.listOfN(40, Gen.choose(0L, 100000L)),
+      Gen.choose(1, 98)) { (ids, cut1) =>
+      val s = spark
+      import s.implicits._
+      val d = ids.distinct.toDF("id")
+      val splits = Seq(("x", cut1), ("y", 100 - cut1))
+      val got = Sampling.splitAssign(d, col("id"), splits)
+        .select("id", "split").as[(Long, String)].collect().toMap
+      // total: every row labeled with a declared name; exact per-row
+      // agreement with the driver-side hash twin
+      ids.distinct.forall { i =>
+        val want = if (Hashing.hex64Local(i.toString) % 100 < cut1) "x" else "y"
+        got(i) == want
+      }
+    }
+
+  propertyWithSeed("boilerplate drop == naive per-source line filter", None) =
+    Prop.forAllNoShrink(
+      Gen.listOfN(8, for {
+        src <- Gen.oneOf("s0", "s1")
+        lines <- Gen.listOfN(4, Gen.oneOf("MENU", "FOOT", "a", "b", "c", ""))
+      } yield (src, lines.mkString("\n"))),
+      Gen.choose(2, 4)) { (docs, minDocs) =>
+      val s = spark
+      import s.implicits._
+      val ds = docs.zipWithIndex.map { case ((src, t), i) => (i.toLong, src, t) }
+      val got = TextStats.dropBoilerplateLines(
+        ds.toDF("doc_id", "source", "text"), minDocs)
+        .select("doc_id", "text_clean", "n_kept", "n_dropped")
+        .as[(Long, String, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      // naive: count distinct docs per (source, line), filter each doc
+      val df = ds.flatMap { case (id, src, t) =>
+        t.split("\n", -1).distinct.map(l => ((src, l), id))
+      }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct.size }
+      ds.forall { case (id, src, t) =>
+        val all = t.split("\n", -1)
+        val kept = all.filter(l => df((src, l)) < minDocs)
+        got(id) == ((kept.mkString("\n"), kept.length.toLong,
+          (all.length - kept.length).toLong))
+      }
+    }
+
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
     p.withMinSuccessfulTests(10)
 }

@@ -253,4 +253,54 @@ class StreamingEtlSpec extends SparkSpec {
     assert(out.toString("UTF-8").contains("study=GSE9006 samples=4 facts=11 ok"), out.toString)
     assert(factTuples(whDir).size == 11)
   }
+
+  test("CLI: etl-stream --follow keeps ticking and exits 0 on operator stop") {
+    val root = tmpDir()
+    val a = makeStudy(root, "GSE9006")
+    val b = makeStudy(root, "GSE0002")
+    val filter = write(root, "filter.tsv", filterTsv)
+    val yaml = write(root, "etl.yaml",
+      s"""database:
+         |  connection_string: unused
+         |processing:
+         |  input_directory: $root
+         |  gene_filter_file: $filter
+         |logging:
+         |  log_level: WARN
+         |""".stripMargin)
+    val whDir = tmpDir().toString
+    val manifests = tmpDir()
+    write(manifests, "m1.txt", s"$a\n")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val active = spark.streams.active.map(_.id).toSet
+    val cli = Future {
+      Main.run(Array("etl-stream", "--config", yaml.toString, "--warehouse", whDir,
+        "--manifest", manifests.toString, "--follow",
+        "--interval", "50 milliseconds"), spark)
+    }
+    def ours = spark.streams.active.filterNot(q => active(q.id))
+    try {
+      // first manifest lands, then a second dropped while it runs
+      eventually(factTuples(whDir).size == 11, "first batch")
+      write(manifests, "m2.txt", s"$b\n")
+      eventually(factTuples(whDir).size == 23, "second batch")
+    } finally ours.foreach(_.stop())
+    assert(Await.result(cli, 60.seconds) == 0)
+  }
+
+  /** Polls the condition; a throwing read counts as not-yet — the
+    * poller races the micro-batch's dim overwrite, so a transient
+    * FILE_NOT_EXIST on the warehouse parquet is expected mid-swap.
+    */
+  private def eventually(cond: => Boolean, what: String,
+      timeoutMs: Long = 30000): Unit = {
+    val t0 = System.currentTimeMillis()
+    while (!(try cond catch { case scala.util.control.NonFatal(_) => false })) {
+      if (System.currentTimeMillis() - t0 > timeoutMs)
+        fail(s"timed out waiting for $what")
+      Thread.sleep(100)
+    }
+  }
 }
