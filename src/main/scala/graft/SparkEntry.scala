@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ops.{Dedup, EventTime, Multimodal, Similarity, TextStats}
 import graft.stats.{BenjaminiHochberg, PValues, Ranks, Spearman}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -98,14 +98,15 @@ object SparkEntry {
   private val LineitemItems = Seq("discount", "extendedprice", "quantity")
 
   /** The x2 hourly aggregation over any events-shaped frame (shared by
-    * the parquet/JSONL/ORC source-parity queries). Integer DIV: a
-    * double division of 2^60-magnitude nanos loses sub-µs precision
-    * and can flip events across hour boundaries.
+    * the parquet/JSONL/ORC source-parity queries and the x7 streaming
+    * twin — works on bounded and unbounded frames alike). The physical
+    * `ts` encoding is canonicalized to ns first (EventTime.tsNanos),
+    * so Long-ns and timestamp[us] testdata both hash-match the oracle.
     */
   private def hourlyAgg(events: DataFrame): DataFrame =
-    events
+    EventTime.withTsNanos(events)
       .groupBy(date_trunc("hour",
-        timestamp_micros(expr("CAST((ts - pmod(ts, 1000)) DIV 1000 AS BIGINT)"))).as("hour"),
+        timestamp_micros(EventTime.nsToMicros("ts_ns"))).as("hour"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
 
@@ -378,9 +379,11 @@ object SparkEntry {
     }),
 
     // --- windows over events (the streaming table, batch view) --------
-    // events.ts is parquet TIMESTAMP(NANOS); Spark reads it as Long ns
-    // (spark.sql.legacy.parquet.nanosAsLong) — ordering on the raw ns
-    // is exact, and hour truncation goes through timestamp_micros.
+    // events.ts has shipped as both parquet TIMESTAMP(NANOS) (read as
+    // Long ns under spark.sql.legacy.parquet.nanosAsLong) and native
+    // timestamp[us] — every event query canonicalizes through
+    // EventTime.tsNanos so either physical encoding hash-matches the
+    // DuckDB oracle (which reads the same file via epoch_ns/epoch_us).
     "x1_window_running" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts").asc, col("event_id").asc)
@@ -428,11 +431,7 @@ object SparkEntry {
           p.resolve("events.parquet"))
       }
       val sink = s"stream_hourly_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val agg = s.readStream.schema(schema).parquet(staged.toString)
-        .groupBy(date_trunc("hour",
-          timestamp_micros(expr("CAST((ts - pmod(ts, 1000)) DIV 1000 AS BIGINT)"))).as("hour"),
-          col("event_type"))
-        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      val agg = hourlyAgg(s.readStream.schema(schema).parquet(staged.toString))
       val q = agg.writeStream.format("memory").queryName(sink)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -448,16 +447,20 @@ object SparkEntry {
     // Hash-matches the batch x3 oracle.
     "x8_stream_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.{GroupStateTimeout, Trigger}
-      val ev = t(s, dir, "events")
+      // canonical ts_ns BEFORE the max/sentinel staging: the sentinel
+      // arithmetic and the EventNs dataset contract are Long-ns, so
+      // the timestamp[us] encoding must be converted up front (getLong
+      // on a native timestamp max would ClassCastException)
+      val ev = EventTime.withTsNanos(t(s, dir, "events"))
       val gapNs = 30L * 60L * 1000000000L
-      val maxRow = ev.agg(max(col("ts"))).head
+      val maxRow = ev.agg(max(col("ts_ns"))).head
       if (maxRow.isNullAt(0))
         // empty events: the oracle yields the empty session set
         ev.select(col("user_id"), lit(0L).as("session_seq"), lit(0L).as("n_events"),
           lit(0.0).as("sum_value"), lit(0L).as("session_start_us")).where(lit(false))
       else {
         val maxNs = maxRow.getLong(0)
-        val core = ev.select(col("event_id"), col("ts").as("ts_ns"),
+        val core = ev.select(col("event_id"), col("ts_ns"),
           col("user_id"), col("value"))
         val sentinels = ev.select(col("user_id")).distinct()
           .select(lit(-1L).as("event_id"), lit(maxNs + gapNs + 1000000L).as("ts_ns"),
@@ -481,36 +484,36 @@ object SparkEntry {
       }
     }),
     // X3: sessionization (gaps-and-islands) — lag/gap flag, running-sum
-    // session ids, per-session rollup. ts is raw parquet nanos (Long);
-    // integer DIV keeps microsecond output exact (a double division
-    // would lose sub-µs precision at 2^60 magnitudes).
+    // session ids, per-session rollup. Gap arithmetic runs on the
+    // canonical Long ns (integer DIV for the µs output — a double
+    // division would lose sub-µs precision at 2^60 magnitudes).
     "x3_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").asc, col("event_id").asc)
+        .orderBy(col("ts_ns").asc, col("event_id").asc)
       val gapNs = 30L * 60L * 1000000000L
-      t(s, dir, "events")
+      EventTime.withTsNanos(t(s, dir, "events"))
         .withColumn("new_sess",
-          when(lag(col("ts"), 1).over(w).isNull ||
-            col("ts") - lag(col("ts"), 1).over(w) > gapNs, 1L).otherwise(0L))
+          when(lag(col("ts_ns"), 1).over(w).isNull ||
+            col("ts_ns") - lag(col("ts_ns"), 1).over(w) > gapNs, 1L).otherwise(0L))
         .withColumn("session_seq", sum(col("new_sess")).over(w))
         .groupBy(col("user_id"), col("session_seq"))
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value")), 4).as("sum_value"),
-          expr("CAST((min(ts) - pmod(min(ts), 1000)) DIV 1000 AS BIGINT)").as("session_start_us"))
+          EventTime.nsToMicros("min(ts_ns)").as("session_start_us"))
     }),
     // X5: as-of join — every click picks the most recent purchase
     // value at-or-before it per user. Right side pre-aggregated to
     // unique (user, ts) so tie-breaks are deterministic cross-engine.
     "x5_asof_join" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
+      val ev = EventTime.withTsNanos(t(s, dir, "events"))
       val clicks = ev.where(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .select(col("event_id"), col("user_id"), col("ts_ns"), col("value"))
       val purchases = ev.where(col("event_type") === "purchase")
-        .groupBy(col("user_id"), col("ts"))
+        .groupBy(col("user_id"), col("ts_ns"))
         .agg(max(col("value")).as("purchase_value"))
-      ops.AsOfJoin.asof(clicks, purchases, Seq("user_id"), "ts", Seq("purchase_value"))
+      ops.AsOfJoin.asof(clicks, purchases, Seq("user_id"), "ts_ns", Seq("purchase_value"))
         .select(col("event_id"), col("user_id"),
-          expr("CAST((ts - pmod(ts, 1000)) DIV 1000 AS BIGINT)").as("ts_us"),
+          EventTime.nsToMicros("ts_ns").as("ts_us"),
           round(col("value"), 4).as("value"),
           round(col("purchase_value"), 4).as("purchase_value"))
     }),
@@ -521,8 +524,8 @@ object SparkEntry {
     // is µs, so the raw parquet nanos are truncated identically on
     // both sides before banding.
     "x6_interval_join" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .withColumn("ts_us", expr("CAST((ts - pmod(ts, 1000)) DIV 1000 AS BIGINT)"))
+      val ev = EventTime.withTsNanos(t(s, dir, "events"))
+        .withColumn("ts_us", EventTime.nsToMicros("ts_ns"))
       val errors = ev.where(col("event_type") === "error")
         .select(col("event_id").as("error_id"), col("user_id"), col("ts_us"))
       val others = ev.select(col("event_id").as("other_id"), col("user_id"),
@@ -547,9 +550,12 @@ object SparkEntry {
           java.nio.file.Paths.get(s"$dir/events.parquet"),
           p.resolve("events.parquet"))
       }
-      def stream() = s.readStream.schema(schema).parquet(staged.toString)
-        .withColumn("ts_us", expr("CAST((ts - pmod(ts, 1000)) DIV 1000 AS BIGINT)"))
-        .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      def stream() = {
+        val raw = s.readStream.schema(schema).parquet(staged.toString)
+        EventTime.withTsNanos(raw)
+          .withColumn("ts_us", EventTime.nsToMicros("ts_ns"))
+          .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      }
       val errors = stream().where(col("event_type") === "error")
         .select(col("event_id").as("error_id"), col("user_id"),
           col("ts_us"), col("ts_t").as("err_t"))
