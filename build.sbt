@@ -33,4 +33,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // (measured 20x on wide-agg stages); standard Spark tuning:
   "-XX:-DontCompileHugeMethods",
   "-XX:ReservedCodeCacheSize=512m",
-)
+) ++ sys.env.get("GRAFT_EXTRA_JVM").toSeq.flatMap(_.split(' ').filter(_.nonEmpty))

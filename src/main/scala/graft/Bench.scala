@@ -54,19 +54,32 @@ object Bench {
     val spread = byQuery.map { case (k, _, d) => JsonUtil.quote(k) + ":" + fmt(d) }
       .mkString("{", ",", "}")
     val total = byQuery.map(_._2).sum
+    // A failed query rides in the ARTIFACT, not only in stderr: the
+    // round-5 headline (8e6 s = 8 sentinels) was unreadable without
+    // cross-referencing stderr noise. `failed` names the sentinel
+    // queries and `ok_value` is the total over the surviving ones — the
+    // sane throughput number when value is sentinel-poisoned.
+    val failedNames = byQuery.collect { case (n, v, _) if v >= FailureSentinelSec => n }
+    val failedJson = failedNames.map(JsonUtil.quote).mkString("[", ",", "]")
+    val okTotal = byQuery.collect { case (_, v, _) if v < FailureSentinelSec => v }.sum
     // stdout carries only the headline numbers: the round-3/4 artifacts
     // lost their parse because the per-query dicts (64 queries x 2 maps)
     // outgrew the driver's bounded tail capture. The full per-query
     // times + spreads live in bench_out.json only.
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":$passes,"n":${byQuery.size},"sf":${JsonUtil.quote(sfDir)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":$passes,"n":${byQuery.size},"ok_value":${fmt(okTotal)},"failed":$failedJson,"sf":${JsonUtil.quote(sfDir)}}"""
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":$passes,"n":${byQuery.size},"queries":$qs,"spread":$spread,"sf":${JsonUtil.quote(sfDir)}}"""
-    println(line)
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":$passes,"n":${byQuery.size},"ok_value":${fmt(okTotal)},"failed":$failedJson,"queries":$qs,"spread":$spread,"sf":${JsonUtil.quote(sfDir)}}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case NonFatal(e) => System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}") }
-    spark.stop()
+    // the compact line is the LAST stdout of the JVM, after spark.stop's
+    // chatter, so the driver's tail capture always parses it — even a
+    // failed stop must not swallow it
+    try spark.stop()
+    catch { case NonFatal(e) => System.err.println(s"[bench] spark.stop failed: ${e.getMessage}") }
+    println(line)
+    Console.out.flush()
   }
 }

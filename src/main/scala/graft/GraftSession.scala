@@ -45,7 +45,7 @@ object GraftSession {
       // interval is 30min — long multi-query sessions (Bench: ~90
       // query executions in one JVM) otherwise accumulate dead blocks
       // and degrade later queries
-      .config("spark.cleaner.periodicGC.interval", "1min")
+      .config("spark.cleaner.periodicGC.interval", sys.env.getOrElse("SPARK_GRAFT_GC_INTERVAL", "1min"))
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(appName: String = "graft"): SparkSession = {
