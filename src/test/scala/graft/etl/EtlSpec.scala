@@ -104,6 +104,28 @@ class EtlSpec extends SparkSpec {
     }
   }
 
+  test("S3: header cells are VERBATIM (spark.read.csv + reference parity) — " +
+    "padded required header fails, padded optional resolves via tier-3") {
+    val root = tmpDir()
+    // a whitespace-padded REQUIRED header is NOT trimmed before the
+    // required-column check: csv.DictReader keeps fieldnames untrimmed
+    // and the reference's check is a verbatim set difference
+    // (metadata_processing.py:118-123) — so this must fail, same as it
+    // would against the reference
+    val padReq = write(root, "metadata_PADREQ.tsv",
+      " refinebio_accession_code \texperiment_accession\nGSM1\tGSEX\n")
+    intercept[MetadataFormatError] {
+      Metadata.load(spark, padReq.toString, FieldMappingConfig())
+    }
+    // a padded OPTIONAL header still resolves: tier-3 normalization
+    // (digit-strip + trim + lowercase, _normalize_header:58 parity)
+    // absorbs the padding without mutating the stored header itself
+    val padOpt = write(root, "metadata_PADOPT.tsv",
+      "refinebio_accession_code\texperiment_accession\t refinebio_age \nGSM1\tGSEX\t42\n")
+    val r = Metadata.load(spark, padOpt.toString, FieldMappingConfig()).head
+    assert(r.getAs[String]("age") == "42")
+  }
+
   test("S4/R1/F2-F4: melt drops missing sample columns, blank genes, bad numerics") {
     val root = tmpDir()
     val p = write(root, "expression_G.tsv", expressionTsv)
