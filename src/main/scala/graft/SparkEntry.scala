@@ -415,6 +415,34 @@ object SparkEntry {
       }
       hourlyAgg(s.read.schema(ev.schema).orc(staged.toString))
     }),
+    // CSV: the text format every warehouse export speaks. Headerless +
+    // declared schema (position-mapped, same discipline as s10); the
+    // timestamp formats carry SIX fractional digits explicitly — the
+    // CSV default truncates to milliseconds, which would silently move
+    // sub-ms events across nothing here but break ts round-trip parity.
+    "s12_csv_source" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val fmtOpts = Map(
+        "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+        "timestampNTZFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+      val staged = stagedDir(s"events_csv:$dir") { p =>
+        ev.write.mode("overwrite").options(fmtOpts).csv(p.toString)
+      }
+      hourlyAgg(s.read.schema(ev.schema).options(fmtOpts).csv(staged.toString))
+    }),
+    // Hive-partitioned directory layout (…/event_type=click/…): the
+    // lake layout where a partition-column predicate prunes entire
+    // directories at PLANNING time — at 100 TB the difference between
+    // scanning two event types and scanning the lake. PlanShapeSpec
+    // pins the pruned scan; the oracle replays the filter as WHERE.
+    "s13_partitioned_source" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val staged = stagedDir(s"events_hive:$dir") { p =>
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(p.toString)
+      }
+      hourlyAgg(s.read.parquet(staged.toString)
+        .where(col("event_type").isin("click", "purchase")))
+    }),
     // X7: Structured Streaming parity — the SAME hourly aggregation as
     // x2, but executed as an unbounded plan over the file source with
     // Trigger.AvailableNow, drained to completion, and returned from
@@ -500,6 +528,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value")), 4).as("sum_value"),
           EventTime.nsToMicros("min(ts_ns)").as("session_start_us"))
+    }),
+    // X11: SLIDING-window aggregate — 1-hour windows every 30 minutes
+    // via the native window() generator (each event lands in exactly
+    // two windows; Spark expands then hash-aggregates — map-side
+    // partial agg, no per-key sort). Epoch-aligned on both engines:
+    // the oracle unions the two 30-min bucket origins per event.
+    "x11_sliding_agg" -> ((s, dir) => {
+      val ev = EventTime.withTsNanos(t(s, dir, "events"))
+        .withColumn("ts_t", timestamp_micros(EventTime.nsToMicros("ts_ns")))
+      ev.groupBy(window(col("ts_t"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+        .select(col("w.start").as("win_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+    }),
+    // X12: native session_window — the THIRD physical execution of the
+    // x3 sessionization logic (batch gaps-and-islands windows, x8's
+    // flatMapGroupsWithState state machine, and now Spark's built-in
+    // session-window merge). No exact-30min gaps exist in the data, so
+    // the boundary-semantics difference (session_window splits AT the
+    // gap, x3 splits only ABOVE it) cannot bite; the shared oracle is
+    // the same islands SQL minus the per-user sequence number.
+    "x12_session_window" -> ((s, dir) => {
+      val ev = EventTime.withTsNanos(t(s, dir, "events"))
+        .withColumn("ts_t", timestamp_micros(EventTime.nsToMicros("ts_ns")))
+      ev.groupBy(col("user_id"), session_window(col("ts_t"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
+          col("n_events"), col("sum_value"))
     }),
     // X5: as-of join — every click picks the most recent purchase
     // value at-or-before it per user. Right side pre-aggregated to
@@ -1345,9 +1401,38 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin,
     "x2_hourly_agg" -> hourlyAggSql,
-    // source-format parity twins: same rows through JSONL / ORC
+    // source-format parity twins: same rows through JSONL / ORC / CSV
     "s10_jsonl_source" -> hourlyAggSql,
     "s11_orc_source" -> hourlyAggSql,
+    "s12_csv_source" -> hourlyAggSql,
+    // hive-partitioned layout: partition-pruned scan = WHERE filter
+    "s13_partitioned_source" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events,
+        |       round(sum(value), 4) AS sum_value
+        |FROM events WHERE event_type IN ('click', 'purchase')
+        |GROUP BY 1, 2""".stripMargin,
+    // sliding 1h/30min: each event contributes to the two windows whose
+    // epoch-aligned 30-min origins cover it (time_bucket = Spark's
+    // window() origin for divisors of a day)
+    "x11_sliding_agg" ->
+      """WITH e AS (SELECT ts, event_type, value FROM events),
+        |w AS (SELECT time_bucket(INTERVAL 30 MINUTES, ts) AS win_start, event_type, value FROM e
+        |      UNION ALL
+        |      SELECT time_bucket(INTERVAL 30 MINUTES, ts) - INTERVAL 30 MINUTES, event_type, value FROM e)
+        |SELECT win_start, event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
+    // native session_window: the x3/x8 islands oracle minus the seq
+    "x12_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tns, value FROM events),
+        |g AS (SELECT *, CASE WHEN lag(tns) OVER w IS NULL
+        |                       OR tns - lag(tns) OVER w > 1800000000000 THEN 1 ELSE 0 END AS new_sess
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tns ASC, event_id ASC)),
+        |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY tns ASC, event_id ASC
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |      FROM g)
+        |SELECT user_id, CAST(min(tns) // 1000 AS BIGINT) AS session_start_us,
+        |       count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM s GROUP BY user_id, session_seq""".stripMargin,
 
     "p1_dedup_exact" -> exactDedupSql,
     // streaming twin — same planted dups, same oracle

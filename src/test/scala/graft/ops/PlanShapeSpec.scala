@@ -85,4 +85,19 @@ class PlanShapeSpec extends SparkSpec {
   test("p33 boilerplate: group-and-count shape, no line self-join") {
     assertNoDisasterJoin("p33", executedPlan("p33_boilerplate"))
   }
+
+  test("s13 hive-partitioned source: event_type predicate prunes partitions at the scan") {
+    // The predicate on the partition column must land in the scan's
+    // PartitionFilters (directory pruning at planning time), never as a
+    // post-scan Filter over the full lake — at 100 TB that is the
+    // difference between reading two event types and reading everything.
+    val plan = executedPlan("s13_partitioned_source")
+    val scanLine = plan.linesIterator.find(_.contains("PartitionFilters"))
+    assert(scanLine.exists(_.contains("event_type")),
+      s"event_type filter did not reach PartitionFilters:\n$plan")
+    val postScanFilter = plan.linesIterator.exists(l =>
+      l.trim.startsWith("+- Filter") && l.contains("event_type"))
+    assert(!postScanFilter,
+      s"event_type is re-filtered after the scan instead of pruned:\n$plan")
+  }
 }
