@@ -72,4 +72,47 @@ class IvfCodebookSpec extends SparkSpec {
       s"sampled-fit codebook stopped separating: $occ")
     assert(occ.size >= 3)
   }
+
+  test("centroids land exactly on the 1e-6 quantization grid (cross-engine determinism contract)") {
+    // The contract that keeps p13 hash-stable against the DuckDB replay:
+    // after every Lloyd round each centroid coordinate is HALF_UP-rounded
+    // to 6 dp, so partial-agg order (engine- and run-dependent) cannot
+    // leak ulp drift into the next round's near-tie assignments. If a
+    // coordinate ever comes back off-grid, the quantization was dropped
+    // or moved after the norm computation.
+    val cents = Similarity.fitCodebookKMeans(skewed, nCentroids = 8,
+      iters = 3, id = "vec_id", vec = "embedding")
+    assert(cents.nonEmpty)
+    cents.foreach { case (cid, cv, nrm) =>
+      cv.foreach { x =>
+        val q = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(x == q, s"centroid $cid coordinate $x is off the 1e-6 grid")
+      }
+      // the stored norm must be derived FROM the quantized coordinates,
+      // not the pre-quantization ones — otherwise the cosine ranking
+      // mixes grids and the near-tie protection is void
+      assert(nrm == math.sqrt(cv.map(x => x * x).sum),
+        s"centroid $cid norm not derived from quantized coordinates")
+    }
+  }
+
+  test("exact cosine tie between two centroids resolves to the lowest centroid id") {
+    // Planted near-tie: two orthogonal unit centroids and a query vector
+    // exactly on their bisector. Both cells score identical cosine; the
+    // documented tie-break (sort_array over (negCos, cid) structs) must
+    // pick the LOWER cid on every engine and every run.
+    val two = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      // bisector vectors — equidistant from both centroids to the ulp
+      (2L, Seq(1.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.5f, 0.5f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cells = Similarity.ivfAssignments(two, nCentroids = 2, codebook = "minid")
+      .orderBy("vec_id").collect().map(r => r.getAs[Number]("cell").intValue())
+    // seeds are ids 0 and 1 (minid); vectors 2 and 3 tie exactly
+    assert(cells(2) == cells(3), s"identical bisector vectors split cells: ${cells.toSeq}")
+    assert(cells(2) == math.min(cells(0), cells(1)),
+      s"tie did not resolve to the lowest centroid id: ${cells.toSeq}")
+  }
 }
