@@ -557,6 +557,59 @@ object SparkEntry {
         .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
           col("n_events"), col("sum_value"))
     }),
+    // X13: Structured Streaming parity for the SLIDING window — x11's
+    // 1h/30min window() aggregation as an unbounded AvailableNow plan,
+    // complete-mode memory sink (same drain shape as x7). Overlapping
+    // windows in streaming exercise the multi-window state update path
+    // (each event lands in two state keys). Same oracle as x11.
+    "x13_stream_sliding" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val staged = stagedDir(s"events:$dir") { p =>
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          p.resolve("events.parquet"))
+      }
+      val ev = EventTime.withTsNanos(s.readStream.schema(schema).parquet(staged.toString))
+        .withColumn("ts_t", timestamp_micros(EventTime.nsToMicros("ts_ns")))
+      val agg = ev
+        .groupBy(window(col("ts_t"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+        .select(col("w.start").as("win_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+      val sink = s"stream_sliding_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      drainMemorySink(s, sink)
+    }),
+    // X14: Structured Streaming parity for the NATIVE session window —
+    // x12's session_window aggregation in its actual production shape:
+    // an unbounded plan whose state store MERGES overlapping session
+    // ranges per user as events arrive (the one windowing mode where
+    // streaming state keys are not fixed — ranges grow and coalesce).
+    // Complete-mode memory sink; same islands oracle as x12.
+    "x14_stream_session_window" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val staged = stagedDir(s"events:$dir") { p =>
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          p.resolve("events.parquet"))
+      }
+      val ev = EventTime.withTsNanos(s.readStream.schema(schema).parquet(staged.toString))
+        .withColumn("ts_t", timestamp_micros(EventTime.nsToMicros("ts_ns")))
+      val agg = ev
+        .groupBy(col("user_id"), session_window(col("ts_t"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
+          col("n_events"), col("sum_value"))
+      val sink = s"stream_sesswin_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      drainMemorySink(s, sink)
+    }),
     // X5: as-of join — every click picks the most recent purchase
     // value at-or-before it per user. Right side pre-aggregated to
     // unique (user, ts) so tie-breaks are deterministic cross-engine.
@@ -1138,6 +1191,26 @@ object SparkEntry {
       |       round(sum(value), 4) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  private val slidingAggSql =
+    """WITH e AS (SELECT ts, event_type, value FROM events),
+      |w AS (SELECT time_bucket(INTERVAL 30 MINUTES, ts) AS win_start, event_type, value FROM e
+      |      UNION ALL
+      |      SELECT time_bucket(INTERVAL 30 MINUTES, ts) - INTERVAL 30 MINUTES, event_type, value FROM e)
+      |SELECT win_start, event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM w GROUP BY 1, 2""".stripMargin
+
+  private val sessionWindowSql =
+    """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tns, value FROM events),
+      |g AS (SELECT *, CASE WHEN lag(tns) OVER w IS NULL
+      |                       OR tns - lag(tns) OVER w > 1800000000000 THEN 1 ELSE 0 END AS new_sess
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tns ASC, event_id ASC)),
+      |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY tns ASC, event_id ASC
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |      FROM g)
+      |SELECT user_id, CAST(min(tns) // 1000 AS BIGINT) AS session_start_us,
+      |       count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM s GROUP BY user_id, session_seq""".stripMargin
+
   private val exactDedupSql =
     """WITH all_docs AS (
       |  SELECT doc_id, text FROM documents
@@ -1414,25 +1487,13 @@ object SparkEntry {
     // sliding 1h/30min: each event contributes to the two windows whose
     // epoch-aligned 30-min origins cover it (time_bucket = Spark's
     // window() origin for divisors of a day)
-    "x11_sliding_agg" ->
-      """WITH e AS (SELECT ts, event_type, value FROM events),
-        |w AS (SELECT time_bucket(INTERVAL 30 MINUTES, ts) AS win_start, event_type, value FROM e
-        |      UNION ALL
-        |      SELECT time_bucket(INTERVAL 30 MINUTES, ts) - INTERVAL 30 MINUTES, event_type, value FROM e)
-        |SELECT win_start, event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
-        |FROM w GROUP BY 1, 2""".stripMargin,
+    "x11_sliding_agg" -> slidingAggSql,
     // native session_window: the x3/x8 islands oracle minus the seq
-    "x12_session_window" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tns, value FROM events),
-        |g AS (SELECT *, CASE WHEN lag(tns) OVER w IS NULL
-        |                       OR tns - lag(tns) OVER w > 1800000000000 THEN 1 ELSE 0 END AS new_sess
-        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tns ASC, event_id ASC)),
-        |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY tns ASC, event_id ASC
-        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
-        |      FROM g)
-        |SELECT user_id, CAST(min(tns) // 1000 AS BIGINT) AS session_start_us,
-        |       count(*) AS n_events, round(sum(value), 4) AS sum_value
-        |FROM s GROUP BY user_id, session_seq""".stripMargin,
+    "x12_session_window" -> sessionWindowSql,
+    // streaming twins of x11/x12: same logical queries, unbounded
+    // physical executions — same oracles
+    "x13_stream_sliding" -> slidingAggSql,
+    "x14_stream_session_window" -> sessionWindowSql,
 
     "p1_dedup_exact" -> exactDedupSql,
     // streaming twin — same planted dups, same oracle
