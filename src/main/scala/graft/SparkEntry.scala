@@ -443,6 +443,81 @@ object SparkEntry {
       hourlyAgg(s.read.parquet(staged.toString)
         .where(col("event_type").isin("click", "purchase")))
     }),
+    // XML: Spark 4's native XML source (the spark-xml package folded
+    // into core) — the format B2B/legacy feeds still speak. Same
+    // explicit 6-digit fractional timestamp discipline as s12.
+    "s14_xml_source" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val fmtOpts = Map(
+        "rowTag" -> "event",
+        "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+        "timestampNTZFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+      val staged = stagedDir(s"events_xml:$dir") { p =>
+        ev.write.mode("overwrite").options(fmtOpts).format("xml").save(p.toString)
+      }
+      hourlyAgg(s.read.schema(ev.schema).options(fmtOpts).format("xml")
+        .load(staged.toString))
+    }),
+    // Corrupt-tolerant ingestion: a lake feed is never 100% clean. The
+    // staged JSONL gets three planted malformed lines (truncated JSON,
+    // non-JSON noise, wrong-typed fields); DROPMALFORMED must shed
+    // exactly those and nothing else, so the aggregate hash-matches
+    // the clean-parquet oracle. The planted lines would each poison a
+    // different parser stage (tokenizer, object shape, type coercion).
+    "s15_corrupt_tolerant_source" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val staged = stagedDir(s"events_dirty:$dir") { p =>
+        ev.write.mode("overwrite").json(p.toString)
+        val garbage = java.util.Arrays.asList(
+          """{"event_id": 999999901, "ts": "not-a-timestamp", "user_id": 1""",
+          """<<< not json at all >>>""",
+          """{"event_id": "NaN", "user_id": {"nested": true}, "ts": [], "event_type": 7, "value": "x"}""")
+        java.nio.file.Files.write(p.resolve("garbage.json"), garbage)
+        ()
+      }
+      hourlyAgg(s.read.schema(ev.schema).option("mode", "DROPMALFORMED")
+        .json(staged.toString))
+    }),
+    // Layout-aware write + data-skipping read: events range-partitioned
+    // and sorted on ts at write time, so every parquet row group covers
+    // a narrow ts span and a time-range predicate prunes row groups via
+    // min/max stats — at 100 TB the lake-side complement to s13's
+    // directory pruning (sort the data so the stats can skip it). The
+    // cutoff is the midpoint of the observed µs span, computed
+    // identically on both engines; PlanShapeSpec pins the predicate
+    // into the scan's PushedFilters.
+    "s16_sorted_layout" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      val ev = t(s, dir, "events")
+      val staged = stagedDir(s"events_sorted:$dir") { p =>
+        ev.repartitionByRange(8, col("ts"))
+          .sortWithinPartitions(col("ts"))
+          .write.mode("overwrite").parquet(p.toString)
+      }
+      val bounds = EventTime.withTsNanos(ev)
+        .agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx")).head
+      val raw = s.read.parquet(staged.toString)
+      if (bounds.isNullAt(0)) raw.where(lit(false)).select(
+        lit(null).cast("timestamp").as("hour"), col("event_type"),
+        lit(0L).as("n_events"), lit(0.0).as("sum_value"))
+      else {
+        // µs-midpoint cutoff: ts_ns < midUs*1000 ⟺ epoch_us(ts) < midUs
+        // (floor-div is monotone), so both encodings and the DuckDB
+        // oracle agree on the row set regardless of sub-µs digits
+        val mnUs = Math.floorDiv(bounds.getLong(0), 1000L)
+        val mxUs = Math.floorDiv(bounds.getLong(1), 1000L)
+        val midUs = mnUs + (mxUs - mnUs) / 2
+        // predicate on the RAW column (a derived ts_ns filter would not
+        // reach the scan); the literal folds, so pushdown survives
+        val pred = raw.schema("ts").dataType match {
+          case LongType => col("ts") < lit(midUs * 1000L)
+          case TimestampNTZType =>
+            col("ts") < timestamp_micros(lit(midUs)).cast(TimestampNTZType)
+          case _ => col("ts") < timestamp_micros(lit(midUs))
+        }
+        hourlyAgg(raw.where(pred))
+      }
+    }),
     // X7: Structured Streaming parity — the SAME hourly aggregation as
     // x2, but executed as an unbounded plan over the file source with
     // Trigger.AvailableNow, drained to completion, and returned from
@@ -1483,6 +1558,18 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events,
         |       round(sum(value), 4) AS sum_value
         |FROM events WHERE event_type IN ('click', 'purchase')
+        |GROUP BY 1, 2""".stripMargin,
+    // XML round-trip and corrupt-line shedding both reduce to the
+    // clean hourly aggregate — the planted garbage must vanish exactly
+    "s14_xml_source" -> hourlyAggSql,
+    "s15_corrupt_tolerant_source" -> hourlyAggSql,
+    // sorted layout: µs-midpoint cutoff replayed via epoch_us
+    "s16_sorted_layout" ->
+      """WITH b AS (SELECT min(epoch_us(ts)) + (max(epoch_us(ts)) - min(epoch_us(ts))) // 2 AS mid
+        |           FROM events)
+        |SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events,
+        |       round(sum(value), 4) AS sum_value
+        |FROM events, b WHERE epoch_us(ts) < b.mid
         |GROUP BY 1, 2""".stripMargin,
     // sliding 1h/30min: each event contributes to the two windows whose
     // epoch-aligned 30-min origins cover it (time_bucket = Spark's

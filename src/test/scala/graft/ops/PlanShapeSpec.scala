@@ -86,6 +86,16 @@ class PlanShapeSpec extends SparkSpec {
     assertNoDisasterJoin("p33", executedPlan("p33_boilerplate"))
   }
 
+  test("s16 sorted layout: the ts-range predicate reaches the parquet scan's PushedFilters") {
+    // The cutoff literal must fold and push into the scan so parquet
+    // row-group min/max stats can skip — a post-scan filter would read
+    // the whole sorted lake and the layout would buy nothing.
+    val plan = executedPlan("s16_sorted_layout")
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters"))
+    assert(pushed.exists(l => l.contains("LessThan(ts")),
+      s"ts range predicate did not reach PushedFilters:\n$plan")
+  }
+
   test("s13 hive-partitioned source: event_type predicate prunes partitions at the scan") {
     // The predicate on the partition column must land in the scan's
     // PartitionFilters (directory pruning at planning time), never as a
