@@ -241,6 +241,17 @@ object SparkEntry {
       t(s, dir, "lineitem").cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n_rows"),
           round(sum(col("l_quantity")), 4).as("sum_qty"))),
+    // A7: IRREGULAR grouping sets — {(flag,status), (linenumber)} is
+    // expressible as neither rollup nor cube; Spark 4's groupingSets
+    // API plans it as one Expand + hash aggregate (each row expands
+    // into exactly |sets| copies — map-side partials still apply).
+    "a7_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_linenumber"))),
+          col("l_returnflag"), col("l_linestatus"), col("l_linenumber"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 4).as("sum_qty"))),
 
     // --- reshaping (R1/R2) --------------------------------------------
     "r1_unpivot_agg" -> ((s, dir) =>
@@ -358,6 +369,19 @@ object SparkEntry {
             .otherwise(col("segment")).as("segment"),
           coalesce(col("nation_key"), col("nation_new")).as("nation_key"))
     }),
+    // D5: latest-record-wins snapshot (SCD-1 compaction) — each user's
+    // most recent event, as ONE max-of-struct aggregation: lexicographic
+    // struct max on the unique (ts_ns, event_id) key carries the payload
+    // out in the same shuffle. No per-key window sort, no join-back —
+    // at 100 TB the map-side partial max does most of the work before
+    // the single exchange.
+    "d5_latest_snapshot" -> ((s, dir) =>
+      EventTime.withTsNanos(t(s, dir, "events"))
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts_ns"), col("event_id"), col("event_type"))).as("last"))
+        .select(col("user_id"), col("last.event_id").as("last_event_id"),
+          EventTime.nsToMicros("last.ts_ns").as("last_ts_us"),
+          col("last.event_type").as("last_type"))),
 
     // --- sorts / top-k (O-family) -------------------------------------
     "o1_topk" -> ((s, dir) =>
@@ -850,6 +874,21 @@ object SparkEntry {
         .withColumn("doc_id", col("doc_id") + 200000L)
         .withColumn("text", concat(upper(col("text")), lit("  !!!")))
       Dedup.normalizedDupGroups(d.unionByName(planted))
+    }),
+    // P34: Unicode-equivalence dedup — the same doc arrives twice, once
+    // with precomposed accents (U+00E9), once decomposed (e + U+0301):
+    // canonically equivalent, byte-different, so p1/p18 both miss the
+    // pair. NFC composition (custom codegen expression, DuckDB
+    // nfc_normalize on the oracle side) collapses them.
+    "p34_unicode_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val composed = d.where(col("doc_id") % 60 === 0)
+        .withColumn("doc_id", col("doc_id") + 300000L)
+        .withColumn("text", concat(col("text"), lit(" caf\u00e9")))
+      val decomposed = d.where(col("doc_id") % 60 === 0)
+        .withColumn("doc_id", col("doc_id") + 400000L)
+        .withColumn("text", concat(col("text"), lit(" cafe\u0301")))
+      Dedup.unicodeDupGroups(d.unionByName(composed).unionByName(decomposed))
     }),
     // P19: TF-IDF top terms per document — term stats for corpus
     // analysis/quality filtering; df-table broadcast, one top-k window.
@@ -1404,6 +1443,11 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         |       round(sum(l_quantity), 4) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "a7_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, l_linenumber, count(*) AS n_rows,
+        |       round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linenumber))""".stripMargin,
     "a3_percentiles" ->
       """SELECT l_returnflag,
         |       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
@@ -1475,6 +1519,16 @@ object SparkEntry {
         |            ELSE e.segment END AS segment,
         |       COALESCE(e.nation_key, u.nation_new) AS nation_key
         |FROM existing e FULL OUTER JOIN updates u ON e.c_custkey = u.c_custkey""".stripMargin,
+    // latest-record-wins: the window formulation is the oracle; the
+    // engine's max-of-struct is equivalent because (tns, event_id) is
+    // a unique key — no tie can reach the payload fields
+    "d5_latest_snapshot" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tns, event_type FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                ORDER BY tns DESC, event_id DESC) AS rn FROM e)
+        |SELECT user_id, event_id AS last_event_id,
+        |       CAST(tns // 1000 AS BIGINT) AS last_ts_us, event_type AS last_type
+        |FROM r WHERE rn = 1""".stripMargin,
     "x3_sessionize" -> sessionizeSql,
     // streaming twin — same gap-split semantics, same oracle
     "x8_stream_sessionize" -> sessionizeSql,
@@ -1786,6 +1840,22 @@ object SparkEntry {
         |  WHERE doc_id % 40 = 0
         |)
         |SELECT md5(trim(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')))) AS norm_md5,
+        |       count(*) AS n_copies, min(doc_id) AS keep_id
+        |FROM corpus GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    // chr(233) = precomposed U+00E9, chr(769) = combining acute U+0301:
+    // the same canonical-equivalence pair the engine plants via \u
+    // escapes — nfc_normalize composes both onto identical bytes
+    "p34_unicode_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 300000, text || ' caf' || chr(233) FROM documents
+        |  WHERE doc_id % 60 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 400000, text || ' cafe' || chr(769) FROM documents
+        |  WHERE doc_id % 60 = 0
+        |)
+        |SELECT md5(nfc_normalize(text)) AS nfc_md5,
         |       count(*) AS n_copies, min(doc_id) AS keep_id
         |FROM corpus GROUP BY 1 HAVING count(*) > 1""".stripMargin,
     "p2_ngram_jaccard" ->

@@ -44,6 +44,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           args.head, org.apache.spark.sql.types.StringType))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_nfc_normalize"),
+      info("graft_nfc_normalize",
+        "graft_nfc_normalize(s) - Unicode NFC canonical composition " +
+          "(equals DuckDB nfc_normalize)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_nfc_normalize takes exactly 1 argument")
+        NfcNormalize(org.apache.spark.sql.catalyst.expressions.Cast(
+          args.head, org.apache.spark.sql.types.StringType))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_tdist_p2"),
       info("graft_tdist_p2",
         "graft_tdist_p2(t, df) - two-sided Student-t survival " +

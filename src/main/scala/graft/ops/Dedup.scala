@@ -52,6 +52,20 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), min(col(id)).as("keep_id"))
       .where(col("n_copies") > 1)
 
+  /** Exact dedup after Unicode NFC canonical composition — catches the
+    * copies whose only difference is the encoder that produced them
+    * (precomposed U+00E9 vs decomposed e+U+0301 and every other
+    * canonical-equivalence pair), which byte-level md5 dedup misses.
+    * Same cost shape as [[exactDupGroups]]: one codegen'd per-row
+    * normalization ([[graft.functions.NfcNormalizeFn]], allocation-free
+    * for already-composed text) + one hash shuffle on the digest.
+    */
+  def unicodeDupGroups(docs: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame =
+    docs.groupBy(md5(graft.functions.NfcNormalizeFn(col(text))).as("nfc_md5"))
+      .agg(count(lit(1)).as("n_copies"), min(col(id)).as("keep_id"))
+      .where(col("n_copies") > 1)
+
   private def shingleArray(text: Column, n: Int): Column =
     // texts shorter than n have NO shingles: without the guard,
     // sequence(1, 0) yields [1, 0] (Spark auto-steps -1 when start >

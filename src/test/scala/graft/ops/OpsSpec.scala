@@ -289,6 +289,28 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("t1") - 0.05) < 1e-4)
   }
 
+  test("NFC normalization composes canonical equivalents; unicodeDupGroups collapses them") {
+    // precomposed U+00E9 vs decomposed e + U+0301: byte-different,
+    // canonically equivalent — NFC must map both to identical strings
+    // (and leave ASCII untouched on the allocation-free fast path)
+    val r = spark.sql(
+      """SELECT graft_nfc_normalize('caf\u00e9') AS a,
+        |       graft_nfc_normalize('cafe\u0301') AS b,
+        |       graft_nfc_normalize('plain ascii') AS c""".stripMargin).head()
+    assert(r.getAs[String]("a") == r.getAs[String]("b"))
+    assert(r.getAs[String]("a") == "caf\u00e9")
+    assert(r.getAs[String]("c") == "plain ascii")
+
+    val docs = Seq(
+      (1L, "caf\u00e9 society"), (2L, "cafe\u0301 society"), // NFC dups
+      (3L, "cafe society")                                   // NOT equivalent
+    ).toDF("doc_id", "text")
+    val groups = Dedup.unicodeDupGroups(docs).collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("n_copies") == 2L)
+    assert(groups.head.getAs[Long]("keep_id") == 1L)
+  }
+
   test("md5 hex64 expression equals the hex-string route bit-for-bit") {
     // Hashing.hex64 is the codegen digest-bytes->long expression; the
     // oracle computes ('0x' || substr(md5(x),1,15))::BIGINT. Pin the
