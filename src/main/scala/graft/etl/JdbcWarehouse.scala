@@ -125,8 +125,10 @@ class JdbcWarehouse(
     "age" -> 50, "sex" -> 50, "computed_at" -> 64,
     "study_accession" -> 64)
 
-  private def columnTypes(table: String): String =
-    schemas(table).fields.collect {
+  private def columnTypes(table: String, df: DataFrame): String =
+    // tables outside the reference star schema (e.g. streaming batch
+    // sinks) derive their VARCHAR widths from the frame being written
+    schemas.getOrElse(table, df.schema).fields.collect {
       case f if f.dataType == org.apache.spark.sql.types.StringType =>
         s"${f.name} VARCHAR(${stringWidths.getOrElse(f.name, 128)})"
     }.mkString(", ")
@@ -136,7 +138,7 @@ class JdbcWarehouse(
       .option("url", url)
       .option("dbtable", table)
       .option("batchsize", batchSize)
-    val ct = columnTypes(table)
+    val ct = columnTypes(table, df)
     if (ct.nonEmpty) w.option("createTableColumnTypes", ct) else w
   }
 
@@ -256,6 +258,24 @@ class JdbcWarehouse(
       // Spark's JDBC sink creates columns QUOTED (exact-case) — match it
       if (tableExists(conn, table))
         exec(conn, s"""DELETE FROM $table WHERE "study_key" IN (${studyKeys.mkString(",")})""")
+    }
+    appendFacts(table, df)
+  }
+
+  /** Exactly-once streaming micro-batch sink primitive (S7 applied to
+    * streaming): Structured Streaming replays a failed micro-batch
+    * under the SAME batchId, so delete-then-insert keyed on `batch_id`
+    * makes every replay idempotent without a side ledger — including
+    * the worst window, a crash between the append and the streaming
+    * commit, which re-enters here and deletes its own partial write
+    * first. `df` must already carry the stamped `batch_id` column.
+    */
+  def replaceBatch(table: String, df: DataFrame, batchId: Long): Unit = {
+    require(df.columns.contains("batch_id"),
+      s"replaceBatch df must carry a batch_id column, has ${df.columns.mkString(",")}")
+    withConn(s"delete batch $batchId from $table") { conn =>
+      if (tableExists(conn, table))
+        exec(conn, s"""DELETE FROM $table WHERE "batch_id" = $batchId""")
     }
     appendFacts(table, df)
   }

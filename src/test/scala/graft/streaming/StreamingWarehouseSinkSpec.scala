@@ -1,0 +1,81 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.etl.JdbcWarehouse
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Path}
+
+/** Exactly-once contract of the streaming JDBC sink: incremental
+  * delivery across restarts, and idempotent micro-batch replay —
+  * including replay over a PARTIAL write from a crashed attempt, the
+  * window where a plain append sink double-counts.
+  */
+class StreamingWarehouseSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): Path = {
+    val d = Files.createTempDirectory("graft-stream-wh")
+    d.toFile.deleteOnExit(); d
+  }
+  System.setProperty("derby.system.home", tmpDir().toString)
+
+  private def derbyUrl(): String = s"jdbc:derby:${tmpDir()}/wh;create=true"
+
+  private def facts(ids: Range): org.apache.spark.sql.DataFrame =
+    ids.map(i => (i.toLong, i.toLong % 7, 1L, i * 1.5)).toDF(
+      "sample_key", "gene_key", "study_key", "expression_value")
+
+  private def readBack(url: String): Set[(Long, Double, Long)] = {
+    spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "fact_stream").load()
+      .select("sample_key", "expression_value", "batch_id")
+      .as[(Long, Double, Long)].collect().toSet
+  }
+
+  test("AvailableNow ingest is exactly-once across a checkpoint restart with new data") {
+    val url = derbyUrl()
+    val wh = new JdbcWarehouse(spark, url, maxRetries = 1, retryBackoffSeconds = 0)
+    val src = tmpDir()
+    val ckpt = tmpDir().toString
+    val schema = facts(0 until 0).schema
+
+    facts(0 until 20).coalesce(1).write.mode("append").parquet(src.toString)
+    StreamingWarehouseSink.ingestAvailable(
+      spark.readStream.schema(schema).parquet(src.toString), wh, "fact_stream", ckpt)
+    val first = readBack(url)
+    assert(first.map(_._1) == (0 until 20).map(_.toLong).toSet)
+
+    // second arrival, SAME checkpoint: only the new rows land, batch id
+    // advances, nothing from batch 0 is re-written
+    facts(20 until 30).coalesce(1).write.mode("append").parquet(src.toString)
+    StreamingWarehouseSink.ingestAvailable(
+      spark.readStream.schema(schema).parquet(src.toString), wh, "fact_stream", ckpt)
+    val second = readBack(url)
+    assert(second.map(_._1) == (0 until 30).map(_.toLong).toSet)
+    assert(second.count(_._3 == 0L) == 20 && second.count(_._3 > 0L) == 10)
+    // value integrity, not only counts
+    assert(second.forall { case (k, v, _) => v == k * 1.5 })
+  }
+
+  test("micro-batch replay is idempotent, even over a crashed attempt's partial write") {
+    val url = derbyUrl()
+    val wh = new JdbcWarehouse(spark, url, maxRetries = 1, retryBackoffSeconds = 0)
+    val writer = StreamingWarehouseSink.batchWriter(wh, "fact_stream")
+
+    writer(facts(0 until 10), 0L)
+    // crash window 1: the whole batch landed but the streaming commit
+    // did not — the engine replays batch 0 verbatim
+    writer(facts(0 until 10), 0L)
+    assert(readBack(url).count(_._3 == 0L) == 10, "full-write replay duplicated rows")
+
+    // crash window 2: only PART of batch 1 landed (executor died mid
+    // append) — replay must clear the partial before appending
+    wh.appendFacts("fact_stream", facts(10 until 13).withColumn("batch_id", lit(1L)))
+    writer(facts(10 until 20), 1L)
+    val b1 = readBack(url).filter(_._3 == 1L)
+    assert(b1.map(_._1) == (10 until 20).map(_.toLong).toSet,
+      s"partial-write replay left wrong rows: ${b1.map(_._1).toSeq.sorted}")
+    assert(readBack(url).size == 20)
+  }
+}
