@@ -176,4 +176,48 @@ class StreamingSpec extends SparkSpec {
         c.getMessage.contains("out-of-order event across micro-batches")))
     } finally q.stop()
   }
+
+  test("dropDuplicatesWithinWatermark: bounded-state streaming dedup — dups inside the horizon drop, state evicts past it") {
+    // p16's complete-mode digest aggregation keeps EVERY key's state
+    // forever — correct for a bounded backlog, unbounded on a firehose.
+    // The production-bounded form trades global dedup for a watermark
+    // horizon: duplicates arriving within the delay are dropped, state
+    // older than the watermark is evicted (so a re-arrival AFTER
+    // eviction re-emits — the documented, deliberate trade, pinned
+    // here so nobody mistakes it for global dedup).
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val source = MemoryStream[Event]
+    val q = source.toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select("event_id", "user_id")
+      .writeStream.format("memory").queryName("dedup_wm")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: first sight of id=1 emits; same-id duplicate in the
+      // same batch is dropped
+      source.addData(
+        Event(1L, ts(0), 1L, "click", 1.0),
+        Event(1L, ts(5), 9L, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: id=1 again, still within the 10-min horizon — dropped
+      source.addData(Event(1L, ts(8), 8L, "click", 1.0))
+      q.processAllAvailable()
+      val afterNear = s.table("dedup_wm").as[(Long, Long)].collect().toSeq
+      assert(afterNear == Seq((1L, 1L)),
+        s"within-horizon duplicates must drop, got $afterNear")
+      // batch 3: advance event time far past the horizon so id=1's
+      // state evicts; batch 4: id=1 re-arrives AFTER eviction — it
+      // re-emits, proving state is bounded by the watermark, not global
+      source.addData(Event(2L, Timestamp.valueOf("2026-01-01 12:00:00"), 2L, "view", 1.0))
+      q.processAllAvailable()
+      source.addData(Event(1L, Timestamp.valueOf("2026-01-01 12:01:00"), 3L, "click", 1.0))
+      q.processAllAvailable()
+      val ids = s.table("dedup_wm").as[(Long, Long)].collect().toSeq.sorted
+      assert(ids == Seq((1L, 1L), (1L, 3L), (2L, 2L)),
+        s"post-eviction re-arrival must re-emit (bounded state), got $ids")
+    } finally q.stop()
+  }
 }
