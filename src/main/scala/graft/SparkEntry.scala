@@ -709,6 +709,45 @@ object SparkEntry {
       q.awaitTermination()
       drainMemorySink(s, sink)
     }),
+    // X15: funnel analysis — ordered signup → click → purchase
+    // progression per user (each stage's timestamp must be at-or-after
+    // the previous stage's FIRST occurrence). Three filtered min-aggs
+    // chained through equi-joins on user_id: every join key is the
+    // natural shuffle key, each stage's frame shrinks monotonically,
+    // and no window ever sorts the raw event stream.
+    "x15_funnel" -> ((s, dir) => {
+      val ev = EventTime.withTsNanos(t(s, dir, "events"))
+        .withColumn("ts_us", EventTime.nsToMicros("ts_ns"))
+        .select(col("user_id"), col("event_type"), col("ts_us"))
+      val s1 = ev.where(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1"))
+      val s2 = ev.where(col("event_type") === "click")
+        .join(s1, "user_id").where(col("ts_us") >= col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t2"))
+      val s3 = ev.where(col("event_type") === "purchase")
+        .join(s2, "user_id").where(col("ts_us") >= col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t3"))
+      s1.agg(count(lit(1)).as("n_users")).withColumn("stage", lit(1L))
+        .unionByName(s2.agg(count(lit(1)).as("n_users")).withColumn("stage", lit(2L)))
+        .unionByName(s3.agg(count(lit(1)).as("n_users")).withColumn("stage", lit(3L)))
+        .select(col("stage"), col("n_users"))
+    }),
+    // X16: cohort retention — users bucketed by first-activity day,
+    // distinct-active counted per (cohort, day offset). Two shuffles
+    // (per-user min, then the distinct-count agg over a day-deduped
+    // frame); output is bounded by days², independent of event volume.
+    "x16_retention" -> ((s, dir) => {
+      val ev = EventTime.withTsNanos(t(s, dir, "events"))
+        .withColumn("day",
+          to_date(timestamp_micros(EventTime.nsToMicros("ts_ns"))))
+        .select(col("user_id"), col("day"))
+      val cohorts = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      ev.distinct()
+        .join(cohorts, "user_id")
+        .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast("long"))
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
     // X5: as-of join — every click picks the most recent purchase
     // value at-or-before it per user. Right side pre-aggregated to
     // unique (user, ts) so tie-breaks are deterministic cross-engine.
@@ -1635,6 +1674,26 @@ object SparkEntry {
     // physical executions — same oracles
     "x13_stream_sliding" -> slidingAggSql,
     "x14_stream_session_window" -> sessionWindowSql,
+    // funnel: each stage gated on the previous stage's FIRST time
+    "x15_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+        |s1 AS (SELECT user_id, min(tus) AS t1 FROM e WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(tus) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND tus >= t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(tus) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND tus >= t2 GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS stage, count(*) AS n_users FROM s1
+        |UNION ALL SELECT CAST(2 AS BIGINT), count(*) FROM s2
+        |UNION ALL SELECT CAST(3 AS BIGINT), count(*) FROM s3""".stripMargin,
+    // retention: cohort by first-activity day, distinct-active per
+    // (cohort, offset); day_diff on day-truncated timestamps
+    "x16_retention" ->
+      """WITH e AS (SELECT user_id, date_trunc('day', ts) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, day FROM e)
+        |SELECT f.cohort_day, CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT) AS day_offset,
+        |       count(DISTINCT a.user_id) AS n_users
+        |FROM a JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
 
     "p1_dedup_exact" -> exactDedupSql,
     // streaming twin — same planted dups, same oracle
