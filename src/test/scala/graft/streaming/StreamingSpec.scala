@@ -177,6 +177,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched rows emit nulls only after the watermark closes their window") {
+    // x9 pins the inner form; the outer form is the alerting shape
+    // ("errors with NO click nearby") and has the subtle semantics
+    // worth pinning: an unmatched left row CANNOT emit when observed —
+    // a match may still arrive — so Spark holds it in state and emits
+    // the null-extended row only once the watermark proves the join
+    // window empty. A test that only checked the final set would pass
+    // on an engine that emits nulls eagerly (and double-emits on a
+    // late match); the mid-stream assertion is the contract.
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val left = MemoryStream[Event]
+    val right = MemoryStream[Event]
+    val l = left.toDF().select(col("event_id").as("l_id"),
+      col("user_id").as("l_user"), col("ts").as("l_ts"))
+      .withWatermark("l_ts", "0 seconds")
+    val r = right.toDF().select(col("event_id").as("r_id"),
+      col("user_id").as("r_user"), col("ts").as("r_ts"))
+      .withWatermark("r_ts", "0 seconds")
+    val joined = l.join(r,
+      col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") - expr("INTERVAL 5 MINUTES") &&
+        col("r_ts") <= col("l_ts") + expr("INTERVAL 5 MINUTES"),
+      "left_outer")
+      .select(col("l_id"), col("r_id"))
+    val q = joined.writeStream.format("memory").queryName("outer_join")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1 has a click within +/-5 min; user 2 has nothing
+      left.addData(Event(1L, ts(0), 1L, "error", 1.0), Event(2L, ts(0), 2L, "error", 1.0))
+      right.addData(Event(10L, ts(2), 1L, "click", 1.0))
+      q.processAllAvailable()
+      val mid = s.table("outer_join").as[(Long, Option[Long])].collect().toSet
+      assert(mid == Set((1L, Some(10L))),
+        s"only the inner match may emit before the watermark closes: $mid")
+      // advance BOTH watermarks past 10:05 so user 2's window is
+      // provably empty (the 11:00 pair also inner-joins)
+      left.addData(Event(3L, Timestamp.valueOf("2026-01-01 11:00:00"), 3L, "error", 1.0))
+      right.addData(Event(11L, Timestamp.valueOf("2026-01-01 11:00:00"), 3L, "click", 1.0))
+      q.processAllAvailable()
+      q.processAllAvailable() // second cycle: eviction emits trail the batch that advanced the watermark
+      val fin = s.table("outer_join").as[(Long, Option[Long])].collect().toSet
+      assert(fin == Set((1L, Some(10L)), (3L, Some(11L)), (2L, None)),
+        s"watermark close must release exactly the unmatched row: $fin")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark: bounded-state streaming dedup — dups inside the horizon drop, state evicts past it") {
     // p16's complete-mode digest aggregation keeps EVERY key's state
     // forever — correct for a bounded backlog, unbounded on a firehose.
