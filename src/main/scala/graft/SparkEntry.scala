@@ -241,6 +241,31 @@ object SparkEntry {
       t(s, dir, "lineitem").cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n_rows"),
           round(sum(col("l_quantity")), 4).as("sum_qty"))),
+    // A8: fixed-grid histogram — binning as per-row integer math on a
+    // LITERAL grid (no data-dependent min/max pass), so the bucketing
+    // is a free column on the scan and the aggregate is one shuffle.
+    // The 50k grid divides the 2-decimal prices exactly enough that no
+    // cross-engine ulp boundary exists (both engines compute the same
+    // double division on the same doubles).
+    "a8_histogram" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+          floor(col("o_totalprice") / lit(50000.0)).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 4).as("sum_price"))),
+    // A9: deterministic per-group mode — most frequent ship mode per
+    // return flag via count-then-lexicographic-max-of-struct: ties
+    // break on the higher count first, then the LARGER key string,
+    // identically on both engines. Two shuffles (count, then max), no
+    // window over the raw table.
+    "a9_mode" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("l_returnflag"))
+        .agg(max(struct(col("n"), col("l_linestatus"))).as("m"))
+        .select(col("l_returnflag"), col("m.l_linestatus").as("mode_status"),
+          col("m.n").as("n_rows"))),
     // A7: IRREGULAR grouping sets — {(flag,status), (linenumber)} is
     // expressible as neither rollup nor cube; Spark 4's groupingSets
     // API plans it as one Expand + hash aggregate (each row expands
@@ -1487,6 +1512,19 @@ object SparkEntry {
         |       round(sum(l_quantity), 4) AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linenumber))""".stripMargin,
+    "a8_histogram" ->
+      """SELECT o_orderpriority, CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+        |       count(*) AS n_orders, round(sum(o_totalprice), 4) AS sum_price
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    // mode: count per (flag, status), then keep the (n, status) max —
+    // ties on n break to the larger status string on both engines
+    "a9_mode" ->
+      """WITH c AS (SELECT l_returnflag, l_linestatus, count(*) AS n
+        |           FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |               ORDER BY n DESC, l_linestatus DESC) AS rk FROM c)
+        |SELECT l_returnflag, l_linestatus AS mode_status, n AS n_rows
+        |FROM r WHERE rk = 1""".stripMargin,
     "a3_percentiles" ->
       """SELECT l_returnflag,
         |       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
