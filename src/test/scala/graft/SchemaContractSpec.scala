@@ -119,4 +119,30 @@ class SchemaContractSpec extends SparkSpec {
     val df = Seq(ns).toDF("ts_ns")
     assert(df.select(EventTime.nsToMicros("ts_ns")).head.getLong(0) == ns / 1000L)
   }
+
+  test("a whole event query is encoding-invariant: hourly agg over Long-ns and timestamp[us] frames is identical") {
+    // The round-5 failure mode, end-to-end: the same events through
+    // both physical encodings must produce byte-identical aggregates.
+    // (Scalar canonicalization above is necessary but not sufficient —
+    // a query could still branch on the raw column somewhere.)
+    import spark.implicits._
+    val baseUs = 1754954096000000L
+    val rows = (0 until 500).map { i =>
+      (i.toLong, baseUs + i * 137_000_000L, s"type${i % 3}", i * 0.25)
+    }
+    val nsDf = rows.map { case (id, us, ty, v) => (id, us * 1000L + (id % 997), ty, v) }
+      .toDF("event_id", "ts", "event_type", "value")
+    val usDf = rows.toDF("event_id", "us", "event_type", "value")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("event_type"), col("value"))
+    def agg(df: org.apache.spark.sql.DataFrame): Set[(java.sql.Timestamp, String, Long, Double)] =
+      EventTime.withTsNanos(df)
+        .groupBy(date_trunc("hour",
+          timestamp_micros(EventTime.nsToMicros("ts_ns"))).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+        .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    // sub-µs digits in the ns frame cannot move an event across an
+    // hour boundary, so the two aggregates are identical
+    assert(agg(nsDf) == agg(usDf))
+  }
 }
