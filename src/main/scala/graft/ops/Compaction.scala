@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Lake-maintenance compaction — the small-files problem's antidote.
+  *
+  * Streaming ingest and per-study appends each land many small parquet
+  * files; at 100 TB a scan over millions of KB-sized files is
+  * scheduler- and NameNode-bound long before it is IO-bound (one task
+  * + one open per file). Compaction rewrites a table directory into
+  * ~`targetBytes` files sized for `maxPartitionBytes`-friendly scans.
+  *
+  * Shape: the output file count comes from the OBSERVED byte size
+  * (sum of data-file lengths — the parquet-encoded truth, not a row
+  * estimate). Without `sortCols` the rewrite is `coalesce` — a
+  * shuffle-FREE narrow dependency that only merges read splits.
+  * With `sortCols` it is `repartitionByRange + sortWithinPartitions`
+  * — one range shuffle that buys s16-style row-group stats skipping
+  * on the sorted columns, fusing compaction and layout optimization
+  * into the same pass over the data.
+  *
+  * The swap is the warehouse's recoverable-rename discipline
+  * (`ParquetWarehouse.writeDim`): write `__tmp`, set live aside as
+  * `__old`, promote, drop. Every crash window leaves either the live
+  * or the set-aside copy on disk.
+  */
+object Compaction {
+
+  final case class CompactionResult(
+      filesBefore: Int, filesAfter: Int, bytes: Long, outputFiles: Int)
+
+  private def dataFiles(fs: FileSystem, dir: HPath): Seq[org.apache.hadoop.fs.FileStatus] =
+    fs.listStatus(dir).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+
+  def compactParquetDir(spark: SparkSession, dir: String, targetBytes: Long,
+      sortCols: Seq[String] = Nil): CompactionResult = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val live = new HPath(dir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(live), s"no table directory at $dir")
+    val files = dataFiles(fs, live)
+    val bytes = files.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+
+    val df = spark.read.parquet(dir)
+    val rewritten =
+      if (sortCols.isEmpty) df.coalesce(nOut)
+      else df.repartitionByRange(nOut, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+    val tmp = new HPath(dir + "__tmp")
+    val old = new HPath(dir + "__old")
+    rewritten.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+
+    if (fs.exists(old) && !fs.delete(old, true))
+      throw new java.io.IOException(s"Failed to clear stale $old")
+    if (!fs.rename(live, old))
+      throw new java.io.IOException(s"Failed to set aside $dir")
+    if (!fs.rename(tmp, live))
+      throw new java.io.IOException(s"Failed to promote compacted $tmp")
+    fs.delete(old, true)
+    CompactionResult(files.size, dataFiles(fs, live).size, bytes, nOut)
+  }
+}
