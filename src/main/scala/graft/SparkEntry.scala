@@ -954,6 +954,13 @@ object SparkEntry {
         .withColumn("text", concat(col("text"), lit(" cafe\u0301")))
       Dedup.unicodeDupGroups(d.unionByName(composed).unionByName(decomposed))
     }),
+    // P35: column profiling — the first query against any new corpus
+    // drop: per-column rows/nulls/distincts/min/max in ONE aggregation
+    // pass. Exact distincts for the oracle; approx_count_distinct is
+    // the documented corpus-scale swap (a6 discipline).
+    "p35_profile" -> ((s, dir) =>
+      ops.Profiling.profile(t(s, dir, "documents"),
+        Seq("doc_id", "lang", "source", "n_chars"))),
     // P19: TF-IDF top terms per document — term stats for corpus
     // analysis/quality filtering; df-table broadcast, one top-k window.
     "p19_tfidf_topterms" -> ((s, dir) =>
@@ -1939,6 +1946,22 @@ object SparkEntry {
         |SELECT md5(trim(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')))) AS norm_md5,
         |       count(*) AS n_copies, min(doc_id) AS keep_id
         |FROM corpus GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    // one UNION ALL branch per profiled column; n_nulls = count(*) -
+    // count(col), min/max rendered as varchar on both engines
+    "p35_profile" ->
+      """SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+        |       count(*) - count(doc_id) AS n_nulls, count(DISTINCT doc_id) AS n_distinct,
+        |       CAST(min(doc_id) AS VARCHAR) AS min_value, CAST(max(doc_id) AS VARCHAR) AS max_value
+        |FROM documents
+        |UNION ALL
+        |SELECT 'lang', count(*), count(*) - count(lang), count(DISTINCT lang),
+        |       CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR) FROM documents
+        |UNION ALL
+        |SELECT 'source', count(*), count(*) - count(source), count(DISTINCT source),
+        |       CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR) FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', count(*), count(*) - count(n_chars), count(DISTINCT n_chars),
+        |       CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents""".stripMargin,
     // chr(233) = precomposed U+00E9, chr(769) = combining acute U+0301:
     // the same canonical-equivalence pair the engine plants via \u
     // escapes — nfc_normalize composes both onto identical bytes
