@@ -44,6 +44,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           args.head, org.apache.spark.sql.types.StringType))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_zvalue"),
+      info("graft_zvalue",
+        "graft_zvalue(a, b) - Morton/Z-order interleave of two " +
+          "non-negative int bucket ordinals (multi-dim layout key)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_zvalue takes exactly 2 arguments")
+        def i(e: Expression) = org.apache.spark.sql.catalyst.expressions.Cast(
+          e, org.apache.spark.sql.types.IntegerType)
+        InterleaveBits(i(args.head), i(args(1)))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_nfc_normalize"),
       info("graft_nfc_normalize",
         "graft_nfc_normalize(s) - Unicode NFC canonical composition " +
