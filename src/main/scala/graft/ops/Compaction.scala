@@ -44,6 +44,12 @@ object Compaction {
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(live), s"no table directory at $dir")
     val files = dataFiles(fs, live)
+    // a hive-partitioned table (subdirectories) must compact per
+    // partition directory — a flat rewrite would silently fold the
+    // partition columns into the files and drop the directory pruning
+    require(files.nonEmpty,
+      s"no data files directly under $dir — for a partitioned table, " +
+        "compact each partition directory")
     val bytes = files.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
 
