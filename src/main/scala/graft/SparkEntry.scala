@@ -110,6 +110,53 @@ object SparkEntry {
         col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
 
+  /** The x11 sliding aggregation over any events-shaped frame — ONE
+    * definition shared by the batch query and the x13 streaming twin,
+    * so an edit cannot silently diverge the two physical executions of
+    * what the oracle treats as one logical query (same discipline as
+    * [[hourlyAgg]] for x2/x7).
+    */
+  private def slidingAgg(events: DataFrame): DataFrame =
+    EventTime.withTsNanos(events)
+      .withColumn("ts_t", timestamp_micros(EventTime.nsToMicros("ts_ns")))
+      .groupBy(window(col("ts_t"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** The x12 native session_window aggregation — shared with the x14
+    * streaming twin. session_window runs on µs-truncated event time
+    * and splits when a µs gap reaches the 30-min threshold (half-open
+    * [start, last+gap)); the oracle mirrors exactly that — `epoch_us`
+    * gaps with `>=` — so the agreement is boundary-exact under BOTH ts
+    * encodings (a ns-precision oracle would disagree on ns gaps inside
+    * (30min-999ns, 30min), which µs truncation collapses onto the
+    * threshold).
+    */
+  private def sessionWindowAgg(events: DataFrame): DataFrame =
+    EventTime.withTsNanos(events)
+      .withColumn("ts_t", timestamp_micros(EventTime.nsToMicros("ts_ns")))
+      .groupBy(col("user_id"), session_window(col("ts_t"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
+        col("n_events"), col("sum_value"))
+
+  /** The events table as an unbounded file-source stream (the file
+    * source monitors a DIRECTORY; the single-file testdata table is
+    * staged into one, once per JVM per sf dir). Shared by every
+    * streaming twin that consumes raw events.
+    */
+  private def eventStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val staged = stagedDir(s"events:$dir") { p =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        p.resolve("events.parquet"))
+      ()
+    }
+    s.readStream.schema(schema).parquet(staged.toString)
+  }
+
   private def spearmanPairs(s: SparkSession, dir: String): DataFrame =
     Spearman.pairCorrelationsDense(
       lineitemLong(s, dir), Seq("l_returnflag"), "item", "sk", "v",
@@ -574,17 +621,9 @@ object SparkEntry {
     // and batch are two physical executions of one logical query.
     "x7_stream_hourly" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      // the file source wants a DIRECTORY to monitor; the testdata
-      // table is a single file — stage it into one
-      val staged = stagedDir(s"events:$dir") { p =>
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$dir/events.parquet"),
-          p.resolve("events.parquet"))
-      }
       val sink = s"stream_hourly_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val agg = hourlyAgg(s.readStream.schema(schema).parquet(staged.toString))
-      val q = agg.writeStream.format("memory").queryName(sink)
+      val q = hourlyAgg(eventStream(s, dir))
+        .writeStream.format("memory").queryName(sink)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       drainMemorySink(s, sink)
@@ -658,78 +697,38 @@ object SparkEntry {
     // two windows; Spark expands then hash-aggregates — map-side
     // partial agg, no per-key sort). Epoch-aligned on both engines:
     // the oracle unions the two 30-min bucket origins per event.
-    "x11_sliding_agg" -> ((s, dir) => {
-      val ev = EventTime.withTsNanos(t(s, dir, "events"))
-        .withColumn("ts_t", timestamp_micros(EventTime.nsToMicros("ts_ns")))
-      ev.groupBy(window(col("ts_t"), "1 hour", "30 minutes").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
-        .select(col("w.start").as("win_start"), col("event_type"),
-          col("n_events"), col("sum_value"))
-    }),
+    "x11_sliding_agg" -> ((s, dir) => slidingAgg(t(s, dir, "events"))),
     // X12: native session_window — the THIRD physical execution of the
     // x3 sessionization logic (batch gaps-and-islands windows, x8's
     // flatMapGroupsWithState state machine, and now Spark's built-in
-    // session-window merge). No exact-30min gaps exist in the data, so
-    // the boundary-semantics difference (session_window splits AT the
-    // gap, x3 splits only ABOVE it) cannot bite; the shared oracle is
-    // the same islands SQL minus the per-user sequence number.
-    "x12_session_window" -> ((s, dir) => {
-      val ev = EventTime.withTsNanos(t(s, dir, "events"))
-        .withColumn("ts_t", timestamp_micros(EventTime.nsToMicros("ts_ns")))
-      ev.groupBy(col("user_id"), session_window(col("ts_t"), "30 minutes").as("w"))
-        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
-        .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
-          col("n_events"), col("sum_value"))
-    }),
-    // X13: Structured Streaming parity for the SLIDING window — x11's
-    // 1h/30min window() aggregation as an unbounded AvailableNow plan,
+    // session-window merge). Boundary semantics are pinned at µs
+    // precision on both engines (see sessionWindowAgg).
+    "x12_session_window" -> ((s, dir) => sessionWindowAgg(t(s, dir, "events"))),
+    // X13: Structured Streaming parity for the SLIDING window — the
+    // SAME slidingAgg as x11, as an unbounded AvailableNow plan,
     // complete-mode memory sink (same drain shape as x7). Overlapping
     // windows in streaming exercise the multi-window state update path
     // (each event lands in two state keys). Same oracle as x11.
     "x13_stream_sliding" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val staged = stagedDir(s"events:$dir") { p =>
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$dir/events.parquet"),
-          p.resolve("events.parquet"))
-      }
-      val ev = EventTime.withTsNanos(s.readStream.schema(schema).parquet(staged.toString))
-        .withColumn("ts_t", timestamp_micros(EventTime.nsToMicros("ts_ns")))
-      val agg = ev
-        .groupBy(window(col("ts_t"), "1 hour", "30 minutes").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
-        .select(col("w.start").as("win_start"), col("event_type"),
-          col("n_events"), col("sum_value"))
       val sink = s"stream_sliding_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = agg.writeStream.format("memory").queryName(sink)
+      val q = slidingAgg(eventStream(s, dir))
+        .writeStream.format("memory").queryName(sink)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       drainMemorySink(s, sink)
     }),
     // X14: Structured Streaming parity for the NATIVE session window —
-    // x12's session_window aggregation in its actual production shape:
+    // the SAME sessionWindowAgg as x12, in its actual production shape:
     // an unbounded plan whose state store MERGES overlapping session
     // ranges per user as events arrive (the one windowing mode where
     // streaming state keys are not fixed — ranges grow and coalesce).
-    // Complete-mode memory sink; same islands oracle as x12.
+    // Complete-mode memory sink; same oracle as x12.
     "x14_stream_session_window" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val staged = stagedDir(s"events:$dir") { p =>
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$dir/events.parquet"),
-          p.resolve("events.parquet"))
-      }
-      val ev = EventTime.withTsNanos(s.readStream.schema(schema).parquet(staged.toString))
-        .withColumn("ts_t", timestamp_micros(EventTime.nsToMicros("ts_ns")))
-      val agg = ev
-        .groupBy(col("user_id"), session_window(col("ts_t"), "30 minutes").as("w"))
-        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
-        .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
-          col("n_events"), col("sum_value"))
       val sink = s"stream_sesswin_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = agg.writeStream.format("memory").queryName(sink)
+      val q = sessionWindowAgg(eventStream(s, dir))
+        .writeStream.format("memory").queryName(sink)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       drainMemorySink(s, sink)
@@ -1384,15 +1383,20 @@ object SparkEntry {
       |SELECT win_start, event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
       |FROM w GROUP BY 1, 2""".stripMargin
 
+  // µs precision with >= : exactly session_window's split rule (a new
+  // session when the µs gap REACHES 30 min — half-open [start,
+  // last+gap)), boundary-exact under both ts encodings. A ns-gap
+  // oracle would disagree on ns gaps in (30min-999ns, 30min), which
+  // µs truncation collapses onto the threshold.
   private val sessionWindowSql =
-    """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tns, value FROM events),
-      |g AS (SELECT *, CASE WHEN lag(tns) OVER w IS NULL
-      |                       OR tns - lag(tns) OVER w > 1800000000000 THEN 1 ELSE 0 END AS new_sess
-      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tns ASC, event_id ASC)),
-      |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY tns ASC, event_id ASC
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events),
+      |g AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+      |                       OR tus - lag(tus) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus ASC, event_id ASC)),
+      |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus ASC, event_id ASC
       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
       |      FROM g)
-      |SELECT user_id, CAST(min(tns) // 1000 AS BIGINT) AS session_start_us,
+      |SELECT user_id, min(tus) AS session_start_us,
       |       count(*) AS n_events, round(sum(value), 4) AS sum_value
       |FROM s GROUP BY user_id, session_seq""".stripMargin
 

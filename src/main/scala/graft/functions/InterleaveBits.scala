@@ -29,7 +29,16 @@ object ZOrderMath {
     v
   }
 
-  def interleave(a: Int, b: Int): Long = spread(a) | (spread(b) << 1)
+  def interleave(a: Int, b: Int): Long = {
+    // loud failure beats silent corruption: a negative ordinal would
+    // mask to the TOP of the curve and quietly destroy the layout's
+    // locality (the whole point of the key); branch is free in
+    // practice (always-false, perfectly predicted)
+    if ((a | b) < 0)
+      throw new IllegalArgumentException(
+        s"graft_zvalue requires non-negative bucket ordinals, got ($a, $b)")
+    spread(a) | (spread(b) << 1)
+  }
 }
 
 /** Inputs must already be IntegerType — the [[ZValueFn]] wrapper (and

@@ -40,8 +40,19 @@ object Compaction {
   def compactParquetDir(spark: SparkSession, dir: String, targetBytes: Long,
       sortCols: Seq[String] = Nil): CompactionResult = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    // normalize FIRST, derive siblings from the normalized path: raw
+    // `dir + "__tmp"` on a trailing-slash input would nest the swap
+    // dirs INSIDE the live table and the set-aside rename would carry
+    // the fresh output away with it
     val live = new HPath(dir)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = live.suffix("__tmp")
+    val old = live.suffix("__old")
+    // crash recovery (same contract as ParquetWarehouse.read): a death
+    // between the two swap renames leaves only the set-aside copy —
+    // restore it instead of erroring the table out of existence
+    if (!fs.exists(live) && fs.exists(old) && !fs.rename(old, live))
+      throw new java.io.IOException(s"Failed to recover $live from $old")
     require(fs.exists(live), s"no table directory at $dir")
     val files = dataFiles(fs, live)
     // a hive-partitioned table (subdirectories) must compact per
@@ -53,13 +64,14 @@ object Compaction {
     val bytes = files.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
 
-    val df = spark.read.parquet(dir)
+    val df = spark.read.parquet(live.toString)
+    val scanParts = df.rdd.getNumPartitions
     val rewritten =
-      if (sortCols.isEmpty) df.coalesce(nOut)
-      else df.repartitionByRange(nOut, sortCols.map(col): _*)
-        .sortWithinPartitions(sortCols.map(col): _*)
-    val tmp = new HPath(dir + "__tmp")
-    val old = new HPath(dir + "__old")
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(nOut, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else if (nOut <= scanParts) df.coalesce(nOut) // merge: shuffle-free
+      else df.repartition(nOut) // split: needs the shuffle — coalesce can only merge
     rewritten.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
 
     if (fs.exists(old) && !fs.delete(old, true))
@@ -69,6 +81,7 @@ object Compaction {
     if (!fs.rename(tmp, live))
       throw new java.io.IOException(s"Failed to promote compacted $tmp")
     fs.delete(old, true)
-    CompactionResult(files.size, dataFiles(fs, live).size, bytes, nOut)
+    val after = dataFiles(fs, live).size
+    CompactionResult(files.size, after, bytes, after)
   }
 }

@@ -35,6 +35,38 @@ class CompactionSpec extends SparkSpec {
     assert(!new java.io.File(dir + "__old").exists())
   }
 
+  test("compaction recovers a table stranded mid-swap, and a trailing slash cannot nest the swap dirs") {
+    val dir = tmpDir()
+    (1 to 5).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1).write.mode("append").parquet(dir)
+    }
+    // simulate a death between the two swap renames: only __old remains
+    assert(new java.io.File(dir).renameTo(new java.io.File(dir + "__old")))
+    // trailing slash exercises the path-normalization hazard at the
+    // same time: __tmp/__old must be SIBLINGS of the table, never
+    // children (a child __tmp rides away with the set-aside rename)
+    val r = Compaction.compactParquetDir(spark, dir + "/", targetBytes = Long.MaxValue)
+    assert(r.filesBefore == 5 && r.filesAfter == 1)
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet ==
+      (1 to 5).map(i => (i.toLong, s"v$i")).toSet)
+    assert(!new java.io.File(dir + "__old").exists())
+    assert(!new java.io.File(dir + "__tmp").exists())
+  }
+
+  test("compaction SPLITS oversized inputs too: more output files than scan partitions") {
+    val dir = tmpDir()
+    (0 until 2000).map(i => (i.toLong, "x" * 100)).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val one = Compaction.compactParquetDir(spark, dir, targetBytes = Long.MaxValue)
+    assert(one.filesAfter == 1)
+    // now demand ~4 files from the single-file single-split input —
+    // coalesce cannot do this; the split path must engage
+    val r = Compaction.compactParquetDir(spark, dir, targetBytes = math.max(1L, one.bytes / 4))
+    assert(r.filesAfter >= 3, s"split path did not engage: $r")
+    assert(r.outputFiles == r.filesAfter, "outputFiles must report what was written")
+    assert(spark.read.parquet(dir).count() == 2000)
+  }
+
   test("sorted compaction range-partitions and orders within files (stats-skipping layout)") {
     val dir = tmpDir()
     (0 until 10).foreach { i =>
