@@ -262,13 +262,15 @@ class JdbcWarehouse(
     appendFacts(table, df)
   }
 
-  /** Exactly-once streaming micro-batch sink primitive (S7 applied to
-    * streaming): Structured Streaming replays a failed micro-batch
-    * under the SAME batchId, so delete-then-insert keyed on `batch_id`
-    * makes every replay idempotent without a side ledger — including
-    * the worst window, a crash between the append and the streaming
-    * commit, which re-enters here and deletes its own partial write
-    * first. `df` must already carry the stamped `batch_id` column.
+  /** Streaming micro-batch replace (S7 applied to streaming):
+    * delete-then-insert keyed on `batch_id`, idempotent under WHOLE-
+    * BATCH replay (Structured Streaming re-runs an uncommitted batch
+    * under the same id). NOT proof against intra-batch task retry: a
+    * task whose JDBC transaction committed before the executor died is
+    * re-run by Spark inside the SAME batch attempt, and its rows
+    * double without any replay to clear them. [[replaceBatchAtomic]]
+    * closes that hole; this simpler primitive remains for bounded
+    * single-task writes where the retry window does not exist.
     */
   def replaceBatch(table: String, df: DataFrame, batchId: Long): Unit = {
     require(df.columns.contains("batch_id"),
@@ -279,6 +281,51 @@ class JdbcWarehouse(
     }
     appendFacts(table, df)
   }
+
+  /** Exactly-once micro-batch write, task-retry included. Two phases:
+    *
+    *  1. the executor-parallel write lands in `table__stage`,
+    *     OVERWRITTEN per batch — a task retry or speculative duplicate
+    *     can at worst duplicate rows inside a table that only this
+    *     batch reads, and a replayed batch rewrites it from scratch;
+    *  2. one DRIVER-SIDE transaction promotes it: DELETE batch N,
+    *     INSERT ... SELECT DISTINCT FROM stage, COMMIT. A crash
+    *     anywhere before the commit rolls back atomically; the
+    *     micro-batch replays, rewrites the stage, re-runs the txn.
+    *
+    * The DISTINCT collapses stage-side task-retry duplicates, so batch
+    * rows must be distinct after the batch_id stamp — true for fact
+    * rows keyed by their dimensional keys; callers with legitimately
+    * duplicate rows must add a disambiguating column first. DDL must
+    * be transactional for the create-on-first-batch path (Derby and
+    * Postgres are; the create also commits the batch on engines that
+    * auto-commit DDL, which only widens the window back to
+    * [[replaceBatch]] semantics for batch 0).
+    */
+  def replaceBatchAtomic(table: String, df: DataFrame, batchId: Long): Unit = {
+    require(df.columns.contains("batch_id"),
+      s"replaceBatchAtomic df must carry a batch_id column, has ${df.columns.mkString(",")}")
+    val stage = table + "__stage"
+    writer(df, stage).mode(SaveMode.Overwrite).option("dbtable", stage).save()
+    promoteStage(stage, table, batchId)
+  }
+
+  private[graft] def promoteStage(stage: String, table: String, batchId: Long): Unit =
+    withConn(s"promote batch $batchId into $table") { conn =>
+      val auto = conn.getAutoCommit
+      conn.setAutoCommit(false)
+      try {
+        if (!tableExists(conn, table))
+          exec(conn, s"CREATE TABLE $table AS SELECT * FROM $stage WITH NO DATA")
+        exec(conn, s"""DELETE FROM $table WHERE "batch_id" = $batchId""")
+        exec(conn, s"INSERT INTO $table SELECT DISTINCT * FROM $stage")
+        conn.commit()
+      } catch {
+        case t: Throwable =>
+          try conn.rollback() catch { case _: SQLException => () }
+          throw t
+      } finally conn.setAutoCommit(auto)
+    }
 }
 
 object JdbcWarehouse {

@@ -15,14 +15,18 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   *  - the checkpointed offset log replays an uncommitted micro-batch
   *    under the SAME `batchId` after any crash;
-  *  - [[JdbcWarehouse.replaceBatch]] deletes `batch_id = id` before
-  *    appending, so a replay — including one racing a partial write
-  *    from the crashed attempt — first clears its own leftovers.
+  *  - [[JdbcWarehouse.replaceBatchAtomic]] stages the executor-parallel
+  *    write in `table__stage` (overwritten per batch, so intra-batch
+  *    task retries and speculative duplicates cannot reach the live
+  *    table) and promotes it in ONE driver-side transaction —
+  *    delete batch, insert distinct, commit.
   *
-  * Together: at-least-once execution × idempotent per-batch write =
-  * exactly-once table contents. This is the standard production shape
-  * for streaming into a non-transactional sink; the batch-id column on
-  * the table is the (queryable) price.
+  * Together: at-least-once execution × atomic idempotent per-batch
+  * promote = exactly-once table contents, covering both failure
+  * classes — whole-batch replay AND a task whose partition write
+  * committed before its executor died (the hole a bare
+  * delete-then-append leaves open). The batch-id column on the table
+  * is the (queryable) price.
   *
   * Scale note: same as the batch JDBC backend — a single JDBC endpoint
   * is the bottleneck, so this sink is for dims/aggregates/alerts-sized
@@ -33,7 +37,7 @@ object StreamingWarehouseSink {
 
   /** The foreachBatch function, exposed for direct replay testing. */
   def batchWriter(wh: JdbcWarehouse, table: String): (DataFrame, Long) => Unit =
-    (batch, id) => wh.replaceBatch(table, batch.withColumn("batch_id", lit(id)), id)
+    (batch, id) => wh.replaceBatchAtomic(table, batch.withColumn("batch_id", lit(id)), id)
 
   /** Drain-to-completion ingest of a bounded backlog (AvailableNow),
     * exactly-once into `table`. Restart with the same checkpoint to

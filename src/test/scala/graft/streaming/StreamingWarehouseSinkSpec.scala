@@ -58,6 +58,26 @@ class StreamingWarehouseSinkSpec extends SparkSpec {
     assert(second.forall { case (k, v, _) => v == k * 1.5 })
   }
 
+  test("intra-batch task-retry duplicates in the stage never reach the live table") {
+    // the failure class a bare delete-then-append cannot survive: a
+    // task's JDBC transaction commits, the executor dies before
+    // reporting, Spark re-runs the task in the SAME batch attempt —
+    // its partition lands twice in the stage. The transactional
+    // promote's DISTINCT must collapse it (and the create-on-first-
+    // batch CTAS path is exercised, since the live table doesn't
+    // exist yet).
+    val url = derbyUrl()
+    val wh = new JdbcWarehouse(spark, url, maxRetries = 1, retryBackoffSeconds = 0)
+    val rows = facts(0 until 5).withColumn("batch_id", lit(0L))
+    wh.appendFacts("fact_stream__stage", rows)          // the original tasks
+    wh.appendFacts("fact_stream__stage", rows.limit(2)) // the retried partition, doubled
+    wh.promoteStage("fact_stream__stage", "fact_stream", 0L)
+    val live = readBack(url)
+    assert(live.map(_._1) == (0 until 5).map(_.toLong).toSet,
+      s"stage duplicates leaked into the live table: $live")
+    assert(live.size == 5)
+  }
+
   test("micro-batch replay is idempotent, even over a crashed attempt's partial write") {
     val url = derbyUrl()
     val wh = new JdbcWarehouse(spark, url, maxRetries = 1, retryBackoffSeconds = 0)
