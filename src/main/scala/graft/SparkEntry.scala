@@ -126,11 +126,13 @@ object SparkEntry {
 
   /** The x12 native session_window aggregation — shared with the x14
     * streaming twin. session_window runs on µs-truncated event time
-    * and splits when a µs gap reaches the 30-min threshold (half-open
-    * [start, last+gap)); the oracle mirrors exactly that — `epoch_us`
-    * gaps with `>=` — so the agreement is boundary-exact under BOTH ts
-    * encodings (a ns-precision oracle would disagree on ns gaps inside
-    * (30min-999ns, 30min), which µs truncation collapses onto the
+    * and MERGES an exactly-30-min gap, splitting only strictly above
+    * it (probed against the project's own Spark jars: gaps of
+    * 30min-1µs / 30min / 30min+1µs yield 1 / 1 / 2 sessions). The
+    * oracle mirrors exactly that — `epoch_us` gaps with strict `>` —
+    * so the agreement is boundary-exact under BOTH ts encodings (a
+    * ns-precision oracle would disagree on ns gaps inside
+    * (30min, 30min+999ns), which µs truncation collapses onto the
     * threshold).
     */
   private def sessionWindowAgg(events: DataFrame): DataFrame =
@@ -1383,15 +1385,16 @@ object SparkEntry {
       |SELECT win_start, event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
       |FROM w GROUP BY 1, 2""".stripMargin
 
-  // µs precision with >= : exactly session_window's split rule (a new
-  // session when the µs gap REACHES 30 min — half-open [start,
-  // last+gap)), boundary-exact under both ts encodings. A ns-gap
-  // oracle would disagree on ns gaps in (30min-999ns, 30min), which
-  // µs truncation collapses onto the threshold.
+  // µs precision with strict > : exactly session_window's split rule
+  // (an exactly-30-min µs gap MERGES; the split is strictly above —
+  // empirically probed, see sessionWindowAgg), boundary-exact under
+  // both ts encodings. A ns-gap oracle would disagree on ns gaps in
+  // (30min, 30min+999ns), which µs truncation collapses onto the
+  // threshold.
   private val sessionWindowSql =
     """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events),
       |g AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
-      |                       OR tus - lag(tus) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |                       OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus ASC, event_id ASC)),
       |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus ASC, event_id ASC
       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq

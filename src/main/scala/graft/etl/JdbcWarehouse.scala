@@ -294,37 +294,55 @@ class JdbcWarehouse(
     *     micro-batch replays, rewrites the stage, re-runs the txn.
     *
     * The DISTINCT collapses stage-side task-retry duplicates, so batch
-    * rows must be distinct after the batch_id stamp — true for fact
-    * rows keyed by their dimensional keys; callers with legitimately
-    * duplicate rows must add a disambiguating column first. DDL must
-    * be transactional for the create-on-first-batch path (Derby and
+    * rows must be distinct after the batch_id stamp — the
+    * [[graft.streaming.StreamingWarehouseSink]] caller guarantees it
+    * by stamping a deterministic per-row sequence; direct callers with
+    * legitimately duplicate rows must do the same. DDL must be
+    * transactional for the create-on-first-batch path (Derby and
     * Postgres are; the create also commits the batch on engines that
     * auto-commit DDL, which only widens the window back to
     * [[replaceBatch]] semantics for batch 0).
     */
-  def replaceBatchAtomic(table: String, df: DataFrame, batchId: Long): Unit = {
+  def replaceBatchAtomic(table: String, df: DataFrame, batchId: Long,
+      stageSuffix: String = ""): Unit = {
     require(df.columns.contains("batch_id"),
       s"replaceBatchAtomic df must carry a batch_id column, has ${df.columns.mkString(",")}")
-    val stage = table + "__stage"
-    writer(df, stage).mode(SaveMode.Overwrite).option("dbtable", stage).save()
-    promoteStage(stage, table, batchId)
+    // concurrent writers to ONE table need distinct suffixes (each
+    // query overwrites its own stage; a shared stage would leak one
+    // query's rows into the other's promote). A replay of the same
+    // query must reuse the same suffix — derive it from something
+    // stable like the checkpoint path, never from a random id.
+    val stage = table + "__stage" + stageSuffix
+    writer(df, stage).mode(SaveMode.Overwrite).save()
+    promoteStage(stage, table, batchId, df.columns.toSeq)
   }
 
-  private[graft] def promoteStage(stage: String, table: String, batchId: Long): Unit =
+  /** The transactional promote. `cols` pins the INSERT column list by
+    * NAME: a pre-existing warehouse table whose physical column order
+    * differs from the Spark-written stage (the scenario read() already
+    * defends against) would silently shift values under a positional
+    * `INSERT ... SELECT *`.
+    */
+  private[graft] def promoteStage(stage: String, table: String, batchId: Long,
+      cols: Seq[String]): Unit =
     withConn(s"promote batch $batchId into $table") { conn =>
       val auto = conn.getAutoCommit
       conn.setAutoCommit(false)
+      val colList = cols.map(c => "\"" + c + "\"").mkString(", ")
       try {
         if (!tableExists(conn, table))
-          exec(conn, s"CREATE TABLE $table AS SELECT * FROM $stage WITH NO DATA")
+          exec(conn, JdbcWarehouse.createEmptyLikeSql(url, table, stage))
         exec(conn, s"""DELETE FROM $table WHERE "batch_id" = $batchId""")
-        exec(conn, s"INSERT INTO $table SELECT DISTINCT * FROM $stage")
+        exec(conn, s"INSERT INTO $table ($colList) SELECT DISTINCT $colList FROM $stage")
         conn.commit()
       } catch {
         case t: Throwable =>
           try conn.rollback() catch { case _: SQLException => () }
           throw t
-      } finally conn.setAutoCommit(auto)
+      } finally {
+        // a dead connection throws here too — never mask the root cause
+        try conn.setAutoCommit(auto) catch { case _: SQLException => () }
+      }
     }
 }
 
@@ -350,6 +368,21 @@ object JdbcWarehouse {
       case "derby" | "mysql" | "mariadb" => s"RENAME TABLE $from TO $to"
       case "sqlserver" | "jtds"          => s"EXEC sp_rename '$from', '$to'"
       case _                             => s"ALTER TABLE $from RENAME TO $to"
+    }
+  }
+
+  /** Create `table` with `like`'s columns and no rows — the second
+    * dialect-sensitive DDL statement (the promote's create-on-first-
+    * batch path). Standard `CREATE TABLE ... AS SELECT ... WITH NO
+    * DATA` covers Derby/Postgres/H2/Oracle; MySQL has its own LIKE
+    * form; SQL Server has no CTAS at all and spells it SELECT INTO.
+    */
+  private[etl] def createEmptyLikeSql(url: String, table: String, like: String): String = {
+    val scheme = url.stripPrefix("jdbc:").takeWhile(_ != ':').toLowerCase
+    scheme match {
+      case "mysql" | "mariadb"  => s"CREATE TABLE $table LIKE $like"
+      case "sqlserver" | "jtds" => s"SELECT * INTO $table FROM $like WHERE 1 = 0"
+      case _ => s"CREATE TABLE $table AS SELECT * FROM $like WITH NO DATA"
     }
   }
 }

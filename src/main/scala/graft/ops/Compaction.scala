@@ -28,8 +28,12 @@ import org.apache.spark.sql.functions.col
   */
 object Compaction {
 
+  /** `requestedFiles` is the byte-derived target (nOut); `filesAfter`
+    * is what actually landed — they diverge when range partitions come
+    * up empty, and the divergence should be observable.
+    */
   final case class CompactionResult(
-      filesBefore: Int, filesAfter: Int, bytes: Long, outputFiles: Int)
+      filesBefore: Int, filesAfter: Int, bytes: Long, requestedFiles: Int)
 
   private def dataFiles(fs: FileSystem, dir: HPath): Seq[org.apache.hadoop.fs.FileStatus] =
     fs.listStatus(dir).toSeq.filter { st =>
@@ -65,12 +69,11 @@ object Compaction {
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
 
     val df = spark.read.parquet(live.toString)
-    val scanParts = df.rdd.getNumPartitions
     val rewritten =
       if (sortCols.nonEmpty)
         df.repartitionByRange(nOut, sortCols.map(col): _*)
           .sortWithinPartitions(sortCols.map(col): _*)
-      else if (nOut <= scanParts) df.coalesce(nOut) // merge: shuffle-free
+      else if (nOut <= df.rdd.getNumPartitions) df.coalesce(nOut) // merge: shuffle-free
       else df.repartition(nOut) // split: needs the shuffle — coalesce can only merge
     rewritten.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
 
@@ -81,7 +84,6 @@ object Compaction {
     if (!fs.rename(tmp, live))
       throw new java.io.IOException(s"Failed to promote compacted $tmp")
     fs.delete(old, true)
-    val after = dataFiles(fs, live).size
-    CompactionResult(files.size, after, bytes, after)
+    CompactionResult(files.size, dataFiles(fs, live).size, bytes, nOut)
   }
 }

@@ -35,9 +35,30 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamingWarehouseSink {
 
-  /** The foreachBatch function, exposed for direct replay testing. */
-  def batchWriter(wh: JdbcWarehouse, table: String): (DataFrame, Long) => Unit =
-    (batch, id) => wh.replaceBatchAtomic(table, batch.withColumn("batch_id", lit(id)), id)
+  /** The foreachBatch function, exposed for direct replay testing.
+    *
+    * Every row is stamped with `batch_id` plus a DETERMINISTIC
+    * `row_seq` (row_number over all columns): legitimately duplicate
+    * rows become distinct, so the promote's DISTINCT collapses ONLY
+    * task-retry copies — without the stamp, a real duplicate event in
+    * a batch would be silently undercounted. The global window also
+    * funnels the stage write through one task; both are the bounded
+    * dims/aggregates scope this sink documents, not firehose shape.
+    *
+    * `stageSuffix` isolates concurrent queries writing one table; a
+    * replay of the same query must present the same suffix (derive it
+    * from the checkpoint path, as [[ingestAvailable]] does).
+    */
+  def batchWriter(wh: JdbcWarehouse, table: String,
+      stageSuffix: String = ""): (DataFrame, Long) => Unit =
+    (batch, id) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(batch.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
+      val stamped = batch
+        .withColumn("batch_id", lit(id))
+        .withColumn("row_seq", org.apache.spark.sql.functions.row_number().over(w).cast("long"))
+      wh.replaceBatchAtomic(table, stamped, id, stageSuffix)
+    }
 
   /** Drain-to-completion ingest of a bounded backlog (AvailableNow),
     * exactly-once into `table`. Restart with the same checkpoint to
@@ -45,10 +66,15 @@ object StreamingWarehouseSink {
     */
   def ingestAvailable(rows: DataFrame, wh: JdbcWarehouse, table: String,
       checkpointDir: String): StreamingQuery = {
+    // checkpoint-derived stage suffix: stable across replays of THIS
+    // query, distinct from any other query's
+    val suffix = "_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
     val q = rows.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch(batchWriter(wh, table))
+      .foreachBatch(batchWriter(wh, table, suffix))
       .start()
     q.awaitTermination()
     q

@@ -26,7 +26,7 @@ class CompactionSpec extends SparkSpec {
 
     val r = Compaction.compactParquetDir(spark, dir, targetBytes = Long.MaxValue)
     assert(r.filesBefore == 40)
-    assert(r.outputFiles == 1 && r.filesAfter == 1,
+    assert(r.requestedFiles == 1 && r.filesAfter == 1,
       s"byte total below one target must yield one file, got $r")
     // lossless: same rows, same values
     assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet == beforeRows)
@@ -63,7 +63,8 @@ class CompactionSpec extends SparkSpec {
     // coalesce cannot do this; the split path must engage
     val r = Compaction.compactParquetDir(spark, dir, targetBytes = math.max(1L, one.bytes / 4))
     assert(r.filesAfter >= 3, s"split path did not engage: $r")
-    assert(r.outputFiles == r.filesAfter, "outputFiles must report what was written")
+    assert(r.requestedFiles >= r.filesAfter,
+      "requested is the target; actual can fall short on empty partitions, never exceed")
     assert(spark.read.parquet(dir).count() == 2000)
   }
 
@@ -78,7 +79,7 @@ class CompactionSpec extends SparkSpec {
     // re-compact the now-single file into ~4 range-sorted files
     val r2 = Compaction.compactParquetDir(spark, dir,
       targetBytes = math.max(1L, bytes / 4), sortCols = Seq("k"))
-    assert(r2.outputFiles >= 2, s"expected a multi-file range layout, got $r2")
+    assert(r2.filesAfter >= 2, s"expected a multi-file range layout, got $r2")
     assert(spark.read.parquet(dir).as[(Int, String)].collect().toSet == before)
     // the range layout means per-file key spans are disjoint: the
     // global sortedness of (file-min) ranges is what row-group stats

@@ -71,11 +71,30 @@ class StreamingWarehouseSinkSpec extends SparkSpec {
     val rows = facts(0 until 5).withColumn("batch_id", lit(0L))
     wh.appendFacts("fact_stream__stage", rows)          // the original tasks
     wh.appendFacts("fact_stream__stage", rows.limit(2)) // the retried partition, doubled
-    wh.promoteStage("fact_stream__stage", "fact_stream", 0L)
+    wh.promoteStage("fact_stream__stage", "fact_stream", 0L, rows.columns.toSeq)
     val live = readBack(url)
     assert(live.map(_._1) == (0 until 5).map(_.toLong).toSet,
       s"stage duplicates leaked into the live table: $live")
     assert(live.size == 5)
+  }
+
+  test("legitimately duplicate rows in one batch survive the promote (row_seq disambiguates)") {
+    // the data-loss hazard of a bare DISTINCT: two IDENTICAL events in
+    // one micro-batch are both real. batchWriter's deterministic
+    // row_seq makes them distinct rows, so only task-retry copies
+    // collapse.
+    val url = derbyUrl()
+    val wh = new JdbcWarehouse(spark, url, maxRetries = 1, retryBackoffSeconds = 0)
+    val writer = StreamingWarehouseSink.batchWriter(wh, "fact_stream")
+    val dup = facts(0 until 1)
+    def liveCount(): Long = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "fact_stream").load().count()
+    writer(dup.unionByName(dup), 0L) // the same fact row twice, both real
+    assert(liveCount() == 2,
+      "a real duplicate event was silently collapsed by the promote")
+    // and a verbatim replay still cannot double it
+    writer(dup.unionByName(dup), 0L)
+    assert(liveCount() == 2)
   }
 
   test("micro-batch replay is idempotent, even over a crashed attempt's partial write") {
@@ -91,7 +110,9 @@ class StreamingWarehouseSinkSpec extends SparkSpec {
 
     // crash window 2: only PART of batch 1 landed (executor died mid
     // append) — replay must clear the partial before appending
-    wh.appendFacts("fact_stream", facts(10 until 13).withColumn("batch_id", lit(1L)))
+    wh.appendFacts("fact_stream", facts(10 until 13)
+      .withColumn("batch_id", lit(1L))
+      .withColumn("row_seq", col("sample_key") - 9L))
     writer(facts(10 until 20), 1L)
     val b1 = readBack(url).filter(_._3 == 1L)
     assert(b1.map(_._1) == (10 until 20).map(_.toLong).toSet,
