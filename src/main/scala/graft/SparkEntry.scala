@@ -97,6 +97,17 @@ object SparkEntry {
 
   private val LineitemItems = Seq("discount", "extendedprice", "quantity")
 
+  /** The passage p36 plants at a per-doc-varying offset (ASCII only —
+    * it rides inside the oracle SQL as a literal). Four distinct
+    * sentences, no internal repetition, so every duplicated segment
+    * the query finds is a genuine cross-copy share.
+    */
+  private val SubstringPassage: String =
+    "Segment boundaries derive from content alone. A shared passage " +
+      "lands identically wherever it sits. Detection therefore survives " +
+      "arbitrary alignment between the copies. Fixed-stride tiling would " +
+      "miss every copy whose offset differs modulo the stride. "
+
   /** The x2 hourly aggregation over any events-shaped frame (shared by
     * the parquet/JSONL/ORC source-parity queries and the x7 streaming
     * twin — works on bounded and unbounded frames alike). The physical
@@ -457,6 +468,31 @@ object SparkEntry {
           EventTime.nsToMicros("last.ts_ns").as("last_ts_us"),
           col("last.event_type").as("last_type"))),
 
+    // D6: SCD Type-2 history construction — the other half of the
+    // warehouse dimension story (D3 is SCD-1 overwrite, D5 is SCD-1
+    // latest-wins compaction; this builds the FULL validity-interval
+    // history). Orders as a change feed per customer: collapse runs of
+    // the unchanged attribute (lag), then close each version with the
+    // next change's date (lead). Both windows share one
+    // partitioning+ordering, so Catalyst plans ONE exchange + sort —
+    // at 100 TB the whole history build is a single shuffle on the
+    // natural customer key.
+    "d6_scd2_history" -> ((s, dir) => {
+      val byCust = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("__prev", lag(col("o_orderstatus"), 1).over(byCust))
+        .where(col("__prev").isNull || col("__prev") =!= col("o_orderstatus"))
+        .withColumn("valid_to", lead(col("o_orderdate"), 1).over(byCust))
+        .withColumn("version", row_number().over(byCust).cast("long"))
+        .select(col("o_custkey").as("custkey"),
+          col("o_orderstatus").as("status"),
+          col("o_orderdate").as("valid_from"),
+          col("valid_to"),
+          col("version"),
+          col("valid_to").isNull.as("is_current"))
+    }),
+
     // --- sorts / top-k (O-family) -------------------------------------
     "o1_topk" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -615,6 +651,36 @@ object SparkEntry {
         }
         hourlyAgg(raw.where(pred))
       }
+    }),
+    // S17: schema-evolution-tolerant read — a 100 TB lake is never one
+    // schema: files written before a column existed sit beside files
+    // written after another was dropped. Two staged parquet generations
+    // of the documents table diverge in BOTH directions (v1 has
+    // text+lang, no n_chars; v2 has source+n_chars, no text);
+    // mergeSchema=true reconciles by NAME into the union schema with
+    // nulls for each file's absent columns — the read-side contract
+    // that lets a reader upgrade without rewriting petabytes. The
+    // aggregate spans both generations and leans on the nulls
+    // (coalesce picks whichever chars column the generation carries),
+    // so a wrong merge cannot hash-match.
+    "s17_schema_evolution" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val staged = stagedDir(s"docs_evolved:$dir") { p =>
+        docs.where(col("doc_id") % 2 === 0)
+          .select("doc_id", "text", "lang")
+          .write.mode("overwrite").parquet(p.resolve("gen=1").toString)
+        docs.where(col("doc_id") % 2 === 1)
+          .select("doc_id", "source", "n_chars")
+          .write.mode("overwrite").parquet(p.resolve("gen=2").toString)
+      }
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$staged/gen=1", s"$staged/gen=2")
+        .groupBy(coalesce(col("lang"), lit("__absent__")).as("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("n_chars"), length(col("text")).cast("long")))
+            .as("chars"),
+          count(col("text")).as("with_text"),
+          count(col("source")).as("with_source"))
     }),
     // X7: Structured Streaming parity — the SAME hourly aggregation as
     // x2, but executed as an unbounded plan over the file source with
@@ -962,6 +1028,23 @@ object SparkEntry {
     "p35_profile" -> ((s, dir) =>
       ops.Profiling.profile(t(s, dir, "documents"),
         Seq("doc_id", "lang", "source", "n_chars"))),
+    // P36: substring-level dedup (content-defined segmentation) — the
+    // sub-document granularity p1/p3/p4 can't see: a passage shared
+    // across otherwise-distinct documents. Planted copies carry the
+    // shared passage at a DIFFERENT offset per doc (variable-length
+    // prefix), so the oracle exercises exactly the alignment
+    // independence that distinguishes CDC from fixed-stride tiling.
+    // The natural corpus also has real template-passage dups — the
+    // query reports both.
+    "p36_substring_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val planted = d.where(col("doc_id") % 90 === 17)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          concat(
+            substr(col("text"), lit(1), (col("doc_id") % 40).cast("int") + 5),
+            lit(SubstringPassage), col("text")).as("text"))
+      ops.SubstringDedup.spanStats(d.unionByName(planted))
+    }),
     // P19: TF-IDF top terms per document — term stats for corpus
     // analysis/quality filtering; df-table broadcast, one top-k window.
     "p19_tfidf_topterms" -> ((s, dir) =>
@@ -1620,6 +1703,32 @@ object SparkEntry {
         |SELECT user_id, event_id AS last_event_id,
         |       CAST(tns // 1000 AS BIGINT) AS last_ts_us, event_type AS last_type
         |FROM r WHERE rn = 1""".stripMargin,
+    "d6_scd2_history" ->
+      """WITH chg AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |         lag(o_orderstatus) OVER w AS prev
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |vers AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey FROM chg
+        |  WHERE prev IS NULL OR prev <> o_orderstatus)
+        |SELECT o_custkey AS custkey, o_orderstatus AS status,
+        |       o_orderdate AS valid_from,
+        |       lead(o_orderdate) OVER w2 AS valid_to,
+        |       CAST(row_number() OVER w2 AS BIGINT) AS version,
+        |       (lead(o_orderdate) OVER w2 IS NULL) AS is_current
+        |FROM vers
+        |WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "s17_schema_evolution" ->
+      """SELECT CASE WHEN doc_id % 2 = 0 THEN lang ELSE '__absent__' END AS lang,
+        |       count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN doc_id % 2 = 0 THEN len(text) ELSE n_chars END)
+        |            AS BIGINT) AS chars,
+        |       CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS with_text,
+        |       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS with_source
+        |FROM documents GROUP BY 1""".stripMargin,
     "x3_sessionize" -> sessionizeSql,
     // streaming twin — same gap-split semantics, same oracle
     "x8_stream_sessionize" -> sessionizeSql,
@@ -1969,6 +2078,44 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'n_chars', count(*), count(*) - count(n_chars), count(DISTINCT n_chars),
         |       CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents""".stripMargin,
+    // CDC replay: identical boundary rule (k-gram hex64 % 64 at
+    // positions 2..len-7, position 1 always a start), identical
+    // segment slicing, identical 60-bit content hash — the oracle is
+    // the same algorithm in SQL, so any segmentation drift (an
+    // off-by-one in the position range, a substr length slip) breaks
+    // the hash, not just the planted rows.
+    "p36_substring_dedup" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 500000,
+         |         substr(text, 1, CAST(doc_id % 40 AS INT) + 5)
+         |           || '$SubstringPassage' || text
+         |  FROM documents WHERE doc_id % 90 = 17),
+         |d AS (SELECT doc_id, coalesce(text, '') AS t FROM corpus),
+         |marks AS (
+         |  SELECT doc_id, t,
+         |    unnest(list_filter(range(1, greatest(len(t)-7, 1)+1),
+         |      i -> i = 1 OR (${hx("substr(t, i, 8)")} % 64) = 0)) AS i
+         |  FROM d),
+         |segs AS (
+         |  SELECT doc_id,
+         |    coalesce(lead(i) OVER w - i, len(t) - i + 1) AS seg_len,
+         |    ${hx("substr(t, i, coalesce(lead(i) OVER w - i, len(t) - i + 1))")}
+         |      AS seg_hash
+         |  FROM marks
+         |  WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+         |dup AS (
+         |  SELECT seg_hash FROM segs WHERE seg_len >= 16
+         |  GROUP BY 1 HAVING count(*) >= 2)
+         |SELECT s.doc_id,
+         |  count(*)::BIGINT AS n_segs,
+         |  sum(CASE WHEN dup.seg_hash IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |    AS dup_segs,
+         |  sum(CASE WHEN dup.seg_hash IS NOT NULL THEN s.seg_len ELSE 0 END)::BIGINT
+         |    AS dup_chars
+         |FROM segs s LEFT JOIN dup ON s.seg_hash = dup.seg_hash
+         |GROUP BY 1""".stripMargin,
     // chr(233) = precomposed U+00E9, chr(769) = combining acute U+0301:
     // the same canonical-equivalence pair the engine plants via \u
     // escapes — nfc_normalize composes both onto identical bytes
