@@ -13,7 +13,8 @@ object BenchOne {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val dur = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1000.0
-        if (dur > 1.0)
+        val floor = sys.env.get("BENCHONE_STAGE_FLOOR").map(_.toDouble).getOrElse(1.0)
+        if (dur > floor)
           println(f"  STAGE ${si.stageId}%4d ${si.numTasks}%4d tasks ${dur}%8.1f s  ${si.name.take(80)}")
       }
     }

@@ -1037,7 +1037,10 @@ object SparkEntry {
     // The natural corpus also has real template-passage dups — the
     // query reports both.
     "p36_substring_dedup" -> ((s, dir) => {
+      // single-split testdata + per-position hashing = the p20/p27
+      // single-task trap: spread the scan before the heavy projection
       val d = t(s, dir, "documents").select("doc_id", "text")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       val planted = d.where(col("doc_id") % 90 === 17)
         .select((col("doc_id") + 500000L).as("doc_id"),
           concat(

@@ -52,33 +52,46 @@ import org.apache.spark.sql.functions._
   */
 object SubstringDedup {
 
-  /** Marked boundary positions (segment STARTS, 1-based) of `t`:
-    * position 1 always, plus every i in [2, len-k+1] whose k-gram
-    * hash divides. Ascending by construction.
-    */
-  private def segmentStarts(t: Column, k: Int, divisor: Int): Column = {
-    // positions 2..len-k+1 exist only when len >= k+1; sequence() must
-    // not see start > stop (it would count DOWN, not return empty)
-    val candidates = when(length(t) >= k + 1,
-      sequence(lit(2), length(t) - (k - 1)))
-      .otherwise(lit(Array.empty[Int]))
-    val marked = filter(
-      transform(candidates, i =>
-        when(Hashing.hex64(substr(t, i, lit(k))) % divisor === 0, i)),
-      x => x.isNotNull)
-    concat(array(lit(1)), marked)
-  }
-
   /** One row per content-defined segment:
     * (id, seg_start, seg_len, seg_text, seg_hash). Null text segments
     * as the empty document (one zero-length segment).
+    *
+    * Physical shape: the per-position k-gram hashing — the dominant
+    * cost, one hash per corpus character — runs as an
+    * explode→filter inside WHOLE-STAGE CODEGEN. The obvious
+    * formulation (a `transform` lambda building the boundary array
+    * per row) keeps the plan shuffle-free but evaluates the hash in
+    * the INTERPRETED higher-order-function path — measured ~20×
+    * slower per position (Probe7: 2.3 s vs sub-second at sf0.1).
+    * The price of the codegen route is regrouping the surviving
+    * boundary positions per document: a shuffle of ~corpus/divisor
+    * ints (the position filter prunes the text column before the
+    * exchange, so the corpus text itself is never reshuffled —
+    * `sort_array` makes the regrouped order deterministic), plus a
+    * doc-keyed join back to the text, co-partitioned when the caller
+    * keys the corpus by `id` (the p36 query does; a bucketed lake
+    * layout gets it for free).
     */
   def segments(docs: DataFrame, k: Int = 8, divisor: Int = 64,
       id: String = "doc_id", text: String = "text"): DataFrame = {
-    val t = coalesce(col(text), lit(""))
-    docs
-      .select(col(id), t.as("__t"),
-        segmentStarts(t, k, divisor).as("__starts"))
+    val base = docs.select(col(id), coalesce(col(text), lit("")).as("__t"))
+    // candidate boundary positions 2..len-k+1 (position 1 is always a
+    // start and is never hash-tested); sequence() must not see
+    // start > stop — it would count DOWN, not return empty
+    val marks = base
+      .select(col(id), col("__t"),
+        explode(when(length(col("__t")) >= k + 1,
+          sequence(lit(2), length(col("__t")) - (k - 1)))
+          .otherwise(lit(Array.empty[Int]))).as("__i"))
+      .where(Hashing.hex64(substr(col("__t"), col("__i"), lit(k)))
+        % divisor === 0)
+      .select(col(id), col("__i"))
+      .groupBy(col(id))
+      .agg(sort_array(collect_list(col("__i"))).as("__marks"))
+    base.join(marks, Seq(id), "left")
+      .select(col(id), col("__t"),
+        concat(array(lit(1)),
+          coalesce(col("__marks"), lit(Array.empty[Int]))).as("__starts"))
       .select(col(id), col("__t"), col("__starts"),
         posexplode(col("__starts")).as(Seq("__j", "__st")))
       .withColumn("__len",
@@ -114,7 +127,12 @@ object SubstringDedup {
   def spanStats(docs: DataFrame, k: Int = 8, divisor: Int = 64,
       minLen: Int = 16, id: String = "doc_id",
       text: String = "text"): DataFrame = {
-    val segs = segments(docs, k, divisor, id, text)
+    // segs feeds BOTH the dup aggregate and the join probe; without
+    // materialization the per-position hashing (the dominant cost)
+    // runs twice — same eager-checkpoint trade as Dedup.scala: lineage
+    // truncated, executor loss rescans, acceptable for a derived frame
+    // ~1/divisor the corpus size
+    val segs = segments(docs, k, divisor, id, text).localCheckpoint(true)
     val dup = duplicatedSegmentHashes(segs, minLen)
       .select(col("seg_hash"), lit(1).as("__dup"))
     // left join on the same key the dup table was aggregated on — the
@@ -140,7 +158,8 @@ object SubstringDedup {
   def removeDuplicatedSpans(docs: DataFrame, k: Int = 8, divisor: Int = 64,
       minLen: Int = 16, id: String = "doc_id",
       text: String = "text"): DataFrame = {
-    val segs = segments(docs, k, divisor, id, text)
+    // same double-reference shape as spanStats (keepers + probe)
+    val segs = segments(docs, k, divisor, id, text).localCheckpoint(true)
     val keepers = segs.where(col("seg_len") >= minLen)
       .groupBy(col("seg_hash"))
       .agg(count(lit(1)).as("occurrences"),
