@@ -480,17 +480,26 @@ object SparkEntry {
     "d6_scd2_history" -> ((s, dir) => {
       val byCust = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
-      t(s, dir, "orders")
+      // validity bounds ship as canonical µs BIGINTs (the d5/x5
+      // discipline): the raw change-feed timestamp column has shipped
+      // under two physical encodings, and a raw passthrough would
+      // flip the output schema with it — the round-5 failure shape.
+      // The windows still ORDER on the raw column (any accepted
+      // encoding orders identically; the scan stays untouched).
+      val ordersDf = t(s, dir, "orders")
+      val tsUs = EventTime.nsToMicros("__ons")
+      ordersDf
+        .withColumn("__ons", EventTime.tsNanos(ordersDf, "o_orderdate"))
         .withColumn("__prev", lag(col("o_orderstatus"), 1).over(byCust))
         .where(col("__prev").isNull || col("__prev") =!= col("o_orderstatus"))
-        .withColumn("valid_to", lead(col("o_orderdate"), 1).over(byCust))
+        .withColumn("valid_to_us", lead(tsUs, 1).over(byCust))
         .withColumn("version", row_number().over(byCust).cast("long"))
         .select(col("o_custkey").as("custkey"),
           col("o_orderstatus").as("status"),
-          col("o_orderdate").as("valid_from"),
-          col("valid_to"),
+          tsUs.as("valid_from_us"),
+          col("valid_to_us"),
           col("version"),
-          col("valid_to").isNull.as("is_current"))
+          col("valid_to_us").isNull.as("is_current"))
     }),
 
     // --- sorts / top-k (O-family) -------------------------------------
@@ -1708,20 +1717,21 @@ object SparkEntry {
         |FROM r WHERE rn = 1""".stripMargin,
     "d6_scd2_history" ->
       """WITH chg AS (
-        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
-        |         lag(o_orderstatus) OVER w AS prev
+        |  SELECT o_custkey, o_orderstatus,
+        |         CAST(epoch_ns(o_orderdate) // 1000 AS BIGINT) AS od_us,
+        |         o_orderkey, lag(o_orderstatus) OVER w AS prev
         |  FROM orders
         |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
         |vers AS (
-        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey FROM chg
+        |  SELECT o_custkey, o_orderstatus, od_us, o_orderkey FROM chg
         |  WHERE prev IS NULL OR prev <> o_orderstatus)
         |SELECT o_custkey AS custkey, o_orderstatus AS status,
-        |       o_orderdate AS valid_from,
-        |       lead(o_orderdate) OVER w2 AS valid_to,
+        |       od_us AS valid_from_us,
+        |       lead(od_us) OVER w2 AS valid_to_us,
         |       CAST(row_number() OVER w2 AS BIGINT) AS version,
-        |       (lead(o_orderdate) OVER w2 IS NULL) AS is_current
+        |       (lead(od_us) OVER w2 IS NULL) AS is_current
         |FROM vers
-        |WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+        |WINDOW w2 AS (PARTITION BY o_custkey ORDER BY od_us, o_orderkey)""".stripMargin,
     "s17_schema_evolution" ->
       """SELECT CASE WHEN doc_id % 2 = 0 THEN lang ELSE '__absent__' END AS lang,
         |       count(*) AS n_docs,

@@ -67,19 +67,20 @@ class LakeEvolutionSpec extends SparkSpec {
         .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
           "o_orderdate", "o_orderpriority")
         .write.parquet(s"$dir/orders.parquet")
+      def us(d: Int): Long = ts(d).getTime * 1000L
       val got = SparkEntry.queries("d6_scd2_history")(spark, dir.toString)
         .collect()
         .map(r => (r.getLong(0), r.getString(1),
-          r.getTimestamp(2), Option(r.getTimestamp(3)), r.getLong(4),
-          r.getBoolean(5)))
+          r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getLong(4), r.getBoolean(5)))
         .sortBy(t => (t._1, t._5))
       assert(got.toSeq == Seq(
-        (1L, "O", ts(1), Some(ts(3)), 1L, false),
-        (1L, "F", ts(3), Some(ts(5)), 2L, false),
-        (1L, "O", ts(5), None, 3L, true),
-        (2L, "P", ts(1), None, 1L, true),
-        (3L, "O", ts(4), Some(ts(4)), 1L, false),
-        (3L, "F", ts(4), None, 2L, true)))
+        (1L, "O", us(1), Some(us(3)), 1L, false),
+        (1L, "F", us(3), Some(us(5)), 2L, false),
+        (1L, "O", us(5), None, 3L, true),
+        (2L, "P", us(1), None, 1L, true),
+        (3L, "O", us(4), Some(us(4)), 1L, false),
+        (3L, "F", us(4), None, 2L, true)))
     }
   }
 }

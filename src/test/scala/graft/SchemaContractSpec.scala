@@ -47,7 +47,10 @@ class SchemaContractSpec extends SparkSpec {
       "l_returnflag" -> Set(StringType)),
     "orders" -> Map(
       "o_orderkey" -> integral, "o_custkey" -> integral,
-      "o_totalprice" -> Set(DoubleType), "o_orderpriority" -> Set(StringType)),
+      "o_totalprice" -> Set(DoubleType), "o_orderpriority" -> Set(StringType),
+      // d6 canonicalizes the change-feed date through EventTime — the
+      // same accepted-encoding set as events.ts
+      "o_orderdate" -> eventTime, "o_orderstatus" -> Set(StringType)),
     "customer" -> Map(
       "c_custkey" -> integral, "c_mktsegment" -> Set(StringType),
       "c_nationkey" -> integral),
