@@ -865,6 +865,37 @@ object SparkEntry {
           round(col("value"), 4).as("value"),
           round(col("purchase_value"), 4).as("purchase_value"))
     }),
+    // X17: the full as-of direction family over ONE pass — backward,
+    // forward, nearest (ties backward, pandas merge_asof), and a
+    // 30-minute-tolerance backward, derived from asofBoth's paired
+    // carry (one shuffle, two in-partition sorts — not four joins).
+    // µs-canonical times so the gap arithmetic replays exactly; the
+    // oracle chains two native DuckDB ASOF LEFT JOINs (<= and >=) and
+    // derives nearest/tolerance with the same CASE arithmetic.
+    "x17_asof_variants" -> ((s, dir) => {
+      val ev = EventTime.withTsNanos(t(s, dir, "events"))
+        .withColumn("ts_us", EventTime.nsToMicros("ts_ns"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          round(col("value"), 4).as("value"))
+      val purch = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(round(max(col("value")), 4).as("purchase_value"))
+        .withColumn("match_us", col("ts_us"))
+      val tolUs = 30L * 60L * 1000000L
+      val both = ops.AsOfJoin.asofBoth(clicks, purch, Seq("user_id"), "ts_us",
+        Seq("purchase_value", "match_us"))
+      val bwdGap = col("ts_us") - col("bwd_match_us")
+      val fwdGap = col("fwd_match_us") - col("ts_us")
+      both.select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
+        col("bwd_purchase_value").as("bwd_value"), bwdGap.as("bwd_gap_us"),
+        col("fwd_purchase_value").as("fwd_value"), fwdGap.as("fwd_gap_us"),
+        when(col("bwd_match_us").isNotNull &&
+          (col("fwd_match_us").isNull || bwdGap <= fwdGap),
+          col("bwd_purchase_value")).otherwise(col("fwd_purchase_value"))
+          .as("near_value"),
+        when(bwdGap <= tolUs, col("bwd_purchase_value")).as("tol_value"))
+    }),
     // X6: band/interval join — every error event paired with same-user
     // events within +/- 5 minutes, as a bucketized equi-join (no
     // nested-loop range join).
@@ -1761,6 +1792,24 @@ object SparkEntry {
         |       round(p.purchase_value, 4) AS purchase_value
         |FROM clicks c ASOF LEFT JOIN purch p
         |  ON c.user_id = p.user_id AND p.ts <= c.ts""".stripMargin,
+    "x17_asof_variants" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |            CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us,
+        |            event_type, value FROM events),
+        |clicks AS (SELECT event_id, user_id, ts_us, round(value, 4) AS value
+        |           FROM e WHERE event_type = 'click'),
+        |purch AS (SELECT user_id, ts_us, round(max(value), 4) AS pv
+        |          FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, c.ts_us, c.value,
+        |  b.pv AS bwd_value, c.ts_us - b.ts_us AS bwd_gap_us,
+        |  f.pv AS fwd_value, f.ts_us - c.ts_us AS fwd_gap_us,
+        |  CASE WHEN b.ts_us IS NOT NULL AND
+        |            (f.ts_us IS NULL OR c.ts_us - b.ts_us <= f.ts_us - c.ts_us)
+        |       THEN b.pv ELSE f.pv END AS near_value,
+        |  CASE WHEN c.ts_us - b.ts_us <= 1800000000 THEN b.pv END AS tol_value
+        |FROM clicks c
+        |ASOF LEFT JOIN purch b ON c.user_id = b.user_id AND b.ts_us <= c.ts_us
+        |ASOF LEFT JOIN purch f ON c.user_id = f.user_id AND f.ts_us >= c.ts_us""".stripMargin,
     "x6_interval_join" -> intervalJoinSql,
     // stream-stream twin — same band semantics, same oracle
     "x9_stream_interval_join" -> intervalJoinSql,

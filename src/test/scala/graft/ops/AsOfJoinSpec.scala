@@ -57,4 +57,75 @@ class AsOfJoinSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       AsOfJoin.asof(l, r, Seq("key"), "t", Seq("rv")))
   }
+
+  private def mirrorFixture = {
+    val left = Seq(
+      (1L, "u1", 5L),    // before first right row
+      (2L, "u1", 10L),   // co-timed with right t=10
+      (3L, "u1", 15L),   // between 10 and 20
+      (4L, "u1", 30L),   // after last right row
+      (5L, "u2", 50L)    // key with no right rows
+    ).toDF("id", "key", "t")
+    val right = Seq(
+      ("u1", 10L, 100.0),
+      ("u1", 20L, 200.0)
+    ).toDF("key", "t", "rv")
+    (left, right)
+  }
+
+  test("asofForward: first at-or-after per key; null after last; co-timed joins") {
+    val (left, right) = mirrorFixture
+    val got = AsOfJoin.asofForward(left, right, Seq("key"), "t", Seq("rv"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[java.lang.Double]("rv")).map(_.toDouble)).toMap
+    assert(got(1L).contains(100.0))   // t=5 looks forward to t=10
+    assert(got(2L).contains(100.0))   // co-timed >= joins
+    assert(got(3L).contains(200.0))   // next at-or-after is t=20
+    assert(got(4L).isEmpty)           // nothing after t=30
+    assert(got(5L).isEmpty)           // key with no right side
+  }
+
+  test("asofBoth: one pass carries both directions; plan has one exchange") {
+    val (left, right) = mirrorFixture
+    val both = AsOfJoin.asofBoth(left, right, Seq("key"), "t", Seq("rv"))
+    val got = both.collect().map(r => r.getAs[Long]("id") ->
+      ((Option(r.getAs[java.lang.Double]("bwd_rv")).map(_.toDouble),
+        Option(r.getAs[java.lang.Double]("fwd_rv")).map(_.toDouble)))).toMap
+    assert(got(1L) == ((None, Some(100.0))))
+    assert(got(2L) == ((Some(100.0), Some(100.0))))
+    assert(got(3L) == ((Some(100.0), Some(200.0))))
+    assert(got(4L) == ((Some(200.0), None)))
+    assert(got(5L) == ((None, None)))
+    // the two directional windows must share the key exchange: a
+    // second shuffle would mean nearest pays two joins after all.
+    // (An executed AdaptiveSparkPlan prints Final AND Initial plans —
+    // count only the effective one.)
+    val exchanges = both.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 key exchange, saw $exchanges")
+  }
+
+  test("asofNearest: closer side wins, exact tie goes backward, single-sided rows fall through") {
+    val left = Seq(
+      (1L, "u", 12L),   // 2 from t=10, 8 from t=20 -> backward
+      (2L, "u", 18L),   // 8 vs 2 -> forward
+      (3L, "u", 15L),   // exact tie -> backward
+      (4L, "u", 3L),    // only forward exists
+      (5L, "u", 25L)    // only backward exists (after last)
+    ).toDF("id", "key", "t")
+    val right = Seq(
+      ("u", 10L, 100.0, 10L),
+      ("u", 20L, 200.0, 20L)
+    ).toDF("key", "t", "rv", "mt")
+    val got = AsOfJoin.asofNearest(left, right, Seq("key"), "t",
+      Seq("rv", "mt"), "mt")
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[java.lang.Double]("rv")).map(_.toDouble)).toMap
+    assert(got(1L).contains(100.0))
+    assert(got(2L).contains(200.0))
+    assert(got(3L).contains(100.0))   // tie -> backward, like pandas
+    assert(got(4L).contains(100.0))   // forward fallback
+    assert(got(5L).contains(200.0))   // backward only
+  }
 }
