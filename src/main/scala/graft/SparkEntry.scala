@@ -865,6 +865,27 @@ object SparkEntry {
           round(col("value"), 4).as("value"),
           round(col("purchase_value"), 4).as("purchase_value"))
     }),
+    // X18: the SAME as-of semantics as x5, executed by the custom
+    // Catalyst operator (AsOfJoinPlan logical node → AsOfJoinStrategy
+    // → AsOfJoinExec sort-merge physical plan, injected via
+    // SparkSessionExtensions) instead of the union+window
+    // formulation. Each side shuffles and sorts independently; the
+    // per-partition merge carries ONE candidate row of state. Shares
+    // x5's oracle — two physical executions of one logical query.
+    "x18_asof_exec" -> ((s, dir) => {
+      val ev = EventTime.withTsNanos(t(s, dir, "events"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_ns"), col("value"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_ns"))
+        .agg(max(col("value")).as("purchase_value"))
+      ops.AsOfJoin.asofMerged(clicks, purchases, Seq("user_id"), "ts_ns",
+        Seq("purchase_value"))
+        .select(col("event_id"), col("user_id"),
+          EventTime.nsToMicros("ts_ns").as("ts_us"),
+          round(col("value"), 4).as("value"),
+          round(col("purchase_value"), 4).as("purchase_value"))
+    }),
     // X17: the full as-of direction family over ONE pass — backward,
     // forward, nearest (ties backward, pandas merge_asof), and a
     // 30-minute-tolerance backward, derived from asofBoth's paired
@@ -1540,6 +1561,22 @@ object SparkEntry {
   /** Shared by x6 (batch bucketized band join) and x9 (stream-stream
     * watermarked interval join): one logical join, two executions.
     */
+  /** Shared by x5 (union+window formulation) and x18 (custom
+    * AsOfJoinExec) — two physical executions of one logical as-of.
+    */
+  private val asofSql =
+    """WITH clicks AS (
+      |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+      |purch AS (
+      |  SELECT user_id, ts, max(value) AS purchase_value
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT c.event_id, c.user_id,
+      |       CAST(epoch_ns(c.ts) // 1000 AS BIGINT) AS ts_us,
+      |       round(c.value, 4) AS value,
+      |       round(p.purchase_value, 4) AS purchase_value
+      |FROM clicks c ASOF LEFT JOIN purch p
+      |  ON c.user_id = p.user_id AND p.ts <= c.ts""".stripMargin
+
   private val intervalJoinSql =
     """SELECT e.event_id AS error_id, a.event_id AS other_id, e.user_id,
       |       a.event_type AS other_type,
@@ -1780,18 +1817,9 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events,
         |       round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
-    "x5_asof_join" ->
-      """WITH clicks AS (
-        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
-        |purch AS (
-        |  SELECT user_id, ts, max(value) AS purchase_value
-        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
-        |SELECT c.event_id, c.user_id,
-        |       CAST(epoch_ns(c.ts) // 1000 AS BIGINT) AS ts_us,
-        |       round(c.value, 4) AS value,
-        |       round(p.purchase_value, 4) AS purchase_value
-        |FROM clicks c ASOF LEFT JOIN purch p
-        |  ON c.user_id = p.user_id AND p.ts <= c.ts""".stripMargin,
+    "x5_asof_join" -> asofSql,
+    // custom-exec twin — same as-of semantics, same oracle
+    "x18_asof_exec" -> asofSql,
     "x17_asof_variants" ->
       """WITH e AS (SELECT event_id, user_id,
         |            CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us,

@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (BASELINE.md round-2 a3); runs after the main batches so literal
     // percentages are already constant-folded
     ext.injectOptimizerRule(_ => graft.plans.FusePercentiles)
+    // planner strategy for the custom as-of join node (logical plan +
+    // physical sort-merge exec, graft.plans.AsOfJoinPlan) — the
+    // whole-operator escalation tier, same plugin seam
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("graft_erf"),
       info("graft_erf", "graft_erf(x) - Gauss error function (A&S 7.1.26)."),

@@ -140,6 +140,43 @@ object AsOfJoin {
         payload.map(c => col(s"__pf.$c").as(s"fwd_$c")): _*)
   }
 
+  /** The same backward as-of contract as [[asof]], executed by the
+    * custom Catalyst operator ([[graft.plans.AsOfJoinPlan]] →
+    * [[graft.plans.AsOfJoinExec]]) instead of the union+window
+    * formulation: each side shuffles and sorts independently, then a
+    * per-partition streaming merge carries ONE candidate row of state
+    * — the reference side never rides inside the probe side's sort.
+    * Requires the session to carry [[graft.functions.GraftExtensions]]
+    * (GraftSession does) and LongType (canonical epoch) time columns.
+    * Differential specs pin it row-identical to [[asof]].
+    */
+  def asofMerged(left: DataFrame, right: DataFrame, keys: Seq[String],
+      time: String, payload: Seq[String]): DataFrame = {
+    require(payload.nonEmpty, "as-of join needs at least one payload column")
+    require(!left.columns.exists(payload.contains),
+      s"payload ${payload.mkString(",")} collides with a left column")
+    // Re-alias every right-side column the node references (same
+    // names, FRESH exprIds): when both frames share lineage — the
+    // normal case, e.g. clicks and purchases filtered from one scan —
+    // the analyzer's DeduplicateRelations rewrites the conflicting
+    // attribute ids inside the right subtree but cannot know to update
+    // a custom node's constructor fields, leaving the node pointing at
+    // ids the child no longer produces. Fresh aliases are never
+    // conflicting, so the rewrite leaves them (and the node) intact.
+    val r2 = right.select(
+      ((keys :+ time) ++ payload).distinct.map(c => col(c).as(c)): _*)
+    val lplan = left.queryExecution.analyzed
+    val rplan = r2.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        n: String) = p.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(
+        s"column '$n' not found among ${p.output.map(_.name).mkString(",")}"))
+    org.apache.spark.sql.GraftSqlBridge.ofRows(left.sparkSession,
+      graft.plans.AsOfJoinPlan(lplan, rplan,
+        keys.map(attr(lplan, _)), keys.map(attr(rplan, _)),
+        attr(lplan, time), attr(rplan, time), payload.map(attr(rplan, _))))
+  }
+
   /** Nearest-match as-of (pandas merge_asof direction='nearest'):
     * picks whichever direction's match is closer in time; exact ties
     * go BACKWARD (deterministic, matching pandas). Requires a NUMERIC

@@ -49,6 +49,68 @@ object OpsPropertySpec extends Properties("graft.ops") {
       got == want
     }
 
+  propertyWithSeed("asofMerged (custom exec) == asof (window formulation)", None) =
+    Prop.forAllNoShrink(rows) { case (ls, rs) =>
+      val s = spark
+      import s.implicits._
+      val left = ls.toDF("lid", "key", "t")
+      val right = rs.toDF("rid", "key", "t", "v")
+        .select(col("key"), col("t"), col("v"))
+      def run(f: => org.apache.spark.sql.DataFrame) =
+        f.select("lid", "v").collect()
+          .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double]))
+          .toMap
+      run(AsOfJoin.asofMerged(left, right, Seq("key"), "t", Seq("v"))) ==
+        run(AsOfJoin.asof(left, right, Seq("key"), "t", Seq("v")))
+    }
+
+  propertyWithSeed("asofForward == naive smallest-at-or-after", None) =
+    Prop.forAllNoShrink(rows) { case (ls, rs) =>
+      val s = spark
+      import s.implicits._
+      val left = ls.toDF("lid", "key", "t")
+      val right = rs.toDF("rid", "key", "t", "v")
+        .select(col("key"), col("t"), col("v"))
+      val got = AsOfJoin.asofForward(left, right, Seq("key"), "t", Seq("v"))
+        .select("lid", "v").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double]))
+        .toMap
+      val want = ls.map { case (lid, k, t) =>
+        val cands = rs.filter(r => r._2 == k && r._3 >= t)
+        lid -> (if (cands.isEmpty) None
+                else Some(cands.minBy(_._3)).map(_._4))
+      }.toMap
+      got == want
+    }
+
+  propertyWithSeed("asofNearest == naive closest-with-backward-ties", None) =
+    Prop.forAllNoShrink(rows) { case (ls, rs) =>
+      val s = spark
+      import s.implicits._
+      val left = ls.toDF("lid", "key", "t")
+      val right = rs.toDF("rid", "key", "t", "v")
+        .select(col("key"), col("t"), col("v"), col("t").as("mt"))
+      val got = AsOfJoin.asofNearest(left, right, Seq("key"), "t",
+        Seq("v", "mt"), "mt")
+        .select("lid", "v").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double]))
+        .toMap
+      val want = ls.map { case (lid, k, t) =>
+        val bwd = rs.filter(r => r._2 == k && r._3 <= t)
+          .sortBy(_._3).lastOption
+        val fwd = rs.filter(r => r._2 == k && r._3 >= t)
+          .sortBy(_._3).headOption
+        lid -> ((bwd, fwd) match {
+          case (Some(b), Some(f)) =>
+            if (t - b._3 <= f._3 - t) Some(b._4) else Some(f._4)
+          case (Some(b), None) => Some(b._4)
+          case (None, Some(f)) => Some(f._4)
+          case (None, None) => None
+        })
+      }.toMap
+      got == want
+    }
+
   propertyWithSeed("bandJoin == naive between filter", None) =
     Prop.forAllNoShrink(rows, Gen.choose(0L, 10L), Gen.choose(0L, 10L)) {
       case ((ls, rs), before, after) =>

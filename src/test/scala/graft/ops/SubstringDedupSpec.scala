@@ -73,6 +73,29 @@ class SubstringDedupSpec extends SparkSpec {
     }
   }
 
+  test("p36: an identical-document flood degrades linearly — counts, never pair enumeration") {
+    // 2000 byte-identical copies of one page (the web-corpus flood that
+    // makes pair-enumerating dedup quadratic: 2000 copies = 2M pairs).
+    // The segment pipeline only ever GROUPS AND COUNTS on the segment
+    // hash, so the flood is 2000 rows landing on a handful of keys —
+    // the same guarantee HotBucketSpec pins for MinHash, here by
+    // construction. The output stays per-document and exact.
+    val page = filler(51, 40) + " " + filler(52, 40)
+    val flood = (1L to 2000L).map(i => (i, page))
+    val docs = (flood :+ ((9001L, filler(53, 60)))).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val stats = SubstringDedup.spanStats(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    assert(stats.size == 2001)
+    // every flood member reports its duplicated segments; the clean doc none
+    assert(stats(1L) >= 1L && stats(1L) == stats(2000L))
+    assert(stats(9001L) == 0L)
+    // linearity guard: a pair-enumerating implementation would build
+    // ~2M pairs here and blow far past this generous local[4] budget
+    assert(wallSec < 60.0, f"flood took $wallSec%.1f s — not linear?")
+  }
+
   test("p36: removal keeps exactly the globally-first occurrence and leaves clean docs byte-identical") {
     val docs = Seq(
       (1L, filler(31, 3) + passage + filler(41, 40)),
