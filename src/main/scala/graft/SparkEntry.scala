@@ -290,6 +290,55 @@ object SparkEntry {
           col("apc")(1).between(col("epc")(3), col("epc")(5)).as("p99_ok"))
     }),
 
+    // A10: mergeable sketch state across shards — the incremental form
+    // of a6: each shard owns an HLL sketch of its users (the state a
+    // per-day/per-partition job would PERSIST), and the global count
+    // comes from hll_union_agg over the 8 sketches, never re-reading
+    // the rows. At 100 TB this is the only affordable distinct-count
+    // maintenance: O(shards × sketch bytes) to refresh, not a corpus
+    // rescan. a6's oracle discipline: exact twins + a tolerance flag
+    // that is deterministically TRUE under the sketch's error bound
+    // (HLL is insertion-order-independent, so the estimate is stable).
+    "a10_sketch_union_shards" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val perShard = ev.withColumn("shard", pmod(col("user_id"), lit(8)))
+        .groupBy(col("shard"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val merged = perShard
+        .agg(count(lit(1)).as("n_shards"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+      val exact = ev.agg(countDistinct(col("user_id")).as("exact_users"))
+      merged.crossJoin(exact)
+        .select(col("n_shards"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            col("exact_users") * lit(0.05)).as("union_ok"))
+    }),
+    // X19: incremental aggregate maintenance — merge(base partials,
+    // delta partials) must equal the full recompute, which is exactly
+    // what the oracle computes. The base partial state (count/sum/
+    // min/max per type over ~70% of events) stands in for yesterday's
+    // materialized rollup; the delta re-aggregates only its own rows
+    // and the merge is pure partial-state algebra (sums of sums,
+    // min of mins), with avg derived at READ time from the merged
+    // sums — the one aggregate that is NOT directly mergeable and
+    // must be carried as (sum, count). At 100 TB: refresh cost is
+    // O(delta + state), not O(corpus).
+    "x19_incremental_agg" -> ((s, dir) => {
+      val ev = EventTime.withTsNanos(t(s, dir, "events"))
+        .withColumn("ts_us", EventTime.nsToMicros("ts_ns"))
+      def partials(df: DataFrame): DataFrame = df.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"),
+          min(col("ts_us")).as("mn"), max(col("ts_us")).as("mx"))
+      val base = partials(ev.where(col("event_id") % 10 < 7))
+      val delta = partials(ev.where(col("event_id") % 10 >= 7))
+      base.unionByName(delta)
+        .groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n_events"),
+          round(sum(col("sv")), 4).as("sum_value"),
+          round(sum(col("sv")) / sum(col("n")), 4).as("avg_value"),
+          min(col("mn")).as("min_ts_us"), max(col("mx")).as("max_ts_us"))
+    }),
+
     // hierarchical subtotals: ROLLUP/CUBE produce the same plan family
     // as plain groupBy (Expand + partial/final agg) — subtotal rows
     // carry NULL group keys on both engines
@@ -1817,6 +1866,20 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events,
         |       round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // the oracle IS the full recompute the incremental merge must equal
+    "x19_incremental_agg" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       round(sum(value), 4) AS sum_value,
+        |       round(sum(value) / count(*), 4) AS avg_value,
+        |       CAST(epoch_ns(min(ts)) // 1000 AS BIGINT) AS min_ts_us,
+        |       CAST(epoch_ns(max(ts)) // 1000 AS BIGINT) AS max_ts_us
+        |FROM events GROUP BY 1""".stripMargin,
+    // exact twin + deterministically-true tolerance flag (a6 discipline)
+    "a10_sketch_union_shards" ->
+      """WITH shards AS (SELECT user_id % 8 AS shard FROM events GROUP BY 1)
+        |SELECT (SELECT count(*) FROM shards) AS n_shards,
+        |       (SELECT count(DISTINCT user_id) FROM events) AS exact_users,
+        |       TRUE AS union_ok""".stripMargin,
     "x5_asof_join" -> asofSql,
     // custom-exec twin — same as-of semantics, same oracle
     "x18_asof_exec" -> asofSql,
