@@ -56,54 +56,20 @@ object SubstringDedup {
     * (id, seg_start, seg_len, seg_text, seg_hash). Null text segments
     * as the empty document (one zero-length segment).
     *
-    * Physical shape: the per-position k-gram hashing — the dominant
-    * cost, one hash per corpus character — runs as an
-    * explode→filter inside WHOLE-STAGE CODEGEN. The obvious
-    * formulation (a `transform` lambda building the boundary array
-    * per row) keeps the plan shuffle-free but evaluates the hash in
-    * the INTERPRETED higher-order-function path — measured ~20×
-    * slower per position (Probe7: 2.3 s vs sub-second at sf0.1).
-    * The price of the codegen route is regrouping the surviving
-    * boundary positions per document: a shuffle of ~corpus/divisor
-    * ints (the position filter prunes the text column before the
-    * exchange, so the corpus text itself is never reshuffled —
-    * `sort_array` makes the regrouped order deterministic), plus a
-    * doc-keyed join back to the text, co-partitioned when the caller
-    * keys the corpus by `id` (the p36 query does; a bucketed lake
-    * layout gets it for free).
+    * Physical shape: the whole segmentation — boundary detection AND
+    * slicing AND content hashing — is ONE custom Catalyst generator
+    * ([[graft.functions.CdcSegments]]): per-row, zero shuffle, the
+    * per-position hash loop in plain JVM code. Two prior formulations
+    * are recorded in Probe7 for the record: a `transform` lambda
+    * (shuffle-free but interpreted HOF hashing, ~20× slower per
+    * position) and explode→filter→regroup→join (codegen hashing but a
+    * position exchange plus a doc-keyed join for inherently per-row
+    * work). The generator dominates both.
     */
   def segments(docs: DataFrame, k: Int = 8, divisor: Int = 64,
-      id: String = "doc_id", text: String = "text"): DataFrame = {
-    val base = docs.select(col(id), coalesce(col(text), lit("")).as("__t"))
-    // candidate boundary positions 2..len-k+1 (position 1 is always a
-    // start and is never hash-tested); sequence() must not see
-    // start > stop — it would count DOWN, not return empty
-    val marks = base
-      .select(col(id), col("__t"),
-        explode(when(length(col("__t")) >= k + 1,
-          sequence(lit(2), length(col("__t")) - (k - 1)))
-          .otherwise(lit(Array.empty[Int]))).as("__i"))
-      .where(Hashing.hex64(substr(col("__t"), col("__i"), lit(k)))
-        % divisor === 0)
-      .select(col(id), col("__i"))
-      .groupBy(col(id))
-      .agg(sort_array(collect_list(col("__i"))).as("__marks"))
-    base.join(marks, Seq(id), "left")
-      .select(col(id), col("__t"),
-        concat(array(lit(1)),
-          coalesce(col("__marks"), lit(Array.empty[Int]))).as("__starts"))
-      .select(col(id), col("__t"), col("__starts"),
-        posexplode(col("__starts")).as(Seq("__j", "__st")))
-      .withColumn("__len",
-        when(col("__j") === size(col("__starts")) - 1,
-          length(col("__t")) - col("__st") + 1)
-          .otherwise(element_at(col("__starts"), col("__j") + 2) - col("__st")))
-      .select(col(id),
-        col("__st").cast("long").as("seg_start"),
-        col("__len").cast("long").as("seg_len"),
-        substr(col("__t"), col("__st"), col("__len")).as("seg_text"))
-      .withColumn("seg_hash", Hashing.hex64(col("seg_text")))
-  }
+      id: String = "doc_id", text: String = "text"): DataFrame =
+    docs.select(col(id),
+      graft.functions.CdcSegmentsFn(coalesce(col(text), lit("")), k, divisor))
 
   /** Hashes of segments whose exact content occurs ≥ `minOccurrences`
     * times corpus-wide (within-document repetition counts — Lee et
