@@ -201,7 +201,14 @@ object Similarity {
     val fitInput =
       if (fitSamplePct >= 100) emb
       else Sampling.bernoulliByHash(emb, col(id), fitSamplePct)
-    val vs = withNorm(fitInput, id, vec, "vid", "v", "nrm").cache()
+    // spread before caching: the testdata-shaped single-split input
+    // would otherwise run EVERY Lloyd round's assignment+aggregate on
+    // one task (the p20/p27/p36 single-split trap, here multiplied by
+    // the round count); the 6-dp quantization below already absorbs
+    // the partial-order drift a different partitioning introduces
+    val vs = withNorm(fitInput, id, vec, "vid", "v", "nrm")
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism, col("vid"))
+      .cache()
     try {
       val seedRows = vs
         .withColumn("__h", Hashing.hex64(col("vid").cast("string")))
