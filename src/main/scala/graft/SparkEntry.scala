@@ -710,6 +710,29 @@ object SparkEntry {
         hourlyAgg(raw.where(pred))
       }
     }),
+    // S18: corrupt-FILE tolerance for the columnar path — s15 sheds
+    // malformed JSONL lines; this sheds an unreadable parquet FILE (a
+    // truncated object-store upload, the lake's most common corruption)
+    // via ignoreCorruptFiles, with an explicit schema so planning
+    // never depends on the bad footer. The two valid generations
+    // partition the events exactly, so the aggregate over survivors
+    // hash-matches the clean-table oracle — dropping anything else
+    // (or failing to drop the garbage) breaks the hash.
+    "s18_corrupt_parquet_source" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val staged = stagedDir(s"events_pq_dirty:$dir") { p =>
+        ev.where(col("event_id") % 2 === 0)
+          .write.mode("overwrite").parquet(p.resolve("a").toString)
+        ev.where(col("event_id") % 2 === 1)
+          .write.mode("overwrite").parquet(p.resolve("b").toString)
+        java.nio.file.Files.write(p.resolve("a").resolve("zz-truncated.parquet"),
+          ("PAR1" + "not a real parquet body " * 40).getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+        ()
+      }
+      hourlyAgg(s.read.schema(ev.schema).option("ignoreCorruptFiles", "true")
+        .parquet(s"$staged/a", s"$staged/b"))
+    }),
     // S17: schema-evolution-tolerant read — a 100 TB lake is never one
     // schema: files written before a column existed sit beside files
     // written after another was dropped. Two staged parquet generations
@@ -1956,6 +1979,8 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin,
     "x2_hourly_agg" -> hourlyAggSql,
+    // the corrupt file carries no real rows: survivors = the clean table
+    "s18_corrupt_parquet_source" -> hourlyAggSql,
     // source-format parity twins: same rows through JSONL / ORC / CSV
     "s10_jsonl_source" -> hourlyAggSql,
     "s11_orc_source" -> hourlyAggSql,

@@ -96,6 +96,22 @@ class PlanShapeSpec extends SparkSpec {
       s"ts range predicate did not reach PushedFilters:\n$plan")
   }
 
+  test("parquet scans stay vectorized: columnar batch reads, pruned read schemas") {
+    // The 100 TB scan path is the vectorized parquet reader feeding
+    // WholeStageCodegen via ColumnarToRow; a scan falling back to
+    // row-at-a-time (e.g. a schema the vectorized reader can't handle)
+    // would silently cost ~3-10x at the scan. Also pin column pruning:
+    // the two-column x2 aggregate must not read props (the widest
+    // column) — ReadSchema is the contract that pruning reached the
+    // reader.
+    val plan = executedPlan("x2_hourly_agg")
+    assert(plan.contains("ColumnarToRow"),
+      s"x2 scan is not vectorized (no ColumnarToRow):\n$plan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema"))
+    assert(readSchema.exists(l => !l.contains("props") && l.contains("ts")),
+      s"x2 reads more columns than it needs:\n$plan")
+  }
+
   test("s13 hive-partitioned source: event_type predicate prunes partitions at the scan") {
     // The predicate on the partition column must land in the scan's
     // PartitionFilters (directory pruning at planning time), never as a
