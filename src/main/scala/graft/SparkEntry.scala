@@ -1181,6 +1181,18 @@ object SparkEntry {
             lit(SubstringPassage), col("text")).as("text"))
       ops.SubstringDedup.spanStats(d.unionByName(planted))
     }),
+    // P37: declarative data-quality expectations — the dbt-test gate a
+    // corpus drop passes through before entering the pipeline: four
+    // row rules + one uniqueness rule over documents, evaluated in ONE
+    // shared aggregation pass (null predicate = violation, fail-closed).
+    "p37_expectations" -> ((s, dir) =>
+      ops.Expectations.check(t(s, dir, "documents"),
+        rowRules = Seq(
+          "doc_id_not_null" -> col("doc_id").isNotNull,
+          "text_nonempty" -> (length(col("text")) > 0),
+          "n_chars_consistent" -> (col("n_chars") === length(col("text"))),
+          "lang_known" -> col("lang").isin("de", "en", "es", "fr", "zh")),
+        uniqueRules = Seq("doc_id_unique" -> Seq("doc_id")))),
     // P19: TF-IDF top terms per document — term stats for corpus
     // analysis/quality filtering; df-table broadcast, one top-k window.
     "p19_tfidf_topterms" -> ((s, dir) =>
@@ -2256,6 +2268,19 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'n_chars', count(*), count(*) - count(n_chars), count(DISTINCT n_chars),
         |       CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents""".stripMargin,
+    "p37_expectations" ->
+      """WITH t AS (SELECT count(*) AS n_rows,
+        |  coalesce(sum(CASE WHEN doc_id IS NOT NULL THEN 0 ELSE 1 END), 0) AS v1,
+        |  coalesce(sum(CASE WHEN len(text) > 0 THEN 0 ELSE 1 END), 0) AS v2,
+        |  coalesce(sum(CASE WHEN n_chars = len(text) THEN 0 ELSE 1 END), 0) AS v3,
+        |  coalesce(sum(CASE WHEN lang IN ('de','en','es','fr','zh') THEN 0 ELSE 1 END), 0) AS v4,
+        |  count(*) - count(DISTINCT doc_id) AS v5
+        |  FROM documents)
+        |SELECT 'doc_id_not_null' AS rule, n_rows, CAST(v1 AS BIGINT) AS n_violations, v1 = 0 AS pass FROM t
+        |UNION ALL SELECT 'text_nonempty', n_rows, CAST(v2 AS BIGINT), v2 = 0 FROM t
+        |UNION ALL SELECT 'n_chars_consistent', n_rows, CAST(v3 AS BIGINT), v3 = 0 FROM t
+        |UNION ALL SELECT 'lang_known', n_rows, CAST(v4 AS BIGINT), v4 = 0 FROM t
+        |UNION ALL SELECT 'doc_id_unique', n_rows, CAST(v5 AS BIGINT), v5 = 0 FROM t""".stripMargin,
     // CDC replay: identical boundary rule (k-gram hex64 % 64 at
     // positions 2..len-7, position 1 always a start), identical
     // segment slicing, identical 60-bit content hash — the oracle is

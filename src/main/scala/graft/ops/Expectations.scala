@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations (the dbt-test /
+  * Great-Expectations shape): a rule set evaluated against a table in
+  * ONE aggregation pass, reported as one row per rule —
+  * (rule, n_rows, n_violations, pass).
+  *
+  * Two rule kinds, because they aggregate differently:
+  *  - row rules: a per-row predicate that must hold (not-null, range,
+  *    domain membership, cross-column consistency). Each costs one
+  *    conditional sum inside the shared aggregate — free on the scan.
+  *  - uniqueness rules: a column set that must be duplicate-free.
+  *    Each costs `count(*) - count(DISTINCT struct(cols))`; the
+  *    distinct rewrite expands the input once per distinct aggregate,
+  *    so keep the uniqueness rule count small (the row-rule count is
+  *    unconstrained).
+  *
+  * A NULL predicate result (SQL unknown — e.g. `n_chars = length(text)`
+  * when either side is null) counts as a VIOLATION: an expectation
+  * that cannot be shown true is not satisfied. That is the
+  * fail-closed reading an expectations gate needs, and it is pinned
+  * in the oracle replay (`CASE WHEN pred THEN 0 ELSE 1`).
+  *
+  * 100 TB: one scan, map-side partial aggregation, a one-row result
+  * per rule — the report is a driver-sized artifact regardless of
+  * table size, and the scan cost is shared across ALL rules instead
+  * of one pass per check (the naive dbt pattern).
+  */
+object Expectations {
+
+  /** @param rowRules    (name, predicate) — predicate must hold per row
+    * @param uniqueRules (name, columns) — column combo must be unique
+    */
+  def check(df: DataFrame, rowRules: Seq[(String, Column)],
+      uniqueRules: Seq[(String, Seq[String])] = Nil): DataFrame = {
+    require(rowRules.nonEmpty || uniqueRules.nonEmpty, "no rules given")
+    val rowAggs = rowRules.map { case (name, pred) =>
+      sum(when(pred, 0L).otherwise(1L)).as(s"__v_$name")
+    }
+    val uniqAggs = uniqueRules.map { case (name, cols) =>
+      (count(lit(1)) -
+        countDistinct(struct(cols.map(col): _*))).as(s"__v_$name")
+    }
+    val base = df.agg(count(lit(1)).as("__n"),
+      (rowAggs ++ uniqAggs): _*)
+    val names = rowRules.map(_._1) ++ uniqueRules.map(_._1)
+    // unpivot the one-row aggregate into (rule, n_rows, n_violations,
+    // pass) — stack over a single row, no second scan
+    base.select(
+      expr(s"stack(${names.length}, " +
+        names.map(n => s"'$n', coalesce(__v_$n, 0L)").mkString(", ") +
+        ") AS (rule, n_violations)"),
+      col("__n").as("n_rows"))
+      .select(col("rule"), col("n_rows"), col("n_violations"),
+        (col("n_violations") === 0L).as("pass"))
+  }
+}

