@@ -154,6 +154,20 @@ object SparkEntry {
       .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
         col("n_events"), col("sum_value"))
 
+  /** D5/x20 latest-record-wins snapshot — ONE definition shared by the
+    * batch query and its streaming twin (the hourlyAgg discipline):
+    * lexicographic struct max on the unique (ts_ns, event_id) key
+    * carries the payload out in the same shuffle; unbounded, the same
+    * aggregate is per-user state maintained by arrival.
+    */
+  private def latestSnapshot(events: DataFrame): DataFrame =
+    EventTime.withTsNanos(events)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts_ns"), col("event_id"), col("event_type"))).as("last"))
+      .select(col("user_id"), col("last.event_id").as("last_event_id"),
+        EventTime.nsToMicros("last.ts_ns").as("last_ts_us"),
+        col("last.event_type").as("last_type"))
+
   /** The events table as an unbounded file-source stream (the file
     * source monitors a DIRECTORY; the single-file testdata table is
     * staged into one, once per JVM per sf dir). Shared by every
@@ -510,12 +524,22 @@ object SparkEntry {
     // at 100 TB the map-side partial max does most of the work before
     // the single exchange.
     "d5_latest_snapshot" -> ((s, dir) =>
-      EventTime.withTsNanos(t(s, dir, "events"))
-        .groupBy(col("user_id"))
-        .agg(max(struct(col("ts_ns"), col("event_id"), col("event_type"))).as("last"))
-        .select(col("user_id"), col("last.event_id").as("last_event_id"),
-          EventTime.nsToMicros("last.ts_ns").as("last_ts_us"),
-          col("last.event_type").as("last_type"))),
+      latestSnapshot(t(s, dir, "events"))),
+    // X20: the d5 snapshot as STREAMING STATE — latest-record-wins is
+    // the canonical materialized-view maintenance job (a CDC consumer
+    // keeping current state): the same max-of-struct aggregate runs
+    // unbounded, state = one struct per user, emitted from the
+    // complete-mode sink after AvailableNow drains. Shares d5's
+    // oracle — the eighth batch/stream parity pair.
+    "x20_stream_latest" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val sink = s"stream_latest_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = latestSnapshot(eventStream(s, dir))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      drainMemorySink(s, sink)
+    }),
 
     // D6: SCD Type-2 history construction — the other half of the
     // warehouse dimension story (D3 is SCD-1 overwrite, D5 is SCD-1
@@ -1645,6 +1669,15 @@ object SparkEntry {
   /** Shared by x6 (batch bucketized band join) and x9 (stream-stream
     * watermarked interval join): one logical join, two executions.
     */
+  /** Shared by d5 and its streaming twin x20. */
+  private val latestSnapshotSql =
+    """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tns, event_type FROM events),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+      |                ORDER BY tns DESC, event_id DESC) AS rn FROM e)
+      |SELECT user_id, event_id AS last_event_id,
+      |       CAST(tns // 1000 AS BIGINT) AS last_ts_us, event_type AS last_type
+      |FROM r WHERE rn = 1""".stripMargin
+
   /** Shared by x5 (union+window formulation) and x18 (custom
     * AsOfJoinExec) — two physical executions of one logical as-of.
     */
@@ -1860,13 +1893,9 @@ object SparkEntry {
     // latest-record-wins: the window formulation is the oracle; the
     // engine's max-of-struct is equivalent because (tns, event_id) is
     // a unique key — no tie can reach the payload fields
-    "d5_latest_snapshot" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tns, event_type FROM events),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
-        |                ORDER BY tns DESC, event_id DESC) AS rn FROM e)
-        |SELECT user_id, event_id AS last_event_id,
-        |       CAST(tns // 1000 AS BIGINT) AS last_ts_us, event_type AS last_type
-        |FROM r WHERE rn = 1""".stripMargin,
+    "d5_latest_snapshot" -> latestSnapshotSql,
+    // streaming twin — same latest-wins semantics, same oracle
+    "x20_stream_latest" -> latestSnapshotSql,
     "d6_scd2_history" ->
       """WITH chg AS (
         |  SELECT o_custkey, o_orderstatus,
