@@ -46,6 +46,13 @@ case class AsOfJoinPlan(
     payload: Seq[Attribute]) extends BinaryNode {
   require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
     "as-of join needs matching non-empty key lists")
+  require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
+    // the merge compares the two sides' key projections with ONE
+    // generated ordering — differently-typed keys would compare
+    // unrelated bytes, not values
+    s"as-of key types differ between sides: " +
+      s"${leftKeys.map(_.dataType.simpleString).mkString(",")} vs " +
+      s"${rightKeys.map(_.dataType.simpleString).mkString(",")}")
   require(leftTime.dataType == LongType && rightTime.dataType == LongType,
     "as-of exec requires LongType (canonical epoch) time columns")
 
