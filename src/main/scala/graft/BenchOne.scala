@@ -9,12 +9,14 @@ object BenchOne {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
     val spark = GraftSession.getOrCreate("graft-bench-one")
+    // parse once, fail fast: inside the listener a bad value would
+    // throw per event and the listener bus would swallow every line
+    val stageFloor = sys.env.get("BENCHONE_STAGE_FLOOR").map(_.toDouble).getOrElse(1.0)
     val listener = new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val dur = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1000.0
-        val floor = sys.env.get("BENCHONE_STAGE_FLOOR").map(_.toDouble).getOrElse(1.0)
-        if (dur > floor)
+        if (dur > stageFloor)
           println(f"  STAGE ${si.stageId}%4d ${si.numTasks}%4d tasks ${dur}%8.1f s  ${si.name.take(80)}")
       }
     }

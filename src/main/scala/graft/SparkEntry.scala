@@ -154,6 +154,27 @@ object SparkEntry {
       .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
         col("n_events"), col("sum_value"))
 
+  /** x5/x18 as-of probe and reference frames plus the shared output
+    * projection — ONE definition for both physical executions (the
+    * hourlyAgg/latestSnapshot twin discipline), so a filter or
+    * projection edit cannot silently diverge the pair the differential
+    * is meant to compare.
+    */
+  private def asofInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val ev = EventTime.withTsNanos(t(s, dir, "events"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_ns"), col("value"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts_ns"))
+      .agg(max(col("value")).as("purchase_value"))
+    (clicks, purchases)
+  }
+  private def asofOutput(joined: DataFrame): DataFrame =
+    joined.select(col("event_id"), col("user_id"),
+      EventTime.nsToMicros("ts_ns").as("ts_us"),
+      round(col("value"), 4).as("value"),
+      round(col("purchase_value"), 4).as("purchase_value"))
+
   /** D5/x20 latest-record-wins snapshot — ONE definition shared by the
     * batch query and its streaming twin (the hourlyAgg discipline):
     * lexicographic struct max on the unique (ts_ns, event_id) key
@@ -949,17 +970,9 @@ object SparkEntry {
     // value at-or-before it per user. Right side pre-aggregated to
     // unique (user, ts) so tie-breaks are deterministic cross-engine.
     "x5_asof_join" -> ((s, dir) => {
-      val ev = EventTime.withTsNanos(t(s, dir, "events"))
-      val clicks = ev.where(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("ts_ns"), col("value"))
-      val purchases = ev.where(col("event_type") === "purchase")
-        .groupBy(col("user_id"), col("ts_ns"))
-        .agg(max(col("value")).as("purchase_value"))
-      ops.AsOfJoin.asof(clicks, purchases, Seq("user_id"), "ts_ns", Seq("purchase_value"))
-        .select(col("event_id"), col("user_id"),
-          EventTime.nsToMicros("ts_ns").as("ts_us"),
-          round(col("value"), 4).as("value"),
-          round(col("purchase_value"), 4).as("purchase_value"))
+      val (clicks, purchases) = asofInputs(s, dir)
+      asofOutput(ops.AsOfJoin.asof(clicks, purchases, Seq("user_id"), "ts_ns",
+        Seq("purchase_value")))
     }),
     // X18: the SAME as-of semantics as x5, executed by the custom
     // Catalyst operator (AsOfJoinPlan logical node → AsOfJoinStrategy
@@ -969,18 +982,9 @@ object SparkEntry {
     // per-partition merge carries ONE candidate row of state. Shares
     // x5's oracle — two physical executions of one logical query.
     "x18_asof_exec" -> ((s, dir) => {
-      val ev = EventTime.withTsNanos(t(s, dir, "events"))
-      val clicks = ev.where(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("ts_ns"), col("value"))
-      val purchases = ev.where(col("event_type") === "purchase")
-        .groupBy(col("user_id"), col("ts_ns"))
-        .agg(max(col("value")).as("purchase_value"))
-      ops.AsOfJoin.asofMerged(clicks, purchases, Seq("user_id"), "ts_ns",
-        Seq("purchase_value"))
-        .select(col("event_id"), col("user_id"),
-          EventTime.nsToMicros("ts_ns").as("ts_us"),
-          round(col("value"), 4).as("value"),
-          round(col("purchase_value"), 4).as("purchase_value"))
+      val (clicks, purchases) = asofInputs(s, dir)
+      asofOutput(ops.AsOfJoin.asofMerged(clicks, purchases, Seq("user_id"),
+        "ts_ns", Seq("purchase_value")))
     }),
     // X17: the full as-of direction family over ONE pass — backward,
     // forward, nearest (ties backward, pandas merge_asof), and a
@@ -1913,15 +1917,18 @@ object SparkEntry {
         |       (lead(od_us) OVER w2 IS NULL) AS is_current
         |FROM vers
         |WINDOW w2 AS (PARTITION BY o_custkey ORDER BY od_us, o_orderkey)""".stripMargin,
+    // null-aware twin of the engine aggregates (coalesce / count(col)
+    // skip nulls) — correct even if a future regen ships null
+    // text/lang/source rows, not only on today's null-free table
     "s17_schema_evolution" ->
-      """SELECT CASE WHEN doc_id % 2 = 0 THEN lang ELSE '__absent__' END AS lang,
+      """SELECT coalesce(CASE WHEN doc_id % 2 = 0 THEN lang END, '__absent__') AS lang,
         |       count(*) AS n_docs,
         |       CAST(sum(CASE WHEN doc_id % 2 = 0 THEN len(text) ELSE n_chars END)
         |            AS BIGINT) AS chars,
-        |       CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |         AS with_text,
-        |       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
-        |         AS with_source
+        |       CAST(sum(CASE WHEN doc_id % 2 = 0 AND text IS NOT NULL
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS with_text,
+        |       CAST(sum(CASE WHEN doc_id % 2 = 1 AND source IS NOT NULL
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS with_source
         |FROM documents GROUP BY 1""".stripMargin,
     "x3_sessionize" -> sessionizeSql,
     // streaming twin — same gap-split semantics, same oracle

@@ -53,34 +53,56 @@ case class CdcSegments(child: Expression, k: Int, divisor: Int)
 
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val raw = child.eval(input)
-    val s = if (raw == null) "" else raw.asInstanceOf[UTF8String].toString
-    // codepoint-indexed view: Spark/DuckDB substr count codepoints,
-    // java.lang.String counts UTF-16 units — they disagree beyond BMP
-    val cps = s.codePoints().toArray
-    val n = cps.length
+    val bytes =
+      if (raw == null) Array.emptyByteArray
+      else raw.asInstanceOf[UTF8String].getBytes
+    // Codepoint-indexed view over the UTF-8 bytes: Spark/DuckDB substr
+    // count codepoints, java.lang.String counts UTF-16 units — they
+    // disagree beyond the BMP. A codepoint starts at every byte that
+    // is not a 10xxxxxx continuation; offs(j) is the byte offset of
+    // 1-based codepoint j+1, offs(n) the total length. Hashing and
+    // slicing then work on (buffer, offset, length) ranges — ZERO
+    // per-position allocation in the probe loop (the naive
+    // String+getBytes per position doubled as the pass's GC load).
+    var n = 0
+    var b = 0
+    while (b < bytes.length) {
+      if ((bytes(b) & 0xC0) != 0x80) n += 1
+      b += 1
+    }
+    val offs = new Array[Int](n + 1)
+    var ci = 0
+    b = 0
+    while (b < bytes.length) {
+      if ((bytes(b) & 0xC0) != 0x80) { offs(ci) = b; ci += 1 }
+      b += 1
+    }
+    offs(n) = bytes.length
     val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
     var segStart = 1 // 1-based, codepoints
     var i = 2
     val lastProbe = n - k + 1
     while (i <= lastProbe) {
-      val gram = new String(cps, i - 1, k)
-      if (Md5Hex64Math.hashBytes(
-          gram.getBytes(java.nio.charset.StandardCharsets.UTF_8)) % divisor == 0) {
-        out += segmentRow(cps, segStart, i - segStart)
+      val off = offs(i - 1)
+      if (Md5Hex64Math.hashBytes(bytes, off, offs(i - 1 + k) - off)
+          % divisor == 0) {
+        out += segmentRow(bytes, offs, segStart, i - segStart)
         segStart = i
       }
       i += 1
     }
-    out += segmentRow(cps, segStart, n - segStart + 1)
+    out += segmentRow(bytes, offs, segStart, n - segStart + 1)
     out
   }
 
-  private def segmentRow(cps: Array[Int], start: Int, len: Int): InternalRow = {
-    val seg = new String(cps, start - 1, len)
+  private def segmentRow(bytes: Array[Byte], offs: Array[Int],
+      start: Int, len: Int): InternalRow = {
+    val byteOff = offs(start - 1)
+    val byteLen = offs(start - 1 + len) - byteOff
     new GenericInternalRow(Array[Any](
-      start.toLong, len.toLong, UTF8String.fromString(seg),
-      Md5Hex64Math.hashBytes(
-        seg.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+      start.toLong, len.toLong,
+      UTF8String.fromBytes(bytes, byteOff, byteLen),
+      Md5Hex64Math.hashBytes(bytes, byteOff, byteLen)))
   }
 
   override protected def withNewChildInternal(newChild: Expression): CdcSegments =

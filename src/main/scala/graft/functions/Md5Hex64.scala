@@ -23,10 +23,17 @@ object Md5Hex64Math {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  def hashBytes(bytes: Array[Byte]): Long = {
+  def hashBytes(bytes: Array[Byte]): Long = hashBytes(bytes, 0, bytes.length)
+
+  /** Range overload: hash `len` bytes at `off` with no slice copy —
+    * the per-position CDC probe loop calls this once per corpus
+    * character.
+    */
+  def hashBytes(bytes: Array[Byte], off: Int, len: Int): Long = {
     val d = md.get()
     d.reset()
-    val dig = d.digest(bytes)
+    d.update(bytes, off, len)
+    val dig = d.digest()
     var v = 0L
     var i = 0
     while (i < 8) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }

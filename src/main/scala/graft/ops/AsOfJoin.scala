@@ -65,7 +65,11 @@ object AsOfJoin {
     */
   private def backwardWindow(keys: Seq[String], time: String) =
     Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(time).asc, col("__side").asc, col("__p").asc_nulls_first)
+      // time nulls FIRST explicitly: a null-time left row must see an
+      // EMPTY preceding frame (SQL `r.t <= null` is unknown) — head
+      // placement guarantees it
+      .orderBy(col(time).asc_nulls_first, col("__side").asc,
+        col("__p").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
   /** Forward window: the mirror — right rows must sort AFTER left rows
@@ -78,7 +82,12 @@ object AsOfJoin {
     */
   private def forwardWindow(keys: Seq[String], time: String) =
     Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(time).asc, col("__side").desc, col("__p").desc_nulls_last)
+      // time nulls LAST: the mirror of the backward window's guarantee
+      // — a null-time left row must see an EMPTY following frame
+      // (nulls-first would put it at the head and hand it the whole
+      // partition as spurious forward matches)
+      .orderBy(col(time).asc_nulls_last, col("__side").desc,
+        col("__p").desc_nulls_last)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
   /** As-of backward (most-recent-at-or-before) join.

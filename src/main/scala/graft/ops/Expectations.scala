@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   *  - row rules: a per-row predicate that must hold (not-null, range,
   *    domain membership, cross-column consistency). Each costs one
   *    conditional sum inside the shared aggregate — free on the scan.
-  *  - uniqueness rules: a column set that must be duplicate-free.
-  *    Each costs `count(*) - count(DISTINCT struct(cols))`; the
+  *  - uniqueness rules: a column set that must be duplicate-free
+  *    among rows where EVERY key column is non-null (dbt `unique`
+  *    semantics — null keys are `not_null`'s business). Each costs a
+  *    conditional count minus a conditional distinct count; the
   *    distinct rewrite expands the input once per distinct aggregate,
   *    so keep the uniqueness rule count small (the row-rule count is
   *    unconstrained).
@@ -37,21 +39,35 @@ object Expectations {
   def check(df: DataFrame, rowRules: Seq[(String, Column)],
       uniqueRules: Seq[(String, Seq[String])] = Nil): DataFrame = {
     require(rowRules.nonEmpty || uniqueRules.nonEmpty, "no rules given")
+    // rule names ride inside a generated stack() expression as both
+    // identifiers and string literals — restrict them to identifiers
+    // (and uniqueness) rather than attempting to escape arbitrary text
+    val names0 = rowRules.map(_._1) ++ uniqueRules.map(_._1)
+    require(names0.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+      s"rule names must be identifiers: ${names0.mkString(", ")}")
+    require(names0.distinct.length == names0.length,
+      s"duplicate rule names: ${names0.diff(names0.distinct).mkString(", ")}")
     val rowAggs = rowRules.map { case (name, pred) =>
       sum(when(pred, 0L).otherwise(1L)).as(s"__v_$name")
     }
     val uniqAggs = uniqueRules.map { case (name, cols) =>
-      (count(lit(1)) -
-        countDistinct(struct(cols.map(col): _*))).as(s"__v_$name")
+      // dbt `unique` semantics: rows with a null in the key are
+      // excluded from the check entirely (they are `not_null`'s
+      // business) — mirrored in SQL as count(DISTINCT col) ignoring
+      // nulls. A raw countDistinct(struct(...)) would instead count
+      // the null key as one distinct value and silently diverge.
+      val allSet = cols.map(col(_).isNotNull).reduce(_ && _)
+      (sum(when(allSet, 1L).otherwise(0L)) -
+        countDistinct(when(allSet, struct(cols.map(col): _*))))
+        .as(s"__v_$name")
     }
     val base = df.agg(count(lit(1)).as("__n"),
       (rowAggs ++ uniqAggs): _*)
-    val names = rowRules.map(_._1) ++ uniqueRules.map(_._1)
     // unpivot the one-row aggregate into (rule, n_rows, n_violations,
     // pass) — stack over a single row, no second scan
     base.select(
-      expr(s"stack(${names.length}, " +
-        names.map(n => s"'$n', coalesce(__v_$n, 0L)").mkString(", ") +
+      expr(s"stack(${names0.length}, " +
+        names0.map(n => s"'$n', coalesce(__v_$n, 0L)").mkString(", ") +
         ") AS (rule, n_violations)"),
       col("__n").as("n_rows"))
       .select(col("rule"), col("n_rows"), col("n_violations"),

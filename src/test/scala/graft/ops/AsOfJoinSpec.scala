@@ -106,6 +106,24 @@ class AsOfJoinSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 key exchange, saw $exchanges")
   }
 
+  test("asofForward/asofBoth: a null-time left row matches NOTHING (SQL inequality with null)") {
+    // regression: nulls-first time ordering put the null-time left row
+    // at the partition head, handing it the entire following frame as
+    // spurious forward matches
+    val left = Seq((1L, "u", Some(5L)), (2L, "u", None)).toDF("id", "key", "t")
+    val right = Seq(("u", 10L, 100.0)).toDF("key", "t", "rv")
+    val fwd = AsOfJoin.asofForward(left, right, Seq("key"), "t", Seq("rv"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getAs[java.lang.Double]("rv"))).toMap
+    assert(fwd(1L).contains(100.0))
+    assert(fwd(2L).isEmpty, "null-time left row must not match forward")
+    val both = AsOfJoin.asofBoth(left, right, Seq("key"), "t", Seq("rv"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getAs[java.lang.Double]("bwd_rv")),
+          Option(r.getAs[java.lang.Double]("fwd_rv"))))).toMap
+    assert(both(2L) == ((None, None)))
+  }
+
   test("asofNearest: closer side wins, exact tie goes backward, single-sided rows fall through") {
     val left = Seq(
       (1L, "u", 12L),   // 2 from t=10, 8 from t=20 -> backward

@@ -32,10 +32,11 @@ class ExpectationsSpec extends SparkSpec {
     assert(got("text_nonempty") == ((5L, 2L, false)))
     // row 2 has n_chars=0 = len("")=0 ok; row with nulls fails closed
     assert(got("chars_consistent") == ((5L, 1L, false)))
-    // two rows share id 2 -> one surplus copy (null ids don't collide:
-    // count(DISTINCT) ignores null and count(*)-based surplus counts
-    // the null row once — see below)
-    assert(got("id_unique")._2 >= 1L)
+    // dbt unique semantics: the null-id row is excluded (not_null's
+    // business), so surplus = 4 non-null rows - 3 distinct ids = 1,
+    // EXACTLY — not >= (a struct-based distinct would count the null
+    // key as a value and drift from the SQL count(DISTINCT) oracle)
+    assert(got("id_unique") == ((5L, 1L, false)))
     // a clean table passes everything
     val clean = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("doc_id", "text", "n_chars")
     val allPass = Expectations.check(clean,
@@ -43,5 +44,16 @@ class ExpectationsSpec extends SparkSpec {
       uniqueRules = Seq("id_unique" -> Seq("doc_id")))
       .collect().forall(_.getBoolean(3))
     assert(allPass)
+  }
+
+  test("p37: non-identifier and duplicate rule names are rejected loudly") {
+    val df = Seq((1L, "a")).toDF("id", "t")
+    assertThrows[IllegalArgumentException](
+      Expectations.check(df, Seq("bad name" -> col("id").isNotNull)))
+    assertThrows[IllegalArgumentException](
+      Expectations.check(df, Seq("it's" -> col("id").isNotNull)))
+    assertThrows[IllegalArgumentException](
+      Expectations.check(df, Seq("x" -> col("id").isNotNull,
+        "x" -> col("t").isNotNull)))
   }
 }
