@@ -950,6 +950,31 @@ object SparkEntry {
         .unionByName(s3.agg(count(lit(1)).as("n_users")).withColumn("stage", lit(3L)))
         .select(col("stage"), col("n_users"))
     }),
+    // X21: conversion-window funnel — x15 with each stage gated to
+    // land within 72h of the PREVIOUS stage's first time (the form
+    // product analytics actually asks: "converted within N days", not
+    // "ever"). Same monotonically-shrinking join chain; the window
+    // predicate rides the existing stage join, costing nothing extra.
+    "x21_funnel_windowed" -> ((s, dir) => {
+      val winUs = 72L * 3600L * 1000000L
+      val ev = EventTime.withTsNanos(t(s, dir, "events"))
+        .withColumn("ts_us", EventTime.nsToMicros("ts_ns"))
+        .select(col("user_id"), col("event_type"), col("ts_us"))
+      val s1 = ev.where(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1"))
+      val s2 = ev.where(col("event_type") === "click")
+        .join(s1, "user_id")
+        .where(col("ts_us") >= col("t1") && col("ts_us") <= col("t1") + winUs)
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t2"))
+      val s3 = ev.where(col("event_type") === "purchase")
+        .join(s2, "user_id")
+        .where(col("ts_us") >= col("t2") && col("ts_us") <= col("t2") + winUs)
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t3"))
+      s1.agg(count(lit(1)).as("n_users")).withColumn("stage", lit(1L))
+        .unionByName(s2.agg(count(lit(1)).as("n_users")).withColumn("stage", lit(2L)))
+        .unionByName(s3.agg(count(lit(1)).as("n_users")).withColumn("stage", lit(3L)))
+        .select(col("stage"), col("n_users"))
+    }),
     // X16: cohort retention — users bucketed by first-activity day,
     // distinct-active counted per (cohort, day offset). Two shuffles
     // (per-user min, then the distinct-count agg over a day-deduped
@@ -2069,6 +2094,19 @@ object SparkEntry {
         |       WHERE event_type = 'click' AND tus >= t1 GROUP BY 1),
         |s3 AS (SELECT e.user_id, min(tus) AS t3 FROM e JOIN s2 USING (user_id)
         |       WHERE event_type = 'purchase' AND tus >= t2 GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS stage, count(*) AS n_users FROM s1
+        |UNION ALL SELECT CAST(2 AS BIGINT), count(*) FROM s2
+        |UNION ALL SELECT CAST(3 AS BIGINT), count(*) FROM s3""".stripMargin,
+    // 72h = 259_200_000_000 µs conversion windows per stage
+    "x21_funnel_windowed" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+        |s1 AS (SELECT user_id, min(tus) AS t1 FROM e WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(tus) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND tus >= t1
+        |         AND tus <= t1 + 259200000000 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(tus) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND tus >= t2
+        |         AND tus <= t2 + 259200000000 GROUP BY 1)
         |SELECT CAST(1 AS BIGINT) AS stage, count(*) AS n_users FROM s1
         |UNION ALL SELECT CAST(2 AS BIGINT), count(*) FROM s2
         |UNION ALL SELECT CAST(3 AS BIGINT), count(*) FROM s3""".stripMargin,
