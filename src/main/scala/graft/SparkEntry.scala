@@ -1371,6 +1371,20 @@ object SparkEntry {
       Dedup.minhashDupPairs(t(s, dir, "documents"), n = 8, numHashes = 16,
         rowsPerBand = 4, tau = 0.5)
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))),
+    // P38: incremental near-dup — docs < 250 are the EXISTING corpus
+    // whose signature table is already materialized (the persisted
+    // state a daily pipeline reads back); only the new batch
+    // re-shingles. Oracle = p3's full guarded run restricted to pairs
+    // touching the batch, which is exactly the incremental contract.
+    "p38_incremental_minhash" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val corpusSig = Dedup.minhashSignatureArrays(
+        d.where(col("doc_id") < 250), n = 8, numHashes = 16)
+      Dedup.minhashDupPairsIncremental(corpusSig,
+        d.where(col("doc_id") >= 250), n = 8, numHashes = 16,
+        rowsPerBand = 4, tau = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+    }),
     "p4_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3)),
 
@@ -1698,6 +1712,38 @@ object SparkEntry {
   /** Shared by x6 (batch bucketized band join) and x9 (stream-stream
     * watermarked interval join): one logical join, two executions.
     */
+  /** Shared by p3 and p38 (p38 = p3 restricted to pairs touching the
+    * incremental batch, which is exactly the incremental contract).
+    */
+  private lazy val minhashLshSql =
+    s"""WITH $shinglesSql,
+       |x AS (SELECT doc_id, ${hx("shingle")} AS x FROM sh),
+       |params AS (SELECT i, CAST(2*i+1 AS BIGINT) AS a,
+       |                  CAST((i*40503+12345)%2147483647 AS BIGINT) AS b
+       |           FROM generate_series(0,15) t(i)),
+       |sig AS (SELECT doc_id, i, min((a*(x%2147483647)+b)%2147483647) AS mh
+       |        FROM x CROSS JOIN params GROUP BY 1, 2),
+       |sigkey AS (SELECT doc_id, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig_key
+       |           FROM sig GROUP BY 1),
+       |grp AS (SELECT sig_key, min(doc_id) AS rep FROM sigkey GROUP BY 1),
+       |stars AS (SELECT g.rep AS id_a, s.doc_id AS id_b, 1.0 AS ej
+       |          FROM sigkey s JOIN grp g USING (sig_key) WHERE s.doc_id <> g.rep),
+       |banded AS (SELECT doc_id, i//4 AS band,
+       |                  string_agg(concat(i, ':', mh), ',' ORDER BY concat(i, ':', mh)) AS band_sig
+       |           FROM sig WHERE doc_id IN (SELECT rep FROM grp) GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM banded a JOIN banded b USING (band, band_sig)
+       |         WHERE a.doc_id < b.doc_id),
+       |est AS (SELECT id_a, id_b,
+       |               sum(CASE WHEN sa.mh = sb.mh THEN 1.0 ELSE 0.0 END)/count(*) AS ej
+       |        FROM cand
+       |        JOIN sig sa ON sa.doc_id = id_a
+       |        JOIN sig sb ON sb.doc_id = id_b AND sb.i = sa.i
+       |        GROUP BY 1, 2)
+       |SELECT id_a, id_b, round(ej, 6) AS est_jaccard FROM (
+       |  SELECT id_a, id_b, ej FROM est WHERE ej >= 0.5
+       |  UNION ALL SELECT id_a, id_b, ej FROM stars)""".stripMargin
+
   /** Shared by d5 and its streaming twin x20. */
   private val latestSnapshotSql =
     """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tns, event_type FROM events),
@@ -2423,34 +2469,12 @@ object SparkEntry {
          |JOIN sizes sa ON sa.doc_id = id_a
          |JOIN sizes sb ON sb.doc_id = id_b
          |WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5""".stripMargin,
-    "p3_minhash_lsh" ->
-      s"""WITH $shinglesSql,
-         |x AS (SELECT doc_id, ${hx("shingle")} AS x FROM sh),
-         |params AS (SELECT i, CAST(2*i+1 AS BIGINT) AS a,
-         |                  CAST((i*40503+12345)%2147483647 AS BIGINT) AS b
-         |           FROM generate_series(0,15) t(i)),
-         |sig AS (SELECT doc_id, i, min((a*(x%2147483647)+b)%2147483647) AS mh
-         |        FROM x CROSS JOIN params GROUP BY 1, 2),
-         |sigkey AS (SELECT doc_id, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig_key
-         |           FROM sig GROUP BY 1),
-         |grp AS (SELECT sig_key, min(doc_id) AS rep FROM sigkey GROUP BY 1),
-         |stars AS (SELECT g.rep AS id_a, s.doc_id AS id_b, 1.0 AS ej
-         |          FROM sigkey s JOIN grp g USING (sig_key) WHERE s.doc_id <> g.rep),
-         |banded AS (SELECT doc_id, i//4 AS band,
-         |                  string_agg(concat(i, ':', mh), ',' ORDER BY concat(i, ':', mh)) AS band_sig
-         |           FROM sig WHERE doc_id IN (SELECT rep FROM grp) GROUP BY 1, 2),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |         FROM banded a JOIN banded b USING (band, band_sig)
-         |         WHERE a.doc_id < b.doc_id),
-         |est AS (SELECT id_a, id_b,
-         |               sum(CASE WHEN sa.mh = sb.mh THEN 1.0 ELSE 0.0 END)/count(*) AS ej
-         |        FROM cand
-         |        JOIN sig sa ON sa.doc_id = id_a
-         |        JOIN sig sb ON sb.doc_id = id_b AND sb.i = sa.i
-         |        GROUP BY 1, 2)
-         |SELECT id_a, id_b, round(ej, 6) AS est_jaccard FROM (
-         |  SELECT id_a, id_b, ej FROM est WHERE ej >= 0.5
-         |  UNION ALL SELECT id_a, id_b, ej FROM stars)""".stripMargin,
+    "p3_minhash_lsh" -> minhashLshSql,
+    // the incremental contract IS "the full guarded run restricted to
+    // pairs touching the batch" — so the oracle is p3's, filtered
+    "p38_incremental_minhash" ->
+      s"""SELECT * FROM ($minhashLshSql)
+         |WHERE id_a >= 250 OR id_b >= 250""".stripMargin,
     "p4_simhash" ->
       s"""WITH ${simhashPairsCtesSql("documents")}
          |SELECT id_a, id_b, hamming FROM simpairs WHERE hamming <= 3""".stripMargin,

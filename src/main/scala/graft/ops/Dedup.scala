@@ -324,6 +324,87 @@ object Dedup {
     repPairs.unionByName(stars)
   }
 
+  /** INCREMENTAL near-dup detection: a NEW batch checked against an
+    * EXISTING corpus whose signatures are already materialized — the
+    * production shape, where the lake's signature table is persisted
+    * state and a daily drop must not re-shingle petabytes.
+    *
+    * `corpusSig` is (id, sig) as produced by
+    * [[minhashSignatureArrays]] (write it once, read it here); only
+    * the BATCH pays shingling. Output contract, spec-pinned as a
+    * differential: identical to
+    * `minhashDupPairs(corpus ∪ batch)` restricted to pairs touching
+    * the batch — same hot-bucket guard (identical signatures collapse
+    * before banding; batch copies of corpus pages surface as
+    * rep→member star edges), same tau gate, same estimates.
+    *
+    * Cost: shingle(batch) + one signature-collapse shuffle over
+    * |corpus|+|batch| SIGNATURE rows (16 longs each, not documents) +
+    * a band join whose probe side is batch-only — the corpus never
+    * re-shingles and never self-joins.
+    */
+  def minhashDupPairsIncremental(corpusSig: DataFrame, batch: DataFrame,
+      n: Int = 8, numHashes: Int = 16, rowsPerBand: Int = 4,
+      tau: Double = 0.5, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must divide into bands of rowsPerBand ($rowsPerBand)")
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0,1], got $tau")
+    val batchSig = minhashSignatureArrays(batch, n, numHashes, id, text)
+    val batchIds = batchSig.select(col(id).as("__bid")).distinct()
+      .localCheckpoint(true)
+    val allSig = corpusSig.select(col(id), col("sig")).unionByName(batchSig)
+      .localCheckpoint(true)
+    val keyed = allSig.withColumn("__sig_key", concat_ws(",", col("sig")))
+    val grp = keyed.groupBy(col("__sig_key"))
+      .agg(min(col(id)).as("__rep"), first(col("sig")).as("sig"))
+      .localCheckpoint(true)
+    // star edges, restricted to those TOUCHING the batch (a
+    // corpus-internal duplicate group is yesterday's news). The OR
+    // membership test runs as TWO hash semi-joins + distinct — an OR
+    // join condition would degrade to a nested-loop join
+    val stars0 = keyed.join(grp.select(col("__sig_key"), col("__rep")), "__sig_key")
+      .where(col(id) =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col(id).as("id_b"),
+        lit(1.0).as("est_jaccard"))
+    val stars = stars0
+      .join(batchIds.withColumnRenamed("__bid", "id_a"), Seq("id_a"), "left_semi")
+      .unionByName(stars0
+        .join(batchIds.withColumnRenamed("__bid", "id_b"), Seq("id_b"), "left_semi"))
+      .distinct()
+    val reps = grp.select(col("__rep").as(id), col("sig"))
+    def bandedOf(s: DataFrame): DataFrame = {
+      val spark = s.sparkSession
+      import spark.implicits._
+      val bands = (0 until numHashes / rowsPerBand).toDF("band")
+      s.crossJoin(broadcast(bands))
+        .select(col(id), col("band"),
+          concat_ws(",", slice(col("sig"), col("band") * rowsPerBand + 1,
+            lit(rowsPerBand)).cast("array<string>")).as("band_sig"))
+    }
+    // probe side: only reps that ARE batch documents — the corpus
+    // side never self-joins, so existing corpus-internal near-dups
+    // are neither recomputed nor re-reported
+    val repBatch = reps.join(batchIds, col(id) === col("__bid"), "left_semi")
+    val a = bandedOf(repBatch).toDF("id_a", "band", "band_sig")
+    val b = bandedOf(reps).toDF("id_b", "band", "band_sig")
+    val cand = a.join(b, Seq("band", "band_sig"))
+      .where(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+    val repPairs = cand
+      .join(reps.toDF("id_a", "sig_a"), "id_a")
+      .join(reps.toDF("id_b", "sig_b"), "id_b")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1.0).otherwise(0.0)), lit(0.0), _ + _) /
+          size(col("sig_a")).cast("double"))
+      .where(col("est_jaccard") >= tau)
+      .select("id_a", "id_b", "est_jaccard")
+    repPairs.unionByName(stars)
+  }
+
   /** The UNGUARDED formulation — candidate join over every document,
     * no signature collapse. Quadratic in the largest identical-
     * signature group, so never the production path; retained as the

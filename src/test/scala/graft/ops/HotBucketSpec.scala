@@ -111,4 +111,44 @@ class HotBucketSpec extends SparkSpec {
     val us = comps(Dedup.simhashPairsUnguarded(d, maxHamming = 3))
     assert(gs == us, "simhash components diverged under the guard")
   }
+
+  test("incremental minhash == full guarded run restricted to pairs touching the batch") {
+    // the fixture plants every incremental shape: a batch doc identical
+    // to a corpus doc (cross-split star via a corpus rep), an
+    // intra-batch identical pair, a batch near-dup of a corpus doc
+    // (cross-split rep pair), corpus-internal duplicates that must NOT
+    // be re-reported, and distinct filler on both sides
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val corpusRows = Seq(
+      (1L, base), (2L, base),                   // corpus-internal dup (stays quiet)
+      (3L, base + " nu xi omicron")
+    ) ++ distinctDocs(15, seed = 61).map { case (i, t) => (10L + i, t) }
+    val cut = 500L
+    val batchRows = Seq(
+      (cut + 1L, base),                          // identical to corpus 1/2
+      (cut + 2L, base + " nu xi omicron pi"),    // near-dup of corpus 3
+      (cut + 3L, "brand new content aa"), (cut + 4L, "brand new content aa")
+    ) ++ distinctDocs(10, seed = 62).map { case (i, t) => (cut + 10L + i, t) }
+    val corpus = docs(corpusRows)
+    val batch = docs(batchRows)
+    val corpusSig = Dedup.minhashSignatureArrays(corpus, 8, 16)
+    val inc = Dedup.minhashDupPairsIncremental(corpusSig, batch,
+      n = 8, numHashes = 16, rowsPerBand = 4, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e6) / 1e6)).toSet
+    val full = Dedup.minhashDupPairs(docs(corpusRows ++ batchRows),
+      n = 8, numHashes = 16, rowsPerBand = 4, tau = 0.5)
+      .where($"id_a" >= cut || $"id_b" >= cut)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e6) / 1e6)).toSet
+    assert(inc == full,
+      s"incremental != restricted full:\n only-inc: ${inc.diff(full)}\n only-full: ${full.diff(inc)}")
+    // the planted cross-split shapes actually surfaced
+    assert(inc.exists(p => p._1 == 1L && p._2 == cut + 1L && p._3 == 1.0),
+      "batch copy of a corpus page must star from the corpus rep")
+    assert(inc.exists(p => p._2 == cut + 3L || p._1 == cut + 3L),
+      "intra-batch identical pair missing")
+    // corpus-internal dup is NOT re-reported
+    assert(!inc.contains((1L, 2L, 1.0)), "corpus-internal dup re-reported")
+  }
 }
