@@ -348,6 +348,22 @@ object SparkEntry {
           (abs(col("approx_users") - col("exact_users")) <=
             col("exact_users") * lit(0.05)).as("union_ok"))
     }),
+    // A11: k-anonymity release gate — the per-(type, day, prop-bucket)
+    // event rollup published only where it describes >= 4 distinct
+    // users; every sub-k group collapses into one __suppressed__
+    // bucket re-counted over its underlying rows. Day rides the
+    // canonical ns clock so the testdata's ts encoding cannot move a
+    // group boundary. At sf0.01 both branches are live (~1360 kept /
+    // ~140 suppressed groups).
+    "a11_kanon" -> ((s, dir) => {
+      val ev = EventTime.withTsNanos(t(s, dir, "events"))
+        .select(col("user_id"), col("event_type"),
+          expr("CAST(ts_ns DIV 86400000000000 AS STRING)").as("day"),
+          expr("CAST(CAST(get_json_object(props, '$.k') AS INT) DIV 10 AS STRING)")
+            .as("k_bucket"))
+      ops.Privacy.kAnonymize(ev, Seq("event_type", "day", "k_bucket"),
+        k = 4, idCol = "user_id")
+    }),
     // X19: incremental aggregate maintenance — merge(base partials,
     // delta partials) must equal the full recompute, which is exactly
     // what the oracle computes. The base partial state (count/sum/
@@ -594,6 +610,22 @@ object SparkEntry {
           col("valid_to_us"),
           col("version"),
           col("valid_to_us").isNull.as("is_current"))
+    }),
+
+    // D7: snapshot diff — the load-reconciliation report between two
+    // table generations. New snapshot planted from customer: every
+    // 97th key dropped (removed), every 100th key's balance shifted
+    // (changed), every 50th key re-inserted under a shifted key
+    // (added). One co-partitioned full-outer join, delta-sized output.
+    "d7_snapshot_diff" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+      val newSnap = c.where(col("c_custkey") % 97 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 100 === 0, col("c_acctbal") + lit(10.0))
+            .otherwise(col("c_acctbal")))
+        .unionByName(c.where(col("c_custkey") % 50 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 1000000L))
+      ops.Diff.snapshotDiff(c, newSnap, Seq("c_custkey"))
     }),
 
     // --- sorts / top-k (O-family) -------------------------------------
@@ -1387,6 +1419,28 @@ object SparkEntry {
     }),
     "p4_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3)),
+    // P39: deterministic weighted sampling (Efraimidis–Spirakis) —
+    // longer documents (weight n_chars+1) are proportionally likelier
+    // to survive the per-language top-10 cut; the ln(u)/w key is
+    // hash-derived, so the oracle replays the draw bit-for-bit.
+    "p39_weighted_sample" -> ((s, dir) =>
+      ops.Sampling.weightedTopK(t(s, dir, "documents"), Seq("lang"),
+        weight = col("n_chars") + lit(1L), k = 10, key = col("doc_id"))
+        .select(col("lang"), col("doc_id"), col("n_chars"), col("sample_key"))),
+    // P40: Bloom-prefiltered decontamination — p26's semantics with
+    // the benchmark folded into a fixed-size Bloom bitmap that gates
+    // corpus n-grams BEFORE the verify join (the shape that survives a
+    // benchmark too large to broadcast as an exact set). No false
+    // negatives, so the output — and the oracle — is exactly p26's.
+    "p40_bloom_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      ops.TextStats.contaminationPairsBloom(
+        docs,
+        docs.where(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("bench_id"), col("text")),
+        n = 3, minShared = 3, expectedGrams = 1L << 16, fpp = 0.01)
+        .select(col("doc_id"), col("bench_id"), col("shared_ngrams"))
+    }),
 
     // --- similarity search (p5-p6) ------------------------------------
     "p5_cosine_topk" -> ((s, dir) =>
@@ -1701,6 +1755,18 @@ object SparkEntry {
       |       count(*) AS n_events, round(sum(value), 4) AS sum_value
       |FROM s GROUP BY user_id, session_seq""".stripMargin
 
+  private val decontaminateSql =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+      |              FROM documents WHERE trim(text) <> ''),
+      |grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |            range(0, len(tk) - 2),
+      |            i -> array_to_string(list_slice(tk, i + 1, i + 3), ' ')))) AS ng
+      |          FROM toks WHERE len(tk) >= 3),
+      |bench AS (SELECT doc_id AS bench_id, ng FROM grams WHERE doc_id % 50 = 0)
+      |SELECT g.doc_id, b.bench_id, count(*) AS shared_ngrams
+      |FROM grams g JOIN bench b USING (ng)
+      |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin
+
   private val exactDedupSql =
     """WITH all_docs AS (
       |  SELECT doc_id, text FROM documents
@@ -1988,6 +2054,32 @@ object SparkEntry {
         |       (lead(od_us) OVER w2 IS NULL) AS is_current
         |FROM vers
         |WINDOW w2 AS (PARTITION BY o_custkey ORDER BY od_us, o_orderkey)""".stripMargin,
+    "d7_snapshot_diff" ->
+      """WITH oldt AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |newt AS (
+        |  SELECT c_custkey, c_name,
+        |         CASE WHEN c_custkey % 100 = 0 THEN c_acctbal + 10.0
+        |              ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, c_acctbal
+        |  FROM customer WHERE c_custkey % 50 = 0),
+        |j AS (SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+        |             o.c_name AS old_c_name, o.c_acctbal AS old_c_acctbal,
+        |             n.c_name AS new_c_name, n.c_acctbal AS new_c_acctbal,
+        |             (o.c_custkey IS NOT NULL) AS in_old,
+        |             (n.c_custkey IS NOT NULL) AS in_new
+        |      FROM oldt o FULL OUTER JOIN newt n USING (c_custkey))
+        |SELECT c_custkey, old_c_name, old_c_acctbal, new_c_name, new_c_acctbal,
+        |       CASE WHEN NOT in_old THEN 'added'
+        |            WHEN NOT in_new THEN 'removed'
+        |            WHEN old_c_name IS DISTINCT FROM new_c_name
+        |              OR old_c_acctbal IS DISTINCT FROM new_c_acctbal
+        |            THEN 'changed' END AS change_type
+        |FROM j
+        |WHERE NOT in_old OR NOT in_new
+        |   OR old_c_name IS DISTINCT FROM new_c_name
+        |   OR old_c_acctbal IS DISTINCT FROM new_c_acctbal""".stripMargin,
     // null-aware twin of the engine aggregates (coalesce / count(col)
     // skip nulls) — correct even if a future regen ships null
     // text/lang/source rows, not only on today's null-free table
@@ -2022,6 +2114,21 @@ object SparkEntry {
         |SELECT (SELECT count(*) FROM shards) AS n_shards,
         |       (SELECT count(DISTINCT user_id) FROM events) AS exact_users,
         |       TRUE AS union_ok""".stripMargin,
+    "a11_kanon" ->
+      """WITH b AS (SELECT user_id, event_type,
+        |             CAST(epoch_ns(ts) // 86400000000000 AS VARCHAR) AS day,
+        |             CAST(CAST(json_extract_string(props, '$.k') AS INT) // 10 AS VARCHAR) AS k_bucket
+        |           FROM events),
+        |g AS (SELECT event_type, day, k_bucket,
+        |             count(DISTINCT user_id) AS n_ids, count(*) AS n_rows
+        |      FROM b GROUP BY 1, 2, 3)
+        |SELECT event_type, day, k_bucket, n_ids, n_rows FROM g WHERE n_ids >= 4
+        |UNION ALL
+        |SELECT '__suppressed__', '__suppressed__', '__suppressed__',
+        |       count(DISTINCT b.user_id), count(*)
+        |FROM b JOIN g ON b.event_type = g.event_type AND b.day = g.day
+        |             AND b.k_bucket = g.k_bucket
+        |WHERE g.n_ids < 4 HAVING count(*) > 0""".stripMargin,
     "x5_asof_join" -> asofSql,
     // custom-exec twin — same as-of semantics, same oracle
     "x18_asof_exec" -> asofSql,
@@ -2180,6 +2287,19 @@ object SparkEntry {
          |         row_number() OVER (PARTITION BY lang ORDER BY hk ASC, doc_id ASC) AS rn
          |  FROM h) t
          |WHERE rn <= 10""".stripMargin,
+    // weighted A-ES draw: same hash space as p17; ranks on the raw
+    // ln(u)/w key, ships it rounded to 6 dp
+    "p39_weighted_sample" ->
+      s"""WITH h AS (SELECT doc_id, lang, n_chars,
+         |            ln((${hx("CAST(doc_id AS VARCHAR)")} + 1)
+         |               / 1152921504606846976.0)
+         |            / CAST(n_chars + 1 AS DOUBLE) AS wkey
+         |           FROM documents)
+         |SELECT lang, doc_id, n_chars, round(wkey, 6) AS sample_key FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY lang ORDER BY wkey DESC, doc_id ASC) AS rn
+         |  FROM h) t
+         |WHERE rn <= 10""".stripMargin,
     "p19_tfidf_topterms" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
@@ -2254,17 +2374,11 @@ object SparkEntry {
         |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
         |  CAST(len(string_split(d.text, chr(10))) - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped
         |FROM documents d LEFT JOIN r USING (doc_id)""".stripMargin,
-    "p26_decontaminate" ->
-      """WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
-        |              FROM documents WHERE trim(text) <> ''),
-        |grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
-        |            range(0, len(tk) - 2),
-        |            i -> array_to_string(list_slice(tk, i + 1, i + 3), ' ')))) AS ng
-        |          FROM toks WHERE len(tk) >= 3),
-        |bench AS (SELECT doc_id AS bench_id, ng FROM grams WHERE doc_id % 50 = 0)
-        |SELECT g.doc_id, b.bench_id, count(*) AS shared_ngrams
-        |FROM grams g JOIN bench b USING (ng)
-        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+    "p26_decontaminate" -> decontaminateSql,
+    // Bloom-prefiltered twin — no false negatives, so the exact
+    // decontamination output IS the contract (two physical executions
+    // of one logical query, the x5/x18 discipline)
+    "p40_bloom_decontaminate" -> decontaminateSql,
     "p27_repetition" ->
       """WITH toks AS (SELECT doc_id, text,
         |                     string_split_regex(trim(lower(text)), '\s+') AS tk

@@ -99,6 +99,51 @@ object Sampling {
       .withColumn("pos", row_number().over(w))
   }
 
+  /** Deterministic WEIGHTED sampling without replacement (Efraimidis–
+    * Spirakis A-ES): each row draws a uniform u in (0,1] from the hash
+    * of its key and ranks by ln(u)/w — the top-k per stratum is then
+    * distributed exactly as sequential weighted draws without
+    * replacement, so higher-quality (heavier) documents are
+    * proportionally more likely to survive a corpus cut, while the
+    * hash keeps the draw reproducible across runs, layouts, appends
+    * and engines (the same no-RNG contract as every sampler here).
+    *
+    * Ranking by ln(u)/w descending is the monotone-equivalent of the
+    * textbook u^(1/w) key (both engines would lose u^(1/w) to double
+    * underflow at large w: u^(1/3000) needs ~2^-60 precision near 1).
+    * The RANKING runs on the raw double — hash-drawn keys are spread
+    * over a ~40-wide range, so adjacent keys sit ~1e-4 apart and a
+    * last-ulp `ln` divergence between this engine's libm and the
+    * oracle's cannot flip a rank; ranking on a ROUNDED key would
+    * instead manufacture ties and break the u^(1/w) distribution's
+    * scale invariance (uniformly scaling weights must not move the
+    * sample — it's the relative-weight mixture knob). The emitted
+    * `sample_key` column is rounded to 6 dp purely so the output
+    * hashes stably (the [[Similarity]] k-means quantization argument,
+    * applied to the payload instead of the ordering).
+    *
+    * One shuffle on the strata keys; per-stratum top-k window. At
+    * 100 TB: same shape as [[stratifiedTopK]] — and the same overshoot
+    * trick applies (pre-gate with a cheap key bound, then rank).
+    */
+  def weightedTopK(df: DataFrame, strata: Seq[String], weight: Column,
+      k: Int, key: Column, out: String = "sample_key"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(strata.nonEmpty, "strata must be non-empty")
+    // hex64 is uniform on [0, 2^60): (h + 1) / 2^60 lands in (0, 1] so
+    // ln(u) is always defined; the long→double cast rounds identically
+    // (IEEE nearest) in both engines
+    val u = (hashKey(key) + 1).cast("double") / lit(1152921504606846976.0)
+    val sampleKey = log(u) / weight.cast("double")
+    val w = Window.partitionBy(strata.map(col): _*)
+      .orderBy(col("__wkey").desc, key.asc)
+    df.withColumn("__wkey", sampleKey)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .withColumn(out, round(col("__wkey"), 6))
+      .drop("__rn", "__wkey")
+  }
+
   /** Token-budgeted per-stratum sampling — the data-MIXING step of a
     * pretraining pipeline: each stratum (source, language, ...)
     * contributes the largest hash-ordered PREFIX of its documents

@@ -246,6 +246,59 @@ object TextStats {
       .where(col("shared_ngrams") >= minShared)
   }
 
+  /** Bloom-prefiltered decontamination — [[contaminationPairs]]'s
+    * 100 TB shape when the benchmark side outgrows a broadcast SET.
+    *
+    * [[contaminationPairs]] broadcasts the benchmark's exact n-gram
+    * table; at ~10^9 benchmark n-grams that broadcast is impossible
+    * and the verify join degrades to shuffling EVERY corpus n-gram.
+    * Here the benchmark n-grams are first folded into a fixed-size
+    * Bloom filter (a distributed aggregate — the driver only ever
+    * holds the merged bitmap, `-ln(fpp)·n/ln²2` bits ≈ 1.2 GB for 10^9
+    * grams at 1%), the bitmap is broadcast, and corpus n-grams are
+    * probed per-row BEFORE the exact verify join — so the join's probe
+    * side carries only true hits plus the fpp sliver, not the corpus.
+    *
+    * Exactness is preserved: a Bloom filter has NO false negatives, so
+    * every actually-shared n-gram survives the prefilter and the
+    * downstream verify join emits byte-identical output to
+    * [[contaminationPairs]] — the oracle is literally p26's. False
+    * positives only cost wasted probe rows, discarded by the join.
+    *
+    * The probe is a deserialized predicate (no codegen) by necessity —
+    * Spark exposes `BloomFilterMightContain` only to its runtime-
+    * filter rewrite — but it runs on a column the scan already
+    * materialized and shears the shuffle after it; BloomSpec pins both
+    * the output equality and the prefilter's measured selectivity.
+    */
+  def contaminationPairsBloom(corpus: DataFrame, benchmark: DataFrame, n: Int,
+      minShared: Long, expectedGrams: Long = 1L << 20, fpp: Double = 0.01,
+      id: String = "doc_id", text: String = "text",
+      benchId: String = "bench_id"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val spark = corpus.sparkSession
+    val benchGrams = benchmark
+      .select(explode(wordNgramArray(col(text), n, distinctGrams = true)).as("__ng"))
+    val bf = benchGrams.stat.bloomFilter("__ng", expectedGrams, fpp)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain = udf { s: String => s != null && bfB.value.mightContainString(s) }
+    val c = corpus
+      .repartition(spark.sparkContext.defaultParallelism, col(id))
+      .select(col(id), explode(wordNgramArray(col(text), n, distinctGrams = true)).as("__ng"))
+      .where(mightContain(col("__ng")))
+    val b = benchmark
+      .select(col(benchId), explode(wordNgramArray(col(text), n, distinctGrams = true)).as("__ng"))
+    // the verify join deliberately does NOT force broadcast(): at the
+    // scale where this variant matters the bench table shuffles, and
+    // the Bloom gate above is what keeps the corpus side of that
+    // shuffle proportional to the contamination, not the corpus
+    c.join(b, Seq("__ng"))
+      .groupBy(col(id), col(benchId))
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .where(col("shared_ngrams") >= minShared)
+  }
+
   /** Intra-document repetition (a Gopher-style quality signal): the
     * fraction of word n-grams that are repeats of an earlier n-gram in
     * the same document. Boilerplate/spam text scores high; natural

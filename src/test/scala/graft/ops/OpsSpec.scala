@@ -70,6 +70,33 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("weighted sampling: exact k, deterministic, scale-invariant, weight-sensitive") {
+    val d = (1L to 2000L).map(i => (i, s"lang${i % 4}", (i % 50) + 1L))
+      .toDF("doc_id", "lang", "w")
+    val s1 = Sampling.weightedTopK(d, Seq("lang"), col("w"), k = 10,
+      key = col("doc_id"))
+    val got = s1.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(got.size == 4 && got.values.forall(_ == 10L))
+    // deterministic across runs
+    val ids1 = s1.select("doc_id").as[Long].collect().toSet
+    assert(Sampling.weightedTopK(d, Seq("lang"), col("w"), k = 10,
+      key = col("doc_id")).select("doc_id").as[Long].collect().toSet == ids1)
+    // ln(u)/w ranking is invariant under uniform weight scaling — the
+    // mixture knob moves RELATIVE weights only
+    val scaled = Sampling.weightedTopK(d, Seq("lang"),
+      col("w") * lit(1000L), k = 10, key = col("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(scaled == ids1)
+    // an overwhelming weight wins its stratum's draw
+    val heavy = d.withColumn("w",
+      when(col("doc_id") === 7L, lit(1000000000000L)).otherwise(lit(1L)))
+    assert(Sampling.weightedTopK(heavy, Seq("lang"), col("w"), k = 10,
+      key = col("doc_id")).where(col("doc_id") === 7L).count() == 1)
+    // a stratum smaller than k survives whole
+    assert(Sampling.weightedTopK(d.where(col("doc_id") <= 2), Seq("lang"),
+      col("w"), k = 10, key = col("doc_id")).count() == 2)
+  }
+
   test("reshard: dense per-shard positions, deterministic, lossless") {
     val d = (1L to 1000L).map(i => (i, s"t$i")).toDF("doc_id", "text")
     val sharded = Sampling.shardByHash(d, col("doc_id"), 8)
