@@ -126,4 +126,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(!postScanFilter,
       s"event_type is re-filtered after the scan instead of pruned:\n$plan")
   }
+
+  test("d7 snapshot diff: one co-partitioned join, never a disaster join") {
+    val plan = executedPlan("d7_snapshot_diff")
+    assertNoDisasterJoin("d7", plan)
+    // the diff is ONE full-outer join of the two snapshots — a second
+    // join would mean the op re-reads a side
+    val joins = plan.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+    assert(joins == 1, s"expected exactly one shuffle join, got $joins:\n$plan")
+    assert(plan.contains("FullOuter"), s"diff join must be full outer:\n$plan")
+  }
+
+  test("a11 k-anonymity: the suppressed-group membership join broadcasts") {
+    // the sub-k group list is bounded by the group space, not the
+    // data; shipping it to the rows must never shuffle the rows
+    val plan = executedPlan("a11_kanon")
+    assertNoDisasterJoin("a11", plan)
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftSemi"),
+      s"suppressed-group membership should be a broadcast semi join:\n$plan")
+  }
+
+  test("p40 bloom decontamination: the bitmap probe gates corpus n-grams before the join") {
+    val plan = executedPlan("p40_bloom_decontaminate")
+    assertNoDisasterJoin("p40", plan)
+    // the UDF filter must sit below the join: the join's corpus side
+    // then carries only bloom survivors, which is the operator's
+    // entire scale claim
+    val joinIdx = plan.linesIterator.indexWhere(l => l.contains("Join"))
+    val probeIdx = plan.linesIterator.indexWhere(l =>
+      l.contains("Filter") && l.contains("UDF"))
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      s"bloom probe filter should appear under the verify join:\n$plan")
+  }
 }
