@@ -44,6 +44,39 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("bucketed snapshot diff plans without any shuffle exchange") {
+    // the Diff scaladoc's layout claim: two generations bucketed on
+    // the key diff with no exchange at all — the reconciliation
+    // report over 100 TB snapshots costs a co-located merge, not a
+    // re-shuffle of both tables
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucketing3").toString
+    val wh = new ParquetWarehouse(spark, dir)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val oldSnap = (1L to 5000L).map(i => (i, s"n$i", i * 1.5)).toDF("k", "name", "bal")
+      val newSnap = oldSnap.where(col("k") % 97 =!= 0)
+        .withColumn("bal", when(col("k") % 100 === 0, col("bal") + 1.0)
+          .otherwise(col("bal")))
+      wh.writeBucketed("graft_diff_old", oldSnap, "k", buckets = 4)
+      wh.writeBucketed("graft_diff_new", newSnap, "k", buckets = 4)
+      val diff = graft.ops.Diff.snapshotDiff(
+        spark.table("graft_diff_old"), spark.table("graft_diff_new"), Seq("k"))
+      val rows = diff.collect()
+      val plan = diff.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"expected shuffle-free bucketed diff, got:\n$plan")
+      // value check against the plain-frame diff
+      val plain = graft.ops.Diff.snapshotDiff(oldSnap, newSnap, Seq("k"))
+        .collect().map(_.toSeq).toSet
+      assert(rows.map(_.toSeq).toSet == plain && plain.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_diff_old")
+      spark.sql("DROP TABLE IF EXISTS graft_diff_new")
+    }
+  }
+
   test("bucketized facts: rank window plans without exchange, job output unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bucketing2").toString
     val wh = new ParquetWarehouse(spark, dir)
