@@ -364,6 +364,13 @@ object SparkEntry {
       ops.Privacy.kAnonymize(ev, Seq("event_type", "day", "k_bucket"),
         k = 4, idCol = "user_id")
     }),
+    // A12: group-wise z-score standardization — per-type feature
+    // normalization with the group stats broadcast back map-side.
+    // μ/σ quantize to 6 dp before the per-row division so the oracle's
+    // differently-ordered sums cannot flip a rounded per-row digit.
+    "a12_zscore" -> ((s, dir) =>
+      ops.Profiling.standardize(t(s, dir, "events"), Seq("event_type"), "value")
+        .select(col("event_id"), col("event_type"), col("value"), col("z"))),
     // X19: incremental aggregate maintenance — merge(base partials,
     // delta partials) must equal the full recompute, which is exactly
     // what the oracle computes. The base partial state (count/sum/
@@ -2129,6 +2136,14 @@ object SparkEntry {
         |FROM b JOIN g ON b.event_type = g.event_type AND b.day = g.day
         |             AND b.k_bucket = g.k_bucket
         |WHERE g.n_ids < 4 HAVING count(*) > 0""".stripMargin,
+    "a12_zscore" ->
+      """WITH st AS (SELECT event_type, round(avg(value), 6) AS mu,
+        |             round(stddev_samp(value), 6) AS sigma
+        |            FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        |       CASE WHEN sigma IS NULL OR sigma = 0 THEN NULL
+        |            ELSE round((e.value - mu) / sigma, 6) END AS z
+        |FROM events e JOIN st USING (event_type)""".stripMargin,
     "x5_asof_join" -> asofSql,
     // custom-exec twin — same as-of semantics, same oracle
     "x18_asof_exec" -> asofSql,

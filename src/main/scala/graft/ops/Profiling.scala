@@ -51,4 +51,38 @@ object Profiling {
     df.sparkSession.createDataFrame(
       df.sparkSession.sparkContext.parallelize(rows, 1), outSchema)
   }
+
+  /** Group-wise z-score standardization — the feature-normalization
+    * step of a training pipeline (per-source quality scores, per-type
+    * metric scales). Appends `out` = (value − μ_g) / σ_g with the
+    * group stats computed in one aggregation and BROADCAST back onto
+    * the rows: the stats table is bounded by the group space, so the
+    * per-row pass is map-side — no shuffle of the data itself (a
+    * window formulation would exchange every row on the group key).
+    *
+    * Degenerate groups yield NULL, not a poisoned value: σ is NULL for
+    * singleton groups (stddev_samp) and 0 for constant groups — both
+    * gate to NULL, fail-visible (the [[Expectations]] discipline).
+    *
+    * Cross-engine determinism: μ and σ are quantized to 6 dp BEFORE
+    * the per-row math. An engine-ordered SUM is only reproducible to
+    * ~1e-10 relative; per-ROW rounding of a z built on raw aggregates
+    * would land within that noise of a 6-dp grid boundary for ~1 row
+    * in 10⁴ — at corpus row counts, guaranteed hash flips. Dividing
+    * identical quantized doubles instead makes every downstream digit
+    * bit-identical in any IEEE engine (the k-means-centroid argument,
+    * [[Similarity]], applied per row).
+    */
+  def standardize(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      out: String = "z"): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val stats = df.groupBy(groupCols.map(col): _*)
+      .agg(round(avg(col(valueCol)), 6).as("__mu"),
+        round(stddev_samp(col(valueCol)), 6).as("__sigma"))
+    df.join(broadcast(stats), groupCols)
+      .withColumn(out,
+        when(col("__sigma").isNull || col("__sigma") === 0.0, lit(null))
+          .otherwise(round((col(valueCol) - col("__mu")) / col("__sigma"), 6)))
+      .drop("__mu", "__sigma")
+  }
 }

@@ -97,6 +97,20 @@ class OpsSpec extends SparkSpec {
       col("w"), k = 10, key = col("doc_id")).count() == 2)
   }
 
+  test("standardize: hand-checked z, constant and singleton groups gate to null") {
+    val d = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), // mu 2, sigma 1 -> z -1, 0, 1
+      ("b", 5.0), ("b", 5.0),             // sigma 0 -> null
+      ("c", 7.0)                          // singleton: sigma null -> null
+    ).toDF("g", "v")
+    val out = Profiling.standardize(d, Seq("g"), "v")
+      .select("g", "v", "z").as[(String, Double, Option[Double])]
+      .collect().toSet
+    assert(out == Set(
+      ("a", 1.0, Some(-1.0)), ("a", 2.0, Some(0.0)), ("a", 3.0, Some(1.0)),
+      ("b", 5.0, None), ("b", 5.0, None), ("c", 7.0, None)))
+  }
+
   test("reshard: dense per-shard positions, deterministic, lossless") {
     val d = (1L to 1000L).map(i => (i, s"t$i")).toDF("doc_id", "text")
     val sharded = Sampling.shardByHash(d, col("doc_id"), 8)
