@@ -198,6 +198,54 @@ object OpsPropertySpec extends Properties("graft.ops") {
       }
     }
 
+  propertyWithSeed("snapshotDiff applied to old reconstructs new", None) =
+    Prop.forAllNoShrink(
+      Gen.mapOf(Gen.zip(Gen.choose(0L, 9L), Gen.choose(0, 3).map(v => s"v$v"))),
+      Gen.mapOf(Gen.zip(Gen.choose(0L, 9L), Gen.choose(0, 3).map(v => s"v$v")))
+    ) { (oldM, newM) =>
+      val s = spark
+      import s.implicits._
+      val oldDf = oldM.toSeq.toDF("k", "v")
+      val newDf = newM.toSeq.toDF("k", "v")
+      val diff = Diff.snapshotDiff(oldDf, newDf, Seq("k"))
+        .select("k", "change_type", "new_v")
+        .as[(Long, String, Option[String])].collect()
+      // replaying the diff over the old snapshot must yield the new one
+      val touched = diff.map(_._1).toSet
+      val replayed = oldM.view.filterKeys(!touched.contains(_)).toMap ++
+        diff.collect { case (k, t, Some(nv)) if t != "removed" => k -> nv }
+      replayed == newM &&
+        // and the classification is honest
+        diff.forall {
+          case (k, "added", _)   => !oldM.contains(k) && newM.contains(k)
+          case (k, "removed", _) => oldM.contains(k) && !newM.contains(k)
+          case (k, "changed", _) => oldM.get(k) != newM.get(k) &&
+            oldM.contains(k) && newM.contains(k)
+          case _                 => false
+        }
+    }
+
+  propertyWithSeed("kAnonymize: no published group under k, counts conserved", None) =
+    Prop.forAllNoShrink(
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(1L, 6L), Gen.oneOf("g0", "g1", "g2"))),
+      Gen.choose(1L, 4L)) { (rows, k) =>
+      val s = spark
+      import s.implicits._
+      val df = rows.toDF("user_id", "grp")
+      val out = Privacy.kAnonymize(df, Seq("grp"), k, "user_id")
+        .select("grp", "n_ids", "n_rows").as[(String, Long, Long)].collect()
+      val (bucket, kept) = out.partition(_._1 == "__suppressed__")
+      val naive = rows.groupBy(_._2).view
+        .mapValues(v => (v.map(_._1).distinct.size.toLong, v.size.toLong)).toMap
+      val suppressed = naive.filter(_._2._1 < k)
+      kept.forall(r => r._2 >= k && naive(r._1) == ((r._2, r._3))) &&
+        out.map(_._3).sum == rows.size.toLong &&
+        (if (suppressed.isEmpty) bucket.isEmpty
+         else bucket.toSeq == Seq(("__suppressed__",
+           rows.filter(r => suppressed.contains(r._2)).map(_._1).distinct.size.toLong,
+           suppressed.values.map(_._2).sum)))
+    }
+
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
     p.withMinSuccessfulTests(10)
 }
