@@ -1349,6 +1349,26 @@ object SparkEntry {
     "p30_curation_funnel" -> ((s, dir) =>
       ops.Curation.curate(t(s, dir, "documents"), minQuality = 0.78,
         budgetTokens = 800L, maxHamming = 3, strata = Seq("source"))),
+    // P41: the SAME funnel as DATA — a YAML pipeline config routed
+    // through the declarative runner; stage list encodes p30's exact
+    // parameters, so the two executions share one oracle.
+    "p41_declarative_funnel" -> ((s, dir) => {
+      val cfg = ops.CurationPipeline.loadString(
+        """pipeline:
+          |  id_column: doc_id
+          |  text_column: text
+          |  stages:
+          |    - kind: quality_gate
+          |      min_quality: 0.78
+          |    - kind: normalized_dedup
+          |    - kind: near_dup_drop
+          |      max_hamming: 3
+          |    - kind: token_budget
+          |      budget_tokens: 800
+          |      strata: source
+          |""".stripMargin)
+      ops.CurationPipeline.run(t(s, dir, "documents"), cfg)
+    }),
     // P31: deterministic train/val/test assignment over the same
     // 100-bucket hash space as p17's Bernoulli sampler (a pct-p sample
     // is a bucket prefix, so dev samples inherit the production split).
@@ -1630,6 +1650,23 @@ object SparkEntry {
       |    0.25 * (1.0 - least(punct_ratio * 5.0, 1.0)) +
       |    0.25 * least(stopword_ratio * 5.0, 1.0) +
       |    0.25 * (CASE WHEN mean_token_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END))), 6)""".stripMargin
+
+  /** The full p30 funnel replay — shared by the hand-composed p30 and
+    * the YAML-configured p41 (a def: it composes other SQL helpers and
+    * must not race object initialization order).
+    */
+  private def curationFunnelSql: String =
+    s"""WITH base AS (${qualityBaseSql("documents", "doc_id, source")}),
+       |ratios AS (${qualityRatiosSql("doc_id, source, text")}),
+       |g AS (SELECT doc_id, source, text, n_tokens FROM ratios
+       |      WHERE $qualityScoreSql >= 0.78),
+       |keep AS (SELECT min(doc_id) AS doc_id FROM g
+       |         GROUP BY md5(trim(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g'))))),
+       |dd AS (SELECT g.* FROM g JOIN keep USING (doc_id)),
+       |${simhashPairsCtesSql("dd")},
+       |sv AS (SELECT * FROM dd WHERE doc_id NOT IN
+       |         (SELECT id_b FROM simpairs WHERE hamming <= 3)),
+       |${budgetWindowSql("sv", 800)}""".stripMargin
 
   /** SimHash + 4-block pigeonhole candidate pairs over `rel`, ending
     * in a `simpairs(id_a, id_b, hamming)` CTE (p4 + p30 stage 3).
@@ -2335,18 +2372,11 @@ object SparkEntry {
         |FROM ranked WHERE rn <= 3""".stripMargin,
     // the funnel oracle IS the stage oracles composed — every block
     // below comes from the same fragment the p8/p4/p29 twins render
-    "p30_curation_funnel" ->
-      s"""WITH base AS (${qualityBaseSql("documents", "doc_id, source")}),
-         |ratios AS (${qualityRatiosSql("doc_id, source, text")}),
-         |g AS (SELECT doc_id, source, text, n_tokens FROM ratios
-         |      WHERE $qualityScoreSql >= 0.78),
-         |keep AS (SELECT min(doc_id) AS doc_id FROM g
-         |         GROUP BY md5(trim(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g'))))),
-         |dd AS (SELECT g.* FROM g JOIN keep USING (doc_id)),
-         |${simhashPairsCtesSql("dd")},
-         |sv AS (SELECT * FROM dd WHERE doc_id NOT IN
-         |         (SELECT id_b FROM simpairs WHERE hamming <= 3)),
-         |${budgetWindowSql("sv", 800)}""".stripMargin,
+    "p30_curation_funnel" -> curationFunnelSql,
+    // declarative twin — the YAML-configured pipeline encodes p30's
+    // exact stage list, so the config runner shares its oracle (the
+    // x5/x18 two-executions-one-oracle discipline)
+    "p41_declarative_funnel" -> curationFunnelSql,
     "p29_token_budget" ->
       s"""WITH t AS (SELECT doc_id, source,
          |             CASE WHEN trim(text) = '' THEN 0

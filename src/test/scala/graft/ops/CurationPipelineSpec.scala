@@ -1,0 +1,106 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import CurationPipeline._
+
+/** The declarative pipeline contract: a YAML stage list delegates to
+  * the SAME verified operators as hand-composed code (differential
+  * against [[Curation.curate]] and the standalone ops), and config
+  * errors die at load time with the stage index named.
+  */
+class CurationPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("config encoding the p30 funnel equals the hand-composed run") {
+    val cfg = loadString(
+      """pipeline:
+        |  stages:
+        |    - kind: quality_gate
+        |      min_quality: 0.78
+        |    - kind: normalized_dedup
+        |    - kind: near_dup_drop
+        |      max_hamming: 3
+        |    - kind: token_budget
+        |      budget_tokens: 800
+        |      strata: source
+        |""".stripMargin)
+    val declarative = CurationPipeline.run(docs, cfg)
+      .collect().map(_.toSeq).toSet
+    val composed = Curation.curate(docs, minQuality = 0.78,
+      budgetTokens = 800L, maxHamming = 3, strata = Seq("source"))
+      .collect().map(_.toSeq).toSet
+    assert(declarative.nonEmpty && declarative == composed)
+  }
+
+  test("lang_filter, pii_redact and exact_dedup stages match the standalone ops") {
+    val d = Seq(
+      (1L, "s0", "the cat and the dog are here with the other ones"),
+      (2L, "s0", "the cat and the dog are here with the other ones"), // exact dup
+      (3L, "s0", "der hund und die katze sind auch noch da"),
+      (4L, "s1", "the mail is a.b@example.com and that is the address")
+    ).toDF("doc_id", "source", "text")
+    val cfg = loadString(
+      """pipeline:
+        |  stages:
+        |    - kind: exact_dedup
+        |    - kind: lang_filter
+        |      keep: en
+        |    - kind: pii_redact
+        |""".stripMargin)
+    val out = CurationPipeline.run(d, cfg)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    // dup 2 dropped, German 3 dropped, email in 4 redacted, 1 intact
+    assert(out.keySet == Set(1L, 4L))
+    assert(out(4L) == "the mail is <EMAIL> and that is the address")
+    assert(out(1L) == "the cat and the dog are here with the other ones")
+    // shape preserved by intermediate stages
+    assert(CurationPipeline.run(d, cfg).columns.toSeq ==
+      Seq("doc_id", "source", "text"))
+  }
+
+  test("boilerplate_drop stage rewrites text through the line filter") {
+    val d = Seq(
+      (1L, "s0", "MENU\nreal content one"),
+      (2L, "s0", "MENU\nreal content two"),
+      (3L, "s0", "MENU\nreal content three")
+    ).toDF("doc_id", "source", "text")
+    val cfg = loadString(
+      """pipeline:
+        |  stages:
+        |    - kind: boilerplate_drop
+        |      min_docs: 3
+        |""".stripMargin)
+    val out = CurationPipeline.run(d, cfg)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out(1L) == "real content one" && out(3L) == "real content three")
+  }
+
+  test("config errors fail at load with the stage named") {
+    def err(yaml: String): String =
+      intercept[PipelineConfigError](loadString(yaml)).getMessage
+    assert(err("pipeline:\n  stages:\n    - kind: no_such_stage\n")
+      .contains("unknown stage kind 'no_such_stage'"))
+    assert(err(
+      """pipeline:
+        |  stages:
+        |    - kind: token_budget
+        |      budget_tokens: 10
+        |      strata: source
+        |    - kind: exact_dedup
+        |""".stripMargin).contains("must be the final stage"))
+    assert(err("pipeline:\n  stages:\n    - kind: quality_gate\n")
+      .contains("missing 'min_quality'"))
+    assert(err("pipeline:\n  stages: []\n").contains("non-empty"))
+    assert(err("nothing: here\n").contains("pipeline"))
+    assert(err(
+      """pipeline:
+        |  stages:
+        |    - kind: near_dup_drop
+        |      max_hamming: lots
+        |""".stripMargin).contains("not a number"))
+  }
+}
