@@ -371,6 +371,23 @@ object SparkEntry {
     "a12_zscore" -> ((s, dir) =>
       ops.Profiling.standardize(t(s, dir, "events"), Seq("event_type"), "value")
         .select(col("event_id"), col("event_type"), col("value"), col("z"))),
+    // A13: heavy hitters — exact top-10 users by event count, with the
+    // Count-Min-Sketch estimate riding as a deterministically-true
+    // no-undercount flag (the a6 exact-twin + flag discipline).
+    "a13_heavy_hitters" -> ((s, dir) =>
+      ops.Profiling.heavyHitters(t(s, dir, "events"), "user_id", k = 10)),
+    // A14: distribution drift (PSI) between the even- and odd-id event
+    // halves over a fixed literal bin grid — the pre-ingest check that
+    // a new drop still looks like the reference corpus. Per-bin
+    // decomposition, so the drifted region is visible, not only the
+    // scalar sum.
+    "a14_psi_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ops.Drift.psiByBin(
+        ev.where(col("event_id") % 2 === 0),
+        ev.where(col("event_id") % 2 === 1),
+        "value", lo = 0.0, binWidth = 40.0, nBins = 10)
+    }),
     // X19: incremental aggregate maintenance — merge(base partials,
     // delta partials) must equal the full recompute, which is exactly
     // what the oracle computes. The base partial state (count/sum/
@@ -2173,6 +2190,30 @@ object SparkEntry {
         |FROM b JOIN g ON b.event_type = g.event_type AND b.day = g.day
         |             AND b.k_bucket = g.k_bucket
         |WHERE g.n_ids < 4 HAVING count(*) > 0""".stripMargin,
+    // exact twin + deterministically-true no-undercount flag
+    "a13_heavy_hitters" ->
+      """SELECT user_id, n_events, TRUE AS cms_ok FROM (
+        |  SELECT user_id, count(*) AS n_events FROM events GROUP BY 1
+        |  ORDER BY n_events DESC, user_id ASC LIMIT 10) t""".stripMargin,
+    "a14_psi_drift" ->
+      """WITH b AS (SELECT event_id,
+        |             CAST(least(greatest(floor(value / 40.0), 0), 9) AS BIGINT) AS bin
+        |           FROM events),
+        |rb AS (SELECT bin, count(*) AS n_ref FROM b WHERE event_id % 2 = 0 GROUP BY 1),
+        |cb AS (SELECT bin, count(*) AS n_cur FROM b WHERE event_id % 2 = 1 GROUP BY 1),
+        |spine AS (SELECT unnest(range(0, 10)) AS bin),
+        |j AS (SELECT s.bin, coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+        |      FROM spine s LEFT JOIN rb USING (bin) LEFT JOIN cb USING (bin)),
+        |t AS (SELECT *, sum(n_ref) OVER () AS tr, sum(n_cur) OVER () AS tc FROM j)
+        |SELECT bin, n_ref, n_cur,
+        |       round(n_ref / CAST(tr AS DOUBLE), 6) AS p_ref,
+        |       round(n_cur / CAST(tc AS DOUBLE), 6) AS p_cur,
+        |       CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+        |         round((n_ref / CAST(tr AS DOUBLE) - n_cur / CAST(tc AS DOUBLE))
+        |               * ln((n_ref / CAST(tr AS DOUBLE))
+        |                    / (n_cur / CAST(tc AS DOUBLE))), 6)
+        |       END AS psi_contrib
+        |FROM t""".stripMargin,
     "a12_zscore" ->
       """WITH st AS (SELECT event_type, round(avg(value), 6) AS mu,
         |             round(stddev_samp(value), 6) AS sigma

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitoring — the check a production pipeline
+  * runs before trusting a new data drop: has the value distribution
+  * moved against the reference corpus? The metric is the Population
+  * Stability Index over a FIXED literal bin grid,
+  * PSI = Σ_bins (p_i − q_i) · ln(p_i / q_i), the standard
+  * train-vs-serving drift score (PSI < 0.1 stable, > 0.25 shifted).
+  *
+  * The grid is literal (the a8 histogram discipline): a data-dependent
+  * grid (quantile bins) would need its own pass AND make the score
+  * incomparable across drops — the whole point is a fixed yardstick.
+  *
+  * Scale: binning is per-row math on each side's scan; the two
+  * bin-count aggregations shuffle |bins| rows each and join on the bin
+  * id. Nothing holds more than the bin table.
+  *
+  * Determinism: bin shares are ratios of exact counts (identical
+  * doubles in any IEEE engine); the single ln per bin is rounded at
+  * 6 dp over |bins| rows — the group-granularity rounding argument
+  * (BASELINE x2), not the per-row one. Empty bins on either side gate
+  * the contribution to NULL (fail-visible, the [[Expectations]]
+  * discipline) rather than fabricating a smoothing constant.
+  */
+object Drift {
+
+  /** Per-bin PSI decomposition of `valueCol` between `reference` and
+    * `current`: bin id, both counts, both shares, and the 6-dp-rounded
+    * PSI contribution (NULL where a side is empty). The total PSI is
+    * the sum over the output — kept per-bin so the drifted REGION is
+    * visible, not only the scalar.
+    */
+  def psiByBin(reference: DataFrame, current: DataFrame, valueCol: String,
+      lo: Double, binWidth: Double, nBins: Int): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    require(binWidth > 0, s"binWidth must be > 0, got $binWidth")
+    def binned(df: DataFrame, out: String): DataFrame = df
+      .select(least(greatest(floor((col(valueCol) - lit(lo)) / lit(binWidth)), lit(0)),
+        lit(nBins - 1)).cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(out))
+    val spark = reference.sparkSession
+    import spark.implicits._
+    // dense bin spine: a bin empty on BOTH sides still reports, with
+    // zero counts — an all-zero tail is itself a drift signal
+    val spine = (0 until nBins).map(_.toLong).toDF("bin")
+    val r = binned(reference, "n_ref")
+    val c = binned(current, "n_cur")
+    val joined = spine
+      .join(r, Seq("bin"), "left").join(c, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totR = sum(col("n_ref")).over()
+    val totC = sum(col("n_cur")).over()
+    // the window totals run over the |bins|-row frame, not the data
+    joined
+      .withColumn("p_ref", col("n_ref") / totR)
+      .withColumn("p_cur", col("n_cur") / totC)
+      .withColumn("psi_contrib",
+        when(col("n_ref") > 0 && col("n_cur") > 0,
+          round((col("p_ref") - col("p_cur")) * log(col("p_ref") / col("p_cur")), 6)))
+      .withColumn("p_ref", round(col("p_ref"), 6))
+      .withColumn("p_cur", round(col("p_cur"), 6))
+  }
+}

@@ -52,6 +52,34 @@ object Profiling {
       df.sparkSession.sparkContext.parallelize(rows, 1), outSchema)
   }
 
+  /** Exact top-k heavy hitters with a Count-Min-Sketch cross-check —
+    * the a6 sketch discipline applied to frequency: the exact
+    * aggregation is the oracle-checkable twin, and the CMS (the
+    * mergeable fixed-size state a 100 TB streaming counter actually
+    * keeps) rides along as a deterministically-TRUE flag, because a
+    * count-min estimate NEVER undercounts (every hash row only ever
+    * adds colliding keys' counts on top of the true one). A sketch
+    * regression — wrong merge, wrong seed plumbing — flips the flag
+    * and fails the hash.
+    *
+    * The sketch is a distributed aggregate (`df.stat.countMinSketch`,
+    * fixed seed); the driver holds only the d×w counter grid. The
+    * exact side is one shuffle + top-k. At corpus scale the exact twin
+    * is the expensive half — the production path keeps ONLY the
+    * sketch and this operator is how its quality stays pinned.
+    */
+  def heavyHitters(df: DataFrame, keyCol: String, k: Int,
+      eps: Double = 0.001, confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val exact = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_events"))
+      .orderBy(col("n_events").desc, col(keyCol).asc).limit(k)
+    val cms = df.stat.countMinSketch(col(keyCol), eps, confidence, seed)
+    val cmsB = df.sparkSession.sparkContext.broadcast(cms)
+    val est = udf { key: Long => cmsB.value.estimateCount(key) }
+    exact.withColumn("cms_ok", est(col(keyCol)) >= col("n_events"))
+  }
+
   /** Group-wise z-score standardization — the feature-normalization
     * step of a training pipeline (per-source quality scores, per-type
     * metric scales). Appends `out` = (value − μ_g) / σ_g with the

@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("psi: identical distributions score zero; a planted shift scores positive where it moved") {
+    val ref = (1 to 300).map(i => (i % 10) * 10.0 + 1).toDF("value")
+    val same = Drift.psiByBin(ref, ref, "value", lo = 0.0, binWidth = 10.0, nBins = 10)
+      .select("bin", "psi_contrib").as[(Long, Option[Double])].collect().toMap
+    assert(same.size == 10 && same.values.forall(_.contains(0.0)))
+
+    // current loses the top bin's mass to the bottom bin
+    val cur = (1 to 300).map { i =>
+      val b = i % 10; (if (b == 9) 0 else b) * 10.0 + 1
+    }.toDF("value")
+    val drift = Drift.psiByBin(ref, cur, "value", 0.0, 10.0, 10)
+      .select("bin", "n_ref", "n_cur", "psi_contrib")
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1)
+    // bin 0 doubled, bin 9 emptied -> bin 0 contributes positive PSI,
+    // bin 9 gates to NULL (one side empty), untouched bins stay 0
+    val byBin = drift.map(r => r._1 -> r).toMap
+    assert(byBin(0L)._3 == 60L && byBin(0L)._4.exists(_ > 0))
+    assert(byBin(9L)._3 == 0L && byBin(9L)._4.isEmpty)
+    assert((1L to 8L).forall(b => byBin(b)._4.contains(0.0)))
+  }
+
+  test("psi: out-of-range values clamp to the edge bins; spine reports empty bins") {
+    val ref = Seq(-5.0, 2.0, 95.0, 200.0).toDF("value")
+    val out = Drift.psiByBin(ref, ref, "value", 0.0, 10.0, 10)
+      .select("bin", "n_ref").as[(Long, Long)].collect().toMap
+    assert(out(0L) == 2L) // -5 clamps down into bin 0
+    assert(out(9L) == 2L) // 95 and 200 clamp up into bin 9
+    assert(out.size == 10 && out(5L) == 0L)
+  }
+
+  test("heavy hitters: exact top-k with a never-undercounting sketch flag") {
+    val rows = (1 to 100).flatMap(i => Seq.fill(i % 7 + 1)(i.toLong)).toDF("user_id")
+    val out = Profiling.heavyHitters(rows, "user_id", k = 5)
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.length == 5)
+    // counts are 7 for ids with i%7==6; smallest such ids win the tie
+    assert(out.map(_._1).toSeq == Seq(6L, 13L, 20L, 27L, 34L))
+    assert(out.forall(r => r._2 == 7L && r._3))
+  }
+}
