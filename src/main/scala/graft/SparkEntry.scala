@@ -602,6 +602,31 @@ object SparkEntry {
       drainMemorySink(s, sink)
     }),
 
+    // X22: streaming drift monitor — the a14 PSI math applied online:
+    // the stream (odd-id events) maintains per-(hour, value-bin)
+    // counts as windowed aggregation state; the drained state is then
+    // scored against the batch-computed reference distribution
+    // (even-id events) in a tiny post-pass over windows×bins rows —
+    // exactly how a monitor reads its state store. Bins absent from
+    // the reference surface as NULL, the strongest drift signal.
+    "x22_stream_psi" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val refShares = ops.Drift.binShares(
+        t(s, dir, "events").where(col("event_id") % 2 === 0),
+        "value", lo = 0.0, binWidth = 40.0, nBins = 10)
+      val cur = eventStream(s, dir).where(col("event_id") % 2 === 1)
+      val binned = EventTime.withTsNanos(cur)
+        .groupBy(date_trunc("hour",
+          timestamp_micros(EventTime.nsToMicros("ts_ns"))).as("win_start"),
+          ops.Drift.binCol(col("value"), 0.0, 40.0, 10).as("bin"))
+        .agg(count(lit(1)).as("n_cur"))
+      val sink = s"stream_psi_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = binned.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      ops.Drift.psiAgainstReference(drainMemorySink(s, sink), refShares)
+    }),
+
     // D6: SCD Type-2 history construction — the other half of the
     // warehouse dimension story (D3 is SCD-1 overwrite, D5 is SCD-1
     // latest-wins compaction; this builds the FULL validity-interval
@@ -2214,6 +2239,24 @@ object SparkEntry {
         |                    / (n_cur / CAST(tc AS DOUBLE))), 6)
         |       END AS psi_contrib
         |FROM t""".stripMargin,
+    "x22_stream_psi" ->
+      """WITH ref AS (SELECT CAST(least(greatest(floor(value / 40.0), 0), 9) AS BIGINT) AS bin,
+        |                    count(*) AS n_ref
+        |             FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+        |rt AS (SELECT bin,
+        |              n_ref / CAST((SELECT sum(n_ref) FROM ref) AS DOUBLE) AS p_ref
+        |       FROM ref),
+        |cur AS (SELECT date_trunc('hour', ts) AS win_start,
+        |               CAST(least(greatest(floor(value / 40.0), 0), 9) AS BIGINT) AS bin,
+        |               count(*) AS n_cur
+        |        FROM events WHERE event_id % 2 = 1 GROUP BY 1, 2),
+        |ct AS (SELECT *, sum(n_cur) OVER (PARTITION BY win_start) AS tw FROM cur)
+        |SELECT c.win_start, c.bin, c.n_cur,
+        |       CASE WHEN r.p_ref IS NOT NULL THEN
+        |         round((r.p_ref - c.n_cur / CAST(tw AS DOUBLE))
+        |               * ln(r.p_ref / (c.n_cur / CAST(tw AS DOUBLE))), 6)
+        |       END AS psi_contrib
+        |FROM ct c LEFT JOIN rt r USING (bin)""".stripMargin,
     "a12_zscore" ->
       """WITH st AS (SELECT event_type, round(avg(value), 6) AS mu,
         |             round(stddev_samp(value), 6) AS sigma

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distribution-drift monitoring — the check a production pipeline
@@ -38,8 +39,7 @@ object Drift {
     require(nBins >= 2, s"nBins must be >= 2, got $nBins")
     require(binWidth > 0, s"binWidth must be > 0, got $binWidth")
     def binned(df: DataFrame, out: String): DataFrame = df
-      .select(least(greatest(floor((col(valueCol) - lit(lo)) / lit(binWidth)), lit(0)),
-        lit(nBins - 1)).cast("long").as("bin"))
+      .select(binCol(col(valueCol), lo, binWidth, nBins).as("bin"))
       .groupBy("bin").agg(count(lit(1)).as(out))
     val spark = reference.sparkSession
     import spark.implicits._
@@ -64,5 +64,46 @@ object Drift {
           round((col("p_ref") - col("p_cur")) * log(col("p_ref") / col("p_cur")), 6)))
       .withColumn("p_ref", round(col("p_ref"), 6))
       .withColumn("p_cur", round(col("p_cur"), 6))
+  }
+
+  /** The literal-grid bin id for `valueCol` — shared by [[psiByBin]]'s
+    * batch sides and the streaming monitor's aggregation key, so the
+    * two executions bin identically by construction.
+    */
+  def binCol(valueCol: Column, lo: Double, binWidth: Double, nBins: Int): Column =
+    least(greatest(floor((valueCol - lit(lo)) / lit(binWidth)), lit(0)),
+      lit(nBins - 1)).cast("long")
+
+  /** Reference distribution as (bin, p_ref) over the OBSERVED bins —
+    * the broadcastable yardstick a monitor scores incoming windows
+    * against. Shares are ratios of exact counts (identical doubles in
+    * any IEEE engine).
+    */
+  def binShares(df: DataFrame, valueCol: String, lo: Double, binWidth: Double,
+      nBins: Int): DataFrame =
+    df.select(binCol(col(valueCol), lo, binWidth, nBins).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_ref"))
+      .withColumn("p_ref", col("n_ref") / sum(col("n_ref")).over())
+      .select("bin", "p_ref")
+
+  /** Scores per-window bin counts (`windowCol`, `bin`, `n_cur`)
+    * against a [[binShares]] reference: per-window shares from a
+    * window over the small count frame, reference broadcast, PSI
+    * contribution rounded at 6 dp. Bins absent from the reference
+    * gate to NULL (new mass where the reference had none IS the
+    * strongest drift signal — surfaced as its own state, not folded
+    * into a number).
+    */
+  def psiAgainstReference(current: DataFrame, refShares: DataFrame,
+      windowCol: String = "win_start"): DataFrame = {
+    val w = Window.partitionBy(col(windowCol))
+    current
+      .withColumn("__tw", sum(col("n_cur")).over(w))
+      .join(broadcast(refShares), Seq("bin"), "left")
+      .withColumn("p_cur", col("n_cur") / col("__tw"))
+      .withColumn("psi_contrib",
+        when(col("p_ref").isNotNull,
+          round((col("p_ref") - col("p_cur")) * log(col("p_ref") / col("p_cur")), 6)))
+      .select(col(windowCol), col("bin"), col("n_cur"), col("psi_contrib"))
   }
 }

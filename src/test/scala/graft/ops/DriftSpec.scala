@@ -36,6 +36,27 @@ class DriftSpec extends SparkSpec {
     assert(out.size == 10 && out(5L) == 0L)
   }
 
+  test("windowed psi: reference shares sum to one; novel-bin mass gates to null") {
+    val ref = Seq(5.0, 5.0, 15.0, 15.0).toDF("value") // bins 0 and 1, half each
+    val shares = Drift.binShares(ref, "value", 0.0, 10.0, 10)
+      .as[(Long, Double)].collect().toMap
+    assert(shares == Map(0L -> 0.5, 1L -> 0.5))
+
+    val counts = Seq(
+      ("w1", 0L, 1L), ("w1", 1L, 1L),  // matches the reference -> psi 0
+      ("w2", 0L, 1L), ("w2", 5L, 1L)   // half the mass in a bin ref never saw
+    ).toDF("win_start", "bin", "n_cur")
+    val scored = Drift.psiAgainstReference(counts,
+      Drift.binShares(ref, "value", 0.0, 10.0, 10))
+      .select("win_start", "bin", "psi_contrib")
+      .as[(String, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(scored(("w1", 0L)).contains(0.0) && scored(("w1", 1L)).contains(0.0))
+    // w2 bin 0: p_ref 0.5, p_cur 0.5 -> 0; bin 5 unseen in ref -> NULL
+    assert(scored(("w2", 0L)).contains(0.0))
+    assert(scored(("w2", 5L)).isEmpty)
+  }
+
   test("heavy hitters: exact top-k with a never-undercounting sketch flag") {
     val rows = (1 to 100).flatMap(i => Seq.fill(i % 7 + 1)(i.toLong)).toDF("user_id")
     val out = Profiling.heavyHitters(rows, "user_id", k = 5)
