@@ -1535,6 +1535,18 @@ object SparkEntry {
       Similarity.ivfCosineTopK(t(s, dir, "embeddings"), k = 5, nCentroids = 8, nProbe = 2)
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
           col("rank").cast("long").as("rank"))),
+    // P42: incremental IVF — vec_id < 250 is the EXISTING index
+    // (codebook + rank-1 lists are persisted state); only the batch
+    // (>= 250) computes cell ranks and probes the corpus lists. The
+    // p38 incremental contract applied to ANN.
+    "p42_ivf_incremental" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfCosineTopKIncremental(
+        emb.where(col("vec_id") < 250), emb.where(col("vec_id") >= 250),
+        k = 5, nCentroids = 8, nProbe = 2)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
+          col("rank").cast("long").as("rank"))
+    }),
     // tau=0.45 sits just inside the corpus' cosine tail (max ~0.51) so
     // the threshold variant returns a small non-empty pair set.
     "p12_embedding_dup" -> ((s, dir) =>
@@ -1758,7 +1770,12 @@ object SparkEntry {
     * probe join and exact in-cell ranking. Built by a helper because
     * the Lloyd round repeats verbatim; `aK/mK/cK` name iteration K.
     */
-  private def ivfKmeansOracleSql: String = {
+  /** The IVF+k-means replay, parameterized by fit-side and probe-side
+    * predicates: p13 uses the whole table for both; p42 fits/lists on
+    * the corpus and probes only the batch (the incremental contract).
+    */
+  private def ivfKmeansOracleSql(fitPred: String = "TRUE",
+      probePred: String = "TRUE"): String = {
     def lloyd(k: Int): String = {
       val prev = s"c${k - 1}"
       s"""a$k AS (SELECT vec_id, e, cid FROM (
@@ -1776,7 +1793,9 @@ object SparkEntry {
     s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
        |           FROM embeddings),
        |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v
-       |      WHERE sqrt(list_sum(list_transform(e, x -> x*x))) > 0),
+       |      WHERE sqrt(list_sum(list_transform(e, x -> x*x))) > 0 AND ($fitPred)),
+       |nq AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v
+       |      WHERE sqrt(list_sum(list_transform(e, x -> x*x))) > 0 AND ($probePred)),
        |seed AS (SELECT row_number() OVER (ORDER BY ${hx("CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC) - 1 AS cid,
        |                e AS cv, nrm AS cn
        |         FROM n ORDER BY ${hx("CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC LIMIT 8),
@@ -1784,20 +1803,24 @@ object SparkEntry {
        |${lloyd(1)},
        |${lloyd(2)},
        |${lloyd(3)},
-       |cells AS (SELECT vec_id, cid, rk FROM (
+       |assign AS (SELECT vec_id, cid AS cell FROM (
        |  SELECT n.vec_id, c.cid,
        |         row_number() OVER (PARTITION BY n.vec_id ORDER BY
        |           list_sum(list_transform(n.e, (x, i) -> x * c.cv[i])) / (n.nrm * c.cn) DESC,
        |           c.cid ASC) AS rk
-       |  FROM n CROSS JOIN c3 c) WHERE rk <= 2),
-       |assign AS (SELECT vec_id, cid AS cell FROM cells WHERE rk = 1),
-       |probes AS (SELECT vec_id, cid AS cell FROM cells WHERE rk <= 2),
+       |  FROM n CROSS JOIN c3 c) WHERE rk = 1),
+       |probes AS (SELECT vec_id, cid AS cell FROM (
+       |  SELECT nq.vec_id, c.cid,
+       |         row_number() OVER (PARTITION BY nq.vec_id ORDER BY
+       |           list_sum(list_transform(nq.e, (x, i) -> x * c.cv[i])) / (nq.nrm * c.cn) DESC,
+       |           c.cid ASC) AS rk
+       |  FROM nq CROSS JOIN c3 c) WHERE rk <= 2),
        |pairs AS (
        |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
        |         list_sum(list_transform(qa.e, (x, i) -> x * na.e[i])) / (qa.nrm * na.nrm) AS cosine
        |  FROM probes p
        |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id
-       |  JOIN n qa ON qa.vec_id = p.vec_id
+       |  JOIN nq qa ON qa.vec_id = p.vec_id
        |  JOIN n na ON na.vec_id = a.vec_id
        |),
        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
@@ -2802,7 +2825,10 @@ object SparkEntry {
         |       round(list_sum(list_transform(range(1, len(e) + 1), i ->
         |         pow(e[i] - codes[i] * scale, 2))) / len(e), 12) AS mse
         |FROM q""".stripMargin,
-    "p13_ivf_topk" -> ivfKmeansOracleSql,
+    "p13_ivf_topk" -> ivfKmeansOracleSql(),
+    // incremental twin: fit + lists on the corpus, probe only the batch
+    "p42_ivf_incremental" ->
+      ivfKmeansOracleSql(fitPred = "vec_id < 250", probePred = "vec_id >= 250"),
     "p25_lsh_topk_banded" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
          |           FROM embeddings),

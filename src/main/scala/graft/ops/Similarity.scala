@@ -273,21 +273,26 @@ object Similarity {
     * reference). Emits ranks 1..maxRank.
     * Returns (idOut, vecOut, normOut, cell, __rk).
     */
+  /** struct(-sim, cid) sorted ascending = sim descending, cid
+    * ascending; `+ 0.0` normalizes -0.0 so a zero cosine ties
+    * identically to SQL. cid literal keeps the cell id's own type
+    * (string ids included). ONE builder serves every codebook — the
+    * scoring expression must stay identical between them (and to the
+    * oracle).
+    */
+  private def centroidEntry(vecOut: String, normOut: String)(
+      cid: Any, cv: Seq[Double], cn: Double): Column =
+    struct(
+      ((VectorMath.dot(col(vecOut), typedlit(cv)) / (col(normOut) * lit(cn))) * -1.0
+        + 0.0).as("ns"),
+      lit(cid).as("cid"))
+
   private def ivfRankedCells(emb: DataFrame, nCentroids: Int, maxRank: Int,
       id: String, vec: String,
       idOut: String, vecOut: String, normOut: String,
       codebook: String = "kmeans", fitSamplePct: Int = 100): DataFrame = {
     val vs = withNorm(emb, id, vec, idOut, vecOut, normOut)
-    // struct(-sim, cid) sorted ascending = sim descending, cid ascending;
-    // `+ 0.0` normalizes -0.0 so a zero cosine ties identically to SQL.
-    // cid literal keeps the cell id's own type (string ids included).
-    // ONE builder serves both codebooks — the scoring expression must
-    // stay identical between them (and to the oracle).
-    def entry(cid: Any, cv: Seq[Double], cn: Double): Column =
-      struct(
-        ((VectorMath.dot(col(vecOut), typedlit(cv)) / (col(normOut) * lit(cn))) * -1.0
-          + 0.0).as("ns"),
-        lit(cid).as("cid"))
+    val entry = centroidEntry(vecOut, normOut) _
     val entries: Seq[Column] = codebook match {
       case "kmeans" =>
         fitCodebookKMeans(emb, nCentroids, iters = 3, id, vec, fitSamplePct)
@@ -339,6 +344,86 @@ object Similarity {
     val probes = cells.where(col("__rk") <= nProbe)
       .select(col("vid").as("query_id"), col("v").as("va"), col("nrm").as("na"),
         col("cell"))
+    val pairs = probes.join(lists, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorMath.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+    rankTopK(pairs, k)
+  }
+
+  /** Cell ranking against a GIVEN codebook — the assignment half of
+    * IVF split out so an EXISTING index's codebook (persisted via
+    * [[saveCodebook]]) can assign new vectors without refitting.
+    */
+  private def rankedCellsWithCodebook(emb: DataFrame,
+      cb: Seq[(Int, Seq[Double], Double)], maxRank: Int,
+      id: String, vec: String,
+      idOut: String, vecOut: String, normOut: String): DataFrame = {
+    val vs = withNorm(emb, id, vec, idOut, vecOut, normOut)
+    val entries = cb.map { case (cid, cv, cn) =>
+      centroidEntry(vecOut, normOut)(cid, cv, cn)
+    }
+    if (entries.isEmpty)
+      return vs.withColumn("cell", col(idOut)).withColumn("__rk", lit(1))
+        .where(lit(false))
+    spread(vs)
+      .select(col(idOut), col(vecOut), col(normOut),
+        posexplode(slice(sort_array(array(entries: _*)), 1, maxRank))
+          .as(Seq("__p", "__s")))
+      .select(col(idOut), col(vecOut), col(normOut),
+        col("__s.cid").as("cell"), (col("__p") + 1).as("__rk"))
+  }
+
+  /** Fit an IVF codebook for external persistence. */
+  def fitCodebook(emb: DataFrame, nCentroids: Int,
+      id: String = "vec_id", vec: String = "embedding",
+      fitSamplePct: Int = 100): Seq[(Int, Seq[Double], Double)] =
+    fitCodebookKMeans(emb, nCentroids, iters = 3, id, vec, fitSamplePct)
+
+  /** Persist/restore a codebook as a tiny parquet table — the index
+    * state a daily ANN pipeline reads back instead of refitting
+    * (|centroids| rows; the norms are re-derived on load so the file
+    * carries no redundant — and potentially inconsistent — state).
+    */
+  def saveCodebook(spark: org.apache.spark.sql.SparkSession, path: String,
+      cb: Seq[(Int, Seq[Double], Double)]): Unit = {
+    import spark.implicits._
+    cb.map { case (cid, cv, _) => (cid, cv) }.toDF("cid", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadCodebook(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(Int, Seq[Double], Double)] =
+    spark.read.parquet(path).collect().toSeq
+      .map { r =>
+        val cv = r.getSeq[Double](r.fieldIndex("cv"))
+        (r.getInt(r.fieldIndex("cid")), cv, math.sqrt(cv.map(x => x * x).sum))
+      }
+      .sortBy(_._1)
+
+  /** Incremental IVF: new-batch vectors query an EXISTING index — the
+    * corpus's codebook (persisted state, [[saveCodebook]]) and its
+    * rank-1 inverted lists — without the corpus refitting or
+    * re-assigning anything. The p38 incremental contract applied to
+    * ANN: only the batch computes cell ranks; the corpus pays nothing.
+    *
+    * Scale: the batch's cell assignment is per-row math against the
+    * broadcast-literal codebook; the probe join shuffles batch-side
+    * probes and corpus lists on the cell key only.
+    */
+  def ivfCosineTopKIncremental(corpus: DataFrame, batch: DataFrame, k: Int,
+      nCentroids: Int = 8, nProbe: Int = 2,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val cb = fitCodebookKMeans(corpus, nCentroids, iters = 3, id, vec)
+    val lists = rankedCellsWithCodebook(corpus, cb, maxRank = 1,
+      id, vec, "vid", "v", "nrm")
+      .where(col("__rk") === 1)
+      .select(col("vid").as("neighbor_id"), col("v").as("vb"),
+        col("nrm").as("nb"), col("cell"))
+    val probes = rankedCellsWithCodebook(batch, cb, math.max(1, nProbe),
+      id, vec, "vid", "v", "nrm")
+      .where(col("__rk") <= nProbe)
+      .select(col("vid").as("query_id"), col("v").as("va"),
+        col("nrm").as("na"), col("cell"))
     val pairs = probes.join(lists, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", VectorMath.dot(col("va"), col("vb")) / (col("na") * col("nb")))

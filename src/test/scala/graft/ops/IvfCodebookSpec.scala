@@ -96,6 +96,34 @@ class IvfCodebookSpec extends SparkSpec {
     }
   }
 
+  test("codebook save/load roundtrip is exact; incremental probe honors the index split") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cb").toString
+    val corpus = skewed.where(col("vec_id") < 200)
+    val batch = skewed.where(col("vec_id") >= 200)
+    val cb = Similarity.fitCodebook(corpus, nCentroids = 8)
+    Similarity.saveCodebook(spark, s"$dir/cb", cb)
+    val back = Similarity.loadCodebook(spark, s"$dir/cb")
+    // exact: coordinates are already 6-dp-quantized doubles, and the
+    // norm re-derives from them bit-identically
+    assert(back == cb)
+
+    val out = Similarity.ivfCosineTopKIncremental(corpus, batch, k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    assert(out.nonEmpty)
+    // queries come only from the batch; neighbors only from the index
+    assert(out.forall { case (q, n, _) => q >= 200 && n < 200 })
+    // ranks are dense 1..m per query
+    out.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length).toSeq)
+    }
+    // deterministic
+    val again = Similarity.ivfCosineTopKIncremental(corpus, batch, k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    assert(out.toSet == again.toSet)
+  }
+
   test("exact cosine tie between two centroids resolves to the lowest centroid id") {
     // Planted near-tie: two orthogonal unit centroids and a query vector
     // exactly on their bisector. Both cells score identical cosine; the
