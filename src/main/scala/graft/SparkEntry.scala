@@ -371,6 +371,14 @@ object SparkEntry {
     "a12_zscore" -> ((s, dir) =>
       ops.Profiling.standardize(t(s, dir, "events"), Seq("event_type"), "value")
         .select(col("event_id"), col("event_type"), col("value"), col("z"))),
+    // A15: group-wise winsorization — per-type outlier clipping to the
+    // [p05, p95] band, the robust-scaling companion to a12 (band edges
+    // 6 dp-quantized before the clip, so every output value is one of
+    // {v, lo, hi}, each engine-identical).
+    "a15_winsorize" -> ((s, dir) =>
+      ops.Profiling.winsorize(t(s, dir, "events"), Seq("event_type"), "value",
+        pLo = 0.05, pHi = 0.95)
+        .select(col("event_id"), col("event_type"), col("value"), col("v_clipped"))),
     // A13: heavy hitters — exact top-10 users by event count, with the
     // Count-Min-Sketch estimate riding as a deterministically-true
     // no-undercount flag (the a6 exact-twin + flag discipline).
@@ -2238,6 +2246,14 @@ object SparkEntry {
         |FROM b JOIN g ON b.event_type = g.event_type AND b.day = g.day
         |             AND b.k_bucket = g.k_bucket
         |WHERE g.n_ids < 4 HAVING count(*) > 0""".stripMargin,
+    "a15_winsorize" ->
+      """WITH st AS (SELECT event_type,
+        |             round(quantile_cont(value, 0.05), 6) AS lo,
+        |             round(quantile_cont(value, 0.95), 6) AS hi
+        |            FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        |       least(greatest(e.value, lo), hi) AS v_clipped
+        |FROM events e JOIN st USING (event_type)""".stripMargin,
     // exact twin + deterministically-true no-undercount flag
     "a13_heavy_hitters" ->
       """SELECT user_id, n_events, TRUE AS cms_ok FROM (

@@ -52,6 +52,32 @@ object Profiling {
       df.sparkSession.sparkContext.parallelize(rows, 1), outSchema)
   }
 
+  /** Group-wise winsorization — outlier clipping to the group's
+    * [pLo, pHi] quantile band, the robust-scaling companion to
+    * [[standardize]] (a z-score over winsorized values is the
+    * standard robust feature pipeline). Same broadcast shape: one
+    * percentile aggregation per group, stats broadcast back, the clip
+    * is per-row `least`/`greatest` inside codegen.
+    *
+    * The band edges quantize to 6 dp before the clip, so every output
+    * value is one of {v, lo, hi} — each engine-identical (the
+    * [[standardize]] argument; Spark's exact interpolated `percentile`
+    * is the proven cross-engine twin of `quantile_cont`, a3).
+    */
+  def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      pLo: Double = 0.01, pHi: Double = 0.99,
+      out: String = "v_clipped"): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    val stats = df.groupBy(groupCols.map(col): _*)
+      .agg(round(expr(s"percentile($valueCol, $pLo)"), 6).as("__lo"),
+        round(expr(s"percentile($valueCol, $pHi)"), 6).as("__hi"))
+    df.join(broadcast(stats), groupCols)
+      .withColumn(out, least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
   /** Exact top-k heavy hitters with a Count-Min-Sketch cross-check —
     * the a6 sketch discipline applied to frequency: the exact
     * aggregation is the oracle-checkable twin, and the CMS (the

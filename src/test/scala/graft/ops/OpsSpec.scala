@@ -111,6 +111,20 @@ class OpsSpec extends SparkSpec {
       ("b", 5.0, None), ("b", 5.0, None), ("c", 7.0, None)))
   }
 
+  test("winsorize: clips to the group band, interior values untouched") {
+    val d = (Seq(-100.0) ++ (1 to 99).map(_.toDouble) ++ Seq(1000.0))
+      .map(("g", _)).toDF("g", "v")
+    val out = Profiling.winsorize(d, Seq("g"), "v", pLo = 0.05, pHi = 0.95)
+      .select("v", "v_clipped").as[(Double, Double)].collect().toMap
+    // extremes clip onto the band edges; interior points are identical
+    assert(out(-100.0) > -100.0 && out(-100.0) <= 6.0)
+    assert(out(1000.0) < 1000.0 && out(1000.0) >= 94.0)
+    assert(out(50.0) == 50.0 && out(10.0) == 10.0 && out(90.0) == 90.0)
+    intercept[IllegalArgumentException] {
+      Profiling.winsorize(d, Seq("g"), "v", pLo = 0.9, pHi = 0.1)
+    }
+  }
+
   test("reshard: dense per-shard positions, deterministic, lossless") {
     val d = (1L to 1000L).map(i => (i, s"t$i")).toDF("doc_id", "text")
     val sharded = Sampling.shardByHash(d, col("doc_id"), 8)
