@@ -31,6 +31,8 @@ object CurationPipeline {
   case class LangFilter(keep: Seq[String]) extends Stage
   case object PiiRedact extends Stage
   case class BoilerplateDrop(minDocs: Int, source: String) extends Stage
+  case class HashSample(pct: Int) extends Stage
+  case class SplitAssign(splits: Seq[(String, Int)]) extends Stage
   case class TokenBudget(budgetTokens: Long, strata: Seq[String]) extends Stage
 
   case class Config(stages: Seq[Stage], id: String, text: String)
@@ -72,6 +74,8 @@ object CurationPipeline {
     stages.dropRight(1).zipWithIndex.foreach {
       case (_: TokenBudget, i) => throw new PipelineConfigError(
         s"stage $i: token_budget reshapes the output and must be the final stage")
+      case (_: SplitAssign, i) => throw new PipelineConfigError(
+        s"stage $i: split_assign appends a column and must be the final stage")
       case _ => ()
     }
     Config(stages, id, text)
@@ -98,6 +102,20 @@ object CurationPipeline {
       case "pii_redact"       => PiiRedact
       case "boilerplate_drop" =>
         BoilerplateDrop(num("min_docs", _.toInt), m.getOrElse("source", "source"))
+      case "hash_sample"      => HashSample(num("pct", _.toInt))
+      case "split_assign"     =>
+        // "train:80,val:10,test:10" — Sampling.splitAssign validates
+        // positivity and the sum-to-100 contract at run time
+        val splits = req("splits").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          .map { part =>
+            part.split(":") match {
+              case Array(name, pct) => (name.trim, num("splits", _ => pct.trim.toInt))
+              case _ => throw new PipelineConfigError(
+                s"stage $i: split entry '$part' is not name:pct")
+            }
+          }
+        if (splits.isEmpty) throw new PipelineConfigError(s"stage $i: 'splits' is empty")
+        SplitAssign(splits)
       case "token_budget"     =>
         val strata = req("strata").split(",").map(_.trim).filter(_.nonEmpty).toSeq
         if (strata.isEmpty) throw new PipelineConfigError(s"stage $i: 'strata' is empty")
@@ -149,13 +167,18 @@ object CurationPipeline {
           TextStats.dropBoilerplateLines(df, minDocs, cfg.id, source, cfg.text)
             .withColumn(cfg.text, col("text_clean"))
             .select(shape: _*)
+        case HashSample(pct) =>
+          Sampling.bernoulliByHash(df, col(cfg.id), pct)
+        case SplitAssign(splits) =>
+          Sampling.splitAssign(df, col(cfg.id), splits)
         case TokenBudget(budget, strata) =>
           Sampling.tokenBudgetSample(df, strata, budget, cfg.id, cfg.text)
             .select((col(cfg.id) +: strata.map(col)
               :+ col("n_tokens") :+ col("cum_tokens")): _*)
       }
       stage match {
-        case TokenBudget(_, _) => out // terminal — nothing reads it twice
+        // terminal stages — nothing reads them twice
+        case TokenBudget(_, _) | SplitAssign(_) => out
         case _ => out.localCheckpoint(true)
       }
     }

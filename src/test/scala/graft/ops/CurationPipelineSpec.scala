@@ -79,6 +79,28 @@ class CurationPipelineSpec extends SparkSpec {
     assert(out(1L) == "real content one" && out(3L) == "real content three")
   }
 
+  test("hash_sample and split_assign stages match the standalone samplers") {
+    val d = (1L to 500L).map(i => (i, s"s${i % 2}", s"text $i"))
+      .toDF("doc_id", "source", "text")
+    val cfg = loadString(
+      """pipeline:
+        |  stages:
+        |    - kind: hash_sample
+        |      pct: 20
+        |    - kind: split_assign
+        |      splits: train:80, val:10, test:10
+        |""".stripMargin)
+    val out = CurationPipeline.run(d, cfg)
+    assert(out.columns.toSeq == Seq("doc_id", "source", "text", "split"))
+    val got = out.select("doc_id", "split").as[(Long, String)].collect().toMap
+    val wantIds = Sampling.bernoulliByHash(d, col("doc_id"), 20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.keySet == wantIds && got.nonEmpty)
+    // the sampled docs inherit the production split: pct-20 is a
+    // bucket prefix of the train cut
+    assert(got.values.forall(_ == "train"))
+  }
+
   test("config errors fail at load with the stage named") {
     def err(yaml: String): String =
       intercept[PipelineConfigError](loadString(yaml)).getMessage
@@ -95,6 +117,19 @@ class CurationPipelineSpec extends SparkSpec {
     assert(err("pipeline:\n  stages:\n    - kind: quality_gate\n")
       .contains("missing 'min_quality'"))
     assert(err("pipeline:\n  stages: []\n").contains("non-empty"))
+    assert(err(
+      """pipeline:
+        |  stages:
+        |    - kind: split_assign
+        |      splits: train:80, val:20
+        |    - kind: exact_dedup
+        |""".stripMargin).contains("must be the final stage"))
+    assert(err(
+      """pipeline:
+        |  stages:
+        |    - kind: split_assign
+        |      splits: train-80
+        |""".stripMargin).contains("not name:pct"))
     assert(err("nothing: here\n").contains("pipeline"))
     assert(err(
       """pipeline:
