@@ -126,19 +126,27 @@ object CurationPipeline {
   }
 
   /** Runs the configured stages in order. Intermediate stages preserve
-    * the input column shape; `token_budget` (final-only, enforced at
-    * load) projects to the [[Curation.curate]] output shape.
+    * the input column shape; `token_budget` and `split_assign`
+    * (final-only, enforced at load) reshape the output.
     *
-    * Each stage's output is eagerly materialized before the next: the
-    * dedup and near-dup stages read their input from BOTH sides of a
-    * join, and without the cut the quality stage's per-row regex
-    * pipeline re-evaluates per branch ([[Curation.curate]]'s measured
-    * rationale, inherited wholesale).
+    * Materialization discipline: a stage's input is eagerly
+    * checkpointed ONLY when that stage reads it from BOTH sides of a
+    * join (the dedup family) — without the cut, everything upstream
+    * (per-row regex pipelines especially) re-evaluates per branch
+    * ([[Curation.curate]]'s measured rationale). Single-read stages
+    * chain lazily, so a filter→redact→filter run stays one fused
+    * pass; checkpointing every stage OUTPUT instead benched the
+    * config-driven funnel at 2× its hand-composed twin.
     */
   def run(docs: DataFrame, cfg: Config): DataFrame = {
     val shape = docs.columns.map(col).toIndexedSeq
-    cfg.stages.foldLeft(docs) { (df, stage) =>
-      val out = stage match {
+    cfg.stages.foldLeft(docs) { (df0, stage) =>
+      val df = stage match {
+        case NormalizedDedup | ExactDedup | NearDupDrop(_) =>
+          df0.localCheckpoint(true)
+        case _ => df0
+      }
+      stage match {
         case QualityGate(minQ) =>
           TextStats.withQualityColumns(df, cfg.text)
             .where(round(col("quality_score"), 6) >= minQ)
@@ -175,11 +183,6 @@ object CurationPipeline {
           Sampling.tokenBudgetSample(df, strata, budget, cfg.id, cfg.text)
             .select((col(cfg.id) +: strata.map(col)
               :+ col("n_tokens") :+ col("cum_tokens")): _*)
-      }
-      stage match {
-        // terminal stages — nothing reads them twice
-        case TokenBudget(_, _) | SplitAssign(_) => out
-        case _ => out.localCheckpoint(true)
       }
     }
   }
