@@ -356,11 +356,19 @@ object SparkEntry {
     // group boundary. At sf0.01 both branches are live (~1360 kept /
     // ~140 suppressed groups).
     "a11_kanon" -> ((s, dir) => {
+      // FLOOR division via the pmod identity (the EventTime.nsToMicros
+      // pattern): Spark DIV truncates toward zero where the oracle's
+      // // floors, so a pre-epoch ts or negative prop would otherwise
+      // land in different groups per engine. Malformed '$.k' casts to
+      // NULL on both sides (TRY_CAST in the oracle) and rides the
+      // null-safe suppression path.
       val ev = EventTime.withTsNanos(t(s, dir, "events"))
         .select(col("user_id"), col("event_type"),
-          expr("CAST(ts_ns DIV 86400000000000 AS STRING)").as("day"),
-          expr("CAST(CAST(get_json_object(props, '$.k') AS INT) DIV 10 AS STRING)")
-            .as("k_bucket"))
+          expr("CAST((ts_ns - pmod(ts_ns, 86400000000000)) DIV 86400000000000 AS STRING)")
+            .as("day"),
+          expr("""CAST((CAST(get_json_object(props, '$.k') AS INT)
+                  - pmod(CAST(get_json_object(props, '$.k') AS INT), 10))
+                  DIV 10 AS STRING)""").as("k_bucket"))
       ops.Privacy.kAnonymize(ev, Seq("event_type", "day", "k_bucket"),
         k = 4, idCol = "user_id")
     }),
@@ -2231,10 +2239,12 @@ object SparkEntry {
         |SELECT (SELECT count(*) FROM shards) AS n_shards,
         |       (SELECT count(DISTINCT user_id) FROM events) AS exact_users,
         |       TRUE AS union_ok""".stripMargin,
+    // null-safe membership join (IS NOT DISTINCT FROM) + TRY_CAST:
+    // mirrors the operator's null-keyed-group handling exactly
     "a11_kanon" ->
       """WITH b AS (SELECT user_id, event_type,
         |             CAST(epoch_ns(ts) // 86400000000000 AS VARCHAR) AS day,
-        |             CAST(CAST(json_extract_string(props, '$.k') AS INT) // 10 AS VARCHAR) AS k_bucket
+        |             CAST(TRY_CAST(json_extract_string(props, '$.k') AS INT) // 10 AS VARCHAR) AS k_bucket
         |           FROM events),
         |g AS (SELECT event_type, day, k_bucket,
         |             count(DISTINCT user_id) AS n_ids, count(*) AS n_rows
@@ -2243,8 +2253,9 @@ object SparkEntry {
         |UNION ALL
         |SELECT '__suppressed__', '__suppressed__', '__suppressed__',
         |       count(DISTINCT b.user_id), count(*)
-        |FROM b JOIN g ON b.event_type = g.event_type AND b.day = g.day
-        |             AND b.k_bucket = g.k_bucket
+        |FROM b JOIN g ON b.event_type IS NOT DISTINCT FROM g.event_type
+        |             AND b.day IS NOT DISTINCT FROM g.day
+        |             AND b.k_bucket IS NOT DISTINCT FROM g.k_bucket
         |WHERE g.n_ids < 4 HAVING count(*) > 0""".stripMargin,
     "a15_winsorize" ->
       """WITH st AS (SELECT event_type,

@@ -30,6 +30,37 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Stage 1 body — ONE definition shared with the declarative runner
+    * ([[CurationPipeline]]); a second copy of the 6-dp threshold rule
+    * could silently drift the two execution paths apart.
+    */
+  private[ops] def qualityGateStage(df: DataFrame, minQuality: Double,
+      text: String, shape: Seq[org.apache.spark.sql.Column]): DataFrame =
+    TextStats.withQualityColumns(df, text)
+      .where(round(col("quality_score"), 6) >= minQuality)
+      .select(shape: _*)
+
+  /** Min-id-per-digest dedup body (stage 2 and the exact variant) —
+    * shared for the same one-definition reason.
+    */
+  private[ops] def dedupStage(df: DataFrame, id: String,
+      digest: org.apache.spark.sql.Column): DataFrame = {
+    val keep = df.groupBy(digest.as("__digest"))
+      .agg(min(col(id)).as(id))
+      .select(id)
+    df.join(keep, Seq(id), "left_semi")
+  }
+
+  /** Greedy near-dup drop body (stage 3) — the larger id of every
+    * hamming pair drops; shared for the same one-definition reason.
+    */
+  private[ops] def nearDupDropStage(df: DataFrame, maxHamming: Int,
+      id: String, text: String): DataFrame = {
+    val drops = Dedup.simhashPairs(df, maxHamming, id, text)
+      .select(col("id_b").as(id)).distinct()
+    df.join(drops, Seq(id), "left_anti")
+  }
+
   def curate(docs: DataFrame, minQuality: Double = 0.5, budgetTokens: Long = 800L,
       maxHamming: Int = 3, strata: Seq[String] = Seq("source"),
       id: String = "doc_id", text: String = "text"): DataFrame = {
@@ -41,24 +72,17 @@ object Curation {
     // checkpoint the per-row regex pipeline re-evaluates per branch —
     // the same measured rationale as Dedup.minhashDupPairs' cache
     // (and the same executor-loss recompute trade, documented there).
-    val gated = TextStats.withQualityColumns(docs, text)
-      .where(round(col("quality_score"), 6) >= minQuality)
-      .select(originalShape: _*)
+    val gated = qualityGateStage(docs, minQuality, text, originalShape)
       .localCheckpoint(true)
 
     // 2: normalized dedup, min id per digest; materialized for the
     // same reason — stage 3 reads it twice (simhash input + anti-join
     // left side)
-    val keep = gated
-      .groupBy(md5(Dedup.normalizedText(col(text))).as("__digest"))
-      .agg(min(col(id)).as(id))
-      .select(id)
-    val deduped = gated.join(keep, Seq(id), "left_semi").localCheckpoint(true)
+    val deduped = dedupStage(gated, id, md5(Dedup.normalizedText(col(text))))
+      .localCheckpoint(true)
 
-    // 3: greedy near-dup drop — the larger id of every hamming pair
-    val drops = Dedup.simhashPairs(deduped, maxHamming, id, text)
-      .select(col("id_b").as(id)).distinct()
-    val survivors = deduped.join(drops, Seq(id), "left_anti")
+    // 3: greedy near-dup drop
+    val survivors = nearDupDropStage(deduped, maxHamming, id, text)
 
     // 4: per-stratum token budget
     Sampling.tokenBudgetSample(survivors, strata, budgetTokens, id, text)

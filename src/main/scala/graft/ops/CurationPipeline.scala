@@ -65,9 +65,7 @@ object CurationPipeline {
     }
     val stages = rawStages.zipWithIndex.map {
       case (m: java.util.Map[_, _], i) =>
-        val sm = m.asScala.map { case (k, v) => k.toString -> v }.toMap
-        parseStage(sm.map { case (k, v) => k -> Option(v).map(_.toString).orNull },
-          i)
+        parseStage(m.asScala.map { case (k, v) => k.toString -> (v: Any) }.toMap, i)
       case (_, i) =>
         throw new PipelineConfigError(s"stage $i is not a mapping")
     }
@@ -81,45 +79,63 @@ object CurationPipeline {
     Config(stages, id, text)
   }
 
-  private def parseStage(m: Map[String, String], i: Int): Stage = {
-    def req(k: String): String = m.getOrElse(k,
-      throw new PipelineConfigError(s"stage $i (${m.getOrElse("kind", "?")}): missing '$k'"))
-    def num[T](k: String, parse: String => T): T =
-      try parse(req(k)) catch {
+  private def parseStage(m: Map[String, Any], i: Int): Stage = {
+    def kindName: String =
+      m.get("kind").flatMap(Option(_)).map(_.toString).getOrElse("?")
+    // a key present with a null YAML value (`min_quality:`) is MISSING,
+    // not a null to trip over later — the promised stage-indexed error,
+    // never a bare NPE from deep inside a parse
+    def req(k: String): Any = m.get(k).flatMap(Option(_)).getOrElse(
+      throw new PipelineConfigError(s"stage $i ($kindName): missing '$k'"))
+    def num[T](k: String, parse: String => T): T = {
+      val raw = req(k).toString
+      try parse(raw) catch {
         case _: NumberFormatException =>
-          throw new PipelineConfigError(s"stage $i: '$k' is not a number: '${m(k)}'")
+          throw new PipelineConfigError(s"stage $i: '$k' is not a number: '$raw'")
       }
-    m.getOrElse("kind",
-      throw new PipelineConfigError(s"stage $i: missing 'kind'")) match {
+    }
+    // name lists arrive as idiomatic YAML lists ([en, de]) OR as
+    // comma-strings — stringifying a List and comma-splitting it would
+    // yield garbage names like '[en' that silently filter everything
+    def names(k: String): Seq[String] = {
+      val vals = req(k) match {
+        case l: java.util.List[_] =>
+          l.asScala.toSeq.flatMap(Option(_)).map(_.toString)
+        case s => s.toString.split(",").toSeq
+      }
+      val out = vals.map(_.trim).filter(_.nonEmpty)
+      if (out.isEmpty) throw new PipelineConfigError(s"stage $i: '$k' is empty")
+      out
+    }
+    req("kind").toString match {
       case "quality_gate"     => QualityGate(num("min_quality", _.toDouble))
       case "normalized_dedup" => NormalizedDedup
       case "exact_dedup"      => ExactDedup
       case "near_dup_drop"    => NearDupDrop(num("max_hamming", _.toInt))
-      case "lang_filter"      =>
-        val keep = req("keep").split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        if (keep.isEmpty) throw new PipelineConfigError(s"stage $i: 'keep' is empty")
-        LangFilter(keep)
+      case "lang_filter"      => LangFilter(names("keep"))
       case "pii_redact"       => PiiRedact
       case "boilerplate_drop" =>
-        BoilerplateDrop(num("min_docs", _.toInt), m.getOrElse("source", "source"))
+        BoilerplateDrop(num("min_docs", _.toInt),
+          m.get("source").flatMap(Option(_)).map(_.toString).getOrElse("source"))
       case "hash_sample"      => HashSample(num("pct", _.toInt))
       case "split_assign"     =>
-        // "train:80,val:10,test:10" — Sampling.splitAssign validates
-        // positivity and the sum-to-100 contract at run time
-        val splits = req("splits").split(",").map(_.trim).filter(_.nonEmpty).toSeq
-          .map { part =>
-            part.split(":") match {
-              case Array(name, pct) => (name.trim, num("splits", _ => pct.trim.toInt))
-              case _ => throw new PipelineConfigError(
-                s"stage $i: split entry '$part' is not name:pct")
-            }
+        // "train:80,val:10,test:10" or a YAML list of name:pct entries —
+        // Sampling.splitAssign validates positivity and sum-to-100 at
+        // run time
+        SplitAssign(names("splits").map { part =>
+          part.split(":") match {
+            case Array(name, pct) =>
+              val p = try pct.trim.toInt catch {
+                case _: NumberFormatException => throw new PipelineConfigError(
+                  s"stage $i: split pct '$pct' is not a number")
+              }
+              (name.trim, p)
+            case _ => throw new PipelineConfigError(
+              s"stage $i: split entry '$part' is not name:pct")
           }
-        if (splits.isEmpty) throw new PipelineConfigError(s"stage $i: 'splits' is empty")
-        SplitAssign(splits)
+        })
       case "token_budget"     =>
-        val strata = req("strata").split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        if (strata.isEmpty) throw new PipelineConfigError(s"stage $i: 'strata' is empty")
-        TokenBudget(num("budget_tokens", _.toLong), strata)
+        TokenBudget(num("budget_tokens", _.toLong), names("strata"))
       case other =>
         throw new PipelineConfigError(s"stage $i: unknown stage kind '$other'")
     }
@@ -147,22 +163,17 @@ object CurationPipeline {
         case _ => df0
       }
       stage match {
+        // stage BODIES live in Curation — one definition for the
+        // hand-composed funnel and this runner, so a threshold or
+        // tie-rule edit cannot silently diverge the two paths
         case QualityGate(minQ) =>
-          TextStats.withQualityColumns(df, cfg.text)
-            .where(round(col("quality_score"), 6) >= minQ)
-            .select(shape: _*)
+          Curation.qualityGateStage(df, minQ, cfg.text, shape)
         case NormalizedDedup =>
-          val keep = df.groupBy(md5(Dedup.normalizedText(col(cfg.text))).as("__d"))
-            .agg(min(col(cfg.id)).as(cfg.id)).select(cfg.id)
-          df.join(keep, Seq(cfg.id), "left_semi")
+          Curation.dedupStage(df, cfg.id, md5(Dedup.normalizedText(col(cfg.text))))
         case ExactDedup =>
-          val keep = df.groupBy(md5(col(cfg.text)).as("__d"))
-            .agg(min(col(cfg.id)).as(cfg.id)).select(cfg.id)
-          df.join(keep, Seq(cfg.id), "left_semi")
+          Curation.dedupStage(df, cfg.id, md5(col(cfg.text)))
         case NearDupDrop(maxH) =>
-          val drops = Dedup.simhashPairs(df, maxH, cfg.id, cfg.text)
-            .select(col("id_b").as(cfg.id)).distinct()
-          df.join(drops, Seq(cfg.id), "left_anti")
+          Curation.nearDupDropStage(df, maxH, cfg.id, cfg.text)
         case LangFilter(keep) =>
           TextStats.langIdColumns(df, cfg.text)
             .where(col("lang_pred").isin(keep: _*))

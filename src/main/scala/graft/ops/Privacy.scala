@@ -48,8 +48,15 @@ object Privacy {
     val g = df.groupBy(quasi.map(col): _*)
       .agg(countDistinct(col(idCol)).as("n_ids"), count(lit(1)).as("n_rows"))
     val kept = g.where(col("n_ids") >= k)
-    val suppGroups = g.where(col("n_ids") < k).select(quasi.map(col): _*)
-    val suppRows = df.join(broadcast(suppGroups), quasi, "left_semi")
+    val suppGroups = g.where(col("n_ids") < k)
+      .select(quasi.map(q => col(q).as(s"__sg_$q")): _*)
+    // NULL-SAFE membership: groupBy treats NULL as a group, so a
+    // null-keyed sub-k group must still reach the bucket — a plain
+    // equi-semi-join would never match it and its individuals would
+    // vanish from BOTH output branches, silently breaking count
+    // conservation exactly for the least-identified rows
+    val suppCond = quasi.map(q => col(q) <=> col(s"__sg_$q")).reduce(_ && _)
+    val suppRows = df.join(broadcast(suppGroups), suppCond, "left_semi")
     val bucket = suppRows
       .agg(countDistinct(col(idCol)).as("n_ids"), count(lit(1)).as("n_rows"))
       .where(col("n_rows") > 0)

@@ -98,11 +98,27 @@ object Profiling {
       eps: Double = 0.001, confidence: Double = 0.99,
       seed: Int = 42): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val exact = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_events"))
+    // the CMS hashes items BY TYPE (an Int and the equal-valued Long
+    // land in different counters), so integral keys canonicalize to
+    // bigint on BOTH the build side and the probe side, and the probe
+    // UDF's static type must match — a Long-typed probe over a string
+    // sketch would silently return 0 and flip the no-undercount flag
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val keyed = df.schema(keyCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        df.select(col(keyCol).cast("long").as(keyCol))
+      case org.apache.spark.sql.types.StringType => df.select(col(keyCol))
+      case other => throw new IllegalArgumentException(
+        s"heavyHitters key '$keyCol' must be integral or string, got $other")
+    }
+    val exact = keyed.groupBy(col(keyCol)).agg(count(lit(1)).as("n_events"))
       .orderBy(col("n_events").desc, col(keyCol).asc).limit(k)
-    val cms = df.stat.countMinSketch(col(keyCol), eps, confidence, seed)
+    val cms = keyed.stat.countMinSketch(col(keyCol), eps, confidence, seed)
     val cmsB = df.sparkSession.sparkContext.broadcast(cms)
-    val est = udf { key: Long => cmsB.value.estimateCount(key) }
+    val est = keyed.schema(keyCol).dataType match {
+      case StringType => udf { key: String => cmsB.value.estimateCount(key) }
+      case _ => udf { key: Long => cmsB.value.estimateCount(key) }
+    }
     exact.withColumn("cms_ok", est(col(keyCol)) >= col("n_events"))
   }
 

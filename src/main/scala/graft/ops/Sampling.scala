@@ -134,7 +134,16 @@ object Sampling {
     // ln(u) is always defined; the long→double cast rounds identically
     // (IEEE nearest) in both engines
     val u = (hashKey(key) + 1).cast("double") / lit(1152921504606846976.0)
-    val sampleKey = log(u) / weight.cast("double")
+    // fail-loud weight domain: ln(u) < 0 divided by a NEGATIVE weight
+    // turns positive and deterministically outranks every legitimate
+    // row (a corrupt weight would always win the draw); zero yields
+    // -Infinity and silently always loses. Neither is a draw.
+    val w0 = weight.cast("double")
+    val guarded = when(w0.isNull || w0 <= 0.0,
+      raise_error(concat(lit("weightedTopK: weight must be > 0, got "),
+        coalesce(w0.cast("string"), lit("null")))).cast("double"))
+      .otherwise(w0)
+    val sampleKey = log(u) / guarded
     val w = Window.partitionBy(strata.map(col): _*)
       .orderBy(col("__wkey").desc, key.asc)
     df.withColumn("__wkey", sampleKey)

@@ -101,6 +101,29 @@ class CurationPipelineSpec extends SparkSpec {
     assert(got.values.forall(_ == "train"))
   }
 
+  test("idiomatic YAML lists parse as name lists, not stringified garbage") {
+    val d = Seq(
+      (1L, "s0", "the cat and the dog are here with the other ones"),
+      (2L, "s0", "der hund und die katze sind auch noch da")
+    ).toDF("doc_id", "source", "text")
+    val cfg = loadString(
+      """pipeline:
+        |  stages:
+        |    - kind: lang_filter
+        |      keep: [en, de]
+        |""".stripMargin)
+    // both languages kept — a toString'd list would yield '[en'/'de]'
+    // and silently filter everything
+    assert(CurationPipeline.run(d, cfg).count() == 2)
+    val cfg2 = loadString(
+      """pipeline:
+        |  stages:
+        |    - kind: split_assign
+        |      splits: [ "train:80", "val:10", "test:10" ]
+        |""".stripMargin)
+    assert(CurationPipeline.run(d, cfg2).columns.contains("split"))
+  }
+
   test("config errors fail at load with the stage named") {
     def err(yaml: String): String =
       intercept[PipelineConfigError](loadString(yaml)).getMessage
@@ -137,5 +160,8 @@ class CurationPipelineSpec extends SparkSpec {
         |    - kind: near_dup_drop
         |      max_hamming: lots
         |""".stripMargin).contains("not a number"))
+    // a present-but-null value is a MISSING field, never a bare NPE
+    assert(err("pipeline:\n  stages:\n    - kind: quality_gate\n      min_quality:\n")
+      .contains("missing 'min_quality'"))
   }
 }

@@ -66,4 +66,17 @@ class DriftSpec extends SparkSpec {
     assert(out.map(_._1).toSeq == Seq(6L, 13L, 20L, 27L, 34L))
     assert(out.forall(r => r._2 == 7L && r._3))
   }
+
+  test("heavy hitters: string keys probe the sketch with the right type") {
+    val rows = (1 to 60).map(i => s"u${i % 6}").toDF("k")
+    val out = Profiling.heavyHitters(rows, "k", k = 3)
+      .as[(String, Long, Boolean)].collect()
+    assert(out.map(_._1).toSeq == Seq("u0", "u1", "u2"))
+    // the no-undercount contract must hold for non-Long keys too — a
+    // Long-typed probe over a string-built sketch silently returns 0
+    assert(out.forall(r => r._2 == 10L && r._3))
+    intercept[IllegalArgumentException] {
+      Profiling.heavyHitters(Seq(1.5).toDF("k"), "k", k = 1)
+    }
+  }
 }

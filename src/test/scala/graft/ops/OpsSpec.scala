@@ -95,6 +95,15 @@ class OpsSpec extends SparkSpec {
     // a stratum smaller than k survives whole
     assert(Sampling.weightedTopK(d.where(col("doc_id") <= 2), Seq("lang"),
       col("w"), k = 10, key = col("doc_id")).count() == 2)
+    // a non-positive weight fails loudly instead of winning (negative
+    // flips ln(u)/w positive) or silently losing (zero -> -Infinity)
+    val bad = d.withColumn("w",
+      when(col("doc_id") === 5L, lit(-1L)).otherwise(col("w")))
+    val e = intercept[Exception] {
+      Sampling.weightedTopK(bad, Seq("lang"), col("w"), k = 10,
+        key = col("doc_id")).count()
+    }
+    assert(e.getMessage.contains("weight must be > 0"))
   }
 
   test("standardize: hand-checked z, constant and singleton groups gate to null") {

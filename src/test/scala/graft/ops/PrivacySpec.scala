@@ -28,6 +28,21 @@ class PrivacySpec extends SparkSpec {
     // would claim 2 and overstate the crowd)
   }
 
+  test("kAnonymize: null-keyed sub-k groups reach the bucket (count conservation)") {
+    // a null quasi value forms its own group; a null-unsafe membership
+    // join would silently drop its individuals from BOTH branches
+    val d = Seq(
+      (1L, Option("r1")), (2L, Option("r1")), (3L, Option("r1")),
+      (4L, Option.empty[String]), (5L, Option.empty[String])
+    ).toDF("user_id", "region")
+    val out = Privacy.kAnonymize(d, Seq("region"), k = 3, idCol = "user_id")
+      .select("region", "n_ids", "n_rows").as[(String, Long, Long)]
+      .collect().toSet
+    assert(out == Set(("r1", 3L, 3L), ("__suppressed__", 2L, 2L)))
+    // conservation: every input row is represented exactly once
+    assert(out.toSeq.map(_._3).sum == 5L)
+  }
+
   test("kAnonymize emits no bucket row when nothing is suppressed") {
     val out = Privacy.kAnonymize(fixture, Seq("region", "tier"), k = 1,
       idCol = "user_id")
