@@ -693,6 +693,29 @@ object SparkEntry {
       ops.Diff.snapshotDiff(c, newSnap, Seq("c_custkey"))
     }),
 
+    // D8: CDC apply — MERGE a planted change feed into the customer
+    // snapshot: every 50th key updated (seq 1), every 100th updated
+    // AGAIN (seq 2 — last-wins must pick it over seq 1), every 97th
+    // deleted, every 40th inserted under a shifted key. One
+    // max-of-struct latest-change aggregation + one full-outer join.
+    "d8_cdc_apply" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+      def change(op: String, seq: Int, keyCol: org.apache.spark.sql.Column,
+          name: org.apache.spark.sql.Column, bal: org.apache.spark.sql.Column,
+          filter: org.apache.spark.sql.Column) =
+        c.where(filter).select(keyCol.as("c_custkey"), lit(seq).as("seq"),
+          lit(op).as("op"), name.as("c_name"), bal.as("c_acctbal"))
+      val feed = change("U", 1, col("c_custkey"), col("c_name"),
+          col("c_acctbal") + lit(5.0), col("c_custkey") % 50 === 0)
+        .unionByName(change("U", 2, col("c_custkey"), col("c_name"),
+          col("c_acctbal") + lit(10.0), col("c_custkey") % 100 === 0))
+        .unionByName(change("D", 3, col("c_custkey"), lit(""), lit(0.0),
+          col("c_custkey") % 97 === 0))
+        .unionByName(change("I", 1, col("c_custkey") + 1000000L,
+          lit("new customer"), lit(1.0), col("c_custkey") % 40 === 0))
+      ops.Diff.applyChanges(c, feed, Seq("c_custkey"), "seq", "op")
+    }),
+
     // --- sorts / top-k (O-family) -------------------------------------
     "o1_topk" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -2205,6 +2228,28 @@ object SparkEntry {
         |WHERE NOT in_old OR NOT in_new
         |   OR old_c_name IS DISTINCT FROM new_c_name
         |   OR old_c_acctbal IS DISTINCT FROM new_c_acctbal""".stripMargin,
+    "d8_cdc_apply" ->
+      """WITH c AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |feed AS (
+        |  SELECT c_custkey, 1 AS seq, 'U' AS op, c_name, c_acctbal + 5.0 AS c_acctbal
+        |  FROM c WHERE c_custkey % 50 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, 2, 'U', c_name, c_acctbal + 10.0
+        |  FROM c WHERE c_custkey % 100 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, 3, 'D', '', 0.0 FROM c WHERE c_custkey % 97 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 1, 'I', 'new customer', 1.0
+        |  FROM c WHERE c_custkey % 40 = 0),
+        |latest AS (SELECT c_custkey, op, c_name, c_acctbal FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY c_custkey
+        |    ORDER BY seq DESC, op DESC, c_name DESC, c_acctbal DESC) AS rn
+        |  FROM feed) WHERE rn = 1)
+        |SELECT coalesce(c.c_custkey, l.c_custkey) AS c_custkey,
+        |       CASE WHEN l.op IS NULL THEN c.c_name ELSE l.c_name END AS c_name,
+        |       CASE WHEN l.op IS NULL THEN c.c_acctbal ELSE l.c_acctbal END AS c_acctbal
+        |FROM c FULL OUTER JOIN latest l USING (c_custkey)
+        |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin,
     // null-aware twin of the engine aggregates (coalesce / count(col)
     // skip nulls) — correct even if a future regen ships null
     // text/lang/source rows, not only on today's null-free table

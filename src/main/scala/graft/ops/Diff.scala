@@ -22,6 +22,47 @@ import org.apache.spark.sql.functions._
   */
 object Diff {
 
+  /** CDC apply — MERGE a change feed into a snapshot: the complement
+    * of [[snapshotDiff]] (which derives the feed) and the batch form
+    * of what `x20_stream_latest` maintains as streaming state. Each
+    * key's LATEST change (max `seqCol`) wins: `D` deletes, `I`/`U`
+    * upsert the payload (an upsert for an absent key inserts — the
+    * standard MERGE leniency); untouched keys pass through.
+    *
+    * Latest-change selection is ONE max-of-struct aggregation on the
+    * key (the d5 compaction shape — no per-key window sort); applying
+    * is one co-partitioned full-outer join against the base. Ties on
+    * `seqCol` resolve lexicographically over (op, payload) —
+    * deterministic, but feeds should carry unique per-key sequence
+    * numbers; feed rows must carry non-null payloads (D rows use
+    * placeholders) so the struct ordering never consults
+    * engine-specific null ranking.
+    *
+    * An op outside {I,U,D} fails the job loudly per row rather than
+    * silently passing the base row through.
+    */
+  def applyChanges(base: DataFrame, changes: DataFrame, key: Seq[String],
+      seqCol: String, opCol: String): DataFrame = {
+    require(key.nonEmpty, "key must be non-empty")
+    val payload = base.columns.filterNot(key.contains).toSeq
+    val checkedOp = when(col(opCol).isin("I", "U", "D"), col(opCol))
+      .otherwise(raise_error(concat(
+        lit(s"applyChanges: op must be I|U|D, got "), col(opCol))).cast("string"))
+    val latest = changes
+      .withColumn(opCol, checkedOp)
+      .groupBy(key.map(col): _*)
+      .agg(max(struct(col(seqCol).as("__seq") +: col(opCol).as("__op")
+        +: payload.map(c => col(c).as(s"__p_$c")): _*)).as("__c"))
+      .select((key.map(col) :+ col("__c.__op").as("__op"))
+        ++ payload.map(c => col(s"__c.__p_$c").as(s"__c_$c")): _*)
+    val b = base.select(key.map(col) ++ payload.map(c => col(c).as(s"__b_$c")): _*)
+    b.join(latest, key, "full_outer")
+      .where(col("__op").isNull || col("__op") =!= "D")
+      .select(key.map(col) ++ payload.map(c =>
+        when(col("__op").isNull, col(s"__b_$c"))
+          .otherwise(col(s"__c_$c")).as(c)): _*)
+  }
+
   /** Full-outer diff of `oldDf` vs `newDf` on `key` columns.
     *
     * Non-key columns are compared null-safely (`<=>`); output is one

@@ -39,6 +39,29 @@ class DiffSpec extends SparkSpec {
     assert(out == Seq((2L, "changed")))
   }
 
+  test("applyChanges: last change wins, deletes drop, upserts insert absent keys") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val feed = Seq(
+      (2L, 1, "U", "b-old"),  // superseded by seq 2
+      (2L, 2, "U", "b-new"),
+      (3L, 1, "D", ""),       // delete
+      (4L, 1, "I", "d"),      // insert
+      (5L, 1, "U", "e")       // upsert of an absent key inserts
+    ).toDF("k", "seq", "op", "v")
+    val out = Diff.applyChanges(base, feed, Seq("k"), "seq", "op")
+      .as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "a"), (2L, "b-new"), (4L, "d"), (5L, "e")))
+  }
+
+  test("applyChanges rejects unknown ops loudly") {
+    val base = Seq((1L, "a")).toDF("k", "v")
+    val feed = Seq((1L, 1, "X", "z")).toDF("k", "seq", "op", "v")
+    val e = intercept[Exception] {
+      Diff.applyChanges(base, feed, Seq("k"), "seq", "op").collect()
+    }
+    assert(e.getMessage.contains("op must be I|U|D"))
+  }
+
   test("snapshotDiff restricts comparison to the compare columns when given") {
     val old = Seq((1L, "a", 1)).toDF("k", "v", "noise")
     val neu = Seq((1L, "a", 2)).toDF("k", "v", "noise")
