@@ -1366,6 +1366,23 @@ object SparkEntry {
           "n_chars_consistent" -> (col("n_chars") === length(col("text"))),
           "lang_known" -> col("lang").isin("de", "en", "es", "fr", "zh")),
         uniqueRules = Seq("doc_id_unique" -> Seq("doc_id")))),
+    // D9: referential-integrity audit — FK orphan checks in p37's
+    // report schema: two clean star edges (orders→customer,
+    // lineitem→orders) plus a PLANTED drifted child (every 100th
+    // custkey shifted out of the dim) that must report its orphans.
+    "d9_fk_check" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      val drifted = ord.withColumn("o_custkey",
+        when(col("o_custkey") % 100 === 0, col("o_custkey") + 500000L)
+          .otherwise(col("o_custkey")))
+      ops.Expectations.fkCheck(ord, cust, "orders_customer_fk",
+          Seq("o_custkey" -> "c_custkey"))
+        .unionByName(ops.Expectations.fkCheck(t(s, dir, "lineitem"), ord,
+          "lineitem_orders_fk", Seq("l_orderkey" -> "o_orderkey")))
+        .unionByName(ops.Expectations.fkCheck(drifted, cust,
+          "drifted_orders_fk", Seq("o_custkey" -> "c_custkey")))
+    }),
     // P19: TF-IDF top terms per document — term stats for corpus
     // analysis/quality filtering; df-table broadcast, one top-k window.
     "p19_tfidf_topterms" -> ((s, dir) =>
@@ -2228,6 +2245,23 @@ object SparkEntry {
         |WHERE NOT in_old OR NOT in_new
         |   OR old_c_name IS DISTINCT FROM new_c_name
         |   OR old_c_acctbal IS DISTINCT FROM new_c_acctbal""".stripMargin,
+    "d9_fk_check" ->
+      """WITH r1 AS (
+        |  SELECT 'orders_customer_fk' AS rule, count(*) AS n_rows,
+        |         CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
+        |r2 AS (
+        |  SELECT 'lineitem_orders_fk', count(*),
+        |         CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |r3 AS (
+        |  SELECT 'drifted_orders_fk', count(*),
+        |         CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM (SELECT CASE WHEN o_custkey % 100 = 0 THEN o_custkey + 500000
+        |                    ELSE o_custkey END AS o_custkey FROM orders) o
+        |  LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
+        |allr AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3)
+        |SELECT rule, n_rows, n_violations, n_violations = 0 AS pass FROM allr""".stripMargin,
     "d8_cdc_apply" ->
       """WITH c AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
         |feed AS (

@@ -73,4 +73,37 @@ object Expectations {
       .select(col("rule"), col("n_rows"), col("n_violations"),
         (col("n_violations") === 0L).as("pass"))
   }
+
+  /** Referential-integrity rule — the expectation [[check]] can't
+    * express in one scan: every child row's foreign key must exist in
+    * the parent. Reports in [[check]]'s exact schema so FK rules
+    * stack with row/uniqueness rules into one gate artifact.
+    *
+    * Null foreign keys are excluded from the check (they are
+    * `not_null`'s business — the same division of labor as the
+    * uniqueness rules). One distinct-project of the parent keys + one
+    * left join + one aggregate; dim-sized parents broadcast, so the
+    * fact side never shuffles for the audit.
+    */
+  def fkCheck(child: DataFrame, parent: DataFrame, name: String,
+      keys: Seq[(String, String)]): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"rule name must be an identifier: $name")
+    val allSet = keys.map { case (ck, _) => col(ck).isNotNull }.reduce(_ && _)
+    val c = child.where(allSet)
+      .select(keys.map { case (ck, _) => col(ck) }: _*)
+    val p = parent
+      .select(keys.map { case (_, pk) => col(pk).as(s"__p_$pk") }: _*)
+      .distinct()
+      .withColumn("__pm", lit(1))
+    val cond = keys.map { case (ck, pk) => col(ck) === col(s"__p_$pk") }
+      .reduce(_ && _)
+    c.join(p, cond, "left")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("__pm").isNull, 1L).otherwise(0L)).as("n_violations"))
+      .select(lit(name).as("rule"), col("n_rows"),
+        coalesce(col("n_violations"), lit(0L)).as("n_violations"))
+      .withColumn("pass", col("n_violations") === 0L)
+  }
 }

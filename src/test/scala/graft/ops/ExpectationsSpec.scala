@@ -46,6 +46,31 @@ class ExpectationsSpec extends SparkSpec {
     assert(allPass)
   }
 
+  test("fkCheck: orphans counted, null FKs excluded, report stacks with check()") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(
+      (10L, Option(1L)), (11L, Option(2L)),
+      (12L, Option(99L)),          // orphan
+      (13L, Option.empty[Long])    // null FK — not_null's business, excluded
+    ).toDF("id", "fk")
+    val fk = Expectations.fkCheck(child, parent, "child_parent_fk",
+      Seq("fk" -> "pk"))
+    val row = fk.as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(row == Seq(("child_parent_fk", 3L, 1L, false)))
+    // same schema as check(): the gate artifact is one stacked frame
+    val stacked = Expectations.check(child,
+      rowRules = Seq("fk_not_null" -> col("fk").isNotNull))
+      .unionByName(fk)
+    assert(stacked.count() == 2)
+    // a clean child passes; an empty child passes vacuously
+    assert(Expectations.fkCheck(child.where(col("fk") <= 2L), parent,
+      "clean_fk", Seq("fk" -> "pk")).collect()(0).getBoolean(3))
+    assert(Expectations.fkCheck(child.where(lit(false)), parent,
+      "empty_fk", Seq("fk" -> "pk")).collect()(0).getBoolean(3))
+    assertThrows[IllegalArgumentException](
+      Expectations.fkCheck(child, parent, "bad name", Seq("fk" -> "pk")))
+  }
+
   test("p37: non-identifier and duplicate rule names are rejected loudly") {
     val df = Seq((1L, "a")).toDF("id", "t")
     assertThrows[IllegalArgumentException](
