@@ -148,6 +148,25 @@ class PlanShapeSpec extends SparkSpec {
       s"suppressed-group membership should be a broadcast semi join:\n$plan")
   }
 
+  test("d8 CDC apply: one latest-change aggregate + one full-outer join, no window sort") {
+    val plan = executedPlan("d8_cdc_apply")
+    assertNoDisasterJoin("d8", plan)
+    assert(plan.contains("FullOuter"), s"merge join must be full outer:\n$plan")
+    // latest-change selection is a max-of-struct AGGREGATE (the d5
+    // shape) — a per-key window sort over the feed is the shape that
+    // stops scaling
+    assert(!plan.contains("Window"), s"d8 must not sort the feed per key:\n$plan")
+  }
+
+  test("d9 FK audit: dim-sized parents broadcast; the fact side never shuffles") {
+    val plan = executedPlan("d9_fk_check")
+    assertNoDisasterJoin("d9", plan)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"FK parents should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a sort-merge join means a fact side shuffled for the audit:\n$plan")
+  }
+
   test("p40 bloom decontamination: the bitmap probe gates corpus n-grams before the join") {
     val plan = executedPlan("p40_bloom_decontaminate")
     assertNoDisasterJoin("p40", plan)
