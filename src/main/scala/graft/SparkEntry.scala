@@ -566,12 +566,25 @@ object SparkEntry {
           count(lit(1)).as("n_rows"))),
 
     // --- dim maintenance (D1) -----------------------------------------
-    "d1_dim_build" -> ((s, dir) =>
-      t(s, dir, "part").select(trim(col("p_brand")).as("brand"))
-        .where(col("brand").isNotNull && col("brand") =!= "")
-        .distinct()
-        .withColumn("brand_key", row_number().over(Window.orderBy(col("brand"))).cast("long"))
-        .select("brand_key", "brand")),
+    // Routed through the PRODUCTION get-or-create path (Dims.upsertDim:
+    // distinct -> anti-join -> max-key + row_number keys) against an
+    // empty existing dim, so the bench pins the real surrogate-key
+    // operator — including its global row_number window, which is safe
+    // there by construction: the window only ever runs over NEW dim
+    // rows, a distinct()-bounded vocabulary, never a fact-sized table
+    // (SURVEY §7.4 decision 1).
+    "d1_dim_build" -> ((s, dir) => {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("brand_key",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("brand",
+          org.apache.spark.sql.types.StringType)))
+      val empty = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      graft.etl.Dims.upsertDim(empty,
+        t(s, dir, "part").select(col("p_brand").as("brand")),
+        "brand_key", "brand")
+    }),
     // D3: conditional-fill dimension merge (reference sample-upsert
     // semantics: an existing non-UNKNOWN value wins; UNKNOWN/absent is
     // filled from the update side). Snapshots are derived from
@@ -623,8 +636,11 @@ object SparkEntry {
     // counts as windowed aggregation state; the drained state is then
     // scored against the batch-computed reference distribution
     // (even-id events) in a tiny post-pass over windows×bins rows —
-    // exactly how a monitor reads its state store. Bins absent from
-    // the reference surface as NULL, the strongest drift signal.
+    // exactly how a monitor reads its state store. Both asymmetric
+    // drift modes surface as NULL rows: bins absent from the
+    // reference (novel mass) AND reference bins with zero current
+    // events in a window (vanished mass, via the windows×ref-bins
+    // spine).
     "x22_stream_psi" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val refShares = ops.Drift.binShares(
@@ -1594,12 +1610,22 @@ object SparkEntry {
     // P42: incremental IVF — vec_id < 250 is the EXISTING index
     // (codebook + rank-1 lists are persisted state); only the batch
     // (>= 250) computes cell ranks and probes the corpus lists. The
-    // p38 incremental contract applied to ANN.
+    // p38 incremental contract applied to ANN. The query runs the
+    // FULL persisted-state round trip — fit once, save, load, probe
+    // with the loaded codebook — so the measured path is the
+    // production shape, not the refit-every-call convenience form
+    // (the fit itself must stay in-query for the oracle replay; a
+    // parquet double round-trips bit-exactly, so loaded == fit).
     "p42_ivf_incremental" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") < 250)
+      val cbPath = java.nio.file.Files.createTempDirectory("graft_p42_cb")
+        .resolve("codebook").toString
+      Similarity.saveCodebook(s, cbPath, Similarity.fitCodebook(corpus, nCentroids = 8))
       Similarity.ivfCosineTopKIncremental(
-        emb.where(col("vec_id") < 250), emb.where(col("vec_id") >= 250),
-        k = 5, nCentroids = 8, nProbe = 2)
+        corpus, emb.where(col("vec_id") >= 250),
+        k = 5, nCentroids = 8, nProbe = 2,
+        codebook = Some(Similarity.loadCodebook(s, cbPath)))
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
           col("rank").cast("long").as("rank"))
     }),
@@ -2342,8 +2368,9 @@ object SparkEntry {
         |             round(quantile_cont(value, 0.95), 6) AS hi
         |            FROM events GROUP BY 1)
         |SELECT e.event_id, e.event_type, e.value,
-        |       least(greatest(e.value, lo), hi) AS v_clipped
-        |FROM events e JOIN st USING (event_type)""".stripMargin,
+        |       CASE WHEN lo IS NULL OR hi IS NULL THEN NULL
+        |            ELSE least(greatest(e.value, lo), hi) END AS v_clipped
+        |FROM events e LEFT JOIN st USING (event_type)""".stripMargin,
     // exact twin + deterministically-true no-undercount flag
     "a13_heavy_hitters" ->
       """SELECT user_id, n_events, TRUE AS cms_ok FROM (
@@ -2379,9 +2406,16 @@ object SparkEntry {
         |               CAST(least(greatest(floor(value / 40.0), 0), 9) AS BIGINT) AS bin,
         |               count(*) AS n_cur
         |        FROM events WHERE event_id % 2 = 1 GROUP BY 1, 2),
-        |ct AS (SELECT *, sum(n_cur) OVER (PARTITION BY win_start) AS tw FROM cur)
+        |spine AS (SELECT w.win_start, r.bin
+        |          FROM (SELECT DISTINCT win_start FROM cur) w CROSS JOIN rt r),
+        |dense AS (SELECT coalesce(s.win_start, c.win_start) AS win_start,
+        |                 coalesce(s.bin, c.bin) AS bin,
+        |                 coalesce(c.n_cur, 0) AS n_cur
+        |          FROM spine s FULL OUTER JOIN cur c
+        |            ON s.win_start = c.win_start AND s.bin = c.bin),
+        |ct AS (SELECT *, sum(n_cur) OVER (PARTITION BY win_start) AS tw FROM dense)
         |SELECT c.win_start, c.bin, c.n_cur,
-        |       CASE WHEN r.p_ref IS NOT NULL THEN
+        |       CASE WHEN r.p_ref IS NOT NULL AND c.n_cur > 0 THEN
         |         round((r.p_ref - c.n_cur / CAST(tw AS DOUBLE))
         |               * ln(r.p_ref / (c.n_cur / CAST(tw AS DOUBLE))), 6)
         |       END AS psi_contrib
@@ -2393,7 +2427,7 @@ object SparkEntry {
         |SELECT e.event_id, e.event_type, e.value,
         |       CASE WHEN sigma IS NULL OR sigma = 0 THEN NULL
         |            ELSE round((e.value - mu) / sigma, 6) END AS z
-        |FROM events e JOIN st USING (event_type)""".stripMargin,
+        |FROM events e LEFT JOIN st USING (event_type)""".stripMargin,
     "x5_asof_join" -> asofSql,
     // custom-exec twin — same as-of semantics, same oracle
     "x18_asof_exec" -> asofSql,

@@ -49,9 +49,19 @@ object CurationPipeline {
 
   def loadString(yamlText: String): Config = {
     val yaml = new org.yaml.snakeyaml.Yaml()
-    val root = Option(yaml.load[java.util.Map[String, AnyRef]](yamlText))
-      .getOrElse(throw new PipelineConfigError("pipeline config is empty"))
-      .asScala
+    // snakeyaml's type parameter is an unchecked cast — a top-level
+    // list or scalar (a stage list pasted without its 'pipeline:'
+    // wrapper) would surface as a ClassCastException from deep inside
+    // the parse; pattern-match so it gets the promised config error
+    // with the shape named (the parseStage discipline, one level up)
+    val root = yaml.load[AnyRef](yamlText) match {
+      case null => throw new PipelineConfigError("pipeline config is empty")
+      case m: java.util.Map[_, _] =>
+        m.asScala.map { case (k, v) => k.toString -> v.asInstanceOf[AnyRef] }
+      case other => throw new PipelineConfigError(
+        "top level must be a mapping with a 'pipeline' section, got " +
+          other.getClass.getSimpleName)
+    }
     val pipe = root.get("pipeline") match {
       case Some(m: java.util.Map[_, _]) =>
         m.asScala.map { case (k, v) => k.toString -> v.asInstanceOf[AnyRef] }.toMap

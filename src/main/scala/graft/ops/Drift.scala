@@ -89,20 +89,33 @@ object Drift {
   /** Scores per-window bin counts (`windowCol`, `bin`, `n_cur`)
     * against a [[binShares]] reference: per-window shares from a
     * window over the small count frame, reference broadcast, PSI
-    * contribution rounded at 6 dp. Bins absent from the reference
-    * gate to NULL (new mass where the reference had none IS the
-    * strongest drift signal — surfaced as its own state, not folded
-    * into a number).
+    * contribution rounded at 6 dp. BOTH asymmetric drift modes gate to
+    * NULL instead of vanishing (the [[psiByBin]] fail-visible
+    * discipline):
+    *
+    *  - a bin absent from the reference (novel mass) keeps its
+    *    observed row with NULL psi_contrib;
+    *  - a reference bin with ZERO current events in a window
+    *    (vanished mass — the severe drift mode a plain join would
+    *    silently drop) is materialized from a windows × reference-bins
+    *    spine with n_cur = 0 and NULL psi_contrib.
+    *
+    * The spine is |windows| × |reference bins| rows — monitor-state
+    * scale, never data scale.
     */
   def psiAgainstReference(current: DataFrame, refShares: DataFrame,
       windowCol: String = "win_start"): DataFrame = {
     val w = Window.partitionBy(col(windowCol))
+    val spine = current.select(col(windowCol)).distinct()
+      .crossJoin(broadcast(refShares.select(col("bin"))))
     current
+      .join(spine, Seq(windowCol, "bin"), "full_outer")
+      .withColumn("n_cur", coalesce(col("n_cur"), lit(0L)))
       .withColumn("__tw", sum(col("n_cur")).over(w))
       .join(broadcast(refShares), Seq("bin"), "left")
       .withColumn("p_cur", col("n_cur") / col("__tw"))
       .withColumn("psi_contrib",
-        when(col("p_ref").isNotNull,
+        when(col("p_ref").isNotNull && col("n_cur") > 0,
           round((col("p_ref") - col("p_cur")) * log(col("p_ref") / col("p_cur")), 6)))
       .select(col(windowCol), col("bin"), col("n_cur"), col("psi_contrib"))
   }

@@ -23,9 +23,11 @@ import org.apache.spark.sql.functions._
   * would need.
   *
   * Scale: one shuffle for the per-group distinct count, one semi-join
-  * of the input against the (small) suppressed-group list for the
-  * bucket's re-aggregation, one scalar union. The suppressed-group
-  * list is bounded by the group space, not the data, and broadcasts.
+  * of the input against the suppressed-group list for the bucket's
+  * re-aggregation, one scalar union. The suppressed-group list is
+  * bounded by the group space, not the data — usually broadcastable,
+  * but the join strategy is left to AQE because a worst-case group
+  * space (every group sub-k) is data-sized.
   */
 object Privacy {
 
@@ -54,9 +56,15 @@ object Privacy {
     // null-keyed sub-k group must still reach the bucket — a plain
     // equi-semi-join would never match it and its individuals would
     // vanish from BOTH output branches, silently breaking count
-    // conservation exactly for the least-identified rows
+    // conservation exactly for the least-identified rows.
+    // No forced broadcast: the suppressed-group list is the number of
+    // sub-k groups, which in the regime where k-anonymity matters most
+    // (high-cardinality quasi-identifiers, many tiny groups) approaches
+    // the full group space — a broadcast() hint would blow the driver
+    // limit exactly when suppression is heaviest. AQE picks broadcast
+    // when the list is actually small.
     val suppCond = quasi.map(q => col(q) <=> col(s"__sg_$q")).reduce(_ && _)
-    val suppRows = df.join(broadcast(suppGroups), suppCond, "left_semi")
+    val suppRows = df.join(suppGroups, suppCond, "left_semi")
     val bucket = suppRows
       .agg(countDistinct(col(idCol)).as("n_ids"), count(lit(1)).as("n_rows"))
       .where(col("n_rows") > 0)

@@ -73,8 +73,17 @@ object Profiling {
     val stats = df.groupBy(groupCols.map(col): _*)
       .agg(round(expr(s"percentile($valueCol, $pLo)"), 6).as("__lo"),
         round(expr(s"percentile($valueCol, $pHi)"), 6).as("__hi"))
-    df.join(broadcast(stats), groupCols)
-      .withColumn(out, least(greatest(col(valueCol), col("__lo")), col("__hi")))
+    // LEFT join: a NULL group key never equi-matches, so an inner join
+    // would silently DROP null-keyed rows — breaking row conservation
+    // exactly where the data is dirtiest. They stay, and gate to a NULL
+    // clipped value (fail-visible), as does a group whose band is NULL
+    // (all-null values). Explicit gate, not least/greatest NULL
+    // semantics — Spark's least/greatest skip NULL args, which would
+    // silently pass the value through UNclipped.
+    df.join(broadcast(stats), groupCols, "left")
+      .withColumn(out,
+        when(col("__lo").isNull || col("__hi").isNull, lit(null))
+          .otherwise(least(greatest(col(valueCol), col("__lo")), col("__hi"))))
       .drop("__lo", "__hi")
   }
 
@@ -149,7 +158,10 @@ object Profiling {
     val stats = df.groupBy(groupCols.map(col): _*)
       .agg(round(avg(col(valueCol)), 6).as("__mu"),
         round(stddev_samp(col(valueCol)), 6).as("__sigma"))
-    df.join(broadcast(stats), groupCols)
+    // LEFT join (the winsorize argument): null-group rows keep their
+    // place in the output with z = NULL instead of silently vanishing
+    // through a never-matching equi-join.
+    df.join(broadcast(stats), groupCols, "left")
       .withColumn(out,
         when(col("__sigma").isNull || col("__sigma") === 0.0, lit(null))
           .otherwise(round((col(valueCol) - col("__mu")) / col("__sigma"), 6)))

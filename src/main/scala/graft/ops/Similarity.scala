@@ -401,10 +401,17 @@ object Similarity {
       .sortBy(_._1)
 
   /** Incremental IVF: new-batch vectors query an EXISTING index — the
-    * corpus's codebook (persisted state, [[saveCodebook]]) and its
-    * rank-1 inverted lists — without the corpus refitting or
-    * re-assigning anything. The p38 incremental contract applied to
-    * ANN: only the batch computes cell ranks; the corpus pays nothing.
+    * corpus's codebook and its rank-1 inverted lists — with only the
+    * batch computing cell ranks (the p38 incremental contract applied
+    * to ANN).
+    *
+    * The production shape passes `codebook = Some(...)` (fit once via
+    * [[fitCodebook]], persisted via [[saveCodebook]]/[[loadCodebook]]):
+    * then the corpus pays only its one-off list assignment, never a
+    * refit. The `None` default is the self-contained convenience form —
+    * it REFITS the codebook from the corpus on every call (the shape an
+    * oracle replay needs), so its cost includes the k-means pass the
+    * persisted-state path amortizes away.
     *
     * Scale: the batch's cell assignment is per-row math against the
     * broadcast-literal codebook; the probe join shuffles batch-side
@@ -412,8 +419,10 @@ object Similarity {
     */
   def ivfCosineTopKIncremental(corpus: DataFrame, batch: DataFrame, k: Int,
       nCentroids: Int = 8, nProbe: Int = 2,
-      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val cb = fitCodebookKMeans(corpus, nCentroids, iters = 3, id, vec)
+      id: String = "vec_id", vec: String = "embedding",
+      codebook: Option[Seq[(Int, Seq[Double], Double)]] = None): DataFrame = {
+    val cb = codebook.getOrElse(
+      fitCodebookKMeans(corpus, nCentroids, iters = 3, id, vec))
     val lists = rankedCellsWithCodebook(corpus, cb, maxRank = 1,
       id, vec, "vid", "v", "nrm")
       .where(col("__rk") === 1)

@@ -35,15 +35,34 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamingWarehouseSink {
 
-  /** The foreachBatch function, exposed for direct replay testing.
+  /** Stamp a micro-batch with `batch_id` and a deterministic
+    * `row_seq`, exposed so specs can assert the stamped PLAN as well
+    * as replay the writer.
     *
-    * Every row is stamped with `batch_id` plus a DETERMINISTIC
-    * `row_seq` (row_number over all columns): legitimately duplicate
-    * rows become distinct, so the promote's DISTINCT collapses ONLY
-    * task-retry copies — without the stamp, a real duplicate event in
-    * a batch would be silently undercounted. The global window also
-    * funnels the stage write through one task; both are the bounded
-    * dims/aggregates scope this sink documents, not firehose shape.
+    * `row_seq` makes legitimately duplicate rows distinct, so the
+    * promote's DISTINCT collapses ONLY task-retry copies — without the
+    * stamp, a real duplicate event in a batch would be silently
+    * undercounted. The window is PARTITIONED by a full-row hash: only
+    * byte-identical rows (plus rare hash collisions) serialize within
+    * one task, so the stamp's cost is bounded by duplicate
+    * multiplicity, never batch size — no single-task funnel. Ordering
+    * by all columns keeps the numbering deterministic across task
+    * retries and whole-batch replays: each hash partition's row
+    * multiset is deterministic, identical rows are interchangeable
+    * under the sort, so the (row, seq) OUTPUT SET is replay-stable
+    * even though individual task assignments are not.
+    */
+  def stampBatch(batch: DataFrame, id: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, hash, row_number}
+    val cols = batch.columns.map(col).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(hash(cols: _*)).orderBy(cols: _*)
+    batch
+      .withColumn("batch_id", lit(id))
+      .withColumn("row_seq", row_number().over(w).cast("long"))
+  }
+
+  /** The foreachBatch function, exposed for direct replay testing.
     *
     * `stageSuffix` isolates concurrent queries writing one table; a
     * replay of the same query must present the same suffix (derive it
@@ -51,14 +70,8 @@ object StreamingWarehouseSink {
     */
   def batchWriter(wh: JdbcWarehouse, table: String,
       stageSuffix: String = ""): (DataFrame, Long) => Unit =
-    (batch, id) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(batch.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
-      val stamped = batch
-        .withColumn("batch_id", lit(id))
-        .withColumn("row_seq", org.apache.spark.sql.functions.row_number().over(w).cast("long"))
-      wh.replaceBatchAtomic(table, stamped, id, stageSuffix)
-    }
+    (batch, id) =>
+      wh.replaceBatchAtomic(table, stampBatch(batch, id), id, stageSuffix)
 
   /** Drain-to-completion ingest of a bounded backlog (AvailableNow),
     * exactly-once into `table`. Restart with the same checkpoint to

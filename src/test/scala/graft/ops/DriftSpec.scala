@@ -55,6 +55,14 @@ class DriftSpec extends SparkSpec {
     // w2 bin 0: p_ref 0.5, p_cur 0.5 -> 0; bin 5 unseen in ref -> NULL
     assert(scored(("w2", 0L)).contains(0.0))
     assert(scored(("w2", 5L)).isEmpty)
+    // VANISHED mass: ref bin 1 got zero w2 events — the severe drift
+    // mode must materialize (n_cur = 0, NULL psi), not silently vanish
+    val w2b1 = Drift.psiAgainstReference(counts,
+      Drift.binShares(ref, "value", 0.0, 10.0, 10))
+      .where(col("win_start") === "w2" && col("bin") === 1)
+      .select("n_cur", "psi_contrib").as[(Long, Option[Double])].collect()
+    assert(w2b1.toSeq == Seq((0L, None)))
+    assert(scored.size == 5) // w1: bins 0,1; w2: bins 0,1,5
   }
 
   test("heavy hitters: exact top-k with a never-undercounting sketch flag") {

@@ -122,6 +122,13 @@ class IvfCodebookSpec extends SparkSpec {
       .select("query_id", "neighbor_id", "rank")
       .as[(Long, Long, Int)].collect()
     assert(out.toSet == again.toSet)
+    // the persisted-state path (pre-fit codebook, no refit) must be
+    // indistinguishable from the convenience refit form
+    val viaLoaded = Similarity.ivfCosineTopKIncremental(corpus, batch, k = 5,
+      codebook = Some(back))
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    assert(out.toSet == viaLoaded.toSet)
   }
 
   test("exact cosine tie between two centroids resolves to the lowest centroid id") {

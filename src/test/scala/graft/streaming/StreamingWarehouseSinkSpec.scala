@@ -97,6 +97,29 @@ class StreamingWarehouseSinkSpec extends SparkSpec {
     assert(liveCount() == 2)
   }
 
+  test("stampBatch plans no unpartitioned window — the stamp never funnels the batch into one task") {
+    val stamped = StreamingWarehouseSink.stampBatch(facts(0 until 100), 7L)
+    val windows = stamped.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "row_seq stamp lost its window")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"row_seq window has no partition spec — single-task funnel:\n$w")
+    }
+    // determinism across replans: the stamped OUTPUT SET is stable
+    val a = stamped.collect().map(_.toSeq).toSet
+    val b = StreamingWarehouseSink.stampBatch(facts(0 until 100), 7L)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+    // each distinct row gets seq >= 1; byte-identical duplicates get
+    // distinct consecutive seqs
+    val dupStamped = StreamingWarehouseSink
+      .stampBatch(facts(0 until 1).unionByName(facts(0 until 1)), 0L)
+      .select("row_seq").as[Long].collect().sorted.toSeq
+    assert(dupStamped == Seq(1L, 2L))
+  }
+
   test("micro-batch replay is idempotent, even over a crashed attempt's partial write") {
     val url = derbyUrl()
     val wh = new JdbcWarehouse(spark, url, maxRetries = 1, retryBackoffSeconds = 0)
