@@ -75,7 +75,6 @@ class EtlJob(spark: SparkSession, config: AppConfig, warehouseDir: String) {
     * arrived directories per micro-batch).
     */
   def processUnioned(dirs: Seq[java.nio.file.Path], resume: Boolean = false): Seq[StudyResult] = {
-    val genes = GeneFilter.load(spark, config.processing.geneFilterFile.toString)
     val done = if (resume) StudyState.completed(wh) else Set.empty[String]
 
     val attempts: Seq[Either[StudyResult, Prep]] = dirs.map { dir =>
@@ -109,17 +108,38 @@ class EtlJob(spark: SparkSession, config: AppConfig, warehouseDir: String) {
     val preps = attempts.collect { case Right(p) => p }
     if (preps.isEmpty) return failures
 
+    // On the snapshot backend the whole multi-table load (5 dim writes
+    // + state + the fact append) publishes as ONE manifest commit: a
+    // crash anywhere in the publish phase leaves readers on the prior
+    // snapshot with no trace of this load — the reference's per-study
+    // transaction (pipeline.py:271-301) extended to multi-table reader
+    // isolation. Other backends publish table-by-table (each op
+    // individually crash-safe; X2 idempotence covers re-runs).
+    val ok = wh match {
+      case sw: SnapshotWarehouse => sw.transact(txn => publishUnioned(txn, preps))
+      case other => publishUnioned(other, preps)
+    }
+    (ok ++ failures).sortBy(_.accession)
+  }
+
+  /** The publish phase of [[processUnioned]] — all warehouse reads and
+    * writes go through `w`, which is either the backend itself or a
+    * [[SnapshotTxn]] (read-your-writes view that defers visibility to
+    * one atomic commit).
+    */
+  private def publishUnioned(w: Warehouse, preps: Seq[Prep]): Seq[StudyResult] = {
+    val genes = GeneFilter.load(spark, config.processing.geneFilterFile.toString)
     val allSamples = preps.map(_.samples).reduce(_ unionByName _).cache()
 
     // ---- dims: one upsert each across every study -----------------------
-    wh.writeDim("dim_study", Dims.upsertDim(wh.read("dim_study"),
+    w.writeDim("dim_study", Dims.upsertDim(w.read("dim_study"),
       allSamples.select(col("study_accession").as("gse_accession")),
       "study_key", "gse_accession"))
-    val studyDim = wh.read("dim_study")
+    val studyDim = w.read("dim_study")
       .select(col("gse_accession").as("study_accession"), col("study_key"))
-    wh.writeDim("dim_platform", Dims.upsertDim(wh.read("dim_platform"),
+    w.writeDim("dim_platform", Dims.upsertDim(w.read("dim_platform"),
       allSamples.select(col("platform_accession")), "platform_key", "platform_accession"))
-    wh.writeDim("dim_illness", Dims.upsertDim(wh.read("dim_illness"),
+    w.writeDim("dim_illness", Dims.upsertDim(w.read("dim_illness"),
       allSamples.select(col("illness_label")), "illness_key", "illness_label"))
 
     // __ord pins the reference's "first row in file wins" duplicate-GSM
@@ -131,25 +151,25 @@ class EtlJob(spark: SparkSession, config: AppConfig, warehouseDir: String) {
     val incoming = Dims.resolveFk(
       Dims.resolveFk(
         allSamples.join(broadcast(studyDim), Seq("study_accession")),
-        wh.read("dim_platform"), "platform_accession", "platform_accession", "platform_key"),
-      wh.read("dim_illness"), "illness_label", "illness_label", "illness_key")
+        w.read("dim_platform"), "platform_accession", "platform_accession", "platform_key"),
+      w.read("dim_illness"), "illness_label", "illness_label", "illness_key")
       .select("gsm_accession", "study_key", "platform_key", "illness_key", "age", "sex", "__ord")
-    wh.writeDim("dim_sample", Dims.upsertSampleDim(wh.read("dim_sample"), incoming))
+    w.writeDim("dim_sample", Dims.upsertSampleDim(w.read("dim_sample"), incoming))
     // D4: metadata phase committed for every prepared study
-    StudyState.upsert(wh, spark, preps.map(_.acc), metadataLoaded = true,
+    StudyState.upsert(w, spark, preps.map(_.acc), metadataLoaded = true,
       factsLoaded = false)
 
     // ---- facts: one melt union, one key join, one dedup, one append -----
     val allMelted = preps.map(_.melted).reduce(_ unionByName _)
     val filtered = GeneFilter.filterGenes(allMelted, genes, "gene_id")
-    wh.writeDim("dim_gene", Dims.upsertGeneDim(wh.read("dim_gene"),
+    w.writeDim("dim_gene", Dims.upsertGeneDim(w.read("dim_gene"),
       filtered.select(col("gene_id").as("ensembl_id"))))
 
     // sample dim joins on (gsm, study) WITHOUT an explicit broadcast:
     // across many studies it is not small; AQE picks the strategy.
-    val sampleDim = wh.read("dim_sample")
+    val sampleDim = w.read("dim_sample")
       .select(col("gsm_accession").as("sample_accession"), col("study_key"), col("sample_key"))
-    val geneDim = wh.read("dim_gene").select(col("ensembl_id").as("gene_id"), col("gene_key"))
+    val geneDim = w.read("dim_gene").select(col("ensembl_id").as("gene_id"), col("gene_key"))
     val keyed = filtered
       .join(broadcast(studyDim), Seq("study_accession"))
       .join(sampleDim, Seq("sample_accession", "study_key"))
@@ -158,16 +178,16 @@ class EtlJob(spark: SparkSession, config: AppConfig, warehouseDir: String) {
       // intra-batch dedup, same contract as processStudy
       .groupBy("sample_key", "gene_key", "study_key")
       .agg(min(col("expression_value")).as("expression_value"))
-    val existing = wh.read("fact_expression").select("sample_key", "gene_key")
+    val existing = w.read("fact_expression").select("sample_key", "gene_key")
     val fresh = keyed.join(existing, Seq("sample_key", "gene_key"), "left_anti").cache()
 
     val factsByStudy = fresh.groupBy("study_key").count().collect()
       .map(r => r.getAs[Number]("study_key").longValue() -> r.getAs[Long]("count")).toMap
-    wh.appendFacts("fact_expression", fresh)
+    w.appendFacts("fact_expression", fresh)
     fresh.unpersist()
     // D4 terminal state: the batch analog of the reference's
     // clear_state-on-success (pipeline.py:299-301) — see StudyState
-    StudyState.upsert(wh, spark, preps.map(_.acc), metadataLoaded = true,
+    StudyState.upsert(w, spark, preps.map(_.acc), metadataLoaded = true,
       factsLoaded = true)
 
     val samplesByAcc = allSamples.groupBy("study_accession").count().collect()
@@ -175,11 +195,10 @@ class EtlJob(spark: SparkSession, config: AppConfig, warehouseDir: String) {
     allSamples.unpersist()
     val keyByAcc = studyDim.collect()
       .map(r => r.getAs[String]("study_accession") -> r.getAs[Long]("study_key")).toMap
-    val ok = preps.map { p =>
+    preps.map { p =>
       StudyResult(p.acc, samplesByAcc.getOrElse(p.acc, 0L),
         keyByAcc.get(p.acc).flatMap(factsByStudy.get).getOrElse(0L))
     }
-    (ok ++ failures).sortBy(_.accession)
   }
 
   def processStudy(files: StudyFiles, geneWhitelist: DataFrame): StudyResult = {

@@ -139,10 +139,14 @@ object Warehouse {
 
   /** Backend dispatch on the connection string, like the reference's
     * SQLAlchemy URL (database.py:28-36): a `jdbc:` URL gets the JDBC
-    * backend, anything else is a parquet directory/URI.
+    * backend, a `snapshot:` prefix the manifest-committed
+    * [[SnapshotWarehouse]], anything else a plain parquet
+    * directory/URI.
     */
   def apply(spark: SparkSession, target: String): Warehouse =
     if (target.startsWith("jdbc:")) new JdbcWarehouse(spark, target)
+    else if (target.startsWith("snapshot:"))
+      new SnapshotWarehouse(spark, target.stripPrefix("snapshot:"))
     else new ParquetWarehouse(spark, target)
 
   /** As [[apply]], but wiring the reference's database tuning knobs
@@ -152,6 +156,8 @@ object Warehouse {
     if (target.startsWith("jdbc:"))
       new JdbcWarehouse(spark, target, db.batchSize, db.maxRetries,
         db.retryBackoffSeconds)
+    else if (target.startsWith("snapshot:"))
+      new SnapshotWarehouse(spark, target.stripPrefix("snapshot:"))
     else new ParquetWarehouse(spark, target)
 
   private def f(n: String, t: DataType, nullable: Boolean = false) =

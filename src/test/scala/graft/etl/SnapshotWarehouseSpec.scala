@@ -1,0 +1,209 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path}
+
+/** Cross-table atomic publish: a crashed multi-table load must never
+  * expose a mixed generation — readers see the whole load or none of
+  * it — and a reader planned before a commit keeps its own snapshot
+  * (the delete-then-append window of the plain parquet backend,
+  * closed).
+  */
+class SnapshotWarehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): Path = {
+    val d = Files.createTempDirectory("graft-snap")
+    d.toFile.deleteOnExit(); d
+  }
+
+  private def sw(): SnapshotWarehouse =
+    Warehouse(spark, s"snapshot:${tmpDir()}") match {
+      case s: SnapshotWarehouse => s
+      case other => fail(s"snapshot: prefix dispatched to $other")
+    }
+
+  private def gene(rows: (Long, String)*) =
+    rows.toSeq.toDF("gene_key", "ensembl_id")
+
+  private def facts(keys: Range, study: Long) =
+    keys.map(i => (i.toLong, i.toLong % 7, study, i * 1.5)).toDF(
+      "sample_key", "gene_key", "study_key", "expression_value")
+
+  private def factSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("sample_key", "study_key").collect()
+      .map(r => (r.getAs[Number]("sample_key").longValue(),
+        r.getAs[Number]("study_key").longValue())).toSet
+
+  test("bootstrap: absent tables read as empty frames with the declared schema") {
+    val wh = sw()
+    val df = wh.read("fact_expression")
+    assert(df.count() == 0)
+    assert(df.schema == Warehouse.schemas("fact_expression"))
+    assert(wh.currentVersion() == 0L)
+  }
+
+  test("single-op writes round-trip and version monotonically") {
+    val wh = sw()
+    wh.writeDim("dim_gene", gene(1L -> "ENSG1", 2L -> "ENSG2"))
+    assert(wh.currentVersion() == 1L)
+    wh.appendFacts("fact_expression", facts(0 until 10, study = 1L))
+    wh.appendFacts("fact_expression", facts(10 until 15, study = 2L))
+    assert(wh.currentVersion() == 3L)
+    assert(wh.read("dim_gene").count() == 2)
+    assert(factSet(wh.read("fact_expression")) ==
+      (0 until 15).map(i => (i.toLong, if (i < 10) 1L else 2L)).toSet)
+    // partition pruning survives the segment layout: a study predicate
+    // must not scan the other study's directories
+    val pruned = wh.read("fact_expression").where(col("study_key") === 2L)
+    assert(factSet(pruned).forall(_._2 == 2L) && pruned.count() == 5)
+  }
+
+  test("replace keeps no delete window and an empty recompute still drops stale rows") {
+    val wh = sw()
+    wh.appendFacts("fact_expression", facts(0 until 10, 1L)
+      .unionByName(facts(10 until 20, 2L)))
+    // a reader planned against the PRE-replace snapshot...
+    val before = wh.read("fact_expression")
+    wh.replaceStudyPartitions("fact_expression", facts(100 until 103, 1L), Seq(1L))
+    // ...still reads its own generation AFTER the commit: nothing was
+    // deleted, only masked in the newer manifest
+    assert(factSet(before) == ((0 until 20).map(i =>
+      (i.toLong, if (i < 10) 1L else 2L))).toSet)
+    val after = wh.read("fact_expression")
+    assert(factSet(after) ==
+      (Seq(100L, 101L, 102L).map(_ -> 1L) ++ (10 until 20).map(_.toLong -> 2L)).toSet)
+    // S7 contract: an empty recomputation still clears the study
+    wh.replaceStudyPartitions("fact_expression",
+      facts(0 until 0, 1L), Seq(1L))
+    assert(factSet(wh.read("fact_expression")) ==
+      (10 until 20).map(_.toLong -> 2L).toSet)
+    // time travel still sees every prior generation
+    assert(factSet(wh.readAt("fact_expression", 1L)).size == 20)
+    assert(factSet(wh.readAt("fact_expression", 2L)).count(_._2 == 1L) == 3)
+  }
+
+  test("a writer killed between table writes publishes NOTHING — never a mixed generation") {
+    val wh = sw()
+    wh.writeDim("dim_gene", gene(1L -> "ENSG1"))
+    wh.appendFacts("fact_expression", facts(0 until 5, 1L))
+    val v = wh.currentVersion()
+
+    // the load: new dim generation + new facts, crash after BOTH data
+    // writes but before commit — the worst window: every byte of the
+    // new generation is on disk
+    intercept[RuntimeException] {
+      wh.transact { txn =>
+        txn.writeDim("dim_gene", gene(1L -> "ENSG1", 2L -> "ENSG2"))
+        txn.appendFacts("fact_expression", facts(5 until 9, 1L))
+        // within the txn, read-your-writes sees both...
+        assert(txn.read("dim_gene").count() == 2)
+        assert(txn.read("fact_expression").count() == 9)
+        throw new RuntimeException("kill -9")
+      }
+    }
+    // ...but a reader sees NEITHER: same version, old dim, old facts
+    assert(wh.currentVersion() == v)
+    assert(wh.read("dim_gene").count() == 1)
+    assert(factSet(wh.read("fact_expression")) == (0 until 5).map(_.toLong -> 1L).toSet)
+
+    // and the retried load lands atomically as ONE version
+    wh.transact { txn =>
+      txn.writeDim("dim_gene", gene(1L -> "ENSG1", 2L -> "ENSG2"))
+      txn.appendFacts("fact_expression", facts(5 until 9, 1L))
+    }
+    assert(wh.currentVersion() == v + 1)
+    assert(wh.read("dim_gene").count() == 2)
+    assert(wh.read("fact_expression").count() == 9)
+  }
+
+  test("concurrent commit from a stale base is detected, not silently merged") {
+    val wh = sw()
+    wh.writeDim("dim_gene", gene(1L -> "ENSG1"))
+    intercept[ConcurrentWriteException] {
+      wh.transact { outer =>
+        outer.writeDim("dim_gene", gene(1L -> "ENSG1", 2L -> "ENSG2"))
+        // another writer lands v2 while the outer txn is in flight
+        wh.transact(_.writeDim("dim_illness",
+          Seq((1L, "flu")).toDF("illness_key", "illness_label")))
+      }
+    }
+    // the interloper's commit is intact; the stale writer published nothing
+    assert(wh.read("dim_illness").count() == 1)
+    assert(wh.read("dim_gene").count() == 1)
+  }
+
+  test("compact folds segments; vacuum drops orphans and keeps the live generation readable") {
+    val wh = sw()
+    (0 until 4).foreach(i => wh.appendFacts("fact_expression",
+      facts(i * 5 until (i + 1) * 5, 1L)))
+    wh.replaceStudyPartitions("fact_expression", facts(100 until 101, 1L), Seq(1L))
+    // plus a crashed load's orphan segment
+    intercept[RuntimeException] {
+      wh.transact { txn =>
+        txn.appendFacts("fact_expression", facts(500 until 600, 9L))
+        throw new RuntimeException("kill")
+      }
+    }
+    wh.compact("fact_expression")
+    wh.vacuum()
+    val dir = new java.io.File(s"${wh.baseDir}/fact_expression")
+    val segs = dir.listFiles().filter(_.getName.startsWith("seg-"))
+    assert(segs.length == 1, s"expected one live segment, got ${segs.map(_.getName).toSeq}")
+    assert(factSet(wh.read("fact_expression")) == Set(100L -> 1L))
+    // pre-current manifests are gone -> time travel now fails loudly
+    intercept[IllegalArgumentException] { wh.readAt("fact_expression", 1L) }
+  }
+
+  test("E2E: the unioned ETL against the snapshot backend matches the plain parquet backend") {
+    val root = tmpDir()
+    val metadataTsv =
+      """refinebio_accession_code	experiment_accession	refinebio_age	refinebio_sex	refinebio_platform	characteristics_ch2_illness
+        |GSM1	GSE1	16	female	GPL96	Healthy
+        |GSM2	GSE1	25	male	GPL96	Diabetes
+        |""".stripMargin
+    val expressionTsv =
+      """gene	GSM1	GSM2
+        |ENSG1	1.0	2.0
+        |ENSG2	2.0	4.0
+        |""".stripMargin
+    Seq("GSE1", "GSE2").foreach { gse =>
+      val d = Files.createDirectories(root.resolve(gse))
+      Files.writeString(d.resolve(s"metadata_$gse.tsv"),
+        metadataTsv.replace("GSE1", gse))
+      Files.writeString(d.resolve(s"expression_$gse.tsv"), expressionTsv)
+    }
+    val filter = root.resolve("filter.tsv")
+    Files.writeString(filter, "ensembl_id\nENSG1\nENSG2\n")
+    def cfg = AppConfig(DatabaseConfig("unused"),
+      ProcessingConfig(root, filter), LoggingConfig(logLevel = "WARN"))
+
+    val plainDir = tmpDir().toString
+    val snapDir = s"snapshot:${tmpDir()}"
+    val rPlain = new EtlJob(spark, cfg, plainDir).runUnioned()
+    val rSnap = new EtlJob(spark, cfg, snapDir).runUnioned()
+    assert(rPlain.map(r => (r.accession, r.samples, r.facts)) ==
+      rSnap.map(r => (r.accession, r.samples, r.facts)))
+
+    def dump(dir: String) = {
+      val wh = Warehouse(spark, dir)
+      val facts = wh.read("fact_expression")
+        .join(wh.read("dim_study"), "study_key")
+        .join(wh.read("dim_gene"), "gene_key")
+        .join(wh.read("dim_sample").select(col("sample_key"), col("gsm_accession")),
+          "sample_key")
+        .select("gse_accession", "ensembl_id", "gsm_accession", "expression_value")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getDouble(3))).toSet
+      facts
+    }
+    assert(dump(plainDir) == dump(snapDir))
+    // and the whole load was ONE atomic commit (single manifest version)
+    val snap = Warehouse(spark, snapDir).asInstanceOf[SnapshotWarehouse]
+    assert(snap.currentVersion() == 1L)
+    // re-run idempotence (X2) through the anti-join, one more commit
+    new EtlJob(spark, cfg, snapDir).runUnioned()
+    assert(dump(plainDir) == dump(snapDir))
+  }
+}
