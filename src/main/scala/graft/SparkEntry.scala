@@ -1483,6 +1483,17 @@ object SparkEntry {
           |""".stripMargin)
       ops.CurationPipeline.run(t(s, dir, "documents"), cfg)
     }),
+    // P43: learned-style linear quality scorer — a frozen linear model
+    // over hashed unigram+bigram features (the RefinedWeb/DCLM curation
+    // shape p8's heuristics stand in for). Weights are md5-derived
+    // integers on a [-1000,1000] lattice, so the per-doc fold is EXACT
+    // integer arithmetic — order-independent and engine-identical by
+    // construction — and the DuckDB oracle replays the model
+    // bit-for-bit. Pure codegen column math: scan-speed at 100 TB.
+    "p43_linear_quality" -> ((s, dir) =>
+      ops.TextStats.scoreLinear(t(s, dir, "documents"), nFeatures = 1024,
+        threshold = 0.0)
+        .select(col("doc_id"), col("n_features"), col("quality_logit"), col("keep"))),
     // P31: deterministic train/val/test assignment over the same
     // 100-bucket hash space as p17's Bernoulli sampler (a pct-p sample
     // is a bucket prefix, so dev samples inherit the production split).
@@ -2624,6 +2635,26 @@ object SparkEntry {
     // exact stage list, so the config runner shares its oracle (the
     // x5/x18 two-executions-one-oracle discipline)
     "p41_declarative_funnel" -> curationFunnelSql,
+    "p43_linear_quality" ->
+      """WITH toks AS (SELECT doc_id,
+        |                CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |                     ELSE string_split_regex(trim(lower(text)), '\s+') END AS tk
+        |              FROM documents),
+        |g AS (SELECT doc_id, list_concat(tk, list_transform(
+        |        range(0, len(tk) - 1),
+        |        i -> array_to_string(list_slice(tk, i + 1, i + 2), ' '))) AS grams
+        |      FROM toks),
+        |f AS (SELECT doc_id, unnest(grams) AS gr FROM g),
+        |w AS (SELECT doc_id,
+        |        CAST(sum((('0x' || substr(md5('w:' ||
+        |          CAST((('0x' || substr(md5(gr), 1, 15))::BIGINT) % 1024 AS VARCHAR)
+        |          ), 1, 15))::BIGINT) % 2001 - 1000) AS BIGINT) AS sw,
+        |        count(*) AS n
+        |      FROM f GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n, 0) AS n_features,
+        |       CASE WHEN n > 0 THEN round(sw / (n * 1000.0), 6) END AS quality_logit,
+        |       coalesce(sw / (n * 1000.0) > 0.0, FALSE) AS keep
+        |FROM documents d LEFT JOIN w USING (doc_id)""".stripMargin,
     "p29_token_budget" ->
       s"""WITH t AS (SELECT doc_id, source,
          |             CASE WHEN trim(text) = '' THEN 0

@@ -28,6 +28,7 @@ object CurationPipeline {
   case object NormalizedDedup extends Stage
   case object ExactDedup extends Stage
   case class NearDupDrop(maxHamming: Int) extends Stage
+  case class QualityLinear(minLogit: Double, nFeatures: Int) extends Stage
   case class LangFilter(keep: Seq[String]) extends Stage
   case object PiiRedact extends Stage
   case class BoilerplateDrop(minDocs: Int, source: String) extends Stage
@@ -119,6 +120,12 @@ object CurationPipeline {
     }
     req("kind").toString match {
       case "quality_gate"     => QualityGate(num("min_quality", _.toDouble))
+      case "quality_linear"   =>
+        // the learned-model twin of quality_gate: frozen linear scorer
+        // over hashed n-gram features (TextStats.scoreLinear)
+        QualityLinear(num("min_logit", _.toDouble),
+          m.get("n_features").flatMap(Option(_))
+            .map(v => num("n_features", _.toInt)).getOrElse(1024))
       case "normalized_dedup" => NormalizedDedup
       case "exact_dedup"      => ExactDedup
       case "near_dup_drop"    => NearDupDrop(num("max_hamming", _.toInt))
@@ -178,6 +185,10 @@ object CurationPipeline {
         // tie-rule edit cannot silently diverge the two paths
         case QualityGate(minQ) =>
           Curation.qualityGateStage(df, minQ, cfg.text, shape)
+        case QualityLinear(minLogit, nF) =>
+          TextStats.scoreLinear(df, nF, minLogit, cfg.id, cfg.text)
+            .where(col("keep"))
+            .select(shape: _*)
         case NormalizedDedup =>
           Curation.dedupStage(df, cfg.id, md5(Dedup.normalizedText(col(cfg.text))))
         case ExactDedup =>

@@ -82,6 +82,63 @@ object TextStats {
     scored.withColumn("lang_pred", best)
   }
 
+  /** Learned-style linear quality scorer over hashed n-gram features —
+    * the production curation stage (the RefinedWeb/DCLM shape) that the
+    * [[withQualityColumns]] heuristics stand in for: a linear model
+    * w·φ(doc) where φ hashes the document's unigrams + bigrams into
+    * `nFeatures` buckets (the hashing trick; Weinberger et al. 2009).
+    *
+    * Weights here are DERIVED from the feature id by a second
+    * [[graft.Hashing.hex64 md5 hash]] — a frozen pseudo-random model
+    * the DuckDB oracle can replay exactly. A real trained model swaps
+    * one line: broadcast its weight array and replace `weightOf` with
+    * an `element_at` lookup; every other part (hashing, folding,
+    * thresholding) is the production path.
+    *
+    * Cross-engine determinism by construction, not by rounding: weights
+    * live on an INTEGER lattice (hex64 % 2001 − 1000 ∈ [−1000, 1000])
+    * and the per-document fold sums integers — exact and
+    * order-independent, so Spark and any SQL engine agree bit-for-bit
+    * before the single final division by 1000·n (identical operands ⇒
+    * identical double). No accumulated-float ordering hazard anywhere.
+    *
+    * Scale: pure per-row column math inside codegen (two md5s per
+    * gram), zero shuffle, zero weight table to join — the scorer runs
+    * at scan speed on 100 TB.
+    *
+    * Output: `n_features` (gram count), `quality_logit` (mean lattice
+    * weight, 6 dp), `keep` (logit > threshold). Blank documents gate to
+    * NULL logit / false keep rather than vanishing.
+    */
+  def scoreLinear(docs: DataFrame, nFeatures: Int = 1024,
+      threshold: Double = 0.0, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    require(nFeatures >= 2, s"nFeatures must be >= 2, got $nFeatures")
+    val tk = split(trim(lower(col(text))), "\\s+")
+    val bigrams = zip_with(
+      slice(tk, lit(1), greatest(size(tk) - 1, lit(0))),
+      slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+    val grams = concat(tk, bigrams)
+    def weightOf(g: Column): Column =
+      graft.functions.Md5Hex64Fn(
+        concat(lit("w:"), (graft.functions.Md5Hex64Fn(g) % nFeatures).cast("string"))
+      ) % 2001L - 1000L
+    val sumW = aggregate(grams, lit(0L), (acc, g) => acc + weightOf(g))
+    val n = size(grams)
+    docs
+      .withColumn("__n", when(trim(col(text)) === "", 0).otherwise(n))
+      .withColumn("__sw", when(col("__n") > 0, sumW))
+      .withColumn("n_features", col("__n").cast("long"))
+      .withColumn("quality_logit",
+        when(col("__n") > 0,
+          round(col("__sw").cast("double") / (col("__n") * 1000.0), 6)))
+      .withColumn("keep",
+        coalesce(col("__sw").cast("double") / (col("__n") * 1000.0) > threshold,
+          lit(false)))
+      .drop("__n", "__sw")
+  }
+
   /** Top-k terms per document by TF-IDF.
     *
     * Plan shape at scale: tokens explode after a repartition on the

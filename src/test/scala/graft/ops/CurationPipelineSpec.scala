@@ -36,6 +36,28 @@ class CurationPipelineSpec extends SparkSpec {
     assert(declarative.nonEmpty && declarative == composed)
   }
 
+  test("quality_linear stage matches the standalone scorer and a top-level list fails loudly") {
+    val cfg = loadString(
+      """pipeline:
+        |  stages:
+        |    - kind: quality_linear
+        |      min_logit: 0.0
+        |""".stripMargin)
+    val staged = CurationPipeline.run(docs, cfg)
+      .select("doc_id").as[Long].collect().toSet
+    val direct = TextStats.scoreLinear(docs, nFeatures = 1024, threshold = 0.0)
+      .where(col("keep")).select("doc_id").as[Long].collect().toSet
+    assert(staged.nonEmpty && staged == direct)
+    // the scorer is a real filter on this corpus, not a pass-through
+    assert(staged.size < docs.count())
+    // a stage list pasted without its 'pipeline:' wrapper must raise
+    // the config error naming the shape, not a ClassCastException
+    val e = intercept[PipelineConfigError] {
+      loadString("- kind: quality_linear\n  min_logit: 0.0\n")
+    }
+    assert(e.getMessage.contains("top level must be a mapping"))
+  }
+
   test("lang_filter, pii_redact and exact_dedup stages match the standalone ops") {
     val d = Seq(
       (1L, "s0", "the cat and the dog are here with the other ones"),

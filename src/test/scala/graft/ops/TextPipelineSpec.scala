@@ -12,6 +12,34 @@ import org.apache.spark.sql.functions._
 class TextPipelineSpec extends SparkSpec {
   import spark.implicits._
 
+  test("p43: linear scorer — hand-checked lattice weights, blank gates NULL, threshold monotone") {
+    val d = Seq((1L, "alpha beta"), (2L, "alpha"), (3L, "  "), (4L, "ALPHA beta"))
+      .toDF("doc_id", "text")
+    val out = TextStats.scoreLinear(d, nFeatures = 64, threshold = 0.0)
+      .select("doc_id", "n_features", "quality_logit", "keep")
+      .as[(Long, Long, Option[Double], Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // hand-derived expectation via the same driver-side hash twin
+    def w(g: String): Long =
+      graft.ops.Hashing.hex64Local(
+        "w:" + (graft.ops.Hashing.hex64Local(g) % 64)) % 2001 - 1000
+    val expected = (w("alpha") + w("beta") + w("alpha beta")) / 3000.0
+    assert(out(1L)._2 == 3)
+    assert(out(1L)._3.contains(BigDecimal(expected)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(out(1L)._4 == (expected > 0.0))
+    // case-folding: "ALPHA beta" scores identically to "alpha beta"
+    assert(out(4L) == out(1L).copy(_1 = 4L))
+    // single token: no bigram, 1 feature
+    assert(out(2L)._2 == 1)
+    // blank doc survives with NULL logit and keep = false, not dropped
+    assert(out(3L) == ((3L, 0L, None, false)))
+    // threshold monotonicity: raising it can only shrink the kept set
+    val kept0 = TextStats.scoreLinear(d, 64, -1.0).where(col("keep")).count()
+    val kept1 = TextStats.scoreLinear(d, 64, 1.0).where(col("keep")).count()
+    assert(kept1 <= kept0 && kept0 == 3)
+  }
+
   test("p26: contamination flags docs sharing >= minShared distinct word n-grams with a benchmark") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
