@@ -114,6 +114,11 @@ object TextStats {
       threshold: Double = 0.0, id: String = "doc_id",
       text: String = "text"): DataFrame = {
     require(nFeatures >= 2, s"nFeatures must be >= 2, got $nFeatures")
+    // two md5s per gram is the heaviest per-row expression in the text
+    // family after the n-gram distinct — spread single-split corpora
+    // first (the withRepetitionColumns rationale; at real corpus scale
+    // the scan has enough splits and AQE coalesces the no-op exchange)
+    val spreadDocs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     val tk = split(trim(lower(col(text))), "\\s+")
     val bigrams = zip_with(
       slice(tk, lit(1), greatest(size(tk) - 1, lit(0))),
@@ -126,7 +131,7 @@ object TextStats {
       ) % 2001L - 1000L
     val sumW = aggregate(grams, lit(0L), (acc, g) => acc + weightOf(g))
     val n = size(grams)
-    docs
+    spreadDocs
       .withColumn("__n", when(trim(col(text)) === "", 0).otherwise(n))
       .withColumn("__sw", when(col("__n") > 0, sumW))
       .withColumn("n_features", col("__n").cast("long"))
