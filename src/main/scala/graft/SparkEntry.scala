@@ -1640,6 +1640,14 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
           col("rank").cast("long").as("rank"))
     }),
+    // P44: semantic dedup (SemDeDup) — k-means-cluster the embedding
+    // space (the p13 codebook, shared machinery), compare pairs only
+    // WITHIN a cluster, drop the larger id of any pair at
+    // cosine >= tau. One verdict row per vector; the corpus-wide pair
+    // space never materializes (Σ|cell|² bounded by scaling nCentroids
+    // with N, the paper's own k scaling).
+    "p44_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(t(s, dir, "embeddings"), tau = 0.45, nCentroids = 8)),
     // tau=0.45 sits just inside the corpus' cosine tail (max ~0.51) so
     // the threshold variant returns a small non-empty pair set.
     "p12_embedding_dup" -> ((s, dir) =>
@@ -1865,9 +1873,10 @@ object SparkEntry {
     */
   /** The IVF+k-means replay, parameterized by fit-side and probe-side
     * predicates: p13 uses the whole table for both; p42 fits/lists on
-    * the corpus and probes only the batch (the incremental contract).
+    * the corpus and probes only the batch (the incremental contract);
+    * p44 reuses the same prefix for within-cell semantic dedup.
     */
-  private def ivfKmeansOracleSql(fitPred: String = "TRUE",
+  private def ivfKmeansPrefixSql(fitPred: String = "TRUE",
       probePred: String = "TRUE"): String = {
     def lloyd(k: Int): String = {
       val prev = s"c${k - 1}"
@@ -1907,7 +1916,12 @@ object SparkEntry {
        |         row_number() OVER (PARTITION BY nq.vec_id ORDER BY
        |           list_sum(list_transform(nq.e, (x, i) -> x * c.cv[i])) / (nq.nrm * c.cn) DESC,
        |           c.cid ASC) AS rk
-       |  FROM nq CROSS JOIN c3 c) WHERE rk <= 2),
+       |  FROM nq CROSS JOIN c3 c) WHERE rk <= 2)""".stripMargin
+  }
+
+  private def ivfKmeansOracleSql(fitPred: String = "TRUE",
+      probePred: String = "TRUE"): String =
+    s"""${ivfKmeansPrefixSql(fitPred, probePred)},
        |pairs AS (
        |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
        |         list_sum(list_transform(qa.e, (x, i) -> x * na.e[i])) / (qa.nrm * na.nrm) AS cosine
@@ -1921,7 +1935,21 @@ object SparkEntry {
        |           FROM pairs)
        |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
        |FROM ranked WHERE rank <= 5""".stripMargin
-  }
+
+  /** p44's tail over the shared k-means prefix: within-cell pairs at
+    * cosine >= tau mark the LARGER id dropped (keep-smallest greedy).
+    */
+  private def semDedupOracleSql(tau: Double): String =
+    s"""${ivfKmeansPrefixSql()},
+       |sd_pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |         list_sum(list_transform(na.e, (x, i) -> x * nb.e[i])) / (na.nrm * nb.nrm) AS cosine
+       |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN n na ON na.vec_id = a.vec_id
+       |  JOIN n nb ON nb.vec_id = b.vec_id),
+       |sd_dropped AS (SELECT DISTINCT id_b AS vec_id FROM sd_pairs WHERE cosine >= $tau)
+       |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell, d.vec_id IS NULL AS keep
+       |FROM assign a LEFT JOIN sd_dropped d ON d.vec_id = a.vec_id""".stripMargin
 
   /** Shared by p1 (batch hash-groupBy dedup) and p16 (stateful
     * streaming dedup): one logical dup-group query, two executions.
@@ -2997,6 +3025,7 @@ object SparkEntry {
         |         pow(e[i] - codes[i] * scale, 2))) / len(e), 12) AS mse
         |FROM q""".stripMargin,
     "p13_ivf_topk" -> ivfKmeansOracleSql(),
+    "p44_semantic_dedup" -> semDedupOracleSql(0.45),
     // incremental twin: fit + lists on the corpus, probe only the batch
     "p42_ivf_incremental" ->
       ivfKmeansOracleSql(fitPred = "vec_id < 250", probePred = "vec_id >= 250"),

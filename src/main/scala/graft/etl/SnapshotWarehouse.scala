@@ -50,15 +50,19 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *
   * Scale: the manifest is driver-side metadata — bytes per table, one
   * small file per commit, independent of data volume. Reads plan a
-  * union over the segment list; `compact` folds a table back to one
-  * segment (run it on cadence, like any lakehouse), and `vacuum` drops
-  * unreferenced segments and pre-current manifests once no reader needs
-  * them (retention is the operator's contract, as in every table
-  * format). Fact segments stay hive-partitioned by `study_key`, so F7
-  * partition pruning and exclusion-list pruning both happen at the
-  * scan.
+  * union over the segment list, whose growth is bounded by
+  * construction: any transaction that leaves a touched table above
+  * `autoCompactSegments` segments folds it back to one segment inside
+  * the SAME commit (so a daily append loop can never accumulate an
+  * unbounded union), `compact` does the same on demand, and `vacuum`
+  * drops unreferenced segments and pre-current manifests once no
+  * reader needs them (retention is the operator's contract, as in
+  * every table format). Fact segments stay hive-partitioned by
+  * `study_key`, so F7 partition pruning and exclusion-list pruning
+  * both happen at the scan.
   */
-class SnapshotWarehouse(spark: SparkSession, val baseDir: String) extends Warehouse {
+class SnapshotWarehouse(spark: SparkSession, val baseDir: String,
+    autoCompactSegments: Int = 16) extends Warehouse {
   import SnapshotWarehouse._
   import Warehouse.schemas
 
@@ -142,6 +146,16 @@ class SnapshotWarehouse(spark: SparkSession, val baseDir: String) extends Wareho
     val base = currentManifest()
     val txn = new SnapshotTxn(spark, baseDir, base, this)
     val out = f(txn)
+    // maintenance rides the SAME commit: a table this transaction
+    // touched whose segment list outgrew the cadence threshold folds
+    // back to one segment before the manifest rename, so a daily
+    // append loop can never accumulate an unbounded read-side union
+    // (the ADVICE-flagged failure mode of manual-only compaction).
+    // Untouched tables are never rewritten behind a caller's back.
+    if (autoCompactSegments > 0)
+      txn.pendingTables.collect {
+        case (table, segs) if segs.size > autoCompactSegments => table
+      }.foreach(t => txn.rewrite(t, null))
     commit(base, txn.pendingTables)
     out
   }

@@ -439,6 +439,44 @@ object Similarity {
     rankTopK(pairs, k)
   }
 
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+    * embedding space with the SAME deterministic spherical k-means
+    * codebook as [[ivfCosineTopK]], then compare pairs ONLY within a
+    * cluster — the observation that semantic duplicates land in the
+    * same cluster, so the corpus-wide pair space never materializes.
+    * Emits one verdict per vector: its cell and `keep` (false iff a
+    * SMALLER-id cell-mate sits at cosine >= tau — the repo's
+    * deterministic keep-smallest greedy, same as the SimHash funnel
+    * stage; the paper's keep-farthest-from-centroid policy is a
+    * one-line `max_by` swap on the same pair frame).
+    *
+    * 100 TB shape: cell assignment is per-row math against the literal
+    * codebook; the only wide op is the within-cell equi-join, whose
+    * cost is Σ|cell|² — bounded by fitting nCentroids ~ N/targetCell
+    * exactly as the paper scales k (and as p13 scales probe cost). No
+    * global pair join exists in the plan.
+    */
+  def semanticDedup(emb: DataFrame, tau: Double, nCentroids: Int = 8,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val cells = ivfRankedCells(emb, nCentroids, maxRank = 1, id, vec,
+      "vid", "v", "nrm", "kmeans", 100)
+      .where(col("__rk") === 1)
+      .select(col("vid"), col("v"), col("nrm"), col("cell"))
+    val a = cells.select(col("vid").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"), col("cell"))
+    val b = cells.select(col("vid").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("cell"))
+    val dropped = a.join(b, Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine", VectorMath.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .where(col("cosine") >= tau)
+      .select(col("id_b").as("vid")).distinct()
+      .withColumn("__dropped", lit(true))
+    cells.join(dropped, Seq("vid"), "left")
+      .select(col("vid").as(id), col("cell").cast("long").as("cell"),
+        coalesce(!col("__dropped"), lit(true)).as("keep"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= tau)
     * — exact all-pairs quality oracle; [[cosineDupPairsBlocked]] is the
     * scale path.

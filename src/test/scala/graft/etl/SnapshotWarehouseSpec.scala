@@ -156,6 +156,20 @@ class SnapshotWarehouseSpec extends SparkSpec {
     intercept[IllegalArgumentException] { wh.readAt("fact_expression", 1L) }
   }
 
+  test("auto-compaction bounds segment growth inside the appending commit itself") {
+    val dir = tmpDir()
+    val wh = new SnapshotWarehouse(spark, dir.toString, autoCompactSegments = 4)
+    (0 until 12).foreach(i =>
+      wh.appendFacts("fact_expression", facts(i * 3 until (i + 1) * 3, 1L)))
+    // every append that would leave >4 segments folded to 1 in ITS OWN
+    // commit — the manifest never names an unbounded union
+    val segs = wh.currentManifest().tables("fact_expression")
+    assert(segs.size <= 5, s"segment list grew unbounded: ${segs.size}")
+    // and nothing was lost across the folds
+    assert(factSet(wh.read("fact_expression")) ==
+      (0 until 36).map(_.toLong -> 1L).toSet)
+  }
+
   test("E2E: the unioned ETL against the snapshot backend matches the plain parquet backend") {
     val root = tmpDir()
     val metadataTsv =

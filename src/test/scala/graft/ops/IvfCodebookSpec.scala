@@ -96,6 +96,39 @@ class IvfCodebookSpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup: exact copies drop to the smallest id; distinct vectors keep; verdicts conserve rows") {
+    // tau a hair under 1: identical vectors score cosine = 1 ± 1 ulp
+    // (norms re-derive from the same doubles), while the closest
+    // DISTINCT jitter patterns differ in every coordinate by >= 0.01
+    // (cosine <~ 0.9996) — so the threshold separates exactly the
+    // byte-identical copies
+    val tau = 0.9999999
+    val out = Similarity.semanticDedup(skewed, tau, nCentroids = 8)
+      .select("vec_id", "cell", "keep")
+      .as[(Long, Long, Boolean)].collect()
+    // one verdict per vector, nothing lost
+    assert(out.length == 400 && out.map(_._1).distinct.length == 400)
+    val keepById = out.map(r => r._1 -> r._3).toMap
+    // ids 0..7 are byte-identical vectors (cosine 1): same cluster by
+    // construction, so keep-smallest retains ONLY id 0 of them
+    assert(keepById(0L), "smallest id of the duplicate set must survive")
+    (1L to 7L).foreach(i => assert(!keepById(i), s"duplicate id $i survived"))
+    // the fixture's jitter depends only on i mod 13, so each (cluster,
+    // i mod 13) class is a set of byte-identical vectors — 40 distinct
+    // values in total. Identical vectors always co-cell, so the exact
+    // expected survivor set is the min id of each distinct value,
+    // derived here straight from the fixture (a true differential)
+    val expectKeep = skewed.as[(Long, Seq[Float])].collect()
+      .groupBy(_._2).values.map(_.map(_._1).min).toSet
+    assert(out.filter(_._3).map(_._1).toSet == expectKeep,
+      s"keep set diverged from min-id-per-distinct-vector (${expectKeep.size} classes)")
+    assert(expectKeep.size == 40) // 3 clusters x 13 jitter patterns + base A
+    // deterministic across replans
+    val again = Similarity.semanticDedup(skewed, tau, nCentroids = 8)
+      .select("vec_id", "cell", "keep").as[(Long, Long, Boolean)].collect()
+    assert(out.toSet == again.toSet)
+  }
+
   test("codebook save/load roundtrip is exact; incremental probe honors the index split") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cb").toString
     val corpus = skewed.where(col("vec_id") < 200)
