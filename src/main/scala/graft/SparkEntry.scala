@@ -4,7 +4,7 @@ import graft.ops.{Dedup, EventTime, Multimodal, Similarity, TextStats}
 import graft.stats.{BenjaminiHochberg, PValues, Ranks, Spearman}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -204,6 +204,27 @@ object SparkEntry {
     }
     s.readStream.schema(schema).parquet(staged.toString)
   }
+
+  private def docStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val staged = stagedDir(s"documents:$dir") { p =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        p.resolve("documents.parquet"))
+      ()
+    }
+    s.readStream.schema(schema).parquet(staged.toString)
+  }
+
+  /** The document-table row expectations — ONE rule list feeding both
+    * the batch gate (p37) and the streaming monitor (x23), so the two
+    * executions cannot drift.
+    */
+  private def docRowRules: Seq[(String, Column)] = Seq(
+    "doc_id_not_null" -> col("doc_id").isNotNull,
+    "text_nonempty" -> (length(col("text")) > 0),
+    "n_chars_consistent" -> (col("n_chars") === length(col("text"))),
+    "lang_known" -> col("lang").isin("de", "en", "es", "fr", "zh"))
 
   private def spearmanPairs(s: SparkSession, dir: String): DataFrame =
     Spearman.pairCorrelationsDense(
@@ -1376,12 +1397,25 @@ object SparkEntry {
     // shared aggregation pass (null predicate = violation, fail-closed).
     "p37_expectations" -> ((s, dir) =>
       ops.Expectations.check(t(s, dir, "documents"),
-        rowRules = Seq(
-          "doc_id_not_null" -> col("doc_id").isNotNull,
-          "text_nonempty" -> (length(col("text")) > 0),
-          "n_chars_consistent" -> (col("n_chars") === length(col("text"))),
-          "lang_known" -> col("lang").isin("de", "en", "es", "fr", "zh")),
+        rowRules = docRowRules,
         uniqueRules = Seq("doc_id_unique" -> Seq("doc_id")))),
+    // X23: the p37 expectations gate as a STREAMING MONITOR — the SAME
+    // row-rule list (one shared definition, so the twins cannot drift)
+    // evaluated as unbounded aggregation state: per-rule violation
+    // sums update with every micro-batch, the drained one-row state
+    // reshapes to the report in a post-pass (the x22 monitor pattern —
+    // stack() on a streaming aggregate is not a supported plan).
+    // Uniqueness rules stay batch-side: streaming countDistinct needs
+    // the p16 dedup-state machinery, a deliberately different op.
+    "x23_stream_expectations" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val sink = s"stream_exp_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = ops.Expectations.aggRow(docStream(s, dir), docRowRules)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      ops.Expectations.reshape(drainMemorySink(s, sink), docRowRules.map(_._1))
+    }),
     // D9: referential-integrity audit — FK orphan checks in p37's
     // report schema: two clean star edges (orders→customer,
     // lineitem→orders) plus a PLANTED drifted child (every 100th
@@ -1494,6 +1528,31 @@ object SparkEntry {
       ops.TextStats.scoreLinear(t(s, dir, "documents"), nFeatures = 1024,
         threshold = 0.0)
         .select(col("doc_id"), col("n_features"), col("quality_logit"), col("keep"))),
+    // P45: CCNet-style head/middle/tail bucketing — the p43 logit
+    // tercile-split PER LANGUAGE (Wenzek et al. 2020 split by LM
+    // perplexity per language; the score axis here is the p43 frozen
+    // model). Boundaries are one percentile aggregation broadcast
+    // back — no corpus sort, no per-language window over the data.
+    "p45_quality_buckets" -> ((s, dir) => {
+      val scored = ops.TextStats.scoreLinear(t(s, dir, "documents"),
+        nFeatures = 1024, threshold = 0.0)
+        .select(col("doc_id"), col("lang"), col("quality_logit"))
+      ops.Profiling.tercileBuckets(scored, Seq("lang"), "quality_logit")
+        .select(col("doc_id"), col("lang"), col("quality_logit"), col("bucket"))
+    }),
+    // P46: dedup representative SELECTION — normalized-text groups keep
+    // their BEST-quality rendition (p8 composite, 6 dp ranking key),
+    // not the lowest id: the policy a curation pipeline actually wants
+    // when crawls re-case/re-punctuate a page. Planted: every 40th doc
+    // re-appears uppercased with junk punctuation — the lower-quality
+    // rendition must lose regardless of id order.
+    "p46_dedup_best" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val planted = d.where(col("doc_id") % 40 === 0)
+        .withColumn("doc_id", col("doc_id") + 200000L)
+        .withColumn("text", concat(upper(col("text")), lit("  !!!")))
+      Dedup.dedupKeepBest(d.unionByName(planted))
+    }),
     // P31: deterministic train/val/test assignment over the same
     // 100-bucket hash space as p17's Bernoulli sampler (a pct-p sample
     // is a bucket prefix, so dev samples inherit the production split).
@@ -1797,6 +1856,31 @@ object SparkEntry {
        |    CASE WHEN n_tokens > 0 THEN CAST(stop AS DOUBLE)/n_tokens ELSE 0.0 END AS stopword_ratio,
        |    CASE WHEN n_tokens > 0 THEN CAST(nonws_chars AS DOUBLE)/n_tokens ELSE 0.0 END AS mean_token_len
        |  FROM base""".stripMargin
+
+  /** The p43 frozen-linear-model replay (hashed unigram+bigram
+    * features, integer-lattice weights) — a complete SELECT, reused as
+    * a subquery by p45's per-language tercile bucketing.
+    */
+  private val linearQualitySql: String =
+    """WITH toks AS (SELECT doc_id,
+      |                CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |                     ELSE string_split_regex(trim(lower(text)), '\s+') END AS tk
+      |              FROM documents),
+      |g AS (SELECT doc_id, list_concat(tk, list_transform(
+      |        range(0, len(tk) - 1),
+      |        i -> array_to_string(list_slice(tk, i + 1, i + 2), ' '))) AS grams
+      |      FROM toks),
+      |f AS (SELECT doc_id, unnest(grams) AS gr FROM g),
+      |w AS (SELECT doc_id,
+      |        CAST(sum((('0x' || substr(md5('w:' ||
+      |          CAST((('0x' || substr(md5(gr), 1, 15))::BIGINT) % 1024 AS VARCHAR)
+      |          ), 1, 15))::BIGINT) % 2001 - 1000) AS BIGINT) AS sw,
+      |        count(*) AS n
+      |      FROM f GROUP BY 1)
+      |SELECT d.doc_id, coalesce(n, 0) AS n_features,
+      |       CASE WHEN n > 0 THEN round(sw / (n * 1000.0), 6) END AS quality_logit,
+      |       coalesce(sw / (n * 1000.0) > 0.0, FALSE) AS keep
+      |FROM documents d LEFT JOIN w USING (doc_id)""".stripMargin
 
   /** The composite score over the ratio columns, 6-dp rounded. */
   private val qualityScoreSql: String =
@@ -2663,26 +2747,42 @@ object SparkEntry {
     // exact stage list, so the config runner shares its oracle (the
     // x5/x18 two-executions-one-oracle discipline)
     "p41_declarative_funnel" -> curationFunnelSql,
-    "p43_linear_quality" ->
-      """WITH toks AS (SELECT doc_id,
-        |                CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-        |                     ELSE string_split_regex(trim(lower(text)), '\s+') END AS tk
-        |              FROM documents),
-        |g AS (SELECT doc_id, list_concat(tk, list_transform(
-        |        range(0, len(tk) - 1),
-        |        i -> array_to_string(list_slice(tk, i + 1, i + 2), ' '))) AS grams
-        |      FROM toks),
-        |f AS (SELECT doc_id, unnest(grams) AS gr FROM g),
-        |w AS (SELECT doc_id,
-        |        CAST(sum((('0x' || substr(md5('w:' ||
-        |          CAST((('0x' || substr(md5(gr), 1, 15))::BIGINT) % 1024 AS VARCHAR)
-        |          ), 1, 15))::BIGINT) % 2001 - 1000) AS BIGINT) AS sw,
-        |        count(*) AS n
-        |      FROM f GROUP BY 1)
-        |SELECT d.doc_id, coalesce(n, 0) AS n_features,
-        |       CASE WHEN n > 0 THEN round(sw / (n * 1000.0), 6) END AS quality_logit,
-        |       coalesce(sw / (n * 1000.0) > 0.0, FALSE) AS keep
-        |FROM documents d LEFT JOIN w USING (doc_id)""".stripMargin,
+    "p43_linear_quality" -> linearQualitySql,
+    "p45_quality_buckets" ->
+      s"""WITH scored AS (
+         |  SELECT d2.doc_id, d2.lang, q.quality_logit
+         |  FROM ($linearQualitySql) q JOIN documents d2 USING (doc_id)),
+         |st AS (SELECT lang,
+         |         round(quantile_cont(quality_logit, 0.3333333333333333), 6) AS t1,
+         |         round(quantile_cont(quality_logit, 0.6666666666666666), 6) AS t2
+         |       FROM scored GROUP BY 1)
+         |SELECT s.doc_id, s.lang, s.quality_logit,
+         |  CASE WHEN s.quality_logit IS NULL THEN NULL
+         |       WHEN t1 IS NULL OR t2 IS NULL THEN NULL
+         |       WHEN s.quality_logit > t2 THEN 'head'
+         |       WHEN s.quality_logit > t1 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM scored s LEFT JOIN st USING (lang)""".stripMargin,
+    "p46_dedup_best" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 200000, upper(text) || '  !!!'
+         |  FROM documents WHERE doc_id % 40 = 0),
+         |base AS (${qualityBaseSql("corpus", "doc_id")}),
+         |ratios AS (${qualityRatiosSql("doc_id, text")}),
+         |q AS (SELECT doc_id, text, $qualityScoreSql AS q FROM ratios),
+         |g AS (SELECT md5(trim(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')))) AS norm_md5,
+         |             doc_id, q FROM q),
+         |r AS (SELECT norm_md5, doc_id, q,
+         |        count(*) OVER (PARTITION BY norm_md5) AS n_copies,
+         |        max(q) OVER (PARTITION BY norm_md5) AS best_quality,
+         |        row_number() OVER (PARTITION BY norm_md5
+         |          ORDER BY q DESC, doc_id ASC) AS rk
+         |      FROM g)
+         |SELECT norm_md5, CAST(n_copies AS BIGINT) AS n_copies,
+         |       CAST(doc_id AS BIGINT) AS keep_id, best_quality
+         |FROM r WHERE rk = 1""".stripMargin,
     "p29_token_budget" ->
       s"""WITH t AS (SELECT doc_id, source,
          |             CASE WHEN trim(text) = '' THEN 0
@@ -2866,6 +2966,19 @@ object SparkEntry {
         |UNION ALL SELECT 'n_chars_consistent', n_rows, CAST(v3 AS BIGINT), v3 = 0 FROM t
         |UNION ALL SELECT 'lang_known', n_rows, CAST(v4 AS BIGINT), v4 = 0 FROM t
         |UNION ALL SELECT 'doc_id_unique', n_rows, CAST(v5 AS BIGINT), v5 = 0 FROM t""".stripMargin,
+    // the streaming monitor covers the ROW rules (uniqueness needs the
+    // p16 dedup-state machinery) — same rule list, minus v5
+    "x23_stream_expectations" ->
+      """WITH t AS (SELECT count(*) AS n_rows,
+        |  coalesce(sum(CASE WHEN doc_id IS NOT NULL THEN 0 ELSE 1 END), 0) AS v1,
+        |  coalesce(sum(CASE WHEN len(text) > 0 THEN 0 ELSE 1 END), 0) AS v2,
+        |  coalesce(sum(CASE WHEN n_chars = len(text) THEN 0 ELSE 1 END), 0) AS v3,
+        |  coalesce(sum(CASE WHEN lang IN ('de','en','es','fr','zh') THEN 0 ELSE 1 END), 0) AS v4
+        |  FROM documents)
+        |SELECT 'doc_id_not_null' AS rule, n_rows, CAST(v1 AS BIGINT) AS n_violations, v1 = 0 AS pass FROM t
+        |UNION ALL SELECT 'text_nonempty', n_rows, CAST(v2 AS BIGINT), v2 = 0 FROM t
+        |UNION ALL SELECT 'n_chars_consistent', n_rows, CAST(v3 AS BIGINT), v3 = 0 FROM t
+        |UNION ALL SELECT 'lang_known', n_rows, CAST(v4 AS BIGINT), v4 = 0 FROM t""".stripMargin,
     // CDC replay: identical boundary rule (k-gram hex64 % 64 at
     // positions 2..len-7, position 1 always a start), identical
     // segment slicing, identical 60-bit content hash — the oracle is

@@ -52,6 +52,36 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), min(col(id)).as("keep_id"))
       .where(col("n_copies") > 1)
 
+  /** Representative SELECTION for dedup groups — the policy half the
+    * keep-smallest-id ops fix by fiat: when a normalized-text group
+    * holds several renditions of one document (re-cased, re-punctuated,
+    * boilerplate-suffixed crawls of the same page), a curation pipeline
+    * wants to KEEP THE BEST rendition, not the lowest id. Scores each
+    * doc with the p8 quality composite (6 dp-rounded so the ranking key
+    * is engine-identical), groups by the normalized digest, and picks
+    * the max-(quality, lowest-id-on-tie) member via ONE max-of-struct
+    * aggregation — the d5 shape: no per-group window sort, no
+    * join-back, map-side partial max does most of the work.
+    *
+    * Output: one row per group — norm_md5, n_copies, keep_id,
+    * best_quality. Singleton groups report themselves (keep_id = the
+    * doc), so the output IS the kept-corpus directory.
+    */
+  def dedupKeepBest(docs: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val scored = TextStats.withQualityColumns(docs, text)
+      .withColumn("__q", round(col("quality_score"), 6))
+    scored
+      .groupBy(md5(normalizedText(col(text))).as("norm_md5"))
+      .agg(count(lit(1)).as("n_copies"),
+        // lexicographic struct max: highest quality, then highest
+        // negated id = LOWEST id on quality ties — deterministic
+        max(struct(col("__q").as("q"), (-col(id)).as("nid"))).as("__best"))
+      .select(col("norm_md5"), col("n_copies"),
+        (-col("__best.nid")).cast("long").as("keep_id"),
+        col("__best.q").as("best_quality"))
+  }
+
   /** Exact dedup after Unicode NFC canonical composition — catches the
     * copies whose only difference is the encoder that produced them
     * (precomposed U+00E9 vs decomposed e+U+0301 and every other

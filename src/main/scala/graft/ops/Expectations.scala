@@ -37,6 +37,18 @@ object Expectations {
     * @param uniqueRules (name, columns) — column combo must be unique
     */
   def check(df: DataFrame, rowRules: Seq[(String, Column)],
+      uniqueRules: Seq[(String, Seq[String])] = Nil): DataFrame =
+    reshape(aggRow(df, rowRules, uniqueRules),
+      rowRules.map(_._1) ++ uniqueRules.map(_._1))
+
+  /** The one-row violation aggregate — split from [[reshape]] so the
+    * STREAMING monitor form can run it as unbounded aggregation state
+    * (complete mode) and reshape the drained row in a post-pass (the
+    * x22 monitor pattern; a stack() generator directly on a streaming
+    * aggregate is not a supported streaming plan). Batch [[check]] is
+    * aggRow ∘ reshape — one rule definition, both execution modes.
+    */
+  def aggRow(df: DataFrame, rowRules: Seq[(String, Column)],
       uniqueRules: Seq[(String, Seq[String])] = Nil): DataFrame = {
     require(rowRules.nonEmpty || uniqueRules.nonEmpty, "no rules given")
     // rule names ride inside a generated stack() expression as both
@@ -61,18 +73,20 @@ object Expectations {
         countDistinct(when(allSet, struct(cols.map(col): _*))))
         .as(s"__v_$name")
     }
-    val base = df.agg(count(lit(1)).as("__n"),
-      (rowAggs ++ uniqAggs): _*)
-    // unpivot the one-row aggregate into (rule, n_rows, n_violations,
-    // pass) — stack over a single row, no second scan
+    df.agg(count(lit(1)).as("__n"), (rowAggs ++ uniqAggs): _*)
+  }
+
+  /** Unpivot the one-row aggregate into (rule, n_rows, n_violations,
+    * pass) — stack over a single row, no second scan.
+    */
+  def reshape(base: DataFrame, names: Seq[String]): DataFrame =
     base.select(
-      expr(s"stack(${names0.length}, " +
-        names0.map(n => s"'$n', coalesce(__v_$n, 0L)").mkString(", ") +
+      expr(s"stack(${names.length}, " +
+        names.map(n => s"'$n', coalesce(__v_$n, 0L)").mkString(", ") +
         ") AS (rule, n_violations)"),
       col("__n").as("n_rows"))
       .select(col("rule"), col("n_rows"), col("n_violations"),
         (col("n_violations") === 0L).as("pass"))
-  }
 
   /** Referential-integrity rule — the expectation [[check]] can't
     * express in one scan: every child row's foreign key must exist in

@@ -87,6 +87,37 @@ object Profiling {
       .drop("__lo", "__hi")
   }
 
+  /** Group-wise head/middle/tail bucketing by score terciles — the
+    * CCNet quality-bucket shape (Wenzek et al. 2020 split their corpus
+    * per language into head/middle/tail by LM perplexity terciles;
+    * here the score axis is pluggable — p45 feeds the p43 linear
+    * logit). Same broadcast discipline as [[standardize]]: one
+    * percentile aggregation per group, 6 dp-quantized boundaries
+    * broadcast back, the bucket label is per-row CASE inside codegen —
+    * no window over the data, no corpus sort (CCNet's actual
+    * implementation sorts the whole corpus; the percentile-aggregate
+    * form is the shuffle the sort avoids... inverted: one |groups|-row
+    * broadcast instead of a corpus-wide range exchange).
+    *
+    * NULL scores and NULL-keyed groups gate to a NULL bucket
+    * (fail-visible, the [[Expectations]] discipline).
+    */
+  def tercileBuckets(df: DataFrame, groupCols: Seq[String], scoreCol: String,
+      out: String = "bucket"): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val stats = df.groupBy(groupCols.map(col): _*)
+      .agg(round(expr(s"percentile($scoreCol, 0.3333333333333333)"), 6).as("__t1"),
+        round(expr(s"percentile($scoreCol, 0.6666666666666666)"), 6).as("__t2"))
+    df.join(broadcast(stats), groupCols, "left")
+      .withColumn(out,
+        when(col(scoreCol).isNull, lit(null))
+          .when(col("__t1").isNull || col("__t2").isNull, lit(null))
+          .when(col(scoreCol) > col("__t2"), "head")
+          .when(col(scoreCol) > col("__t1"), "middle")
+          .otherwise("tail"))
+      .drop("__t1", "__t2")
+  }
+
   /** Exact top-k heavy hitters with a Count-Min-Sketch cross-check —
     * the a6 sketch discipline applied to frequency: the exact
     * aggregation is the oracle-checkable twin, and the CMS (the

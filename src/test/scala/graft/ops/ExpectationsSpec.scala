@@ -71,6 +71,40 @@ class ExpectationsSpec extends SparkSpec {
       Expectations.fkCheck(child, parent, "bad name", Seq("fk" -> "pk")))
   }
 
+  test("x23: streaming monitor accumulates rule state across micro-batches and matches the batch gate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val s = spark
+    implicit val sq = s.sqlContext
+    val rules = Seq(
+      "id_not_null" -> col("doc_id").isNotNull,
+      "text_nonempty" -> (length(col("text")) > 0))
+    val source = MemoryStream[(Option[Long], String)]
+    val batch1 = Seq((Option(1L), "alpha"), (Option(2L), ""))
+    val batch2 = Seq((Option.empty[Long], "gamma"), (Option(4L), "delta"))
+    val stream = source.toDF().toDF("doc_id", "text")
+    val q = Expectations.aggRow(stream, rules)
+      .writeStream.format("memory").queryName("x23_state")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      source.addData(batch1: _*); q.processAllAvailable()
+      source.addData(batch2: _*); q.processAllAvailable()
+      val streamed = Expectations.reshape(
+        s.table("x23_state"), rules.map(_._1))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+      // the violation in batch 1 (empty text) and in batch 2 (null id)
+      // both survive in the accumulated state — the monitor saw all 4
+      val expected = Expectations.check(
+        (batch1 ++ batch2).toDF("doc_id", "text"), rules)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+      assert(streamed == expected)
+      assert(streamed("id_not_null") == ((4L, 1L, false)))
+      assert(streamed("text_nonempty") == ((4L, 1L, false)))
+    } finally q.stop()
+  }
+
   test("p37: non-identifier and duplicate rule names are rejected loudly") {
     val df = Seq((1L, "a")).toDF("id", "t")
     assertThrows[IllegalArgumentException](

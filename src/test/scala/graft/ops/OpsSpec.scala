@@ -596,7 +596,56 @@ class OpsSpec extends SparkSpec {
 
   test("multimodal: frame sampling chunks video payloads with stride") {
     import spark.implicits._
-    val media = Multimodal.asMedia(docs)  // doc_id % 3 == 2 -> video
+    testFramesBody(Multimodal.asMedia(docs))  // doc_id % 3 == 2 -> video
+  }
+
+  test("p45: tercile buckets split each group 3-ways; null scores and degenerate groups gate NULL") {
+    val d = ((1 to 9).map(i => ("en", i.toLong, Some(i.toDouble))) :+
+      (("en", 10L, Option.empty[Double])) :+      // null score
+      (("zz", 11L, Some(5.0)))                    // singleton group
+      ).toDF("lang", "id", "score")
+    val out = Profiling.tercileBuckets(d, Seq("lang"), "score")
+      .select("id", "bucket").as[(Long, Option[String])].collect().toMap
+    // 1..9: terciles at ~3.67 and ~6.33 -> 1-3 tail, 4-6 middle, 7-9 head
+    (1L to 3L).foreach(i => assert(out(i).contains("tail"), s"id $i: ${out(i)}"))
+    (4L to 6L).foreach(i => assert(out(i).contains("middle"), s"id $i: ${out(i)}"))
+    (7L to 9L).foreach(i => assert(out(i).contains("head"), s"id $i: ${out(i)}"))
+    assert(out(10L).isEmpty, "null score must gate to NULL bucket")
+    // a singleton group has t1 = t2 = its own value; score > t2 is
+    // false -> tail (the degenerate-but-defined case, not NULL)
+    assert(out(11L).contains("tail"))
+    // row conservation: every input row has a verdict
+    assert(out.size == 11)
+  }
+
+  test("p46: keep-best dedup retains the higher-quality rendition regardless of id order") {
+    // two renditions of one page (same words, so they share a
+    // normalized-dedup group): the LOW id is the junk-punctuated
+    // crawl, the HIGH id the clean one — keep-smallest would pick the
+    // junk; keep-best must pick the clean rendition
+    val pair = Seq(
+      (1L, "THE-CAT,,SAT!!ON##THE..MAT"),
+      (9L, "the cat sat on the mat"),
+      (5L, "a lone unique document about the weather today")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupKeepBest(pair)
+      .select("n_copies", "keep_id", "best_quality")
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 2)
+    val dupGroup = out.find(_._1 == 2L).get
+    // the clean rendition (id 9, lower punct ratio) must win despite
+    // the larger id
+    assert(dupGroup._2 == 9L, s"kept ${dupGroup._2}, expected the clean rendition")
+    // the singleton reports itself
+    assert(out.find(_._1 == 1L).get._2 == 5L)
+    // tie case: byte-identical texts -> identical quality -> lowest id
+    val tie = Seq((7L, "same text here"), (3L, "same text here"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupKeepBest(tie).select("keep_id").as[Long].head()
+    assert(kept == 3L)
+  }
+
+  private def testFramesBody(media: org.apache.spark.sql.DataFrame): Unit = {
     val frames = Multimodal.sampleFrames(media, frameBytes = 4, stride = 2)
       .orderBy("doc_id", "frame_no").collect()
     assert(frames.nonEmpty)
