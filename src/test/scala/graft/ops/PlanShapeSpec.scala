@@ -41,9 +41,24 @@ class PlanShapeSpec extends SparkSpec {
     assertNoDisasterJoin("p26", plan)
   }
 
-  test("p25 banded LSH / p6 / p13 / p23: candidate joins are equi-joins, never cartesian") {
-    Seq("p25_lsh_topk_banded", "p6_lsh_topk", "p13_ivf_topk", "p23_blocked_neardup")
+  test("p25 banded LSH / p6 / p13 / p23 / p44: candidate joins are equi-joins, never cartesian") {
+    Seq("p25_lsh_topk_banded", "p6_lsh_topk", "p13_ivf_topk", "p23_blocked_neardup",
+      "p44_semantic_dedup")
       .foreach { q => assertNoDisasterJoin(q, executedPlan(q)) }
+  }
+
+  test("p45 quality buckets: boundaries broadcast back; no window over the document rows") {
+    // the CCNet shape inverted: a |languages|-row percentile table
+    // ships to the rows — a per-language window (or CCNet's corpus
+    // sort) would range-exchange every document
+    val plan = executedPlan("p45_quality_buckets")
+    assertNoDisasterJoin("p45", plan)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"tercile boundaries should broadcast onto the rows:\n$plan")
+    assert(!plan.contains("Window"),
+      s"p45 plans a window over the data:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"p45 plans a corpus sort:\n$plan")
   }
 
   test("a6 sketches: percentile buffers never ride the distinct rewrite") {

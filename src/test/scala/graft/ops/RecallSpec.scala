@@ -164,6 +164,26 @@ abstract class RecallFloorsSpec(sfDir: String) extends SparkSpec {
     exact.unpersist()
   }
 
+  test("p44 recall: semantic-dedup's within-cell restriction captures most exact cosine dup pairs") {
+    // SemDeDup's premise is that near-duplicates co-cluster; this
+    // measures that premise on the corpus: fraction of exact
+    // cosine-dup pairs (the p12 twin) whose endpoints land in the same
+    // rank-1 k-means cell — the only pairs p44 can see.
+    val exact = Similarity.cosineDupPairs(emb, tau = 0.45).cache()
+    val cells = Similarity.ivfAssignments(emb, nCentroids = 8)
+    val hits = exact
+      .join(cells.toDF("id_a", "__ca"), Seq("id_a"))
+      .join(cells.toDF("id_b", "__cb"), Seq("id_b"))
+      .where(col("__ca") === col("__cb")).count()
+    val total = exact.count()
+    val recall = if (total == 0) 1.0 else hits.toDouble / total
+    info(s"p44: $hits/$total same-cell recall=$recall")
+    assert(total > 0, "exact twin found no pairs — the corpus fixture changed")
+    assert(recall >= 0.5, s"p44 same-cell recall $recall < 0.5 — " +
+      "near-dups no longer co-cluster; raise nProbe-style neighbor cells or re-fit")
+    exact.unpersist()
+  }
+
   test("p6 recall@5: single-band sign-LSH matches its (low) theoretical recall — p25 banding is the fix") {
     val exact = Similarity.cosineTopK(emb, k = 5).cache()
     val approx = Similarity.lshCosineTopK(emb, k = 5, planes = 8)
