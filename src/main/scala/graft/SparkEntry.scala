@@ -1701,12 +1701,15 @@ object SparkEntry {
     }),
     // P44: semantic dedup (SemDeDup) — k-means-cluster the embedding
     // space (the p13 codebook, shared machinery), compare pairs only
-    // WITHIN a cluster, drop the larger id of any pair at
-    // cosine >= tau. One verdict row per vector; the corpus-wide pair
-    // space never materializes (Σ|cell|² bounded by scaling nCentroids
-    // with N, the paper's own k scaling).
+    // within a vector's nProbe=2 closest cells (the IVF recall knob
+    // applied to dedup — boundary-straddling pairs are seen when
+    // either endpoint probes the other's cell), drop the larger id of
+    // any pair at cosine >= tau. One verdict row per vector; the
+    // corpus-wide pair space never materializes (Σ|cell|² bounded by
+    // scaling nCentroids with N, the paper's own k scaling).
     "p44_semantic_dedup" -> ((s, dir) =>
-      Similarity.semanticDedup(t(s, dir, "embeddings"), tau = 0.45, nCentroids = 8)),
+      Similarity.semanticDedup(t(s, dir, "embeddings"), tau = 0.45, nCentroids = 8,
+        nProbe = 2)),
     // tau=0.45 sits just inside the corpus' cosine tail (max ~0.51) so
     // the threshold variant returns a small non-empty pair set.
     "p12_embedding_dup" -> ((s, dir) =>
@@ -2020,17 +2023,18 @@ object SparkEntry {
        |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
        |FROM ranked WHERE rank <= 5""".stripMargin
 
-  /** p44's tail over the shared k-means prefix: within-cell pairs at
+  /** p44's tail over the shared k-means prefix: probe-side (rank ≤ 2
+    * cells, the prefix's `probes`) against rank-1 lists; pairs at
     * cosine >= tau mark the LARGER id dropped (keep-smallest greedy).
     */
   private def semDedupOracleSql(tau: Double): String =
     s"""${ivfKmeansPrefixSql()},
        |sd_pairs AS (
-       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       |         list_sum(list_transform(na.e, (x, i) -> x * nb.e[i])) / (na.nrm * nb.nrm) AS cosine
-       |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
-       |  JOIN n na ON na.vec_id = a.vec_id
-       |  JOIN n nb ON nb.vec_id = b.vec_id),
+       |  SELECT greatest(p.vec_id, a.vec_id) AS id_b,
+       |         list_sum(list_transform(np.e, (x, i) -> x * na2.e[i])) / (np.nrm * na2.nrm) AS cosine
+       |  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+       |  JOIN n np ON np.vec_id = p.vec_id
+       |  JOIN n na2 ON na2.vec_id = a.vec_id),
        |sd_dropped AS (SELECT DISTINCT id_b AS vec_id FROM sd_pairs WHERE cosine >= $tau)
        |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell, d.vec_id IS NULL AS keep
        |FROM assign a LEFT JOIN sd_dropped d ON d.vec_id = a.vec_id""".stripMargin

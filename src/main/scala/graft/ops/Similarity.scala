@@ -445,10 +445,14 @@ object Similarity {
     * cluster — the observation that semantic duplicates land in the
     * same cluster, so the corpus-wide pair space never materializes.
     * Emits one verdict per vector: its cell and `keep` (false iff a
-    * SMALLER-id cell-mate sits at cosine >= tau — the repo's
-    * deterministic keep-smallest greedy, same as the SimHash funnel
-    * stage; the paper's keep-farthest-from-centroid policy is a
-    * one-line `max_by` swap on the same pair frame).
+    * SMALLER-id near-identical mate was seen at cosine >= tau — the
+    * repo's deterministic keep-smallest greedy, same as the SimHash
+    * funnel stage; the paper's keep-farthest-from-centroid policy is a
+    * one-line `max_by` swap on the same pair frame). `nProbe` > 1
+    * additionally compares each vector against its nProbe closest
+    * cells' members — the IVF recall knob applied to dedup, for the
+    * pairs that straddle a cell boundary (RecallSpec measures the
+    * lift).
     *
     * 100 TB shape: cell assignment is per-row math against the literal
     * codebook; the only wide op is the within-cell equi-join, whose
@@ -457,20 +461,28 @@ object Similarity {
     * global pair join exists in the plan.
     */
   def semanticDedup(emb: DataFrame, tau: Double, nCentroids: Int = 8,
+      nProbe: Int = 1,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val cells = ivfRankedCells(emb, nCentroids, maxRank = 1, id, vec,
+    val ranked = ivfRankedCells(emb, nCentroids, math.max(1, nProbe), id, vec,
       "vid", "v", "nrm", "kmeans", 100)
-      .where(col("__rk") === 1)
-      .select(col("vid"), col("v"), col("nrm"), col("cell"))
-    val a = cells.select(col("vid").as("id_a"), col("v").as("va"),
-      col("nrm").as("na"), col("cell"))
-    val b = cells.select(col("vid").as("id_b"), col("v").as("vb"),
-      col("nrm").as("nb"), col("cell"))
-    val dropped = a.join(b, Seq("cell"))
-      .where(col("id_a") < col("id_b"))
-      .withColumn("cosine", VectorMath.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+    val cells = ranked.where(col("__rk") === 1)
+      .select(col("vid"), col("cell"))
+    // probe amplification (the recall knob, exactly IVF's): each
+    // vector also compares against the members of its nProbe
+    // closest cells, so a dup pair straddling a cell boundary is
+    // still seen when EITHER endpoint probes the other's cell —
+    // RecallSpec measures the lift over the rank-1-only restriction
+    val lists = ranked.where(col("__rk") === 1)
+      .select(col("vid").as("id_l"), col("v").as("vl"),
+        col("nrm").as("nl"), col("cell"))
+    val probes = ranked.where(col("__rk") <= math.max(1, nProbe))
+      .select(col("vid").as("id_p"), col("v").as("vp"),
+        col("nrm").as("np"), col("cell"))
+    val dropped = probes.join(lists, Seq("cell"))
+      .where(col("id_p") =!= col("id_l"))
+      .withColumn("cosine", VectorMath.dot(col("vp"), col("vl")) / (col("np") * col("nl")))
       .where(col("cosine") >= tau)
-      .select(col("id_b").as("vid")).distinct()
+      .select(greatest(col("id_p"), col("id_l")).as("vid")).distinct()
       .withColumn("__dropped", lit(true))
     cells.join(dropped, Seq("vid"), "left")
       .select(col("vid").as(id), col("cell").cast("long").as("cell"),
