@@ -1553,6 +1553,19 @@ object SparkEntry {
         .withColumn("text", concat(upper(col("text")), lit("  !!!")))
       Dedup.dedupKeepBest(d.unionByName(planted))
     }),
+    // P47: tokenizer vocabulary + deterministic encoding — the
+    // word-level tokenizer-training step (top-k tokens by count,
+    // count-desc/token-asc deterministic ids 1..k, 0 = OOV) plus each
+    // document encoded against it, emitted as an order-sensitive
+    // integer fingerprint sum(pos·(id+1)) — exact integer arithmetic,
+    // so an id slip, OOV flip, or token reorder moves the hash. The
+    // vocab is the bounded broadcast artifact every encode shares.
+    "p47_vocab_encode" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val vocab = ops.TextStats.buildVocab(d, k = 500)
+      ops.TextStats.encodeFingerprint(d, vocab)
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"), col("ids_fp"))
+    }),
     // P31: deterministic train/val/test assignment over the same
     // 100-bucket hash space as p17's Bernoulli sampler (a pct-p sample
     // is a bucket prefix, so dev samples inherit the production split).
@@ -2752,6 +2765,23 @@ object SparkEntry {
     // x5/x18 two-executions-one-oracle discipline)
     "p41_declarative_funnel" -> curationFunnelSql,
     "p43_linear_quality" -> linearQualitySql,
+    "p47_vocab_encode" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |              FROM documents WHERE trim(text) <> ''),
+        |flat AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+        |           i -> {'pos': i, 'token': tk[i]})) AS pt FROM toks),
+        |f AS (SELECT doc_id, pt.pos AS pos, pt.token AS token FROM flat
+        |      WHERE pt.token <> ''),
+        |vc AS (SELECT token, count(*) AS n FROM f GROUP BY 1),
+        |vocab AS (SELECT token,
+        |            CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS token_id
+        |          FROM vc ORDER BY n DESC, token ASC LIMIT 500),
+        |e AS (SELECT f.doc_id, f.pos, coalesce(v.token_id, 0) AS tid
+        |      FROM f LEFT JOIN vocab v USING (token))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |       CAST(sum(pos * (tid + 1)) AS BIGINT) AS ids_fp
+        |FROM e GROUP BY 1""".stripMargin,
     "p45_quality_buckets" ->
       s"""WITH scored AS (
          |  SELECT d2.doc_id, d2.lang, q.quality_logit

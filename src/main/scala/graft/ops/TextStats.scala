@@ -144,6 +144,60 @@ object TextStats {
       .drop("__n", "__sw")
   }
 
+  /** Corpus token vocabulary — the word-level tokenizer-training step
+    * (the k most frequent whitespace tokens, ranked count-desc with a
+    * token-asc tie-break so the id assignment is deterministic and
+    * append-stable under re-ranking of equal-count tails). Ids are
+    * 1..k; 0 is reserved for OOV in [[encodeFingerprint]].
+    *
+    * Scale: one token aggregation with map-side partials + one
+    * vocabulary-sized top-k — the vocab is a bounded artifact
+    * (typically 32k-256k entries) that BROADCASTS to every encode.
+    */
+  def buildVocab(docs: DataFrame, k: Int, text: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = docs.sparkSession
+    docs
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(explode(split(trim(lower(col(text))), "\\s+")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+      .limit(k)
+      .withColumn("token_id",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_occurrences").desc, col("token").asc)).cast("long"))
+      .select("token_id", "token", "n_occurrences")
+  }
+
+  /** Encode each document against a [[buildVocab]] vocabulary and emit
+    * a deterministic ORDER-SENSITIVE fingerprint instead of the raw id
+    * array (the array is what a real pipeline writes; the fingerprint
+    * is what a replay oracle can hash): per doc, n_tokens, n_oov
+    * (tokens outside the vocab, id 0), and
+    * ids_fp = Σ position·(id+1) — exact integer arithmetic, so any
+    * id slip, OOV flip, or reorder moves the fingerprint.
+    *
+    * Shape: explode → broadcast vocab join → one doc-keyed aggregation
+    * with map-side partials. No window, no per-doc array rebuild.
+    */
+  def encodeFingerprint(docs: DataFrame, vocab: DataFrame,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val toks = docs
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col(id),
+        posexplode(split(trim(lower(col(text))), "\\s+")).as(Seq("pos", "token")))
+      .where(col("token") =!= "")
+    toks
+      .join(broadcast(vocab.select(col("token"), col("token_id"))), Seq("token"), "left")
+      .withColumn("__tid", coalesce(col("token_id"), lit(0L)))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__tid") === 0L, 1L).otherwise(0L)).as("n_oov"),
+        sum((col("pos") + 1) * (col("__tid") + 1)).as("ids_fp"))
+  }
+
   /** Top-k terms per document by TF-IDF.
     *
     * Plan shape at scale: tokens explode after a repartition on the

@@ -40,6 +40,25 @@ class TextPipelineSpec extends SparkSpec {
     assert(kept1 <= kept0 && kept0 == 3)
   }
 
+  test("p47: vocab ids are deterministic (count desc, token asc); fingerprint is hand-checkable; OOV -> 0") {
+    val d = Seq((1L, "b a a"), (2L, "c a"), (3L, "   "))
+      .toDF("doc_id", "text")
+    val vocab = TextStats.buildVocab(d, k = 2)
+      .select("token_id", "token", "n_occurrences")
+      .as[(Long, String, Long)].collect().toSeq
+    // a wins on count (3); b beats c on the token-asc tie at count 1
+    assert(vocab == Seq((1L, "a", 3L), (2L, "b", 1L)))
+    val enc = TextStats.encodeFingerprint(d, TextStats.buildVocab(d, k = 2))
+      .select("doc_id", "n_tokens", "n_oov", "ids_fp")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // doc 1 = [b a a] -> ids [2 1 1] -> fp 1*3 + 2*2 + 3*2 = 13
+    assert(enc(1L) == ((1L, 3L, 0L, 13L)))
+    // doc 2 = [c a] -> ids [0 1], c is OOV -> fp 1*1 + 2*2 = 5
+    assert(enc(2L) == ((2L, 2L, 1L, 5L)))
+    // blank docs have no tokens and no encode row
+    assert(!enc.contains(3L))
+  }
+
   test("p26: contamination flags docs sharing >= minShared distinct word n-grams with a benchmark") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
