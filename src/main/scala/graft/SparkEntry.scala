@@ -194,25 +194,44 @@ object SparkEntry {
     * staged into one, once per JVM per sf dir). Shared by every
     * streaming twin that consumes raw events.
     */
-  private def eventStream(s: SparkSession, dir: String): DataFrame = {
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val staged = stagedDir(s"events:$dir") { p =>
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        p.resolve("events.parquet"))
+  /** Stage a parquet table into a flat directory of data files. The
+    * driver's testdata tables are single FILES, but any Spark-written
+    * fixture (the sf1 scale probe) is a DIRECTORY of part files — a
+    * bare Files.copy of that copies only the empty dir entry and the
+    * stream silently reads ZERO rows (caught by the round-7 scale
+    * probe: x23 "ran" 3× faster at 10× the data).
+    */
+  private def stageParquet(src: String, p: java.nio.file.Path): Unit = {
+    val s0 = java.nio.file.Paths.get(src)
+    if (java.nio.file.Files.isDirectory(s0)) {
+      val walk = java.nio.file.Files.walk(s0)
+      try {
+        val it = walk.iterator()
+        var i = 0
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.toString.endsWith(".parquet") && java.nio.file.Files.isRegularFile(f)) {
+            java.nio.file.Files.copy(f, p.resolve(f"part$i%05d.parquet"))
+            i += 1
+          }
+        }
+        require(i > 0, s"no parquet files under $src")
+      } finally walk.close()
+    } else {
+      java.nio.file.Files.copy(s0, p.resolve(s0.getFileName.toString))
       ()
     }
+  }
+
+  private def eventStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val staged = stagedDir(s"events:$dir")(stageParquet(s"$dir/events.parquet", _))
     s.readStream.schema(schema).parquet(staged.toString)
   }
 
   private def docStream(s: SparkSession, dir: String): DataFrame = {
     val schema = s.read.parquet(s"$dir/documents.parquet").schema
-    val staged = stagedDir(s"documents:$dir") { p =>
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/documents.parquet"),
-        p.resolve("documents.parquet"))
-      ()
-    }
+    val staged = stagedDir(s"documents:$dir")(stageParquet(s"$dir/documents.parquet", _))
     s.readStream.schema(schema).parquet(staged.toString)
   }
 
