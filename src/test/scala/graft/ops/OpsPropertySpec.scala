@@ -246,6 +246,61 @@ object OpsPropertySpec extends Properties("graft.ops") {
            suppressed.values.map(_._2).sum)))
     }
 
+  propertyWithSeed("dedupKeepBest: groups partition the input; kept doc carries the group max quality", None) =
+    Prop.forAllNoShrink(
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 4),
+        Gen.oneOf("", "!!!! ????", "in the sun", "IN THE SUN", "a good day here")))) { texts =>
+      val s = spark
+      import s.implicits._
+      // ids unique; text = base phrase + variant suffix so several
+      // renditions share a normalized group with different quality
+      val rows = texts.zipWithIndex.map { case ((base, suffix), i) =>
+        (i.toLong, s"the cat number $base sat $suffix")
+      }
+      val df = rows.toDF("doc_id", "text")
+      val out = Dedup.dedupKeepBest(df)
+        .select("n_copies", "keep_id", "best_quality")
+        .as[(Long, Long, Double)].collect()
+      val quality = TextStats.withQualityColumns(df)
+        .select(col("doc_id"), round(col("quality_score"), 6))
+        .as[(Long, Double)].collect().toMap
+      val groups = rows.groupBy { case (_, t) =>
+        t.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+      }.values.toSeq
+      out.map(_._1).sum == rows.size.toLong &&
+        out.length == groups.size &&
+        out.forall { case (_, keepId, bestQ) =>
+          quality(keepId) == bestQ &&
+            // the kept doc's quality is maximal in SOME group containing it
+            groups.find(_.exists(_._1 == keepId))
+              .exists(g => g.map(r => quality(r._1)).max == bestQ &&
+                g.filter(r => quality(r._1) == bestQ).map(_._1).min == keepId)
+        }
+    }
+
+  propertyWithSeed("tercileBuckets: verdicts conserve rows and order with the score", None) =
+    Prop.forAllNoShrink(
+      Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("en", "de"), Gen.choose(0, 100)))) { rows0 =>
+      val s = spark
+      import s.implicits._
+      val rows = rows0.zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v.toDouble) }
+      val out = Profiling.tercileBuckets(rows.toDF("id", "grp", "score"),
+        Seq("grp"), "score")
+        .select("id", "grp", "score", "bucket")
+        .as[(Long, String, Double, String)].collect()
+      val rank = Map("tail" -> 0, "middle" -> 1, "head" -> 2)
+      out.length == rows.size &&
+        // within a group, bucket rank is monotone in the score
+        out.groupBy(_._2).values.forall { g =>
+          g.sortBy(_._3).sliding(2).forall {
+            case Array(a, b) => rank(a._4) <= rank(b._4) || a._3 == b._3
+            case _           => true
+          }
+        } &&
+        // equal scores in a group always land in the same bucket
+        out.groupBy(r => (r._2, r._3)).values.forall(_.map(_._4).distinct.length == 1)
+    }
+
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
     p.withMinSuccessfulTests(10)
 }
