@@ -190,15 +190,18 @@ class SnapshotWarehouse(spark: SparkSession, val baseDir: String,
     */
   def compact(table: String): Unit = transact(_.rewrite(table, null))
 
-  /** Delete every segment directory no longer referenced by the CURRENT
-    * manifest, and every pre-current manifest file. Destroys time
-    * travel to older versions and any still-running reader of them —
-    * run it only past the reader-retention horizon (the standard
-    * lakehouse vacuum contract).
+  /** Delete every segment directory not referenced by the newest
+    * `keepVersions` manifests, and every manifest older than those.
+    * Destroys time travel past the retention horizon and any
+    * still-running reader of it — the standard lakehouse vacuum
+    * contract: `keepVersions` IS the reader-retention horizon
+    * (default 1 = only the current snapshot survives).
     */
-  def vacuum(): Unit = {
-    val m = currentManifest()
-    val live = m.tables.values.flatten.map(_.path).toSet
+  def vacuum(keepVersions: Int = 1): Unit = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    val versions = listVersions()
+    val kept = versions.takeRight(keepVersions)
+    val live = kept.flatMap(v => manifestAt(v).tables.values.flatten.map(_.path)).toSet
     schemas.keys.foreach { table =>
       val dir = new HPath(s"$baseDir/$table")
       if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
@@ -207,7 +210,7 @@ class SnapshotWarehouse(spark: SparkSession, val baseDir: String,
           fs.delete(st.getPath, true)
       }
     }
-    listVersions().dropRight(1).foreach { v =>
+    versions.dropRight(keepVersions).foreach { v =>
       fs.delete(new HPath(manifestDir, f"v$v%08d.json"), false)
     }
     fs.listStatus(manifestDir).foreach { st =>

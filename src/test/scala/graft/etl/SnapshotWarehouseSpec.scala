@@ -156,6 +156,40 @@ class SnapshotWarehouseSpec extends SparkSpec {
     intercept[IllegalArgumentException] { wh.readAt("fact_expression", 1L) }
   }
 
+  test("vacuum honors a retention horizon: kept versions stay time-travelable") {
+    val wh = sw()
+    wh.appendFacts("fact_expression", facts(0 until 5, 1L))   // v1
+    wh.appendFacts("fact_expression", facts(5 until 8, 2L))   // v2
+    wh.replaceStudyPartitions("fact_expression",
+      facts(100 until 101, 1L), Seq(1L))                      // v3
+    wh.vacuum(keepVersions = 2)
+    // v2 and v3 survive: both generations still read exactly
+    assert(factSet(wh.readAt("fact_expression", 2L)) ==
+      ((0 until 8).map(i => (i.toLong, if (i < 5) 1L else 2L))).toSet)
+    assert(factSet(wh.readAt("fact_expression", 3L)) ==
+      (Set(100L -> 1L) ++ (5 until 8).map(_.toLong -> 2L)))
+    // v1 is past the horizon
+    intercept[IllegalArgumentException] { wh.readAt("fact_expression", 1L) }
+  }
+
+  test("partition pruning survives the segment-union read path") {
+    val wh = sw()
+    (0 until 3).foreach(i => wh.appendFacts("fact_expression",
+      facts(i * 5 until (i + 1) * 5, 1L).unionByName(
+        facts(100 + i * 5 until 100 + (i + 1) * 5, 2L))))
+    val df = wh.read("fact_expression").where(col("study_key") === 2L)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // every segment scan must carry the study predicate as a
+    // PartitionFilter (directory pruning), never a post-scan Filter
+    // over the full segment — the F7 contract through the manifest
+    val scans = plan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(scans.nonEmpty, s"no partition filters in:\n$plan")
+    assert(scans.forall(_.contains("study_key")),
+      s"a segment scan lost the study_key partition filter:\n$plan")
+  }
+
   test("auto-compaction bounds segment growth inside the appending commit itself") {
     val dir = tmpDir()
     val wh = new SnapshotWarehouse(spark, dir.toString, autoCompactSegments = 4)
