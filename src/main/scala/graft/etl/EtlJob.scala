@@ -201,7 +201,23 @@ class EtlJob(spark: SparkSession, config: AppConfig, warehouseDir: String) {
     }
   }
 
-  def processStudy(files: StudyFiles, geneWhitelist: DataFrame): StudyResult = {
+  /** Per-study load. On the snapshot backend the whole study — dims,
+    * state, facts — publishes as ONE manifest commit, which is the
+    * reference's per-study transaction made literal (pipeline.py:
+    * 271-301 rollback-on-error: a study that fails mid-load leaves NO
+    * trace, not even its dim upserts). Other backends keep the
+    * documented batch-level approximation (metadata-phase dims persist
+    * past a later facts failure; X2 idempotence covers re-runs).
+    */
+  def processStudy(files: StudyFiles, geneWhitelist: DataFrame): StudyResult =
+    wh match {
+      case sw: SnapshotWarehouse =>
+        sw.transact(txn => processStudyWith(txn, files, geneWhitelist))
+      case other => processStudyWith(other, files, geneWhitelist)
+    }
+
+  private def processStudyWith(w: Warehouse, files: StudyFiles,
+      geneWhitelist: DataFrame): StudyResult = {
     val acc = files.studyAccession
 
     // --- metadata → dims -------------------------------------------------
@@ -214,31 +230,31 @@ class EtlJob(spark: SparkSession, config: AppConfig, warehouseDir: String) {
       log.warn(s"$mismatches samples referenced differing study accession (expected $acc)")
     val samples = Metadata.overrideStudyAccession(samples0, acc)
 
-    val dimStudy = Dims.upsertDim(wh.read("dim_study"),
+    val dimStudy = Dims.upsertDim(w.read("dim_study"),
       spark.createDataFrame(Seq(Tuple1(acc))).toDF("gse_accession"),
       "study_key", "gse_accession")
-    wh.writeDim("dim_study", dimStudy)
-    val studyKey = wh.read("dim_study")
+    w.writeDim("dim_study", dimStudy)
+    val studyKey = w.read("dim_study")
       .where(col("gse_accession") === acc).head.getAs[Long]("study_key")
 
-    val dimPlatform = Dims.upsertDim(wh.read("dim_platform"),
+    val dimPlatform = Dims.upsertDim(w.read("dim_platform"),
       samples.select(col("platform_accession")), "platform_key", "platform_accession")
-    wh.writeDim("dim_platform", dimPlatform)
-    val dimIllness = Dims.upsertDim(wh.read("dim_illness"),
+    w.writeDim("dim_platform", dimPlatform)
+    val dimIllness = Dims.upsertDim(w.read("dim_illness"),
       samples.select(col("illness_label")), "illness_key", "illness_label")
-    wh.writeDim("dim_illness", dimIllness)
+    w.writeDim("dim_illness", dimIllness)
 
     // __ord = per-file byte offset from Metadata.load — true file
     // order under any split layout (see the runUnioned call site)
     val incoming = Dims.resolveFk(
       Dims.resolveFk(
         samples.withColumn("study_key", lit(studyKey)),
-        wh.read("dim_platform"), "platform_accession", "platform_accession", "platform_key"),
-      wh.read("dim_illness"), "illness_label", "illness_label", "illness_key")
+        w.read("dim_platform"), "platform_accession", "platform_accession", "platform_key"),
+      w.read("dim_illness"), "illness_label", "illness_label", "illness_key")
       .select("gsm_accession", "study_key", "platform_key", "illness_key", "age", "sex", "__ord")
-    wh.writeDim("dim_sample", Dims.upsertSampleDim(wh.read("dim_sample"), incoming))
+    w.writeDim("dim_sample", Dims.upsertSampleDim(w.read("dim_sample"), incoming))
     // D4: metadata phase committed (pipeline.py:274-280)
-    StudyState.upsert(wh, spark, Seq(acc), metadataLoaded = true, factsLoaded = false)
+    StudyState.upsert(w, spark, Seq(acc), metadataLoaded = true, factsLoaded = false)
 
     val quality = Metadata.quality(samples0).head
     if (config.logging.logDataQuality) {
@@ -254,14 +270,14 @@ class EtlJob(spark: SparkSession, config: AppConfig, warehouseDir: String) {
     val melted = ExpressionMatrix.load(spark, files.expressionFile.toString, expectedSamples)
     val filtered = GeneFilter.filterGenes(melted, geneWhitelist, "gene_id")
 
-    val dimGene = Dims.upsertGeneDim(wh.read("dim_gene"),
+    val dimGene = Dims.upsertGeneDim(w.read("dim_gene"),
       filtered.select(col("gene_id").as("ensembl_id")))
-    wh.writeDim("dim_gene", dimGene)
+    w.writeDim("dim_gene", dimGene)
 
-    val sampleDim = wh.read("dim_sample")
+    val sampleDim = w.read("dim_sample")
       .where(col("study_key") === studyKey)
       .select(col("gsm_accession").as("sample_accession"), col("sample_key"))
-    val geneDim = wh.read("dim_gene").select(col("ensembl_id").as("gene_id"), col("gene_key"))
+    val geneDim = w.read("dim_gene").select(col("ensembl_id").as("gene_id"), col("gene_key"))
 
     val keyed = filtered
       .join(broadcast(sampleDim), Seq("sample_accession")) // J3
@@ -275,17 +291,17 @@ class EtlJob(spark: SparkSession, config: AppConfig, warehouseDir: String) {
       .groupBy("sample_key", "gene_key", "study_key")
       .agg(min(col("expression_value")).as("expression_value"))
 
-    val existing = wh.read("fact_expression")
+    val existing = w.read("fact_expression")
       .where(col("study_key") === studyKey)                // F7: partition-pruned
       .select("sample_key", "gene_key")
     val fresh = keyed.join(existing, Seq("sample_key", "gene_key"), "left_anti") // J7
       .cache()
 
     val factCount = fresh.count()
-    wh.appendFacts("fact_expression", fresh)
+    w.appendFacts("fact_expression", fresh)
     fresh.unpersist()
     // D4 terminal state: batch analog of clear_state-on-success
-    StudyState.upsert(wh, spark, Seq(acc), metadataLoaded = true, factsLoaded = true)
+    StudyState.upsert(w, spark, Seq(acc), metadataLoaded = true, factsLoaded = true)
 
     val sampleCount = samples0.count()
     samples0.unpersist()

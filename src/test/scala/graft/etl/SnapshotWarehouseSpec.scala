@@ -204,6 +204,39 @@ class SnapshotWarehouseSpec extends SparkSpec {
       (0 until 36).map(_.toLong -> 1L).toSet)
   }
 
+  test("per-study rollback: a study failing AFTER its dim upserts publishes nothing on the snapshot backend") {
+    // the reference's per-study transaction made literal (pipeline.py
+    // rollback-on-error): metadata is valid — on the plain backend the
+    // dim writes would land and survive the later expression failure —
+    // but the corrupt expression file kills the study, and the
+    // transaction publishes NOTHING
+    val root = tmpDir()
+    val d = Files.createDirectories(root.resolve("GSE1"))
+    Files.writeString(d.resolve("metadata_GSE1.tsv"),
+      """refinebio_accession_code	experiment_accession	refinebio_age	refinebio_sex	refinebio_platform	characteristics_ch2_illness
+        |GSM1	GSE1	16	female	GPL96	Healthy
+        |""".stripMargin)
+    Files.writeString(d.resolve("expression_GSE1.tsv"), "garbage-no-gene-header\n1.0\n")
+    val filter = root.resolve("filter.tsv")
+    Files.writeString(filter, "ensembl_id\nENSG1\n")
+    val cfg = AppConfig(DatabaseConfig("unused"),
+      ProcessingConfig(root, filter), LoggingConfig(logLevel = "WARN"))
+
+    val snapDir = tmpDir().toString
+    val results = new EtlJob(spark, cfg, s"snapshot:$snapDir").run()
+    assert(results.exists(_.error.isDefined), s"study should have failed: $results")
+    val snap = new SnapshotWarehouse(spark, snapDir)
+    assert(snap.currentVersion() == 0L, "failed study must not commit a snapshot")
+    assert(snap.read("dim_study").count() == 0)
+    assert(snap.read("etl_study_state").count() == 0)
+
+    // the plain backend keeps its documented batch-level approximation:
+    // the metadata-phase dims persist past the failure
+    val plainDir = tmpDir().toString
+    new EtlJob(spark, cfg, plainDir).run()
+    assert(Warehouse(spark, plainDir).read("dim_study").count() == 1)
+  }
+
   test("E2E: the unioned ETL against the snapshot backend matches the plain parquet backend") {
     val root = tmpDir()
     val metadataTsv =
