@@ -1585,6 +1585,16 @@ object SparkEntry {
       ops.TextStats.encodeFingerprint(d, vocab)
         .select(col("doc_id"), col("n_tokens"), col("n_oov"), col("ids_fp"))
     }),
+    // P48: mixture calibration — the target-COMPOSITION half of data
+    // mixing (p29 is the fixed-budget half): integer-exact per-source
+    // keep rates realizing the largest corpus at the target shares
+    // (src0:50/src1:30/src2:20 here; everything else rates 0,
+    // fail-closed), verdicts via the family's shared hex64 key recipe
+    // at basis-point granularity.
+    "p48_mixture_calibrate" -> ((s, dir) =>
+      ops.Sampling.calibrateMixture(t(s, dir, "documents"),
+        Seq(("src0", 50), ("src1", 30), ("src2", 20)), col("doc_id"))
+        .select(col("doc_id"), col("source"), col("rate_bps"), col("keep"))),
     // P31: deterministic train/val/test assignment over the same
     // 100-bucket hash space as p17's Bernoulli sampler (a pct-p sample
     // is a bucket prefix, so dev samples inherit the production split).
@@ -2784,6 +2794,19 @@ object SparkEntry {
     // x5/x18 two-executions-one-oracle discipline)
     "p41_declarative_funnel" -> curationFunnelSql,
     "p43_linear_quality" -> linearQualitySql,
+    "p48_mixture_calibrate" ->
+      s"""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+         |tg(source, tpct) AS (VALUES ('src0', 50), ('src1', 30), ('src2', 20)),
+         |j AS (SELECT tg.source, tpct, coalesce(n, 0) AS n FROM tg LEFT JOIN c USING (source)),
+         |cap AS (SELECT min(n * 100 // tpct) AS total FROM j),
+         |r AS (SELECT source,
+         |        CAST(CASE WHEN n = 0 THEN 0
+         |             ELSE ((tpct * (SELECT total FROM cap)) // 100) * 10000 // n
+         |        END AS BIGINT) AS rate_bps
+         |      FROM j)
+         |SELECT d.doc_id, d.source, coalesce(r.rate_bps, 0) AS rate_bps,
+         |       coalesce(${hx("CAST(d.doc_id AS VARCHAR)")} % 10000 < r.rate_bps, FALSE) AS keep
+         |FROM documents d LEFT JOIN r USING (source)""".stripMargin,
     "p47_vocab_encode" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
         |              FROM documents WHERE trim(text) <> ''),

@@ -153,6 +153,54 @@ object Sampling {
       .drop("__rn", "__wkey")
   }
 
+  /** Mixture calibration — the target-COMPOSITION half of data mixing
+    * (the DoReMi/pile-construction shape; [[tokenBudgetSample]] is the
+    * fixed-budget half): given target percentage shares per source,
+    * derive the per-source keep rates that realize the LARGEST corpus
+    * achievable at exactly that composition (the binding source keeps
+    * everything, the over-represented ones downsample), and verdict
+    * every document through the family's deterministic hash-Bernoulli
+    * at basis-point granularity.
+    *
+    * All rate math is INTEGER (floor divisions over exact counts), so
+    * any engine derives bit-identical rates; membership uses the same
+    * hex64 key recipe as [[bernoulliByHash]]/[[splitAssign]] (stable
+    * across runs, layouts, and appends — though the 10000-bucket space
+    * does NOT nest with the samplers' 100-bucket space: h%100 and
+    * h%10000 order keys differently). Sources outside `targets` rate
+    * 0 — fail-closed: an unlisted source never leaks into the mixture.
+    *
+    * Scale: one count aggregate (driver-collected — bounded by the
+    * source vocabulary, the dim-key-map discipline), rates broadcast
+    * back, per-row verdict in codegen. No shuffle of the data.
+    */
+  def calibrateMixture(df: DataFrame, targets: Seq[(String, Int)],
+      key: Column, source: String = "source"): DataFrame = {
+    require(targets.nonEmpty, "targets must be non-empty")
+    require(targets.forall(_._2 > 0), s"target shares must be positive: $targets")
+    require(targets.map(_._2).sum == 100,
+      s"target shares must sum to 100, got ${targets.map(_._2).sum}")
+    require(targets.map(_._1).distinct.length == targets.length,
+      s"duplicate target sources: $targets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = df.groupBy(col(source)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // T = the largest total (in docs) the targets allow: t% of T must
+    // fit inside each source's actual count
+    val capped = targets.map { case (s, t) => n.getOrElse(s, 0L) * 100L / t }
+    val total = capped.min
+    val rates = targets.map { case (s, t) =>
+      val ns = n.getOrElse(s, 0L)
+      val want = t * total / 100L
+      (s, if (ns == 0L) 0L else want * 10000L / ns)
+    }
+    val rateDf = rates.toDF(source, "rate_bps")
+    df.join(broadcast(rateDf), Seq(source), "left")
+      .withColumn("rate_bps", coalesce(col("rate_bps"), lit(0L)))
+      .withColumn("keep", hashKey(key) % 10000 < col("rate_bps"))
+  }
+
   /** Token-budgeted per-stratum sampling — the data-MIXING step of a
     * pretraining pipeline: each stratum (source, language, ...)
     * contributes the largest hash-ordered PREFIX of its documents

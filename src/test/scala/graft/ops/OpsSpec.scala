@@ -618,6 +618,33 @@ class OpsSpec extends SparkSpec {
     assert(out.size == 11)
   }
 
+  test("p48: mixture calibration — binding source keeps all, rates integer-exact, unlisted sources fail closed") {
+    // a:10 docs, b:30, c:5 (unlisted). targets 50/50 -> the achievable
+    // total is bound by a: T = min(10*100/50, 30*100/50) = 20, so a
+    // wants 10 (rate 10000 = keep everything) and b wants 10 of 30
+    // (rate 3333 bps, floor-exact)
+    val d = ((1 to 10).map(i => (i.toLong, "a")) ++
+      (11 to 40).map(i => (i.toLong, "b")) ++
+      (41 to 45).map(i => (i.toLong, "c"))).toDF("doc_id", "source")
+    val out = Sampling.calibrateMixture(d, Seq(("a", 50), ("b", 50)), col("doc_id"))
+      .select("doc_id", "source", "rate_bps", "keep")
+      .as[(Long, String, Long, Boolean)].collect()
+    assert(out.length == 45) // verdict for every row, kept or not
+    val bySource = out.groupBy(_._2)
+    assert(bySource("a").forall(r => r._3 == 10000L && r._4))
+    assert(bySource("b").forall(_._3 == 3333L))
+    assert(bySource("c").forall(r => r._3 == 0L && !r._4))
+    // determinism: a second run verdicts identically
+    val again = Sampling.calibrateMixture(d, Seq(("a", 50), ("b", 50)), col("doc_id"))
+      .select("doc_id", "source", "rate_bps", "keep")
+      .as[(Long, String, Long, Boolean)].collect()
+    assert(out.toSet == again.toSet)
+    // invalid targets die loudly
+    intercept[IllegalArgumentException] {
+      Sampling.calibrateMixture(d, Seq(("a", 60), ("b", 30)), col("doc_id"))
+    }
+  }
+
   test("p46: keep-best dedup retains the higher-quality rendition regardless of id order") {
     // two renditions of one page (same words, so they share a
     // normalized-dedup group): the LOW id is the junk-punctuated
