@@ -61,6 +61,29 @@ class PlanShapeSpec extends SparkSpec {
       s"p45 plans a corpus sort:\n$plan")
   }
 
+  test("p48 mixture calibration: rates broadcast; the data never shuffles") {
+    val plan = executedPlan("p48_mixture_calibrate")
+    assertNoDisasterJoin("p48", plan)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rates should broadcast onto the rows:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"p48 shuffles the documents to find their rate:\n$plan")
+  }
+
+  test("p47 vocab encode: the vocabulary broadcasts; no term-keyed shuffle of the corpus") {
+    val plan = executedPlan("p47_vocab_encode")
+    assertNoDisasterJoin("p47", plan)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the bounded vocabulary should broadcast to the encode pass:\n$plan")
+  }
+
+  test("p46 keep-best dedup: one max-of-struct aggregation, no window over the corpus") {
+    val plan = executedPlan("p46_dedup_best")
+    assertNoDisasterJoin("p46", plan)
+    assert(!plan.contains("Window"),
+      s"p46 plans a per-group window sort instead of the d5 max-of-struct shape:\n$plan")
+  }
+
   test("a6 sketches: percentile buffers never ride the distinct rewrite") {
     // Fusing countDistinct with the percentile aggregates builds one
     // percentile buffer per (flag, partkey) PARTIAL group instead of one
