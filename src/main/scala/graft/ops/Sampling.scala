@@ -169,6 +169,10 @@ object Sampling {
     * does NOT nest with the samplers' 100-bucket space: h%100 and
     * h%10000 order keys differently). Sources outside `targets` rate
     * 0 — fail-closed: an unlisted source never leaks into the mixture.
+    * A TARGET source absent from the data makes the largest achievable
+    * corpus empty — every rate derives to 0 and nothing keeps, which
+    * is the mathematically consistent (and very visible) answer rather
+    * than a silent re-normalization over the sources that do exist.
     *
     * Scale: one count aggregate (driver-collected — bounded by the
     * source vocabulary, the dim-key-map discipline), rates broadcast
