@@ -2655,7 +2655,8 @@ object SparkEntry {
     "d1_dim_build" ->
       """SELECT CAST(row_number() OVER (ORDER BY brand) AS BIGINT) AS brand_key, brand
         |FROM (SELECT DISTINCT trim(p_brand) AS brand FROM part
-        |      WHERE p_brand IS NOT NULL AND trim(p_brand) <> '') t""".stripMargin,
+        |      WHERE p_brand IS NOT NULL AND trim(p_brand) <> ''
+        |        AND trim(p_brand) <> 'UNKNOWN') t""".stripMargin,
     "o1_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,

@@ -202,12 +202,17 @@ class EtlJob(spark: SparkSession, config: AppConfig, warehouseDir: String) {
   }
 
   /** Per-study load. On the snapshot backend the whole study — dims,
-    * state, facts — publishes as ONE manifest commit, which is the
-    * reference's per-study transaction made literal (pipeline.py:
-    * 271-301 rollback-on-error: a study that fails mid-load leaves NO
-    * trace, not even its dim upserts). Other backends keep the
-    * documented batch-level approximation (metadata-phase dims persist
-    * past a later facts failure; X2 idempotence covers re-runs).
+    * state, facts — publishes as ONE manifest commit. That is STRICTER
+    * than the reference's per-study transaction: pipeline.py commits
+    * the metadata phase mid-study (upsert_state + session.commit,
+    * pipeline.py:274-280) before expression processing, so a
+    * mid-expression failure there retains the dims and the
+    * `metadata_loaded` resume checkpoint; here a failed study leaves
+    * NOTHING, including that mid-study resume state — the trade is
+    * all-or-nothing isolation for resume granularity (a retried study
+    * redoes its metadata phase; X2 idempotence makes that safe). Other
+    * backends keep the documented batch-level approximation
+    * (metadata-phase dims persist past a later facts failure).
     */
   def processStudy(files: StudyFiles, geneWhitelist: DataFrame): StudyResult =
     wh match {

@@ -99,11 +99,20 @@ class SnapshotWarehouse(spark: SparkSession, val baseDir: String,
 
   private[etl] def currentManifest(): Manifest = manifestAt(currentVersion())
 
-  private[etl] def readTable(m: Manifest, table: String): DataFrame = {
+  private[etl] def readTable(m: Manifest, table: String,
+      onlyStudies: Option[Set[Long]] = None): DataFrame = {
     val schema = schemas(table)
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    m.tables.getOrElse(table, Nil).foldLeft(empty) { (acc, seg) =>
+    val segs = m.tables.getOrElse(table, Nil).filter { seg =>
+      // manifest-level segment skipping: a segment whose stamped study
+      // set (minus exclusions) cannot match the pushed study predicate
+      // never reaches planning — no footer listing, no scan node. A
+      // segment with unknown stats (pre-stats manifest, or a dim) is
+      // always kept.
+      onlyStudies.forall(want => seg.visibleStudies.forall(_.exists(want)))
+    }
+    segs.foldLeft(empty) { (acc, seg) =>
       val df = spark.read.schema(schema).parquet(s"$baseDir/${seg.path}")
       val visible =
         if (seg.exclude.isEmpty) df
@@ -121,6 +130,19 @@ class SnapshotWarehouse(spark: SparkSession, val baseDir: String,
   /** Time travel: the table exactly as snapshot `version` published it. */
   def readAt(table: String, version: Long): DataFrame =
     readTable(manifestAt(version), table)
+
+  /** F7 study-predicate read that ALSO skips whole segments at
+    * manifest-resolution time using the stamped per-segment study
+    * sets — before any parquet footer is listed. Within the kept
+    * segments the same predicate still pushes down as a hive
+    * partition filter, so directory pruning applies twice: once on
+    * the manifest, once at the scan.
+    */
+  def readStudies(table: String, studyKeys: Seq[Long]): DataFrame = {
+    require(studyKeys.nonEmpty, "studyKeys must be non-empty")
+    readTable(currentManifest(), table, Some(studyKeys.toSet))
+      .where(col("study_key").isin(studyKeys: _*))
+  }
 
   def writeDim(table: String, df: DataFrame): Unit =
     transact(_.writeDim(table, df))
@@ -164,21 +186,57 @@ class SnapshotWarehouse(spark: SparkSession, val baseDir: String,
     if (pending.isEmpty) return
     val next = Manifest(base.version + 1, base.tables ++ pending)
     if (!fs.exists(manifestDir)) fs.mkdirs(manifestDir)
-    val tmp = new HPath(manifestDir, s"_tmp_${UUID.randomUUID().toString.replace("-", "")}.json")
-    val out = fs.create(tmp, false)
-    try out.write(renderManifest(next).getBytes("UTF-8"))
-    finally out.close()
-    val target = new HPath(manifestDir, f"v${next.version}%08d.json")
-    // the version file is the commit point: exactly one writer can
-    // create v(N+1). exists + rename is best-effort CAS (atomic on
-    // HDFS, where rename-onto-existing fails; racy only on filesystems
-    // without that contract — single-writer is the documented model)
-    if (fs.exists(target) || !fs.rename(tmp, target)) {
-      fs.delete(tmp, false)
-      throw new ConcurrentWriteException(
-        s"snapshot v${next.version} was committed by another writer " +
-          s"(base was v${base.version}); retry against the new snapshot")
+    // serialize the exists+rename CAS under a create-exclusive lock
+    // file: create(path, overwrite=false) is atomic on every Hadoop
+    // FileSystem that matters here (local FS included), which upgrades
+    // the version-file check from best-effort to a real mutual
+    // exclusion on filesystems whose rename CAN overwrite an existing
+    // destination (raw local, most object stores). A crashed holder is
+    // healed by the staleness horizon below; object stores with
+    // non-atomic create still need a real catalog — the standard
+    // lakehouse caveat, now narrowed to only that case.
+    withCommitLock {
+      val tmp = new HPath(manifestDir, s"_tmp_${UUID.randomUUID().toString.replace("-", "")}.json")
+      val out = fs.create(tmp, false)
+      try out.write(renderManifest(next).getBytes("UTF-8"))
+      finally out.close()
+      val target = new HPath(manifestDir, f"v${next.version}%08d.json")
+      if (fs.exists(target) || !fs.rename(tmp, target)) {
+        fs.delete(tmp, false)
+        throw new ConcurrentWriteException(
+          s"snapshot v${next.version} was committed by another writer " +
+            s"(base was v${base.version}); retry against the new snapshot")
+      }
     }
+  }
+
+  /** How long a commit-lock file may sit before another writer treats
+    * it as a crash leftover and breaks it. Commits are manifest-rename
+    * cheap (milliseconds), so minutes of staleness means a dead JVM.
+    */
+  private[etl] var lockStaleMs: Long = 10 * 60 * 1000L
+
+  private def withCommitLock[A](body: => A): A = {
+    val lock = new HPath(manifestDir, "_commit.lock")
+    val deadline = System.currentTimeMillis() + 30 * 1000L
+    var held = false
+    while (!held) {
+      try { fs.create(lock, false).close(); held = true }
+      catch { case _: java.io.IOException =>
+        val st = try Some(fs.getFileStatus(lock)) catch {
+          case _: java.io.FileNotFoundException => None }
+        st match {
+          case Some(s) if System.currentTimeMillis() - s.getModificationTime > lockStaleMs =>
+            fs.delete(lock, false) // stale: holder died mid-commit
+          case _ if System.currentTimeMillis() > deadline =>
+            throw new ConcurrentWriteException(
+              "commit lock held past the wait deadline; another writer is " +
+                "committing (or died within the staleness horizon)")
+          case _ => Thread.sleep(50)
+        }
+      }
+    }
+    try body finally fs.delete(lock, false)
   }
 
   // ---- maintenance -----------------------------------------------------
@@ -196,25 +254,50 @@ class SnapshotWarehouse(spark: SparkSession, val baseDir: String,
     * still-running reader of it — the standard lakehouse vacuum
     * contract: `keepVersions` IS the reader-retention horizon
     * (default 1 = only the current snapshot survives).
+    *
+    * An UNREFERENCED segment is deleted only once it is older than
+    * `orphanGraceMs` (directory mtime). This is what makes vacuum safe
+    * to run concurrently with a load: a still-in-flight [[transact]]
+    * has staged segments that no manifest references YET — without the
+    * grace window a racing vacuum would delete them and let the load
+    * commit a manifest pointing at nothing (silent data loss on the
+    * new snapshot). The default gives an in-flight transaction a day
+    * to reach its commit; pass 0 only when you KNOW no transaction is
+    * running (e.g. single-process tests). Referenced-but-expired
+    * segments (old snapshots past `keepVersions`) carry no such race
+    * and are deleted regardless of age.
     */
-  def vacuum(keepVersions: Int = 1): Unit = {
+  def vacuum(keepVersions: Int = 1,
+      orphanGraceMs: Long = 24 * 60 * 60 * 1000L): Unit = {
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    require(orphanGraceMs >= 0, s"orphanGraceMs must be >= 0, got $orphanGraceMs")
     val versions = listVersions()
     val kept = versions.takeRight(keepVersions)
     val live = kept.flatMap(v => manifestAt(v).tables.values.flatten.map(_.path)).toSet
+    // segments any historical manifest EVER referenced: unreferenced-
+    // but-expired (safe to drop at any age) vs never-referenced
+    // (possibly a staging in-flight transaction — age-gated)
+    val everReferenced =
+      versions.flatMap(v => manifestAt(v).tables.values.flatten.map(_.path)).toSet
+    val now = System.currentTimeMillis()
     schemas.keys.foreach { table =>
       val dir = new HPath(s"$baseDir/$table")
       if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
         val rel = s"$table/${st.getPath.getName}"
-        if (st.getPath.getName.startsWith("seg-") && !live.contains(rel))
-          fs.delete(st.getPath, true)
+        val isSeg = st.getPath.getName.startsWith("seg-")
+        val dead = isSeg && !live.contains(rel) &&
+          (everReferenced.contains(rel) ||
+            now - st.getModificationTime > orphanGraceMs)
+        if (dead) fs.delete(st.getPath, true)
       }
     }
     versions.dropRight(keepVersions).foreach { v =>
       fs.delete(new HPath(manifestDir, f"v$v%08d.json"), false)
     }
     fs.listStatus(manifestDir).foreach { st =>
-      if (st.getPath.getName.startsWith("_tmp_")) fs.delete(st.getPath, false)
+      val n = st.getPath.getName
+      if (n.startsWith("_tmp_") && now - st.getModificationTime > orphanGraceMs)
+        fs.delete(st.getPath, false)
     }
   }
 }
@@ -251,7 +334,19 @@ final class SnapshotTxn private[etl] (spark: SparkSession, baseDir: String,
       (if (partitioned) df.write.partitionBy("study_key") else df.coalesce(1).write)
         .mode(SaveMode.ErrorIfExists)
     w.parquet(s"$baseDir/$rel")
-    Segment(rel, Nil)
+    // stamp segment stats from write-side metadata only: the row count
+    // is a parquet-footer count (no column data read), the study set
+    // comes from the hive partition directory NAMES (a listing, no
+    // read at all) — both O(files), never O(rows)
+    val abs = new HPath(s"$baseDir/$rel")
+    val fs = abs.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows = spark.read.schema(Warehouse.schemas(table)).parquet(s"$baseDir/$rel").count()
+    val studies =
+      if (!partitioned) Nil
+      else fs.listStatus(abs).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("study_key="))
+        .map(_.stripPrefix("study_key=").toLong).sorted
+    Segment(rel, Nil, rows, studies)
   }
 
   def writeDim(table: String, df: DataFrame): Unit = {
@@ -293,9 +388,25 @@ class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
 object SnapshotWarehouse {
 
   /** One immutable data directory plus the study keys masked out of it
-    * (how replace expresses deletion without deleting).
+    * (how replace expresses deletion without deleting), and the
+    * segment-level statistics stamped at write time: `rows` (exact row
+    * count from the parquet footers) and, for fact segments, the
+    * `study_key` set (from the hive partition directory names — no
+    * data read). Stats let [[SnapshotWarehouse.readStudies]] drop
+    * whole segments at MANIFEST-resolution time, before a single
+    * parquet footer is listed — the lakehouse file-skipping idea one
+    * level up. `rows == -1` marks a pre-stats manifest (unknown:
+    * always read).
     */
-  case class Segment(path: String, exclude: Seq[Long])
+  case class Segment(path: String, exclude: Seq[Long],
+      rows: Long = -1L, studies: Seq[Long] = Nil) {
+    /** Studies a reader can still see through this segment (None =
+      * stats unknown or not a by-study segment — cannot skip).
+      */
+    def visibleStudies: Option[Set[Long]] =
+      if (rows < 0L || (rows > 0L && studies.isEmpty)) None
+      else Some(studies.toSet -- exclude)
+  }
 
   case class Manifest(version: Long, tables: Map[String, Seq[Segment]])
 
@@ -304,7 +415,8 @@ object SnapshotWarehouse {
     */
   private[etl] def renderManifest(m: Manifest): String = {
     def seg(s: Segment): String =
-      s"""{"path":${graft.JsonUtil.quote(s.path)},"exclude":[${s.exclude.mkString(",")}]}"""
+      s"""{"path":${graft.JsonUtil.quote(s.path)},"exclude":[${s.exclude.mkString(",")}],""" +
+        s""""rows":${s.rows},"studies":[${s.studies.mkString(",")}]}"""
     val tables = m.tables.toSeq.sortBy(_._1).map { case (t, segs) =>
       s"${graft.JsonUtil.quote(t)}:[${segs.map(seg).mkString(",")}]"
     }.mkString(",")
@@ -321,7 +433,12 @@ object SnapshotWarehouse {
       e.getValue.forEach { s =>
         val ex = scala.collection.mutable.ArrayBuffer[Long]()
         s.get("exclude").forEach(x => ex += x.asLong())
-        segs += Segment(s.get("path").asText(), ex.toSeq)
+        // stats fields are optional: a pre-stats manifest reads as
+        // rows = -1 (unknown → never skipped)
+        val rows = Option(s.get("rows")).map(_.asLong()).getOrElse(-1L)
+        val st = scala.collection.mutable.ArrayBuffer[Long]()
+        Option(s.get("studies")).foreach(_.forEach(x => st += x.asLong()))
+        segs += Segment(s.get("path").asText(), ex.toSeq, rows, st.toSeq)
       }
       tables(e.getKey) = segs.toSeq
     }

@@ -79,7 +79,16 @@ object Expectations {
   /** Unpivot the one-row aggregate into (rule, n_rows, n_violations,
     * pass) — stack over a single row, no second scan.
     */
-  def reshape(base: DataFrame, names: Seq[String]): DataFrame =
+  def reshape(base: DataFrame, names: Seq[String]): DataFrame = {
+    // reshape is public (the streaming monitor calls it directly on a
+    // drained aggRow), so it must enforce the same identifier-and-
+    // uniqueness invariant aggRow does — the names are interpolated
+    // into a generated stack() string, and a quoted/spaced name would
+    // otherwise become expression injection or an opaque parse error
+    require(names.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+      s"rule names must be identifiers: ${names.mkString(", ")}")
+    require(names.distinct.length == names.length,
+      s"duplicate rule names: ${names.diff(names.distinct).mkString(", ")}")
     base.select(
       expr(s"stack(${names.length}, " +
         names.map(n => s"'$n', coalesce(__v_$n, 0L)").mkString(", ") +
@@ -87,6 +96,7 @@ object Expectations {
       col("__n").as("n_rows"))
       .select(col("rule"), col("n_rows"), col("n_violations"),
         (col("n_violations") === 0L).as("pass"))
+  }
 
   /** Referential-integrity rule — the expectation [[check]] can't
     * express in one scan: every child row's foreign key must exist in

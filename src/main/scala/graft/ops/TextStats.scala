@@ -132,7 +132,12 @@ object TextStats {
     val sumW = aggregate(grams, lit(0L), (acc, g) => acc + weightOf(g))
     val n = size(grams)
     spreadDocs
-      .withColumn("__n", when(trim(col(text)) === "", 0).otherwise(n))
+      // null text takes the blank-document path explicitly: without the
+      // isNull gate the when() predicate evaluates NULL and falls to
+      // otherwise(size(null)) = NULL, diverging from the SQL twin's
+      // LEFT JOIN + coalesce(n, 0) formulation
+      .withColumn("__n",
+        when(col(text).isNull || trim(col(text)) === "", 0).otherwise(n))
       .withColumn("__sw", when(col("__n") > 0, sumW))
       .withColumn("n_features", col("__n").cast("long"))
       .withColumn("quality_logit",

@@ -147,7 +147,9 @@ class SnapshotWarehouseSpec extends SparkSpec {
       }
     }
     wh.compact("fact_expression")
-    wh.vacuum()
+    // grace 0: this test KNOWS no transaction is in flight — the
+    // crashed load's orphan must go despite being seconds old
+    wh.vacuum(orphanGraceMs = 0L)
     val dir = new java.io.File(s"${wh.baseDir}/fact_expression")
     val segs = dir.listFiles().filter(_.getName.startsWith("seg-"))
     assert(segs.length == 1, s"expected one live segment, got ${segs.map(_.getName).toSeq}")
@@ -202,6 +204,99 @@ class SnapshotWarehouseSpec extends SparkSpec {
     // and nothing was lost across the folds
     assert(factSet(wh.read("fact_expression")) ==
       (0 until 36).map(_.toLong -> 1L).toSet)
+  }
+
+  test("vacuum racing an in-flight transaction spares its freshly staged segments") {
+    val wh = sw()
+    wh.appendFacts("fact_expression", facts(0 until 5, 1L)) // v1
+    wh.appendFacts("fact_expression", facts(5 until 8, 1L)) // v2
+    wh.transact { txn =>
+      txn.appendFacts("fact_expression", facts(100 until 110, 9L))
+      // a maintenance vacuum fires while the load is between staging
+      // and commit: with the default orphan grace the staged (not yet
+      // referenced) segment survives — before the grace window this
+      // exact interleaving deleted it and let the load commit a
+      // manifest pointing at nothing
+      wh.vacuum(keepVersions = 1)
+    }
+    // the load committed a manifest whose segments all exist
+    assert(factSet(wh.read("fact_expression")) ==
+      ((0 until 8).map(_.toLong -> 1L) ++ (100 until 110).map(_.toLong -> 9L)).toSet)
+    wh.read("fact_expression").count() // forces every segment listed + read
+  }
+
+  test("two concurrent transactions from the same base: exactly one commits, the loser throws") {
+    val wh = sw()
+    wh.writeDim("dim_gene", gene(1L -> "ENSG1")) // v1
+    val gate = new java.util.concurrent.CountDownLatch(2)
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Unit]]()
+    val threads = (0 until 2).map { i =>
+      new Thread(() => {
+        val r = try Right {
+          wh.transact { txn =>
+            txn.writeDim("dim_illness",
+              Seq((i.toLong, s"illness-$i")).toDF("illness_key", "illness_label"))
+            gate.countDown()
+            // both transactions hold a v1 base before either commits
+            assert(gate.await(30, java.util.concurrent.TimeUnit.SECONDS))
+          }
+          ()
+        } catch { case t: Throwable => Left(t) }
+        outcomes.add(r)
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    val (losers, winners) = outcomes.toArray(Array.empty[Either[Throwable, Unit]])
+      .partition(_.isLeft)
+    assert(winners.length == 1, s"exactly one writer must win: $outcomes")
+    assert(losers.length == 1 &&
+      losers.head.left.exists(_.isInstanceOf[ConcurrentWriteException]),
+      s"the loser must throw ConcurrentWriteException: $losers")
+    // exactly the winner's commit is visible, as v2
+    assert(wh.currentVersion() == 2L)
+    assert(wh.read("dim_illness").count() == 1)
+  }
+
+  test("a stale commit lock (crashed holder) is broken, not waited on forever") {
+    val wh = sw()
+    wh.writeDim("dim_gene", gene(1L -> "ENSG1"))
+    val lock = new java.io.File(s"${wh.baseDir}/_manifests/_commit.lock")
+    assert(lock.createNewFile(), "test could not plant the stale lock")
+    assert(lock.setLastModified(System.currentTimeMillis() - 60L * 60 * 1000))
+    wh.writeDim("dim_gene", gene(1L -> "ENSG1", 2L -> "ENSG2")) // must not hang
+    assert(wh.read("dim_gene").count() == 2)
+    assert(!lock.exists(), "broken lock must not linger after the commit")
+  }
+
+  test("manifest segment stats skip non-matching segments before any footer is listed") {
+    val wh = sw()
+    wh.appendFacts("fact_expression", facts(0 until 5, 1L))
+    wh.appendFacts("fact_expression", facts(5 until 9, 2L))
+    wh.appendFacts("fact_expression", facts(9 until 12, 3L))
+    // stats were stamped at write time from directory names + footers
+    val segs = wh.currentManifest().tables("fact_expression")
+    assert(segs.map(_.rows) == Seq(5L, 4L, 3L))
+    assert(segs.map(_.studies) == Seq(Seq(1L), Seq(2L), Seq(3L)))
+
+    def scanCount(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.length
+
+    // the study-2 read plans a union over ONE segment, not three
+    val pruned = wh.readStudies("fact_expression", Seq(2L))
+    assert(scanCount(pruned) == 1,
+      s"expected 1 segment scan, plan:\n${pruned.queryExecution.executedPlan}")
+    assert(factSet(pruned) == (5 until 9).map(_.toLong -> 2L).toSet)
+    // a replace's exclusion mask also counts: study 1 masked out of its
+    // old segment ⇒ that segment no longer matches a study-1 read
+    wh.replaceStudyPartitions("fact_expression", facts(100 until 102, 1L), Seq(1L))
+    val afterReplace = wh.readStudies("fact_expression", Seq(1L))
+    assert(scanCount(afterReplace) == 1,
+      s"masked segment must be manifest-skipped:\n${afterReplace.queryExecution.executedPlan}")
+    assert(factSet(afterReplace) == Set(100L -> 1L, 101L -> 1L))
+    // and the unfiltered read still sees everything (skip is opt-in)
+    assert(wh.read("fact_expression").count() == 9)
   }
 
   test("per-study rollback: a study failing AFTER its dim upserts publishes nothing on the snapshot backend") {
