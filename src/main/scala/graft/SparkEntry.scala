@@ -1708,6 +1708,12 @@ object SparkEntry {
     // (4 bands x 4 disjoint planes: per-band collision (1-theta/pi)^4,
     // any-band survival 1-(1-(1-theta/pi)^4)^4; RecallSpec measures
     // recall@5 lifting from p6's ~0.02 to ~0.5 on the same corpus).
+    // planes=4 is the FLOOR: the chosen plane count auto-scales
+    // ~log2(n/256) to pin bucket occupancy (Similarity.autoPlanes —
+    // the round-7 8.1x-at-10x scale fix). At every oracle-checked SF
+    // (n <= 4096) auto resolves to the floor, so the fixed-planes SQL
+    // replay below stays bit-exact; past that the engine trades the
+    // SQL twin's fixed blocking for bounded join fan-out by design.
     "p25_lsh_topk_banded" -> ((s, dir) =>
       Similarity.lshCosineTopK(t(s, dir, "embeddings"), k = 5, planes = 4, bands = 4)
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),

@@ -118,17 +118,57 @@ object Similarity {
     }
   }
 
+  /** Plane count that holds expected bucket occupancy ~`targetOccupancy`
+    * as the corpus grows: `max(floor, ceil(log2(n / target)))`, capped
+    * at the 62-bit bucket mask. With FIXED planes the per-bucket
+    * candidate join is quadratic in occupancy ~ n/2^planes — measured
+    * 8.1x wall at 10x data (BASELINE round 7). Growing planes with
+    * log2(n) pins occupancy, making the join work ~n * target per
+    * band — linear. The same applied-auto discipline as
+    * `Spearman.pairCorrelationsBlocked`'s block count: the documented
+    * knob is now code, not advice. `target <= 0` disables auto (the
+    * explicit override path: you get exactly `floor` planes).
+    *
+    * NOTE more planes LOWER per-band collision probability
+    * (1-theta/pi)^planes — recall at a given band count drops as auto
+    * raises planes. That is the correct trade (the alternative is a
+    * quadratic join), and the OR-amplification formula stays exact for
+    * whatever planes was chosen; raise `bands` alongside corpus size
+    * when recall matters (RecallSpec pins both regimes).
+    */
+  private[ops] def autoPlanes(n: Long, floor: Int, targetOccupancy: Int): Int =
+    if (targetOccupancy <= 0 || n <= 0) floor
+    else {
+      val needed = math.ceil(
+        math.log(n.toDouble / targetOccupancy) / math.log(2.0)).toInt
+      math.min(62, math.max(floor, needed))
+    }
+
   /** Approximate cosine top-k: exact ranking within sign-LSH buckets.
     * The bucket id is per-row column math (literal hyperplanes), so the
     * two self-join sides just recompute the cheap scan; the join
     * shuffles both sides by bucket — each bucket's exact ranking
     * co-locates on one executor.
+    *
+    * `planes` is the FLOOR: the chosen plane count auto-scales up with
+    * the corpus (see [[autoPlanes]]) so bucket occupancy — and with it
+    * the within-bucket join fan-out — stays bounded at any n. Pass
+    * `targetOccupancy = 0` to force exactly `planes`.
     */
   def lshCosineTopK(emb: DataFrame, k: Int, planes: Int = 8, bands: Int = 1,
-      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+      id: String = "vec_id", vec: String = "embedding",
+      targetOccupancy: Int = 256): DataFrame = {
     require(planes >= 1 && planes <= 62, s"planes must be in [1,62] (bucket is a long bitmask), got $planes")
     require(bands >= 1, s"bands must be >= 1, got $bands")
     val d = vecDim(emb, vec).getOrElse(0) // 0 only when no usable vectors -> empty below
+    // the auto-plane count needs the corpus size: one column-pruned
+    // count of the usable vectors (metadata-cheap next to the
+    // candidate join it is sizing)
+    val p =
+      if (targetOccupancy <= 0) planes
+      else autoPlanes(
+        emb.where(col(vec).isNotNull && size(col(vec)) > 0).count(),
+        planes, targetOccupancy)
     val base = spread(emb
       .where(col(vec).isNotNull && size(col(vec)) > 0)
       .select(col(id), toDouble(col(vec)).as("__v")))
@@ -136,14 +176,14 @@ object Similarity {
       .where(col("__n") > 0.0)
     // OR-amplification over disjoint hyperplane groups (bands = 1 is
     // plain single-bucketing LSH): a neighbor at angle theta co-buckets
-    // in one `planes`-bit band w.p. (1-theta/pi)^planes and survives
-    // ANY band w.p. 1-(1-(1-theta/pi)^planes)^bands — bands buy recall,
-    // planes bound per-band bucket occupancy (fan-out ~ N/2^planes).
+    // in one `p`-bit band w.p. (1-theta/pi)^p and survives
+    // ANY band w.p. 1-(1-(1-theta/pi)^p)^bands — bands buy recall,
+    // planes bound per-band bucket occupancy (fan-out ~ N/2^p).
     // Single-band 8-plane recall@5 is ~2% on a mid-angle (cos~0.4)
     // corpus (RecallSpec pins it); real retrieval wants bands >= 4.
     val bandedPlan = (0 until bands).map { band =>
       base.withColumn("band", lit(band))
-        .withColumn("bucket", bucketCol(col("__v"), planes, d, band * planes))
+        .withColumn("bucket", bucketCol(col("__v"), p, d, band * p))
     }.reduce(_ unionByName _)
     // both join sides reference the banded frame; for multi-band runs
     // materialize it once (eager — same AQE concurrent-recompute
@@ -547,10 +587,18 @@ object Similarity {
     * values, not once per band).
     */
   def cosineDupPairsBlocked(emb: DataFrame, tau: Double, planes: Int = 4,
-      bands: Int = 3, id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+      bands: Int = 3, id: String = "vec_id", vec: String = "embedding",
+      targetOccupancy: Int = 256): DataFrame = {
     require(planes >= 1 && planes <= 62, s"planes must be in [1,62] (bucket is a long bitmask), got $planes")
     require(bands >= 1, s"bands must be >= 1, got $bands")
     val d = vecDim(emb, vec).getOrElse(0)
+    // `planes` is the floor; the chosen count grows ~log2(n) to pin
+    // bucket occupancy (see [[autoPlanes]] — the p25 scale fix)
+    val p =
+      if (targetOccupancy <= 0) planes
+      else autoPlanes(
+        emb.where(col(vec).isNotNull && size(col(vec)) > 0).count(),
+        planes, targetOccupancy)
     val base = spread(emb
       .where(col(vec).isNotNull && size(col(vec)) > 0)
       .select(col(id), toDouble(col(vec)).as("__v")))
@@ -558,7 +606,7 @@ object Similarity {
       .where(col("__n") > 0.0)
     val bandedPlan = (0 until bands).map { band =>
       base.withColumn("band", lit(band))
-        .withColumn("bucket", bucketCol(col("__v"), planes, d, band * planes))
+        .withColumn("bucket", bucketCol(col("__v"), p, d, band * p))
     }.reduce(_ unionByName _)
     // same double-reference materialization as lshCosineTopK: both
     // join sides read the banded frame

@@ -164,6 +164,47 @@ abstract class RecallFloorsSpec(sfDir: String) extends SparkSpec {
     exact.unpersist()
   }
 
+  test("auto-planes: floor at oracle scales, log2(n) growth beyond, blocking stays sound") {
+    // the pure sizing function (the p25 scale fix): at every
+    // oracle-checked corpus size auto resolves to the floor — the
+    // fixed-planes SQL twins stay bit-exact where they are checked
+    assert(Similarity.autoPlanes(500L, 4, 256) == 4)
+    assert(Similarity.autoPlanes(2000L, 4, 256) == 4)
+    assert(Similarity.autoPlanes(2000L, 8, 256) == 8)
+    // the round-7 10x probe size: 20k vectors -> 7 planes = 128
+    // buckets/band, occupancy ~156 (vs 1250 at fixed 4 planes — the
+    // measured 8.1x-at-10x blowup); growth is log2, capped at the
+    // 62-bit bucket mask; target<=0 disables auto entirely
+    assert(Similarity.autoPlanes(20000L, 4, 256) == 7)
+    assert(Similarity.autoPlanes(2000000L, 4, 256) == 13)
+    assert(Similarity.autoPlanes(Long.MaxValue, 4, 1) == 62)
+    assert(Similarity.autoPlanes(20000L, 4, 0) == 4)
+
+    // end-to-end at a target that forces auto ABOVE the floor on THIS
+    // corpus: every reported pair must still be a true cosine>=tau
+    // pair (blocking can lose pairs, never invent them), and measured
+    // recall must land on the survival formula evaluated at the
+    // CHOSEN plane count — the recall/occupancy trade is exactly the
+    // formula's, not an implementation accident
+    val n = emb.where(col("embedding").isNotNull && size(col("embedding")) > 0).count()
+    val chosen = Similarity.autoPlanes(n, 4, 16)
+    assert(chosen > 4, s"fixture too small to exercise auto: n=$n chosen=$chosen")
+    val exact = Similarity.cosineDupPairs(emb, tau = 0.45).cache()
+    val approx = Similarity.cosineDupPairsBlocked(emb, tau = 0.45, planes = 4,
+      bands = 3, targetOccupancy = 16).cache()
+    assert(approx.join(exact, Seq("id_a", "id_b"), "left_anti").count() == 0,
+      "auto-raised blocking invented pairs")
+    val (hits, total, recall) = pairRecall(exact, approx)
+    val predicted = exact.select(
+      avg(lit(1.0) - pow(lit(1.0) -
+        pow(lit(1.0) - acos(col("cosine")) / math.Pi, chosen.toDouble), 3.0)))
+      .head.getDouble(0)
+    info(s"auto-planes: n=$n chosen=$chosen recall=$recall ($hits/$total) predicted=$predicted")
+    assert(math.abs(recall - predicted) <= 0.3,
+      s"auto-planes recall $recall drifted from its formula prediction $predicted (chosen=$chosen)")
+    exact.unpersist(); approx.unpersist()
+  }
+
   test("p44 recall: within-cell capture of exact cosine dup pairs; nProbe=2 lifts it") {
     // SemDeDup's premise is that near-duplicates co-cluster; this
     // measures it on the corpus — fraction of exact cosine-dup pairs
