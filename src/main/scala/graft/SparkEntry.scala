@@ -1749,15 +1749,19 @@ object SparkEntry {
     }),
     // P44: semantic dedup (SemDeDup) — k-means-cluster the embedding
     // space (the p13 codebook, shared machinery), compare pairs only
-    // within a vector's nProbe=2 closest cells (the IVF recall knob
-    // applied to dedup — boundary-straddling pairs are seen when
-    // either endpoint probes the other's cell), drop the larger id of
-    // any pair at cosine >= tau. One verdict row per vector; the
-    // corpus-wide pair space never materializes (Σ|cell|² bounded by
-    // scaling nCentroids with N, the paper's own k scaling).
+    // within a vector's closest cells (the IVF recall knob applied to
+    // dedup — boundary-straddling pairs are seen when either endpoint
+    // probes the other's cell), drop the larger id of any pair at
+    // cosine >= tau. The probe width is DERIVED from tau
+    // (Similarity.autoProbe: one cell per ~30° of allowed angular
+    // spread — tau=0.45 ⇒ 3; the production tau~0.95 regime collapses
+    // to rank-1, the paper's own configuration), so the benched path
+    // is the recall a user gets at their threshold, not a hand-tuned
+    // constant. One verdict row per vector; the corpus-wide pair
+    // space never materializes (Σ|cell|² bounded by scaling
+    // nCentroids with N, the paper's own k scaling).
     "p44_semantic_dedup" -> ((s, dir) =>
-      Similarity.semanticDedup(t(s, dir, "embeddings"), tau = 0.45, nCentroids = 8,
-        nProbe = 2)),
+      Similarity.semanticDedup(t(s, dir, "embeddings"), tau = 0.45, nCentroids = 8)),
     // tau=0.45 sits just inside the corpus' cosine tail (max ~0.51) so
     // the threshold variant returns a small non-empty pair set.
     "p12_embedding_dup" -> ((s, dir) =>
@@ -2012,7 +2016,7 @@ object SparkEntry {
     * p44 reuses the same prefix for within-cell semantic dedup.
     */
   private def ivfKmeansPrefixSql(fitPred: String = "TRUE",
-      probePred: String = "TRUE"): String = {
+      probePred: String = "TRUE", nProbe: Int = 2): String = {
     def lloyd(k: Int): String = {
       val prev = s"c${k - 1}"
       s"""a$k AS (SELECT vec_id, e, cid FROM (
@@ -2051,7 +2055,7 @@ object SparkEntry {
        |         row_number() OVER (PARTITION BY nq.vec_id ORDER BY
        |           list_sum(list_transform(nq.e, (x, i) -> x * c.cv[i])) / (nq.nrm * c.cn) DESC,
        |           c.cid ASC) AS rk
-       |  FROM nq CROSS JOIN c3 c) WHERE rk <= 2)""".stripMargin
+       |  FROM nq CROSS JOIN c3 c) WHERE rk <= $nProbe)""".stripMargin
   }
 
   private def ivfKmeansOracleSql(fitPred: String = "TRUE",
@@ -2071,12 +2075,13 @@ object SparkEntry {
        |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
        |FROM ranked WHERE rank <= 5""".stripMargin
 
-  /** p44's tail over the shared k-means prefix: probe-side (rank ≤ 2
-    * cells, the prefix's `probes`) against rank-1 lists; pairs at
+  /** p44's tail over the shared k-means prefix: probe-side (rank ≤
+    * autoProbe(tau) cells, the prefix's `probes` — the SAME tau
+    * derivation the engine applies) against rank-1 lists; pairs at
     * cosine >= tau mark the LARGER id dropped (keep-smallest greedy).
     */
   private def semDedupOracleSql(tau: Double): String =
-    s"""${ivfKmeansPrefixSql()},
+    s"""${ivfKmeansPrefixSql(nProbe = graft.ops.Similarity.autoProbe(tau))},
        |sd_pairs AS (
        |  SELECT greatest(p.vec_id, a.vec_id) AS id_b,
        |         list_sum(list_transform(np.e, (x, i) -> x * na2.e[i])) / (np.nrm * na2.nrm) AS cosine

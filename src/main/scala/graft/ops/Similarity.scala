@@ -500,10 +500,30 @@ object Similarity {
     * exactly as the paper scales k (and as p13 scales probe cost). No
     * global pair join exists in the plan.
     */
+  /** Probe width derived from the dedup threshold: a pair at cosine
+    * >= tau spans at most acos(tau) radians, and the chance its
+    * endpoints rank different cells first grows with that angular
+    * spread — so probe one extra cell per ~30 degrees of allowed
+    * spread: `max(1, ceil(acos(tau) / (pi/6)))`. The production
+    * SemDeDup regime (tau ~0.95, spread <= 18 degrees) collapses to
+    * rank-1-only probing — the paper's own configuration — while
+    * permissive thresholds (tau 0.45 ~ 63 degrees) probe 3 cells.
+    * This makes the documented knob the default behavior instead of
+    * advice: the recall a user GETS at their tau is the recall the
+    * floor pins, at any threshold (RecallSpec holds both regimes).
+    */
+  def autoProbe(tau: Double): Int = {
+    val spread = math.acos(math.max(-1.0, math.min(1.0, tau)))
+    math.max(1, math.ceil(spread / (math.Pi / 6)).toInt)
+  }
+
   def semanticDedup(emb: DataFrame, tau: Double, nCentroids: Int = 8,
-      nProbe: Int = 1,
+      nProbe: Int = 0,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val ranked = ivfRankedCells(emb, nCentroids, math.max(1, nProbe), id, vec,
+    // nProbe = 0 (the default) derives the probe width from tau
+    // ([[autoProbe]]); an explicit value overrides
+    val probe = if (nProbe <= 0) autoProbe(tau) else nProbe
+    val ranked = ivfRankedCells(emb, nCentroids, math.max(1, probe), id, vec,
       "vid", "v", "nrm", "kmeans", 100)
     val cells = ranked.where(col("__rk") === 1)
       .select(col("vid"), col("cell"))
@@ -515,7 +535,7 @@ object Similarity {
     val lists = ranked.where(col("__rk") === 1)
       .select(col("vid").as("id_l"), col("v").as("vl"),
         col("nrm").as("nl"), col("cell"))
-    val probes = ranked.where(col("__rk") <= math.max(1, nProbe))
+    val probes = ranked.where(col("__rk") <= math.max(1, probe))
       .select(col("vid").as("id_p"), col("v").as("vp"),
         col("nrm").as("np"), col("cell"))
     val dropped = probes.join(lists, Seq("cell"))
