@@ -1585,6 +1585,19 @@ object SparkEntry {
       ops.TextStats.encodeFingerprint(d, vocab)
         .select(col("doc_id"), col("n_tokens"), col("n_oov"), col("ids_fp"))
     }),
+    // P49: BPE subword tokenizer training — the merge-rule sequence
+    // (Sennrich et al. 2016) the word-level p47 vocabulary stops
+    // short of; the step every production pretraining pipeline runs.
+    // One corpus word-count pass, then 8 bounded merge rounds over
+    // the capped word table (adjacent-pair aggregation → total-order
+    // arg-max → greedy per-row fold apply — the Lloyd-loop
+    // discipline; no corpus-global window anywhere). The oracle
+    // replays the EXACT merge sequence as 8 unrolled SQL rounds whose
+    // islands-parity windows reproduce the fold's non-overlapping
+    // greedy semantics (validated against an independent reference
+    // implementation, including the "aaa" overlap case).
+    "p49_bpe_train" -> ((s, dir) =>
+      ops.Bpe.train(t(s, dir, "documents"), numMerges = 8)),
     // P48: mixture calibration — the target-COMPOSITION half of data
     // mixing (p29 is the fixed-budget half): integer-exact per-source
     // keep rates realizing the largest corpus at the target shares
@@ -2074,6 +2087,62 @@ object SparkEntry {
        |           FROM pairs)
        |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
        |FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** p49's oracle: the BPE merge loop unrolled to `numMerges` SQL
+    * rounds (the k-means-oracle discipline — `lloyd(k)` unrolls Lloyd
+    * rounds the same way). Each round: weighted adjacent-pair counts
+    * via lead() over the per-symbol rows, the arg-max pair under the
+    * engine's total order (count desc, lhs asc, rhs asc), then the
+    * greedy NON-OVERLAPPING merge application via islands parity —
+    * within a maximal run of consecutive matching positions, the 1st,
+    * 3rd, ... initiate a merge and each consumes its successor, which
+    * is exactly the engine's left-to-right array fold ("aaa" under
+    * (a,a) → [aa, a]).
+    */
+  private def bpeOracleSql(numMerges: Int, maxWords: Int): String = {
+    def round(r: Int): String =
+      s"""pr$r AS (
+         |  SELECT l, r2, CAST(sum(freq) AS BIGINT) AS c FROM (
+         |    SELECT freq, sym AS l, lead(sym) OVER (PARTITION BY word_id ORDER BY pos) AS r2
+         |    FROM t${r - 1}) x
+         |  WHERE r2 IS NOT NULL GROUP BY l, r2),
+         |tp$r AS (SELECT l, r2, c FROM pr$r ORDER BY c DESC, l ASC, r2 ASC LIMIT 1),
+         |mk$r AS (
+         |  SELECT t.word_id, t.freq, t.pos, t.sym, tp.l AS tl, tp.r2 AS tr,
+         |         CASE WHEN t.sym = tp.l AND lead(t.sym) OVER (PARTITION BY t.word_id ORDER BY t.pos) = tp.r2
+         |              THEN 1 ELSE 0 END AS mt
+         |  FROM t${r - 1} t CROSS JOIN tp$r tp),
+         |il$r AS (
+         |  SELECT *, sum(CASE WHEN mt = 0 THEN 1 ELSE 0 END) OVER (PARTITION BY word_id ORDER BY pos) AS grp
+         |  FROM mk$r),
+         |iw$r AS (
+         |  SELECT *, CASE WHEN mt = 1 AND (row_number() OVER (PARTITION BY word_id, grp, mt ORDER BY pos)) % 2 = 1
+         |            THEN 1 ELSE 0 END AS ini
+         |  FROM il$r),
+         |cs$r AS (
+         |  SELECT *, coalesce(lag(ini) OVER (PARTITION BY word_id ORDER BY pos), 0) AS consumed
+         |  FROM iw$r),
+         |t$r AS (
+         |  SELECT word_id, freq, row_number() OVER (PARTITION BY word_id ORDER BY pos) AS pos,
+         |         CASE WHEN ini = 1 THEN tl || tr ELSE sym END AS sym
+         |  FROM cs$r WHERE consumed = 0)""".stripMargin
+    val rounds = (1 to numMerges).map(round).mkString(",\n")
+    val finals = (1 to numMerges).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS rank, l AS lhs, r2 AS rhs, l || r2 AS merged, c AS pair_count FROM tp$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH wr AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word FROM documents),
+       |wc AS (SELECT word, count(*) AS freq FROM wr WHERE word <> '' GROUP BY word),
+       |cap AS (SELECT word, freq FROM wc ORDER BY freq DESC, word ASC LIMIT $maxWords),
+       |ch AS (SELECT word AS word_id, freq,
+       |              unnest(range(1, len(word) + 1)) AS pos,
+       |              unnest(string_split_regex(word, '')) AS sym
+       |       FROM cap),
+       |t0 AS (SELECT word_id, freq, pos, sym FROM ch
+       |       UNION ALL
+       |       SELECT word, freq, len(word) + 1, '</w>' FROM cap),
+       |$rounds
+       |$finals""".stripMargin
+  }
 
   /** p44's tail over the shared k-means prefix: probe-side (rank ≤
     * autoProbe(tau) cells, the prefix's `probes` — the SAME tau
@@ -2819,6 +2888,7 @@ object SparkEntry {
          |SELECT d.doc_id, d.source, coalesce(r.rate_bps, 0) AS rate_bps,
          |       coalesce(${hx("CAST(d.doc_id AS VARCHAR)")} % 10000 < r.rate_bps, FALSE) AS keep
          |FROM documents d LEFT JOIN r USING (source)""".stripMargin,
+    "p49_bpe_train" -> bpeOracleSql(numMerges = 8, maxWords = 32768),
     "p47_vocab_encode" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
         |              FROM documents WHERE trim(text) <> ''),

@@ -1,0 +1,187 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer: merge-rule learning + encoding — the
+  * subword step every production pretraining pipeline runs after
+  * (or instead of) p47's word-level vocabulary (Sennrich et al. 2016,
+  * the GPT-2/LLaMA tokenizer-training shape).
+  *
+  * Training (the Lloyd-loop discipline, applied to merges):
+  *  - ONE corpus pass aggregates word frequencies (map-side combine),
+  *    capped to the `maxWords` most frequent words — the same bounded-
+  *    artifact contract as `TextStats.buildVocab`: the type/token
+  *    ratio keeps distinct words far below corpus size, and the cap
+  *    makes the bound explicit. Everything after runs on that word
+  *    table, NEVER the corpus.
+  *  - each merge round is one bounded aggregation over the word
+  *    table: adjacent symbol pairs (a zip_with of two slices —
+  *    per-row array math), weighted by word frequency, summed with
+  *    map-side partials; the arg-max pair (count desc, then
+  *    lexicographic (lhs, rhs) asc — a TOTAL order, so the sequence
+  *    is deterministic and any SQL engine replays it) is a 1-row
+  *    collect, exactly the k-means centroid-collect discipline.
+  *  - the chosen merge applies as a per-row left-to-right greedy fold
+  *    over each word's symbol array (`aggregate` — "aaa" under (a,a)
+  *    merges to [aa, a], the standard non-overlapping semantics);
+  *    `localCheckpoint` truncates lineage each round so R rounds
+  *    never stack R plans.
+  *
+  * 100 TB: the corpus is touched once; round cost depends on
+  * `maxWords` and word length only. Rounds are sequential by nature
+  * (merge r+1's counts depend on merge r) — that is BPE, not a plan
+  * artifact; production merge counts (~30k) put the fit in
+  * bounded-minutes territory on the capped table, independent of
+  * corpus size.
+  *
+  * Encoding applies the learned ranks per word: repeatedly merge the
+  * lowest-rank adjacent pair (all its occurrences, left-to-right)
+  * until none applies — the standard BPE encode loop. The loop is
+  * inherently sequential and data-dependent per word, which no
+  * codegen expression expresses; it runs as a deterministic scalar
+  * UDF over a BROADCAST rank map (bounded by numMerges), the
+  * documented last-resort tier — state-free, per-row, no shuffle.
+  */
+object Bpe {
+
+  /** One learned merge: at `rank`, adjacent (`lhs`,`rhs`) fuse into
+    * `merged` (= lhs+rhs); `pairCount` is the weighted adjacency
+    * count that won the round.
+    */
+  case class Merge(rank: Int, lhs: String, rhs: String, merged: String, pairCount: Long)
+
+  /** End-of-word sentinel symbol (Sennrich's `</w>`): makes word
+    * boundaries mergeable content, so "low" and "lower" learn
+    * different final units. Words come from whitespace splits, so no
+    * real symbol can collide with it.
+    */
+  val EndOfWord = "</w>"
+
+  /** Greedy left-to-right single-merge application as a codegen array
+    * fold: append each symbol unless the accumulator ends with `l`
+    * and the symbol is `r` — then replace the tail with `m`. The fold
+    * order gives the standard non-overlapping semantics ("aaa" under
+    * (a,a) -> [aa, a]).
+    */
+  private def applyMergeCol(pieces: Column, l: String, r: String, m: String): Column =
+    aggregate(pieces, array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === l && x === r,
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Word-frequency table: the ONE corpus pass (p47's buildVocab
+    * aggregation), capped to the `maxWords` most frequent words by
+    * (count desc, word asc).
+    */
+  private def wordCounts(docs: DataFrame, maxWords: Int, text: String): DataFrame = {
+    val spark = docs.sparkSession
+    docs
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(explode(split(trim(lower(col(text))), "\\s+")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word").asc)
+      .limit(maxWords)
+  }
+
+  /** Learn `numMerges` merge rules from the corpus (fewer if the word
+    * table exhausts — every word one symbol). Deterministic: exact
+    * integer counts, totally-ordered tie-break.
+    */
+  def learnMerges(docs: DataFrame, numMerges: Int, maxWords: Int = 32768,
+      text: String = "text"): Seq[Merge] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(maxWords >= 1, s"maxWords must be >= 1, got $maxWords")
+    var words = wordCounts(docs, maxWords, text)
+      .withColumn("pieces", concat(split(col("word"), ""), array(lit(EndOfWord))))
+      .select("freq", "pieces")
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer[Merge]()
+    var round = 1
+    var exhausted = false
+    while (round <= numMerges && !exhausted) {
+      val top = words
+        .select(col("freq"), explode(zip_with(
+          slice(col("pieces"), lit(1), size(col("pieces")) - 1),
+          slice(col("pieces"), lit(2), size(col("pieces")) - 1),
+          (a, b) => struct(a.as("lhs"), b.as("rhs")))).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum("freq").as("c"))
+        .orderBy(col("c").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += Merge(round, l, r, l + r, c)
+        words = words
+          .withColumn("pieces", applyMergeCol(col("pieces"), l, r, l + r))
+          .localCheckpoint(true)
+        round += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** [[learnMerges]] as a DataFrame (rank, lhs, rhs, merged,
+    * pair_count) — the artifact a pipeline persists next to its data.
+    */
+  def train(docs: DataFrame, numMerges: Int, maxWords: Int = 32768,
+      text: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    learnMerges(docs, numMerges, maxWords, text)
+      .map(m => (m.rank.toLong, m.lhs, m.rhs, m.merged, m.pairCount))
+      .toDF("rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** Encode one word against a rank map: repeatedly apply the
+    * LOWEST-rank adjacent pair present (all occurrences, left-to-right
+    * greedy) until no learned pair remains — the standard BPE encode
+    * loop; training-corpus words reproduce their training
+    * segmentation. Pure and deterministic (spec-pinned directly).
+    */
+  def encodeWord(ranks: Map[(String, String), Int], word: String): Seq[String] = {
+    var pieces: Vector[String] = word.map(_.toString).toVector :+ EndOfWord
+    var done = false
+    while (!done && pieces.size >= 2) {
+      val best = pieces.indices.dropRight(1)
+        .flatMap(i => ranks.get((pieces(i), pieces(i + 1))))
+        .sorted.headOption
+      best match {
+        case None => done = true
+        case Some(rk) =>
+          val (l, r) = ranks.collectFirst { case (p, `rk`) => p }.get
+          val m = l + r
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < pieces.size) {
+            if (i + 1 < pieces.size && pieces(i) == l && pieces(i + 1) == r) { b += m; i += 2 }
+            else { b += pieces(i); i += 1 }
+          }
+          pieces = b.result()
+      }
+    }
+    pieces
+  }
+
+  /** Corpus encode: per document, whitespace-split then [[encodeWord]]
+    * each word against the broadcast rank map. Emits (id, n_tokens,
+    * tokens) — per-row math, zero shuffle; the merge table is the
+    * only state and it is numMerges-bounded.
+    */
+  def encode(docs: DataFrame, merges: Seq[Merge], id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val ranks: Map[(String, String), Int] =
+      merges.map(m => (m.lhs, m.rhs) -> m.rank).toMap
+    val enc = udf { (t: String) =>
+      if (t == null) Seq.empty[String]
+      else t.trim.toLowerCase.split("\\s+").toSeq
+        .filter(_.nonEmpty).flatMap(w => encodeWord(ranks, w))
+    }
+    docs.select(col(id), enc(col(text)).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+      .select(id, "n_tokens", "tokens")
+  }
+}

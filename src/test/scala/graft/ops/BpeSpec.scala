@@ -1,0 +1,96 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BPE merge learning + encoding, pinned on hand-derivable corpora:
+  * the deterministic merge sequence (count desc, (lhs, rhs) asc
+  * tie-break), the greedy non-overlapping merge application, and the
+  * classic generalization property — an UNSEEN word segments into
+  * units learned from seen words.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("merge sequence on the Sennrich-style corpus is the hand-derived one") {
+    // low x5, lower x2, newest x6, widest x3 — the paper's worked
+    // example, under THIS repo's total-order tie-break. Hand
+    // derivation: es(9, ties es/st/t</w> broken lexicographically),
+    // est(9), est</w>(9), lo(7), low(7), ew(6), ewest</w>(6),
+    // newest</w>(6).
+    val docs = (
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, numMerges = 8)
+    assert(merges.map(m => (m.lhs, m.rhs, m.pairCount)) == Seq(
+      ("e", "s", 9L), ("es", "t", 9L), ("est", "</w>", 9L),
+      ("l", "o", 7L), ("lo", "w", 7L),
+      ("e", "w", 6L), ("ew", "est</w>", 6L), ("n", "ewest</w>", 6L)))
+    assert(merges.map(_.rank) == (1 to 8))
+    assert(merges.forall(m => m.merged == m.lhs + m.rhs))
+
+    val ranks = merges.map(m => (m.lhs, m.rhs) -> m.rank).toMap
+    // training words reproduce their training segmentation
+    assert(Bpe.encodeWord(ranks, "newest") == Seq("newest</w>"))
+    assert(Bpe.encodeWord(ranks, "low") == Seq("low", "</w>"))
+    // the classic generalization: "lowest" was NEVER seen, but
+    // segments into units learned from "low" and "newest"/"widest"
+    assert(Bpe.encodeWord(ranks, "lowest") == Seq("low", "est</w>"))
+    // fully OOV: falls back to characters + sentinel
+    assert(Bpe.encodeWord(ranks, "xyz") == Seq("x", "y", "z", "</w>"))
+  }
+
+  test("overlapping runs merge greedily left-to-right, non-overlapping") {
+    // "aaa" under (a,a): [aa, a, </w>], never [a, aa, </w>] and never
+    // a double-consume — the parity case the SQL oracle must replay
+    val docs = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, numMerges = 3)
+    assert(merges.map(m => (m.lhs, m.rhs, m.pairCount)) == Seq(
+      ("a", "a", 4L),        // two adjacencies per word, freq 2
+      ("a", "</w>", 2L),     // tie aa-a vs a-</w> at 2 -> "a" < "aa"
+      ("aa", "a</w>", 2L)))
+    val ranks = merges.map(m => (m.lhs, m.rhs) -> m.rank).toMap
+    assert(Bpe.encodeWord(ranks, "aaa") == Seq("aaa</w>"))
+    assert(Bpe.encodeWord(ranks, "aaaa") == Seq("aa", "aa", "</w>"))
+    assert(Bpe.encodeWord(ranks, "aaaaa") == Seq("aa", "aaa</w>"))
+  }
+
+  test("training exhausts early when every word is one symbol; encode DataFrame round-trips") {
+    val docs = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    // ab: a-b 2, b-</w> 2, c-d 1, d-</w> 1 -> merges until every word
+    // is a single symbol: requested 50, produced far fewer
+    val merges = Bpe.learnMerges(docs, numMerges = 50)
+    assert(merges.size < 50 && merges.nonEmpty,
+      s"expected early exhaustion, got ${merges.size} merges")
+    // post-exhaustion both words ARE single symbols
+    val ranks = merges.map(m => (m.lhs, m.rhs) -> m.rank).toMap
+    assert(Bpe.encodeWord(ranks, "ab") == Seq("ab</w>"))
+    assert(Bpe.encodeWord(ranks, "cd") == Seq("cd</w>"))
+
+    val enc = Bpe.encode(docs, merges)
+      .orderBy("doc_id").as[(Long, Long, Seq[String])].collect()
+    assert(enc.toSeq == Seq((1L, 3L, Seq("ab</w>", "ab</w>", "cd</w>"))))
+
+    // null text encodes to zero tokens, not a crash or a lost row
+    val withNull = Seq((1L, "ab"), (2L, null)).toDF("doc_id", "text")
+    val enc2 = Bpe.encode(withNull, merges)
+      .orderBy("doc_id").as[(Long, Long, Seq[String])].collect()
+    assert(enc2.toSeq == Seq((1L, 1L, Seq("ab</w>")), (2L, 0L, Seq.empty[String])))
+  }
+
+  test("train() emits the merge table with the declared schema and maxWords caps the fit") {
+    val docs = Seq((1L, "aa aa bb")).toDF("doc_id", "text")
+    val df = Bpe.train(docs, numMerges = 2)
+    assert(df.columns.toSeq == Seq("rank", "lhs", "rhs", "merged", "pair_count"))
+    val rows = df.orderBy("rank").collect()
+    // round 1 ties (a,a) with (a,"</w>") at count 2; "</w>" < "a"
+    // lexicographically, so the sentinel pair wins the tie-break
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq ==
+      Seq((1L, "a", "</w>", "a</w>", 2L), (2L, "a", "a</w>", "aa</w>", 2L)))
+    // maxWords = 1 keeps only the most frequent word ("aa") in the fit
+    val capped = Bpe.learnMerges(docs, numMerges = 1, maxWords = 1)
+    assert(capped.head.pairCount == 2L, s"cap leaked the 'bb' word: ${capped.head}")
+  }
+}
