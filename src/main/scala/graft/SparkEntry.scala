@@ -245,6 +245,13 @@ object SparkEntry {
     "n_chars_consistent" -> (col("n_chars") === length(col("text"))),
     "lang_known" -> col("lang").isin("de", "en", "es", "fr", "zh"))
 
+  /** The document-table uniqueness rules — ONE list feeding the batch
+    * gate (p37) and the streaming uniqueness monitor (x24), the same
+    * shared-definition discipline as [[docRowRules]].
+    */
+  private def docUniqueRules: Seq[(String, Seq[String])] =
+    Seq("doc_id_unique" -> Seq("doc_id"))
+
   private def spearmanPairs(s: SparkSession, dir: String): DataFrame =
     Spearman.pairCorrelationsDense(
       lineitemLong(s, dir), Seq("l_returnflag"), "item", "sk", "v",
@@ -1417,7 +1424,7 @@ object SparkEntry {
     "p37_expectations" -> ((s, dir) =>
       ops.Expectations.check(t(s, dir, "documents"),
         rowRules = docRowRules,
-        uniqueRules = Seq("doc_id_unique" -> Seq("doc_id")))),
+        uniqueRules = docUniqueRules)),
     // X23: the p37 expectations gate as a STREAMING MONITOR — the SAME
     // row-rule list (one shared definition, so the twins cannot drift)
     // evaluated as unbounded aggregation state: per-rule violation
@@ -1434,6 +1441,49 @@ object SparkEntry {
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       ops.Expectations.reshape(drainMemorySink(s, sink), docRowRules.map(_._1))
+    }),
+    // X24: the p37 UNIQUENESS rule as a streaming monitor — the rule
+    // list x23 deliberately left batch-side. The SAME docUniqueRules
+    // definition drives dropDuplicatesWithinWatermark (state bounded
+    // by the watermark horizon — expired keys drop inside the
+    // operator, never accumulate) composed with an arrival count:
+    // violations = arrived non-null-key rows − dedup survivors,
+    // which equals the batch rule's count − countDistinct when every
+    // duplicate lands inside the horizon. The staged source plants
+    // duplicate doc_ids (every 50th residue-3 doc re-arrives) with a
+    // deterministic key-derived event time, one file ⇒ one
+    // micro-batch, so nothing is watermark-late and the DuckDB twin
+    // replays the exact counts.
+    "x24_stream_uniqueness" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val staged = stagedDir(s"docdups:$dir") { p =>
+        val d = s.read.parquet(s"$dir/documents.parquet")
+        // +1000s offset: doc_id 0 would otherwise sit exactly ON the
+        // initial watermark (epoch 0) and be dropped as late
+        d.unionByName(d.where(col("doc_id") % 50 === 3))
+          .withColumn("ts", timestamp_micros((col("doc_id") + 1000L) * 1000000L))
+          .repartition(1)
+          .write.mode("overwrite").parquet(p.toString)
+      }
+      val schema = s.read.parquet(staged.toString).schema
+      def stream = s.readStream.schema(schema).parquet(staged.toString)
+      val (name, keys) = docUniqueRules.head
+      val arrSink = s"stream_uni_a_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val survSink = s"stream_uni_s_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val allSet = keys.map(col(_).isNotNull).reduce(_ && _)
+      val qa = stream
+        .agg(count(lit(1)).as("__n"),
+          sum(when(allSet, 1L).otherwise(0L)).as("__nn"))
+        .writeStream.format("memory").queryName(arrSink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      val qs = ops.Expectations.uniqueSurvivors(stream, keys, "ts", "10 minutes")
+        .select(keys.map(col): _*)
+        .writeStream.format("memory").queryName(survSink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      qa.awaitTermination(); qs.awaitTermination()
+      val arr = drainMemorySink(s, arrSink).head()
+      ops.Expectations.uniqueReportRow(s, name,
+        arr.getLong(0), arr.getLong(1), drainMemorySink(s, survSink).count())
     }),
     // D9: referential-integrity audit — FK orphan checks in p37's
     // report schema: two clean star edges (orders→customer,
@@ -3137,6 +3187,21 @@ object SparkEntry {
         |UNION ALL SELECT 'text_nonempty', n_rows, CAST(v2 AS BIGINT), v2 = 0 FROM t
         |UNION ALL SELECT 'n_chars_consistent', n_rows, CAST(v3 AS BIGINT), v3 = 0 FROM t
         |UNION ALL SELECT 'lang_known', n_rows, CAST(v4 AS BIGINT), v4 = 0 FROM t""".stripMargin,
+    // the streamed corpus (documents + planted residue-3 re-arrivals)
+    // rebuilt batch-side; violations = non-null-key arrivals minus
+    // distinct keys — the watermark-horizon uniqueness contract when
+    // nothing is late, which the single-file staging guarantees
+    "x24_stream_uniqueness" ->
+      """WITH corpus AS (
+        |  SELECT doc_id FROM documents
+        |  UNION ALL SELECT doc_id FROM documents WHERE doc_id % 50 = 3),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |             CAST(count(doc_id) AS BIGINT) AS nn,
+        |             CAST(count(DISTINCT doc_id) AS BIGINT) AS dk
+        |      FROM corpus)
+        |SELECT 'doc_id_unique' AS rule, n_rows,
+        |       nn - dk AS n_violations, nn - dk = 0 AS pass
+        |FROM t""".stripMargin,
     // CDC replay: identical boundary rule (k-gram hex64 % 64 at
     // positions 2..len-7, position 1 always a start), identical
     // segment slicing, identical 60-bit content hash — the oracle is

@@ -98,6 +98,46 @@ object Expectations {
         (col("n_violations") === 0L).as("pass"))
   }
 
+  /** The STREAMING form of a uniqueness rule: the survivor stream of
+    * `dropDuplicatesWithinWatermark` over the rule's key columns. The
+    * monitor composes it with an arrival count — violations = arrived
+    * non-null-key rows − survivors — which is exactly the batch
+    * rule's `count(allSet) − countDistinct(key)` when every duplicate
+    * lands inside the watermark horizon (the horizon IS the
+    * uniqueness window a stream can promise; an unbounded-horizon
+    * guarantee needs unbounded state by definition, the p16 dedup
+    * trade).
+    *
+    * Rows with a null key column are excluded, the batch rule's dbt
+    * semantics (null keys are `not_null`'s business). State is
+    * bounded by the watermark horizon: expired keys are dropped by
+    * the dedup operator itself, never accumulated.
+    */
+  def uniqueSurvivors(stream: DataFrame, keys: Seq[String],
+      eventTimeCol: String, delay: String): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    val allSet = keys.map(col(_).isNotNull).reduce(_ && _)
+    stream.where(allSet)
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(keys)
+  }
+
+  /** Assemble one uniqueness-rule report row in [[check]]'s exact
+    * schema from the two drained monitor counts ([[uniqueSurvivors]]'
+    * count and the arrival aggregate). Validates the rule name like
+    * every other report path.
+    */
+  def uniqueReportRow(spark: org.apache.spark.sql.SparkSession, name: String,
+      nRows: Long, nonNullRows: Long, survivors: Long): DataFrame = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"rule name must be an identifier: $name")
+    require(nonNullRows >= survivors,
+      s"survivors $survivors exceed arrivals $nonNullRows — drain order bug")
+    import spark.implicits._
+    Seq((name, nRows, nonNullRows - survivors, nonNullRows - survivors == 0L))
+      .toDF("rule", "n_rows", "n_violations", "pass")
+  }
+
   /** Referential-integrity rule — the expectation [[check]] can't
     * express in one scan: every child row's foreign key must exist in
     * the parent. Reports in [[check]]'s exact schema so FK rules

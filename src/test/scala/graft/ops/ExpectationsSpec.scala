@@ -105,6 +105,45 @@ class ExpectationsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("x24: streaming uniqueness monitor matches the batch rule; state is watermark-bounded dedup") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val s = spark
+    implicit val sq = s.sqlContext
+    // (doc_id, event-time seconds): id 2 arrives twice inside the
+    // horizon (a violation), id 3 has a null key (excluded, the
+    // not_null rule's business), id 1/4 are clean
+    val source = MemoryStream[(Option[Long], Long)]
+    val rows = Seq(
+      (Option(1L), 10L), (Option(2L), 11L), (Option(2L), 12L),
+      (Option.empty[Long], 13L), (Option(4L), 14L))
+    val stream = source.toDF().toDF("doc_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val surv = Expectations.uniqueSurvivors(stream, Seq("doc_id"), "ts", "10 minutes")
+    val q = surv.select("doc_id")
+      .writeStream.format("memory").queryName("x24_surv")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      source.addData(rows: _*); q.processAllAvailable()
+      // the physical plan must carry the WATERMARK-BOUNDED dedup
+      // operator — plain dropDuplicates state never expires
+      val plan = q.lastProgress.json
+      assert(plan.contains("dedupeWithinWatermark"),
+        s"expected watermark-bounded dedup in progress:\n$plan")
+      val survivors = s.table("x24_surv").count()
+      val nonNull = rows.count(_._1.isDefined).toLong
+      val report = Expectations.uniqueReportRow(s, "doc_id_unique",
+        rows.size.toLong, nonNull, survivors).head()
+      assert((report.getString(0), report.getLong(1), report.getLong(2), report.getBoolean(3)) ==
+        (("doc_id_unique", 5L, 1L, false)))
+      // and it equals the batch rule on the same rows
+      val batch = Expectations.check(rows.toDF("doc_id", "sec"), Nil,
+        uniqueRules = Seq("doc_id_unique" -> Seq("doc_id"))).head()
+      assert((batch.getLong(1), batch.getLong(2), batch.getBoolean(3)) ==
+        ((report.getLong(1), report.getLong(2), report.getBoolean(3))))
+    } finally q.stop()
+  }
+
   test("p37: non-identifier and duplicate rule names are rejected loudly") {
     val df = Seq((1L, "a")).toDF("id", "t")
     assertThrows[IllegalArgumentException](
