@@ -41,6 +41,19 @@ class CorrelationJob(spark: SparkSession, warehouseDir: String,
     if (useBucketedFacts) spark.table(BucketedFactsTable)
     else wh.read("fact_expression")
 
+  /** F7 study-filtered facts. On the snapshot backend the predicate
+    * ALSO prunes at manifest resolution (whole segments whose stamped
+    * study set cannot match are skipped before any footer listing —
+    * [[SnapshotWarehouse.readStudies]]); every backend still pushes
+    * it as a hive partition filter at the scan.
+    */
+  private def factsForStudies(studyKeys: Seq[Long]): DataFrame = wh match {
+    case sw: SnapshotWarehouse if !useBucketedFacts =>
+      sw.readStudies("fact_expression", studyKeys)
+    case _ =>
+      factSource().where(col("study_key").isin(studyKeys: _*)) // partition pruning
+  }
+
   /** J2 + F6 + O6: studies having >= 1 expression fact, optionally
     * restricted to the requested accessions (order-preserving dedup of
     * the request is the caller's list semantics; missing ones warned).
@@ -66,8 +79,7 @@ class CorrelationJob(spark: SparkSession, warehouseDir: String,
   /** The analytical core as one DataFrame, pairs keyed and gated. */
   def correlationsFor(studyKeys: Seq[Long], computedAt: String,
       minSamples: Int = 2): DataFrame = {
-    val facts = factSource()
-      .where(col("study_key").isin(studyKeys: _*)) // partition pruning
+    val facts = factsForStudies(studyKeys)
     val dimSample = wh.read("dim_sample").select("sample_key", "gsm_accession")
     val long = facts.join(broadcast(dimSample), Seq("sample_key")) // J1
       .select(col("study_key"), col("gene_key"), col("gsm_accession"), col("expression_value"))

@@ -381,5 +381,18 @@ class SnapshotWarehouseSpec extends SparkSpec {
     // re-run idempotence (X2) through the anti-join, one more commit
     new EtlJob(spark, cfg, snapDir).runUnioned()
     assert(dump(plainDir) == dump(snapDir))
+
+    // the correlation job routes its F7 study read through the
+    // manifest-skipping path on this backend — results must match the
+    // plain backend exactly
+    def corr(dir: String) = {
+      val s = new CorrelationJob(spark, dir).run()
+      val wh = Warehouse(spark, dir)
+      (s.pairs, wh.read("fact_gene_pair_corr")
+        .select("study_key", "gene_a_key", "gene_b_key", "n_samples")
+        .collect().map(r => (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue(),
+          r.getAs[Number](2).longValue(), r.getAs[Number](3).longValue())).toSet)
+    }
+    assert(corr(plainDir) == corr(snapDir))
   }
 }
