@@ -1648,6 +1648,20 @@ object SparkEntry {
     // implementation, including the "aaa" overlap case).
     "p49_bpe_train" -> ((s, dir) =>
       ops.Bpe.train(t(s, dir, "documents"), numMerges = 8)),
+    // P50: the learned tokenizer APPLIED to the corpus — declarative
+    // BPE encode: every distinct corpus word's piece sequence from
+    // folding the 8 learned merges in rank order (codegen array
+    // folds, never a per-row loop), joined back to per-document word
+    // positions; output is each document's token count + the
+    // position-weighted integer fingerprint (the p47 discipline, so a
+    // merge slip or token reorder moves the hash). The oracle runs
+    // the training chain AND an uncapped parallel apply-chain in SQL,
+    // then replays the fingerprint — train (p49) and encode (p50)
+    // are both oracle-checked, the full tokenizer life cycle.
+    "p50_bpe_encode" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      ops.Bpe.encodeCorpus(d, ops.Bpe.learnMerges(d, numMerges = 8))
+    }),
     // P48: mixture calibration — the target-COMPOSITION half of data
     // mixing (p29 is the fixed-budget half): integer-exact per-source
     // keep rates realizing the largest corpus at the target shares
@@ -2180,6 +2194,12 @@ object SparkEntry {
     val finals = (1 to numMerges).map(r =>
       s"SELECT CAST($r AS BIGINT) AS rank, l AS lhs, r2 AS rhs, l || r2 AS merged, c AS pair_count FROM tp$r")
       .mkString("\nUNION ALL\n")
+    s"""${bpeTrainPrefixSql(numMerges, maxWords)},
+       |$rounds
+       |$finals""".stripMargin
+  }
+
+  private def bpeTrainPrefixSql(numMerges: Int, maxWords: Int): String =
     s"""WITH wr AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word FROM documents),
        |wc AS (SELECT word, count(*) AS freq FROM wr WHERE word <> '' GROUP BY word),
        |cap AS (SELECT word, freq FROM wc ORDER BY freq DESC, word ASC LIMIT $maxWords),
@@ -2189,9 +2209,70 @@ object SparkEntry {
        |       FROM cap),
        |t0 AS (SELECT word_id, freq, pos, sym FROM ch
        |       UNION ALL
-       |       SELECT word, freq, len(word) + 1, '</w>' FROM cap),
-       |$rounds
-       |$finals""".stripMargin
+       |       SELECT word, freq, len(word) + 1, '</w>' FROM cap)""".stripMargin
+
+  /** p50's oracle: the p49 training chain (capped word table) PLUS a
+    * parallel UNCAPPED chain `e0..eR` that applies each round's chosen
+    * merge to EVERY distinct corpus word (LEFT JOIN ON TRUE so an
+    * exhausted round passes words through instead of emptying them —
+    * the engine's fewer-merges behavior), then joins the word→pieces
+    * result back to per-document word positions and replays the
+    * position-weighted integer fingerprint. Validated end-to-end
+    * against an independent reference implementation at sf0.01.
+    */
+  private def bpeEncodeOracleSql(numMerges: Int, maxWords: Int): String = {
+    def tRound(r: Int): String =
+      s"""pr$r AS (
+         |  SELECT l, r2, CAST(sum(freq) AS BIGINT) AS c FROM (
+         |    SELECT freq, sym AS l, lead(sym) OVER (PARTITION BY word_id ORDER BY pos) AS r2
+         |    FROM t${r - 1}) x
+         |  WHERE r2 IS NOT NULL GROUP BY l, r2),
+         |tp$r AS (SELECT l, r2, c FROM pr$r ORDER BY c DESC, l ASC, r2 ASC LIMIT 1),
+         |mk$r AS (
+         |  SELECT t.word_id, t.freq, t.pos, t.sym, tp.l AS tl, tp.r2 AS tr,
+         |         CASE WHEN t.sym = tp.l AND lead(t.sym) OVER (PARTITION BY t.word_id ORDER BY t.pos) = tp.r2
+         |              THEN 1 ELSE 0 END AS mt
+         |  FROM t${r - 1} t CROSS JOIN tp$r tp),
+         |il$r AS (SELECT *, sum(CASE WHEN mt = 0 THEN 1 ELSE 0 END) OVER (PARTITION BY word_id ORDER BY pos) AS grp FROM mk$r),
+         |iw$r AS (SELECT *, CASE WHEN mt = 1 AND (row_number() OVER (PARTITION BY word_id, grp, mt ORDER BY pos)) % 2 = 1 THEN 1 ELSE 0 END AS ini FROM il$r),
+         |cs$r AS (SELECT *, coalesce(lag(ini) OVER (PARTITION BY word_id ORDER BY pos), 0) AS consumed FROM iw$r),
+         |t$r AS (SELECT word_id, freq, row_number() OVER (PARTITION BY word_id ORDER BY pos) AS pos,
+         |         CASE WHEN ini = 1 THEN tl || tr ELSE sym END AS sym
+         |  FROM cs$r WHERE consumed = 0)""".stripMargin
+    def eRound(r: Int): String =
+      s"""emk$r AS (
+         |  SELECT t.word_id, t.pos, t.sym, tp.l AS tl, tp.r2 AS tr,
+         |         CASE WHEN t.sym = tp.l AND lead(t.sym) OVER (PARTITION BY t.word_id ORDER BY t.pos) = tp.r2
+         |              THEN 1 ELSE 0 END AS mt
+         |  FROM e${r - 1} t LEFT JOIN tp$r tp ON TRUE),
+         |eil$r AS (SELECT *, sum(CASE WHEN mt = 0 THEN 1 ELSE 0 END) OVER (PARTITION BY word_id ORDER BY pos) AS grp FROM emk$r),
+         |eiw$r AS (SELECT *, CASE WHEN mt = 1 AND (row_number() OVER (PARTITION BY word_id, grp, mt ORDER BY pos)) % 2 = 1 THEN 1 ELSE 0 END AS ini FROM eil$r),
+         |ecs$r AS (SELECT *, coalesce(lag(ini) OVER (PARTITION BY word_id ORDER BY pos), 0) AS consumed FROM eiw$r),
+         |e$r AS (SELECT word_id, row_number() OVER (PARTITION BY word_id ORDER BY pos) AS pos,
+         |         CASE WHEN ini = 1 THEN tl || tr ELSE sym END AS sym
+         |  FROM ecs$r WHERE consumed = 0)""".stripMargin
+    val R = numMerges
+    s"""${bpeTrainPrefixSql(numMerges, maxWords)},
+       |ech AS (SELECT word AS word_id, unnest(range(1, len(word) + 1)) AS pos,
+       |               unnest(string_split_regex(word, '')) AS sym FROM wc),
+       |e0 AS (SELECT word_id, pos, sym FROM ech
+       |       UNION ALL SELECT word, len(word) + 1, '</w>' FROM wc),
+       |${(1 to R).map(tRound).mkString(",\n")},
+       |${(1 to R).map(eRound).mkString(",\n")},
+       |wp AS (SELECT word_id AS word, CAST(count(*) AS BIGINT) AS np FROM e$R GROUP BY word_id),
+       |toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents),
+       |flat AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+       |           i -> {'pos': i, 'word': tk[i]})) AS pt FROM toks),
+       |f AS (SELECT doc_id, pt.pos AS wpos, pt.word AS word FROM flat WHERE pt.word <> ''),
+       |j AS (SELECT f.doc_id, f.wpos, wp.word, wp.np FROM f JOIN wp USING (word)),
+       |o AS (SELECT *, coalesce(sum(np) OVER (PARTITION BY doc_id ORDER BY wpos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM j),
+       |c AS (SELECT o.doc_id, o.wpos, any_value(o.np) AS np,
+       |             sum((o.off + e.pos) * (${hx("e.sym")} % 1000 + 1)) AS fp
+       |      FROM o JOIN e$R e ON e.word_id = o.word
+       |      GROUP BY o.doc_id, o.wpos)
+       |SELECT doc_id, CAST(sum(np) AS BIGINT) AS n_tokens, CAST(sum(fp) AS BIGINT) AS tokens_fp
+       |FROM c GROUP BY 1""".stripMargin
   }
 
   /** p44's tail over the shared k-means prefix: probe-side (rank ≤
@@ -2939,6 +3020,7 @@ object SparkEntry {
          |       coalesce(${hx("CAST(d.doc_id AS VARCHAR)")} % 10000 < r.rate_bps, FALSE) AS keep
          |FROM documents d LEFT JOIN r USING (source)""".stripMargin,
     "p49_bpe_train" -> bpeOracleSql(numMerges = 8, maxWords = 32768),
+    "p50_bpe_encode" -> bpeEncodeOracleSql(numMerges = 8, maxWords = 32768),
     "p47_vocab_encode" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
         |              FROM documents WHERE trim(text) <> ''),

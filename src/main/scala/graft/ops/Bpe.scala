@@ -136,34 +136,80 @@ object Bpe {
       .toDF("rank", "lhs", "rhs", "merged", "pair_count")
   }
 
-  /** Encode one word against a rank map: repeatedly apply the
-    * LOWEST-rank adjacent pair present (all occurrences, left-to-right
-    * greedy) until no learned pair remains — the standard BPE encode
-    * loop; training-corpus words reproduce their training
-    * segmentation. Pure and deterministic (spec-pinned directly).
+  /** Encode one word by applying the learned merges IN RANK ORDER
+    * (each all-occurrences, left-to-right greedy) — subword-nmt's
+    * ordered-apply semantics, which is literally a replay of training:
+    * training-corpus words reproduce their training segmentation, and
+    * the declarative [[encodeCorpus]] computes the identical function
+    * (one fold per merge), so the scalar and corpus paths can never
+    * disagree. Production tokenizers run the same function through a
+    * lowest-rank-first priority queue — an execution strategy, not a
+    * different result on any word whose pairs the ordered pass can
+    * form. Pure and deterministic (spec-pinned directly).
     */
   def encodeWord(ranks: Map[(String, String), Int], word: String): Seq[String] = {
+    val ordered = ranks.toSeq.sortBy(_._2).map(_._1)
     var pieces: Vector[String] = word.map(_.toString).toVector :+ EndOfWord
-    var done = false
-    while (!done && pieces.size >= 2) {
-      val best = pieces.indices.dropRight(1)
-        .flatMap(i => ranks.get((pieces(i), pieces(i + 1))))
-        .sorted.headOption
-      best match {
-        case None => done = true
-        case Some(rk) =>
-          val (l, r) = ranks.collectFirst { case (p, `rk`) => p }.get
-          val m = l + r
-          val b = Vector.newBuilder[String]
-          var i = 0
-          while (i < pieces.size) {
-            if (i + 1 < pieces.size && pieces(i) == l && pieces(i + 1) == r) { b += m; i += 2 }
-            else { b += pieces(i); i += 1 }
-          }
-          pieces = b.result()
+    for ((l, r) <- ordered) {
+      val m = l + r
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < pieces.size) {
+        if (i + 1 < pieces.size && pieces(i) == l && pieces(i + 1) == r) { b += m; i += 2 }
+        else { b += pieces(i); i += 1 }
       }
+      pieces = b.result()
     }
     pieces
+  }
+
+  /** DECLARATIVE corpus encode — the scale path, fully
+    * oracle-replayable: derive the piece sequence of every DISTINCT
+    * corpus word by folding the learned merges in rank order (one
+    * codegen array fold per merge — identical results to
+    * [[encodeWord]] by construction), then join the bounded
+    * word→pieces table back to per-document word positions and emit
+    * each document's token count plus an order-sensitive integer
+    * fingerprint Σ (globalTokenPos) · (hex64(piece) % 1000 + 1) —
+    * exact arithmetic, so a merge slip, piece reorder, or lost token
+    * moves the hash (the p47 fingerprint discipline).
+    *
+    * Shape: the distinct-word table is type/token-bounded and stays a
+    * DataFrame (never collected); the join against it broadcasts at
+    * vocab scale; the only window is PER DOCUMENT (token offsets from
+    * preceding words), never corpus-global. The merge fold nests one
+    * projection per merge — right for query-sized merge lists; a
+    * production 30k-merge encode uses [[encode]]'s broadcast-rank-map
+    * form instead (same function, sequential execution).
+    */
+  def encodeCorpus(docs: DataFrame, merges: Seq[Merge], id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val words0 = docs
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(explode(split(trim(lower(col(text))), "\\s+")).as("word"))
+      .where(col("word") =!= "").distinct()
+    val pieces = merges.sortBy(_.rank).foldLeft(
+        words0.withColumn("pieces",
+          concat(split(col("word"), ""), array(lit(EndOfWord))))) {
+        (df, m) => df.withColumn("pieces", applyMergeCol(col("pieces"), m.lhs, m.rhs, m.merged))
+      }
+      .select(col("word"), col("pieces"), size(col("pieces")).as("np"))
+    val docWords = docs
+      .select(col(id), posexplode(split(trim(lower(col(text))), "\\s+")).as(Seq("wpos", "word")))
+      .where(col("word") =!= "")
+    val offWin = Window.partitionBy(col(id)).orderBy(col("wpos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docWords.join(pieces, Seq("word"))
+      .withColumn("off", coalesce(sum(col("np").cast("long")).over(offWin), lit(0L)))
+      .withColumn("fp", aggregate(
+        zip_with(col("pieces"), sequence(lit(1), col("np")), (s, i) =>
+          (col("off") + i.cast("long")) *
+            (graft.functions.Md5Hex64Fn(s) % 1000L + 1L)),
+        lit(0L), (a, x) => a + x))
+      .groupBy(col(id))
+      .agg(sum(col("np").cast("long")).as("n_tokens"), sum(col("fp")).as("tokens_fp"))
   }
 
   /** Corpus encode: per document, whitespace-split then [[encodeWord]]

@@ -80,6 +80,40 @@ class BpeSpec extends SparkSpec {
     assert(enc2.toSeq == Seq((1L, 1L, Seq("ab</w>")), (2L, 0L, Seq.empty[String])))
   }
 
+  test("encodeCorpus (declarative) computes exactly the scalar encode path's tokens") {
+    val docs = (
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest") :+ "low lowest xyz")
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, numMerges = 8)
+    val ranks = merges.map(m => (m.lhs, m.rhs) -> m.rank).toMap
+
+    // independent expectation: encodeWord per word + the fingerprint
+    // formula, computed driver-side
+    def hex64(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16)
+    }
+    val expected = docs.as[(Long, String)].collect().map { case (id, text) =>
+      val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .flatMap(w => Bpe.encodeWord(ranks, w)).toSeq
+      val fp = toks.zipWithIndex.map { case (s, i) =>
+        (i + 1L) * (hex64(s) % 1000L + 1L) }.sum
+      (id, toks.size.toLong, fp)
+    }.toSet
+    val got = Bpe.encodeCorpus(docs, merges)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    // the mixed doc exercises several words in one position sequence
+    // (the corpus here INCLUDES "lowest", so the learned merges differ
+    // from the first test's corpus — 7 tokens, pinned from the
+    // scalar-path computation the first assert already proved equal)
+    val mixed = got.find(_._1 == 16L).get
+    assert(mixed._2 == 7L, s"mixed doc token count: $mixed")
+  }
+
   test("train() emits the merge table with the declared schema and maxWords caps the fit") {
     val docs = Seq((1L, "aa aa bb")).toDF("doc_id", "text")
     val df = Bpe.train(docs, numMerges = 2)
