@@ -238,14 +238,17 @@ class SnapshotWarehouseSpec extends SparkSpec {
               Seq((i.toLong, s"illness-$i")).toDF("illness_key", "illness_label"))
             gate.countDown()
             // both transactions hold a v1 base before either commits
-            assert(gate.await(30, java.util.concurrent.TimeUnit.SECONDS))
+            // (generous await: the full suite runs many specs against
+            // one local Spark, and a starved thread here must not
+            // masquerade as a commit-race loser)
+            assert(gate.await(120, java.util.concurrent.TimeUnit.SECONDS))
           }
           ()
         } catch { case t: Throwable => Left(t) }
         outcomes.add(r)
       })
     }
-    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    threads.foreach(_.start()); threads.foreach(_.join(300000))
     val (losers, winners) = outcomes.toArray(Array.empty[Either[Throwable, Unit]])
       .partition(_.isLeft)
     assert(winners.length == 1, s"exactly one writer must win: $outcomes")
