@@ -185,6 +185,14 @@ object Bpe {
   def encodeCorpus(docs: DataFrame, merges: Seq[Merge], id: String = "doc_id",
       text: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the trade is ENFORCED, not advisory: each merge nests one
+    // projection, so a production-sized merge list would build a
+    // 30k-deep plan here — that workload belongs to [[encode]]'s
+    // broadcast-rank-map form (the same function, sequential
+    // execution)
+    require(merges.size <= 64,
+      s"encodeCorpus folds one projection per merge and got ${merges.size} " +
+        "merges; use Bpe.encode (broadcast rank map) for production-sized merge lists")
     val spark = docs.sparkSession
     val words0 = docs
       .repartition(spark.sparkContext.defaultParallelism)

@@ -112,6 +112,10 @@ class BpeSpec extends SparkSpec {
     // scalar-path computation the first assert already proved equal)
     val mixed = got.find(_._1 == 16L).get
     assert(mixed._2 == 7L, s"mixed doc token count: $mixed")
+
+    // the plan-depth guard is enforced, not advisory
+    val big = (1 to 65).map(i => Bpe.Merge(i, s"a$i", s"b$i", s"a${i}b$i", 1L))
+    assertThrows[IllegalArgumentException](Bpe.encodeCorpus(docs, big))
   }
 
   test("train() emits the merge table with the declared schema and maxWords caps the fit") {
