@@ -1662,6 +1662,18 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       ops.Bpe.encodeCorpus(d, ops.Bpe.learnMerges(d, numMerges = 8))
     }),
+    // P51: unigram-LM (SentencePiece-style) tokenizer — the other
+    // production tokenizer family: one deterministic EM round (seed
+    // substring vocabulary → integer micro-log scores → Viterbi
+    // E-step with a longest-final-piece tie-break → freq-weighted
+    // usage M-step). Integer scores make every Viterbi comparison
+    // exact, so the DuckDB oracle replays the DP bit-for-bit with an
+    // unrolled 16-step dynamic program + backtrace (MATERIALIZED
+    // CTEs — the inline form re-evaluates exponentially). Shares
+    // Bpe.wordCounts, so the tokenizer trainers see one word
+    // definition.
+    "p51_unigram_lm" -> ((s, dir) =>
+      ops.UnigramLm.train(t(s, dir, "documents"), maxPieceLen = 4, vocabSize = 64)),
     // P48: mixture calibration — the target-COMPOSITION half of data
     // mixing (p29 is the fixed-budget half): integer-exact per-source
     // keep rates realizing the largest corpus at the target shares
@@ -2273,6 +2285,71 @@ object SparkEntry {
        |      GROUP BY o.doc_id, o.wpos)
        |SELECT doc_id, CAST(sum(np) AS BIGINT) AS n_tokens, CAST(sum(fp) AS BIGINT) AS tokens_fp
        |FROM c GROUP BY 1""".stripMargin
+  }
+
+  /** p51's oracle: the one-EM-round unigram-LM trainer replayed in
+    * SQL. Seed substring frequencies and the integer micro-log score
+    * table are plain aggregations; the Viterbi E-step unrolls as a
+    * `maxWordLen`-step dynamic program (d1..dW: per position k, the
+    * arg-max over the ≤ maxPieceLen predecessors under (score desc,
+    * j asc) — the engine's longest-final-piece tie-break) followed by
+    * a `maxWordLen`-step backtrace (b1..bW) that walks the
+    * backpointers and emits the path's pieces. Every generated CTE is
+    * MATERIALIZED: the inline form re-evaluates its predecessors
+    * exponentially (DuckDB inlines CTEs referenced more than once).
+    * Validated against an independent reference implementation at
+    * sf0.01. `maxWordLen` = 16 bounds replayable words (fixture max
+    * is 8); regenerate wider for longer-word corpora.
+    */
+  private def unigramOracleSql(maxPieceLen: Int, vocabSize: Int,
+      maxWords: Int, maxWordLen: Int = 16): String = {
+    val W = maxWordLen
+    val dps = (1 to W).map { k =>
+      val prev = (math.max(0, k - maxPieceLen) until k)
+        .map(j => s"SELECT word, k, dp FROM d$j").mkString(" UNION ALL ")
+      s"""d$k AS MATERIALIZED (
+         |  SELECT word, k, dp, j FROM (
+         |    SELECT p.word, $k AS k, p.dp + g.s AS dp, p.k AS j,
+         |           row_number() OVER (PARTITION BY p.word ORDER BY p.dp + g.s DESC, p.k ASC) AS rk
+         |    FROM ($prev) p
+         |    JOIN seg g ON g.word = p.word AND g.j = p.k AND g.k = $k)
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    val bts = (1 to W).map { i =>
+      s"""b$i AS MATERIALIZED (
+         |  SELECT b.word, b.freq, a.j AS k, substr(b.word, a.j + 1, b.k - a.j) AS piece
+         |  FROM b${i - 1} b JOIN aa a ON a.word = b.word AND a.k = b.k
+         |  WHERE b.k > 0)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wr AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word FROM documents),
+       |wc AS (SELECT word, count(*) AS freq FROM wr WHERE word <> '' GROUP BY word),
+       |cap AS MATERIALIZED (SELECT word, freq FROM wc ORDER BY freq DESC, word ASC LIMIT $maxWords),
+       |sub0 AS (SELECT word, freq, unnest(range(1, len(word) + 1)) AS p FROM cap),
+       |sub AS (SELECT substr(word, CAST(p AS INT), CAST(l AS INT)) AS piece, freq
+       |        FROM sub0 CROSS JOIN range(1, $maxPieceLen + 1) t2(l)
+       |        WHERE p + l - 1 <= len(word)),
+       |pf AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS f FROM sub GROUP BY piece),
+       |topv AS (SELECT piece, f FROM pf ORDER BY f DESC, piece ASC LIMIT $vocabSize),
+       |vocab AS MATERIALIZED (SELECT DISTINCT piece, f FROM
+       |  (SELECT * FROM topv UNION ALL SELECT piece, f FROM pf WHERE len(piece) = 1)),
+       |tot AS (SELECT CAST(sum(f) AS BIGINT) AS T FROM vocab),
+       |sc AS MATERIALIZED (SELECT piece,
+       |  CAST(round((ln(f) - ln((SELECT T FROM tot))) * 1000000) AS BIGINT) AS s FROM vocab),
+       |seg0 AS (SELECT word, unnest(range(0, len(word))) AS j FROM cap),
+       |seg AS MATERIALIZED (
+       |  SELECT s0.word, CAST(s0.j AS INT) AS j, CAST(s0.j + l AS INT) AS k, sc.s
+       |  FROM seg0 s0 CROSS JOIN range(1, $maxPieceLen + 1) t2(l)
+       |  JOIN sc ON sc.piece = substr(s0.word, CAST(s0.j AS INT) + 1, CAST(l AS INT))
+       |  WHERE s0.j + l <= len(s0.word)),
+       |d0 AS MATERIALIZED (SELECT word, 0 AS k, CAST(0 AS BIGINT) AS dp, CAST(NULL AS INT) AS j FROM cap),
+       |$dps,
+       |aa AS MATERIALIZED (SELECT word, k, j FROM (${(1 to W).map(k => s"SELECT * FROM d$k").mkString(" UNION ALL ")})),
+       |b0 AS MATERIALIZED (SELECT c.word, c.freq, len(c.word) AS k, CAST(NULL AS VARCHAR) AS piece FROM cap c),
+       |$bts,
+       |paths AS (${(1 to W).map(i => s"SELECT word, freq, piece FROM b$i").mkString(" UNION ALL ")}),
+       |uses AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS n_uses FROM paths WHERE piece IS NOT NULL GROUP BY piece),
+       |tu AS (SELECT CAST(sum(n_uses) AS BIGINT) AS t FROM uses)
+       |SELECT piece, n_uses, round(n_uses / (SELECT t FROM tu), 6) AS est_prob FROM uses""".stripMargin
   }
 
   /** p44's tail over the shared k-means prefix: probe-side (rank ≤
@@ -3021,6 +3098,8 @@ object SparkEntry {
          |FROM documents d LEFT JOIN r USING (source)""".stripMargin,
     "p49_bpe_train" -> bpeOracleSql(numMerges = 8, maxWords = 32768),
     "p50_bpe_encode" -> bpeEncodeOracleSql(numMerges = 8, maxWords = 32768),
+    "p51_unigram_lm" ->
+      unigramOracleSql(maxPieceLen = 4, vocabSize = 64, maxWords = 32768),
     "p47_vocab_encode" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
         |              FROM documents WHERE trim(text) <> ''),

@@ -73,9 +73,10 @@ object Bpe {
 
   /** Word-frequency table: the ONE corpus pass (p47's buildVocab
     * aggregation), capped to the `maxWords` most frequent words by
-    * (count desc, word asc).
+    * (count desc, word asc). Shared with [[UnigramLm]] — one word
+    * definition, so the two tokenizer trainers cannot drift.
     */
-  private def wordCounts(docs: DataFrame, maxWords: Int, text: String): DataFrame = {
+  private[ops] def wordCounts(docs: DataFrame, maxWords: Int, text: String): DataFrame = {
     val spark = docs.sparkSession
     docs
       .repartition(spark.sparkContext.defaultParallelism)

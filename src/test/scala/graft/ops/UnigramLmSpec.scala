@@ -1,0 +1,41 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Unigram-LM tokenizer: the integer micro-log Viterbi and one
+  * hand-derivable EM round.
+  */
+class UnigramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("viterbi: max score wins; ties prefer the longest final piece; alphabet fallback") {
+    val sc = Map("a" -> -10L, "b" -> -10L, "c" -> -12L, "ab" -> -15L, "abc" -> -18L)
+    // [abc] -18 beats [ab,c] -27 and [a,b,c] -32
+    assert(UnigramLm.viterbi(sc, 4, "abc") == Seq("abc"))
+    // exact tie [ab] -10 vs [a,b] -10: the smaller start index for the
+    // final arc wins — the single long piece
+    val tie = Map("a" -> -5L, "b" -> -5L, "ab" -> -10L)
+    assert(UnigramLm.viterbi(tie, 4, "ab") == Seq("ab"))
+    // pieces beyond the vocab decompose to the scored alphabet
+    assert(UnigramLm.viterbi(sc, 4, "cab") == Seq("c", "ab"))
+    assert(UnigramLm.viterbi(sc, 4, "") == Nil)
+    // maxPieceLen bounds arc length even when a longer key exists
+    assert(UnigramLm.viterbi(sc, 2, "abc") == Seq("ab", "c"))
+  }
+
+  test("one EM round on a hand-derived corpus: per-character beats the rarer long piece") {
+    // corpus "aa aa b": seed freqs a=4, aa=2, b=1, T=7. Micro-logs:
+    // a = round((ln4-ln7)e6) = -559616, aa = -1252763, b = -1945910.
+    // Viterbi("aa"): [a,a] = -1119232 > [aa] = -1252763 — the E-step
+    // picks the characters, so "aa" earns ZERO uses and drops out of
+    // the M-step despite sitting in the seed vocabulary; uses are
+    // freq-weighted (a: 2 occurrences x freq 2 = 4).
+    assert(UnigramLm.microLog(4L, 7L) == -559616L)
+    assert(UnigramLm.microLog(2L, 7L) == -1252763L)
+    assert(UnigramLm.microLog(1L, 7L) == -1945910L)
+    val docs = Seq((1L, "aa aa b")).toDF("doc_id", "text")
+    val got = UnigramLm.train(docs, maxPieceLen = 2, vocabSize = 64)
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == Set(("a", 4L, 0.8), ("b", 1L, 0.2)))
+  }
+}
