@@ -706,6 +706,43 @@ object SparkEntry {
       ops.Drift.psiAgainstReference(drainMemorySink(s, sink), refShares)
     }),
 
+    // X25: streaming VOCABULARY drift monitor — the x22 PSI machinery
+    // pointed at the token distribution a tokenizer pipeline watches:
+    // reference = token-id shares of the even-doc half under a p47
+    // vocabulary built on that same half (id 0 = OOV); current = the
+    // odd-doc half streamed, per-(cohort, token-id) counts as
+    // aggregation state (documents carry no event time, so arrival
+    // cohorts derive from the id — a production stream would use
+    // ingest time); the drained state scores against the reference
+    // through the SAME Drift.psiAgainstReference post-pass, vanished
+    // and novel token mass surfacing as the x22 NULL modes.
+    "x25_stream_vocab_drift" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val d = t(s, dir, "documents")
+      def tokens(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .where(col("token") =!= "")
+      val vocab = ops.TextStats.buildVocab(d.where(col("doc_id") % 2 === 0), k = 50)
+        .select("token", "token_id")
+      val refCounts = tokens(d.where(col("doc_id") % 2 === 0))
+        .join(broadcast(vocab), Seq("token"), "left")
+        .groupBy(coalesce(col("token_id"), lit(0L)).as("bin"))
+        .agg(count(lit(1)).as("n_ref"))
+      val refShares = refCounts
+        .crossJoin(broadcast(refCounts.agg(sum("n_ref").as("__t"))))
+        .select(col("bin"), (col("n_ref") / col("__t")).as("p_ref"))
+      val binned = tokens(docStream(s, dir).where(col("doc_id") % 2 === 1))
+        .join(broadcast(vocab), Seq("token"), "left")
+        .groupBy(floor(col("doc_id") / 100).as("win_start"),
+          coalesce(col("token_id"), lit(0L)).as("bin"))
+        .agg(count(lit(1)).as("n_cur"))
+      val sink = s"stream_vocab_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = binned.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      ops.Drift.psiAgainstReference(drainMemorySink(s, sink), refShares)
+    }),
+
     // D6: SCD Type-2 history construction — the other half of the
     // warehouse dimension story (D3 is SCD-1 overwrite, D5 is SCD-1
     // latest-wins compaction; this builds the FULL validity-interval
@@ -2863,6 +2900,35 @@ object SparkEntry {
         |               CAST(least(greatest(floor(value / 40.0), 0), 9) AS BIGINT) AS bin,
         |               count(*) AS n_cur
         |        FROM events WHERE event_id % 2 = 1 GROUP BY 1, 2),
+        |spine AS (SELECT w.win_start, r.bin
+        |          FROM (SELECT DISTINCT win_start FROM cur) w CROSS JOIN rt r),
+        |dense AS (SELECT coalesce(s.win_start, c.win_start) AS win_start,
+        |                 coalesce(s.bin, c.bin) AS bin,
+        |                 coalesce(c.n_cur, 0) AS n_cur
+        |          FROM spine s FULL OUTER JOIN cur c
+        |            ON s.win_start = c.win_start AND s.bin = c.bin),
+        |ct AS (SELECT *, sum(n_cur) OVER (PARTITION BY win_start) AS tw FROM dense)
+        |SELECT c.win_start, c.bin, c.n_cur,
+        |       CASE WHEN r.p_ref IS NOT NULL AND c.n_cur > 0 THEN
+        |         round((r.p_ref - c.n_cur / CAST(tw AS DOUBLE))
+        |               * ln(r.p_ref / (c.n_cur / CAST(tw AS DOUBLE))), 6)
+        |       END AS psi_contrib
+        |FROM ct c LEFT JOIN rt r USING (bin)""".stripMargin,
+    // same PSI tail as x22, with the token-id distribution as bins
+    // and id-derived arrival cohorts as windows
+    "x25_stream_vocab_drift" ->
+      """WITH tk0 AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |             FROM documents),
+        |tk AS (SELECT doc_id, token FROM tk0 WHERE token <> ''),
+        |vc AS (SELECT token, count(*) AS n FROM tk WHERE doc_id % 2 = 0 GROUP BY 1),
+        |vocab AS (SELECT token, CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS token_id
+        |          FROM vc ORDER BY n DESC, token ASC LIMIT 50),
+        |ref AS (SELECT coalesce(v.token_id, 0) AS bin, count(*) AS n_ref
+        |        FROM tk LEFT JOIN vocab v USING (token) WHERE tk.doc_id % 2 = 0 GROUP BY 1),
+        |rt AS (SELECT bin, n_ref / CAST((SELECT sum(n_ref) FROM ref) AS DOUBLE) AS p_ref FROM ref),
+        |cur AS (SELECT CAST(floor(doc_id / 100) AS BIGINT) AS win_start,
+        |               coalesce(v.token_id, 0) AS bin, count(*) AS n_cur
+        |        FROM tk LEFT JOIN vocab v USING (token) WHERE tk.doc_id % 2 = 1 GROUP BY 1, 2),
         |spine AS (SELECT w.win_start, r.bin
         |          FROM (SELECT DISTINCT win_start FROM cur) w CROSS JOIN rt r),
         |dense AS (SELECT coalesce(s.win_start, c.win_start) AS win_start,
