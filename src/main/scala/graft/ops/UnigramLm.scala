@@ -80,11 +80,20 @@ object UnigramLm {
     acc
   }
 
-  /** One EM round; returns (piece, n_uses, est_prob). */
+  /** `rounds` EM rounds; returns (piece, n_uses, est_prob) from the
+    * final E-step. Re-estimation after each round derives the next
+    * score table from the usage counts, with the single-character
+    * alphabet floored at frequency 1 so every word stays segmentable
+    * after zero-use pieces prune out (the standard unigram fallback
+    * alphabet, applied to re-estimation). Round 1 is the
+    * oracle-checked unit; convergence typically reaches a fixed point
+    * within a round or two on natural corpora (spec-pinned).
+    */
   def train(docs: DataFrame, maxPieceLen: Int = 4, vocabSize: Int = 64,
-      maxWords: Int = 32768, text: String = "text"): DataFrame = {
+      maxWords: Int = 32768, text: String = "text", rounds: Int = 1): DataFrame = {
     require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
     require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val cap = Bpe.wordCounts(docs, maxWords, text).localCheckpoint(true)
     // seed-piece frequencies: all substrings up to maxPieceLen as one
     // per-row array build (positions x lengths), exploded and summed
@@ -101,12 +110,30 @@ object UnigramLm {
     // the score table is the bounded broadcast artifact (≤ vocabSize
     // + alphabet rows) — the k-means centroid-collect discipline
     val v = vocab.collect().map(r => (r.getString(0), r.getAs[Number](1).longValue()))
-    val t = v.map(_._2).sum
-    val scores: Map[String, Long] = v.map { case (p, f) => p -> microLog(f, t) }.toMap
+    val alphabet = v.collect { case (p, _) if p.length == 1 => p }
     val mpl = maxPieceLen
-    val seg = udf((w: String) => viterbi(scores, mpl, w))
-    val uses = cap.select(col("freq"), explode(seg(col("word"))).as("piece"))
-      .groupBy("piece").agg(sum("freq").as("n_uses"))
+
+    def eStep(freqs: Seq[(String, Long)]): DataFrame = {
+      val t = freqs.map(_._2).sum
+      val scores: Map[String, Long] =
+        freqs.map { case (p, f) => p -> microLog(f, t) }.toMap
+      val seg = udf((w: String) => viterbi(scores, mpl, w))
+      cap.select(col("freq"), explode(seg(col("word"))).as("piece"))
+        .groupBy("piece").agg(sum("freq").as("n_uses"))
+    }
+
+    var freqs: Seq[(String, Long)] = v.toSeq
+    var uses: DataFrame = eStep(freqs)
+    var r = 1
+    while (r < rounds) {
+      // M → next round's score table: used pieces keep their counts,
+      // the alphabet floors at 1 so pruning never strands a word
+      val used = uses.collect()
+        .map(row => (row.getString(0), row.getAs[Number](1).longValue())).toMap
+      freqs = (used ++ alphabet.filterNot(used.contains).map(_ -> 1L)).toSeq
+      uses = eStep(freqs)
+      r += 1
+    }
     val tu = uses.agg(sum("n_uses").as("__t"))
     uses.crossJoin(broadcast(tu))
       .select(col("piece"), col("n_uses"),

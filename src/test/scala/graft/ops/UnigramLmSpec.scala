@@ -38,4 +38,25 @@ class UnigramLmSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().toSet
     assert(got == Set(("a", 4L, 0.8), ("b", 1L, 0.2)))
   }
+
+  test("EM iterates to a fixed point; the alphabet floor keeps pruned corpora segmentable") {
+    // round 1 on "aa aa b" prunes "aa" (zero uses); round 2
+    // re-estimates from {a:4, b:1} + no missing alphabet and must
+    // reproduce the same segmentations — the converged fixed point
+    val docs = Seq((1L, "aa aa b")).toDF("doc_id", "text")
+    val r1 = UnigramLm.train(docs, maxPieceLen = 2, vocabSize = 64, rounds = 1)
+      .as[(String, Long, Double)].collect().toSet
+    val r3 = UnigramLm.train(docs, maxPieceLen = 2, vocabSize = 64, rounds = 3)
+      .as[(String, Long, Double)].collect().toSet
+    assert(r1 == r3, s"EM left its fixed point: $r1 vs $r3")
+
+    // a corpus whose round-1 E-step uses ONLY multi-char pieces: the
+    // re-estimation must floor the unused alphabet at 1, or round 2
+    // could not segment anything off the surviving pieces
+    val docs2 = Seq((1L, "abc abc abc ab")).toDF("doc_id", "text")
+    val out = UnigramLm.train(docs2, maxPieceLen = 3, vocabSize = 64, rounds = 2)
+      .as[(String, Long, Double)].collect().toSet
+    assert(out.map(_._1) == Set("abc", "ab"),
+      s"round-2 segmentation moved off the converged pieces: $out")
+  }
 }
