@@ -157,17 +157,19 @@ object Similarity {
     */
   def lshCosineTopK(emb: DataFrame, k: Int, planes: Int = 8, bands: Int = 1,
       id: String = "vec_id", vec: String = "embedding",
-      targetOccupancy: Int = 256): DataFrame = {
+      targetOccupancy: Int = 256, corpusCount: Long = -1L): DataFrame = {
     require(planes >= 1 && planes <= 62, s"planes must be in [1,62] (bucket is a long bitmask), got $planes")
     require(bands >= 1, s"bands must be >= 1, got $bands")
     val d = vecDim(emb, vec).getOrElse(0) // 0 only when no usable vectors -> empty below
     // the auto-plane count needs the corpus size: one column-pruned
     // count of the usable vectors (metadata-cheap next to the
-    // candidate join it is sizing)
+    // candidate join it is sizing); callers invoking several LSH ops
+    // on one frame pass a known `corpusCount` to pay it once
     val p =
       if (targetOccupancy <= 0) planes
       else autoPlanes(
-        emb.where(col(vec).isNotNull && size(col(vec)) > 0).count(),
+        if (corpusCount >= 0L) corpusCount
+        else emb.where(col(vec).isNotNull && size(col(vec)) > 0).count(),
         planes, targetOccupancy)
     val base = spread(emb
       .where(col(vec).isNotNull && size(col(vec)) > 0)
@@ -608,16 +610,18 @@ object Similarity {
     */
   def cosineDupPairsBlocked(emb: DataFrame, tau: Double, planes: Int = 4,
       bands: Int = 3, id: String = "vec_id", vec: String = "embedding",
-      targetOccupancy: Int = 256): DataFrame = {
+      targetOccupancy: Int = 256, corpusCount: Long = -1L): DataFrame = {
     require(planes >= 1 && planes <= 62, s"planes must be in [1,62] (bucket is a long bitmask), got $planes")
     require(bands >= 1, s"bands must be >= 1, got $bands")
     val d = vecDim(emb, vec).getOrElse(0)
     // `planes` is the floor; the chosen count grows ~log2(n) to pin
-    // bucket occupancy (see [[autoPlanes]] — the p25 scale fix)
+    // bucket occupancy (see [[autoPlanes]] — the p25 scale fix);
+    // a known `corpusCount` skips the sizing count
     val p =
       if (targetOccupancy <= 0) planes
       else autoPlanes(
-        emb.where(col(vec).isNotNull && size(col(vec)) > 0).count(),
+        if (corpusCount >= 0L) corpusCount
+        else emb.where(col(vec).isNotNull && size(col(vec)) > 0).count(),
         planes, targetOccupancy)
     val base = spread(emb
       .where(col(vec).isNotNull && size(col(vec)) > 0)
