@@ -1709,8 +1709,38 @@ object SparkEntry {
     // CTEs — the inline form re-evaluates exponentially). Shares
     // Bpe.wordCounts, so the tokenizer trainers see one word
     // definition.
-    "p51_unigram_lm" -> ((s, dir) =>
-      ops.UnigramLm.train(t(s, dir, "documents"), maxPieceLen = 4, vocabSize = 64)),
+    "p51_unigram_lm" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      // the oracle's DP unrolls 16 steps: fail LOUDLY if the corpus
+      // ever outgrows the replay envelope instead of silently
+      // diverging (fixture max word length is 8)
+      val maxLen = d.select(max(array_max(transform(
+        split(trim(lower(col("text"))), "\\s+"), w => length(w))))).head.getInt(0)
+      require(maxLen <= 16,
+        s"p51 oracle replays words up to 16 chars; corpus has $maxLen — regenerate wider")
+      ops.UnigramLm.train(d, maxPieceLen = 4, vocabSize = 64)
+    }),
+    // P52: tokenizer comparison — the metric tokenizer work actually
+    // optimizes: corpus token totals and tokens-per-word for the
+    // word-level baseline, the BPE encode (p49/p50 chain), and the
+    // unigram-LM round (p51 chain), side by side. Both halves are
+    // already oracle-checked; this composes their totals under ONE
+    // shared word-table prefix in the SQL replay.
+    "p52_tokenizer_compare" -> ((s, dir) => {
+      val s2 = s; import s2.implicits._
+      val d = t(s, dir, "documents")
+      val words = d
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+        .where(col("word") =!= "").count()
+      val bpe = ops.Bpe.encodeCorpus(d, ops.Bpe.learnMerges(d, numMerges = 8))
+        .agg(sum("n_tokens")).head.getLong(0)
+      val uni = ops.UnigramLm.train(d, maxPieceLen = 4, vocabSize = 64)
+        .agg(sum("n_uses")).head.getLong(0)
+      Seq(("word", words), ("bpe", bpe), ("unigram", uni))
+        .toDF("tokenizer", "n_tokens")
+        .withColumn("tokens_per_word",
+          round(col("n_tokens") / lit(words.toDouble), 6))
+    }),
     // P48: mixture calibration — the target-COMPOSITION half of data
     // mixing (p29 is the fixed-budget half): integer-exact per-source
     // keep rates realizing the largest corpus at the target shares
@@ -2212,8 +2242,10 @@ object SparkEntry {
     * is exactly the engine's left-to-right array fold ("aaa" under
     * (a,a) → [aa, a]).
     */
-  private def bpeOracleSql(numMerges: Int, maxWords: Int): String = {
-    def round(r: Int): String =
+  /** One BPE training round in SQL (pair counts -> arg-max -> islands-
+    * parity merge application) — shared by the p49/p50/p52 oracles.
+    */
+  private def bpeTRound(r: Int): String =
       s"""pr$r AS (
          |  SELECT l, r2, CAST(sum(freq) AS BIGINT) AS c FROM (
          |    SELECT freq, sym AS l, lead(sym) OVER (PARTITION BY word_id ORDER BY pos) AS r2
@@ -2239,19 +2271,23 @@ object SparkEntry {
          |  SELECT word_id, freq, row_number() OVER (PARTITION BY word_id ORDER BY pos) AS pos,
          |         CASE WHEN ini = 1 THEN tl || tr ELSE sym END AS sym
          |  FROM cs$r WHERE consumed = 0)""".stripMargin
-    val rounds = (1 to numMerges).map(round).mkString(",\n")
+
+  private def bpeRoundsSql(numMerges: Int): String =
+    (1 to numMerges).map(bpeTRound).mkString(",\n")
+
+  private def bpeOracleSql(numMerges: Int, maxWords: Int): String = {
     val finals = (1 to numMerges).map(r =>
       s"SELECT CAST($r AS BIGINT) AS rank, l AS lhs, r2 AS rhs, l || r2 AS merged, c AS pair_count FROM tp$r")
       .mkString("\nUNION ALL\n")
-    s"""${bpeTrainPrefixSql(numMerges, maxWords)},
-       |$rounds
+    s"""${bpeTrainPrefixSql(maxWords)},
+       |${bpeRoundsSql(numMerges)}
        |$finals""".stripMargin
   }
 
-  private def bpeTrainPrefixSql(numMerges: Int, maxWords: Int): String =
+  private def bpeTrainPrefixSql(maxWords: Int): String =
     s"""WITH wr AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word FROM documents),
        |wc AS (SELECT word, count(*) AS freq FROM wr WHERE word <> '' GROUP BY word),
-       |cap AS (SELECT word, freq FROM wc ORDER BY freq DESC, word ASC LIMIT $maxWords),
+       |cap AS MATERIALIZED (SELECT word, freq FROM wc ORDER BY freq DESC, word ASC LIMIT $maxWords),
        |ch AS (SELECT word AS word_id, freq,
        |              unnest(range(1, len(word) + 1)) AS pos,
        |              unnest(string_split_regex(word, '')) AS sym
@@ -2270,24 +2306,6 @@ object SparkEntry {
     * against an independent reference implementation at sf0.01.
     */
   private def bpeEncodeOracleSql(numMerges: Int, maxWords: Int): String = {
-    def tRound(r: Int): String =
-      s"""pr$r AS (
-         |  SELECT l, r2, CAST(sum(freq) AS BIGINT) AS c FROM (
-         |    SELECT freq, sym AS l, lead(sym) OVER (PARTITION BY word_id ORDER BY pos) AS r2
-         |    FROM t${r - 1}) x
-         |  WHERE r2 IS NOT NULL GROUP BY l, r2),
-         |tp$r AS (SELECT l, r2, c FROM pr$r ORDER BY c DESC, l ASC, r2 ASC LIMIT 1),
-         |mk$r AS (
-         |  SELECT t.word_id, t.freq, t.pos, t.sym, tp.l AS tl, tp.r2 AS tr,
-         |         CASE WHEN t.sym = tp.l AND lead(t.sym) OVER (PARTITION BY t.word_id ORDER BY t.pos) = tp.r2
-         |              THEN 1 ELSE 0 END AS mt
-         |  FROM t${r - 1} t CROSS JOIN tp$r tp),
-         |il$r AS (SELECT *, sum(CASE WHEN mt = 0 THEN 1 ELSE 0 END) OVER (PARTITION BY word_id ORDER BY pos) AS grp FROM mk$r),
-         |iw$r AS (SELECT *, CASE WHEN mt = 1 AND (row_number() OVER (PARTITION BY word_id, grp, mt ORDER BY pos)) % 2 = 1 THEN 1 ELSE 0 END AS ini FROM il$r),
-         |cs$r AS (SELECT *, coalesce(lag(ini) OVER (PARTITION BY word_id ORDER BY pos), 0) AS consumed FROM iw$r),
-         |t$r AS (SELECT word_id, freq, row_number() OVER (PARTITION BY word_id ORDER BY pos) AS pos,
-         |         CASE WHEN ini = 1 THEN tl || tr ELSE sym END AS sym
-         |  FROM cs$r WHERE consumed = 0)""".stripMargin
     def eRound(r: Int): String =
       s"""emk$r AS (
          |  SELECT t.word_id, t.pos, t.sym, tp.l AS tl, tp.r2 AS tr,
@@ -2301,12 +2319,12 @@ object SparkEntry {
          |         CASE WHEN ini = 1 THEN tl || tr ELSE sym END AS sym
          |  FROM ecs$r WHERE consumed = 0)""".stripMargin
     val R = numMerges
-    s"""${bpeTrainPrefixSql(numMerges, maxWords)},
+    s"""${bpeTrainPrefixSql(maxWords)},
        |ech AS (SELECT word AS word_id, unnest(range(1, len(word) + 1)) AS pos,
        |               unnest(string_split_regex(word, '')) AS sym FROM wc),
        |e0 AS (SELECT word_id, pos, sym FROM ech
        |       UNION ALL SELECT word, len(word) + 1, '</w>' FROM wc),
-       |${(1 to R).map(tRound).mkString(",\n")},
+       |${bpeRoundsSql(R)},
        |${(1 to R).map(eRound).mkString(",\n")},
        |wp AS (SELECT word_id AS word, CAST(count(*) AS BIGINT) AS np FROM e$R GROUP BY word_id),
        |toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents),
@@ -2338,8 +2356,13 @@ object SparkEntry {
     * sf0.01. `maxWordLen` = 16 bounds replayable words (fixture max
     * is 8); regenerate wider for longer-word corpora.
     */
-  private def unigramOracleSql(maxPieceLen: Int, vocabSize: Int,
-      maxWords: Int, maxWordLen: Int = 16): String = {
+  /** The unigram-LM chain AFTER the shared word-table prefix
+    * (wr/wc/cap) — a comma-joined CTE list from the substring seed
+    * through the `uses`/`tu` tail, so [[unigramOracleSql]] and the
+    * p52 comparison oracle share one generator.
+    */
+  private def unigramBodySql(maxPieceLen: Int, vocabSize: Int,
+      maxWordLen: Int = 16): String = {
     val W = maxWordLen
     val dps = (1 to W).map { k =>
       val prev = (math.max(0, k - maxPieceLen) until k)
@@ -2358,10 +2381,7 @@ object SparkEntry {
          |  FROM b${i - 1} b JOIN aa a ON a.word = b.word AND a.k = b.k
          |  WHERE b.k > 0)""".stripMargin
     }.mkString(",\n")
-    s"""WITH wr AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word FROM documents),
-       |wc AS (SELECT word, count(*) AS freq FROM wr WHERE word <> '' GROUP BY word),
-       |cap AS MATERIALIZED (SELECT word, freq FROM wc ORDER BY freq DESC, word ASC LIMIT $maxWords),
-       |sub0 AS (SELECT word, freq, unnest(range(1, len(word) + 1)) AS p FROM cap),
+    s"""sub0 AS (SELECT word, freq, unnest(range(1, len(word) + 1)) AS p FROM cap),
        |sub AS (SELECT substr(word, CAST(p AS INT), CAST(l AS INT)) AS piece, freq
        |        FROM sub0 CROSS JOIN range(1, $maxPieceLen + 1) t2(l)
        |        WHERE p + l - 1 <= len(word)),
@@ -2385,9 +2405,39 @@ object SparkEntry {
        |$bts,
        |paths AS (${(1 to W).map(i => s"SELECT word, freq, piece FROM b$i").mkString(" UNION ALL ")}),
        |uses AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS n_uses FROM paths WHERE piece IS NOT NULL GROUP BY piece),
-       |tu AS (SELECT CAST(sum(n_uses) AS BIGINT) AS t FROM uses)
-       |SELECT piece, n_uses, round(n_uses / (SELECT t FROM tu), 6) AS est_prob FROM uses""".stripMargin
+       |tu AS (SELECT CAST(sum(n_uses) AS BIGINT) AS t FROM uses)""".stripMargin
   }
+
+  private def unigramOracleSql(maxPieceLen: Int, vocabSize: Int,
+      maxWords: Int, maxWordLen: Int = 16): String =
+    s"""WITH wr AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word FROM documents),
+       |wc AS (SELECT word, count(*) AS freq FROM wr WHERE word <> '' GROUP BY word),
+       |cap AS MATERIALIZED (SELECT word, freq FROM wc ORDER BY freq DESC, word ASC LIMIT $maxWords),
+       |${unigramBodySql(maxPieceLen, vocabSize, maxWordLen)}
+       |SELECT piece, n_uses, round(n_uses / (SELECT t FROM tu), 6) AS est_prob FROM uses""".stripMargin
+
+  /** p52's oracle: the p49 BPE training chain AND the p51 unigram
+    * chain under ONE shared word-table prefix (the CTE names are
+    * disjoint by construction), reduced to corpus token totals and
+    * tokens-per-word — the compression metric tokenizer work
+    * optimizes. The BPE total is Σ freq·|pieces| over the final
+    * training state t_R; the unigram total is the E-step's Σ n_uses;
+    * the word baseline is Σ freq.
+    */
+  private def tokenizerCompareOracleSql(numMerges: Int, maxPieceLen: Int,
+      vocabSize: Int, maxWords: Int): String =
+    s"""${bpeTrainPrefixSql(maxWords)},
+       |${bpeRoundsSql(numMerges)},
+       |${unigramBodySql(maxPieceLen, vocabSize)},
+       |wtot AS (SELECT CAST(sum(freq) AS BIGINT) AS wt FROM cap),
+       |bnp AS (SELECT word_id, count(*) AS np FROM t$numMerges GROUP BY 1),
+       |btot AS (SELECT CAST(sum(c.freq * b.np) AS BIGINT) AS bt
+       |         FROM bnp b JOIN cap c ON c.word = b.word_id),
+       |utot AS (SELECT CAST(sum(n_uses) AS BIGINT) AS ut FROM uses)
+       |SELECT 'word' AS tokenizer, wt AS n_tokens,
+       |       round(wt / CAST(wt AS DOUBLE), 6) AS tokens_per_word FROM wtot
+       |UNION ALL SELECT 'bpe', bt, round(bt / CAST((SELECT wt FROM wtot) AS DOUBLE), 6) FROM btot
+       |UNION ALL SELECT 'unigram', ut, round(ut / CAST((SELECT wt FROM wtot) AS DOUBLE), 6) FROM utot""".stripMargin
 
   /** p44's tail over the shared k-means prefix: probe-side (rank ≤
     * autoProbe(tau) cells, the prefix's `probes` — the SAME tau
@@ -3166,6 +3216,9 @@ object SparkEntry {
     "p50_bpe_encode" -> bpeEncodeOracleSql(numMerges = 8, maxWords = 32768),
     "p51_unigram_lm" ->
       unigramOracleSql(maxPieceLen = 4, vocabSize = 64, maxWords = 32768),
+    "p52_tokenizer_compare" ->
+      tokenizerCompareOracleSql(numMerges = 8, maxPieceLen = 4,
+        vocabSize = 64, maxWords = 32768),
     "p47_vocab_encode" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
         |              FROM documents WHERE trim(text) <> ''),
