@@ -84,6 +84,41 @@ class PlanShapeSpec extends SparkSpec {
       s"p46 plans a per-group window sort instead of the d5 max-of-struct shape:\n$plan")
   }
 
+  test("p50 BPE encode: the word-pieces join is no disaster; the only window partitions by document") {
+    val plan = executedPlan("p50_bpe_encode")
+    assertNoDisasterJoin("p50", plan)
+    // the per-doc token-offset window must carry its doc_id
+    // partitioning — a partition-less window would funnel the corpus
+    // through one task (the round-6 row_seq failure mode)
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty, s"p50 lost its per-doc offset window:\n$plan")
+    assert(windows.forall(_.contains("doc_id")),
+      s"p50 window lost its doc_id partitioning:\n$plan")
+  }
+
+  test("p51 unigram-LM: word-table-sized plan — no window, no corpus sort") {
+    val plan = executedPlan("p51_unigram_lm")
+    // the ONE nested-loop join is the deliberate 1-row scalar
+    // broadcast (total uses onto the piece table) — a disaster shape
+    // only when both sides carry data, which the cartesian check
+    // still forbids
+    assert(!plan.contains("CartesianProduct"),
+      s"p51 plans a cartesian product:\n$plan")
+    assert(!plan.contains("Window"),
+      s"p51 plans a window (E/M are aggregations only):\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"p51 plans a corpus sort:\n$plan")
+  }
+
+  test("x25 vocab drift: the vocabulary broadcasts onto the token stream") {
+    val plan = executedPlan("x25_stream_vocab_drift")
+    // same deliberate 1-row scalar broadcast as p51 (reference total)
+    assert(!plan.contains("CartesianProduct"),
+      s"x25 plans a cartesian product:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"x25 reference/vocab should broadcast:\n$plan")
+  }
+
   test("a6 sketches: percentile buffers never ride the distinct rewrite") {
     // Fusing countDistinct with the percentile aggregates builds one
     // percentile buffer per (flag, partkey) PARTIAL group instead of one
