@@ -1720,6 +1720,15 @@ object SparkEntry {
         s"p51 oracle replays words up to 16 chars; corpus has $maxLen — regenerate wider")
       ops.UnigramLm.train(d, maxPieceLen = 4, vocabSize = 64)
     }),
+    // P53: the unigram EM actually ITERATING, oracle-checked — round 2
+    // re-estimates scores from round 1's usage counts (alphabet
+    // floored at 1 so pruning never strands a word) and re-segments;
+    // the oracle chains a second suffixed DP block onto the p51
+    // machinery, so the re-estimation rule itself is cross-engine
+    // verified, not just spec-pinned.
+    "p53_unigram_em2" -> ((s, dir) =>
+      ops.UnigramLm.train(t(s, dir, "documents"), maxPieceLen = 4,
+        vocabSize = 64, rounds = 2)),
     // P52: tokenizer comparison — the metric tokenizer work actually
     // optimizes: corpus token totals and tokens-per-word for the
     // word-level baseline, the BPE encode (p49/p50 chain), and the
@@ -2361,26 +2370,47 @@ object SparkEntry {
     * through the `uses`/`tu` tail, so [[unigramOracleSql]] and the
     * p52 comparison oracle share one generator.
     */
-  private def unigramBodySql(maxPieceLen: Int, vocabSize: Int,
-      maxWordLen: Int = 16): String = {
+  /** One Viterbi E-step in SQL against the score table `scCte`: arcs,
+    * the unrolled DP, backtrace, and usage counts, all CTE names
+    * carrying `sfx` so several EM rounds chain in one query.
+    */
+  private def unigramDpSql(maxPieceLen: Int, maxWordLen: Int,
+      sfx: String, scCte: String): String = {
     val W = maxWordLen
     val dps = (1 to W).map { k =>
       val prev = (math.max(0, k - maxPieceLen) until k)
-        .map(j => s"SELECT word, k, dp FROM d$j").mkString(" UNION ALL ")
-      s"""d$k AS MATERIALIZED (
+        .map(j => s"SELECT word, k, dp FROM d$sfx$j").mkString(" UNION ALL ")
+      s"""d$sfx$k AS MATERIALIZED (
          |  SELECT word, k, dp, j FROM (
          |    SELECT p.word, $k AS k, p.dp + g.s AS dp, p.k AS j,
          |           row_number() OVER (PARTITION BY p.word ORDER BY p.dp + g.s DESC, p.k ASC) AS rk
          |    FROM ($prev) p
-         |    JOIN seg g ON g.word = p.word AND g.j = p.k AND g.k = $k)
+         |    JOIN seg$sfx g ON g.word = p.word AND g.j = p.k AND g.k = $k)
          |  WHERE rk = 1)""".stripMargin
     }.mkString(",\n")
     val bts = (1 to W).map { i =>
-      s"""b$i AS MATERIALIZED (
+      s"""b$sfx$i AS MATERIALIZED (
          |  SELECT b.word, b.freq, a.j AS k, substr(b.word, a.j + 1, b.k - a.j) AS piece
-         |  FROM b${i - 1} b JOIN aa a ON a.word = b.word AND a.k = b.k
+         |  FROM b$sfx${i - 1} b JOIN aa$sfx a ON a.word = b.word AND a.k = b.k
          |  WHERE b.k > 0)""".stripMargin
     }.mkString(",\n")
+    s"""seg$sfx AS MATERIALIZED (
+       |  SELECT s0.word, CAST(s0.j AS INT) AS j, CAST(s0.j + l AS INT) AS k, sc.s
+       |  FROM seg0 s0 CROSS JOIN range(1, $maxPieceLen + 1) t2(l)
+       |  JOIN $scCte sc ON sc.piece = substr(s0.word, CAST(s0.j AS INT) + 1, CAST(l AS INT))
+       |  WHERE s0.j + l <= len(s0.word)),
+       |d${sfx}0 AS MATERIALIZED (SELECT word, 0 AS k, CAST(0 AS BIGINT) AS dp, CAST(NULL AS INT) AS j FROM cap),
+       |$dps,
+       |aa$sfx AS MATERIALIZED (SELECT word, k, j FROM (${(1 to W).map(k => s"SELECT * FROM d$sfx$k").mkString(" UNION ALL ")})),
+       |b${sfx}0 AS MATERIALIZED (SELECT c.word, c.freq, len(c.word) AS k, CAST(NULL AS VARCHAR) AS piece FROM cap c),
+       |$bts,
+       |paths$sfx AS (${(1 to W).map(i => s"SELECT word, freq, piece FROM b$sfx$i").mkString(" UNION ALL ")}),
+       |uses$sfx AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS n_uses FROM paths$sfx WHERE piece IS NOT NULL GROUP BY piece),
+       |tu$sfx AS (SELECT CAST(sum(n_uses) AS BIGINT) AS t FROM uses$sfx)""".stripMargin
+  }
+
+  private def unigramBodySql(maxPieceLen: Int, vocabSize: Int,
+      maxWordLen: Int = 16): String =
     s"""sub0 AS (SELECT word, freq, unnest(range(1, len(word) + 1)) AS p FROM cap),
        |sub AS (SELECT substr(word, CAST(p AS INT), CAST(l AS INT)) AS piece, freq
        |        FROM sub0 CROSS JOIN range(1, $maxPieceLen + 1) t2(l)
@@ -2393,20 +2423,7 @@ object SparkEntry {
        |sc AS MATERIALIZED (SELECT piece,
        |  CAST(round((ln(f) - ln((SELECT T FROM tot))) * 1000000) AS BIGINT) AS s FROM vocab),
        |seg0 AS (SELECT word, unnest(range(0, len(word))) AS j FROM cap),
-       |seg AS MATERIALIZED (
-       |  SELECT s0.word, CAST(s0.j AS INT) AS j, CAST(s0.j + l AS INT) AS k, sc.s
-       |  FROM seg0 s0 CROSS JOIN range(1, $maxPieceLen + 1) t2(l)
-       |  JOIN sc ON sc.piece = substr(s0.word, CAST(s0.j AS INT) + 1, CAST(l AS INT))
-       |  WHERE s0.j + l <= len(s0.word)),
-       |d0 AS MATERIALIZED (SELECT word, 0 AS k, CAST(0 AS BIGINT) AS dp, CAST(NULL AS INT) AS j FROM cap),
-       |$dps,
-       |aa AS MATERIALIZED (SELECT word, k, j FROM (${(1 to W).map(k => s"SELECT * FROM d$k").mkString(" UNION ALL ")})),
-       |b0 AS MATERIALIZED (SELECT c.word, c.freq, len(c.word) AS k, CAST(NULL AS VARCHAR) AS piece FROM cap c),
-       |$bts,
-       |paths AS (${(1 to W).map(i => s"SELECT word, freq, piece FROM b$i").mkString(" UNION ALL ")}),
-       |uses AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS n_uses FROM paths WHERE piece IS NOT NULL GROUP BY piece),
-       |tu AS (SELECT CAST(sum(n_uses) AS BIGINT) AS t FROM uses)""".stripMargin
-  }
+       |${unigramDpSql(maxPieceLen, maxWordLen, "", "sc")}""".stripMargin
 
   private def unigramOracleSql(maxPieceLen: Int, vocabSize: Int,
       maxWords: Int, maxWordLen: Int = 16): String =
@@ -2415,6 +2432,28 @@ object SparkEntry {
        |cap AS MATERIALIZED (SELECT word, freq FROM wc ORDER BY freq DESC, word ASC LIMIT $maxWords),
        |${unigramBodySql(maxPieceLen, vocabSize, maxWordLen)}
        |SELECT piece, n_uses, round(n_uses / (SELECT t FROM tu), 6) AS est_prob FROM uses""".stripMargin
+
+  /** p53's oracle: a SECOND EM round chained onto the p51 chain — the
+    * M-step re-estimation (used pieces keep their counts, the seed
+    * alphabet floors at 1 so pruning never strands a word, exactly
+    * `UnigramLm.train`'s rule) feeds a second suffixed DP block.
+    */
+  private def unigramEm2OracleSql(maxPieceLen: Int, vocabSize: Int,
+      maxWords: Int, maxWordLen: Int = 16): String =
+    s"""WITH wr AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word FROM documents),
+       |wc AS (SELECT word, count(*) AS freq FROM wr WHERE word <> '' GROUP BY word),
+       |cap AS MATERIALIZED (SELECT word, freq FROM wc ORDER BY freq DESC, word ASC LIMIT $maxWords),
+       |${unigramBodySql(maxPieceLen, vocabSize, maxWordLen)},
+       |fr2 AS MATERIALIZED (
+       |  SELECT piece, n_uses AS f FROM uses
+       |  UNION ALL
+       |  SELECT piece, CAST(1 AS BIGINT) AS f FROM vocab
+       |  WHERE len(piece) = 1 AND piece NOT IN (SELECT piece FROM uses)),
+       |tot2 AS (SELECT CAST(sum(f) AS BIGINT) AS T FROM fr2),
+       |scr2 AS MATERIALIZED (SELECT piece,
+       |  CAST(round((ln(f) - ln((SELECT T FROM tot2))) * 1000000) AS BIGINT) AS s FROM fr2),
+       |${unigramDpSql(maxPieceLen, maxWordLen, "r2", "scr2")}
+       |SELECT piece, n_uses, round(n_uses / (SELECT t FROM tur2), 6) AS est_prob FROM usesr2""".stripMargin
 
   /** p52's oracle: the p49 BPE training chain AND the p51 unigram
     * chain under ONE shared word-table prefix (the CTE names are
@@ -3219,6 +3258,8 @@ object SparkEntry {
     "p52_tokenizer_compare" ->
       tokenizerCompareOracleSql(numMerges = 8, maxPieceLen = 4,
         vocabSize = 64, maxWords = 32768),
+    "p53_unigram_em2" ->
+      unigramEm2OracleSql(maxPieceLen = 4, vocabSize = 64, maxWords = 32768),
     "p47_vocab_encode" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
         |              FROM documents WHERE trim(text) <> ''),
