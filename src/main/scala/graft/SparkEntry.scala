@@ -1729,6 +1729,24 @@ object SparkEntry {
     "p53_unigram_em2" -> ((s, dir) =>
       ops.UnigramLm.train(t(s, dir, "documents"), maxPieceLen = 4,
         vocabSize = 64, rounds = 2)),
+    // P54: CCNet-style perplexity filter — every document scored by
+    // per-token log-probability under the round-1-trained unigram LM
+    // (the p53-verified re-estimation IS the scoring table), split
+    // head/middle/tail at per-language terciles (Wenzek et al. 2020).
+    // The DP cost is distinct-word-table-sized (the p50 apply-chain
+    // shape); the tercile boundaries are one percentile agg broadcast
+    // back (the p45 discipline) — never a corpus sort.
+    "p54_perplexity_filter" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      // same replay envelope as p51: the oracle DP unrolls 16 steps
+      val maxLen = d.select(max(array_max(transform(
+        split(trim(lower(col("text"))), "\\s+"), w => length(w))))).head.getInt(0)
+      require(maxLen <= 16,
+        s"p54 oracle replays words up to 16 chars; corpus has $maxLen — regenerate wider")
+      ops.UnigramLm.perplexityBuckets(d, maxPieceLen = 4, vocabSize = 64)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("lm_score"), col("bucket"))
+    }),
     // P52: tokenizer comparison — the metric tokenizer work actually
     // optimizes: corpus token totals and tokens-per-word for the
     // word-level baseline, the BPE encode (p49/p50 chain), and the
@@ -2375,7 +2393,8 @@ object SparkEntry {
     * carrying `sfx` so several EM rounds chain in one query.
     */
   private def unigramDpSql(maxPieceLen: Int, maxWordLen: Int,
-      sfx: String, scCte: String): String = {
+      sfx: String, scCte: String, wordsCte: String = "cap",
+      seg0Cte: String = "seg0"): String = {
     val W = maxWordLen
     val dps = (1 to W).map { k =>
       val prev = (math.max(0, k - maxPieceLen) until k)
@@ -2396,13 +2415,13 @@ object SparkEntry {
     }.mkString(",\n")
     s"""seg$sfx AS MATERIALIZED (
        |  SELECT s0.word, CAST(s0.j AS INT) AS j, CAST(s0.j + l AS INT) AS k, sc.s
-       |  FROM seg0 s0 CROSS JOIN range(1, $maxPieceLen + 1) t2(l)
+       |  FROM $seg0Cte s0 CROSS JOIN range(1, $maxPieceLen + 1) t2(l)
        |  JOIN $scCte sc ON sc.piece = substr(s0.word, CAST(s0.j AS INT) + 1, CAST(l AS INT))
        |  WHERE s0.j + l <= len(s0.word)),
-       |d${sfx}0 AS MATERIALIZED (SELECT word, 0 AS k, CAST(0 AS BIGINT) AS dp, CAST(NULL AS INT) AS j FROM cap),
+       |d${sfx}0 AS MATERIALIZED (SELECT word, 0 AS k, CAST(0 AS BIGINT) AS dp, CAST(NULL AS INT) AS j FROM $wordsCte),
        |$dps,
        |aa$sfx AS MATERIALIZED (SELECT word, k, j FROM (${(1 to W).map(k => s"SELECT * FROM d$sfx$k").mkString(" UNION ALL ")})),
-       |b${sfx}0 AS MATERIALIZED (SELECT c.word, c.freq, len(c.word) AS k, CAST(NULL AS VARCHAR) AS piece FROM cap c),
+       |b${sfx}0 AS MATERIALIZED (SELECT c.word, c.freq, len(c.word) AS k, CAST(NULL AS VARCHAR) AS piece FROM $wordsCte c),
        |$bts,
        |paths$sfx AS (${(1 to W).map(i => s"SELECT word, freq, piece FROM b$sfx$i").mkString(" UNION ALL ")}),
        |uses$sfx AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS n_uses FROM paths$sfx WHERE piece IS NOT NULL GROUP BY piece),
@@ -2454,6 +2473,55 @@ object SparkEntry {
        |  CAST(round((ln(f) - ln((SELECT T FROM tot2))) * 1000000) AS BIGINT) AS s FROM fr2),
        |${unigramDpSql(maxPieceLen, maxWordLen, "r2", "scr2")}
        |SELECT piece, n_uses, round(n_uses / (SELECT t FROM tur2), 6) AS est_prob FROM usesr2""".stripMargin
+
+  /** p54's oracle: the p51 training chain, the p53 M-step
+    * re-estimation (`scr2` IS the trained scoring LM — the rule the
+    * EM-2 oracle already cross-engine-verifies), then a second DP
+    * block over the UNCAPPED distinct-word table (the p50 apply-chain
+    * shape) whose per-word path score and piece count aggregate to
+    * per-document micro-log totals; head/middle/tail at per-language
+    * `quantile_cont` terciles (the p45 pattern). Un-segmentable words
+    * (an out-of-alphabet character) have no DP path and drop out of
+    * the inner joins — the engine's OOV-drop contract, replayed
+    * structurally.
+    */
+  private def perplexityOracleSql(maxPieceLen: Int, vocabSize: Int,
+      maxWords: Int, maxWordLen: Int = 16): String =
+    s"""WITH wr AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word FROM documents),
+       |wc AS MATERIALIZED (SELECT word, count(*) AS freq FROM wr WHERE word <> '' GROUP BY word),
+       |cap AS MATERIALIZED (SELECT word, freq FROM wc ORDER BY freq DESC, word ASC LIMIT $maxWords),
+       |${unigramBodySql(maxPieceLen, vocabSize, maxWordLen)},
+       |fr2 AS MATERIALIZED (
+       |  SELECT piece, n_uses AS f FROM uses
+       |  UNION ALL
+       |  SELECT piece, CAST(1 AS BIGINT) AS f FROM vocab
+       |  WHERE len(piece) = 1 AND piece NOT IN (SELECT piece FROM uses)),
+       |tot2 AS (SELECT CAST(sum(f) AS BIGINT) AS T FROM fr2),
+       |scr2 AS MATERIALIZED (SELECT piece,
+       |  CAST(round((ln(f) - ln((SELECT T FROM tot2))) * 1000000) AS BIGINT) AS s FROM fr2),
+       |seg0w AS (SELECT word, unnest(range(0, len(word))) AS j FROM wc),
+       |${unigramDpSql(maxPieceLen, maxWordLen, "w", "scr2", wordsCte = "wc", seg0Cte = "seg0w")},
+       |wsc AS MATERIALIZED (
+       |  SELECT p.word, CAST(count(*) AS BIGINT) AS np, CAST(sum(s.s) AS BIGINT) AS ws
+       |  FROM pathsw p JOIN scr2 s ON s.piece = p.piece
+       |  WHERE p.piece IS NOT NULL GROUP BY p.word),
+       |dtoks AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents),
+       |dflat AS (SELECT doc_id, lang, unnest(tk) AS word FROM dtoks),
+       |dwords AS (SELECT doc_id, lang, word FROM dflat WHERE word <> ''),
+       |ds AS (SELECT d.doc_id, d.lang, CAST(sum(w.np) AS BIGINT) AS n_tokens,
+       |         round(sum(w.ws) / CAST(sum(w.np) AS DOUBLE), 6) AS lm_score
+       |       FROM dwords d JOIN wsc w USING (word) GROUP BY 1, 2),
+       |st AS (SELECT lang,
+       |         round(quantile_cont(lm_score, 0.3333333333333333), 6) AS t1,
+       |         round(quantile_cont(lm_score, 0.6666666666666666), 6) AS t2
+       |       FROM ds GROUP BY 1)
+       |SELECT ds.doc_id, ds.lang, ds.n_tokens, ds.lm_score,
+       |  CASE WHEN ds.lm_score IS NULL THEN NULL
+       |       WHEN t1 IS NULL OR t2 IS NULL THEN NULL
+       |       WHEN ds.lm_score > t2 THEN 'head'
+       |       WHEN ds.lm_score > t1 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM ds LEFT JOIN st USING (lang)""".stripMargin
 
   /** p52's oracle: the p49 BPE training chain AND the p51 unigram
     * chain under ONE shared word-table prefix (the CTE names are
@@ -3260,6 +3328,8 @@ object SparkEntry {
         vocabSize = 64, maxWords = 32768),
     "p53_unigram_em2" ->
       unigramEm2OracleSql(maxPieceLen = 4, vocabSize = 64, maxWords = 32768),
+    "p54_perplexity_filter" ->
+      perplexityOracleSql(maxPieceLen = 4, vocabSize = 64, maxWords = 32768),
     "p47_vocab_encode" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
         |              FROM documents WHERE trim(text) <> ''),

@@ -80,6 +80,57 @@ object UnigramLm {
     acc
   }
 
+  /** Seed-piece frequencies over the capped word table: the
+    * `vocabSize` most frequent substrings of length 1..`maxPieceLen`
+    * PLUS every single character (full segmentability — the standard
+    * unigram fallback alphabet). Returned as the bounded driver-side
+    * artifact (≤ vocabSize + alphabet rows) — the k-means
+    * centroid-collect discipline.
+    */
+  private[ops] def seedPieces(cap: DataFrame, maxPieceLen: Int,
+      vocabSize: Int): Array[(String, Long)] = {
+    // all substrings as one per-row array build (positions x lengths),
+    // exploded and summed
+    val pf = cap.select(col("freq"), explode(flatten(transform(
+        sequence(lit(1), length(col("word"))), p =>
+          transform(
+            sequence(lit(1), least(lit(maxPieceLen), length(col("word")) - p + 1)),
+            l => col("word").substr(p, l))))).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("f"))
+      .localCheckpoint(true) // read twice: top-k and the char alphabet
+    pf.orderBy(col("f").desc, col("piece").asc).limit(vocabSize)
+      .unionByName(pf.where(length(col("piece")) === 1))
+      .distinct()
+      .collect().map(r => (r.getString(0), r.getAs[Number](1).longValue()))
+  }
+
+  /** Integer micro-log score table from piece frequencies. */
+  private[ops] def scoreTable(freqs: Seq[(String, Long)]): Map[String, Long] = {
+    val t = freqs.map(_._2).sum
+    freqs.map { case (p, f) => p -> microLog(f, t) }.toMap
+  }
+
+  /** One E-step: Viterbi-segment the capped word table under `scores`
+    * and return frequency-weighted piece usage counts.
+    */
+  private def usage(cap: DataFrame, scores: Map[String, Long],
+      maxPieceLen: Int): DataFrame = {
+    val mpl = maxPieceLen
+    val seg = udf((w: String) => viterbi(scores, mpl, w))
+    cap.select(col("freq"), explode(seg(col("word"))).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("n_uses"))
+  }
+
+  /** M-step re-estimation: used pieces keep their counts, the seed
+    * alphabet floors at frequency 1 so pruning never strands a word.
+    */
+  private def reestimate(uses: DataFrame,
+      alphabet: Seq[String]): Seq[(String, Long)] = {
+    val used = uses.collect()
+      .map(row => (row.getString(0), row.getAs[Number](1).longValue())).toMap
+    (used ++ alphabet.filterNot(used.contains).map(_ -> 1L)).toSeq
+  }
+
   /** `rounds` EM rounds; returns (piece, n_uses, est_prob) from the
     * final E-step. Re-estimation after each round derives the next
     * score table from the usage counts, with the single-character
@@ -95,48 +146,83 @@ object UnigramLm {
     require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val cap = Bpe.wordCounts(docs, maxWords, text).localCheckpoint(true)
-    // seed-piece frequencies: all substrings up to maxPieceLen as one
-    // per-row array build (positions x lengths), exploded and summed
-    val pf = cap.select(col("freq"), explode(flatten(transform(
-        sequence(lit(1), length(col("word"))), p =>
-          transform(
-            sequence(lit(1), least(lit(maxPieceLen), length(col("word")) - p + 1)),
-            l => col("word").substr(p, l))))).as("piece"))
-      .groupBy("piece").agg(sum("freq").as("f"))
-      .localCheckpoint(true) // read twice: top-k and the char alphabet
-    val vocab = pf.orderBy(col("f").desc, col("piece").asc).limit(vocabSize)
-      .unionByName(pf.where(length(col("piece")) === 1))
-      .distinct()
-    // the score table is the bounded broadcast artifact (≤ vocabSize
-    // + alphabet rows) — the k-means centroid-collect discipline
-    val v = vocab.collect().map(r => (r.getString(0), r.getAs[Number](1).longValue()))
-    val alphabet = v.collect { case (p, _) if p.length == 1 => p }
-    val mpl = maxPieceLen
-
-    def eStep(freqs: Seq[(String, Long)]): DataFrame = {
-      val t = freqs.map(_._2).sum
-      val scores: Map[String, Long] =
-        freqs.map { case (p, f) => p -> microLog(f, t) }.toMap
-      val seg = udf((w: String) => viterbi(scores, mpl, w))
-      cap.select(col("freq"), explode(seg(col("word"))).as("piece"))
-        .groupBy("piece").agg(sum("freq").as("n_uses"))
-    }
+    val v = seedPieces(cap, maxPieceLen, vocabSize)
+    val alphabet = v.collect { case (p, _) if p.length == 1 => p }.toSeq
 
     var freqs: Seq[(String, Long)] = v.toSeq
-    var uses: DataFrame = eStep(freqs)
+    var uses: DataFrame = usage(cap, scoreTable(freqs), maxPieceLen)
     var r = 1
     while (r < rounds) {
-      // M → next round's score table: used pieces keep their counts,
-      // the alphabet floors at 1 so pruning never strands a word
-      val used = uses.collect()
-        .map(row => (row.getString(0), row.getAs[Number](1).longValue())).toMap
-      freqs = (used ++ alphabet.filterNot(used.contains).map(_ -> 1L)).toSeq
-      uses = eStep(freqs)
+      freqs = reestimate(uses, alphabet)
+      uses = usage(cap, scoreTable(freqs), maxPieceLen)
       r += 1
     }
     val tu = uses.agg(sum("n_uses").as("__t"))
     uses.crossJoin(broadcast(tu))
       .select(col("piece"), col("n_uses"),
         round(col("n_uses") / col("__t"), 6).as("est_prob"))
+  }
+
+  /** CCNet-style LM-perplexity quality split (Wenzek et al. 2020):
+    * score every document by its per-token log-probability under the
+    * round-1-trained unigram LM, then bucket head/middle/tail at
+    * per-language terciles. CCNet scores with a pre-trained KenLM;
+    * the self-trained unigram round is this engine's deterministic,
+    * oracle-replayable analog — a production deployment swaps the
+    * score table for a shipped model and keeps everything downstream.
+    *
+    *  1. train: seed vocabulary → round-1 E-step → M-step
+    *     re-estimation — EXACTLY the score table a second EM round
+    *     would segment under (the p53-verified rule), frozen as the
+    *     scoring LM;
+    *  2. score every DISTINCT corpus word once (the p50 apply-chain
+    *     shape: the DP cost is word-table-sized, never corpus-sized);
+    *     a word containing a character outside the trained alphabet
+    *     cannot segment and is skipped — the OOV-drop contract, which
+    *     inner joins replay exactly on any engine;
+    *  3. per-document totals: one join of exploded doc words to the
+    *     word-score table, Σ micro-log and Σ pieces; `lm_score` =
+    *     micro-log per token (6 dp) — monotone in -log(perplexity),
+    *     higher = more probable text;
+    *  4. per-language tercile split via ONE percentile aggregation
+    *     broadcast back ([[Profiling.tercileBuckets]]) — never
+    *     CCNet's corpus-wide sort.
+    *
+    * At 100 TB the corpus is touched twice (word count, doc-word
+    * join); the DP runs over the bounded distinct-word table; the
+    * score table is a broadcast closure; the tercile boundary agg is
+    * language-cardinality-sized.
+    */
+  def perplexityBuckets(docs: DataFrame, maxPieceLen: Int = 4,
+      vocabSize: Int = 64, maxWords: Int = 32768,
+      text: String = "text"): DataFrame = {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val cap = Bpe.wordCounts(docs, maxWords, text).localCheckpoint(true)
+    val v = seedPieces(cap, maxPieceLen, vocabSize)
+    val alphabet = v.collect { case (p, _) if p.length == 1 => p }.toSeq
+    val trained = reestimate(usage(cap, scoreTable(v.toSeq), maxPieceLen), alphabet)
+    val scores = scoreTable(trained)
+    val mpl = maxPieceLen
+    // per-word (Σ micro-log, n pieces); None = un-segmentable (OOV char)
+    val wsc = udf { (w: String) =>
+      if (w.forall(c => scores.contains(c.toString))) {
+        val ps = viterbi(scores, mpl, w)
+        Some((ps.map(scores).sum, ps.length))
+      } else None
+    }
+    val tok = explode(split(trim(lower(col(text))), "\\s+")).as("word")
+    val words = docs.select(tok).where(col("word") =!= "").distinct()
+      .withColumn("__ws", wsc(col("word")))
+      .where(col("__ws").isNotNull)
+    val scored = docs.select(col("doc_id"), col("lang"), tok)
+      .where(col("word") =!= "")
+      .join(words, "word")
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("__ws._1")).as("total_micro"),
+        sum(col("__ws._2")).cast("long").as("n_tokens"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        round(col("total_micro") / col("n_tokens"), 6).as("lm_score"))
+    Profiling.tercileBuckets(scored, Seq("lang"), "lm_score")
   }
 }

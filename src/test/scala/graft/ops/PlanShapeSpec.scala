@@ -110,6 +110,22 @@ class PlanShapeSpec extends SparkSpec {
       s"p51 plans a corpus sort:\n$plan")
   }
 
+  test("p54 perplexity filter: no corpus window or sort; tercile boundaries broadcast") {
+    // the CCNet filter at scale: the DP is word-table-sized (UDF over
+    // the distinct-word table), the doc join is word-keyed, and the
+    // per-language boundaries ship to the rows like p45 — a corpus
+    // sort or per-language window would range-exchange every document
+    val plan = executedPlan("p54_perplexity_filter")
+    assert(!plan.contains("CartesianProduct"),
+      s"p54 plans a cartesian product:\n$plan")
+    assert(!plan.contains("Window"),
+      s"p54 plans a window over the data:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"p54 plans a corpus sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"tercile boundaries should broadcast onto the rows:\n$plan")
+  }
+
   test("x25 vocab drift: the vocabulary broadcasts onto the token stream") {
     val plan = executedPlan("x25_stream_vocab_drift")
     // same deliberate 1-row scalar broadcast as p51 (reference total)

@@ -59,4 +59,37 @@ class UnigramLmSpec extends SparkSpec {
     assert(out.map(_._1) == Set("abc", "ab"),
       s"round-2 segmentation moved off the converged pieces: $out")
   }
+
+  test("perplexityBuckets: probable text scores above rare text and takes the head") {
+    // one language, three docs on a common/rare axis: the common-word
+    // doc must out-score the mixed doc must out-score the rare-word
+    // doc, and the tercile split must bucket them head/middle/tail
+    val docs = Seq(
+      (1L, "en", "aa aa aa aa"),
+      (2L, "en", "aa aa zq"),
+      (3L, "en", "zq zq zq")).toDF("doc_id", "lang", "text")
+    val out = UnigramLm.perplexityBuckets(docs, maxPieceLen = 2, vocabSize = 64)
+      .select("doc_id", "n_tokens", "lm_score", "bucket")
+      .as[(Long, Long, Double, String)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L)._3 > out(2L)._3 && out(2L)._3 > out(3L)._3,
+      s"lm_score must fall with word rarity: $out")
+    assert(out(1L)._4 == "head" && out(2L)._4 == "middle" && out(3L)._4 == "tail")
+  }
+
+  test("perplexityBuckets: words with out-of-alphabet characters drop (OOV contract)") {
+    // maxWords=1 keeps only "aa" in the trained alphabet: "qq" cannot
+    // segment, so it vanishes from token counts and a doc of ONLY
+    // unscorable words vanishes from the output — the inner-join
+    // semantics the SQL oracle replays structurally
+    val docs = Seq(
+      (1L, "en", "aa aa"),
+      (2L, "en", "aa qq"),
+      (3L, "en", "qq")).toDF("doc_id", "lang", "text")
+    val out = UnigramLm.perplexityBuckets(docs, maxPieceLen = 2, vocabSize = 64,
+        maxWords = 1)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 4L, 2L -> 2L),
+      s"OOV words must drop from counts and OOV-only docs from output: $out")
+  }
 }
