@@ -1747,6 +1747,21 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_tokens"),
           col("lm_score"), col("bucket"))
     }),
+    // P55: RefinedWeb-style per-domain cap — every source surrenders
+    // at most k documents, chosen best-first by the p8 quality score
+    // (rank annotated, ties cut deterministically on doc_id). The
+    // stage that stops one over-represented domain from dominating a
+    // training mix. The window partitions by source: group-parallel
+    // at any scale, never a corpus sort.
+    "p55_domain_cap" -> ((s, dir) => {
+      val q = ops.TextStats.withQualityColumns(t(s, dir, "documents"))
+        .select(col("doc_id"), col("source"),
+          round(col("quality_score"), 6).as("quality_score"))
+      ops.Sampling.capPerGroup(q, Seq("source"), col("quality_score"),
+        col("doc_id"), k = 10)
+        .select(col("doc_id"), col("source"), col("quality_score"),
+          col("cap_rank").cast("long").as("cap_rank"))
+    }),
     // P52: tokenizer comparison — the metric tokenizer work actually
     // optimizes: corpus token totals and tokens-per-word for the
     // word-level baseline, the BPE encode (p49/p50 chain), and the
@@ -3330,6 +3345,16 @@ object SparkEntry {
       unigramEm2OracleSql(maxPieceLen = 4, vocabSize = 64, maxWords = 32768),
     "p54_perplexity_filter" ->
       perplexityOracleSql(maxPieceLen = 4, vocabSize = 64, maxWords = 32768),
+    "p55_domain_cap" ->
+      s"""WITH base AS (${qualityBaseSql("documents", "doc_id, source")}),
+         |ratios AS (${qualityRatiosSql("doc_id, source")}),
+         |q AS (SELECT doc_id, source, $qualityScoreSql AS quality_score FROM ratios),
+         |r AS (SELECT doc_id, source, quality_score,
+         |        row_number() OVER (PARTITION BY source
+         |          ORDER BY quality_score DESC, doc_id ASC) AS cap_rank
+         |      FROM q)
+         |SELECT doc_id, source, quality_score, CAST(cap_rank AS BIGINT) AS cap_rank
+         |FROM r WHERE cap_rank <= 10""".stripMargin,
     "p47_vocab_encode" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
         |              FROM documents WHERE trim(text) <> ''),

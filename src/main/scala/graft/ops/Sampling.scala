@@ -51,6 +51,32 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Per-group document cap, the RefinedWeb/C4 "per-domain cap"
+    * curation stage: keep the `k` BEST rows of each stratum by
+    * `score` (descending — higher is better; `tiebreak` ascending
+    * makes the cut deterministic on exact ties), annotated with their
+    * 1-based `cap_rank`. Where [[stratifiedTopK]] samples uniformly by
+    * hash, this keeps the quality head of every group — the stage that
+    * stops one over-represented domain from dominating a training mix
+    * while still surrendering its best documents.
+    *
+    * One shuffle on the strata keys; the window partitions on the
+    * strata so every group ranks in parallel — never a corpus-global
+    * sort. For a pathologically hot stratum at extreme scale,
+    * pre-thin with [[bernoulliByHash]] at a rate that overshoots `k`
+    * (the [[stratifiedTopK]] discipline): the window then ranks a
+    * bounded candidate set.
+    */
+  def capPerGroup(df: DataFrame, strata: Seq[String], score: Column,
+      tiebreak: Column, k: Int, rankCol: String = "cap_rank"): DataFrame = {
+    require(strata.nonEmpty, "strata must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(strata.map(col): _*)
+      .orderBy(score.desc, tiebreak.asc)
+    df.withColumn(rankCol, row_number().over(w))
+      .where(col(rankCol) <= k)
+  }
+
   /** Deterministic split assignment — train/val/test labeling over the
     * SAME 100-bucket hash space as [[bernoulliByHash]]: `splits` lists
     * (name, pct) in order, pcts summing to 100, and a row whose bucket

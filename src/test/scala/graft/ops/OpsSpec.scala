@@ -40,6 +40,30 @@ class OpsSpec extends SparkSpec {
     assert(tiny.count() == 2)
   }
 
+  test("capPerGroup: keeps the k best per stratum, deterministic tie cut, rank annotated") {
+    val d = Seq(
+      // srcA: scores force order 3, 1, 2; k=2 drops doc 2
+      (1L, "srcA", 0.7), (2L, "srcA", 0.3), (3L, "srcA", 0.9),
+      // srcB: an exact tie at 0.5 — the LOWER doc_id survives the cut
+      (4L, "srcB", 0.5), (5L, "srcB", 0.5), (6L, "srcB", 0.5),
+      // srcC smaller than k: kept whole
+      (7L, "srcC", 0.1)).toDF("doc_id", "source", "score")
+    val out = Sampling.capPerGroup(d, Seq("source"), col("score"),
+        col("doc_id"), k = 2)
+      .select("source", "doc_id", "cap_rank")
+      .as[(String, Long, Int)].collect().toSet
+    assert(out == Set(
+      ("srcA", 3L, 1), ("srcA", 1L, 2),
+      ("srcB", 4L, 1), ("srcB", 5L, 2),
+      ("srcC", 7L, 1)), s"got $out")
+    intercept[IllegalArgumentException] {
+      Sampling.capPerGroup(d, Seq(), col("score"), col("doc_id"), 2)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.capPerGroup(d, Seq("source"), col("score"), col("doc_id"), 0)
+    }
+  }
+
   test("split assign: total partition, bernoulli-consistent, guards") {
     val d = (1L to 2000L).map(i => (i, s"lang${i % 4}")).toDF("doc_id", "lang")
     val splits = Seq(("train", 80), ("val", 10), ("test", 10))

@@ -126,6 +126,20 @@ class PlanShapeSpec extends SparkSpec {
       s"tercile boundaries should broadcast onto the rows:\n$plan")
   }
 
+  test("p55 domain cap: the ranking window partitions by source — never a corpus sort") {
+    val plan = executedPlan("p55_domain_cap")
+    assertNoDisasterJoin("p55", plan)
+    // the cap ranks each source group in parallel; a partition-less
+    // window (or a range exchange) would funnel the corpus through one
+    // task — the round-6 row_seq failure mode
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty, s"p55 lost its ranking window:\n$plan")
+    assert(windows.forall(_.contains("source")),
+      s"p55 window lost its source partitioning:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"p55 plans a corpus sort:\n$plan")
+  }
+
   test("x25 vocab drift: the vocabulary broadcasts onto the token stream") {
     val plan = executedPlan("x25_stream_vocab_drift")
     // same deliberate 1-row scalar broadcast as p51 (reference total)
