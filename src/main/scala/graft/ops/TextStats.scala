@@ -246,6 +246,65 @@ object TextStats {
         round(col("__s"), 6).as("tfidf"))
   }
 
+  /** Okapi BM25 top-k retrieval — the ranking function behind
+    * search-based data selection (and the scoring half of
+    * importance-resampling curation): score every document against a
+    * fixed bag of query terms, return the k best.
+    *
+    * Shape at 100 TB: the corpus is read once into (dl, postings)
+    * where postings keep ONLY query terms — the shuffle after the
+    * explode carries O(matching tokens), not the corpus; the df table
+    * is query-term-bounded and broadcasts; N and avgdl are ONE scalar
+    * aggregate broadcast back (the deliberate 1-row cross join, the
+    * p51 pattern); the final cut is `orderBy.limit` — Spark plans
+    * TakeOrderedAndProject (per-partition heaps + driver merge of k
+    * rows), never a corpus range-exchange sort.
+    *
+    * Scores use the engine's integer micro-unit discipline: the
+    * per-(doc, term) BM25 contribution quantizes to round(s·1e6) as a
+    * BIGINT and per-document totals sum exactly — bit-identical on
+    * any engine and any aggregation order, so the top-k cut (rounded
+    * score desc, id asc) is deterministic cross-engine. IDF is the
+    * Lucene form ln(1 + (N - df + ½)/(df + ½)), non-negative by
+    * construction.
+    */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = docs.sparkSession
+    val qlit = array(queryTerms.map(lit): _*)
+    // one corpus pass: per-doc length + query-term postings (the
+    // single-split-parquet repartition discipline, as topTermsTfidf)
+    val base = docs
+      .repartition(spark.sparkContext.defaultParallelism, col(id))
+      .select(col(id),
+        filter(split(trim(lower(col(text))), "\\s+"), t => t =!= "").as("__tk"))
+      .localCheckpoint(true) // read twice: corpus stats and postings
+    val stats = base.agg(count(lit(1)).as("N"),
+      avg(size(col("__tk")).cast("long")).as("avgdl"))
+    val tf = base
+      .select(col(id), size(col("__tk")).cast("long").as("dl"),
+        explode(filter(col("__tk"), t => array_contains(qlit, t))).as("term"))
+      .groupBy(col(id), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfTable = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("N") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val num = col("tf") * (lit(k1) + lit(1.0))
+    val den = col("tf") +
+      lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))
+    tf.join(broadcast(dfTable), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__micro", round(idf * num / den * lit(1e6)).cast("long"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(col("__micro")) / lit(1e6), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col(id).asc)
+      .limit(k)
+  }
+
   /** Overlapping sliding-window chunks of `size` characters advancing
     * by `stride` — the context-length preprocessing step of an LLM
     * training pipeline (documents larger than the model window become

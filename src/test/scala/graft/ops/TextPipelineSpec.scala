@@ -12,6 +12,33 @@ import org.apache.spark.sql.functions._
 class TextPipelineSpec extends SparkSpec {
   import spark.implicits._
 
+  test("p56: BM25 — rare term outranks common, tf saturates under k1, k cuts deterministically") {
+    val d = Seq(
+      (1L, "dup apple"),                 // the rare query term, short doc
+      (2L, "hash hash hash hash"),       // common term, high tf
+      (3L, "hash apple apple apple"),    // common term, tf 1, same length
+      (4L, "apple apple")                // no query term: absent
+    ).toDF("doc_id", "text")
+    val out = TextStats.bm25TopK(d, Seq("dup", "hash"), k = 10)
+      .select("doc_id", "n_terms", "bm25")
+      .as[(Long, Long, Double)].collect()
+    // ordering is the result order (TakeOrderedAndProject), pre-sorted
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L),
+      s"rare-term doc must lead, tf must break the hash tie: ${out.toSeq}")
+    assert(out.forall(_._2 == 1L))
+    // idf(dup) = ln(1 + 3.5/1.5) > idf(hash) = ln(2): rare term wins
+    // even against tf=4 of the common term
+    assert(out(0)._3 > out(1)._3 && out(1)._3 > out(2)._3)
+    // tf saturation: doc 2's 4 occurrences score less than 4x doc 3
+    assert(out(1)._3 < 4.0 * out(2)._3)
+    // the k cut keeps the score order prefix
+    val cut = TextStats.bm25TopK(d, Seq("dup", "hash"), k = 2)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(cut == Seq(1L, 2L), s"got $cut")
+    intercept[IllegalArgumentException] { TextStats.bm25TopK(d, Seq(), 5) }
+    intercept[IllegalArgumentException] { TextStats.bm25TopK(d, Seq("dup"), 0) }
+  }
+
   test("p43: linear scorer — hand-checked lattice weights, blank gates NULL, threshold monotone") {
     val d = Seq((1L, "alpha beta"), (2L, "alpha"), (3L, "  "), (4L, "ALPHA beta"))
       .toDF("doc_id", "text")
