@@ -1762,6 +1762,25 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("quality_score"),
           col("cap_rank").cast("long").as("cap_rank"))
     }),
+    // P56: BM25 top-k retrieval — the ranking function behind
+    // search-based data selection. Postings keep ONLY the query terms
+    // before the shuffle; df + corpus stats broadcast; the cut is
+    // TakeOrderedAndProject (per-partition heaps), never a corpus
+    // sort. Scores sum exactly in integer micro-units so the top-k
+    // boundary is deterministic cross-engine.
+    "p56_bm25_topk" -> ((s, dir) =>
+      ops.TextStats.bm25TopK(t(s, dir, "documents"),
+        Seq("dup", "vector", "hash"), k = 20)),
+    // P57: trained logistic-regression quality classifier — the
+    // DCLM/fastText stage p43's frozen scorer stubs: full-batch GD
+    // where each round is ONE exact integer-micro-unit aggregation
+    // and the model is 4 driver-side longs (the Lloyd-loop
+    // discipline). Labels distill the engine's own p8 quality rule at
+    // the p30 threshold; the oracle replays ALL THREE training rounds
+    // in SQL, so the gradient arithmetic itself is cross-engine
+    // verified, not just the final scores.
+    "p57_lr_quality" -> ((s, dir) =>
+      ops.Logistic.trainAndScore(t(s, dir, "documents"), rounds = 3)),
     // P52: tokenizer comparison — the metric tokenizer work actually
     // optimizes: corpus token totals and tokens-per-word for the
     // word-level baseline, the BPE encode (p49/p50 chain), and the
@@ -2537,6 +2556,57 @@ object SparkEntry {
        |       WHEN ds.lm_score > t1 THEN 'middle'
        |       ELSE 'tail' END AS bucket
        |FROM ds LEFT JOIN st USING (lang)""".stripMargin
+
+  /** p57's oracle: the WHOLE logistic-regression training replayed in
+    * SQL — features on the integer lattice, then one (g, w) CTE pair
+    * per GD round chaining exact BIGINT micro-unit gradient sums and
+    * truncating-division weight updates (DuckDB's BIGINT `//`
+    * truncates toward zero = JVM long division; floorDiv would
+    * diverge on negative gradients), then scoring under the final
+    * weight row. Every double
+    * is explicitly CAST — DuckDB would otherwise run 1.0/0.5/1e6
+    * literals through DECIMAL arithmetic and diverge.
+    */
+  private def lrOracleSql(rounds: Int, lrNum: Int): String = {
+    val D = "CAST(1.0 AS DOUBLE)"
+    val M = "CAST(1000000.0 AS DOUBLE)"
+    def z(w: String) =
+      s"(($w.w0/$M)*f.x0 + ($w.w1/$M)*f.x1 + ($w.w2/$M)*f.x2 + ($w.w3/$M)*f.x3)"
+    def p(w: String) = s"($D/($D + exp(-${z(w)})))"
+    val roundCtes = (1 to rounds).map { r =>
+      val pw = p(s"w${r - 1}")
+      val gsel = (0 to 3).map(j =>
+        s"CAST(sum(CAST(round(($pw - f.y) * f.x$j * $M) AS BIGINT)) AS BIGINT) AS g$j")
+        .mkString(",\n         ")
+      val wsel = (0 to 3).map(j =>
+        s"w.w$j - (($lrNum * g.g$j) // g.n) AS w$j").mkString(", ")
+      s"""g$r AS (SELECT $gsel,
+         |         CAST(count(*) AS BIGINT) AS n
+         |       FROM feat f CROSS JOIN w${r - 1}),
+         |w$r AS (SELECT $wsel FROM w${r - 1} w CROSS JOIN g$r g)""".stripMargin
+    }.mkString(",\n")
+    val pFinal = p(s"w$rounds")
+    s"""WITH base AS (${qualityBaseSql("documents", "doc_id")}),
+       |ratios AS (${qualityRatiosSql("doc_id, n_chars, punct, stop")}),
+       |feat AS (SELECT doc_id,
+       |    CASE WHEN $qualityScoreSql >= 0.78 THEN $D ELSE CAST(0.0 AS DOUBLE) END AS y,
+       |    $D AS x0,
+       |    least(n_tokens, 50) / CAST(50.0 AS DOUBLE) AS x1,
+       |    (CASE WHEN n_chars > 0
+       |          THEN CAST(floor(punct * 100 / CAST(n_chars AS DOUBLE)) AS BIGINT)
+       |          ELSE 0 END) / CAST(100.0 AS DOUBLE) AS x2,
+       |    (CASE WHEN n_tokens > 0
+       |          THEN CAST(floor(stop * 100 / CAST(n_tokens AS DOUBLE)) AS BIGINT)
+       |          ELSE 0 END) / CAST(100.0 AS DOUBLE) AS x3
+       |  FROM ratios),
+       |w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+       |              CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
+       |$roundCtes
+       |SELECT f.doc_id, CAST(f.y AS BIGINT) AS label,
+       |  CAST(round($pFinal * $M) AS BIGINT) / $M AS p_hat,
+       |  CAST(round($pFinal * $M) AS BIGINT) / $M >= CAST(0.5 AS DOUBLE) AS keep
+       |FROM feat f CROSS JOIN w$rounds""".stripMargin
+  }
 
   /** p52's oracle: the p49 BPE training chain AND the p51 unigram
     * chain under ONE shared word-table prefix (the CTE names are
@@ -3345,6 +3415,31 @@ object SparkEntry {
       unigramEm2OracleSql(maxPieceLen = 4, vocabSize = 64, maxWords = 32768),
     "p54_perplexity_filter" ->
       perplexityOracleSql(maxPieceLen = 4, vocabSize = 64, maxWords = 32768),
+    "p57_lr_quality" -> lrOracleSql(rounds = 3, lrNum = 4),
+    "p56_bm25_topk" ->
+      """WITH tk AS (SELECT doc_id,
+        |        list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tk
+        |      FROM documents),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS N,
+        |         avg(CAST(len(tk) AS BIGINT)) AS avgdl FROM tk),
+        |posting AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+        |         unnest(list_filter(tk, t -> list_contains(['dup', 'vector', 'hash'], t))) AS term
+        |       FROM tk),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, max(dl) AS dl
+        |       FROM posting GROUP BY 1, 2),
+        |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT t.doc_id,
+        |         CAST(round(
+        |           ln(CAST(1.0 AS DOUBLE) + (st.N - d.df + CAST(0.5 AS DOUBLE)) / (d.df + CAST(0.5 AS DOUBLE)))
+        |           * (t.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+        |           / (t.tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+        |               + CAST(0.75 AS DOUBLE) * t.dl / st.avgdl))
+        |           * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS micro
+        |       FROM tf t JOIN dft d USING (term) CROSS JOIN st)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |  round(sum(micro) / CAST(1000000.0 AS DOUBLE), 6) AS bm25
+        |FROM sc GROUP BY 1
+        |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
     "p55_domain_cap" ->
       s"""WITH base AS (${qualityBaseSql("documents", "doc_id, source")}),
          |ratios AS (${qualityRatiosSql("doc_id, source")}),

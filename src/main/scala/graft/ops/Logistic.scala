@@ -1,0 +1,138 @@
+package graft.ops
+
+import graft.functions.AsciiLowerFn
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Trained linear quality classifier — the DCLM/fastText stage that
+  * p43's frozen scorer stubs: logistic regression fit by full-batch
+  * gradient descent, where each GD round is ONE aggregation over the
+  * feature frame and the model state is four driver-side longs (the
+  * k-means/Lloyd-loop discipline: bounded driver state, per-round cost
+  * one map-side-combined pass, rounds sequential by construction).
+  *
+  * Everything is deterministic and cross-engine exact:
+  *   - features live on an integer lattice (token count capped at 50,
+  *     punctuation/stopword ratios floored to percent points) divided
+  *     by fixed power-like scales — identical doubles on any engine;
+  *   - labels are the engine's own p8 quality rule at the p30
+  *     threshold (distilling the heuristic into a linear model — swap
+  *     in human labels and nothing else changes);
+  *   - per-row gradient contributions quantize to integer micro-units
+  *     (round(g·1e6) as BIGINT) and SUM EXACTLY — aggregation order
+  *     cannot change the result, so training is bit-identical across
+  *     partitionings and engines;
+  *   - the weight update is truncating integer division
+  *     ((lrNum·G)/n in micro-units, JVM long semantics) — replayed
+  *     exactly by DuckDB's truncating BIGINT `//`.
+  * The one accepted cross-engine hazard is libm-vs-JDK `exp` ulp noise
+  * BEFORE the per-row quantization — the same ~1e-10-per-rounding
+  * coincidence budget as every micro-log query (BASELINE.md).
+  *
+  * At 100 TB: the feature frame (5 doubles per doc) is checkpointed
+  * once off the corpus scan; R gradient passes read features, never
+  * text; the driver holds 4 longs. Scoring is pure broadcast column
+  * math on the same frame.
+  */
+object Logistic {
+
+  /** Feature scales: bias, token-count cap, percent lattices. */
+  private val TokenCap = 50L
+
+  /** Label + integer-lattice features for every document:
+    * y ∈ {0,1} (p8 quality ≥ 0.78, the p30 threshold), x0 bias,
+    * x1 capped token count / 50, x2 punct percent / 100,
+    * x3 stopword percent / 100.
+    */
+  def features(docs: DataFrame, text: String = "text"): DataFrame = {
+    val t0 = col(text)
+    val nChars = length(t0).cast("long")
+    val punct = nChars - length(regexp_replace(t0, "[^a-zA-Z0-9\\s]", ""))
+    val tokens = split(trim(AsciiLowerFn(t0)), "\\s+")
+    val stopArr = array(TextStats.EnglishStopwords.map(lit): _*)
+    val stop = size(filter(tokens, tk => array_contains(stopArr, tk))).cast("long")
+    TextStats.withQualityColumns(docs, text)
+      .withColumn("__punct_pct",
+        when(nChars > 0, floor(punct * lit(100L) / nChars)).otherwise(0L))
+      .withColumn("__stop_pct",
+        when(col("n_tokens") > 0,
+          floor(stop * lit(100L) / col("n_tokens"))).otherwise(0L))
+      .select(col("doc_id"),
+        when(round(col("quality_score"), 6) >= 0.78, 1.0d)
+          .otherwise(0.0d).as("y"),
+        lit(1.0).as("x0"),
+        (least(col("n_tokens"), lit(TokenCap)) / lit(TokenCap.toDouble)).as("x1"),
+        (col("__punct_pct") / lit(100.0)).as("x2"),
+        (col("__stop_pct") / lit(100.0)).as("x3"))
+  }
+
+  /** The linear response under micro-unit weights — shared by the
+    * gradient pass and scoring so train/score cannot drift.
+    */
+  private def zOf(wMicro: Array[Long]): Column =
+    lit(wMicro(0) / 1e6) * col("x0") + lit(wMicro(1) / 1e6) * col("x1") +
+      lit(wMicro(2) / 1e6) * col("x2") + lit(wMicro(3) / 1e6) * col("x3")
+
+  private def sigmoid(z: Column): Column =
+    lit(1.0) / (lit(1.0) + exp(-z))
+
+  /** `rounds` full-batch GD rounds from w = 0; returns the final
+    * micro-unit weights. `feat` should be checkpointed by the caller
+    * (it is scanned rounds + 1 times). lrNum is the integer learning
+    * rate numerator: Δw_j = (lrNum · Σ round((p−y)·x_j·1e6)) / n, truncating.
+    */
+  def train(feat: DataFrame, rounds: Int, lrNum: Long = 4L): Array[Long] = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(lrNum >= 1, s"lrNum must be >= 1, got $lrNum")
+    val w = Array.fill(4)(0L)
+    var r = 0
+    while (r < rounds) {
+      val p = sigmoid(zOf(w))
+      val gs = (0 to 3).map(j =>
+        sum(round((p - col("y")) * col(s"x$j") * lit(1e6)).cast("long"))
+          .as(s"g$j"))
+      val row = feat.agg(gs.head, (gs.tail :+ count(lit(1)).as("n")): _*).head()
+      val n = row.getAs[Long]("n")
+      require(n > 0, "cannot train on an empty feature frame")
+      var j = 0
+      while (j < 4) {
+        // TRUNCATING division, deliberately: DuckDB's BIGINT `//`
+        // truncates toward zero (verified: -7 // 2 = -3), matching
+        // JVM long division — floorDiv would diverge on every
+        // negative gradient
+        w(j) -= lrNum * row.getAs[Long](s"g$j") / n
+        j += 1
+      }
+      r += 1
+    }
+    w
+  }
+
+  /** Score a feature frame under trained micro-unit weights:
+    * (doc_id, label, p_hat on the 1e-6 grid, keep = p_hat ≥ ½).
+    * p_hat quantizes through the integer micro-unit pattern —
+    * round(p·1e6) as a long, divided back — NOT round(p, 6): both
+    * engines then round the SAME double product, where a 6-dp decimal
+    * round of an arbitrary probability hits the documented
+    * cross-engine grid-boundary divergence (measured: 38/500 docs at
+    * sf0.01, repeated feature vectors amplify every unlucky value).
+    * The keep decision compares the quantized probability so the cut
+    * is the same on any engine.
+    */
+  def scoreWith(feat: DataFrame, wMicro: Array[Long]): DataFrame = {
+    require(wMicro.length == 4, s"expected 4 weights, got ${wMicro.length}")
+    feat.select(col("doc_id"), col("y").cast("long").as("label"),
+        (round(sigmoid(zOf(wMicro)) * lit(1e6)).cast("long") / lit(1e6))
+          .as("p_hat"))
+      .withColumn("keep", col("p_hat") >= 0.5)
+  }
+
+  /** End-to-end: featurize, train `rounds` GD rounds, score the corpus
+    * under the trained model.
+    */
+  def trainAndScore(docs: DataFrame, rounds: Int = 3, lrNum: Long = 4L,
+      text: String = "text"): DataFrame = {
+    val feat = features(docs, text).localCheckpoint(true)
+    scoreWith(feat, train(feat, rounds, lrNum))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Fixture-level behavior of the p57 trained logistic-regression
+  * quality classifier: weight directions on a separable corpus, class
+  * separation after training, exact determinism of the integer-lattice
+  * GD, and the blank-document edge.
+  */
+class LogisticSpec extends SparkSpec {
+  import spark.implicits._
+
+  // quality-rule anatomy: ≥20 tokens, no punctuation, ≥20% stopwords,
+  // mean token length in [3,10] → score 1.0 → y=1; punctuation blobs
+  // with no stopwords → y=0
+  private val good = "the and of is " + Seq.fill(16)("word").mkString(" ")
+  private val bad = "!!! ??? !!!"
+
+  private def fixture = (1L to 20L).map { i =>
+    (i, if (i % 2 == 0) good else bad)
+  }.toDF("doc_id", "text")
+
+  test("p57: GD learns the quality signal — stopwords up, punctuation down, classes separate") {
+    val feat = Logistic.features(fixture).localCheckpoint(true)
+    // labels are the engine's own p8 rule: the fixture must split 10/10
+    val byY = feat.groupBy("y").count().as[(Double, Long)].collect().toMap
+    assert(byY == Map(1.0 -> 10L, 0.0 -> 10L), s"fixture labels: $byY")
+    val w = Logistic.train(feat, rounds = 3)
+    // y=1 docs carry the stopword mass, y=0 docs the punctuation mass
+    assert(w(3) > 0, s"stopword weight must train positive: ${w.toSeq}")
+    assert(w(2) < 0, s"punctuation weight must train negative: ${w.toSeq}")
+    // training is exact integer arithmetic: a re-run is bit-identical
+    assert(Logistic.train(feat, rounds = 3).toSeq == w.toSeq)
+    // the trained model separates the classes completely
+    val scored = Logistic.scoreWith(feat, w)
+      .select("label", "p_hat").as[(Long, Double)].collect()
+    val pos = scored.filter(_._1 == 1L).map(_._2)
+    val neg = scored.filter(_._1 == 0L).map(_._2)
+    assert(pos.min > neg.max,
+      s"classes must separate: pos ${pos.min}, neg ${neg.max}")
+  }
+
+  test("p57: blank document featurizes to bias-only with label 0") {
+    val feat = Logistic.features(Seq((1L, "  ")).toDF("doc_id", "text"))
+      .select("y", "x0", "x1", "x2", "x3")
+      .as[(Double, Double, Double, Double, Double)].head()
+    assert(feat == ((0.0, 1.0, 0.0, 0.0, 0.0)), s"got $feat")
+  }
+
+  test("p57: guards") {
+    val feat = Logistic.features(fixture)
+    intercept[IllegalArgumentException] { Logistic.train(feat, rounds = 0) }
+    intercept[IllegalArgumentException] { Logistic.train(feat, 1, lrNum = 0) }
+    intercept[IllegalArgumentException] { Logistic.scoreWith(feat, Array(1L)) }
+  }
+}

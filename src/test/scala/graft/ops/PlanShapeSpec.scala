@@ -140,6 +140,34 @@ class PlanShapeSpec extends SparkSpec {
       s"p55 plans a corpus sort:\n$plan")
   }
 
+  test("p56 BM25: heap top-k, no corpus sort or window; df table broadcasts") {
+    val plan = executedPlan("p56_bm25_topk")
+    // the one nested-loop join is the deliberate 1-row corpus-stats
+    // broadcast (the p51 pattern); cartesian stays forbidden
+    assert(!plan.contains("CartesianProduct"),
+      s"p56 plans a cartesian product:\n$plan")
+    assert(!plan.contains("Window"),
+      s"p56 plans a window over the postings:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"p56 plans a corpus sort — the cut must be a heap top-k:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"p56 lost its TakeOrderedAndProject cut:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the query-term df table should broadcast:\n$plan")
+  }
+
+  test("p57 LR classifier: scoring is map-only over the checkpointed features") {
+    // training runs during plan construction (bounded per-round
+    // collects, the Lloyd-loop discipline); the RESULT plan is pure
+    // broadcast column math on the feature frame — any exchange or
+    // window here would mean scoring shuffles the corpus
+    val plan = executedPlan("p57_lr_quality")
+    assert(!plan.contains("Exchange"),
+      s"p57 scoring must not shuffle:\n$plan")
+    assert(!plan.contains("Window"),
+      s"p57 scoring must not window:\n$plan")
+  }
+
   test("x25 vocab drift: the vocabulary broadcasts onto the token stream") {
     val plan = executedPlan("x25_stream_vocab_drift")
     // same deliberate 1-row scalar broadcast as p51 (reference total)
