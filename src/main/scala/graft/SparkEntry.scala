@@ -1781,6 +1781,16 @@ object SparkEntry {
     // verified, not just the final scores.
     "p57_lr_quality" -> ((s, dir) =>
       ops.Logistic.trainAndScore(t(s, dir, "documents"), rounds = 3)),
+    // P58: DSIR importance-weighted selection (Xie et al. 2023) —
+    // documents scored by the log importance ratio of a target
+    // (reference-source) word distribution to the raw corpus
+    // distribution over hashed buckets. ONE corpus pass fits both
+    // distributions (B-bounded aggregation, driver collect); scoring
+    // is a map-only codegen fold over the literal score array; all
+    // arithmetic is exact integer micro-logs.
+    "p58_dsir_select" -> ((s, dir) =>
+      ops.Dsir.selectByImportance(t(s, dir, "documents"),
+        col("source").isin("src0", "src1", "src2"))),
     // P52: tokenizer comparison — the metric tokenizer work actually
     // optimizes: corpus token totals and tokens-per-word for the
     // word-level baseline, the BPE encode (p49/p50 chain), and the
@@ -3416,6 +3426,29 @@ object SparkEntry {
     "p54_perplexity_filter" ->
       perplexityOracleSql(maxPieceLen = 4, vocabSize = 64, maxWords = 32768),
     "p57_lr_quality" -> lrOracleSql(rounds = 3, lrNum = 4),
+    "p58_dsir_select" ->
+      s"""WITH tok AS (SELECT doc_id, source IN ('src0', 'src1', 'src2') AS tgt,
+         |        (${hx("tk")} % 256) AS bucket
+         |      FROM (SELECT doc_id, source,
+         |              unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '')) AS tk
+         |            FROM documents) t0),
+         |bt AS (SELECT bucket,
+         |         CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tcnt,
+         |         CAST(count(*) AS BIGINT) AS rcnt
+         |       FROM tok GROUP BY 1),
+         |tot AS (SELECT CAST(sum(tcnt) + 256 AS BIGINT) AS T,
+         |               CAST(sum(rcnt) + 256 AS BIGINT) AS R FROM bt),
+         |sc AS (SELECT b.bucket,
+         |         CAST(round((ln(coalesce(bt.tcnt, 0) + 1) - ln(tot.T)) * 1000000) AS BIGINT)
+         |         - CAST(round((ln(coalesce(bt.rcnt, 0) + 1) - ln(tot.R)) * 1000000) AS BIGINT) AS s
+         |       FROM range(0, 256) b(bucket) LEFT JOIN bt ON bt.bucket = b.bucket CROSS JOIN tot),
+         |ds AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+         |         CAST(sum(sc.s) AS BIGINT) AS dsir_micro
+         |       FROM tok t JOIN sc USING (bucket) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(ds.n_feat, 0) AS n_feat,
+         |  coalesce(ds.dsir_micro, 0) AS dsir_micro,
+         |  coalesce(ds.dsir_micro, 0) > 0 AS keep
+         |FROM documents d LEFT JOIN ds USING (doc_id)""".stripMargin,
     "p56_bm25_topk" ->
       """WITH tk AS (SELECT doc_id,
         |        list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tk

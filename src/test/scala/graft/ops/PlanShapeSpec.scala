@@ -168,6 +168,17 @@ class PlanShapeSpec extends SparkSpec {
       s"p57 scoring must not window:\n$plan")
   }
 
+  test("p58 DSIR: scoring is a map-only codegen fold — no join, no shuffle, no window") {
+    // the fit collects during plan construction (B-bounded, the
+    // Lloyd-loop discipline); the RESULT plan folds a literal score
+    // array over each row's tokens — any exchange or join here would
+    // mean the score table failed to ride the plan as a literal
+    val plan = executedPlan("p58_dsir_select")
+    assert(!plan.contains("Exchange"), s"p58 scoring must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"p58 scoring must not join:\n$plan")
+    assert(!plan.contains("Window"), s"p58 scoring must not window:\n$plan")
+  }
+
   test("x25 vocab drift: the vocabulary broadcasts onto the token stream") {
     val plan = executedPlan("x25_stream_vocab_drift")
     // same deliberate 1-row scalar broadcast as p51 (reference total)
