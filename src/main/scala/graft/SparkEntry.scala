@@ -1791,6 +1791,17 @@ object SparkEntry {
     "p58_dsir_select" -> ((s, dir) =>
       ops.Dsir.selectByImportance(t(s, dir, "documents"),
         col("source").isin("src0", "src1", "src2"))),
+    // P59: contrastive hard-negative mining — per anchor, the k most
+    // cosine-similar WRONG-label vectors, mined on the p13 IVF
+    // machinery with the label riding the inverted lists (filter
+    // BEFORE ranking: a post-filter of the unlabeled top-k can starve
+    // anchors whose true neighbors share their label). Cell-keyed
+    // equi-join, fan-out bounded by occupancy × nProbe.
+    "p59_hard_negatives" -> ((s, dir) =>
+      ops.Similarity.ivfHardNegatives(t(s, dir, "embeddings"), k = 5)
+        .select(col("query_id"), col("query_label"), col("neighbor_id"),
+          col("neighbor_label"), round(col("cosine"), 6).as("cosine"),
+          col("rank").cast("long").as("rank"))),
     // P52: tokenizer comparison — the metric tokenizer work actually
     // optimizes: corpus token totals and tokens-per-word for the
     // word-level baseline, the BPE encode (p49/p50 chain), and the
@@ -2258,11 +2269,11 @@ object SparkEntry {
          |c$k AS (SELECT cid, list(m ORDER BY idx) AS cv, sqrt(sum(m * m)) AS cn
          |  FROM m$k GROUP BY cid HAVING sqrt(sum(m * m)) > 0)""".stripMargin
     }
-    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    s"""WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
        |           FROM embeddings),
-       |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v
+       |n AS (SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v
        |      WHERE sqrt(list_sum(list_transform(e, x -> x*x))) > 0 AND ($fitPred)),
-       |nq AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v
+       |nq AS (SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v
        |      WHERE sqrt(list_sum(list_transform(e, x -> x*x))) > 0 AND ($probePred)),
        |seed AS (SELECT row_number() OVER (ORDER BY ${hx("CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC) - 1 AS cid,
        |                e AS cv, nrm AS cn
@@ -2301,6 +2312,30 @@ object SparkEntry {
        |           FROM pairs)
        |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
        |FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** p59's oracle: the p13 IVF replay with labels riding n/nq and a
+    * label-inequality filter on the candidate pairs BEFORE ranking —
+    * the hard negative is the nearest wrong-label vector among the
+    * probed cells, exactly the engine's semantics.
+    */
+  private def ivfHardNegOracleSql(k: Int): String =
+    s"""${ivfKmeansPrefixSql()},
+       |pairs AS (
+       |  SELECT p.vec_id AS query_id, qa.label AS query_label,
+       |         a.vec_id AS neighbor_id, na.label AS neighbor_label,
+       |         list_sum(list_transform(qa.e, (x, i) -> x * na.e[i])) / (qa.nrm * na.nrm) AS cosine
+       |  FROM probes p
+       |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+       |  JOIN nq qa ON qa.vec_id = p.vec_id
+       |  JOIN n na ON na.vec_id = a.vec_id
+       |  WHERE qa.label <> na.label
+       |),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |           FROM pairs)
+       |SELECT query_id, query_label, neighbor_id, neighbor_label,
+       |  round(cosine, 6) AS cosine, rank
+       |FROM ranked WHERE rank <= $k""".stripMargin
 
   /** p49's oracle: the BPE merge loop unrolled to `numMerges` SQL
     * rounds (the k-means-oracle discipline — `lloyd(k)` unrolls Lloyd
@@ -3905,6 +3940,7 @@ object SparkEntry {
         |         pow(e[i] - codes[i] * scale, 2))) / len(e), 12) AS mse
         |FROM q""".stripMargin,
     "p13_ivf_topk" -> ivfKmeansOracleSql(),
+    "p59_hard_negatives" -> ivfHardNegOracleSql(k = 5),
     "p44_semantic_dedup" -> semDedupOracleSql(0.45),
     // incremental twin: fit + lists on the corpus, probe only the batch
     "p42_ivf_incremental" ->

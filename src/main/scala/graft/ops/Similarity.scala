@@ -37,8 +37,10 @@ object Similarity {
     * dup threshold (NaN >= tau is true in non-ANSI mode).
     */
   private def withNorm(emb: DataFrame, id: String, vec: String,
-      idOut: String, vecOut: String, normOut: String): DataFrame =
-    emb.select(col(id).as(idOut), toDouble(col(vec)).as(vecOut))
+      idOut: String, vecOut: String, normOut: String,
+      extra: Seq[(String, String)] = Nil): DataFrame =
+    emb.select(col(id).as(idOut) +: toDouble(col(vec)).as(vecOut) +:
+        extra.map { case (c, out) => col(c).as(out) }: _*)
       .withColumn(normOut, VectorMath.norm(col(vecOut)))
       .where(col(normOut) > 0.0)
 
@@ -143,6 +145,35 @@ object Similarity {
         math.log(n.toDouble / targetOccupancy) / math.log(2.0)).toInt
       math.min(62, math.max(floor, needed))
     }
+
+  /** Auto-sized centroid count for the IVF family — the same APPLIED
+    * discipline as [[autoPlanes]]: with fixed nCentroids, cell
+    * occupancy (~N/C) grows linearly in the corpus and the
+    * within-cell candidate join quadratically — measured 4.0× (p13) /
+    * 5.0× (p59) at 10× data with C = 8. Deriving C from a corpus
+    * count bounds occupancy at `targetOccupancy`:
+    * C = max(floor, ceil(n / targetOccupancy)), capped at 4096 (the
+    * codebook is a driver-side collect and a per-row literal ranking;
+    * the documented hash-sample fit covers corpus-scale fits long
+    * before the cap binds). The floor dominates at every
+    * oracle-checked size, so the unrolled-SQL k-means twins stay
+    * bit-exact where checked. The INCREMENTAL path keeps its
+    * persisted codebook's C by design — auto-sizing there would churn
+    * the saved cell space on every batch.
+    */
+  private[ops] def autoCentroids(n: Long, floor: Int,
+      targetOccupancy: Int): Int =
+    if (targetOccupancy <= 0 || n <= 0) floor
+    else math.min(4096,
+      math.max(floor, math.ceil(n.toDouble / targetOccupancy).toInt))
+
+  /** Usable-vector count for auto-sizing (paid once when the caller
+    * passes a known `corpusCount`, mirroring [[lshCosineTopK]]).
+    */
+  private def sizingCount(emb: DataFrame, vec: String,
+      corpusCount: Long): Long =
+    if (corpusCount >= 0L) corpusCount
+    else emb.where(col(vec).isNotNull && size(col(vec)) > 0).count()
 
   /** Approximate cosine top-k: exact ranking within sign-LSH buckets.
     * The bucket id is per-row column math (literal hyperplanes), so the
@@ -332,28 +363,34 @@ object Similarity {
   private def ivfRankedCells(emb: DataFrame, nCentroids: Int, maxRank: Int,
       id: String, vec: String,
       idOut: String, vecOut: String, normOut: String,
-      codebook: String = "kmeans", fitSamplePct: Int = 100): DataFrame = {
-    val vs = withNorm(emb, id, vec, idOut, vecOut, normOut)
+      codebook: String = "kmeans", fitSamplePct: Int = 100,
+      extra: Seq[(String, String)] = Nil): DataFrame = {
+    val vs = withNorm(emb, id, vec, idOut, vecOut, normOut, extra)
     val entry = centroidEntry(vecOut, normOut) _
     val entries: Seq[Column] = codebook match {
       case "kmeans" =>
         fitCodebookKMeans(emb, nCentroids, iters = 3, id, vec, fitSamplePct)
           .map { case (cid, cv, cn) => entry(cid, cv, cn) }
       case "minid" =>
+        // by NAME, not position: extra carried columns (labels) sit
+        // between the vector and the norm in the row
         vs.orderBy(col(idOut).asc).limit(nCentroids).collect().toSeq
-          .map(r => entry(r.get(0), r.getSeq[Double](1), r.getDouble(2)))
+          .map(r => entry(r.get(r.fieldIndex(idOut)),
+            r.getSeq[Double](r.fieldIndex(vecOut)),
+            r.getAs[Double](normOut)))
       case other => throw new IllegalArgumentException(
         s"codebook must be kmeans|minid, got $other")
     }
     if (entries.isEmpty) // no usable vectors: empty result, id-typed cell
       return vs.withColumn("cell", col(idOut)).withColumn("__rk", lit(1))
         .where(lit(false))
+    val carried = extra.map { case (_, out) => col(out) }
     spread(vs)
-      .select(col(idOut), col(vecOut), col(normOut),
+      .select(col(idOut) +: col(vecOut) +: col(normOut) +: carried :+
         posexplode(slice(sort_array(array(entries: _*)), 1, maxRank))
-          .as(Seq("__p", "__s")))
-      .select(col(idOut), col(vecOut), col(normOut),
-        col("__s.cid").as("cell"), (col("__p") + 1).as("__rk"))
+          .as(Seq("__p", "__s")): _*)
+      .select(col(idOut) +: col(vecOut) +: col(normOut) +: carried :+
+        col("__s.cid").as("cell") :+ ((col("__p") + 1).as("__rk")): _*)
   }
 
   /** Cell assignment view of the IVF quantizer: (id, cell) — the rank-1
@@ -377,8 +414,15 @@ object Similarity {
     */
   def ivfCosineTopK(emb: DataFrame, k: Int, nCentroids: Int = 8, nProbe: Int = 2,
       id: String = "vec_id", vec: String = "embedding",
-      codebook: String = "kmeans", fitSamplePct: Int = 100): DataFrame = {
-    val cells = ivfRankedCells(emb, nCentroids, math.max(1, nProbe), id, vec,
+      codebook: String = "kmeans", fitSamplePct: Int = 100,
+      targetOccupancy: Int = 1024, corpusCount: Long = -1L): DataFrame = {
+    // nCentroids is the FLOOR: the chosen count auto-scales with the
+    // corpus ([[autoCentroids]]) so cell occupancy stays bounded; pass
+    // targetOccupancy = 0 to force exactly nCentroids
+    val c = if (targetOccupancy <= 0) nCentroids
+      else autoCentroids(sizingCount(emb, vec, corpusCount), nCentroids,
+        targetOccupancy)
+    val cells = ivfRankedCells(emb, c, math.max(1, nProbe), id, vec,
       "vid", "v", "nrm", codebook, fitSamplePct)
     val lists = cells.where(col("__rk") === 1)
       .select(col("vid").as("neighbor_id"), col("v").as("vb"), col("nrm").as("nb"),
@@ -390,6 +434,51 @@ object Similarity {
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", VectorMath.dot(col("va"), col("vb")) / (col("na") * col("nb")))
     rankTopK(pairs, k)
+  }
+
+  /** Contrastive hard-negative mining over a labeled embedding table:
+    * for every anchor, the k most cosine-similar vectors with a
+    * DIFFERENT label — the pair-construction step of contrastive /
+    * metric-learning training data (and of reranker curricula). Runs
+    * on the [[ivfCosineTopK]] machinery with the label riding the
+    * inverted lists, so candidates stay an equi-join on `cell` and the
+    * label filter prunes BEFORE ranking — a hard negative is the
+    * nearest wrong-label vector among the probed cells, not a
+    * post-filter of the unlabeled top-k (which can starve anchors
+    * whose true top-k is all same-label).
+    *
+    * 100 TB shape identical to p13: cell-keyed shuffle, fan-out
+    * bounded by list occupancy × nProbe; recall trades by nProbe.
+    */
+  def ivfHardNegatives(emb: DataFrame, k: Int, nCentroids: Int = 8,
+      nProbe: Int = 2, id: String = "vec_id", vec: String = "embedding",
+      label: String = "label", codebook: String = "kmeans",
+      fitSamplePct: Int = 100, targetOccupancy: Int = 1024,
+      corpusCount: Long = -1L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val c = if (targetOccupancy <= 0) nCentroids
+      else autoCentroids(sizingCount(emb, vec, corpusCount), nCentroids,
+        targetOccupancy)
+    val cells = ivfRankedCells(emb, c, math.max(1, nProbe), id, vec,
+      "vid", "v", "nrm", codebook, fitSamplePct, extra = Seq(label -> "__lab"))
+    val lists = cells.where(col("__rk") === 1)
+      .select(col("vid").as("neighbor_id"), col("v").as("vb"),
+        col("nrm").as("nb"), col("__lab").as("neighbor_label"), col("cell"))
+    val probes = cells.where(col("__rk") <= nProbe)
+      .select(col("vid").as("query_id"), col("v").as("va"),
+        col("nrm").as("na"), col("__lab").as("query_label"), col("cell"))
+    val pairs = probes.join(lists, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id") &&
+        col("query_label") =!= col("neighbor_label"))
+      .withColumn("cosine",
+        VectorMath.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"), col("cosine"), col("rank"))
   }
 
   /** Cell ranking against a GIVEN codebook — the assignment half of
@@ -521,11 +610,15 @@ object Similarity {
 
   def semanticDedup(emb: DataFrame, tau: Double, nCentroids: Int = 8,
       nProbe: Int = 0,
-      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+      id: String = "vec_id", vec: String = "embedding",
+      targetOccupancy: Int = 1024, corpusCount: Long = -1L): DataFrame = {
     // nProbe = 0 (the default) derives the probe width from tau
     // ([[autoProbe]]); an explicit value overrides
     val probe = if (nProbe <= 0) autoProbe(tau) else nProbe
-    val ranked = ivfRankedCells(emb, nCentroids, math.max(1, probe), id, vec,
+    val c = if (targetOccupancy <= 0) nCentroids
+      else autoCentroids(sizingCount(emb, vec, corpusCount), nCentroids,
+        targetOccupancy)
+    val ranked = ivfRankedCells(emb, c, math.max(1, probe), id, vec,
       "vid", "v", "nrm", "kmeans", 100)
     val cells = ranked.where(col("__rk") === 1)
       .select(col("vid"), col("cell"))

@@ -502,6 +502,30 @@ class OpsSpec extends SparkSpec {
     assert(one.head.getAs[Long]("neighbor_id") == 2L)
   }
 
+  test("p59 hard negatives: same-label neighbors excluded BEFORE ranking, never starved") {
+    // 2D fan: 1 and 2 are near-parallel but share label 0 — the hard
+    // negative for 1 must be 3 (nearest WRONG label), not a filtered
+    // leftover of the unlabeled top-k
+    val lv = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.99f, 0.14f), 0),
+      (3L, Array(0.9f, 0.44f), 1),
+      (4L, Array(0.0f, 1.0f), 1)).toDF("vec_id", "embedding", "label")
+    // minid/1-cell: all vectors share one inverted list — recall exact
+    val got = Similarity.ivfHardNegatives(lv, k = 1, nCentroids = 1,
+        nProbe = 1, codebook = "minid")
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Int]("query_label"),
+          r.getAs[Int]("neighbor_label"))).toMap
+    assert(got(1L)._1 == 3L, s"anchor 1's hard negative: ${got(1L)}")
+    assert(got(3L)._1 == 2L, s"anchor 3's hard negative: ${got(3L)}")
+    assert(got.values.forall(v => v._2 != v._3),
+      s"a pair leaked matching labels: $got")
+    intercept[IllegalArgumentException] {
+      Similarity.ivfHardNegatives(lv, k = 0)
+    }
+  }
+
   test("similarity edge cases: empty table, null/empty vectors, string ids") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("vec_id", LongType),

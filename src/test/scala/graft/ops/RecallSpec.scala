@@ -205,6 +205,40 @@ abstract class RecallFloorsSpec(sfDir: String) extends SparkSpec {
     exact.unpersist(); approx.unpersist()
   }
 
+  test("auto-centroids: floor at oracle scales, n/occupancy growth beyond, ranking stays sound") {
+    // the pure sizing function (the p13/p59 scale discipline,
+    // APPLIED): at every oracle-checked corpus size auto resolves to
+    // the floor — the unrolled-SQL k-means twins stay bit-exact where
+    // they are checked
+    assert(Similarity.autoCentroids(500L, 8, 1024) == 8)    // sf0.01
+    assert(Similarity.autoCentroids(5000L, 8, 1024) == 8)   // sf0.1
+    // the 10x probe size: 50k vectors -> 49 cells, occupancy back to
+    // ~1000 (vs ~6250 at fixed 8 — the measured 4-5x-at-10x growth);
+    // capped at 4096 (driver-side codebook); target<=0 disables auto
+    assert(Similarity.autoCentroids(50000L, 8, 1024) == 49)
+    assert(Similarity.autoCentroids(Long.MaxValue, 8, 1) == 4096)
+    assert(Similarity.autoCentroids(50000L, 8, 0) == 8)
+
+    // end-to-end at a target that forces auto ABOVE the floor on THIS
+    // corpus: every reported neighbor must still be a true pair with
+    // the exact cosine (probing can lose neighbors, never invent or
+    // mis-score them), ranks stay within k, no self-pairs
+    val n = emb.where(col("embedding").isNotNull && size(col("embedding")) > 0).count()
+    val chosen = Similarity.autoCentroids(n, 8, 32)
+    assert(chosen > 8, s"fixture too small to exercise auto: n=$n chosen=$chosen")
+    val approx = Similarity.ivfCosineTopK(emb, k = 5, targetOccupancy = 32)
+      .withColumn("c9", round(col("cosine"), 9)).cache()
+    assert(approx.where(col("query_id") === col("neighbor_id")).count() == 0)
+    assert(approx.groupBy("query_id").count().where(col("count") > 5).count() == 0)
+    val exactAll = Similarity.cosineTopK(emb, k = n.toInt)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 9).as("c9"))
+    assert(approx.select("query_id", "neighbor_id", "c9")
+      .join(exactAll, Seq("query_id", "neighbor_id", "c9"), "left_anti")
+      .count() == 0, "auto-raised IVF invented or mis-scored a pair")
+    approx.unpersist()
+  }
+
   test("p44 recall: within-cell capture of exact cosine dup pairs; nProbe=2 lifts it") {
     // SemDeDup's premise is that near-duplicates co-cluster; this
     // measures it on the corpus — fraction of exact cosine-dup pairs
