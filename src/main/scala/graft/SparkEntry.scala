@@ -1522,6 +1522,34 @@ object SparkEntry {
       ops.Expectations.uniqueReportRow(s, name,
         arr.getLong(0), arr.getLong(1), drainMemorySink(s, survSink).count())
     }),
+    // X26: the p57 classifier SERVED on a stream — train offline on
+    // the batch table (the p57 fit, bit-identical weights), broadcast
+    // the 4 micro-unit longs onto the document stream via the SAME
+    // Logistic.scoreWith column math (one definition, batch and
+    // stream cannot drift), and monitor per-source keep rates as the
+    // streaming aggregation. The model-deployment shape of an LLM
+    // data pipeline: bounded training state, map-only scoring inside
+    // each micro-batch, cohort counts as the only streaming state.
+    "x26_stream_quality_score" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val feat = ops.Logistic.features(t(s, dir, "documents"))
+        .localCheckpoint(true)
+      val w = ops.Logistic.train(feat, rounds = 3)
+      val sink = s"stream_lrq_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = ops.Logistic.scoreWith(
+          ops.Logistic.features(docStream(s, dir), carry = Seq("source")),
+          w, carry = Seq("source"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      drainMemorySink(s, sink)
+        .select(col("source"), col("n_docs"), col("n_keep"),
+          (round(col("n_keep") / col("n_docs") * lit(1e6)).cast("long") / lit(1e6))
+            .as("keep_rate"))
+    }),
     // D9: referential-integrity audit — FK orphan checks in p37's
     // report schema: two clean star edges (orders→customer,
     // lineitem→orders) plus a PLANTED drifted child (every 100th
@@ -2612,16 +2640,24 @@ object SparkEntry {
     * is explicitly CAST — DuckDB would otherwise run 1.0/0.5/1e6
     * literals through DECIMAL arithmetic and diverge.
     */
-  private def lrOracleSql(rounds: Int, lrNum: Int): String = {
-    val D = "CAST(1.0 AS DOUBLE)"
-    val M = "CAST(1000000.0 AS DOUBLE)"
-    def z(w: String) =
-      s"(($w.w0/$M)*f.x0 + ($w.w1/$M)*f.x1 + ($w.w2/$M)*f.x2 + ($w.w3/$M)*f.x3)"
-    def p(w: String) = s"($D/($D + exp(-${z(w)})))"
+  private val lrD = "CAST(1.0 AS DOUBLE)"
+  private val lrM = "CAST(1000000.0 AS DOUBLE)"
+  private def lrZSql(w: String): String =
+    s"(($w.w0/$lrM)*f.x0 + ($w.w1/$lrM)*f.x1 + ($w.w2/$lrM)*f.x2 + ($w.w3/$lrM)*f.x3)"
+  private def lrPSql(w: String): String =
+    s"($lrD/($lrD + exp(-${lrZSql(w)})))"
+
+  /** The LR training CTE chain (features on the integer lattice, one
+    * (g, w) pair per GD round) — shared by the p57 per-doc oracle and
+    * the x26 per-source streaming-monitor oracle. `passCols` rides
+    * extra columns (a cohort key) through base/ratios/feat.
+    */
+  private def lrTrainCtes(rounds: Int, lrNum: Int,
+      passCols: String): String = {
     val roundCtes = (1 to rounds).map { r =>
-      val pw = p(s"w${r - 1}")
+      val pw = lrPSql(s"w${r - 1}")
       val gsel = (0 to 3).map(j =>
-        s"CAST(sum(CAST(round(($pw - f.y) * f.x$j * $M) AS BIGINT)) AS BIGINT) AS g$j")
+        s"CAST(sum(CAST(round(($pw - f.y) * f.x$j * $lrM) AS BIGINT)) AS BIGINT) AS g$j")
         .mkString(",\n         ")
       val wsel = (0 to 3).map(j =>
         s"w.w$j - (($lrNum * g.g$j) // g.n) AS w$j").mkString(", ")
@@ -2630,12 +2666,11 @@ object SparkEntry {
          |       FROM feat f CROSS JOIN w${r - 1}),
          |w$r AS (SELECT $wsel FROM w${r - 1} w CROSS JOIN g$r g)""".stripMargin
     }.mkString(",\n")
-    val pFinal = p(s"w$rounds")
-    s"""WITH base AS (${qualityBaseSql("documents", "doc_id")}),
-       |ratios AS (${qualityRatiosSql("doc_id, n_chars, punct, stop")}),
-       |feat AS (SELECT doc_id,
-       |    CASE WHEN $qualityScoreSql >= 0.78 THEN $D ELSE CAST(0.0 AS DOUBLE) END AS y,
-       |    $D AS x0,
+    s"""base AS (${qualityBaseSql("documents", passCols)}),
+       |ratios AS (${qualityRatiosSql(s"$passCols, n_chars, punct, stop")}),
+       |feat AS (SELECT $passCols,
+       |    CASE WHEN $qualityScoreSql >= 0.78 THEN $lrD ELSE CAST(0.0 AS DOUBLE) END AS y,
+       |    $lrD AS x0,
        |    least(n_tokens, 50) / CAST(50.0 AS DOUBLE) AS x1,
        |    (CASE WHEN n_chars > 0
        |          THEN CAST(floor(punct * 100 / CAST(n_chars AS DOUBLE)) AS BIGINT)
@@ -2646,10 +2681,15 @@ object SparkEntry {
        |  FROM ratios),
        |w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
        |              CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
-       |$roundCtes
+       |$roundCtes""".stripMargin
+  }
+
+  private def lrOracleSql(rounds: Int, lrNum: Int): String = {
+    val pFinal = lrPSql(s"w$rounds")
+    s"""WITH ${lrTrainCtes(rounds, lrNum, "doc_id")}
        |SELECT f.doc_id, CAST(f.y AS BIGINT) AS label,
-       |  CAST(round($pFinal * $M) AS BIGINT) / $M AS p_hat,
-       |  CAST(round($pFinal * $M) AS BIGINT) / $M >= CAST(0.5 AS DOUBLE) AS keep
+       |  CAST(round($pFinal * $lrM) AS BIGINT) / $lrM AS p_hat,
+       |  CAST(round($pFinal * $lrM) AS BIGINT) / $lrM >= CAST(0.5 AS DOUBLE) AS keep
        |FROM feat f CROSS JOIN w$rounds""".stripMargin
   }
 
@@ -3461,6 +3501,16 @@ object SparkEntry {
     "p54_perplexity_filter" ->
       perplexityOracleSql(maxPieceLen = 4, vocabSize = 64, maxWords = 32768),
     "p57_lr_quality" -> lrOracleSql(rounds = 3, lrNum = 4),
+    "x26_stream_quality_score" ->
+      s"""WITH ${lrTrainCtes(3, 4, "doc_id, source")},
+         |scored AS (SELECT f.source,
+         |    CAST(round(${lrPSql("w3")} * $lrM) AS BIGINT) / $lrM AS p_hat
+         |  FROM feat f CROSS JOIN w3)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN p_hat >= CAST(0.5 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |  CAST(round(sum(CASE WHEN p_hat >= CAST(0.5 AS DOUBLE) THEN 1 ELSE 0 END)
+         |    / CAST(count(*) AS DOUBLE) * $lrM) AS BIGINT) / $lrM AS keep_rate
+         |FROM scored GROUP BY 1""".stripMargin,
     "p58_dsir_select" ->
       s"""WITH tok AS (SELECT doc_id, source IN ('src0', 'src1', 'src2') AS tgt,
          |        (${hx("tk")} % 256) AS bucket

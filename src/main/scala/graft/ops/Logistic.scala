@@ -42,9 +42,12 @@ object Logistic {
   /** Label + integer-lattice features for every document:
     * y ∈ {0,1} (p8 quality ≥ 0.78, the p30 threshold), x0 bias,
     * x1 capped token count / 50, x2 punct percent / 100,
-    * x3 stopword percent / 100.
+    * x3 stopword percent / 100. `carry` columns (a cohort key for a
+    * monitor) ride through unchanged — pure column math, so the frame
+    * works identically on a batch table or a stream.
     */
-  def features(docs: DataFrame, text: String = "text"): DataFrame = {
+  def features(docs: DataFrame, text: String = "text",
+      carry: Seq[String] = Nil): DataFrame = {
     val t0 = col(text)
     val nChars = length(t0).cast("long")
     val punct = nChars - length(regexp_replace(t0, "[^a-zA-Z0-9\\s]", ""))
@@ -57,13 +60,13 @@ object Logistic {
       .withColumn("__stop_pct",
         when(col("n_tokens") > 0,
           floor(stop * lit(100L) / col("n_tokens"))).otherwise(0L))
-      .select(col("doc_id"),
+      .select(col("doc_id") +: carry.map(col) :+
         when(round(col("quality_score"), 6) >= 0.78, 1.0d)
-          .otherwise(0.0d).as("y"),
-        lit(1.0).as("x0"),
-        (least(col("n_tokens"), lit(TokenCap)) / lit(TokenCap.toDouble)).as("x1"),
-        (col("__punct_pct") / lit(100.0)).as("x2"),
-        (col("__stop_pct") / lit(100.0)).as("x3"))
+          .otherwise(0.0d).as("y") :+
+        lit(1.0).as("x0") :+
+        (least(col("n_tokens"), lit(TokenCap)) / lit(TokenCap.toDouble)).as("x1") :+
+        (col("__punct_pct") / lit(100.0)).as("x2") :+
+        ((col("__stop_pct") / lit(100.0)).as("x3")): _*)
   }
 
   /** The linear response under micro-unit weights — shared by the
@@ -119,11 +122,13 @@ object Logistic {
     * The keep decision compares the quantized probability so the cut
     * is the same on any engine.
     */
-  def scoreWith(feat: DataFrame, wMicro: Array[Long]): DataFrame = {
+  def scoreWith(feat: DataFrame, wMicro: Array[Long],
+      carry: Seq[String] = Nil): DataFrame = {
     require(wMicro.length == 4, s"expected 4 weights, got ${wMicro.length}")
-    feat.select(col("doc_id"), col("y").cast("long").as("label"),
-        (round(sigmoid(zOf(wMicro)) * lit(1e6)).cast("long") / lit(1e6))
-          .as("p_hat"))
+    feat.select(col("doc_id") +: carry.map(col) :+
+        col("y").cast("long").as("label") :+
+        ((round(sigmoid(zOf(wMicro)) * lit(1e6)).cast("long") / lit(1e6))
+          .as("p_hat")): _*)
       .withColumn("keep", col("p_hat") >= 0.5)
   }
 

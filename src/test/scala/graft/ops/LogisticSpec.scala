@@ -48,6 +48,21 @@ class LogisticSpec extends SparkSpec {
     assert(feat == ((0.0, 1.0, 0.0, 0.0, 0.0)), s"got $feat")
   }
 
+  test("x26: carry columns ride features and scoreWith unchanged (the stream-monitor hook)") {
+    val d = fixture.withColumn("source",
+      concat(lit("s"), col("doc_id") % 2))
+    val f = Logistic.features(d, carry = Seq("source"))
+    assert(f.columns.toSeq ==
+      Seq("doc_id", "source", "y", "x0", "x1", "x2", "x3"))
+    val out = Logistic.scoreWith(f, Array(0L, 0L, 0L, 0L),
+      carry = Seq("source"))
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "source", "label", "p_hat", "keep"))
+    // zero weights: p_hat is exactly 0.5 everywhere, keep everywhere —
+    // the boundary the >= cut includes by definition
+    assert(out.select("p_hat").distinct().as[Double].collect().toSeq == Seq(0.5))
+  }
+
   test("p57: guards") {
     val feat = Logistic.features(fixture)
     intercept[IllegalArgumentException] { Logistic.train(feat, rounds = 0) }
