@@ -1830,6 +1830,29 @@ object SparkEntry {
         .select(col("query_id"), col("query_label"), col("neighbor_id"),
           col("neighbor_label"), round(col("cosine"), 6).as("cosine"),
           col("rank").cast("long").as("rank"))),
+    // P60: the per-document quality-signals table — the deliverable
+    // RedPajama-v2 / Dolma publish alongside the corpus: EVERY
+    // text-signal operator composed into ONE map-only pass (language
+    // id, length/punct/stopword quality, bigram repetition, PII
+    // counts, the p43 learned logit, the rolling-hash fingerprint).
+    // All column math: one corpus scan, zero joins, zero shuffles —
+    // the oracle joins the individual per-doc twins, proving the
+    // composed pass equals the operators run separately.
+    "p60_signal_bundle" -> ((s, dir) => {
+      val b = ops.TextStats.scoreLinear(
+        ops.TextStats.withFingerprint(
+          ops.TextStats.withPiiColumns(
+            ops.TextStats.withRepetitionColumns(
+              ops.TextStats.langIdColumns(
+                ops.TextStats.withQualityColumns(t(s, dir, "documents")))))))
+      b.select(col("doc_id"), col("lang_pred"), col("n_tokens"),
+        round(col("punct_ratio"), 6).as("punct_ratio"),
+        round(col("stopword_ratio"), 6).as("stopword_ratio"),
+        round(col("quality_score"), 6).as("quality_score"),
+        col("n_ngrams"), round(col("dup_ngram_ratio"), 6).as("dup_ngram_ratio"),
+        col("n_emails"), col("n_phones"),
+        col("n_features"), col("quality_logit"), col("fingerprint"))
+    }),
     // P52: tokenizer comparison — the metric tokenizer work actually
     // optimizes: corpus token totals and tokens-per-word for the
     // word-level baseline, the BPE encode (p49/p50 chain), and the
@@ -2177,6 +2200,70 @@ object SparkEntry {
        |    CASE WHEN n_tokens > 0 THEN CAST(stop AS DOUBLE)/n_tokens ELSE 0.0 END AS stopword_ratio,
        |    CASE WHEN n_tokens > 0 THEN CAST(nonws_chars AS DOUBLE)/n_tokens ELSE 0.0 END AS mean_token_len
        |  FROM base""".stripMargin
+
+  /** Per-document language-id twin — p7 aggregates it, p60 joins it. */
+  private def langIdPerDocSql: String = {
+    val scores = TextStats.LangStopwords.map { case (lang, words) =>
+      val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), tk -> list_contains($arr, tk))) AS score_$lang"
+    }.mkString(",\n       ")
+    val langs = TextStats.LangStopwords.map(_._1)
+    val greatestAll = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+    val chain = langs.map(l => s"WHEN score_$l = $greatestAll THEN '$l'").mkString("\n       ")
+    s"""WITH scored AS (
+       |  SELECT doc_id,
+       |       $scores
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |    CASE WHEN $greatestAll <= 0 THEN 'und'
+       |       $chain
+       |    END AS lang_pred
+       |FROM scored""".stripMargin
+  }
+
+  /** Per-document bigram-repetition twin — the p27 oracle, joined by p60. */
+  private val repetitionPerDocSql: String =
+      """WITH toks AS (SELECT doc_id, text,
+        |                     string_split_regex(trim(lower(text)), '\s+') AS tk
+        |              FROM documents),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN trim(text) = '' OR len(tk) < 2 THEN CAST([] AS VARCHAR[])
+        |             ELSE list_transform(range(0, len(tk) - 1),
+        |               i -> array_to_string(list_slice(tk, i + 1, i + 2), ' ')) END AS grams
+        |      FROM toks)
+        |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_ngrams,
+        |       round(CASE WHEN len(grams) > 0
+        |         THEN (len(grams) - len(list_distinct(grams))) / CAST(len(grams) AS DOUBLE)
+        |         ELSE 0.0 END, 6) AS dup_ngram_ratio
+        |FROM g""".stripMargin
+
+  /** Per-document PII twin — the p28 oracle, joined by p60. */
+  private val piiPerDocSql: String =
+      """WITH e AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |         regexp_replace(text,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS er
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_emails,
+        |         CAST(len(regexp_extract_all(er, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phones,
+        |         regexp_replace(er, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS red
+        |  FROM e)
+        |SELECT doc_id, n_emails, n_phones,
+        |       list_reduce(list_prepend(0::BIGINT,
+        |         list_transform(string_split(red, ''), c -> ascii(c)::BIGINT)),
+        |         (a, b) -> (a * 131 + b) % 1000000007) AS redacted_fp
+        |FROM r""".stripMargin
+
+  /** Per-document rolling-hash fingerprint twin — p10, joined by p60. */
+  private val fingerprintPerDocSql: String =
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+        |    (a, b) -> (a * 131 + b) % 1000000007) AS fingerprint
+        |FROM documents""".stripMargin
 
   /** The p43 frozen-linear-model replay (hashed unigram+bigram
     * features, integer-lattice weights) — a complete SELECT, reused as
@@ -3501,6 +3588,21 @@ object SparkEntry {
     "p54_perplexity_filter" ->
       perplexityOracleSql(maxPieceLen = 4, vocabSize = 64, maxWords = 32768),
     "p57_lr_quality" -> lrOracleSql(rounds = 3, lrNum = 4),
+    "p60_signal_bundle" ->
+      s"""WITH base AS (${qualityBaseSql("documents", "doc_id")}),
+         |ratios AS (${qualityRatiosSql("doc_id")}),
+         |q AS (SELECT doc_id, n_tokens, round(punct_ratio, 6) AS punct_ratio,
+         |        round(stopword_ratio, 6) AS stopword_ratio,
+         |        $qualityScoreSql AS quality_score FROM ratios)
+         |SELECT q.doc_id, l.lang_pred, q.n_tokens, q.punct_ratio, q.stopword_ratio,
+         |  q.quality_score, r.n_ngrams, r.dup_ngram_ratio, p.n_emails, p.n_phones,
+         |  lin.n_features, lin.quality_logit, f.fingerprint
+         |FROM q
+         |JOIN ($langIdPerDocSql) l USING (doc_id)
+         |JOIN ($repetitionPerDocSql) r USING (doc_id)
+         |JOIN ($piiPerDocSql) p USING (doc_id)
+         |JOIN ($linearQualitySql) lin USING (doc_id)
+         |JOIN ($fingerprintPerDocSql) f USING (doc_id)""".stripMargin,
     "x26_stream_quality_score" ->
       s"""WITH ${lrTrainCtes(3, 4, "doc_id, source")},
          |scored AS (SELECT f.source,
@@ -3667,37 +3769,8 @@ object SparkEntry {
     // decontamination output IS the contract (two physical executions
     // of one logical query, the x5/x18 discipline)
     "p40_bloom_decontaminate" -> decontaminateSql,
-    "p27_repetition" ->
-      """WITH toks AS (SELECT doc_id, text,
-        |                     string_split_regex(trim(lower(text)), '\s+') AS tk
-        |              FROM documents),
-        |g AS (SELECT doc_id,
-        |        CASE WHEN trim(text) = '' OR len(tk) < 2 THEN CAST([] AS VARCHAR[])
-        |             ELSE list_transform(range(0, len(tk) - 1),
-        |               i -> array_to_string(list_slice(tk, i + 1, i + 2), ' ')) END AS grams
-        |      FROM toks)
-        |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_ngrams,
-        |       round(CASE WHEN len(grams) > 0
-        |         THEN (len(grams) - len(list_distinct(grams))) / CAST(len(grams) AS DOUBLE)
-        |         ELSE 0.0 END, 6) AS dup_ngram_ratio
-        |FROM g""".stripMargin,
-    "p28_pii_redact" ->
-      """WITH e AS (
-        |  SELECT doc_id,
-        |         CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-        |         regexp_replace(text,
-        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS er
-        |  FROM documents),
-        |r AS (
-        |  SELECT doc_id, n_emails,
-        |         CAST(len(regexp_extract_all(er, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phones,
-        |         regexp_replace(er, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS red
-        |  FROM e)
-        |SELECT doc_id, n_emails, n_phones,
-        |       list_reduce(list_prepend(0::BIGINT,
-        |         list_transform(string_split(red, ''), c -> ascii(c)::BIGINT)),
-        |         (a, b) -> (a * 131 + b) % 1000000007) AS redacted_fp
-        |FROM r""".stripMargin,
+    "p27_repetition" -> repetitionPerDocSql,
+    "p28_pii_redact" -> piiPerDocSql,
     "p22_dup_components" ->
       """WITH RECURSIVE corpus AS (
         |  SELECT doc_id, text FROM documents
@@ -4035,27 +4108,9 @@ object SparkEntry {
         |)
         |SELECT id_a, id_b, round(cosine, 6) AS cosine
         |FROM pairs WHERE cosine >= 0.45""".stripMargin,
-    "p7_langid" -> {
-      val scores = TextStats.LangStopwords.map { case (lang, words) =>
-        val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
-        s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), tk -> list_contains($arr, tk))) AS score_$lang"
-      }.mkString(",\n       ")
-      val langs = TextStats.LangStopwords.map(_._1)
-      val greatestAll = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
-      val chain = langs.map(l => s"WHEN score_$l = $greatestAll THEN '$l'").mkString("\n       ")
-      s"""WITH scored AS (
-         |  SELECT doc_id,
-         |       $scores
-         |  FROM documents
-         |)
-         |SELECT lang_pred, count(*) AS n_docs FROM (
-         |  SELECT doc_id,
-         |    CASE WHEN $greatestAll <= 0 THEN 'und'
-         |       $chain
-         |    END AS lang_pred
-         |  FROM scored) t
-         |GROUP BY 1""".stripMargin
-    },
+    "p7_langid" ->
+      s"""SELECT lang_pred, count(*) AS n_docs
+         |FROM ($langIdPerDocSql) t GROUP BY 1""".stripMargin,
     "p8_quality" ->
       s"""WITH base AS (${qualityBaseSql("documents", "doc_id")}),
          |ratios AS (${qualityRatiosSql("doc_id")})
@@ -4070,12 +4125,7 @@ object SparkEntry {
         |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens_ws,
         |  CAST(len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+')) AS BIGINT) AS n_tokens_bpe
         |FROM documents""".stripMargin,
-    "p10_fingerprint" ->
-      """SELECT doc_id,
-        |  list_reduce(list_prepend(0::BIGINT,
-        |    list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
-        |    (a, b) -> (a * 131 + b) % 1000000007) AS fingerprint
-        |FROM documents""".stripMargin,
+    "p10_fingerprint" -> fingerprintPerDocSql,
     "p14_frame_sample" ->
       """WITH media AS (
         |  SELECT doc_id, text AS content FROM documents WHERE doc_id % 3 = 2),

@@ -179,6 +179,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"p58 scoring must not window:\n$plan")
   }
 
+  test("p60 signal bundle: the composed signals table is ONE map-only pass — no join, no key shuffle") {
+    // the oracle computes each signal separately and joins on doc_id;
+    // the engine must NOT — the composition collapses into per-row
+    // column math on a single corpus scan (the only exchanges are the
+    // round-robin spreads for the single-split-parquet fixture)
+    val plan = executedPlan("p60_signal_bundle")
+    assert(!plan.contains("Join"), s"p60 must not join:\n$plan")
+    assert(!plan.contains("Window"), s"p60 must not window:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"p60 must not key-shuffle:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"p60 must not sort:\n$plan")
+  }
+
   test("x25 vocab drift: the vocabulary broadcasts onto the token stream") {
     val plan = executedPlan("x25_stream_vocab_drift")
     // same deliberate 1-row scalar broadcast as p51 (reference total)
