@@ -1534,7 +1534,14 @@ object SparkEntry {
       import org.apache.spark.sql.streaming.Trigger
       val feat = ops.Logistic.features(t(s, dir, "documents"))
         .localCheckpoint(true)
-      val w = ops.Logistic.train(feat, rounds = 3)
+      // the benched path is deliberately the PERSISTED round trip
+      // (the p42 codebook precedent): train, save the 4-long model
+      // artifact, and serve from the loaded copy — weights are exact
+      // integers, so the round trip is bit-identical
+      val wPath = java.nio.file.Files
+        .createTempDirectory("graft_lrw").resolve("weights").toString
+      ops.Logistic.saveWeights(s, wPath, ops.Logistic.train(feat, rounds = 3))
+      val w = ops.Logistic.loadWeights(s, wPath)
       val sink = s"stream_lrq_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val q = ops.Logistic.scoreWith(
           ops.Logistic.features(docStream(s, dir), carry = Seq("source")),
@@ -1853,6 +1860,14 @@ object SparkEntry {
         col("n_emails"), col("n_phones"),
         col("n_features"), col("quality_logit"), col("fingerprint"))
     }),
+    // P61: exact brute-force hard negatives — p59's labeled quality
+    // oracle (the p5/p12 precedent: O(N²) defines the target the
+    // approximate path is floored against in RecallSpec).
+    "p61_hard_negatives_exact" -> ((s, dir) =>
+      ops.Similarity.hardNegativesTopK(t(s, dir, "embeddings"), k = 5)
+        .select(col("query_id"), col("query_label"), col("neighbor_id"),
+          col("neighbor_label"), round(col("cosine"), 6).as("cosine"),
+          col("rank").cast("long").as("rank"))),
     // P52: tokenizer comparison — the metric tokenizer work actually
     // optimizes: corpus token totals and tokens-per-word for the
     // word-level baseline, the BPE encode (p49/p50 chain), and the
@@ -4064,6 +4079,22 @@ object SparkEntry {
         |FROM q""".stripMargin,
     "p13_ivf_topk" -> ivfKmeansOracleSql(),
     "p59_hard_negatives" -> ivfHardNegOracleSql(k = 5),
+    "p61_hard_negatives_exact" ->
+      """WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v),
+        |pairs AS (
+        |  SELECT a.vec_id AS query_id, a.label AS query_label,
+        |         b.vec_id AS neighbor_id, b.label AS neighbor_label,
+        |         list_sum(list_transform(a.e, (x, i) -> x * b.e[i])) / (a.nrm * b.nrm) AS cosine
+        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id AND a.label <> b.label
+        |),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |           FROM pairs)
+        |SELECT query_id, query_label, neighbor_id, neighbor_label,
+        |  round(cosine, 6) AS cosine, rank
+        |FROM ranked WHERE rank <= 5""".stripMargin,
     "p44_semantic_dedup" -> semDedupOracleSql(0.45),
     // incremental twin: fit + lists on the corpus, probe only the batch
     "p42_ivf_incremental" ->

@@ -132,6 +132,31 @@ object Logistic {
       .withColumn("keep", col("p_hat") >= 0.5)
   }
 
+  /** Persist trained micro-unit weights (the [[Similarity.saveCodebook]]
+    * pattern): the model artifact the serving job loads, closing the
+    * train-offline / score-online loop with a literal file instead of
+    * an in-process array. Weights are exact integers, so the round
+    * trip is bit-identical.
+    */
+  def saveWeights(spark: org.apache.spark.sql.SparkSession, path: String,
+      wMicro: Array[Long]): Unit = {
+    require(wMicro.length == 4, s"expected 4 weights, got ${wMicro.length}")
+    import spark.implicits._
+    wMicro.toSeq.zipWithIndex.map { case (w, j) => (j, w) }
+      .toDF("j", "w_micro")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadWeights(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Long] = {
+    val rows = spark.read.parquet(path).collect()
+      .map(r => (r.getInt(r.fieldIndex("j")), r.getLong(r.fieldIndex("w_micro"))))
+      .sortBy(_._1)
+    require(rows.map(_._1).toSeq == Seq(0, 1, 2, 3),
+      s"weight file at $path is not a 4-weight model: ${rows.toSeq}")
+    rows.map(_._2)
+  }
+
   /** End-to-end: featurize, train `rounds` GD rounds, score the corpus
     * under the trained model.
     */

@@ -436,6 +436,33 @@ object Similarity {
     rankTopK(pairs, k)
   }
 
+  /** Exact brute-force hard negatives — the labeled twin of
+    * [[cosineTopK]]: per anchor, the k most cosine-similar vectors
+    * with a DIFFERENT label, ranked over ALL wrong-label pairs.
+    * O(N²·d): a quality oracle (it defines the recall target
+    * RecallSpec floors [[ivfHardNegatives]] against), not a scale
+    * path — the scale path is the IVF form.
+    */
+  def hardNegativesTopK(emb: DataFrame, k: Int, id: String = "vec_id",
+      vec: String = "embedding", label: String = "label"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val a = spread(withNorm(emb, id, vec, "query_id", "va", "na",
+      Seq(label -> "query_label")))
+    val b = withNorm(emb, id, vec, "neighbor_id", "vb", "nb",
+      Seq(label -> "neighbor_label"))
+    val pairs = a.join(broadcast(b), col("query_id") =!= col("neighbor_id") &&
+        col("query_label") =!= col("neighbor_label"))
+      .withColumn("cosine",
+        VectorMath.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"), col("cosine"), col("rank"))
+  }
+
   /** Contrastive hard-negative mining over a labeled embedding table:
     * for every anchor, the k most cosine-similar vectors with a
     * DIFFERENT label — the pair-construction step of contrastive /

@@ -63,6 +63,21 @@ class LogisticSpec extends SparkSpec {
     assert(out.select("p_hat").distinct().as[Double].collect().toSeq == Seq(0.5))
   }
 
+  test("x26: weight persistence round-trips bit-identically and rejects malformed files") {
+    val feat = Logistic.features(fixture).localCheckpoint(true)
+    val w = Logistic.train(feat, rounds = 3)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_lrw_spec").resolve("w").toString
+    Logistic.saveWeights(spark, path, w)
+    assert(Logistic.loadWeights(spark, path).toSeq == w.toSeq)
+    // a truncated/foreign file must fail loudly, not score garbage
+    val bad = java.nio.file.Files
+      .createTempDirectory("graft_lrw_spec").resolve("bad").toString
+    Seq((0, 1L), (1, 2L)).toDF("j", "w_micro")
+      .write.mode("overwrite").parquet(bad)
+    intercept[IllegalArgumentException] { Logistic.loadWeights(spark, bad) }
+  }
+
   test("p57: guards") {
     val feat = Logistic.features(fixture)
     intercept[IllegalArgumentException] { Logistic.train(feat, rounds = 0) }

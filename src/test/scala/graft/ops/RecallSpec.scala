@@ -367,6 +367,23 @@ abstract class RecallFloorsSpec(sfDir: String) extends SparkSpec {
     assert(r >= 0.4, s"p13 kmeans recall $r < 0.4")
     exact.unpersist()
   }
+
+  test("p59 recall@5: IVF hard negatives capture the exact wrong-label top-k above the probe share") {
+    // the labeled twin (p61) defines the target: per anchor, the true
+    // 5 nearest WRONG-label vectors over all pairs. Same probing as
+    // p13 (auto-probe, auto-centroids), so the same beats-its-share
+    // argument applies — a label-plumbing bug (filter after ranking,
+    // lost label column) would crater this without touching p13.
+    // Measured: 0.519 at sf0.01, 0.482 at sf0.1 (p13 reads 0.52 on
+    // the same corpus — labels cost ~nothing because wrong-label
+    // neighbors co-cluster like any neighbors). Floor 0.4 as p13.
+    val exact = Similarity.hardNegativesTopK(emb, k = 5).cache()
+    val approx = Similarity.ivfHardNegatives(emb, k = 5)
+    val r = topkRecall(exact, approx)
+    info(s"p59 hard-negative recall@5=$r")
+    assert(r >= 0.4, s"p59 hard-negative recall $r < 0.4")
+    exact.unpersist()
+  }
 }
 
 /** The fast default: sf0.01, runs in every `sbt test`. */
