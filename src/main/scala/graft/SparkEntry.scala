@@ -1868,6 +1868,16 @@ object SparkEntry {
         .select(col("query_id"), col("query_label"), col("neighbor_id"),
           col("neighbor_label"), round(col("cosine"), 6).as("cosine"),
           col("rank").cast("long").as("rank"))),
+    // P62: hashed-feature LR — the DCLM/fastText shape proper: a
+    // trained weight per hashed uni+bigram bucket (p43's lattice,
+    // LEARNED instead of frozen). Each GD round is one exploded
+    // bucket aggregation to <= B rows + a B-long driver update;
+    // scoring folds the weight array as a plan literal (the p58
+    // pattern) — map-only. The oracle replays both training rounds
+    // in chained (zs, pc, g, w) CTEs.
+    "p62_lr_hashed" -> ((s, dir) =>
+      ops.Logistic.trainAndScoreHashed(t(s, dir, "documents"),
+        nBuckets = 64, rounds = 2)),
     // P52: tokenizer comparison — the metric tokenizer work actually
     // optimizes: corpus token totals and tokens-per-word for the
     // word-level baseline, the BPE encode (p49/p50 chain), and the
@@ -2786,6 +2796,70 @@ object SparkEntry {
        |$roundCtes""".stripMargin
   }
 
+  /** p62's oracle: the hashed-feature LR training replayed in SQL —
+    * the p43 gram definition bucketed by the md5 hash twin, then per
+    * GD round a (zs, pc, g, w) CTE chain: per-doc micro-sum z under
+    * the current B-row weight table, per-doc quantized gradient
+    * contribution, per-bucket exact integer gradient sums, and the
+    * truncating `//` weight update. Buckets absent from a round's
+    * gradient get delta 0 (LEFT JOIN + coalesce), matching the
+    * engine's sparse update.
+    */
+  private def lrHashedOracleSql(nBuckets: Int, rounds: Int,
+      lrNum: Int): String = {
+    def z(zs: String, n: String) =
+      s"($zs / CAST($n AS DOUBLE) / $lrM)"
+    def p(zs: String, n: String) =
+      s"($lrD/($lrD + exp(-${z(zs, n)})))"
+    val roundCtes = (1 to rounds).map { r =>
+      s"""zs$r AS (SELECT fb.doc_id, CAST(sum(w.w) AS BIGINT) AS zs
+         |        FROM fb JOIN w${r - 1} w USING (b) GROUP BY 1),
+         |pc$r AS (SELECT f.doc_id,
+         |          CAST(round((${p("z.zs", "f.n_feat")} - f.y)
+         |            / CAST(f.n_feat AS DOUBLE) * $lrM) AS BIGINT) AS c
+         |        FROM feat f JOIN zs$r z USING (doc_id)
+         |        WHERE f.n_feat > 0),
+         |g$r AS (SELECT fb.b, CAST(sum(c.c) AS BIGINT) AS g
+         |        FROM fb JOIN pc$r c USING (doc_id) GROUP BY 1),
+         |w$r AS (SELECT w.b,
+         |          w.w - (($lrNum * coalesce(g.g, 0)) // nr.n) AS w
+         |        FROM w${r - 1} w LEFT JOIN g$r g USING (b) CROSS JOIN nr)"""
+        .stripMargin
+    }.mkString(",\n")
+    val pFinal = p("z.zs", "f.n_feat")
+    s"""WITH base AS (${qualityBaseSql("documents", "doc_id")}),
+       |ratios AS (${qualityRatiosSql("doc_id")}),
+       |q AS (SELECT doc_id,
+       |        CASE WHEN $qualityScoreSql >= 0.78 THEN $lrD ELSE CAST(0.0 AS DOUBLE) END AS y
+       |      FROM ratios),
+       |toks AS (SELECT doc_id,
+       |        CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+       |             ELSE string_split_regex(trim(lower(text)), '\\s+') END AS tk
+       |      FROM documents),
+       |g0 AS (SELECT doc_id, list_concat(tk, list_transform(
+       |        range(0, len(tk) - 1),
+       |        i -> array_to_string(list_slice(tk, i + 1, i + 2), ' '))) AS grams
+       |      FROM toks),
+       |feat AS (SELECT q.doc_id, q.y, CAST(len(g0.grams) AS BIGINT) AS n_feat
+       |      FROM q JOIN g0 USING (doc_id)),
+       |fb AS (SELECT doc_id, CAST(${hx("gr")} % $nBuckets AS INT) AS b
+       |      FROM (SELECT doc_id, unnest(grams) AS gr FROM g0) t0),
+       |nr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM feat),
+       |w0 AS (SELECT CAST(unnest(range(0, $nBuckets)) AS INT) AS b,
+       |              CAST(0 AS BIGINT) AS w),
+       |$roundCtes,
+       |zf AS (SELECT fb.doc_id, CAST(sum(w.w) AS BIGINT) AS zs
+       |      FROM fb JOIN w$rounds w USING (b) GROUP BY 1)
+       |SELECT f.doc_id, CAST(f.y AS BIGINT) AS label,
+       |  CASE WHEN f.n_feat > 0
+       |       THEN CAST(round($pFinal * $lrM) AS BIGINT) / $lrM
+       |       ELSE CAST(0.5 AS DOUBLE) END AS p_hat,
+       |  CASE WHEN f.n_feat > 0
+       |       THEN CAST(round($pFinal * $lrM) AS BIGINT) / $lrM
+       |       ELSE CAST(0.5 AS DOUBLE) END >= CAST(0.5 AS DOUBLE) AS keep
+       |FROM feat f LEFT JOIN zf z USING (doc_id)""".stripMargin
+  }
+
   private def lrOracleSql(rounds: Int, lrNum: Int): String = {
     val pFinal = lrPSql(s"w$rounds")
     s"""WITH ${lrTrainCtes(rounds, lrNum, "doc_id")}
@@ -3603,6 +3677,8 @@ object SparkEntry {
     "p54_perplexity_filter" ->
       perplexityOracleSql(maxPieceLen = 4, vocabSize = 64, maxWords = 32768),
     "p57_lr_quality" -> lrOracleSql(rounds = 3, lrNum = 4),
+    "p62_lr_hashed" ->
+      lrHashedOracleSql(nBuckets = 64, rounds = 2, lrNum = 64),
     "p60_signal_bundle" ->
       s"""WITH base AS (${qualityBaseSql("documents", "doc_id")}),
          |ratios AS (${qualityRatiosSql("doc_id")}),

@@ -165,4 +165,100 @@ object Logistic {
     val feat = features(docs, text).localCheckpoint(true)
     scoreWith(feat, train(feat, rounds, lrNum))
   }
+
+  // --- hashed-feature variant (the DCLM/fastText shape proper) ------
+  //
+  // p57 trains 4 hand-picked lattice dimensions; this trains a weight
+  // PER HASHED N-GRAM BUCKET — the feature space DCLM's fastText
+  // classifier actually uses (p43's lattice, now learned instead of
+  // frozen). x_b = count_b / n_grams (bag-of-grams shares), so the
+  // per-OCCURRENCE gradient contribution round((p−y)/n·1e6) is one
+  // integer and a bucket's gradient is an exact integer sum of them.
+  // Each round: one explode + map-side-combined aggregation to ≤ B
+  // rows, collected; the model is B driver-side longs; scoring folds
+  // the weight array as a plan literal (the p58 pattern) — map-only.
+
+  /** (doc_id, y, n_feat, bk): hashed uni+bigram bucket ids per doc
+    * (the p43 gram definition), label from the p8 rule.
+    */
+  def hashedFeatures(docs: DataFrame, nBuckets: Int,
+      text: String = "text"): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val tk = split(trim(lower(col(text))), "\\s+")
+    val bigrams = zip_with(
+      slice(tk, lit(1), greatest(size(tk) - 1, lit(0))),
+      slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+    val grams = concat(tk, bigrams)
+    val bk = when(col(text).isNull || trim(col(text)) === "",
+        array().cast("array<int>"))
+      .otherwise(transform(grams,
+        g => (graft.functions.Md5Hex64Fn(g) % nBuckets).cast("int")))
+    TextStats.withQualityColumns(docs, text)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        when(round(col("quality_score"), 6) >= 0.78, 1.0d)
+          .otherwise(0.0d).as("y"),
+        bk.as("bk"))
+      .withColumn("n_feat", size(col("bk")).cast("long"))
+  }
+
+  /** Per-row linear response under a literal micro-unit weight array:
+    * z = (Σ_occurrences w[bucket]) / n_feat / 1e6, 0 for featureless
+    * rows (p = ½ there, and they shed no gradient).
+    */
+  private def zHashed(wMicro: Array[Long]): Column = {
+    val wArr = array(wMicro.map(lit): _*)
+    val zsum = aggregate(
+      transform(col("bk"), b => element_at(wArr, b + 1)),
+      lit(0L), (acc, x) => acc + x)
+    when(col("n_feat") > 0, zsum / col("n_feat") / lit(1e6))
+      .otherwise(lit(0.0))
+  }
+
+  /** `rounds` full-batch GD rounds over `nBuckets` hashed features;
+    * returns the micro-unit weight array. Each round is one exploded
+    * bucket aggregation (≤ nBuckets result rows) + a driver update —
+    * the same bounded-state contract as [[train]], with B longs
+    * instead of 4.
+    */
+  def trainHashed(feat: DataFrame, nBuckets: Int, rounds: Int,
+      lrNum: Long = 64L): Array[Long] = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(lrNum >= 1, s"lrNum must be >= 1, got $lrNum")
+    val n = feat.count()
+    require(n > 0, "cannot train on an empty feature frame")
+    val w = Array.fill(nBuckets)(0L)
+    var r = 0
+    while (r < rounds) {
+      val p = sigmoid(zHashed(w))
+      val contrib =
+        round((p - col("y")) / col("n_feat") * lit(1e6)).cast("long")
+      val g = feat.where(col("n_feat") > 0)
+        .select(contrib.as("__c"), explode(col("bk")).as("__b"))
+        .groupBy(col("__b")).agg(sum(col("__c")).as("__g"))
+        .collect().map(row => (row.getInt(0), row.getLong(1)))
+      g.foreach { case (b, gb) => w(b) -= lrNum * gb / n }
+      r += 1
+    }
+    w
+  }
+
+  /** Score under trained hashed weights: (doc_id, label, p_hat on the
+    * 1e-6 grid, keep) — identical output contract to [[scoreWith]],
+    * map-only (the weight array rides the plan as a literal).
+    */
+  def scoreHashed(feat: DataFrame, wMicro: Array[Long]): DataFrame =
+    feat.select(col("doc_id"), col("y").cast("long").as("label"),
+        (round(sigmoid(zHashed(wMicro)) * lit(1e6)).cast("long") / lit(1e6))
+          .as("p_hat"))
+      .withColumn("keep", col("p_hat") >= 0.5)
+
+  /** End-to-end hashed-feature pipeline. */
+  def trainAndScoreHashed(docs: DataFrame, nBuckets: Int = 64,
+      rounds: Int = 2, lrNum: Long = 64L,
+      text: String = "text"): DataFrame = {
+    val feat = hashedFeatures(docs, nBuckets, text).localCheckpoint(true)
+    scoreHashed(feat, trainHashed(feat, nBuckets, rounds, lrNum))
+  }
 }

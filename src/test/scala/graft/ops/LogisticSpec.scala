@@ -78,6 +78,31 @@ class LogisticSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Logistic.loadWeights(spark, bad) }
   }
 
+  test("p62: hashed-feature GD separates the classes and is exactly deterministic") {
+    val feat = Logistic.hashedFeatures(fixture, nBuckets = 64)
+      .localCheckpoint(true)
+    val w = Logistic.trainHashed(feat, nBuckets = 64, rounds = 2)
+    assert(Logistic.trainHashed(feat, nBuckets = 64, rounds = 2).toSeq == w.toSeq)
+    assert(w.exists(_ != 0L), "training moved no weight")
+    val scored = Logistic.scoreHashed(feat, w)
+      .select("label", "p_hat").as[(Long, Double)].collect()
+    val pos = scored.filter(_._1 == 1L).map(_._2)
+    val neg = scored.filter(_._1 == 0L).map(_._2)
+    assert(pos.min > neg.max,
+      s"hashed classes must separate: pos ${pos.min}, neg ${neg.max}")
+    // blank doc: no grams, p exactly 1/2
+    val blank = Logistic.scoreHashed(
+      Logistic.hashedFeatures(Seq((9L, " ")).toDF("doc_id", "text"), 64), w)
+      .select("p_hat").as[Double].head()
+    assert(blank == 0.5)
+    intercept[IllegalArgumentException] {
+      Logistic.hashedFeatures(fixture, nBuckets = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Logistic.trainHashed(feat, 64, rounds = 0)
+    }
+  }
+
   test("p57: guards") {
     val feat = Logistic.features(fixture)
     intercept[IllegalArgumentException] { Logistic.train(feat, rounds = 0) }

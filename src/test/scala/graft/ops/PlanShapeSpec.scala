@@ -193,6 +193,16 @@ class PlanShapeSpec extends SparkSpec {
       s"p60 must not sort:\n$plan")
   }
 
+  test("p62 hashed LR: scoring folds the literal weight array — no join, no key shuffle") {
+    // training's explode+agg rounds run during plan construction;
+    // the RESULT plan is a per-row array fold over the checkpointed
+    // features under a 64-long plan literal (the p58 pattern)
+    val plan = executedPlan("p62_lr_hashed")
+    assert(!plan.contains("Join"), s"p62 scoring must not join:\n$plan")
+    assert(!plan.contains("Exchange"), s"p62 scoring must not shuffle:\n$plan")
+    assert(!plan.contains("Window"), s"p62 scoring must not window:\n$plan")
+  }
+
   test("x25 vocab drift: the vocabulary broadcasts onto the token stream") {
     val plan = executedPlan("x25_stream_vocab_drift")
     // same deliberate 1-row scalar broadcast as p51 (reference total)
