@@ -1557,6 +1557,60 @@ object SparkEntry {
           (round(col("n_keep") / col("n_docs") * lit(1e6)).cast("long") / lit(1e6))
             .as("keep_rate"))
     }),
+    // X27: DSIR served on the stream — p58's fitted score array
+    // broadcast onto the document stream through the SAME
+    // Dsir.scoreDocs column math (the x26 serving pattern applied to
+    // importance weights), monitoring per-source selection mass:
+    // docs arrived, docs kept, total importance micro-units — all
+    // exact integers, so the streaming totals replay bit-for-bit on
+    // any engine. State is |sources| count rows.
+    "x27_stream_dsir" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val scores = ops.Dsir.bucketScores(t(s, dir, "documents"),
+        col("source").isin("src0", "src1", "src2"), buckets = 256)
+      val sink = s"stream_dsir_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = ops.Dsir.scoreDocs(docStream(s, dir), scores,
+          carry = Seq("source"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+          sum(col("dsir_micro")).as("total_micro"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      drainMemorySink(s, sink)
+        .select(col("source"), col("n_docs"), col("n_keep"), col("total_micro"))
+    }),
+    // X28: per-window mixture REBALANCE — p48's calibration recomputed
+    // per event-time window (the online half of the batch curation
+    // pair): the stream aggregates per-(window, source) counts, then
+    // each closed window derives its OWN integer keep rates through
+    // the SAME Sampling.mixtureRatesPerGroup math the batch
+    // calibrator runs (one definition, two executions — the x23/p37
+    // discipline applied to mixture math). Event time is the
+    // deterministic doc_id clock (ts = epoch + doc_id seconds), so a
+    // 256 s tumbling window is exactly the doc_id div 256 arrival
+    // cohort and the oracle replays it. All rate math is integer —
+    // bit-identical on any engine. Streaming state is |windows ×
+    // sources| count rows (watermark-bounded in production; the
+    // rate derivation only ever sees the dim-bounded counts frame).
+    "x28_stream_rebalance" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val sink = s"stream_rebal_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = docStream(s, dir)
+        .withColumn("ts", timestamp_seconds(col("doc_id")))
+        .groupBy(window(col("ts"), "256 seconds").as("w"), col("source"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val counts = drainMemorySink(s, sink)
+        .select(expr("unix_timestamp(w.start) div 256").as("window_id"),
+          col("source"), col("n"))
+      ops.Sampling.mixtureRatesPerGroup(counts,
+          Seq(("src0", 50), ("src1", 30), ("src2", 20)), Seq("window_id"))
+        .select(col("window_id"), col("source"), col("n_docs"), col("rate_bps"))
+    }),
     // D9: referential-integrity audit — FK orphan checks in p37's
     // report schema: two clean star edges (orders→customer,
     // lineitem→orders) plus a PLANTED drifted child (every 100th
@@ -2796,6 +2850,33 @@ object SparkEntry {
        |$roundCtes""".stripMargin
   }
 
+  /** p58's per-document DSIR twin — the p58 oracle, aggregated per
+    * source by the x27 streaming-monitor oracle.
+    */
+  private def dsirPerDocSql: String =
+      s"""WITH tok AS (SELECT doc_id, source IN ('src0', 'src1', 'src2') AS tgt,
+         |        (${hx("tk")} % 256) AS bucket
+         |      FROM (SELECT doc_id, source,
+         |              unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '')) AS tk
+         |            FROM documents) t0),
+         |bt AS (SELECT bucket,
+         |         CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tcnt,
+         |         CAST(count(*) AS BIGINT) AS rcnt
+         |       FROM tok GROUP BY 1),
+         |tot AS (SELECT CAST(sum(tcnt) + 256 AS BIGINT) AS T,
+         |               CAST(sum(rcnt) + 256 AS BIGINT) AS R FROM bt),
+         |sc AS (SELECT b.bucket,
+         |         CAST(round((ln(coalesce(bt.tcnt, 0) + 1) - ln(tot.T)) * 1000000) AS BIGINT)
+         |         - CAST(round((ln(coalesce(bt.rcnt, 0) + 1) - ln(tot.R)) * 1000000) AS BIGINT) AS s
+         |       FROM range(0, 256) b(bucket) LEFT JOIN bt ON bt.bucket = b.bucket CROSS JOIN tot),
+         |ds AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+         |         CAST(sum(sc.s) AS BIGINT) AS dsir_micro
+         |       FROM tok t JOIN sc USING (bucket) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(ds.n_feat, 0) AS n_feat,
+         |  coalesce(ds.dsir_micro, 0) AS dsir_micro,
+         |  coalesce(ds.dsir_micro, 0) > 0 AS keep
+         |FROM documents d LEFT JOIN ds USING (doc_id)""".stripMargin
+
   /** p62's oracle: the hashed-feature LR training replayed in SQL —
     * the p43 gram definition bucketed by the md5 hash twin, then per
     * GD round a (zs, pc, g, w) CTE chain: per-doc micro-sum z under
@@ -3704,29 +3785,31 @@ object SparkEntry {
          |  CAST(round(sum(CASE WHEN p_hat >= CAST(0.5 AS DOUBLE) THEN 1 ELSE 0 END)
          |    / CAST(count(*) AS DOUBLE) * $lrM) AS BIGINT) / $lrM AS keep_rate
          |FROM scored GROUP BY 1""".stripMargin,
-    "p58_dsir_select" ->
-      s"""WITH tok AS (SELECT doc_id, source IN ('src0', 'src1', 'src2') AS tgt,
-         |        (${hx("tk")} % 256) AS bucket
-         |      FROM (SELECT doc_id, source,
-         |              unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '')) AS tk
-         |            FROM documents) t0),
-         |bt AS (SELECT bucket,
-         |         CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tcnt,
-         |         CAST(count(*) AS BIGINT) AS rcnt
-         |       FROM tok GROUP BY 1),
-         |tot AS (SELECT CAST(sum(tcnt) + 256 AS BIGINT) AS T,
-         |               CAST(sum(rcnt) + 256 AS BIGINT) AS R FROM bt),
-         |sc AS (SELECT b.bucket,
-         |         CAST(round((ln(coalesce(bt.tcnt, 0) + 1) - ln(tot.T)) * 1000000) AS BIGINT)
-         |         - CAST(round((ln(coalesce(bt.rcnt, 0) + 1) - ln(tot.R)) * 1000000) AS BIGINT) AS s
-         |       FROM range(0, 256) b(bucket) LEFT JOIN bt ON bt.bucket = b.bucket CROSS JOIN tot),
-         |ds AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_feat,
-         |         CAST(sum(sc.s) AS BIGINT) AS dsir_micro
-         |       FROM tok t JOIN sc USING (bucket) GROUP BY 1)
-         |SELECT d.doc_id, coalesce(ds.n_feat, 0) AS n_feat,
-         |  coalesce(ds.dsir_micro, 0) AS dsir_micro,
-         |  coalesce(ds.dsir_micro, 0) > 0 AS keep
-         |FROM documents d LEFT JOIN ds USING (doc_id)""".stripMargin,
+    "p58_dsir_select" -> dsirPerDocSql,
+    // the doc_id // 256 cohort IS the 256 s event-time window under
+    // the deterministic doc_id clock; rate math replays the p48
+    // integer derivation per window
+    "x28_stream_rebalance" ->
+      """WITH c AS (SELECT doc_id // 256 AS window_id, source,
+        |       CAST(count(*) AS BIGINT) AS n
+        |     FROM documents GROUP BY 1, 2),
+        |g AS (SELECT DISTINCT window_id FROM c),
+        |tg(source, tpct) AS (VALUES ('src0', 50), ('src1', 30), ('src2', 20)),
+        |grid AS (SELECT g.window_id, tg.source, tg.tpct, coalesce(c.n, 0) AS n
+        |         FROM g CROSS JOIN tg LEFT JOIN c USING (window_id, source)),
+        |tot AS (SELECT window_id, min(n * 100 // tpct) AS total
+        |        FROM grid GROUP BY 1)
+        |SELECT grid.window_id, grid.source, CAST(grid.n AS BIGINT) AS n_docs,
+        |  CAST(CASE WHEN grid.n = 0 THEN 0
+        |       ELSE ((grid.tpct * tot.total) // 100) * 10000 // grid.n
+        |  END AS BIGINT) AS rate_bps
+        |FROM grid JOIN tot USING (window_id)""".stripMargin,
+    "x27_stream_dsir" ->
+      s"""SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN x.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |  CAST(sum(x.dsir_micro) AS BIGINT) AS total_micro
+         |FROM ($dsirPerDocSql) x JOIN documents d USING (doc_id)
+         |GROUP BY 1""".stripMargin,
     "p56_bm25_topk" ->
       """WITH tk AS (SELECT doc_id,
         |        list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tk

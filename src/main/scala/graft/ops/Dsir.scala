@@ -58,19 +58,22 @@ object Dsir {
 
   /** Score documents under fitted bucket scores: (doc_id, n_feat,
     * dsir_micro, keep = dsir_micro > 0). Pure codegen column math —
-    * the score array rides the plan as a literal.
+    * the score array rides the plan as a literal, so the same call
+    * scores a batch table or a stream's micro-batches (`carry` rides
+    * a cohort key through for monitors).
     */
   def scoreDocs(docs: DataFrame, scores: Array[Long],
-      text: String = "text"): DataFrame = {
+      text: String = "text", carry: Seq[String] = Nil): DataFrame = {
     require(scores.nonEmpty, "scores must be non-empty")
     val b = scores.length
     val sArr = array(scores.map(lit): _*)
     val tk = tokensOf(text)
-    docs.select(col("doc_id"), size(tk).cast("long").as("n_feat"),
+    docs.select(col("doc_id") +: carry.map(col) :+
+        size(tk).cast("long").as("n_feat") :+
         aggregate(
           transform(tk, t =>
             element_at(sArr, (Hashing.hex64(t) % b).cast("int") + 1)),
-          lit(0L), (acc, x) => acc + x).as("dsir_micro"))
+          lit(0L), (acc, x) => acc + x).as("dsir_micro"): _*)
       .withColumn("keep", col("dsir_micro") > 0)
   }
 

@@ -200,35 +200,103 @@ object Sampling {
     * is the mathematically consistent (and very visible) answer rather
     * than a silent re-normalization over the sources that do exist.
     *
-    * Scale: one count aggregate (driver-collected — bounded by the
-    * source vocabulary, the dim-key-map discipline), rates broadcast
-    * back, per-row verdict in codegen. No shuffle of the data.
+    * Scale: one count aggregate, rate derivation as a plan over the
+    * (dim-bounded) counts frame — the source vocabulary never touches
+    * the driver — rates broadcast back, per-row verdict in codegen.
+    * No shuffle of the data.
     */
   def calibrateMixture(df: DataFrame, targets: Seq[(String, Int)],
       key: Column, source: String = "source"): DataFrame = {
+    val counts = df.groupBy(col(source))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__grp", lit(0))
+    val rates = mixtureRatesPerGroup(counts, targets, Seq("__grp"),
+        source, "__n")
+      .select(col(source), col("rate_bps"))
+    df.join(broadcast(rates), Seq(source), "left")
+      .withColumn("rate_bps", coalesce(col("rate_bps"), lit(0L)))
+      .withColumn("keep", hashKey(key) % 10000 < col("rate_bps"))
+  }
+
+  /** The rate-derivation core of [[calibrateMixture]], per GROUP: from
+    * a counts frame (`groupCols`, `source`, `n`), derive each group's
+    * integer keep rates realizing the target composition independently
+    * within that group. This is the shared definition behind the batch
+    * calibrator (one constant group) and the streaming per-window
+    * rebalancer (group = event-time window) — the x23/p37 shared-rule
+    * discipline applied to mixture math: the two executions CANNOT
+    * drift because there is only one derivation.
+    *
+    * Output: the full groups × targets grid (`groupCols`, `source`,
+    * `n_docs` — 0 for a target source absent from a group — and
+    * `rate_bps`). Count-frame sources outside `targets` are dropped;
+    * a target source missing from a group zeroes that group's whole
+    * mixture (see [[calibrateMixture]]'s fail-closed contract).
+    *
+    * All divisions are Spark's `div` (exact long division, truncating
+    * — equal to floor on these non-negative operands), never `/`
+    * (double): counts at corpus scale exceed the 2^53 double lattice,
+    * and the engine-bit-identical contract only survives in integers.
+    *
+    * Shape: ONE aggregation over the counts frame (per group: a
+    * source→count map of the target sources, the min capped total,
+    * and a presence count), then the target list explodes back out of
+    * a literal array — no join anywhere in the derivation, so it can
+    * never plan a nested-loop or shuffle a row twice. `counts` must
+    * be unique per (group, source): a duplicate key fails the map
+    * build loudly rather than silently summing.
+    *
+    * Scale: the one shuffle carries |groups|·|sources| count rows
+    * (dim-bounded); per-group state is a ≤|sources|-entry map.
+    * Nothing here ever sees a document row.
+    */
+  def mixtureRatesPerGroup(counts: DataFrame, targets: Seq[(String, Int)],
+      groupCols: Seq[String], source: String = "source",
+      n: String = "n"): DataFrame = {
     require(targets.nonEmpty, "targets must be non-empty")
     require(targets.forall(_._2 > 0), s"target shares must be positive: $targets")
     require(targets.map(_._2).sum == 100,
       s"target shares must sum to 100, got ${targets.map(_._2).sum}")
     require(targets.map(_._1).distinct.length == targets.length,
       s"duplicate target sources: $targets")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val n = df.groupBy(col(source)).agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // T = the largest total (in docs) the targets allow: t% of T must
-    // fit inside each source's actual count
-    val capped = targets.map { case (s, t) => n.getOrElse(s, 0L) * 100L / t }
-    val total = capped.min
-    val rates = targets.map { case (s, t) =>
-      val ns = n.getOrElse(s, 0L)
-      val want = t * total / 100L
-      (s, if (ns == 0L) 0L else want * 10000L / ns)
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    // target share as a literal lookup — the targets are part of the
+    // QUERY, not data, so they never need a join
+    val tpct = targets.foldLeft(lit(null).cast("long")) {
+      case (acc, (s0, t0)) =>
+        when(col(source) === lit(s0), lit(t0.toLong)).otherwise(acc)
     }
-    val rateDf = rates.toDF(source, "rate_bps")
-    df.join(broadcast(rateDf), Seq(source), "left")
-      .withColumn("rate_bps", coalesce(col("rate_bps"), lit(0L)))
-      .withColumn("keep", hashKey(key) % 10000 < col("rate_bps"))
+    val perGroup = counts
+      .withColumn("__tpct", tpct)
+      .withColumn("__nl", col(n).cast("long"))
+      // per-source cap: t% of the group total must fit in this count
+      .withColumn("__cap", expr("(__nl * 100) div __tpct"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        // non-target sources drop out here (when(...) -> null rows
+        // are skipped by collect_list): the map holds target counts
+        map_from_entries(collect_list(
+          when(col("__tpct").isNotNull, struct(col(source), col("__nl")))))
+          .as("__nmap"),
+        min(col("__cap")).as("__mincap"),
+        sum(when(col("__tpct").isNotNull, 1L).otherwise(0L)).as("__npresent"))
+      // T_g: a target source absent from the group bounds it at 0
+      // (fail-closed); otherwise the tightest per-source cap
+      .withColumn("__total",
+        when(col("__npresent") < lit(targets.length.toLong), lit(0L))
+          .otherwise(coalesce(col("__mincap"), lit(0L))))
+    val tgArr = array(targets.map { case (s0, t0) =>
+      struct(lit(s0).as("s"), lit(t0.toLong).as("t")) }: _*)
+    perGroup
+      .withColumn("__t", explode(tgArr))
+      .withColumn("__n0",
+        coalesce(element_at(col("__nmap"), col("__t")("s")), lit(0L)))
+      .withColumn("__tp", col("__t")("t"))
+      .withColumn("rate_bps",
+        when(col("__n0") === 0L, 0L)
+          .otherwise(expr("((__tp * __total) div 100) * 10000 div __n0")))
+      .select((groupCols.map(col) :+ col("__t")("s").as(source) :+
+        col("__n0").as("n_docs") :+ col("rate_bps")): _*)
   }
 
   /** Token-budgeted per-stratum sampling — the data-MIXING step of a

@@ -693,6 +693,43 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("x28 core: per-group mixture rates derive independently; a missing target source zeroes ONLY its group") {
+    // window 0: a:10, b:30 (the p48 fixture) -> a 10000, b 3333.
+    // window 1: a:20, b:5  -> T = min(20*100/50, 5*100/50) = 10,
+    //   a wants 5 of 20 (2500 bps), b wants 5 of 5 (10000 bps).
+    // window 2: a:4 only -> b absent -> total 0 -> BOTH rate 0, with
+    //   b present in the grid at n_docs 0 (fail-closed, visible).
+    val counts = Seq(
+      (0L, "a", 10L), (0L, "b", 30L),
+      (1L, "a", 20L), (1L, "b", 5L),
+      (2L, "a", 4L)).toDF("w", "source", "n")
+    val out = Sampling.mixtureRatesPerGroup(counts,
+        Seq(("a", 50), ("b", 50)), Seq("w"))
+      .select("w", "source", "n_docs", "rate_bps")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(out == Set(
+      (0L, "a", 10L, 10000L), (0L, "b", 30L, 3333L),
+      (1L, "a", 20L, 2500L), (1L, "b", 5L, 10000L),
+      (2L, "a", 4L, 0L), (2L, "b", 0L, 0L)))
+    // the batch calibrator IS this derivation with one constant group
+    // (shared-definition parity, the x23/p37 discipline)
+    val docs = ((1 to 10).map(i => (i.toLong, "a")) ++
+      (11 to 40).map(i => (i.toLong, "b"))).toDF("doc_id", "source")
+    val batch = Sampling.calibrateMixture(docs, Seq(("a", 50), ("b", 50)),
+        col("doc_id"))
+      .select("source", "rate_bps").distinct()
+      .as[(String, Long)].collect().toSet
+    val oneGroup = Sampling.mixtureRatesPerGroup(
+        docs.groupBy($"source").agg(count(lit(1)).as("n"))
+          .withColumn("g", lit(0)),
+        Seq(("a", 50), ("b", 50)), Seq("g"))
+      .select("source", "rate_bps").as[(String, Long)].collect().toSet
+    assert(batch == oneGroup)
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureRatesPerGroup(counts, Seq(("a", 100)), Nil)
+    }
+  }
+
   test("p46: keep-best dedup retains the higher-quality rendition regardless of id order") {
     // two renditions of one page (same words, so they share a
     // normalized-dedup group): the LOW id is the junk-punctuated
