@@ -2115,6 +2115,43 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
           col("rank").cast("long").as("rank"))
     }),
+    // P63: product-quantization encode — the memory half of ANN: each
+    // 64-dim vector becomes m=4 codes into per-subspace ksub=8
+    // Euclidean k-means codebooks (2 Lloyd rounds, hex64-seeded,
+    // 6-dp centroid grid — the fit discipline of p13 under the L2
+    // objective). Output is one row per (vector, subspace): the code
+    // and the 6-dp squared quantization error. Fit is bounded
+    // aggregations; encode is map-only literal-codebook column math.
+    "p63_pq_encode" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      ops.Pq.encodePq(emb, ops.Pq.fitPqCodebooks(emb, m = 4, ksub = 8, iters = 2))
+        .select(col("vec_id"), col("sub"), col("code"), col("qdist"))
+    }),
+    // P64: IVF-PQ top-k with exact refinement — the full two-level
+    // FAISS shape: coarse cosine IVF cells (p13's quantizer, auto-
+    // scaled centroid count) prune candidates; ranking inside the
+    // probed lists runs on PQ codes (m=16 subspaces × ksub=16) via
+    // ADC — each query precomputes its 16 distance tables ONCE, each
+    // candidate pair costs 16 map lookups + 15 adds instead of a
+    // 64-dim scan, candidate lists carry only (id, cell, 16 codes);
+    // the ADC top-20 shortlist re-ranks by exact L2 (the FAISS refine
+    // step — the only place full vectors are fetched, 20 ids per
+    // query). Codes quantize raw vectors, not residuals (documented
+    // deviation). Config chosen by the ProbePq decomposition: raw
+    // m=4 ADC ranked at 0.085 recall vs the p65 exact twin; this
+    // config recovers the cell-capture ceiling (RecallSpec floor).
+    "p64_ivfpq_topk" -> ((s, dir) =>
+      ops.Pq.ivfPqTopK(t(s, dir, "embeddings"), k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("l2sq"),
+          col("rank").cast("long").as("rank"))),
+    // P65: exact squared-L2 top-k — p64's brute-force quality oracle
+    // (O(N²·d), like p5/p12 for the cosine family): defines the
+    // recall target RecallSpec floors IVF-PQ against. Not a scale
+    // path — p64 is.
+    "p65_l2_topk" -> ((s, dir) =>
+      ops.Pq.l2TopK(t(s, dir, "embeddings"), k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("l2sq"),
+          col("rank").cast("long").as("rank"))),
     // P44: semantic dedup (SemDeDup) — k-means-cluster the embedding
     // space (the p13 codebook, shared machinery), compare pairs only
     // within a vector's closest cells (the IVF recall knob applied to
@@ -2530,6 +2567,114 @@ object SparkEntry {
        |SELECT query_id, query_label, neighbor_id, neighbor_label,
        |  round(cosine, 6) AS cosine, rank
        |FROM ranked WHERE rank <= $k""".stripMargin
+
+  /** p63/p64's PQ fit twin: per-subspace Euclidean Lloyd rounds
+    * unrolled in SQL (the `lloyd(k)` discipline under the L2
+    * objective): seeds are the hex64-smallest `ksub` rows shared by
+    * every subspace; each round assigns by direct (x-c)^2 fold (ASC,
+    * ties to the lowest cid) and recomputes centroids as round(avg, 6)
+    * element-wise means; member-less cells drop via GROUP BY. No norm
+    * filter anywhere — zero subvectors are legitimate under L2.
+    * Requires a `v` CTE (vec_id, e as DOUBLE list) in scope.
+    */
+  private def pqFitSql(d: Int, m: Int, ksub: Int, iters: Int): String = {
+    val subd = d / m
+    val seed =
+      s"""pseed AS (SELECT row_number() OVER (ORDER BY ${hx("CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC) - 1 AS cid, e
+         |          FROM v ORDER BY ${hx("CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC LIMIT $ksub)""".stripMargin
+    val subs = (0 until m).map { j =>
+      val o = j * subd
+      val base =
+        s"""psv$j AS (SELECT vec_id, list_slice(e, ${o + 1}, ${o + subd}) AS sv FROM v),
+           |pc${j}_0 AS (SELECT cid, list_slice(e, ${o + 1}, ${o + subd}) AS cv FROM pseed)""".stripMargin
+      val rounds = (1 to iters).map { r =>
+        s"""pa${j}_$r AS (SELECT vec_id, sv, cid FROM (
+           |  SELECT s.vec_id, s.sv, c.cid,
+           |         row_number() OVER (PARTITION BY s.vec_id ORDER BY
+           |           list_sum(list_transform(s.sv, (x,i) -> (x - c.cv[i]) * (x - c.cv[i]))) ASC,
+           |           c.cid ASC) AS rk
+           |  FROM psv$j s CROSS JOIN pc${j}_${r - 1} c) WHERE rk = 1),
+           |pm${j}_$r AS (SELECT cid, idx, round(avg(val), 6) AS mv FROM (
+           |  SELECT cid, unnest(sv) AS val, unnest(range(1, len(sv) + 1)) AS idx FROM pa${j}_$r)
+           |  GROUP BY cid, idx),
+           |pc${j}_$r AS (SELECT cid, list(mv ORDER BY idx) AS cv FROM pm${j}_$r GROUP BY cid)""".stripMargin
+      }
+      (base +: rounds).mkString(",\n")
+    }
+    (seed +: subs).mkString(",\n")
+  }
+
+  /** Per-subspace nearest-centroid encode CTEs over the fitted
+    * `pc{j}_{iters}` codebooks (same ASC/cid tie order as the fit).
+    */
+  private def pqEncSql(m: Int, iters: Int): String =
+    (0 until m).map { j =>
+      s"""penc$j AS (SELECT vec_id, cid AS code, dist FROM (
+         |  SELECT s.vec_id, c.cid,
+         |         list_sum(list_transform(s.sv, (x,i) -> (x - c.cv[i]) * (x - c.cv[i]))) AS dist,
+         |         row_number() OVER (PARTITION BY s.vec_id ORDER BY
+         |           list_sum(list_transform(s.sv, (x,i) -> (x - c.cv[i]) * (x - c.cv[i]))) ASC,
+         |           c.cid ASC) AS rk
+         |  FROM psv$j s CROSS JOIN pc${j}_$iters c) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+
+  /** p63's oracle: PQ fit + encode over every vector, one row per
+    * (vector, subspace).
+    */
+  private def pqOracleSql(d: Int, m: Int, ksub: Int, iters: Int): String = {
+    val selects = (0 until m).map(j =>
+      s"""SELECT vec_id, CAST($j AS BIGINT) AS sub, CAST(code AS BIGINT) AS code,
+         |  round(dist, 6) AS qdist FROM penc$j""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |           FROM embeddings),
+       |${pqFitSql(d, m, ksub, iters)},
+       |${pqEncSql(m, iters)}
+       |$selects""".stripMargin
+  }
+
+  /** p64's oracle: the p13 IVF replay (coarse cells + probes) with
+    * shortlisting by ADC over the PQ codes — per pair, the sum over
+    * subspaces of the L2Sq between the query's subvector and the
+    * candidate's CODE centroid, in subspace order (the engine's
+    * left-assoc lookup-table sum) — then the exact-L2 refine of the
+    * ADC top-`rerankK`, ranked ascending.
+    */
+  private def ivfPqOracleSql(d: Int, m: Int, ksub: Int, iters: Int,
+      k: Int, rerankK: Int): String = {
+    val subd = d / m
+    val codeJoins = (0 until m).map(j =>
+      s"""  JOIN penc$j e$j ON e$j.vec_id = a.vec_id
+         |  JOIN pc${j}_$iters cc$j ON cc$j.cid = e$j.code""".stripMargin).mkString("\n")
+    val adc = (0 until m).map { j =>
+      val o = j * subd
+      s"list_sum(list_transform(list_slice(qa.e, ${o + 1}, ${o + subd}), (x,i) -> (x - cc$j.cv[i]) * (x - cc$j.cv[i])))"
+    }.mkString("\n     + ")
+    s"""${ivfKmeansPrefixSql()},
+       |${pqFitSql(d, m, ksub, iters)},
+       |${pqEncSql(m, iters)},
+       |pairs AS (
+       |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+       |     $adc AS adc
+       |  FROM probes p
+       |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+       |  JOIN nq qa ON qa.vec_id = p.vec_id
+       |$codeJoins
+       |),
+       |short AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+       |           ORDER BY adc ASC, neighbor_id ASC) AS ar FROM pairs)
+       |  WHERE ar <= $rerankK),
+       |ref AS (SELECT s.query_id, s.neighbor_id,
+       |          list_sum(list_transform(qv.e, (x,i) -> (x - nv.e[i]) * (x - nv.e[i]))) AS l2sq
+       |        FROM short s
+       |        JOIN v qv ON qv.vec_id = s.query_id
+       |        JOIN v nv ON nv.vec_id = s.neighbor_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                    ORDER BY l2sq ASC, neighbor_id ASC) AS rank
+       |           FROM ref)
+       |SELECT query_id, neighbor_id, round(l2sq, 6) AS l2sq, rank
+       |FROM ranked WHERE rank <= $k""".stripMargin
+  }
 
   /** p49's oracle: the BPE merge loop unrolled to `numMerges` SQL
     * rounds (the k-means-oracle discipline — `lloyd(k)` unrolls Lloyd
@@ -4237,6 +4382,20 @@ object SparkEntry {
         |         pow(e[i] - codes[i] * scale, 2))) / len(e), 12) AS mse
         |FROM q""".stripMargin,
     "p13_ivf_topk" -> ivfKmeansOracleSql(),
+    "p63_pq_encode" -> pqOracleSql(d = 64, m = 4, ksub = 8, iters = 2),
+    "p64_ivfpq_topk" -> ivfPqOracleSql(d = 64, m = 16, ksub = 16, iters = 2,
+      k = 5, rerankK = 20),
+    "p65_l2_topk" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |           FROM embeddings),
+        |pairs AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |            list_sum(list_transform(a.e, (x,i) -> (x - b.e[i]) * (x - b.e[i]))) AS l2sq
+        |          FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                    ORDER BY l2sq ASC, neighbor_id ASC) AS rank
+        |           FROM pairs)
+        |SELECT query_id, neighbor_id, round(l2sq, 6) AS l2sq, rank
+        |FROM ranked WHERE rank <= 5""".stripMargin,
     "p59_hard_negatives" -> ivfHardNegOracleSql(k = 5),
     "p61_hard_negatives_exact" ->
       """WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

@@ -60,6 +60,59 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = l, right = r)
 }
 
+/** Primitive-loop squared L2 distance over two array<double> columns —
+  * the product-quantization distance kernel ([[graft.ops.Pq]]). Same
+  * tight-loop/codegen rationale as [[DotProduct]]; the summation is the
+  * DIRECT (x-y)^2 fold left-to-right (never the expanded
+  * |x|^2 - 2xy + |y|^2 form, which sums in a different order and
+  * breaks the bit-exact oracle twin
+  * `list_sum(list_transform(e, (x,i) -> (x - c[i]) * (x - c[i])))`).
+  */
+case class L2SqDistance(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_l2sq"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"graft_l2sq: mismatched vector lengths $n vs ${y.numElements()}")
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_l2sq: mismatched vector lengths " + $n + " vs " + $b.numElements());
+         |}
+         |double ${ev.value}Acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  ${ev.value}Acc += $d * $d;
+         |}
+         |${ev.value} = ${ev.value}Acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L2SqDistance =
+    copy(left = l, right = r)
+}
+
 object VectorMath {
   import graft.functions.{columnToExpr, exprToColumn}
   import org.apache.spark.sql.functions._
@@ -70,6 +123,10 @@ object VectorMath {
 
   /** L2 norm via the same codegen dot. */
   def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Squared L2 distance — tight-loop codegen, direct (x-y)^2 fold. */
+  def l2sq(a: Column, b: Column): Column =
+    exprToColumn(L2SqDistance(columnToExpr(a), columnToExpr(b)))
 
   /** v / ||v|| as array<double> (HOF; computed once per row, not per pair). */
   def l2normalize(v: Column): Column = {

@@ -170,7 +170,7 @@ object Similarity {
   /** Usable-vector count for auto-sizing (paid once when the caller
     * passes a known `corpusCount`, mirroring [[lshCosineTopK]]).
     */
-  private def sizingCount(emb: DataFrame, vec: String,
+  private[ops] def sizingCount(emb: DataFrame, vec: String,
       corpusCount: Long): Long =
     if (corpusCount >= 0L) corpusCount
     else emb.where(col(vec).isNotNull && size(col(vec)) > 0).count()
@@ -360,7 +360,7 @@ object Similarity {
         + 0.0).as("ns"),
       lit(cid).as("cid"))
 
-  private def ivfRankedCells(emb: DataFrame, nCentroids: Int, maxRank: Int,
+  private[ops] def ivfRankedCells(emb: DataFrame, nCentroids: Int, maxRank: Int,
       id: String, vec: String,
       idOut: String, vecOut: String, normOut: String,
       codebook: String = "kmeans", fitSamplePct: Int = 100,

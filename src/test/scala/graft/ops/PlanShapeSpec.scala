@@ -43,8 +43,14 @@ class PlanShapeSpec extends SparkSpec {
 
   test("p25 banded LSH / p6 / p13 / p23 / p44: candidate joins are equi-joins, never cartesian") {
     Seq("p25_lsh_topk_banded", "p6_lsh_topk", "p13_ivf_topk", "p23_blocked_neardup",
-      "p44_semantic_dedup", "p59_hard_negatives")
+      "p44_semantic_dedup", "p59_hard_negatives", "p64_ivfpq_topk")
       .foreach { q => assertNoDisasterJoin(q, executedPlan(q)) }
+  }
+
+  test("p63 PQ encode: map-only — codebooks ride as literals, no join or shuffle in the encode plan") {
+    val plan = executedPlan("p63_pq_encode")
+    assert(!plan.contains("Join"), s"p63 encode plans a join:\n$plan")
+    assert(!plan.contains("Exchange"), s"p63 encode shuffles:\n$plan")
   }
 
   test("p45 quality buckets: boundaries broadcast back; no window over the document rows") {

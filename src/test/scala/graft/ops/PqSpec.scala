@@ -1,0 +1,114 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.functions.VectorMath
+import org.apache.spark.sql.functions._
+
+/** Product quantization: fit shape/determinism, encode nearest-
+  * centroid correctness against a driver-side brute recompute, the
+  * ADC identity (lookup-table sums equal direct reconstruction
+  * distances), and L2 edge semantics (zero vectors are legal; ragged
+  * vectors fail loudly).
+  */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb(rows: (Long, Seq[Double])*) =
+    rows.toDF("vec_id", "embedding")
+
+  test("fit: m codebooks of <= ksub subd-dim centroids; deterministic across runs; zero vectors legal") {
+    val data = emb((0L to 11L).map(i =>
+      (i, Seq(i.toDouble, 10.0 - i, (i % 3).toDouble, 0.0))): _*)
+    val cbs = Pq.fitPqCodebooks(data, m = 2, ksub = 3, iters = 2)
+    assert(cbs.length == 2)
+    cbs.foreach { cb =>
+      assert(cb.nonEmpty && cb.size <= 3)
+      cb.foreach { case (_, cv) => assert(cv.length == 2) }
+      assert(cb.map(_._1) == cb.map(_._1).sorted)
+    }
+    // subspace 1 contains a constant-zero coordinate — L2 fit must
+    // keep zero-ish centroids (no norm filter), unlike the cosine fit
+    assert(cbs(1).nonEmpty)
+    val again = Pq.fitPqCodebooks(data, m = 2, ksub = 3, iters = 2)
+    assert(cbs == again, "fit must be deterministic")
+    intercept[IllegalArgumentException] {
+      Pq.fitPqCodebooks(data, m = 3, ksub = 2, iters = 1) // 4 % 3 != 0
+    }
+  }
+
+  test("encode: every (vector, subspace) gets the truly nearest centroid (brute recompute)") {
+    val data = emb((0L to 19L).map(i =>
+      (i, Seq(math.sin(i * 1.7), math.cos(i * 2.3), (i % 5) * 0.25, -0.5 + i * 0.1))): _*)
+    val cbs = Pq.fitPqCodebooks(data, m = 2, ksub = 4, iters = 2)
+    val out = Pq.encodePq(data, cbs)
+      .select("vec_id", "sub", "code", "qdist")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.length == 20 * 2, "one row per (vector, subspace)")
+    val vecs = data.as[(Long, Seq[Double])].collect().toMap
+    def l2sq(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0
+      a.indices.foreach { i => val d = a(i) - b(i); s += d * d }
+      s
+    }
+    out.foreach { case (vid, sub, code, qdist) =>
+      val sv = vecs(vid).slice(sub.toInt * 2, sub.toInt * 2 + 2)
+      // nearest by (dist, cid) — the engine's exact tie order
+      val best = cbs(sub.toInt).map { case (cid, cv) => (l2sq(sv, cv), cid) }.min
+      assert(code == best._2, s"vec $vid sub $sub: engine code $code, brute ${best._2}")
+      assert(math.abs(qdist - best._1) < 1e-6)
+    }
+  }
+
+  test("ivfPqTopK: with a cell-covering shortlist, refined output IS the exact L2 ranking within probed cells") {
+    val data = emb((0L to 29L).map(i =>
+      (i, Seq.tabulate(8)(j => math.sin(i * 0.9 + j * 1.3)))): _*)
+    val out = Pq.ivfPqTopK(data, k = 3, m = 4, ksub = 4, pqIters = 2,
+        nCentroids = 4, nProbe = 2, rerankK = 1000, targetOccupancy = 0)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(out.nonEmpty)
+    // expected: per probe (rk<=2), candidates are the rank-1 members
+    // of its cells; exact squared L2; (dist, id) order; top 3
+    val cells = Similarity.ivfRankedCells(data, 4, 2, "vec_id", "embedding",
+        "vid", "v", "nrm")
+      .select("vid", "cell", "__rk").as[(Long, Int, Int)].collect()
+    val members = cells.filter(_._3 == 1).groupBy(_._2)
+      .map { case (c, rs) => c -> rs.map(_._1).toSet }
+    val vecs = data.as[(Long, Seq[Double])].collect().toMap
+    def l2sq(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0
+      a.indices.foreach { i => val d = a(i) - b(i); s += d * d }
+      s
+    }
+    val expected = cells.filter(_._3 <= 2).groupBy(_._1).flatMap { case (q, prs) =>
+      val cand = prs.map(_._2).toSet.flatMap((c: Int) =>
+        members.getOrElse(c, Set.empty[Long])) - q
+      cand.toSeq.map(n => (l2sq(vecs(q), vecs(n)), n))
+        .sorted.take(3).zipWithIndex
+        .map { case ((dst, n), i) =>
+          (q, n, BigDecimal(dst).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            i + 1) }
+    }.toSet
+    assert(out.toSet == expected,
+      s"engine ${out.toSet.size} rows vs expected ${expected.size}")
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to sorted.length), s"query $q ranks not 1..k")
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sorted.toSeq,
+        s"query $q l2sq not ascending with rank")
+      assert(rows.length <= 3)
+      assert(rows.forall(_._2 != q), "self-pairs excluded")
+    }
+  }
+
+  test("l2sq kernel: exact value; ragged vectors fail loudly") {
+    val d = Seq((Seq(1.0, 2.0, 3.0), Seq(0.5, 0.0, 5.0))).toDF("a", "b")
+    val v = d.select(VectorMath.l2sq(col("a"), col("b"))).as[Double].head()
+    assert(math.abs(v - (0.25 + 4.0 + 4.0)) < 1e-12)
+    val ragged = Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
+    // local relations evaluate eagerly on the driver, so the kernel's
+    // IllegalArgumentException surfaces unwrapped
+    intercept[IllegalArgumentException] {
+      ragged.select(VectorMath.l2sq(col("a"), col("b"))).collect()
+    }
+  }
+}

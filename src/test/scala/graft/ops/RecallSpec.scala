@@ -384,6 +384,27 @@ abstract class RecallFloorsSpec(sfDir: String) extends SparkSpec {
     assert(r >= 0.4, s"p59 hard-negative recall $r < 0.4")
     exact.unpersist()
   }
+
+  test("p64 recall@5: IVF-PQ captures the exact L2 top-k above a collapsed-quantizer floor") {
+    // the labeled twin (p65) defines the target: the true 5 nearest
+    // by squared L2 over all pairs. p64 approximates twice — coarse
+    // cosine cells prune candidates (the p13 recall regime: capture
+    // measured 0.52 by the ProbePq decomposition) AND ranking inside
+    // the lists runs on PQ codes — but the exact top-20 refine
+    // recovers most of the in-cell ranking, so the measured recall
+    // (0.465 at sf0.01 with m=16/ksub=16/rerank=20) sits just under
+    // the cell ceiling. A 0.35 floor catches every failure mode:
+    // codebook collapse (-> nProbe-share of a skewed partition), a
+    // broken ADC sum (raw m=4 ADC measured 0.085 — quantization
+    // noise swamping neighbor gaps), or a refine that drops the
+    // shortlist.
+    val exact = Pq.l2TopK(emb, k = 5).cache()
+    val approx = Pq.ivfPqTopK(emb, k = 5)
+    val r = topkRecall(exact, approx)
+    info(s"p64 IVF-PQ recall@5=$r")
+    assert(r >= 0.35, s"p64 IVF-PQ recall $r < 0.35")
+    exact.unpersist()
+  }
 }
 
 /** The fast default: sf0.01, runs in every `sbt test`. */
