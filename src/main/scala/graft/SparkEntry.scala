@@ -2144,6 +2144,35 @@ object SparkEntry {
       ops.Pq.ivfPqTopK(t(s, dir, "embeddings"), k = 5)
         .select(col("query_id"), col("neighbor_id"), col("l2sq"),
           col("rank").cast("long").as("rank"))),
+    // P66: RESIDUAL IVF-PQ top-k — the true FAISS IVF-PQ, closing
+    // p64's documented deviation: codes quantize r = v − coarse
+    // centroid of v's cell, so the m×ksub budget spends its
+    // resolution on within-cell geometry (residuals concentrate near
+    // zero); each probe row computes the query's residual against the
+    // PROBED cell from the literal coarse centroids; same slim
+    // reconstruction-form ADC, same exact top-20 refine on original
+    // vectors. One coarse fit shared by assignment and residuals.
+    "p66_ivfpq_residual" -> ((s, dir) =>
+      ops.Pq.ivfPqResidualTopK(t(s, dir, "embeddings"), k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("l2sq"),
+          col("rank").cast("long").as("rank"))),
+    // P67: incremental PQ encode against PERSISTED codebooks — the
+    // p42 persisted-state contract applied to PQ: the existing corpus
+    // (vec_id < 250) fit its codebooks once; a new batch encodes
+    // against the saved state WITHOUT refitting (fit → save → load →
+    // encode is the literal benched path; parquet round-trips the
+    // doubles bit-exactly, so loaded == fit and the oracle replays
+    // the fit). O(batch) per arrival — the p38/p42 incremental shape.
+    "p67_pq_incremental" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cbPath = java.nio.file.Files.createTempDirectory("graft_p67_cb")
+        .resolve("pq_codebooks").toString
+      ops.Pq.savePqCodebooks(s, cbPath,
+        ops.Pq.fitPqCodebooks(emb.where(col("vec_id") < 250), m = 4, ksub = 8, iters = 2))
+      ops.Pq.encodePq(emb.where(col("vec_id") >= 250),
+          ops.Pq.loadPqCodebooks(s, cbPath, expectedM = 4))
+        .select(col("vec_id"), col("sub"), col("code"), col("qdist"))
+    }),
     // P65: exact squared-L2 top-k — p64's brute-force quality oracle
     // (O(N²·d), like p5/p12 for the cosine family): defines the
     // recall target RecallSpec floors IVF-PQ against. Not a scale
@@ -2577,15 +2606,25 @@ object SparkEntry {
     * filter anywhere — zero subvectors are legitimate under L2.
     * Requires a `v` CTE (vec_id, e as DOUBLE list) in scope.
     */
-  private def pqFitSql(d: Int, m: Int, ksub: Int, iters: Int): String = {
+  /** Per-subspace slice CTEs (`<prefix><j>`) over a (vec_id, e) CTE. */
+  private def pqSliceSql(d: Int, m: Int, src: String, prefix: String): String = {
+    val subd = d / m
+    (0 until m).map { j =>
+      val o = j * subd
+      s"$prefix$j AS (SELECT vec_id, list_slice(e, ${o + 1}, ${o + subd}) AS sv FROM $src)"
+    }.mkString(",\n")
+  }
+
+  private def pqFitSql(d: Int, m: Int, ksub: Int, iters: Int,
+      src: String = "v"): String = {
     val subd = d / m
     val seed =
       s"""pseed AS (SELECT row_number() OVER (ORDER BY ${hx("CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC) - 1 AS cid, e
-         |          FROM v ORDER BY ${hx("CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC LIMIT $ksub)""".stripMargin
+         |          FROM $src ORDER BY ${hx("CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC LIMIT $ksub)""".stripMargin
     val subs = (0 until m).map { j =>
       val o = j * subd
       val base =
-        s"""psv$j AS (SELECT vec_id, list_slice(e, ${o + 1}, ${o + subd}) AS sv FROM v),
+        s"""psv$j AS (SELECT vec_id, list_slice(e, ${o + 1}, ${o + subd}) AS sv FROM $src),
            |pc${j}_0 AS (SELECT cid, list_slice(e, ${o + 1}, ${o + subd}) AS cv FROM pseed)""".stripMargin
       val rounds = (1 to iters).map { r =>
         s"""pa${j}_$r AS (SELECT vec_id, sv, cid FROM (
@@ -2607,7 +2646,7 @@ object SparkEntry {
   /** Per-subspace nearest-centroid encode CTEs over the fitted
     * `pc{j}_{iters}` codebooks (same ASC/cid tie order as the fit).
     */
-  private def pqEncSql(m: Int, iters: Int): String =
+  private def pqEncSql(m: Int, iters: Int, sv: String = "psv"): String =
     (0 until m).map { j =>
       s"""penc$j AS (SELECT vec_id, cid AS code, dist FROM (
          |  SELECT s.vec_id, c.cid,
@@ -2615,7 +2654,7 @@ object SparkEntry {
          |         row_number() OVER (PARTITION BY s.vec_id ORDER BY
          |           list_sum(list_transform(s.sv, (x,i) -> (x - c.cv[i]) * (x - c.cv[i]))) ASC,
          |           c.cid ASC) AS rk
-         |  FROM psv$j s CROSS JOIN pc${j}_$iters c) WHERE rk = 1)""".stripMargin
+         |  FROM $sv$j s CROSS JOIN pc${j}_$iters c) WHERE rk = 1)""".stripMargin
     }.mkString(",\n")
 
   /** p63's oracle: PQ fit + encode over every vector, one row per
@@ -2658,6 +2697,57 @@ object SparkEntry {
        |  FROM probes p
        |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id
        |  JOIN nq qa ON qa.vec_id = p.vec_id
+       |$codeJoins
+       |),
+       |short AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+       |           ORDER BY adc ASC, neighbor_id ASC) AS ar FROM pairs)
+       |  WHERE ar <= $rerankK),
+       |ref AS (SELECT s.query_id, s.neighbor_id,
+       |          list_sum(list_transform(qv.e, (x,i) -> (x - nv.e[i]) * (x - nv.e[i]))) AS l2sq
+       |        FROM short s
+       |        JOIN v qv ON qv.vec_id = s.query_id
+       |        JOIN v nv ON nv.vec_id = s.neighbor_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                    ORDER BY l2sq ASC, neighbor_id ASC) AS rank
+       |           FROM ref)
+       |SELECT query_id, neighbor_id, round(l2sq, 6) AS l2sq, rank
+       |FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
+  /** p66's oracle: the p64 replay with the PQ stage fit/encoded on
+    * RESIDUALS — vres subtracts each rank-1 vector's coarse centroid
+    * (the ivf prefix's c3), qres subtracts the PROBED cell's centroid
+    * from each query per probe row — then the same ADC shortlist and
+    * exact refine on ORIGINAL vectors.
+    */
+  private def ivfPqResidualOracleSql(d: Int, m: Int, ksub: Int, iters: Int,
+      k: Int, rerankK: Int): String = {
+    val subd = d / m
+    val codeJoins = (0 until m).map(j =>
+      s"""  JOIN penc$j e$j ON e$j.vec_id = a.vec_id
+         |  JOIN pc${j}_$iters cc$j ON cc$j.cid = e$j.code""".stripMargin).mkString("\n")
+    val adc = (0 until m).map { j =>
+      val o = j * subd
+      s"list_sum(list_transform(list_slice(qa.e, ${o + 1}, ${o + subd}), (x,i) -> (x - cc$j.cv[i]) * (x - cc$j.cv[i])))"
+    }.mkString("\n     + ")
+    s"""${ivfKmeansPrefixSql()},
+       |vres AS (SELECT a.vec_id, list_transform(n.e, (x,i) -> x - c.cv[i]) AS e
+       |         FROM assign a
+       |         JOIN n ON n.vec_id = a.vec_id
+       |         JOIN c3 c ON c.cid = a.cell),
+       |${pqFitSql(d, m, ksub, iters, src = "vres")},
+       |${pqEncSql(m, iters)},
+       |qres AS (SELECT p.vec_id, p.cell, list_transform(nq.e, (x,i) -> x - c.cv[i]) AS e
+       |         FROM probes p
+       |         JOIN nq ON nq.vec_id = p.vec_id
+       |         JOIN c3 c ON c.cid = p.cell),
+       |pairs AS (
+       |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+       |     $adc AS adc
+       |  FROM probes p
+       |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+       |  JOIN qres qa ON qa.vec_id = p.vec_id AND qa.cell = p.cell
        |$codeJoins
        |),
        |short AS (SELECT query_id, neighbor_id FROM (
@@ -4385,6 +4475,25 @@ object SparkEntry {
     "p63_pq_encode" -> pqOracleSql(d = 64, m = 4, ksub = 8, iters = 2),
     "p64_ivfpq_topk" -> ivfPqOracleSql(d = 64, m = 16, ksub = 16, iters = 2,
       k = 5, rerankK = 20),
+    "p66_ivfpq_residual" -> ivfPqResidualOracleSql(d = 64, m = 16, ksub = 16,
+      iters = 2, k = 5, rerankK = 20),
+    // fit on the corpus half, encode the batch half — the persisted
+    // state between them round-trips bit-exactly, so the oracle
+    // simply replays the fit
+    "p67_pq_incremental" -> {
+      val m = 4
+      val selects = (0 until m).map(j =>
+        s"""SELECT vec_id, CAST($j AS BIGINT) AS sub, CAST(code AS BIGINT) AS code,
+           |  round(dist, 6) AS qdist FROM penc$j""".stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH vall AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |              FROM embeddings),
+         |v AS (SELECT * FROM vall WHERE vec_id < 250),
+         |venc AS (SELECT * FROM vall WHERE vec_id >= 250),
+         |${pqFitSql(d = 64, m = m, ksub = 8, iters = 2)},
+         |${pqSliceSql(d = 64, m = m, src = "venc", prefix = "pse")},
+         |${pqEncSql(m = m, iters = 2, sv = "pse")}
+         |$selects""".stripMargin
+    },
     "p65_l2_topk" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
         |           FROM embeddings),

@@ -257,22 +257,27 @@ object Pq {
     val probes = cells.where(col("__rk") <= nProbe)
       .select(col("vid").as("query_id"), col("cell"), col("v").as("va"))
     val adc = (0 until m).map { j =>
-      val maxCid = cbs(j).map(_._1).max
-      val byCid = cbs(j).toMap
-      val cbArr: Seq[Seq[Double]] = (0 to maxCid).map(c =>
-        byCid.getOrElse(c, Seq.fill(subd)(0.0)))
       VectorMath.l2sq(slice(col("va"), j * subd + 1, subd),
-        element_at(typedlit(cbArr), col(s"code_$j").cast("int") + 1))
+        element_at(typedlit(literalByCid(cbs(j), subd)),
+          col(s"code_$j").cast("int") + 1))
     }.reduce(_ + _)
     val pairs = probes.join(cands, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc_l2sq", adc)
+    adcShortlistRefine(pairs, emb, k, shortK, id, vec)
+  }
+
+  /** Shared tail of the IVF-PQ rankers: keep each query's ADC
+    * top-`shortK`, fetch those ids' FULL vectors (the only full-vector
+    * touch — |queries|·shortK rows), re-rank by exact squared L2.
+    */
+  private def adcShortlistRefine(pairs: DataFrame, emb: DataFrame, k: Int,
+      shortK: Int, id: String, vec: String): DataFrame = {
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_l2sq").asc, col("neighbor_id").asc)
     val shortlist = pairs.withColumn("__ar", row_number().over(wAdc))
       .where(col("__ar") <= shortK)
       .select(col("query_id"), col("neighbor_id"))
-    // exact refine: only the shortlist's ids fetch full vectors
     val qv = emb.select(col(id).as("query_id"), toDouble(col(vec)).as("__va"))
     val nv = emb.select(col(id).as("neighbor_id"), toDouble(col(vec)).as("__vb"))
     val refined = shortlist
@@ -285,5 +290,113 @@ object Pq {
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
         round(col("l2sq"), 6).as("l2sq"), col("rank"))
+  }
+
+  /** Persist PQ codebooks as a tiny parquet table — the index state a
+    * daily encode pipeline reads back instead of refitting (m·ksub
+    * rows; the [[Similarity.saveCodebook]] discipline). Parquet
+    * round-trips doubles bit-exactly, so loaded == fit and every
+    * encode downstream stays oracle-replayable.
+    */
+  def savePqCodebooks(spark: org.apache.spark.sql.SparkSession, path: String,
+      cbs: Codebooks): Unit = {
+    import spark.implicits._
+    require(cbs.nonEmpty && cbs.forall(_.nonEmpty),
+      "codebooks must be non-empty per subspace")
+    cbs.zipWithIndex
+      .flatMap { case (cb, j) => cb.map { case (cid, cv) => (j, cid, cv) } }
+      .toDF("sub", "cid", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Restore [[savePqCodebooks]] state; fails loudly on a gap in the
+    * subspace sequence (a partial write would silently mis-slice every
+    * vector it encodes). A missing TAIL subspace is invisible from the
+    * file alone — m is inferred from the max sub id — so callers that
+    * know their m pass `expectedM` to close that hole.
+    */
+  def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+      path: String, expectedM: Int = -1): Codebooks = {
+    val rows = spark.read.parquet(path).collect().toSeq.map { r =>
+      (r.getInt(r.fieldIndex("sub")), r.getInt(r.fieldIndex("cid")),
+        r.getSeq[Double](r.fieldIndex("cv")))
+    }
+    require(rows.nonEmpty, s"no PQ codebook state at $path")
+    val bySub = rows.groupBy(_._1)
+    val m = if (expectedM > 0) expectedM else bySub.keys.max + 1
+    require(bySub.keySet == (0 until m).toSet,
+      s"PQ codebook at $path is missing subspaces: have ${bySub.keySet.toSeq.sorted}, want 0..${m - 1}")
+    (0 until m).map(j => bySub(j).map { case (_, cid, cv) => (cid, cv) }.sortBy(_._1))
+  }
+
+  /** Sparse-cid-safe literal lookup table: index c+1 holds cid c's
+    * vector; dropped cids leave zero placeholders no live code/cell
+    * references.
+    */
+  private def literalByCid(entries: Seq[(Int, Seq[Double])], width: Int): Seq[Seq[Double]] = {
+    val byCid = entries.toMap
+    (0 to entries.map(_._1).max).map(c => byCid.getOrElse(c, Seq.fill(width)(0.0)))
+  }
+
+  /** Residual IVF-PQ top-k — the full FAISS IVF-PQ: codes quantize the
+    * RESIDUAL r = v − coarseCentroid(cell(v)) instead of the raw
+    * vector (closing [[ivfPqTopK]]'s documented deviation). Residuals
+    * concentrate near zero inside a cell, so the same m×ksub codebook
+    * budget spends its resolution on within-cell geometry — the part
+    * ADC actually ranks. d(q, x) ≈ ‖(q − c_cell) − recon(x)‖²: each
+    * probe row computes the query's residual AGAINST THE PROBED CELL
+    * (per-row column math on the literal coarse centroids), candidates
+    * carry residual codes, ADC runs in the same slim reconstruction
+    * form, and the exact refine re-ranks on ORIGINAL vectors.
+    *
+    * Scale: identical envelope to [[ivfPqTopK]] — one extra zip_with
+    * per row for the residual; the coarse codebook is fit ONCE and
+    * shared between cell assignment and residual computation.
+    */
+  def ivfPqResidualTopK(emb: DataFrame, k: Int, m: Int = 16, ksub: Int = 16,
+      pqIters: Int = 2, nCentroids: Int = 8, nProbe: Int = 2,
+      rerankK: Int = -1,
+      id: String = "vec_id", vec: String = "embedding",
+      fitSamplePct: Int = 100,
+      targetOccupancy: Int = 1024, corpusCount: Long = -1L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val shortK = if (rerankK <= 0) 4 * k else rerankK
+    require(shortK >= k, s"rerankK $shortK must be >= k $k")
+    val c = if (targetOccupancy <= 0) nCentroids
+      else Similarity.autoCentroids(
+        Similarity.sizingCount(emb, vec, corpusCount), nCentroids, targetOccupancy)
+    val coarse = Similarity.fitCodebook(emb, c, id, vec, fitSamplePct)
+    require(coarse.nonEmpty, "coarse codebook fit produced no centroids")
+    val d = coarse.head._2.length
+    val coarseArr = literalByCid(coarse.map { case (cid, cv, _) => (cid, cv) }, d)
+    val cells = Similarity.ivfRankedCells(emb, c, math.max(1, nProbe),
+      id, vec, "vid", "v", "nrm", prefit = Some(coarse))
+    def resOf(vcol: Column, cellCol: Column): Column =
+      zip_with(vcol,
+        element_at(typedlit(coarseArr), cellCol.cast("int") + 1),
+        (a, b) => a - b)
+    val resFrame = cells.where(col("__rk") === 1)
+      .select(col("vid"), col("cell"), resOf(col("v"), col("cell")).as("res"))
+    val cbs = fitPqCodebooks(resFrame, m, ksub, pqIters, id = "vid", vec = "res")
+    require(cbs.forall(_.nonEmpty), "residual PQ fit produced an empty subspace codebook")
+    val subd = cbs.head.head._2.length
+    val cands = resFrame
+      .select(col("vid").as("neighbor_id") +: col("cell") +: (0 until m).map(j =>
+        slice(col("res"), j * subd + 1, subd).as(s"svb_$j")): _*)
+      .select(col("neighbor_id") +: col("cell") +: (0 until m).map(j =>
+        bestEntry(cbs(j), col(s"svb_$j")).getField("cid").as(s"code_$j")): _*)
+    val probes = cells.where(col("__rk") <= nProbe)
+      .select(col("vid").as("query_id"), col("cell"),
+        resOf(col("v"), col("cell")).as("qres"))
+    val adc = (0 until m).map { j =>
+      VectorMath.l2sq(slice(col("qres"), j * subd + 1, subd),
+        element_at(typedlit(literalByCid(cbs(j), subd)),
+          col(s"code_$j").cast("int") + 1))
+    }.reduce(_ + _)
+    val pairs = probes.join(cands, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_l2sq", adc)
+    adcShortlistRefine(pairs, emb, k, shortK, id, vec)
   }
 }

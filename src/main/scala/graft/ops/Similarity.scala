@@ -364,22 +364,29 @@ object Similarity {
       id: String, vec: String,
       idOut: String, vecOut: String, normOut: String,
       codebook: String = "kmeans", fitSamplePct: Int = 100,
-      extra: Seq[(String, String)] = Nil): DataFrame = {
+      extra: Seq[(String, String)] = Nil,
+      prefit: Option[Seq[(Int, Seq[Double], Double)]] = None): DataFrame = {
     val vs = withNorm(emb, id, vec, idOut, vecOut, normOut, extra)
     val entry = centroidEntry(vecOut, normOut) _
-    val entries: Seq[Column] = codebook match {
-      case "kmeans" =>
-        fitCodebookKMeans(emb, nCentroids, iters = 3, id, vec, fitSamplePct)
-          .map { case (cid, cv, cn) => entry(cid, cv, cn) }
-      case "minid" =>
-        // by NAME, not position: extra carried columns (labels) sit
-        // between the vector and the norm in the row
-        vs.orderBy(col(idOut).asc).limit(nCentroids).collect().toSeq
-          .map(r => entry(r.get(r.fieldIndex(idOut)),
-            r.getSeq[Double](r.fieldIndex(vecOut)),
-            r.getAs[Double](normOut)))
-      case other => throw new IllegalArgumentException(
-        s"codebook must be kmeans|minid, got $other")
+    val entries: Seq[Column] = prefit match {
+      case Some(cb) =>
+        // caller already fit (and typically also needs the centroid
+        // VECTORS — residual PQ); skip the internal refit
+        cb.map { case (cid, cv, cn) => entry(cid, cv, cn) }
+      case None => codebook match {
+        case "kmeans" =>
+          fitCodebookKMeans(emb, nCentroids, iters = 3, id, vec, fitSamplePct)
+            .map { case (cid, cv, cn) => entry(cid, cv, cn) }
+        case "minid" =>
+          // by NAME, not position: extra carried columns (labels) sit
+          // between the vector and the norm in the row
+          vs.orderBy(col(idOut).asc).limit(nCentroids).collect().toSeq
+            .map(r => entry(r.get(r.fieldIndex(idOut)),
+              r.getSeq[Double](r.fieldIndex(vecOut)),
+              r.getAs[Double](normOut)))
+        case other => throw new IllegalArgumentException(
+          s"codebook must be kmeans|minid, got $other")
+      }
     }
     if (entries.isEmpty) // no usable vectors: empty result, id-typed cell
       return vs.withColumn("cell", col(idOut)).withColumn("__rk", lit(1))

@@ -43,7 +43,8 @@ class PlanShapeSpec extends SparkSpec {
 
   test("p25 banded LSH / p6 / p13 / p23 / p44: candidate joins are equi-joins, never cartesian") {
     Seq("p25_lsh_topk_banded", "p6_lsh_topk", "p13_ivf_topk", "p23_blocked_neardup",
-      "p44_semantic_dedup", "p59_hard_negatives", "p64_ivfpq_topk")
+      "p44_semantic_dedup", "p59_hard_negatives", "p64_ivfpq_topk",
+      "p66_ivfpq_residual")
       .foreach { q => assertNoDisasterJoin(q, executedPlan(q)) }
   }
 

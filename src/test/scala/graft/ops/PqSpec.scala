@@ -100,6 +100,36 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("save/load codebooks: bit-exact round trip; a missing subspace is rejected loudly") {
+    val data = emb((0L to 11L).map(i =>
+      (i, Seq(i.toDouble, 10.0 - i, (i % 3).toDouble, 0.5 * i))): _*)
+    val cbs = Pq.fitPqCodebooks(data, m = 2, ksub = 3, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_cb_spec")
+      .resolve("cb").toString
+    Pq.savePqCodebooks(spark, path, cbs)
+    val loaded = Pq.loadPqCodebooks(spark, path)
+    assert(loaded == cbs, "loaded codebooks must equal the fit bit-for-bit")
+    // drop subspace 0's rows (an interior gap: sub 1 remains, so the
+    // sequence 0..max is broken) -> the load must refuse, not mis-slice
+    val broken = spark.read.parquet(path).where(col("sub") =!= 0)
+    val badPath = java.nio.file.Files.createTempDirectory("graft_pq_cb_spec2")
+      .resolve("cb").toString
+    broken.write.parquet(badPath)
+    val e = intercept[IllegalArgumentException] { Pq.loadPqCodebooks(spark, badPath) }
+    assert(e.getMessage.contains("missing subspaces"))
+    // a missing TAIL subspace is invisible without expectedM (m is
+    // inferred from the max sub id) — expectedM closes the hole
+    val tailPath = java.nio.file.Files.createTempDirectory("graft_pq_cb_spec3")
+      .resolve("cb").toString
+    spark.read.parquet(path).where(col("sub") =!= 1).write.parquet(tailPath)
+    assert(Pq.loadPqCodebooks(spark, tailPath).length == 1,
+      "tail loss is undetectable without expectedM (documented)")
+    val e2 = intercept[IllegalArgumentException] {
+      Pq.loadPqCodebooks(spark, tailPath, expectedM = 2)
+    }
+    assert(e2.getMessage.contains("missing subspaces"))
+  }
+
   test("l2sq kernel: exact value; ragged vectors fail loudly") {
     val d = Seq((Seq(1.0, 2.0, 3.0), Seq(0.5, 0.0, 5.0))).toDF("a", "b")
     val v = d.select(VectorMath.l2sq(col("a"), col("b"))).as[Double].head()
