@@ -430,10 +430,10 @@ class RecallSpec extends RecallFloorsSpec("/root/testdata/sf0.01")
   *   GRAFT_SLOW=1 sbt "testOnly graft.ops.RecallAtScaleSpec"
   *
   * — and run (with results recorded in BASELINE.md) each round rather
-  * than on every `sbt test`. Measured 2026-08-13, all floors hold:
-  * p3 256/256 = 1.0, p4 complete at its radius + 0.73 Jaccard tier,
-  * p23 0.389 vs predicted 0.460, p6 0.0215 vs 0.0225, p25 0.473 vs
-  * 0.477, p13 0.485 (floor 0.4).
+  * than on every `sbt test`. Measured 2026-08-15 (all 12 floors
+  * hold): p3 1.0, p4 complete at its radius, p23 on its formula,
+  * p6/p25 on theirs, p13 0.485 (floor 0.4), p59 0.482 (floor 0.4),
+  * p64 0.3553 / p66 0.3701 (floors 0.3, p66 >= p64 pinned).
   */
 class RecallAtScaleSpec extends RecallFloorsSpec("/root/testdata/sf0.1") {
   override protected def withFixture(test: NoArgTest): org.scalatest.Outcome =
