@@ -229,6 +229,12 @@ object SparkEntry {
     s.readStream.schema(schema).parquet(staged.toString)
   }
 
+  private def embStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+    val staged = stagedDir(s"embeddings:$dir")(stageParquet(s"$dir/embeddings.parquet", _))
+    s.readStream.schema(schema).parquet(staged.toString)
+  }
+
   private def docStream(s: SparkSession, dir: String): DataFrame = {
     val schema = s.read.parquet(s"$dir/documents.parquet").schema
     val staged = stagedDir(s"documents:$dir")(stageParquet(s"$dir/documents.parquet", _))
@@ -1611,6 +1617,34 @@ object SparkEntry {
           Seq(("src0", 50), ("src1", 30), ("src2", 20)), Seq("window_id"))
         .select(col("window_id"), col("source"), col("n_docs"), col("rate_bps"))
     }),
+    // X29: streaming PQ-encode serving — the index-MAINTENANCE
+    // monitor: the corpus (vec_id < 250) fit its PQ codebooks once
+    // (p67's persisted state, the literal fit → save → load → serve
+    // loop), and newly arriving embeddings encode on the stream
+    // through the SAME Pq.encodePq column math (codebooks ride the
+    // closure as literals — the x26/x27 serving pattern applied to
+    // vectors), monitoring per-(subspace, code) arrival counts: which
+    // inverted-list entries are growing, i.e. when the codebook needs
+    // refitting. Counts are exact integers; state is <= m·ksub rows
+    // regardless of throughput — the monitor runs forever.
+    "x29_stream_pq_encode" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val emb = t(s, dir, "embeddings")
+      val cbPath = java.nio.file.Files.createTempDirectory("graft_x29_cb")
+        .resolve("pq_codebooks").toString
+      ops.Pq.savePqCodebooks(s, cbPath,
+        ops.Pq.fitPqCodebooks(emb.where(col("vec_id") < 250), m = 4, ksub = 8, iters = 2))
+      val cbs = ops.Pq.loadPqCodebooks(s, cbPath, expectedM = 4)
+      val sink = s"stream_pq_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = ops.Pq.encodePq(embStream(s, dir).where(col("vec_id") >= 250), cbs)
+        .groupBy(col("sub"), col("code"))
+        .agg(count(lit(1)).as("n_vectors"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      drainMemorySink(s, sink)
+        .select(col("sub"), col("code"), col("n_vectors"))
+    }),
     // D9: referential-integrity audit — FK orphan checks in p37's
     // report schema: two clean star edges (orders→customer,
     // lineitem→orders) plus a PLANTED drifted child (every 100th
@@ -2181,6 +2215,36 @@ object SparkEntry {
       ops.Pq.l2TopK(t(s, dir, "embeddings"), k = 5)
         .select(col("query_id"), col("neighbor_id"), col("l2sq"),
           col("rank").cast("long").as("rank"))),
+    // P68: REAL image decode — the multimodal decode kernel is no
+    // longer a stub: the JDK ships a PNG codec (javax.imageio,
+    // headless-safe), so this query runs a real encode → binary
+    // column → ImageIO.read decode round trip. Payloads render each
+    // doc's deterministic pixel pattern (per-channel (a·x+b·y+c) mod
+    // 256 from the doc hash); PNG is lossless, so the oracle never
+    // decodes an image — it replays the generative formula over a
+    // (doc × x × y) grid and must land on the decoder's exact integer
+    // pixel sums. Decode runs in the mapPartitions batch shape
+    // (codec loaded once, records streamed through); statistics are
+    // integer sums, engine-bit-identical.
+    "p68_image_decode" -> ((s, dir) =>
+      ops.Multimodal.decodeImages(ops.Multimodal.renderPngs(t(s, dir, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("n_pixels"),
+          col("sum_r"), col("sum_g"), col("sum_b"))),
+    // P69: REAL audio decode — the audio half of p68's codec closure:
+    // javax.sound.sampled reads WAV/PCM out of the box, so payloads
+    // are canonical RIFF containers around deterministic signed-16-bit
+    // samples (((a·t+c) mod 65536) − 32768 from the doc hash), decoded
+    // back through AudioSystem with the format validated, statistics
+    // as exact integer sums. PCM is lossless — the oracle replays the
+    // sample formula over a (doc × t) grid. Only video remains a
+    // documented stub (the JDK ships no video codec).
+    "p69_audio_decode" -> ((s, dir) =>
+      ops.Multimodal.decodeAudio(ops.Multimodal.renderWavs(t(s, dir, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("sample_rate").cast("long").as("sample_rate"),
+          col("n_samples"), col("sum_amp"), col("sum_abs"))),
     // P44: semantic dedup (SemDeDup) — k-means-cluster the embedding
     // space (the p13 codebook, shared machinery), compare pairs only
     // within a vector's closest cells (the IVF recall knob applied to
@@ -4473,10 +4537,60 @@ object SparkEntry {
         |FROM q""".stripMargin,
     "p13_ivf_topk" -> ivfKmeansOracleSql(),
     "p63_pq_encode" -> pqOracleSql(d = 64, m = 4, ksub = 8, iters = 2),
+    // PCM is lossless: the oracle replays the generative sample
+    // formula over the (doc, t) grid instead of parsing a WAV
+    "p69_audio_decode" ->
+      s"""WITH d AS (SELECT doc_id, ${hx("text")} AS h FROM documents),
+         |p AS (SELECT doc_id, 256 + h % 512 AS n,
+         |        1 + h % 8191 AS a, h % 65536 AS c FROM d),
+         |g AS (SELECT p.doc_id, ((p.a * ts.t + p.c) % 65536) - 32768 AS s
+         |      FROM p, unnest(range(0, p.n)) ts(t))
+         |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+         |  CAST(count(*) AS BIGINT) AS n_samples,
+         |  CAST(sum(s) AS BIGINT) AS sum_amp,
+         |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs
+         |FROM g GROUP BY 1""".stripMargin,
+    // the PNG round trip is lossless, so the oracle replays the
+    // GENERATIVE pixel formula instead of decoding: exact integer
+    // sums over the (doc, x, y) grid
+    "p68_image_decode" ->
+      s"""WITH d AS (SELECT doc_id, ${hx("text")} AS h FROM documents),
+         |p AS (SELECT doc_id,
+         |        16 + h % 48 AS w, 16 + (h // 48) % 32 AS ht,
+         |        1 + h % 251 AS a, 1 + (h // 251) % 241 AS b, h % 256 AS c
+         |      FROM d),
+         |g AS (SELECT p.doc_id, p.w, p.ht,
+         |        (p.a * xs.x + p.b * ys.y + p.c) % 256 AS r,
+         |        (p.a * xs.x + p.b * ys.y + p.c + 85) % 256 AS gr,
+         |        (p.a * xs.x + p.b * ys.y + p.c + 170) % 256 AS bl
+         |      FROM p, unnest(range(0, p.w)) xs(x), unnest(range(0, p.ht)) ys(y))
+         |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(ht AS BIGINT) AS height,
+         |  CAST(w * ht AS BIGINT) AS n_pixels,
+         |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(gr) AS BIGINT) AS sum_g,
+         |  CAST(sum(bl) AS BIGINT) AS sum_b
+         |FROM g GROUP BY 1, 2, 3, 4""".stripMargin,
     "p64_ivfpq_topk" -> ivfPqOracleSql(d = 64, m = 16, ksub = 16, iters = 2,
       k = 5, rerankK = 20),
     "p66_ivfpq_residual" -> ivfPqResidualOracleSql(d = 64, m = 16, ksub = 16,
       iters = 2, k = 5, rerankK = 20),
+    // the streaming monitor aggregates the SAME encode p67 replays —
+    // its oracle is the p67 twin grouped per (sub, code)
+    "x29_stream_pq_encode" -> {
+      val m = 4
+      val selects = (0 until m).map(j =>
+        s"SELECT vec_id, $j AS sub, code FROM penc$j").mkString("\nUNION ALL\n")
+      s"""WITH vall AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |              FROM embeddings),
+         |v AS (SELECT * FROM vall WHERE vec_id < 250),
+         |venc AS (SELECT * FROM vall WHERE vec_id >= 250),
+         |${pqFitSql(d = 64, m = m, ksub = 8, iters = 2)},
+         |${pqSliceSql(d = 64, m = m, src = "venc", prefix = "pse")},
+         |${pqEncSql(m = m, iters = 2, sv = "pse")},
+         |allc AS ($selects)
+         |SELECT CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code,
+         |  CAST(count(*) AS BIGINT) AS n_vectors
+         |FROM allc GROUP BY 1, 2""".stripMargin
+    },
     // fit on the corpus half, encode the batch half — the persisted
     // state between them round-trips bit-exactly, so the oracle
     // simply replays the fit

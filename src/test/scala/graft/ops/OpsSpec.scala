@@ -630,6 +630,67 @@ class OpsSpec extends SparkSpec {
     assert(d(1L).byte_len == "the cat sat on the mat".length)
   }
 
+  test("multimodal: REAL PNG round trip — decoded stats equal the generative formula exactly") {
+    import spark.implicits._
+    val d = Seq((1L, "the cat sat on the mat"), (7L, "another doc")).toDF("doc_id", "text")
+    val pngs = Multimodal.renderPngs(d).collect()
+    // payloads are real PNGs (magic bytes), not stand-ins
+    pngs.foreach { p =>
+      assert((p.png(0) & 0xff) == 0x89 && p.png(1) == 'P' && p.png(2) == 'N' && p.png(3) == 'G',
+        s"doc ${p.doc_id} payload is not a PNG")
+    }
+    val stats = Multimodal.decodeImages(Multimodal.renderPngs(d))
+      .collect().map(s => s.doc_id -> s).toMap
+    d.as[(Long, String)].collect().foreach { case (id, t) =>
+      val h = graft.functions.Md5Hex64Math.hashBytes(
+        t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val (w, ht, a, b, c) = Multimodal.imageParams(h)
+      val s = stats(id)
+      assert(s.width == w && s.height == ht && s.n_pixels == w.toLong * ht)
+      var (er, eg, eb) = (0L, 0L, 0L)
+      for (y <- 0 until ht; x <- 0 until w) {
+        er += (a * x + b * y + c) % 256L
+        eg += (a * x + b * y + c + 85L) % 256L
+        eb += (a * x + b * y + c + 170L) % 256L
+      }
+      // PNG is lossless: the decode must recover the EXACT pixels
+      assert(s.sum_r == er && s.sum_g == eg && s.sum_b == eb,
+        s"doc $id: decoded sums (${s.sum_r},${s.sum_g},${s.sum_b}) != generated ($er,$eg,$eb)")
+    }
+    // a non-image payload fails loudly, never returns garbage stats
+    val bad = Seq(Multimodal.PngRecord(9L, Array[Byte](1, 2, 3))).toDS()
+    intercept[Exception] { Multimodal.decodeImages(bad).collect() }
+  }
+
+  test("multimodal: REAL WAV round trip — decoded samples equal the generative formula exactly") {
+    import spark.implicits._
+    val d = Seq((1L, "the cat sat on the mat"), (7L, "another doc")).toDF("doc_id", "text")
+    val wavs = Multimodal.renderWavs(d).collect()
+    wavs.foreach { w =>
+      assert(new String(w.wav.slice(0, 4), "US-ASCII") == "RIFF" &&
+        new String(w.wav.slice(8, 12), "US-ASCII") == "WAVE",
+        s"doc ${w.doc_id} payload is not a WAV")
+    }
+    val stats = Multimodal.decodeAudio(Multimodal.renderWavs(d))
+      .collect().map(s => s.doc_id -> s).toMap
+    d.as[(Long, String)].collect().foreach { case (id, t) =>
+      val h = graft.functions.Md5Hex64Math.hashBytes(
+        t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val (n, a, c) = Multimodal.audioParams(h)
+      val s = stats(id)
+      assert(s.sample_rate == 8000 && s.n_samples == n.toLong)
+      var (es, ea) = (0L, 0L)
+      for (t0 <- 0L until n.toLong) {
+        val v = ((a * t0 + c) % 65536L) - 32768L
+        es += v; ea += math.abs(v)
+      }
+      assert(s.sum_amp == es && s.sum_abs == ea,
+        s"doc $id: decoded (${s.sum_amp},${s.sum_abs}) != generated ($es,$ea)")
+    }
+    val bad = Seq(Multimodal.WavRecord(9L, Array[Byte](1, 2, 3, 4))).toDS()
+    intercept[Exception] { Multimodal.decodeAudio(bad).collect() }
+  }
+
   test("multimodal: resize fits bounding box preserving aspect; no upscale") {
     import spark.implicits._
     val decoded = Seq((1L, 1920, 1080), (2L, 100, 50), (3L, 10, 2000))
