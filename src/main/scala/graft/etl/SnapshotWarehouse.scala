@@ -187,11 +187,12 @@ class SnapshotWarehouse(spark: SparkSession, val baseDir: String,
     val next = Manifest(base.version + 1, base.tables ++ pending)
     if (!fs.exists(manifestDir)) fs.mkdirs(manifestDir)
     // serialize the exists+rename CAS under a create-exclusive lock
-    // file: create(path, overwrite=false) is atomic on every Hadoop
-    // FileSystem that matters here (local FS included), which upgrades
-    // the version-file check from best-effort to a real mutual
-    // exclusion on filesystems whose rename CAN overwrite an existing
-    // destination (raw local, most object stores). A crashed holder is
+    // file. The acquire primitive is scheme-dependent (see
+    // tryAcquireLock): HDFS makes create(overwrite=false) a single
+    // atomic namenode RPC, but Hadoop's LOCAL FileSystem implements it
+    // as an exists() check followed by an ordinary open — check-then-
+    // act, NOT atomic — so local schemes go through
+    // java.io.File.createNewFile (true O_EXCL). A crashed holder is
     // healed by the staleness horizon below; object stores with
     // non-atomic create still need a real catalog — the standard
     // lakehouse caveat, now narrowed to only that case.
@@ -216,18 +217,41 @@ class SnapshotWarehouse(spark: SparkSession, val baseDir: String,
     */
   private[etl] var lockStaleMs: Long = 10 * 60 * 1000L
 
+  /** Acquire the lock with a primitive that is ATOMIC on this scheme.
+    *
+    * `fs.create(path, overwrite=false)` is atomic on HDFS (one
+    * namenode RPC) but NOT on Hadoop's LocalFileSystem /
+    * RawLocalFileSystem, which implement it as `exists()` followed by
+    * an ordinary `FileOutputStream` — check-then-act. Two threads
+    * racing that check both "acquire", then both commit, and local-FS
+    * rename overwrites: a silent lost update (this exact two-winners
+    * outcome was observed in the round-8 suite). For `file:` schemes
+    * we therefore go through `java.io.File.createNewFile()`, which the
+    * JDK implements with O_CREAT|O_EXCL — a true atomic
+    * create-if-absent at the kernel level, across threads AND
+    * processes.
+    */
+  private def tryAcquireLock(lock: HPath): Boolean =
+    if (fs.getScheme == "file") {
+      val f = new java.io.File(lock.toUri.getPath)
+      f.getParentFile.mkdirs()
+      f.createNewFile()
+    } else
+      try { fs.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
+
   private def withCommitLock[A](body: => A): A = {
     val lock = new HPath(manifestDir, "_commit.lock")
     val deadline = System.currentTimeMillis() + 30 * 1000L
     var held = false
     while (!held) {
-      try { fs.create(lock, false).close(); held = true }
-      catch { case _: java.io.IOException =>
+      if (tryAcquireLock(lock)) held = true
+      else {
         val st = try Some(fs.getFileStatus(lock)) catch {
           case _: java.io.FileNotFoundException => None }
         st match {
           case Some(s) if System.currentTimeMillis() - s.getModificationTime > lockStaleMs =>
-            fs.delete(lock, false) // stale: holder died mid-commit
+            breakStaleLock(lock, s.getModificationTime)
           case _ if System.currentTimeMillis() > deadline =>
             throw new ConcurrentWriteException(
               "commit lock held past the wait deadline; another writer is " +
@@ -237,6 +261,40 @@ class SnapshotWarehouse(spark: SparkSession, val baseDir: String,
       }
     }
     try body finally fs.delete(lock, false)
+  }
+
+  /** Break a lock left by a crashed holder, without racing a live one.
+    *
+    * A bare `fs.delete(lock)` here is a TOCTOU hazard: two waiters can
+    * both judge the lock stale; after waiter A deletes it and
+    * re-creates a FRESH lock, waiter B's unconditional delete would
+    * remove A's fresh lock and let both into the commit section. Two
+    * defenses, applied together:
+    *
+    *  1. re-stat immediately before acting and proceed only if the
+    *     modification time still equals the stale timestamp observed
+    *     earlier — a fresh lock (new create) has a new mtime;
+    *  2. act by RENAMING the lock to a unique tombstone rather than
+    *     deleting it: of two breakers racing the same stale lock,
+    *     exactly one rename of that source can succeed, so the loser
+    *     cannot go on to damage anything — it just re-loops and waits.
+    *
+    * The stat→rename gap is a residual window of microseconds against
+    * a staleness horizon of minutes and a hold time of milliseconds;
+    * fully closing it needs a compare-and-swap primitive path
+    * filesystems don't offer (the real-catalog caveat documented at
+    * [[commit]]).
+    */
+  private def breakStaleLock(lock: HPath, observedMtime: Long): Unit = {
+    val still = try Some(fs.getFileStatus(lock)) catch {
+      case _: java.io.FileNotFoundException => None }
+    if (still.exists(_.getModificationTime == observedMtime)) {
+      val tomb = new HPath(manifestDir,
+        s"_stale_${UUID.randomUUID().toString.replace("-", "")}.lock")
+      val broke = try fs.rename(lock, tomb) catch {
+        case _: java.io.IOException => false }
+      if (broke) fs.delete(tomb, false)
+    }
   }
 
   // ---- maintenance -----------------------------------------------------

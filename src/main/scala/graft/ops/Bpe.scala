@@ -148,8 +148,15 @@ object Bpe {
     * different result on any word whose pairs the ordered pass can
     * form. Pure and deterministic (spec-pinned directly).
     */
-  def encodeWord(ranks: Map[(String, String), Int], word: String): Seq[String] = {
-    val ordered = ranks.toSeq.sortBy(_._2).map(_._1)
+  def encodeWord(ranks: Map[(String, String), Int], word: String): Seq[String] =
+    encodeWordOrdered(ranks.toSeq.sortBy(_._2).map(_._1), word)
+
+  /** [[encodeWord]] against a PRE-SORTED merge list. The sort is
+    * hoisted out because the corpus path calls this once per word per
+    * document: re-sorting a production-sized rank map (≈30k merges,
+    * O(M log M)) inside the per-word loop would dominate the encode.
+    */
+  def encodeWordOrdered(ordered: Seq[(String, String)], word: String): Seq[String] = {
     var pieces: Vector[String] = word.map(_.toString).toVector :+ EndOfWord
     for ((l, r) <- ordered) {
       val m = l + r
@@ -228,12 +235,14 @@ object Bpe {
     */
   def encode(docs: DataFrame, merges: Seq[Merge], id: String = "doc_id",
       text: String = "text"): DataFrame = {
-    val ranks: Map[(String, String), Int] =
-      merges.map(m => (m.lhs, m.rhs) -> m.rank).toMap
+    // rank order computed ONCE here, not per word — the per-word loop
+    // below runs once per word per document
+    val ordered: Seq[(String, String)] =
+      merges.sortBy(_.rank).map(m => (m.lhs, m.rhs))
     val enc = udf { (t: String) =>
       if (t == null) Seq.empty[String]
       else t.trim.toLowerCase.split("\\s+").toSeq
-        .filter(_.nonEmpty).flatMap(w => encodeWord(ranks, w))
+        .filter(_.nonEmpty).flatMap(w => encodeWordOrdered(ordered, w))
     }
     docs.select(col(id), enc(col(text)).as("tokens"))
       .withColumn("n_tokens", size(col("tokens")).cast("long"))

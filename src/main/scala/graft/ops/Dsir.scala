@@ -63,12 +63,13 @@ object Dsir {
     * a cohort key through for monitors).
     */
   def scoreDocs(docs: DataFrame, scores: Array[Long],
-      text: String = "text", carry: Seq[String] = Nil): DataFrame = {
+      text: String = "text", carry: Seq[String] = Nil,
+      id: String = "doc_id"): DataFrame = {
     require(scores.nonEmpty, "scores must be non-empty")
     val b = scores.length
     val sArr = array(scores.map(lit): _*)
     val tk = tokensOf(text)
-    docs.select(col("doc_id") +: carry.map(col) :+
+    docs.select(col(id) +: carry.map(col) :+
         size(tk).cast("long").as("n_feat") :+
         aggregate(
           transform(tk, t =>
@@ -81,6 +82,7 @@ object Dsir {
     * the whole corpus, then score every document.
     */
   def selectByImportance(docs: DataFrame, isTarget: Column,
-      buckets: Int = 256, text: String = "text"): DataFrame =
-    scoreDocs(docs, bucketScores(docs, isTarget, buckets, text), text)
+      buckets: Int = 256, text: String = "text",
+      id: String = "doc_id"): DataFrame =
+    scoreDocs(docs, bucketScores(docs, isTarget, buckets, text), text, id = id)
 }

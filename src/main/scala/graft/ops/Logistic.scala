@@ -84,6 +84,21 @@ object Logistic {
     * (it is scanned rounds + 1 times). lrNum is the integer learning
     * rate numerator: Δw_j = (lrNum · Σ round((p−y)·x_j·1e6)) / n, truncating.
     */
+  /** trunc(lrNum·g/n) without overflowing the intermediate product.
+    * |g| can reach n·1e6 micro-units, so the naive `lrNum * g / n`
+    * overflows Long past n ≈ Long.Max/(lrNum·1e6) ≈ 1.4e11 documents
+    * at lrNum=64 — a real corpus size at the advertised scale — and
+    * an overflowed product silently FLIPS the gradient sign. Split on
+    * g = (g/n)·n + (g%n): with n > 0, both JVM divisions truncate
+    * toward zero and both addends carry g's sign, so the sum equals
+    * the exact truncated quotient bit-for-bit (the oracle's BIGINT
+    * `//` replay is unchanged), while the largest intermediate is
+    * lrNum·max(|g/n|, n) ≤ lrNum·max(1e6, n) — safe out to
+    * n < Long.Max/lrNum ≈ 1.4e17 documents.
+    */
+  private def scaledStep(lrNum: Long, g: Long, n: Long): Long =
+    lrNum * (g / n) + lrNum * (g % n) / n
+
   def train(feat: DataFrame, rounds: Int, lrNum: Long = 4L): Array[Long] = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(lrNum >= 1, s"lrNum must be >= 1, got $lrNum")
@@ -103,7 +118,7 @@ object Logistic {
         // truncates toward zero (verified: -7 // 2 = -3), matching
         // JVM long division — floorDiv would diverge on every
         // negative gradient
-        w(j) -= lrNum * row.getAs[Long](s"g$j") / n
+        w(j) -= scaledStep(lrNum, row.getAs[Long](s"g$j"), n)
         j += 1
       }
       r += 1
@@ -238,7 +253,7 @@ object Logistic {
         .select(contrib.as("__c"), explode(col("bk")).as("__b"))
         .groupBy(col("__b")).agg(sum(col("__c")).as("__g"))
         .collect().map(row => (row.getInt(0), row.getLong(1)))
-      g.foreach { case (b, gb) => w(b) -= lrNum * gb / n }
+      g.foreach { case (b, gb) => w(b) -= scaledStep(lrNum, gb, n) }
       r += 1
     }
     w

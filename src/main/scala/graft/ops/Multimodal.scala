@@ -6,9 +6,13 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, plus per-partition batch decode.
   *
-  * The container has no image/audio codecs, so the decode kernel is a
-  * clearly-marked DETERMINISTIC STUB (features derived from the md5 of
-  * the bytes). Everything around it is the real production shape:
+  * Image and audio decode are REAL: `decodeImages` goes through
+  * javax.imageio (PNG) and `decodeAudio` through javax.sound
+  * (WAV/PCM) — genuine codec round trips in the per-partition batch
+  * shape. Only VIDEO decode remains a clearly-marked DETERMINISTIC
+  * STUB (features derived from the md5 of the bytes), because the JDK
+  * ships no video codec and this container has no native ones.
+  * Everything around the stub is still the real production shape:
   *  - binary payload + (media_type, byte_len) metadata columns;
   *  - a columnar fast path (`withStubFeatures`) whose md5-based fake
   *    stays fully codegen'd and oracle-checkable;

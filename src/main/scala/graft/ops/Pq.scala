@@ -72,8 +72,10 @@ object Pq {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(fitSamplePct >= 1 && fitSamplePct <= 100,
       s"fitSamplePct must be in [1,100], got $fitSamplePct")
-    val dRow = emb.select(size(toDouble(col(vec))).as("d")).head
-    val d = dRow.getInt(0)
+    val dRow = emb.select(size(toDouble(col(vec))).as("d"))
+      .where(col("d") > 0).head(1).headOption
+    if (dRow.isEmpty) return Seq.fill(m)(Seq.empty) // no usable row at all
+    val d = dRow.get.getInt(0)
     require(d % m == 0, s"dim $d not divisible into $m subspaces")
     val subd = d / m
     val fitInput =

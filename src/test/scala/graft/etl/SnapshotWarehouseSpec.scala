@@ -226,38 +226,91 @@ class SnapshotWarehouseSpec extends SparkSpec {
   }
 
   test("two concurrent transactions from the same base: exactly one commits, the loser throws") {
+    // Looped: a single shot of this race passed entire sessions while
+    // the round-8 acquire bug (Hadoop local-FS create(overwrite=false)
+    // is check-then-act, not O_EXCL) was live — both writers
+    // "acquired" the lock and both committed v2, a silent lost update.
+    // 20 latch-synchronized rounds make the microsecond window an
+    // actual probability, not a lottery ticket.
     val wh = sw()
     wh.writeDim("dim_gene", gene(1L -> "ENSG1")) // v1
-    val gate = new java.util.concurrent.CountDownLatch(2)
-    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Unit]]()
-    val threads = (0 until 2).map { i =>
-      new Thread(() => {
-        val r = try Right {
-          wh.transact { txn =>
-            txn.writeDim("dim_illness",
-              Seq((i.toLong, s"illness-$i")).toDF("illness_key", "illness_label"))
-            gate.countDown()
-            // both transactions hold a v1 base before either commits
-            // (generous await: the full suite runs many specs against
-            // one local Spark, and a starved thread here must not
-            // masquerade as a commit-race loser)
-            assert(gate.await(120, java.util.concurrent.TimeUnit.SECONDS))
-          }
-          ()
-        } catch { case t: Throwable => Left(t) }
-        outcomes.add(r)
-      })
+    for (round <- 0 until 20) {
+      val base = wh.currentVersion()
+      val gate = new java.util.concurrent.CountDownLatch(2)
+      val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Unit]]()
+      val threads = (0 until 2).map { i =>
+        new Thread(() => {
+          val r = try Right {
+            wh.transact { txn =>
+              txn.writeDim("dim_illness",
+                Seq((round * 2L + i, s"illness-$round-$i")).toDF("illness_key", "illness_label"))
+              gate.countDown()
+              // both transactions hold the same base before either
+              // commits (generous await: the full suite runs many specs
+              // against one local Spark, and a starved thread here must
+              // not masquerade as a commit-race loser)
+              assert(gate.await(120, java.util.concurrent.TimeUnit.SECONDS))
+            }
+            ()
+          } catch { case t: Throwable => Left(t) }
+          outcomes.add(r)
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(300000))
+      val (losers, winners) = outcomes.toArray(Array.empty[Either[Throwable, Unit]])
+        .partition(_.isLeft)
+      assert(winners.length == 1, s"round $round: exactly one writer must win: $outcomes")
+      assert(losers.length == 1 &&
+        losers.head.left.exists(_.isInstanceOf[ConcurrentWriteException]),
+        s"round $round: the loser must throw ConcurrentWriteException: $losers")
+      // exactly the winner's commit is visible, one version up
+      assert(wh.currentVersion() == base + 1,
+        s"round $round: lost update — both writers committed over base $base")
     }
-    threads.foreach(_.start()); threads.foreach(_.join(300000))
-    val (losers, winners) = outcomes.toArray(Array.empty[Either[Throwable, Unit]])
-      .partition(_.isLeft)
-    assert(winners.length == 1, s"exactly one writer must win: $outcomes")
-    assert(losers.length == 1 &&
-      losers.head.left.exists(_.isInstanceOf[ConcurrentWriteException]),
-      s"the loser must throw ConcurrentWriteException: $losers")
-    // exactly the winner's commit is visible, as v2
-    assert(wh.currentVersion() == 2L)
+    // one winner per round, each a single-row overwrite of dim_illness
     assert(wh.read("dim_illness").count() == 1)
+  }
+
+  test("contended stale-lock break: racing waiters never delete each other's fresh lock") {
+    // The TOCTOU hazard: waiters A and B both judge the planted lock
+    // stale; A breaks it and acquires a FRESH lock; a naive delete by
+    // B would remove A's fresh lock and admit two committers. The
+    // break path re-verifies mtime and renames to a unique tombstone,
+    // so every round must still end with monotonic versions and no
+    // lost update.
+    val wh = sw()
+    wh.writeDim("dim_gene", gene(1L -> "ENSG1")) // v1
+    for (round <- 0 until 10) {
+      val base = wh.currentVersion()
+      val lock = new java.io.File(s"${wh.baseDir}/_manifests/_commit.lock")
+      assert(lock.createNewFile(), s"round $round: could not plant the stale lock")
+      assert(lock.setLastModified(System.currentTimeMillis() - 60L * 60 * 1000))
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Unit]]()
+      val threads = (0 until 4).map { i =>
+        new Thread(() => {
+          start.await()
+          val r = try Right {
+            wh.appendFacts("fact_expression", facts(i * 3 until i * 3 + 3, study = round * 10L + i))
+          } catch { case t: Throwable => Left(t) }
+          outcomes.add(r)
+        })
+      }
+      threads.foreach(_.start()); start.countDown(); threads.foreach(_.join(300000))
+      val results = outcomes.toArray(Array.empty[Either[Throwable, Unit]])
+      val winners = results.count(_.isRight)
+      // single-op writes retry internally only via distinct bases, so
+      // losers throwing ConcurrentWriteException is legal; what is NOT
+      // legal is a lost update: versions must advance by exactly the
+      // winner count, and every winner's rows must be readable.
+      assert(results.forall(r => r.isRight ||
+        r.left.exists(_.isInstanceOf[ConcurrentWriteException])),
+        s"round $round: unexpected failure kind: $results")
+      assert(winners >= 1, s"round $round: at least one writer must break the stale lock and win")
+      assert(wh.currentVersion() == base + winners,
+        s"round $round: lost update — $winners winners but version went $base -> ${wh.currentVersion()}")
+    }
+    wh.read("fact_expression").count() // all committed segments readable
   }
 
   test("a stale commit lock (crashed holder) is broken, not waited on forever") {
