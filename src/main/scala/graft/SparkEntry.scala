@@ -1547,7 +1547,7 @@ object SparkEntry {
       val wPath = java.nio.file.Files
         .createTempDirectory("graft_lrw").resolve("weights").toString
       ops.Logistic.saveWeights(s, wPath, ops.Logistic.train(feat, rounds = 3))
-      val w = ops.Logistic.loadWeights(s, wPath)
+      val w = ops.Logistic.loadWeights(s, wPath, expectedN = 4)
       val sink = s"stream_lrq_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val q = ops.Logistic.scoreWith(
           ops.Logistic.features(docStream(s, dir), carry = Seq("source")),
@@ -1904,6 +1904,14 @@ object SparkEntry {
     // verified, not just the final scores.
     "p57_lr_quality" -> ((s, dir) =>
       ops.Logistic.trainAndScore(t(s, dir, "documents"), rounds = 3)),
+    // P70: the SAME LR train/score path fed a DIFFERENT feature
+    // supplier (6-dim lattice: the p57 four + capped char length +
+    // capped integer mean word length) — the pluggability contract
+    // verified end-to-end: train/scoreWith read the frame's x-arity,
+    // and the oracle replay takes the feature list as data
+    // (lrExtendedFeatsSql), replaying all three GD rounds at arity 6.
+    "p70_lr_features" -> ((s, dir) =>
+      ops.Logistic.trainAndScoreExtended(t(s, dir, "documents"), rounds = 3)),
     // P58: DSIR importance-weighted selection (Xie et al. 2023) —
     // documents scored by the log importance ratio of a target
     // (reference-source) word distribution to the raw corpus
@@ -2168,9 +2176,13 @@ object SparkEntry {
     // ADC — each query precomputes its 16 distance tables ONCE, each
     // candidate pair costs 16 map lookups + 15 adds instead of a
     // 64-dim scan, candidate lists carry only (id, cell, 16 codes);
-    // the ADC top-20 shortlist re-ranks by exact L2 (the FAISS refine
-    // step — the only place full vectors are fetched, 20 ids per
-    // query). Codes quantize raw vectors, not residuals (documented
+    // the ADC top-rerankK shortlist re-ranks by exact L2 (the FAISS
+    // refine step — the only place full vectors are fetched, rerankK
+    // ids per query). rerankK AUTO-SCALES with cell occupancy
+    // (Pq.autoRerankK: constant 16% share of the ADC pool, 20 at
+    // sf0.01, 80 at sf0.1 — the autoPlanes/autoCentroids discipline;
+    // the oracle derives the identical value from a COUNT subquery).
+    // Codes quantize raw vectors, not residuals (documented
     // deviation). Config chosen by the ProbePq decomposition: raw
     // m=4 ADC ranked at 0.085 recall vs the p65 exact twin; this
     // config recovers the cell-capture ceiling (RecallSpec floor).
@@ -2184,8 +2196,9 @@ object SparkEntry {
     // resolution on within-cell geometry (residuals concentrate near
     // zero); each probe row computes the query's residual against the
     // PROBED cell from the literal coarse centroids; same slim
-    // reconstruction-form ADC, same exact top-20 refine on original
-    // vectors. One coarse fit shared by assignment and residuals.
+    // reconstruction-form ADC, same exact auto-scaled top-rerankK
+    // refine on original vectors (Pq.autoRerankK). One coarse fit
+    // shared by assignment and residuals.
     "p66_ivfpq_residual" -> ((s, dir) =>
       ops.Pq.ivfPqResidualTopK(t(s, dir, "embeddings"), k = 5)
         .select(col("query_id"), col("neighbor_id"), col("l2sq"),
@@ -2735,6 +2748,19 @@ object SparkEntry {
        |$selects""".stripMargin
   }
 
+  /** The SQL twin of `Pq.autoRerankK` at the benched defaults
+    * (share 16%, nProbe 2, C = 8 — the floor regime at every
+    * oracle-checked corpus size, like the unrolled k-means): the ADC
+    * shortlist size derives from the SAME usable-vector count the
+    * engine sizes from (non-null, non-empty embedding), in the SAME
+    * truncating BIGINT arithmetic, so engine and oracle choose the
+    * identical rerankK at ANY scale — 20 (the 4k floor) at sf0.01's
+    * 500 vectors, 80 at sf0.1's 2000.
+    */
+  private def autoRerankSql(k: Int): String =
+    s"GREATEST(${4 * k}, (32 * (SELECT COUNT(*) FROM embeddings " +
+      "WHERE embedding IS NOT NULL AND len(embedding) > 0) + 799) // 800)"
+
   /** p64's oracle: the p13 IVF replay (coarse cells + probes) with
     * shortlisting by ADC over the PQ codes — per pair, the sum over
     * subspaces of the L2Sq between the query's subvector and the
@@ -2743,7 +2769,7 @@ object SparkEntry {
     * ADC top-`rerankK`, ranked ascending.
     */
   private def ivfPqOracleSql(d: Int, m: Int, ksub: Int, iters: Int,
-      k: Int, rerankK: Int): String = {
+      k: Int, rerankSql: String): String = {
     val subd = d / m
     val codeJoins = (0 until m).map(j =>
       s"""  JOIN penc$j e$j ON e$j.vec_id = a.vec_id
@@ -2766,7 +2792,7 @@ object SparkEntry {
        |short AS (SELECT query_id, neighbor_id FROM (
        |  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
        |           ORDER BY adc ASC, neighbor_id ASC) AS ar FROM pairs)
-       |  WHERE ar <= $rerankK),
+       |  WHERE ar <= ($rerankSql)),
        |ref AS (SELECT s.query_id, s.neighbor_id,
        |          list_sum(list_transform(qv.e, (x,i) -> (x - nv.e[i]) * (x - nv.e[i]))) AS l2sq
        |        FROM short s
@@ -2786,7 +2812,7 @@ object SparkEntry {
     * exact refine on ORIGINAL vectors.
     */
   private def ivfPqResidualOracleSql(d: Int, m: Int, ksub: Int, iters: Int,
-      k: Int, rerankK: Int): String = {
+      k: Int, rerankSql: String): String = {
     val subd = d / m
     val codeJoins = (0 until m).map(j =>
       s"""  JOIN penc$j e$j ON e$j.vec_id = a.vec_id
@@ -2817,7 +2843,7 @@ object SparkEntry {
        |short AS (SELECT query_id, neighbor_id FROM (
        |  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
        |           ORDER BY adc ASC, neighbor_id ASC) AS ar FROM pairs)
-       |  WHERE ar <= $rerankK),
+       |  WHERE ar <= ($rerankSql)),
        |ref AS (SELECT s.query_id, s.neighbor_id,
        |          list_sum(list_transform(qv.e, (x,i) -> (x - nv.e[i]) * (x - nv.e[i]))) AS l2sq
        |        FROM short s
@@ -3107,10 +3133,32 @@ object SparkEntry {
     */
   private val lrD = "CAST(1.0 AS DOUBLE)"
   private val lrM = "CAST(1000000.0 AS DOUBLE)"
-  private def lrZSql(w: String): String =
-    s"(($w.w0/$lrM)*f.x0 + ($w.w1/$lrM)*f.x1 + ($w.w2/$lrM)*f.x2 + ($w.w3/$lrM)*f.x3)"
-  private def lrPSql(w: String): String =
-    s"($lrD/($lrD + exp(-${lrZSql(w)})))"
+  private def lrZSql(w: String, nFeat: Int = 4): String =
+    (0 until nFeat).map(j => s"($w.w$j/$lrM)*f.x$j").mkString("(", " + ", ")")
+  private def lrPSql(w: String, nFeat: Int = 4): String =
+    s"($lrD/($lrD + exp(-${lrZSql(w, nFeat)})))"
+
+  /** The feature lists the oracle's feat CTE selects (expressions over
+    * the ratios CTE) — the SQL twins of `Logistic.features` /
+    * `Logistic.featuresExtended`. `lrTrainCtes` takes the list, so a
+    * different feature set is a different LIST, not a different
+    * training replay (the pluggability contract, oracle side).
+    */
+  private val lrBaseFeatsSql: Seq[String] = Seq(
+    s"$lrD",
+    "least(n_tokens, 50) / CAST(50.0 AS DOUBLE)",
+    """(CASE WHEN n_chars > 0
+      |          THEN CAST(floor(punct * 100 / CAST(n_chars AS DOUBLE)) AS BIGINT)
+      |          ELSE 0 END) / CAST(100.0 AS DOUBLE)""".stripMargin,
+    """(CASE WHEN n_tokens > 0
+      |          THEN CAST(floor(stop * 100 / CAST(n_tokens AS DOUBLE)) AS BIGINT)
+      |          ELSE 0 END) / CAST(100.0 AS DOUBLE)""".stripMargin)
+
+  private val lrExtendedFeatsSql: Seq[String] = lrBaseFeatsSql ++ Seq(
+    "least(n_chars, 2000) / CAST(2000.0 AS DOUBLE)",
+    """least(CASE WHEN n_tokens > 0
+      |          THEN CAST(floor(n_chars / CAST(n_tokens AS DOUBLE)) AS BIGINT)
+      |          ELSE 0 END, 20) / CAST(20.0 AS DOUBLE)""".stripMargin)
 
   /** The LR training CTE chain (features on the integer lattice, one
     * (g, w) pair per GD round) — shared by the p57 per-doc oracle and
@@ -3118,34 +3166,31 @@ object SparkEntry {
     * extra columns (a cohort key) through base/ratios/feat.
     */
   private def lrTrainCtes(rounds: Int, lrNum: Int,
-      passCols: String): String = {
+      passCols: String, feats: Seq[String] = lrBaseFeatsSql): String = {
+    val nFeat = feats.length
     val roundCtes = (1 to rounds).map { r =>
-      val pw = lrPSql(s"w${r - 1}")
-      val gsel = (0 to 3).map(j =>
+      val pw = lrPSql(s"w${r - 1}", nFeat)
+      val gsel = (0 until nFeat).map(j =>
         s"CAST(sum(CAST(round(($pw - f.y) * f.x$j * $lrM) AS BIGINT)) AS BIGINT) AS g$j")
         .mkString(",\n         ")
-      val wsel = (0 to 3).map(j =>
+      val wsel = (0 until nFeat).map(j =>
         s"w.w$j - (($lrNum * g.g$j) // g.n) AS w$j").mkString(", ")
       s"""g$r AS (SELECT $gsel,
          |         CAST(count(*) AS BIGINT) AS n
          |       FROM feat f CROSS JOIN w${r - 1}),
          |w$r AS (SELECT $wsel FROM w${r - 1} w CROSS JOIN g$r g)""".stripMargin
     }.mkString(",\n")
+    val featSel = feats.zipWithIndex
+      .map { case (e, j) => s"    $e AS x$j" }.mkString(",\n")
+    val w0Sel = (0 until nFeat).map(j => s"CAST(0 AS BIGINT) AS w$j")
+      .grouped(2).map(_.mkString(", ")).mkString(",\n              ")
     s"""base AS (${qualityBaseSql("documents", passCols)}),
        |ratios AS (${qualityRatiosSql(s"$passCols, n_chars, punct, stop")}),
        |feat AS (SELECT $passCols,
        |    CASE WHEN $qualityScoreSql >= 0.78 THEN $lrD ELSE CAST(0.0 AS DOUBLE) END AS y,
-       |    $lrD AS x0,
-       |    least(n_tokens, 50) / CAST(50.0 AS DOUBLE) AS x1,
-       |    (CASE WHEN n_chars > 0
-       |          THEN CAST(floor(punct * 100 / CAST(n_chars AS DOUBLE)) AS BIGINT)
-       |          ELSE 0 END) / CAST(100.0 AS DOUBLE) AS x2,
-       |    (CASE WHEN n_tokens > 0
-       |          THEN CAST(floor(stop * 100 / CAST(n_tokens AS DOUBLE)) AS BIGINT)
-       |          ELSE 0 END) / CAST(100.0 AS DOUBLE) AS x3
+       |$featSel
        |  FROM ratios),
-       |w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
-       |              CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
+       |w0 AS (SELECT $w0Sel),
        |$roundCtes""".stripMargin
   }
 
@@ -3240,9 +3285,10 @@ object SparkEntry {
        |FROM feat f LEFT JOIN zf z USING (doc_id)""".stripMargin
   }
 
-  private def lrOracleSql(rounds: Int, lrNum: Int): String = {
-    val pFinal = lrPSql(s"w$rounds")
-    s"""WITH ${lrTrainCtes(rounds, lrNum, "doc_id")}
+  private def lrOracleSql(rounds: Int, lrNum: Int,
+      feats: Seq[String] = lrBaseFeatsSql): String = {
+    val pFinal = lrPSql(s"w$rounds", feats.length)
+    s"""WITH ${lrTrainCtes(rounds, lrNum, "doc_id", feats)}
        |SELECT f.doc_id, CAST(f.y AS BIGINT) AS label,
        |  CAST(round($pFinal * $lrM) AS BIGINT) / $lrM AS p_hat,
        |  CAST(round($pFinal * $lrM) AS BIGINT) / $lrM >= CAST(0.5 AS DOUBLE) AS keep
@@ -4057,6 +4103,8 @@ object SparkEntry {
     "p54_perplexity_filter" ->
       perplexityOracleSql(maxPieceLen = 4, vocabSize = 64, maxWords = 32768),
     "p57_lr_quality" -> lrOracleSql(rounds = 3, lrNum = 4),
+    "p70_lr_features" -> lrOracleSql(rounds = 3, lrNum = 4,
+      feats = lrExtendedFeatsSql),
     "p62_lr_hashed" ->
       lrHashedOracleSql(nBuckets = 64, rounds = 2, lrNum = 64),
     "p60_signal_bundle" ->
@@ -4570,9 +4618,9 @@ object SparkEntry {
          |  CAST(sum(bl) AS BIGINT) AS sum_b
          |FROM g GROUP BY 1, 2, 3, 4""".stripMargin,
     "p64_ivfpq_topk" -> ivfPqOracleSql(d = 64, m = 16, ksub = 16, iters = 2,
-      k = 5, rerankK = 20),
+      k = 5, rerankSql = autoRerankSql(k = 5)),
     "p66_ivfpq_residual" -> ivfPqResidualOracleSql(d = 64, m = 16, ksub = 16,
-      iters = 2, k = 5, rerankK = 20),
+      iters = 2, k = 5, rerankSql = autoRerankSql(k = 5)),
     // the streaming monitor aggregates the SAME encode p67 replays —
     // its oracle is the p67 twin grouped per (sub, code)
     "x29_stream_pq_encode" -> {

@@ -47,7 +47,35 @@ object Logistic {
     * works identically on a batch table or a stream.
     */
   def features(docs: DataFrame, text: String = "text",
-      carry: Seq[String] = Nil): DataFrame = {
+      carry: Seq[String] = Nil): DataFrame =
+    featureBase(docs, text)
+      .select(col("doc_id") +: carry.map(col) :+ col("y") :+
+        col("x0") :+ col("x1") :+ col("x2") :+ col("x3"): _*)
+
+  /** A SECOND feature supplier through the SAME train/score path —
+    * the pluggability contract made concrete: [[features]]' four
+    * dimensions plus x4 capped char length / 2000 and x5 capped
+    * integer mean word length / 20 (floor(n_chars/n_tokens), the
+    * same percent-lattice exactness discipline). [[train]] and
+    * [[scoreWith]] read the frame's x-arity, so nothing else changes
+    * — a caller's own (doc_id, y, x0..x{n-1}) frame is equally
+    * first-class.
+    */
+  def featuresExtended(docs: DataFrame, text: String = "text",
+      carry: Seq[String] = Nil): DataFrame =
+    featureBase(docs, text)
+      .select(col("doc_id") +: carry.map(col) :+ col("y") :+
+        col("x0") :+ col("x1") :+ col("x2") :+ col("x3") :+
+        (least(col("__n_chars"), lit(2000L)) / lit(2000.0)).as("x4") :+
+        (least(when(col("n_tokens") > 0,
+            floor(col("__n_chars") / col("n_tokens"))).otherwise(0L),
+          lit(20L)) / lit(20.0)).as("x5"): _*)
+
+  /** Shared lattice plumbing for the feature suppliers: label + the
+    * four base dimensions + the raw per-doc counts the extended set
+    * derives from.
+    */
+  private def featureBase(docs: DataFrame, text: String): DataFrame = {
     val t0 = col(text)
     val nChars = length(t0).cast("long")
     val punct = nChars - length(regexp_replace(t0, "[^a-zA-Z0-9\\s]", ""))
@@ -55,26 +83,38 @@ object Logistic {
     val stopArr = array(TextStats.EnglishStopwords.map(lit): _*)
     val stop = size(filter(tokens, tk => array_contains(stopArr, tk))).cast("long")
     TextStats.withQualityColumns(docs, text)
+      .withColumn("__n_chars", nChars)
       .withColumn("__punct_pct",
         when(nChars > 0, floor(punct * lit(100L) / nChars)).otherwise(0L))
       .withColumn("__stop_pct",
         when(col("n_tokens") > 0,
           floor(stop * lit(100L) / col("n_tokens"))).otherwise(0L))
-      .select(col("doc_id") +: carry.map(col) :+
-        when(round(col("quality_score"), 6) >= 0.78, 1.0d)
-          .otherwise(0.0d).as("y") :+
-        lit(1.0).as("x0") :+
-        (least(col("n_tokens"), lit(TokenCap)) / lit(TokenCap.toDouble)).as("x1") :+
-        (col("__punct_pct") / lit(100.0)).as("x2") :+
-        ((col("__stop_pct") / lit(100.0)).as("x3")): _*)
+      .withColumn("y",
+        when(round(col("quality_score"), 6) >= 0.78, 1.0d).otherwise(0.0d))
+      .withColumn("x0", lit(1.0))
+      .withColumn("x1", least(col("n_tokens"), lit(TokenCap)) / lit(TokenCap.toDouble))
+      .withColumn("x2", col("__punct_pct") / lit(100.0))
+      .withColumn("x3", col("__stop_pct") / lit(100.0))
   }
 
   /** The linear response under micro-unit weights — shared by the
-    * gradient pass and scoring so train/score cannot drift.
+    * gradient pass and scoring so train/score cannot drift. Left-
+    * assoc sum over however many `x0..x{n-1}` columns the weight
+    * vector covers: the feature FRAME is the pluggable surface — any
+    * supplier that emits (doc_id, y, x0..x{n-1}) trains and scores
+    * through this one path ([[features]] is the 4-dim default,
+    * [[featuresExtended]] a 6-dim lattice; a caller's own frame works
+    * the same).
     */
   private def zOf(wMicro: Array[Long]): Column =
-    lit(wMicro(0) / 1e6) * col("x0") + lit(wMicro(1) / 1e6) * col("x1") +
-      lit(wMicro(2) / 1e6) * col("x2") + lit(wMicro(3) / 1e6) * col("x3")
+    wMicro.indices.map(j => lit(wMicro(j) / 1e6) * col(s"x$j")).reduce(_ + _)
+
+  /** The x0..x{n-1} feature arity of a caller-supplied frame. */
+  private def featureArity(feat: DataFrame): Int = {
+    val n = Iterator.from(0).indexWhere(j => !feat.columns.contains(s"x$j"))
+    require(n >= 1, s"feature frame has no x0..x{n-1} columns: ${feat.columns.mkString(", ")}")
+    n
+  }
 
   private def sigmoid(z: Column): Column =
     lit(1.0) / (lit(1.0) + exp(-z))
@@ -102,18 +142,19 @@ object Logistic {
   def train(feat: DataFrame, rounds: Int, lrNum: Long = 4L): Array[Long] = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(lrNum >= 1, s"lrNum must be >= 1, got $lrNum")
-    val w = Array.fill(4)(0L)
+    val nFeat = featureArity(feat)
+    val w = Array.fill(nFeat)(0L)
     var r = 0
     while (r < rounds) {
       val p = sigmoid(zOf(w))
-      val gs = (0 to 3).map(j =>
+      val gs = (0 until nFeat).map(j =>
         sum(round((p - col("y")) * col(s"x$j") * lit(1e6)).cast("long"))
           .as(s"g$j"))
       val row = feat.agg(gs.head, (gs.tail :+ count(lit(1)).as("n")): _*).head()
       val n = row.getAs[Long]("n")
       require(n > 0, "cannot train on an empty feature frame")
       var j = 0
-      while (j < 4) {
+      while (j < nFeat) {
         // TRUNCATING division, deliberately: DuckDB's BIGINT `//`
         // truncates toward zero (verified: -7 // 2 = -3), matching
         // JVM long division — floorDiv would diverge on every
@@ -139,7 +180,9 @@ object Logistic {
     */
   def scoreWith(feat: DataFrame, wMicro: Array[Long],
       carry: Seq[String] = Nil): DataFrame = {
-    require(wMicro.length == 4, s"expected 4 weights, got ${wMicro.length}")
+    require(wMicro.length == featureArity(feat),
+      s"weight/feature arity mismatch: ${wMicro.length} weights for " +
+        s"${featureArity(feat)} x-columns")
     feat.select(col("doc_id") +: carry.map(col) :+
         col("y").cast("long").as("label") :+
         ((round(sigmoid(zOf(wMicro)) * lit(1e6)).cast("long") / lit(1e6))
@@ -155,20 +198,28 @@ object Logistic {
     */
   def saveWeights(spark: org.apache.spark.sql.SparkSession, path: String,
       wMicro: Array[Long]): Unit = {
-    require(wMicro.length == 4, s"expected 4 weights, got ${wMicro.length}")
+    require(wMicro.nonEmpty, "cannot persist an empty weight vector")
     import spark.implicits._
     wMicro.toSeq.zipWithIndex.map { case (w, j) => (j, w) }
       .toDF("j", "w_micro")
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
+  /** Restore [[saveWeights]] state; fails loudly on a gap in the
+    * 0..n-1 index sequence. A truncated TAIL is invisible from the
+    * file alone — n is inferred from the max index — so callers that
+    * know their feature arity pass `expectedN` to close that hole
+    * (the [[Pq.loadPqCodebooks]] `expectedM` discipline).
+    */
   def loadWeights(spark: org.apache.spark.sql.SparkSession,
-      path: String): Array[Long] = {
+      path: String, expectedN: Int = -1): Array[Long] = {
     val rows = spark.read.parquet(path).collect()
       .map(r => (r.getInt(r.fieldIndex("j")), r.getLong(r.fieldIndex("w_micro"))))
       .sortBy(_._1)
-    require(rows.map(_._1).toSeq == Seq(0, 1, 2, 3),
-      s"weight file at $path is not a 4-weight model: ${rows.toSeq}")
+    val n = if (expectedN > 0) expectedN else rows.length
+    require(rows.nonEmpty && rows.map(_._1).toSeq == (0 until n),
+      s"weight file at $path is not a contiguous 0..${n - 1} model " +
+        s"(a partial write would silently drop features): ${rows.toSeq}")
     rows.map(_._2)
   }
 
@@ -178,6 +229,16 @@ object Logistic {
   def trainAndScore(docs: DataFrame, rounds: Int = 3, lrNum: Long = 4L,
       text: String = "text"): DataFrame = {
     val feat = features(docs, text).localCheckpoint(true)
+    scoreWith(feat, train(feat, rounds, lrNum))
+  }
+
+  /** [[trainAndScore]] on the extended 6-feature lattice — the same
+    * train/score path fed a different supplier; nothing downstream
+    * changes except the weight arity.
+    */
+  def trainAndScoreExtended(docs: DataFrame, rounds: Int = 3, lrNum: Long = 4L,
+      text: String = "text"): DataFrame = {
+    val feat = featuresExtended(docs, text).localCheckpoint(true)
     scoreWith(feat, train(feat, rounds, lrNum))
   }
 

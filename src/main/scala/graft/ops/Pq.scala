@@ -195,6 +195,39 @@ object Pq {
         round(col("l2sq"), 6).as("l2sq"), col("rank"))
   }
 
+  /** Auto-sized ADC shortlist for the IVF-PQ refine step — the third
+    * application of the autoPlanes/autoCentroids discipline
+    * ([[Similarity.autoPlanes]]). With a FIXED rerankK, the exact
+    * refine covers a shrinking SHARE of each query's ADC candidate
+    * pool (≈ nProbe · N/C rows) as the corpus grows, and measured
+    * recall@5 vs the exact twin dropped 0.465→0.355 (p64) /
+    * 0.476→0.370 (p66) going 500→2000 vectors with the shortlist
+    * pinned at 20. Holding the share constant keeps refine quality
+    * scale-stable: shortK = max(4k, ceil(share% · nProbe · N / C)),
+    * share 16%, in EXACT integer arithmetic
+    * ((share·nProbe·N + 100C−1) / (100C), truncating — replayable as
+    * DuckDB BIGINT `//`, so the oracle derives the same value from a
+    * COUNT subquery at any scale). Bounded: while
+    * [[Similarity.autoCentroids]] holds occupancy N/C at
+    * targetOccupancy, shortK ≤ ceil(0.16 · nProbe · 1024) = 328 at
+    * the defaults; past the 4096-centroid cap (corpora beyond ~4.2M
+    * vectors at default occupancy) occupancy grows again, so shortK
+    * hard-caps at 1024 — the refine join never exceeds
+    * |queries| × 1024 rows, and recall past that point reverts to
+    * degrading with occupancy, the documented residual trade of a
+    * driver-literal coarse codebook (deployments at that size shard
+    * the index; the cap never binds at any oracle-checked or benched
+    * scale, so SQL replays are unaffected). At the sf0.01
+    * oracle fixture (N=500, C=8, nProbe=2) the formula lands exactly
+    * on the 4k floor (20), so historical recall pins at that scale
+    * are unchanged; at sf0.1 (N=2000) it chooses 80.
+    */
+  private[ops] def autoRerankK(n: Long, c: Int, nProbe: Int, k: Int,
+      sharePct: Int = 16): Int =
+    if (n <= 0 || c <= 0) 4 * k
+    else math.min(1024L, math.max(4L * k,
+      (sharePct.toLong * nProbe * n + 100L * c - 1) / (100L * c))).toInt
+
   /** IVF-PQ approximate top-k with exact refinement — the full
     * two-level ANN shape: the coarse spherical-cosine IVF quantizer
     * ([[Similarity]], auto-scaled centroid count) prunes candidates to
@@ -231,14 +264,17 @@ object Pq {
       targetOccupancy: Int = 1024, corpusCount: Long = -1L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
-    val shortK = if (rerankK <= 0) 4 * k else rerankK
-    require(shortK >= k, s"rerankK $shortK must be >= k $k")
     val cbs = fitPqCodebooks(emb, m, ksub, pqIters, id, vec, fitSamplePct)
     require(cbs.forall(_.nonEmpty), "PQ fit produced an empty subspace codebook")
     val subd = cbs.head.head._2.length
+    val nUsable = if (targetOccupancy <= 0) -1L
+      else Similarity.sizingCount(emb, vec, corpusCount)
     val c = if (targetOccupancy <= 0) nCentroids
-      else Similarity.autoCentroids(
-        Similarity.sizingCount(emb, vec, corpusCount), nCentroids, targetOccupancy)
+      else Similarity.autoCentroids(nUsable, nCentroids, targetOccupancy)
+    val shortK = if (rerankK > 0) rerankK
+      else if (targetOccupancy <= 0) 4 * k
+      else autoRerankK(nUsable, c, nProbe, k)
+    require(shortK >= k, s"rerankK $shortK must be >= k $k")
     val cells = Similarity.ivfRankedCells(emb, c, math.max(1, nProbe),
       id, vec, "vid", "v", "nrm", codebook, fitSamplePct)
     // candidate lists carry codes, not vectors (the PQ memory shape)
@@ -363,11 +399,14 @@ object Pq {
       targetOccupancy: Int = 1024, corpusCount: Long = -1L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
-    val shortK = if (rerankK <= 0) 4 * k else rerankK
-    require(shortK >= k, s"rerankK $shortK must be >= k $k")
+    val nUsable = if (targetOccupancy <= 0) -1L
+      else Similarity.sizingCount(emb, vec, corpusCount)
     val c = if (targetOccupancy <= 0) nCentroids
-      else Similarity.autoCentroids(
-        Similarity.sizingCount(emb, vec, corpusCount), nCentroids, targetOccupancy)
+      else Similarity.autoCentroids(nUsable, nCentroids, targetOccupancy)
+    val shortK = if (rerankK > 0) rerankK
+      else if (targetOccupancy <= 0) 4 * k
+      else autoRerankK(nUsable, c, nProbe, k)
+    require(shortK >= k, s"rerankK $shortK must be >= k $k")
     val coarse = Similarity.fitCodebook(emb, c, id, vec, fitSamplePct)
     require(coarse.nonEmpty, "coarse codebook fit produced no centroids")
     val d = coarse.head._2.length

@@ -70,12 +70,43 @@ class LogisticSpec extends SparkSpec {
       .createTempDirectory("graft_lrw_spec").resolve("w").toString
     Logistic.saveWeights(spark, path, w)
     assert(Logistic.loadWeights(spark, path).toSeq == w.toSeq)
-    // a truncated/foreign file must fail loudly, not score garbage
+    // a gapped file must fail loudly, not score garbage
     val bad = java.nio.file.Files
       .createTempDirectory("graft_lrw_spec").resolve("bad").toString
-    Seq((0, 1L), (1, 2L)).toDF("j", "w_micro")
+    Seq((0, 1L), (2, 2L)).toDF("j", "w_micro")
       .write.mode("overwrite").parquet(bad)
     intercept[IllegalArgumentException] { Logistic.loadWeights(spark, bad) }
+    // a contiguous PREFIX truncation is undetectable from the file
+    // alone (weights are now any-arity); a caller that knows its
+    // feature arity closes the hole with expectedN
+    val trunc = java.nio.file.Files
+      .createTempDirectory("graft_lrw_spec").resolve("trunc").toString
+    Seq((0, 1L), (1, 2L)).toDF("j", "w_micro")
+      .write.mode("overwrite").parquet(trunc)
+    assert(Logistic.loadWeights(spark, trunc).length == 2,
+      "prefix loss is undetectable without expectedN (documented)")
+    intercept[IllegalArgumentException] {
+      Logistic.loadWeights(spark, trunc, expectedN = 4)
+    }
+  }
+
+  test("p70: the extended feature set trains through the SAME path at arity 6") {
+    // pluggability contract: train/scoreWith read the frame's x-arity
+    val feat6 = Logistic.featuresExtended(fixture).localCheckpoint(true)
+    val w6 = Logistic.train(feat6, rounds = 3)
+    assert(w6.length == 6, s"extended arity must be 6, got ${w6.length}")
+    assert(Logistic.train(feat6, rounds = 3).toSeq == w6.toSeq,
+      "extended training must be exactly deterministic")
+    assert(w6.exists(_ != 0L), "training moved no weight")
+    // the first four lattice dimensions are the p57 features exactly:
+    // a frame stripped back to them reproduces p57's weights through
+    // the same generalized path
+    val feat4 = feat6.select("doc_id", "y", "x0", "x1", "x2", "x3")
+    val w4 = Logistic.train(Logistic.features(fixture).localCheckpoint(true), rounds = 3)
+    assert(Logistic.train(feat4.localCheckpoint(true), rounds = 3).toSeq == w4.toSeq,
+      "arity-4 slice of the extended frame must reproduce p57's fit")
+    // arity mismatch between weights and frame fails loudly
+    intercept[IllegalArgumentException] { Logistic.scoreWith(feat6, w4) }
   }
 
   test("p62: hashed-feature GD separates the classes and is exactly deterministic") {

@@ -130,6 +130,26 @@ class PqSpec extends SparkSpec {
     assert(e2.getMessage.contains("missing subspaces"))
   }
 
+  test("autoRerankK: floor at oracle scales, constant pool share beyond, occupancy-bounded cap") {
+    // the fixture sizes the oracle depends on: exactly the 4k floor
+    // at sf0.01's 500 vectors (so the SQL replay's GREATEST lands on
+    // the same value), 80 at sf0.1's 2000
+    assert(Pq.autoRerankK(500L, 8, 2, 5) == 20)
+    assert(Pq.autoRerankK(2000L, 8, 2, 5) == 80)
+    // constant share: 10x the occupancy -> 10x the shortlist
+    assert(Pq.autoRerankK(20000L, 8, 2, 5) == 800)
+    // while autoCentroids holds occupancy at targetOccupancy the
+    // composed system stays <= ceil(0.16 * nProbe * 1024) = 328 ...
+    assert(Pq.autoRerankK(4000000L, Similarity.autoCentroids(4000000L, 8, 1024), 2, 5) <= 328)
+    // ... and past the 4096-centroid cap the hard cap takes over:
+    // the refine join is bounded at |queries| x 1024 at ANY corpus
+    val cBig = Similarity.autoCentroids(100000000L, 8, 1024)
+    assert(cBig == 4096 && Pq.autoRerankK(100000000L, cBig, 2, 5) == 1024)
+    // degenerate inputs fall back to the floor
+    assert(Pq.autoRerankK(0L, 8, 2, 5) == 20)
+    assert(Pq.autoRerankK(-1L, 8, 2, 5) == 20)
+  }
+
   test("l2sq kernel: exact value; ragged vectors fail loudly") {
     val d = Seq((Seq(1.0, 2.0, 3.0), Seq(0.5, 0.0, 5.0))).toDF("a", "b")
     val v = d.select(VectorMath.l2sq(col("a"), col("b"))).as[Double].head()

@@ -390,11 +390,14 @@ abstract class RecallFloorsSpec(sfDir: String) extends SparkSpec {
     // by squared L2 over all pairs. p64 approximates twice — coarse
     // cosine cells prune candidates (the p13 recall regime: capture
     // measured 0.52 by the ProbePq decomposition) AND ranking inside
-    // the lists runs on PQ codes — but the exact top-20 refine
+    // the lists runs on PQ codes — but the exact top-rerankK refine
     // recovers most of the in-cell ranking, so the measured recall
-    // sits near the cell ceiling: 0.4648 at sf0.01, 0.3553 at sf0.1
-    // (m=16/ksub=16/rerank=20; the shortlist covers a smaller share
-    // of the 625-vector cells at 10x, hence the drop). A 0.3 floor
+    // sits near the cell ceiling AT BOTH SCALES: 0.4648 at sf0.01,
+    // 0.4681 at sf0.1 (m=16/ksub=16; Pq.autoRerankK holds the
+    // shortlist at a constant 16% share of the ADC pool — 20 at 500
+    // vectors, 80 at 2000. The round-8 FIXED top-20 measured 0.3553
+    // at sf0.1: the same config-bound decay autoPlanes/autoCentroids
+    // closed for the LSH/IVF families, now closed here). A 0.3 floor
     // holds at both scales and catches every failure mode: codebook
     // collapse (-> nProbe-share of a skewed partition), a broken ADC
     // sum (raw m=4 ADC measured 0.085 — quantization noise swamping
@@ -407,8 +410,9 @@ abstract class RecallFloorsSpec(sfDir: String) extends SparkSpec {
     // p66 quantizes RESIDUALS against the coarse centroid — the same
     // code budget spent on within-cell geometry — so its shortlist
     // must be at least as good as raw-vector PQ's under the same
-    // cells/refine (measured: 0.4760 vs 0.4648 at sf0.01, 0.3701 vs
-    // 0.3553 at sf0.1). Floored at the same 0.3 AND pinned >= p64's
+    // cells/refine (measured: 0.4760 vs 0.4648 at sf0.01, 0.4708 vs
+    // 0.4681 at sf0.1 under auto-rerankK). Floored at the same 0.3
+    // AND pinned >= p64's
     // measured recall: a residual-plumbing bug (wrong cell's centroid
     // subtracted, stale coarse codebook) degrades p66 BELOW p64 long
     // before it trips an absolute floor.
@@ -433,7 +437,8 @@ class RecallSpec extends RecallFloorsSpec("/root/testdata/sf0.01")
   * than on every `sbt test`. Measured 2026-08-15 (all 12 floors
   * hold): p3 1.0, p4 complete at its radius, p23 on its formula,
   * p6/p25 on theirs, p13 0.485 (floor 0.4), p59 0.482 (floor 0.4),
-  * p64 0.3553 / p66 0.3701 (floors 0.3, p66 >= p64 pinned).
+  * p64 0.4681 / p66 0.4708 (floors 0.3, p66 >= p64 pinned; round-9
+  * auto-rerankK — up from 0.3553 / 0.3701 under round 8's fixed 20).
   */
 class RecallAtScaleSpec extends RecallFloorsSpec("/root/testdata/sf0.1") {
   override protected def withFixture(test: NoArgTest): org.scalatest.Outcome =
