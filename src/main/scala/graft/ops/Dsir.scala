@@ -40,6 +40,20 @@ object Dsir {
     */
   def bucketScores(docs: DataFrame, isTarget: Column, buckets: Int,
       text: String = "text"): Array[Long] = {
+    val (counts, tTot, rTot) = bucketCounts(docs, isTarget, buckets, text)
+    Array.tabulate(buckets) { b =>
+      val (t, r) = counts.getOrElse(b, (0L, 0L))
+      UnigramLm.microLog(t + 1, tTot) - UnigramLm.microLog(r + 1, rTot)
+    }
+  }
+
+  /** The one corpus pass behind [[bucketScores]], exposed within the
+    * package so the grid-boundary audit (GridBoundarySpec) can replay
+    * the EXACT micro-log rounding sites — same counts, same
+    * smoothing — without duplicating the tokenization.
+    */
+  private[ops] def bucketCounts(docs: DataFrame, isTarget: Column,
+      buckets: Int, text: String): (Map[Int, (Long, Long)], Long, Long) = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val counts = docs
       .select(isTarget.as("__t"), explode(tokensOf(text)).as("__tk"))
@@ -50,10 +64,7 @@ object Dsir {
       .map(r => (r.getLong(0).toInt, (r.getLong(1), r.getLong(2)))).toMap
     val tTot = counts.valuesIterator.map(_._1).sum + buckets
     val rTot = counts.valuesIterator.map(_._2).sum + buckets
-    Array.tabulate(buckets) { b =>
-      val (t, r) = counts.getOrElse(b, (0L, 0L))
-      UnigramLm.microLog(t + 1, tTot) - UnigramLm.microLog(r + 1, rTot)
-    }
+    (counts, tTot, rTot)
   }
 
   /** Score documents under fitted bucket scores: (doc_id, n_feat,

@@ -106,7 +106,7 @@ object Logistic {
     * [[featuresExtended]] a 6-dim lattice; a caller's own frame works
     * the same).
     */
-  private def zOf(wMicro: Array[Long]): Column =
+  private[ops] def zOf(wMicro: Array[Long]): Column =
     wMicro.indices.map(j => lit(wMicro(j) / 1e6) * col(s"x$j")).reduce(_ + _)
 
   /** The x0..x{n-1} feature arity of a caller-supplied frame. */
@@ -116,7 +116,7 @@ object Logistic {
     n
   }
 
-  private def sigmoid(z: Column): Column =
+  private[ops] def sigmoid(z: Column): Column =
     lit(1.0) / (lit(1.0) + exp(-z))
 
   /** `rounds` full-batch GD rounds from w = 0; returns the final
@@ -283,7 +283,7 @@ object Logistic {
     * z = (Σ_occurrences w[bucket]) / n_feat / 1e6, 0 for featureless
     * rows (p = ½ there, and they shed no gradient).
     */
-  private def zHashed(wMicro: Array[Long]): Column = {
+  private[ops] def zHashed(wMicro: Array[Long]): Column = {
     val wArr = array(wMicro.map(lit): _*)
     val zsum = aggregate(
       transform(col("bk"), b => element_at(wArr, b + 1)),
