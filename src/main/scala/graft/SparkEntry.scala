@@ -440,6 +440,17 @@ object SparkEntry {
       ops.Profiling.winsorize(t(s, dir, "events"), Seq("event_type"), "value",
         pLo = 0.05, pHi = 0.95)
         .select(col("event_id"), col("event_type"), col("value"), col("v_clipped"))),
+    // A16: Poisson-bootstrap confidence intervals — the one-pass
+    // distributed bootstrap (per-(row, resample) Poisson(1) counts
+    // from integer inverse-CDF thresholds; the classic n-with-
+    // replacement resample is a global object and cannot distribute).
+    // Per-source CI of mean document quality: 64 resample means in
+    // exact micro-units (integer sums, truncating DIV), bounds = the
+    // 2nd/63rd order statistics — every step integer-exact, so the
+    // oracle replays the whole ensemble bit-for-bit. State: sources
+    // x 64 longs, map-side combined; no data-row shuffle.
+    "a16_bootstrap_ci" -> ((s, dir) =>
+      ops.Bootstrap.qualityCi(t(s, dir, "documents"))),
     // A13: heavy hitters — exact top-10 users by event count, with the
     // Count-Min-Sketch estimate riding as a deterministically-true
     // no-undercount flag (the a6 exact-twin + flag discipline).
@@ -2203,6 +2214,16 @@ object SparkEntry {
       ops.Pq.ivfPqResidualTopK(t(s, dir, "embeddings"), k = 5)
         .select(col("query_id"), col("neighbor_id"), col("l2sq"),
           col("rank").cast("long").as("rank"))),
+    // P71: first-class k-means clustering summary — the corpus "data
+    // map" a curation pipeline publishes (cluster sizes for mixture
+    // audits, within-cluster cohesion for picking C): the p13 coarse
+    // fit (3 deterministic Lloyd rounds) + rank-1 assignment, reduced
+    // to one audit row per cluster. Map-side-combined to <= C rows;
+    // the oracle reuses the unrolled k-means prefix verbatim.
+    "p71_cluster_stats" -> ((s, dir) =>
+      ops.Similarity.clusterStats(t(s, dir, "embeddings"))
+        .select(col("cell").cast("long").as("cell"), col("n_vectors"),
+          col("mean_cosine"), col("centroid_norm"))),
     // P67: incremental PQ encode against PERSISTED codebooks — the
     // p42 persisted-state contract applied to PQ: the existing corpus
     // (vec_id < 250) fit its codebooks once; a new batch encodes
@@ -3785,6 +3806,34 @@ object SparkEntry {
         |             AND b.day IS NOT DISTINCT FROM g.day
         |             AND b.k_bucket IS NOT DISTINCT FROM g.k_bucket
         |WHERE g.n_ids < 4 HAVING count(*) > 0""".stripMargin,
+    "a16_bootstrap_ci" -> {
+      val wCase = graft.ops.Bootstrap.PoissonCdfMicro
+        .map(t => s"(CASE WHEN um >= $t THEN 1 ELSE 0 END)")
+        .mkString("(", " + ", ")")
+      s"""WITH base AS (${qualityBaseSql("documents", "doc_id, source")}),
+         |ratios AS (${qualityRatiosSql("doc_id, source")}),
+         |q AS (SELECT doc_id, source,
+         |        CAST(round($qualityScoreSql * 1000000) AS BIGINT) AS qm
+         |      FROM ratios),
+         |res AS (SELECT q.source, q.qm, b.b,
+         |        ${hx("CAST(doc_id AS VARCHAR) || '-' || CAST(b AS VARCHAR) || '-boot'")} % 1000000 AS um
+         |        FROM q CROSS JOIN range(0, 64) b(b)),
+         |means AS (SELECT source, b,
+         |            CAST(sum($wCase * qm) AS BIGINT) // CAST(sum($wCase) AS BIGINT) AS mean_micro
+         |          FROM res GROUP BY 1, 2 HAVING sum($wCase) > 0),
+         |ranked AS (SELECT source, b, mean_micro,
+         |             row_number() OVER (PARTITION BY source
+         |               ORDER BY mean_micro ASC, b ASC) AS rn
+         |           FROM means),
+         |pt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(qm) AS BIGINT) // count(*) AS point_mean_micro
+         |       FROM q GROUP BY 1)
+         |SELECT pt.source, pt.n_docs, pt.point_mean_micro,
+         |  lo.mean_micro AS ci_lo_micro, hi.mean_micro AS ci_hi_micro
+         |FROM pt
+         |JOIN (SELECT source, mean_micro FROM ranked WHERE rn = 2) lo USING (source)
+         |JOIN (SELECT source, mean_micro FROM ranked WHERE rn = 63) hi USING (source)""".stripMargin
+    },
     "a15_winsorize" ->
       """WITH st AS (SELECT event_type,
         |             round(quantile_cont(value, 0.05), 6) AS lo,
@@ -4619,6 +4668,16 @@ object SparkEntry {
          |FROM g GROUP BY 1, 2, 3, 4""".stripMargin,
     "p64_ivfpq_topk" -> ivfPqOracleSql(d = 64, m = 16, ksub = 16, iters = 2,
       k = 5, rerankSql = autoRerankSql(k = 5)),
+    "p71_cluster_stats" ->
+      s"""${ivfKmeansPrefixSql()}
+         |SELECT a.cell, CAST(count(*) AS BIGINT) AS n_vectors,
+         |  round(avg(list_sum(list_transform(n.e, (x,i) -> x * c.cv[i]))
+         |            / (n.nrm * c.cn)), 6) AS mean_cosine,
+         |  round(c.cn, 6) AS centroid_norm
+         |FROM assign a
+         |JOIN n ON n.vec_id = a.vec_id
+         |JOIN c3 c ON c.cid = a.cell
+         |GROUP BY a.cell, c.cn""".stripMargin,
     "p66_ivfpq_residual" -> ivfPqResidualOracleSql(d = 64, m = 16, ksub = 16,
       iters = 2, k = 5, rerankSql = autoRerankSql(k = 5)),
     // the streaming monitor aggregates the SAME encode p67 replays —

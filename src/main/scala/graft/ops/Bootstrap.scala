@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Poisson-bootstrap confidence intervals — the ONE-PASS bootstrap
+  * that actually works at corpus scale (Chamandy et al., "Estimating
+  * Uncertainty for Massive Data Streams", the standard large-data
+  * form): classic bootstrap resampling draws n rows WITH replacement
+  * B times — undistributable, because a resample is a global object —
+  * while the Poisson approximation gives every (row, resample) an
+  * independent Poisson(1) replication count, so the whole B-resample
+  * ensemble is ONE stateless map over the data followed by one
+  * aggregation. No shuffle of data rows, no global sample: state is
+  * |groups| × B partial sums, map-side combined.
+  *
+  * Determinism discipline: the replication count derives from
+  * hex64(doc_id, b) through the INTEGER inverse-CDF thresholds below
+  * (Poisson(1) CDF on the 1e-6 grid, hard literals — no runtime
+  * transcendentals), metric values ride as exact micro-units, resample
+  * means use truncating integer division, and the CI bounds are order
+  * statistics of 64 integers — every step replays bit-exactly in SQL.
+  * Contrast a12/a14's closed-form normal intervals: the bootstrap
+  * makes NO distributional assumption about the metric, which is the
+  * point — quality scores are lumpy lattice mixtures, not Gaussians.
+  *
+  * 100 TB: cost is B× the metric scan in flops (64 hash+compare per
+  * row), all inside one whole-stage-codegen'd map; the aggregation
+  * output is groups × B longs. The intermediate sum Σ w·q_micro stays
+  * under Long.Max out to ~1e12 rows per group per resample (w ≤ 9,
+  * q_micro ≤ 1e6); shard the group key beyond that.
+  */
+object Bootstrap {
+
+  /** Poisson(1) CDF quantized to the 1e-6 integer grid: threshold k is
+    * round(P(X ≤ k)·1e6); a uniform micro-draw u ∈ [0, 1e6) replicates
+    * a row w(u) = #{k: t_k ≤ u} times (capped at 9, CDF ≈ 1 − 1.1e-6).
+    * Literal integers on both engines — the cross-engine contract
+    * needs no exp/ln at runtime.
+    */
+  val PoissonCdfMicro: Seq[Long] = Seq(
+    367879L, 735759L, 919699L, 981012L, 996340L,
+    999406L, 999917L, 999990L, 999999L)
+
+  /** Replication count from a micro-grid uniform draw. */
+  def poissonWeight(uMicro: Column): Column =
+    PoissonCdfMicro.map(t => when(uMicro >= t, 1L).otherwise(0L))
+      .reduce(_ + _)
+
+  /** Per-group bootstrap CI of the mean of `metricMicro` (an exact
+    * micro-unit long): (group, n_docs, point_mean_micro, ci_lo_micro,
+    * ci_hi_micro). The bounds are the 2nd and (b−1)-th order
+    * statistics of the b resample means — the nearest-rank 2.5% /
+    * 97.5% percentile at the default b = 64 — ties broken by resample
+    * id, so the interval is a deterministic function of the corpus.
+    */
+  def meanCi(rows: DataFrame, group: String, metricMicro: Column,
+      b: Int = 64, id: String = "doc_id"): DataFrame = {
+    require(b >= 4, s"need at least 4 resamples for an interval, got $b")
+    val base = rows.select(col(id), col(group), metricMicro.as("qm"))
+    val point = base.groupBy(col(group))
+      .agg(count(lit(1)).as("n_docs"), sum(col("qm")).as("sq"))
+      .withColumn("point_mean_micro", expr("sq DIV n_docs"))
+      .drop("sq")
+    val u = Hashing.hex64(concat_ws("-",
+      col(id).cast("string"), col("b").cast("string"), lit("boot"))) % 1000000L
+    val means = base
+      .select(col(group), col("qm"),
+        explode(sequence(lit(0), lit(b - 1))).as("b"), col(id))
+      .withColumn("w", poissonWeight(u))
+      .groupBy(col(group), col("b"))
+      .agg(sum(col("w") * col("qm")).as("s"), sum(col("w")).as("n"))
+      .where(col("n") > 0)
+      .withColumn("mean_micro", expr("s DIV n"))
+    val win = Window.partitionBy(col(group))
+      .orderBy(col("mean_micro").asc, col("b").asc)
+    val ranked = means.withColumn("rn", row_number().over(win))
+    point
+      .join(ranked.where(col("rn") === 2)
+        .select(col(group), col("mean_micro").as("ci_lo_micro")), Seq(group))
+      .join(ranked.where(col("rn") === b - 1)
+        .select(col(group), col("mean_micro").as("ci_hi_micro")), Seq(group))
+  }
+
+  /** The shipped composition: per-source bootstrap CI of mean document
+    * quality (the p8 score on the exact micro grid).
+    */
+  def qualityCi(docs: DataFrame, b: Int = 64, group: String = "source",
+      text: String = "text", id: String = "doc_id"): DataFrame =
+    meanCi(TextStats.withQualityColumns(docs, text), group,
+      round(col("quality_score") * 1e6).cast("long"), b, id)
+}

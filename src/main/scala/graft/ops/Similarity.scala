@@ -410,6 +410,51 @@ object Similarity {
       .where(col("__rk") === 1)
       .select(col("vid").as(id), col("cell"))
 
+  /** First-class k-means clustering summary — the corpus "data map"
+    * a curation pipeline publishes (cluster sizes for mixture audits,
+    * cohesion for picking C, the SemDeDup/Nomic-atlas shape): fit the
+    * p13 coarse codebook (3 deterministic Lloyd rounds, hex64 seeds),
+    * assign every vector to its nearest centroid by spherical cosine,
+    * and emit one audit row per cluster:
+    * (cell, n_vectors, mean_cosine — within-cluster cohesion on the
+    * 6-dp grid — and centroid_norm).
+    *
+    * 100 TB: the fit is the documented hash-sample path; assignment
+    * is one map pass against C literal centroids; the aggregation is
+    * map-side-combined to ≤ C rows. mean_cosine rounds to 6 dp AFTER
+    * an order-dependent double sum — the m$k-round discipline: drift
+    * is ~1e-15 against a 1e-6 grid (the standing coincidence budget).
+    */
+  def clusterStats(emb: DataFrame, nCentroids: Int = 8,
+      id: String = "vec_id", vec: String = "embedding",
+      fitSamplePct: Int = 100, targetOccupancy: Int = 1024,
+      corpusCount: Long = -1L): DataFrame = {
+    val c = if (targetOccupancy <= 0) nCentroids
+      else autoCentroids(sizingCount(emb, vec, corpusCount), nCentroids,
+        targetOccupancy)
+    val cb = fitCodebook(emb, c, id, vec, fitSamplePct)
+    require(cb.nonEmpty, "codebook fit produced no centroids")
+    // literal centroid tables indexed cid+1 (dropped-cid slots padded
+    // with zero vectors no assignment references — the Pq discipline)
+    val d = cb.head._2.length
+    val byCid = cb.map { case (cid, cv, cn) => cid -> (cv, cn) }.toMap
+    val maxCid = cb.map(_._1).max
+    val cvLit = typedlit((0 to maxCid).map(i =>
+      byCid.get(i).map(_._1).getOrElse(Seq.fill(d)(0.0))))
+    val cnLit = typedlit((0 to maxCid).map(i =>
+      byCid.get(i).map(_._2).getOrElse(0.0)))
+    ivfRankedCells(emb, c, maxRank = 1, id, vec, "vid", "v", "nrm",
+        prefit = Some(cb))
+      .where(col("__rk") === 1)
+      .withColumn("__cos",
+        VectorMath.dot(col("v"), element_at(cvLit, col("cell") + 1)) /
+          (col("nrm") * element_at(cnLit, col("cell") + 1)))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg(col("__cos")), 6).as("mean_cosine"),
+        round(first(element_at(cnLit, col("cell") + 1)), 6).as("centroid_norm"))
+  }
+
   /** IVF approximate cosine top-k: queries probe their `nProbe` nearest
     * centroid cells and rank exactly within the union of those cells'
     * inverted lists.

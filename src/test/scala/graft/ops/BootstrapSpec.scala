@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Poisson-bootstrap semantics (a16): exactness of the integer
+  * pipeline, the degenerate-dispersion case, and that the interval
+  * actually reflects group dispersion.
+  */
+class BootstrapSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a constant metric yields a zero-width interval equal to the point, exactly") {
+    // every resample mean of a constant c is (c·Σw) DIV Σw = c — the
+    // integer pipeline makes this EXACT, not approximate
+    val docs = (1L to 200L).map(i => (i, "g", 250000L)).toDF("doc_id", "g", "qm")
+    val ci = Bootstrap.meanCi(docs, "g", col("qm")).collect().head
+    assert(ci.getAs[Long]("point_mean_micro") == 250000L)
+    assert(ci.getAs[Long]("ci_lo_micro") == 250000L)
+    assert(ci.getAs[Long]("ci_hi_micro") == 250000L)
+    assert(ci.getAs[Long]("n_docs") == 200L)
+  }
+
+  test("dispersed groups get wider intervals; bounds bracket the point; deterministic") {
+    // tight: values on a narrow band; wide: bimodal 0 / 1e6
+    val rows = (1L to 200L).map { i =>
+      (i, "tight", 500000L + (i % 11) * 100L)
+    } ++ (201L to 400L).map { i =>
+      (i, "wide", if (i % 2 == 0) 0L else 1000000L)
+    }
+    val ci = Bootstrap.meanCi(rows.toDF("doc_id", "g", "qm"), "g", col("qm"))
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("point_mean_micro"), r.getAs[Long]("ci_lo_micro"),
+          r.getAs[Long]("ci_hi_micro"))).toMap
+    val (tp, tl, th) = ci("tight")
+    val (wp, wl, wh) = ci("wide")
+    assert(tl <= tp && tp <= th, s"tight interval must bracket the point: ($tl, $tp, $th)")
+    assert(wl <= wp && wp <= wh, s"wide interval must bracket the point: ($wl, $wp, $wh)")
+    assert(wh - wl > 3 * (th - tl),
+      s"bimodal dispersion must widen the interval: wide ${wh - wl} vs tight ${th - tl}")
+    // deterministic function of the corpus: a re-run is bit-identical
+    val again = Bootstrap.meanCi(rows.toDF("doc_id", "g", "qm"), "g", col("qm"))
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("point_mean_micro"), r.getAs[Long]("ci_lo_micro"),
+          r.getAs[Long]("ci_hi_micro"))).toMap
+    assert(again == ci)
+  }
+
+  test("poisson weights from the hash are unbiased: mean replication ~ 1") {
+    val draws = (1L to 2000L).map(i => (i, "g", 1L)).toDF("doc_id", "g", "qm")
+      .select(explode(sequence(lit(0), lit(7))).as("b"), col("doc_id"))
+      .withColumn("w", Bootstrap.poissonWeight(
+        Hashing.hex64(concat_ws("-", col("doc_id").cast("string"),
+          col("b").cast("string"), lit("boot"))) % 1000000L))
+    val (n, s, mx) = draws.agg(count(lit(1)), sum(col("w")), max(col("w")))
+      .as[(Long, Long, Long)].head()
+    val mean = s.toDouble / n
+    assert(mean > 0.95 && mean < 1.05, s"Poisson(1) mean off: $mean")
+    assert(mx <= 9L, s"replication cap exceeded: $mx")
+  }
+}

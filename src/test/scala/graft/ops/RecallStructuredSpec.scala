@@ -105,6 +105,29 @@ class RecallStructuredSpec extends SparkSpec {
     exact.unpersist()
   }
 
+  test("p71 on clustered embeddings: cluster stats recover the generative structure") {
+    val stats = Similarity.clusterStats(emb).cache()
+    val rows = stats.collect()
+    // every vector lands in exactly one audit row; the fit recovers
+    // most generative clusters cleanly (3 Lloyd rounds from hashed
+    // seeds: one seed pair landing in the same generative cluster can
+    // merge two clusters and split a third — measured layout
+    // 63/125/62/53/63/63/62/9 — which is k-means reality, and exactly
+    // what this audit table exists to SHOW a curation pipeline)
+    assert(rows.length == 8, s"expected 8 clusters, got ${rows.length}")
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum == N.toLong)
+    val tight = rows.filter(r => r.getAs[Double]("mean_cosine") >= 0.9 &&
+      r.getAs[Long]("n_vectors") >= 50)
+    assert(tight.length >= 6,
+      s"at least 6 of 8 clusters must be recovered tight: " +
+        rows.map(r => (r.getAs[Long]("n_vectors"),
+          r.getAs[Double]("mean_cosine"))).toSeq.toString)
+    // deterministic: a refit is bit-identical
+    val again = Similarity.clusterStats(emb).collect()
+    assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+    stats.unpersist()
+  }
+
   test("p44 on clustered embeddings: semantic dedup captures every co-clustered dup pair") {
     // within-cluster cosine is ~||center||^2 / (||center||^2 + noise)
     // >> 0.45; cross-cluster ~0 — so the exact dup set IS the
