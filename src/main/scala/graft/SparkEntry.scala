@@ -1638,6 +1638,47 @@ object SparkEntry {
     // inverted-list entries are growing, i.e. when the codebook needs
     // refitting. Counts are exact integers; state is <= m·ksub rows
     // regardless of throughput — the monitor runs forever.
+    // X30: streaming ANN serving — the retrieval half of the serving
+    // family (x26 classifier / x27 DSIR / x29 encode): an offline-
+    // built IVF index (corpus lists + persisted codebook, the p42
+    // artifacts) answers a STREAM of query vectors. Per micro-batch:
+    // cell ranking is per-row math against the literal centroids, the
+    // candidate step is a stream-static equi-join on cell (fan-out
+    // bounded by occupancy x nProbe), and per-query top-k folds a
+    // bounded sort_array(collect_list) — state per query <= its
+    // candidate count, never the corpus. Scoring definition is
+    // SHARED with p42 (Similarity.ivfCandidatePairs), so batch and
+    // stream cannot drift — and the oracle IS p42's, replayed on the
+    // same split.
+    "x30_stream_ann_serve" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") < 250)
+      val cbPath = java.nio.file.Files.createTempDirectory("graft_x30_cb")
+        .resolve("codebook").toString
+      ops.Similarity.saveCodebook(s, cbPath,
+        ops.Similarity.fitCodebook(corpus, nCentroids = 8))
+      val pairs = ops.Similarity.ivfCandidatePairs(corpus,
+        embStream(s, dir).where(col("vec_id") >= 250),
+        ops.Similarity.loadCodebook(s, cbPath), nProbe = 2)
+      val k = 5
+      val sink = s"stream_ann_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = pairs
+        .groupBy(col("query_id"))
+        .agg(sort_array(collect_list(
+          struct((col("cosine") * -1).as("nc"), col("neighbor_id")))).as("cands"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // final top-k slice on the drained state (ranking semantics =
+      // rankTopK: cosine desc, ties to the lowest neighbor id)
+      drainMemorySink(s, sink)
+        .select(col("query_id"),
+          posexplode(slice(col("cands"), 1, k)).as(Seq("__p", "__c")))
+        .select(col("query_id"), col("__c.neighbor_id").as("neighbor_id"),
+          round(col("__c.nc") * -1, 6).as("cosine"),
+          (col("__p") + 1).cast("long").as("rank"))
+    }),
     "x29_stream_pq_encode" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val emb = t(s, dir, "embeddings")
@@ -4746,6 +4787,10 @@ object SparkEntry {
     "p44_semantic_dedup" -> semDedupOracleSql(0.45),
     // incremental twin: fit + lists on the corpus, probe only the batch
     "p42_ivf_incremental" ->
+      ivfKmeansOracleSql(fitPred = "vec_id < 250", probePred = "vec_id >= 250"),
+    // the streaming serving monitor ranks the SAME split through the
+    // SAME shared pair definition — its oracle is p42's, verbatim
+    "x30_stream_ann_serve" ->
       ivfKmeansOracleSql(fitPred = "vec_id < 250", probePred = "vec_id >= 250"),
     "p25_lsh_topk_banded" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

@@ -633,20 +633,34 @@ object Similarity {
       codebook: Option[Seq[(Int, Seq[Double], Double)]] = None): DataFrame = {
     val cb = codebook.getOrElse(
       fitCodebookKMeans(corpus, nCentroids, iters = 3, id, vec))
+    rankTopK(ivfCandidatePairs(corpus, batch, cb, nProbe, id, vec), k)
+  }
+
+  /** The scored (query, candidate) pair frame of the incremental IVF —
+    * ONE definition shared by [[ivfCosineTopKIncremental]] (batch
+    * ranker) and the streaming ANN serving monitor (x30), so the two
+    * executions cannot drift. The query side may be a STREAMING
+    * frame: its cell ranking is per-row math against the literal
+    * codebook, and the candidate step is a stream-static equi-join on
+    * `cell` — the only wide op, fan-out bounded by occupancy × nProbe.
+    */
+  def ivfCandidatePairs(corpus: DataFrame, queries: DataFrame,
+      cb: Seq[(Int, Seq[Double], Double)], nProbe: Int,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    require(cb.nonEmpty, "empty codebook")
     val lists = rankedCellsWithCodebook(corpus, cb, maxRank = 1,
       id, vec, "vid", "v", "nrm")
       .where(col("__rk") === 1)
       .select(col("vid").as("neighbor_id"), col("v").as("vb"),
         col("nrm").as("nb"), col("cell"))
-    val probes = rankedCellsWithCodebook(batch, cb, math.max(1, nProbe),
+    val probes = rankedCellsWithCodebook(queries, cb, math.max(1, nProbe),
       id, vec, "vid", "v", "nrm")
       .where(col("__rk") <= nProbe)
       .select(col("vid").as("query_id"), col("v").as("va"),
         col("nrm").as("na"), col("cell"))
-    val pairs = probes.join(lists, Seq("cell"))
+    probes.join(lists, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", VectorMath.dot(col("va"), col("vb")) / (col("na") * col("nb")))
-    rankTopK(pairs, k)
   }
 
   /** Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
