@@ -1964,6 +1964,28 @@ object SparkEntry {
     // (lrExtendedFeatsSql), replaying all three GD rounds at arity 6.
     "p70_lr_features" -> ((s, dir) =>
       ops.Logistic.trainAndScoreExtended(t(s, dir, "documents"), rounds = 3)),
+    // P72: exact ROC AUC of the p57 classifier, per source — the
+    // rank-sum (Mann-Whitney) identity over C1's fractional ranks:
+    // O(n log n) and one window shuffle per group instead of the
+    // naive O(n_pos x n_neg) pair join. Tie-averaged ranks are exact
+    // halves, so the rank sum is order-independent-exact; the single
+    // division + 6-dp round is the only float site.
+    "p72_classifier_auc" -> ((s, dir) => {
+      val feat = ops.Logistic.features(t(s, dir, "documents"),
+        carry = Seq("source")).localCheckpoint(true)
+      ops.Evaluation.aucByGroup(
+        ops.Logistic.scoreWith(feat, ops.Logistic.train(feat, rounds = 3),
+          carry = Seq("source")), "source")
+    }),
+    // P73: calibration (reliability) table of the same model — 10
+    // equal p-hat bins derived from the INTEGER micro probability
+    // (bin = m DIV 1e5, capped), per-bin mean prediction and positive
+    // fraction in truncating integer micro-units: a well-calibrated
+    // model has the two columns tracking each other, and the whole
+    // table is bit-replayable (no float boundary anywhere).
+    "p73_calibration" -> ((s, dir) =>
+      ops.Evaluation.calibration(
+        ops.Logistic.trainAndScore(t(s, dir, "documents"), rounds = 3))),
     // P58: DSIR importance-weighted selection (Xie et al. 2023) —
     // documents scored by the log importance ratio of a target
     // (reference-source) word distribution to the raw corpus
@@ -4195,6 +4217,35 @@ object SparkEntry {
     "p57_lr_quality" -> lrOracleSql(rounds = 3, lrNum = 4),
     "p70_lr_features" -> lrOracleSql(rounds = 3, lrNum = 4,
       feats = lrExtendedFeatsSql),
+    "p72_classifier_auc" ->
+      s"""WITH ${lrTrainCtes(3, 4, "doc_id, source")},
+         |sc AS (SELECT f.doc_id, f.source, CAST(f.y AS BIGINT) AS y,
+         |         CAST(round(${lrPSql("w3")} * $lrM) AS BIGINT) / $lrM AS p_hat
+         |       FROM feat f CROSS JOIN w3),
+         |rk AS (SELECT source, y, p_hat,
+         |         rank() OVER (PARTITION BY source ORDER BY p_hat ASC)
+         |           + (count(*) OVER (PARTITION BY source, p_hat) - 1) / 2.0 AS r
+         |       FROM sc),
+         |ag AS (SELECT source,
+         |         sum(CASE WHEN y = 1 THEN r ELSE CAST(0 AS DOUBLE) END) AS rpos,
+         |         CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |         CAST(sum(CASE WHEN y <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+         |       FROM rk GROUP BY 1)
+         |SELECT source, n_pos, n_neg,
+         |  CASE WHEN n_pos > 0 AND n_neg > 0
+         |       THEN round((rpos - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0)
+         |                  / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+         |       ELSE NULL END AS auc
+         |FROM ag""".stripMargin,
+    "p73_calibration" ->
+      s"""WITH ${lrTrainCtes(3, 4, "doc_id")},
+         |sc AS (SELECT f.doc_id, CAST(f.y AS BIGINT) AS y,
+         |         CAST(round(${lrPSql("w3")} * 1000000) AS BIGINT) AS m
+         |       FROM feat f CROSS JOIN w3)
+         |SELECT least(m // 100000, 9) AS bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(m) AS BIGINT) // count(*) AS mean_pred_micro,
+         |  CAST(sum(y) * 1000000 AS BIGINT) // count(*) AS frac_pos_micro
+         |FROM sc GROUP BY 1""".stripMargin,
     "p62_lr_hashed" ->
       lrHashedOracleSql(nBuckets = 64, rounds = 2, lrNum = 64),
     "p60_signal_bundle" ->
