@@ -302,22 +302,36 @@ object Pq {
     val pairs = probes.join(cands, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc_l2sq", adc)
-    adcShortlistRefine(pairs, emb, k, shortK, id, vec)
+    adcShortlistRefine(pairs, emb, k, shortK, id, vec, nUsable)
   }
 
   /** Shared tail of the IVF-PQ rankers: keep each query's ADC
     * top-`shortK`, fetch those ids' FULL vectors (the only full-vector
     * touch — |queries|·shortK rows), re-rank by exact squared L2.
     */
+  /** Corpora at or under this count refine via BROADCAST vector
+    * joins: with auto-rerankK the shortlist is |queries|·shortK rows,
+    * and shuffling it twice against the vector table (once carrying a
+    * full query vector per row) dominated the 10× probe — measured
+    * p64 14.6→64 s when shortK grew 20→320. Broadcasting both vector
+    * sides (≤ ~32 MB at 64-dim doubles) turns both joins map-side:
+    * the shortlist never shuffles. Past the cap the id-equi-join is
+    * the documented envelope (and at true index scale the corpus side
+    * is sharded anyway).
+    */
+  private val BroadcastRefineMaxRows = 50000L
+
   private def adcShortlistRefine(pairs: DataFrame, emb: DataFrame, k: Int,
-      shortK: Int, id: String, vec: String): DataFrame = {
+      shortK: Int, id: String, vec: String, corpusN: Long = -1L): DataFrame = {
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_l2sq").asc, col("neighbor_id").asc)
     val shortlist = pairs.withColumn("__ar", row_number().over(wAdc))
       .where(col("__ar") <= shortK)
       .select(col("query_id"), col("neighbor_id"))
-    val qv = emb.select(col(id).as("query_id"), toDouble(col(vec)).as("__va"))
-    val nv = emb.select(col(id).as("neighbor_id"), toDouble(col(vec)).as("__vb"))
+    val small = corpusN > 0 && corpusN <= BroadcastRefineMaxRows
+    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val qv = bc(emb.select(col(id).as("query_id"), toDouble(col(vec)).as("__va")))
+    val nv = bc(emb.select(col(id).as("neighbor_id"), toDouble(col(vec)).as("__vb")))
     val refined = shortlist
       .join(qv, Seq("query_id"))
       .join(nv, Seq("neighbor_id"))
@@ -438,6 +452,6 @@ object Pq {
     val pairs = probes.join(cands, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc_l2sq", adc)
-    adcShortlistRefine(pairs, emb, k, shortK, id, vec)
+    adcShortlistRefine(pairs, emb, k, shortK, id, vec, nUsable)
   }
 }
