@@ -1964,6 +1964,25 @@ object SparkEntry {
     // (lrExtendedFeatsSql), replaying all three GD rounds at arity 6.
     "p70_lr_features" -> ((s, dir) =>
       ops.Logistic.trainAndScoreExtended(t(s, dir, "documents"), rounds = 3)),
+    // P74: reciprocal-rank-fusion data selection — the ensemble layer
+    // over the per-document signals: the p8 quality heuristic and the
+    // p58 DSIR importance score each contribute their top-L=200 ranks
+    // (TakeOrdered heap+merge, NEVER a global row_number over the
+    // corpus), fused as sum(1e6 DIV (60 + rank)) on the integer micro
+    // grid; output is the fused top-50 with each signal's rank (-1
+    // sentinel when outside that signal's top-L — the standard top-L
+    // RRF truncation, stated in the contract).
+    "p74_rrf_selection" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val q = ops.TextStats.withQualityColumns(docs)
+        .select(col("doc_id"), round(col("quality_score"), 6).as("score"))
+      val d = ops.Dsir.selectByImportance(docs,
+          col("source").isin("src0", "src1", "src2"))
+        .select(col("doc_id"), col("dsir_micro").cast("double").as("score"))
+      ops.Rrf.fuseTopN(Seq("quality" -> q, "dsir" -> d), n = 50)
+        .select(col("doc_id"), col("quality_rank"), col("dsir_rank"),
+          col("rrf_micro"), col("rank"))
+    }),
     // P72: exact ROC AUC of the p57 classifier, per source — the
     // rank-sum (Mann-Whitney) identity over C1's fractional ranks:
     // O(n log n) and one window shuffle per group instead of the
@@ -4217,6 +4236,29 @@ object SparkEntry {
     "p57_lr_quality" -> lrOracleSql(rounds = 3, lrNum = 4),
     "p70_lr_features" -> lrOracleSql(rounds = 3, lrNum = 4,
       feats = lrExtendedFeatsSql),
+    "p74_rrf_selection" ->
+      s"""WITH base AS (${qualityBaseSql("documents", "doc_id")}),
+         |ratios AS (${qualityRatiosSql("doc_id")}),
+         |qs AS (SELECT doc_id, round($qualityScoreSql, 6) AS score FROM ratios),
+         |qr AS (SELECT doc_id, quality_rank FROM (
+         |         SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS quality_rank
+         |         FROM qs) WHERE quality_rank <= 200),
+         |ds AS (SELECT doc_id, dsir_micro FROM ($dsirPerDocSql) t0),
+         |dr AS (SELECT doc_id, dsir_rank FROM (
+         |         SELECT doc_id, CAST(row_number() OVER (ORDER BY dsir_micro DESC, doc_id ASC) AS BIGINT) AS dsir_rank
+         |         FROM ds) WHERE dsir_rank <= 200),
+         |fu AS (SELECT coalesce(qr.doc_id, dr.doc_id) AS doc_id,
+         |         coalesce(qr.quality_rank, -1) AS quality_rank,
+         |         coalesce(dr.dsir_rank, -1) AS dsir_rank,
+         |         (CASE WHEN qr.quality_rank IS NOT NULL
+         |               THEN 1000000 // (60 + qr.quality_rank) ELSE 0 END
+         |          + CASE WHEN dr.dsir_rank IS NOT NULL
+         |               THEN 1000000 // (60 + dr.dsir_rank) ELSE 0 END) AS rrf_micro
+         |       FROM qr FULL OUTER JOIN dr ON qr.doc_id = dr.doc_id)
+         |SELECT doc_id, quality_rank, dsir_rank, rrf_micro,
+         |  CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id ASC) AS BIGINT) AS rank
+         |FROM fu
+         |ORDER BY rrf_micro DESC, doc_id ASC LIMIT 50""".stripMargin,
     "p72_classifier_auc" ->
       s"""WITH ${lrTrainCtes(3, 4, "doc_id, source")},
          |sc AS (SELECT f.doc_id, f.source, CAST(f.y AS BIGINT) AS y,

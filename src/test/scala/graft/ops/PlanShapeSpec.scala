@@ -340,6 +340,65 @@ class PlanShapeSpec extends SparkSpec {
       s"a sort-merge join means a fact side shuffled for the audit:\n$plan")
   }
 
+  test("p70 extended-arity LR: scoring stays map-only at arity 6") {
+    // the pluggability contract must not cost plan shape: a wider
+    // feature frame is still broadcast column math, no exchange
+    val plan = executedPlan("p70_lr_features")
+    assert(!plan.contains("Exchange"), s"p70 scoring must not shuffle:\n$plan")
+    assert(!plan.contains("Window"), s"p70 scoring must not window:\n$plan")
+  }
+
+  test("p71 cluster stats: one map-side-combined aggregation, no join, no window") {
+    // assignment is per-row math against literal centroids; the only
+    // exchange is the <= C-group aggregation's partial->final hash
+    // exchange (and the fixture's round-robin spread)
+    val plan = executedPlan("p71_cluster_stats")
+    assert(!plan.contains("Join"), s"p71 must not join:\n$plan")
+    assert(!plan.contains("Window"), s"p71 must not window:\n$plan")
+    assert(plan.contains("partial"), s"p71 aggregation must map-side combine:\n$plan")
+  }
+
+  test("a16 bootstrap CI: data rows never key-shuffle; the resample ensemble is map-side combined") {
+    // the one-pass bootstrap's whole claim: the only hash exchanges
+    // carry (group, b) partial sums (groups x 64 rows), never
+    // documents; the CI window runs over the 64-row resample frame
+    val plan = executedPlan("a16_bootstrap_ci")
+    assert(plan.contains("partial"), s"a16 must map-side combine:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"a16 plans a disaster join:\n$plan")
+    // the resample explode must sit UNDER a partial aggregate, not
+    // above any exchange of document rows carrying text
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"a16 must not sort the corpus:\n$plan")
+  }
+
+  test("p72 AUC: exactly the fractional-rank window shuffle, no pair join") {
+    // the rank-sum identity's claim: no positive x negative join —
+    // the only join-free window shuffle is the per-cohort rank sort
+    val plan = executedPlan("p72_classifier_auc")
+    assert(!plan.contains("Join"), s"p72 must not pair-join:\n$plan")
+    assert(plan.contains("Window"), s"p72 needs the rank window:\n$plan")
+  }
+
+  test("p73 calibration: map-only binning + one bounded aggregation") {
+    val plan = executedPlan("p73_calibration")
+    assert(!plan.contains("Join"), s"p73 must not join:\n$plan")
+    assert(!plan.contains("Window"), s"p73 must not window:\n$plan")
+    assert(plan.contains("partial"), s"p73 must map-side combine:\n$plan")
+  }
+
+  test("p74 RRF: per-signal top-L is a heap TakeOrdered, never a global sort of the corpus") {
+    val plan = executedPlan("p74_rrf_selection")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"p74 top-L must plan TakeOrderedAndProject:\n$plan")
+    // the only windows run over the <= L-row fused lists; the corpus
+    // itself must never range-exchange (a global sort)
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"p74 must not globally sort the corpus:\n$plan")
+    assertNoDisasterJoin("p74", plan)
+  }
+
   test("p40 bloom decontamination: the bitmap probe gates corpus n-grams before the join") {
     val plan = executedPlan("p40_bloom_decontaminate")
     assertNoDisasterJoin("p40", plan)
