@@ -1644,12 +1644,18 @@ object SparkEntry {
     // artifacts) answers a STREAM of query vectors. Per micro-batch:
     // cell ranking is per-row math against the literal centroids, the
     // candidate step is a stream-static equi-join on cell (fan-out
-    // bounded by occupancy x nProbe), and per-query top-k folds a
-    // bounded sort_array(collect_list) — state per query <= its
-    // candidate count, never the corpus. Scoring definition is
-    // SHARED with p42 (Similarity.ivfCandidatePairs), so batch and
-    // stream cannot drift — and the oracle IS p42's, replayed on the
-    // same split.
+    // bounded by occupancy x nProbe), and per-query top-k runs UPDATE
+    // mode through the BOUNDED TopKCandAgg aggregator (the x20
+    // max-struct discipline generalized to k): the state store holds
+    // exactly k structs per query — never a query's candidate history
+    // — so state is |keys| x k, and key eviction in production is the
+    // standard watermark story. The drain re-ranks the union of the
+    // per-batch updates, which equals the global top-k because the
+    // running top-k is monotone (every final top-k element is in
+    // every update after it arrives — pinned in TopKServingStateSpec,
+    // batch-count independent). Scoring definition is SHARED with p42
+    // (Similarity.ivfCandidatePairs), so batch and stream cannot
+    // drift — and the oracle IS p42's, replayed on the same split.
     "x30_stream_ann_serve" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val emb = t(s, dir, "embeddings")
@@ -1662,22 +1668,28 @@ object SparkEntry {
         embStream(s, dir).where(col("vec_id") >= 250),
         ops.Similarity.loadCodebook(s, cbPath), nProbe = 2)
       val k = 5
+      val topk = udaf(new ops.TopKCandAgg(k),
+        org.apache.spark.sql.Encoders.product[ops.ScoredCand])
       val sink = s"stream_ann_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val q = pairs
         .groupBy(col("query_id"))
-        .agg(sort_array(collect_list(
-          struct((col("cosine") * -1).as("nc"), col("neighbor_id")))).as("cands"))
+        .agg(topk(col("cosine") * -1, col("neighbor_id")).as("tk"))
         .writeStream.format("memory").queryName(sink)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      // final top-k slice on the drained state (ranking semantics =
-      // rankTopK: cosine desc, ties to the lowest neighbor id)
+      // re-rank the drained updates (ranking semantics = rankTopK:
+      // cosine desc, ties to the lowest neighbor id); distinct first —
+      // a candidate surviving several batches appears in each update
       drainMemorySink(s, sink)
-        .select(col("query_id"),
-          posexplode(slice(col("cands"), 1, k)).as(Seq("__p", "__c")))
-        .select(col("query_id"), col("__c.neighbor_id").as("neighbor_id"),
-          round(col("__c.nc") * -1, 6).as("cosine"),
-          (col("__p") + 1).cast("long").as("rank"))
+        .select(col("query_id"), explode(col("tk").getField("cands")).as("__c"))
+        .select(col("query_id"), col("__c.nc").as("nc"),
+          col("__c.neighbor_id").as("neighbor_id"))
+        .distinct()
+        .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("nc").asc, col("neighbor_id").asc)))
+        .where(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("nc") * -1, 6).as("cosine"), col("rank").cast("long").as("rank"))
     }),
     "x29_stream_pq_encode" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
@@ -1996,6 +2008,24 @@ object SparkEntry {
         ops.Logistic.scoreWith(feat, ops.Logistic.train(feat, rounds = 3),
           carry = Seq("source")), "source")
     }),
+    // P75: per-source AUC with a Poisson-bootstrap CI — the p72 × a16
+    // composition: model COMPARISON needs the AUC's uncertainty, and
+    // bootstrapping a rank statistic must resample the rank-sum,
+    // never the O(n_pos x n_neg) pairs. Weighted Mann-Whitney per
+    // (source, resample) on the integer micro grid: group by distinct
+    // micro score, cumulative negative weight below, ties count half
+    // via the x2-cleared integer identity; bounds are the ciRanks(64)
+    // order statistics of 64 integer resample AUCs (resample -1 rides
+    // the same plan as the w=1 point estimate). The first aggregation
+    // collapses to (sources x 65 x distinct-scores) rows map-side;
+    // the window never sees the corpus.
+    "p75_auc_bootstrap" -> ((s, dir) => {
+      val feat = ops.Logistic.features(t(s, dir, "documents"),
+        carry = Seq("source")).localCheckpoint(true)
+      ops.Evaluation.aucBootstrapCi(
+        ops.Logistic.scoreWith(feat, ops.Logistic.train(feat, rounds = 3),
+          carry = Seq("source")), "source")
+    }),
     // P73: calibration (reliability) table of the same model — 10
     // equal p-hat bins derived from the INTEGER micro probability
     // (bin = m DIV 1e5, capped), per-bin mean prediction and positive
@@ -2275,8 +2305,11 @@ object SparkEntry {
     // (Pq.autoRerankK: constant 16% share of the ADC pool, 20 at
     // sf0.01, 80 at sf0.1 — the autoPlanes/autoCentroids discipline;
     // the oracle derives the identical value from a COUNT subquery).
-    // Codes quantize raw vectors, not residuals (documented
-    // deviation). Config chosen by the ProbePq decomposition: raw
+    // Codes quantize raw vectors, not residuals — the RAW-VECTOR
+    // ABLATION twin: production callers use p66's residual form,
+    // which captures 0.803 vs 0.462 here on clustered embeddings
+    // (RecallStructuredSpec); this query pins what residual encoding
+    // buys. Config chosen by the ProbePq decomposition: raw
     // m=4 ADC ranked at 0.085 recall vs the p65 exact twin; this
     // config recovers the cell-capture ceiling (RecallSpec floor).
     "p64_ivfpq_topk" -> ((s, dir) =>
@@ -2291,7 +2324,9 @@ object SparkEntry {
     // PROBED cell from the literal coarse centroids; same slim
     // reconstruction-form ADC, same exact auto-scaled top-rerankK
     // refine on original vectors (Pq.autoRerankK). One coarse fit
-    // shared by assignment and residuals.
+    // shared by assignment and residuals. THE API-RECOMMENDED
+    // production ranker (0.803 vs p64's 0.462 recall on clustered
+    // embeddings — RecallStructuredSpec; p64 stays as the ablation).
     "p66_ivfpq_residual" -> ((s, dir) =>
       ops.Pq.ivfPqResidualTopK(t(s, dir, "embeddings"), k = 5)
         .select(col("query_id"), col("neighbor_id"), col("l2sq"),
@@ -2852,17 +2887,29 @@ object SparkEntry {
   }
 
   /** The SQL twin of `Pq.autoRerankK` at the benched defaults
-    * (share 16%, nProbe 2, C = 8 — the floor regime at every
-    * oracle-checked corpus size, like the unrolled k-means): the ADC
-    * shortlist size derives from the SAME usable-vector count the
-    * engine sizes from (non-null, non-empty embedding), in the SAME
-    * truncating BIGINT arithmetic, so engine and oracle choose the
-    * identical rerankK at ANY scale — 20 (the 4k floor) at sf0.01's
-    * 500 vectors, 80 at sf0.1's 2000.
+    * (share 16%, nProbe 2 → the 32 numerator; C = 8 → the 800
+    * denominator — the floor regime, like the unrolled k-means
+    * prefix): the ADC shortlist size derives from the SAME
+    * usable-vector count the engine sizes from (non-null, non-empty
+    * embedding), in the SAME truncating BIGINT arithmetic with the
+    * engine's 4k floor AND 1024 cap, so engine and oracle choose the
+    * identical rerankK at ANY in-regime scale — 20 (the 4k floor) at
+    * sf0.01's 500 vectors, 80 at sf0.1's 2000. The regime is
+    * ASSERTED, not assumed: past 8192 usable vectors
+    * `Similarity.autoCentroids` would choose C > 8 while this twin
+    * (and the whole unrolled k-means CTE prefix) is fixed at C = 8,
+    * so the SQL raises error() instead of silently diverging — a
+    * fixture regen that outgrows the regime fails the verify run
+    * loudly with the reason in the message.
     */
-  private def autoRerankSql(k: Int): String =
-    s"GREATEST(${4 * k}, (32 * (SELECT COUNT(*) FROM embeddings " +
-      "WHERE embedding IS NOT NULL AND len(embedding) > 0) + 799) // 800)"
+  private def autoRerankSql(k: Int): String = {
+    val cnt = "(SELECT COUNT(*) FROM embeddings " +
+      "WHERE embedding IS NOT NULL AND len(embedding) > 0)"
+    s"(CASE WHEN $cnt > 8192 THEN CAST(error('ivfpq oracle unrolls " +
+      "k-means at C = 8; fixture exceeds 8192 usable vectors, the " +
+      "engine would choose C > 8 — re-derive the oracle prefix') AS BIGINT) " +
+      s"ELSE LEAST(1024, GREATEST(${4 * k}, (32 * $cnt + 799) // 800)) END)"
+  }
 
   /** p64's oracle: the p13 IVF replay (coarse cells + probes) with
     * shortlisting by ADC over the PQ codes — per pair, the sum over
@@ -3913,8 +3960,8 @@ object SparkEntry {
          |SELECT pt.source, pt.n_docs, pt.point_mean_micro,
          |  lo.mean_micro AS ci_lo_micro, hi.mean_micro AS ci_hi_micro
          |FROM pt
-         |JOIN (SELECT source, mean_micro FROM ranked WHERE rn = 2) lo USING (source)
-         |JOIN (SELECT source, mean_micro FROM ranked WHERE rn = 63) hi USING (source)""".stripMargin
+         |LEFT JOIN (SELECT source, mean_micro FROM ranked WHERE rn = 2) lo USING (source)
+         |LEFT JOIN (SELECT source, mean_micro FROM ranked WHERE rn = 63) hi USING (source)""".stripMargin
     },
     "a15_winsorize" ->
       """WITH st AS (SELECT event_type,
@@ -4279,6 +4326,50 @@ object SparkEntry {
          |                  / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
          |       ELSE NULL END AS auc
          |FROM ag""".stripMargin,
+    // weighted Mann-Whitney per (source, resample): integer micro
+    // scores, Poisson(1) weights from the a16 inverse-CDF thresholds,
+    // ties count half via the x2-cleared identity — bit-exact replay
+    // of all 64 ensembles plus the w=1 point estimate (b = -1)
+    "p75_auc_bootstrap" -> {
+      val wCase = graft.ops.Bootstrap.PoissonCdfMicro
+        .map(t => s"(CASE WHEN um >= $t THEN 1 ELSE 0 END)")
+        .mkString("(", " + ", ")")
+      s"""WITH ${lrTrainCtes(3, 4, "doc_id, source")},
+         |sc AS (SELECT f.doc_id, f.source, CAST(f.y AS BIGINT) AS y,
+         |         CAST(round(${lrPSql("w3")} * 1000000) AS BIGINT) AS sm
+         |       FROM feat f CROSS JOIN w3),
+         |rep AS (SELECT source, sm, y, b,
+         |          CASE WHEN b = -1 THEN 1 ELSE $wCase END AS w
+         |        FROM (SELECT sc.source, sc.sm, sc.y, b.b,
+         |                ${hx("CAST(sc.doc_id AS VARCHAR) || '-' || CAST(b.b AS VARCHAR) || '-boot'")} % 1000000 AS um
+         |              FROM sc CROSS JOIN range(-1, 64) b(b))),
+         |bys AS (SELECT source, b, sm,
+         |          CAST(sum(CASE WHEN y = 1 THEN w ELSE 0 END) AS BIGINT) AS wp,
+         |          CAST(sum(CASE WHEN y <> 1 THEN w ELSE 0 END) AS BIGINT) AS wn
+         |        FROM rep GROUP BY 1, 2, 3),
+         |cum AS (SELECT source, b, wp, wn,
+         |          CAST(coalesce(sum(wn) OVER (PARTITION BY source, b ORDER BY sm ASC
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumwn
+         |        FROM bys),
+         |aucs AS (SELECT source, b,
+         |           CAST(sum(wp * (2 * cumwn + wn)) AS BIGINT) AS num2,
+         |           CAST(sum(wp) AS BIGINT) AS tp, CAST(sum(wn) AS BIGINT) AS tn
+         |         FROM cum GROUP BY 1, 2
+         |         HAVING sum(wp) > 0 AND sum(wn) > 0),
+         |am AS (SELECT source, b, (num2 * 1000000) // (2 * tp * tn) AS auc_micro,
+         |         tp, tn FROM aucs),
+         |ranked AS (SELECT source, b, auc_micro,
+         |             row_number() OVER (PARTITION BY source
+         |               ORDER BY auc_micro ASC, b ASC) AS rn
+         |           FROM am WHERE b >= 0),
+         |pt AS (SELECT source, tp AS n_pos, tn AS n_neg, auc_micro
+         |       FROM am WHERE b = -1)
+         |SELECT pt.source, pt.n_pos, pt.n_neg, pt.auc_micro,
+         |  lo.auc_micro AS ci_lo_micro, hi.auc_micro AS ci_hi_micro
+         |FROM pt
+         |LEFT JOIN (SELECT source, auc_micro FROM ranked WHERE rn = 2) lo USING (source)
+         |LEFT JOIN (SELECT source, auc_micro FROM ranked WHERE rn = 63) hi USING (source)""".stripMargin
+    },
     "p73_calibration" ->
       s"""WITH ${lrTrainCtes(3, 4, "doc_id")},
          |sc AS (SELECT f.doc_id, CAST(f.y AS BIGINT) AS y,

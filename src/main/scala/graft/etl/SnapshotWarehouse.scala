@@ -232,11 +232,17 @@ class SnapshotWarehouse(spark: SparkSession, val baseDir: String,
     * processes.
     */
   private def tryAcquireLock(lock: HPath): Boolean =
-    if (fs.getScheme == "file") {
-      val f = new java.io.File(lock.toUri.getPath)
-      f.getParentFile.mkdirs()
-      f.createNewFile()
-    } else
+    if (fs.getScheme == "file")
+      // IOException (transient local-FS error, e.g. EMFILE or a
+      // permissions hiccup) maps to "not acquired" so the caller's
+      // retry/deadline loop absorbs it — same failure semantics as the
+      // non-file branch below, rather than aborting the transaction.
+      try {
+        val f = new java.io.File(lock.toUri.getPath)
+        f.getParentFile.mkdirs()
+        f.createNewFile()
+      } catch { case _: java.io.IOException => false }
+    else
       try { fs.create(lock, false).close(); true }
       catch { case _: java.io.IOException => false }
 
@@ -279,8 +285,19 @@ class SnapshotWarehouse(spark: SparkSession, val baseDir: String,
     *     exactly one rename of that source can succeed, so the loser
     *     cannot go on to damage anything — it just re-loops and waits.
     *
-    * The stat→rename gap is a residual window of microseconds against
-    * a staleness horizon of minutes and a hold time of milliseconds;
+    * The stat→rename gap is still a window: if breaker A breaks the
+    * stale lock and a writer acquires a FRESH lock inside B's
+    * stat→rename gap, B's rename captures the live lock. Defense 3
+    * detects exactly that after the fact — the rename is a MOVE, not a
+    * destroy, so the captured file is intact in the tombstone: re-stat
+    * the tombstone, and if its mtime does NOT equal the stale mtime we
+    * observed, we grabbed a fresh lock by mistake — rename it straight
+    * back to the lock path (the live holder never sees a gap longer
+    * than the two renames) and treat the break as failed. Only a
+    * tombstone whose mtime confirms it IS the stale file gets deleted.
+    * The remaining unprotected interleaving needs a third writer
+    * acquiring and ALSO committing entirely within that double-rename
+    * window — microseconds against a minutes-scale staleness horizon;
     * fully closing it needs a compare-and-swap primitive path
     * filesystems don't offer (the real-catalog caveat documented at
     * [[commit]]).
@@ -293,7 +310,18 @@ class SnapshotWarehouse(spark: SparkSession, val baseDir: String,
         s"_stale_${UUID.randomUUID().toString.replace("-", "")}.lock")
       val broke = try fs.rename(lock, tomb) catch {
         case _: java.io.IOException => false }
-      if (broke) fs.delete(tomb, false)
+      if (broke) {
+        val tombMtime = try Some(fs.getFileStatus(tomb).getModificationTime)
+          catch { case _: java.io.FileNotFoundException => None }
+        if (tombMtime.contains(observedMtime)) fs.delete(tomb, false)
+        else {
+          // Captured a FRESH lock (created between our stat and rename):
+          // restore it. If the restore rename fails because yet another
+          // lock appeared at the path meanwhile, leave the tombstone as
+          // an orphan for vacuum — never delete a lock we can't identify.
+          try fs.rename(tomb, lock) catch { case _: java.io.IOException => () }
+        }
+      }
     }
   }
 

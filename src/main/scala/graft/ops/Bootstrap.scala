@@ -48,16 +48,34 @@ object Bootstrap {
     PoissonCdfMicro.map(t => when(uMicro >= t, 1L).otherwise(0L))
       .reduce(_ + _)
 
+  /** Nearest-rank order statistics for a central 95% interval over b
+    * resample means: ceil(0.025·b) and ceil(0.975·b). At the default
+    * b = 64 these are ranks 2 and 63 — the ~1.6% / ~98.4% nearest-rank
+    * levels (nearest-rank is conservative-outward on a 64-point grid;
+    * exact 2.5/97.5 would need interpolation, which would break the
+    * integer-exact oracle replay). Deriving from b keeps the nominal
+    * level stable as b changes: b = 128 → ranks 4/125, b = 1000 →
+    * 25/975.
+    */
+  def ciRanks(b: Int): (Int, Int) =
+    (math.ceil(0.025 * b).toInt.max(1), math.ceil(0.975 * b).toInt.min(b))
+
   /** Per-group bootstrap CI of the mean of `metricMicro` (an exact
     * micro-unit long): (group, n_docs, point_mean_micro, ci_lo_micro,
-    * ci_hi_micro). The bounds are the 2nd and (b−1)-th order
-    * statistics of the b resample means — the nearest-rank 2.5% /
-    * 97.5% percentile at the default b = 64 — ties broken by resample
-    * id, so the interval is a deterministic function of the corpus.
+    * ci_hi_micro). The bounds are the `ciRanks(b)` order statistics of
+    * the b resample means — at the default b = 64, ranks 2 and 63, the
+    * ~1.6% / ~98.4% nearest-rank percentiles (see [[ciRanks]]) — ties
+    * broken by resample id, so the interval is a deterministic
+    * function of the corpus. Groups too small to populate a bound rank
+    * (Poisson(1) resamples of an n-row group are all-empty with
+    * probability e^−n each, so tiny groups can yield < b non-empty
+    * means) keep their point estimate and carry NULL for the missing
+    * bound rather than vanish from the output.
     */
   def meanCi(rows: DataFrame, group: String, metricMicro: Column,
       b: Int = 64, id: String = "doc_id"): DataFrame = {
     require(b >= 4, s"need at least 4 resamples for an interval, got $b")
+    val (rnLo, rnHi) = ciRanks(b)
     val base = rows.select(col(id), col(group), metricMicro.as("qm"))
     val point = base.groupBy(col(group))
       .agg(count(lit(1)).as("n_docs"), sum(col("qm")).as("sq"))
@@ -77,10 +95,12 @@ object Bootstrap {
       .orderBy(col("mean_micro").asc, col("b").asc)
     val ranked = means.withColumn("rn", row_number().over(win))
     point
-      .join(ranked.where(col("rn") === 2)
-        .select(col(group), col("mean_micro").as("ci_lo_micro")), Seq(group))
-      .join(ranked.where(col("rn") === b - 1)
-        .select(col(group), col("mean_micro").as("ci_hi_micro")), Seq(group))
+      .join(ranked.where(col("rn") === rnLo)
+        .select(col(group), col("mean_micro").as("ci_lo_micro")),
+        Seq(group), "left")
+      .join(ranked.where(col("rn") === rnHi)
+        .select(col(group), col("mean_micro").as("ci_hi_micro")),
+        Seq(group), "left")
   }
 
   /** The shipped composition: per-source bootstrap CI of mean document

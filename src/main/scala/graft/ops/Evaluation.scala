@@ -50,6 +50,80 @@ object Evaluation {
           .otherwise(lit(null).cast("double")).as("auc"))
   }
 
+  /** Per-group AUC with a Poisson-bootstrap confidence interval — the
+    * p72 × a16 composition: model comparison needs the uncertainty of
+    * the AUC, not just its point value, and the bootstrap of a RANK
+    * statistic must resample the rank-sum, never the O(n⁺·n⁻) pairs.
+    *
+    * The resampled AUC uses the weighted Mann–Whitney identity
+    * directly: with per-row replication weights w (Poisson(1) from the
+    * a16 integer inverse-CDF; w ≡ 1 is the point estimate), group by
+    * the integer micro score and take, per distinct score s,
+    * wp(s) = Σ_{y=1, score=s} w and wn(s) likewise for negatives; then
+    *   U·2 = Σ_s wp(s) · (2·Σ_{s'<s} wn(s') + wn(s))
+    * — ties count half, in INTEGER arithmetic throughout (the ×2
+    * clears the half), and auc_micro = (U·2 · 1e6) DIV (2·W⁺·W⁻).
+    * The CI bounds are the [[Bootstrap.ciRanks]] order statistics of
+    * the b resample auc_micros; a group whose resample drops a whole
+    * class contributes no mean for that resample, and under-populated
+    * groups keep NULL bounds (the a16 convention). Everything replays
+    * bit-exactly in SQL.
+    *
+    * Shape at 100 TB: the explode costs (b+1)× the scan (all map-side,
+    * the a16 envelope); the first aggregation collapses to
+    * |groups| × (b+1) × |distinct micro scores| rows with map-side
+    * partials (micro scores are grid-bounded at ≤ 1e6+1 values), and
+    * the cumulative window runs over THAT bounded frame, never the
+    * corpus. Integer envelope: U·2 ≤ 2·W⁺·W⁻ ≤ 2·(9n)², and the ×1e6
+    * lift needs 2e6·(9n)² < 2^63 — safe to ~7e8 rows per group per
+    * resample; shard the group key beyond that.
+    */
+  def aucBootstrapCi(scored: DataFrame, group: String, b: Int = 64,
+      score: String = "p_hat", label: String = "label",
+      id: String = "doc_id"): DataFrame = {
+    require(b >= 4, s"need at least 4 resamples for an interval, got $b")
+    val (rnLo, rnHi) = Bootstrap.ciRanks(b)
+    val base = scored.select(col(id), col(group),
+      round(col(score) * 1e6).cast("long").as("sm"),
+      col(label).cast("long").as("y"))
+    // resample -1 carries w = 1: the point estimate rides the same
+    // plan as the ensemble instead of a second scan
+    val u = Hashing.hex64(concat_ws("-",
+      col(id).cast("string"), col("b").cast("string"), lit("boot"))) % 1000000L
+    val rep = base
+      .select(col(group), col("sm"), col("y"),
+        explode(sequence(lit(-1), lit(b - 1))).as("b"), col(id))
+      .withColumn("w",
+        when(col("b") === -1L, lit(1L)).otherwise(Bootstrap.poissonWeight(u)))
+    val byScore = rep.groupBy(col(group), col("b"), col("sm"))
+      .agg(sum(when(col("y") === 1L, col("w")).otherwise(0L)).as("wp"),
+        sum(when(col("y") =!= 1L, col("w")).otherwise(0L)).as("wn"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(group), col("b")).orderBy(col("sm").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val aucs = byScore
+      .withColumn("cumwn", coalesce(sum(col("wn")).over(wCum), lit(0L)))
+      .groupBy(col(group), col("b"))
+      .agg(sum(col("wp") * (lit(2L) * col("cumwn") + col("wn"))).as("num2"),
+        sum(col("wp")).as("tp"), sum(col("wn")).as("tn"))
+      .where(col("tp") > 0 && col("tn") > 0)
+      .withColumn("auc_micro", expr("(num2 * 1000000) DIV (2 * tp * tn)"))
+    val point = aucs.where(col("b") === -1L)
+      .select(col(group), col("tp").as("n_pos"), col("tn").as("n_neg"),
+        col("auc_micro"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(group)).orderBy(col("auc_micro").asc, col("b").asc)
+    val ranked = aucs.where(col("b") >= 0L)
+      .withColumn("rn", row_number().over(wr))
+    point
+      .join(ranked.where(col("rn") === rnLo)
+        .select(col(group), col("auc_micro").as("ci_lo_micro")),
+        Seq(group), "left")
+      .join(ranked.where(col("rn") === rnHi)
+        .select(col(group), col("auc_micro").as("ci_hi_micro")),
+        Seq(group), "left")
+  }
+
   /** Calibration (reliability) table over `nBins` equal p-hat bins:
     * (bin, n_docs, mean_pred_micro, frac_pos_micro). A well-
     * calibrated model has mean_pred_micro ≈ frac_pos_micro per bin.

@@ -229,7 +229,13 @@ object Pq {
       (sharePct.toLong * nProbe * n + 100L * c - 1) / (100L * c))).toInt
 
   /** IVF-PQ approximate top-k with exact refinement — the full
-    * two-level ANN shape: the coarse spherical-cosine IVF quantizer
+    * two-level ANN shape. PRODUCTION CALLERS: prefer
+    * [[ivfPqResidualTopK]] — on clustered (realistic) embeddings the
+    * residual codes capture 0.803 recall@5 vs 0.462 for this
+    * raw-vector form at the same code budget (RecallStructuredSpec,
+    * the FAISS residual argument demonstrated on data); this variant
+    * is kept as the ablation twin that isolates what residual
+    * encoding buys. Shape: the coarse spherical-cosine IVF quantizer
     * ([[Similarity]], auto-scaled centroid count) prunes candidates to
     * the query's nProbe cells; ranking inside the probed lists runs on
     * PQ codes via ADC (asymmetric distance computation — each query

@@ -46,6 +46,32 @@ class BootstrapSpec extends SparkSpec {
     assert(again == ci)
   }
 
+  test("ciRanks derives nearest-rank 2.5/97.5 bounds from b") {
+    // b = 64 must keep the historical (2, 63) — the a16 oracle pins it
+    assert(Bootstrap.ciRanks(64) == (2, 63))
+    assert(Bootstrap.ciRanks(128) == (4, 125))
+    assert(Bootstrap.ciRanks(1000) == (25, 975))
+    // tiny b: ranks stay inside [1, b]
+    assert(Bootstrap.ciRanks(4) == (1, 4))
+  }
+
+  test("under-populated groups surface with NULL bounds, never vanish") {
+    // a 1-row group: each Poisson(1) resample is empty with
+    // probability e^-1 ~ 0.37, so far fewer than 63 of 64 resample
+    // means exist — the rank-63 bound CANNOT populate. The group must
+    // still appear, point estimate intact, with a null bound.
+    val docs = ((1L to 200L).map(i => (i, "big", 250000L)) :+
+      ((9999L, "tiny", 700000L))).toDF("doc_id", "g", "qm")
+    val rows = Bootstrap.meanCi(docs, "g", col("qm")).collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    assert(rows.keySet == Set("big", "tiny"), "tiny group dropped from output")
+    val tiny = rows("tiny")
+    assert(tiny.getAs[Long]("point_mean_micro") == 700000L)
+    assert(tiny.getAs[Long]("n_docs") == 1L)
+    assert(tiny.isNullAt(tiny.fieldIndex("ci_hi_micro")),
+      "1-row group cannot populate the rank-63 bound; expected NULL")
+  }
+
   test("poisson weights from the hash are unbiased: mean replication ~ 1") {
     val draws = (1L to 2000L).map(i => (i, "g", 1L)).toDF("doc_id", "g", "qm")
       .select(explode(sequence(lit(0), lit(7))).as("b"), col("doc_id"))

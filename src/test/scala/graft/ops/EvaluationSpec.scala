@@ -42,6 +42,55 @@ class EvaluationSpec extends SparkSpec {
     assert(rows("solo").isEmpty, "a single-class group has no AUC")
   }
 
+  test("p75: bootstrap point AUC equals the rank-sum AUC on the micro grid") {
+    // the w=1 resample's weighted Mann-Whitney must reproduce p72's
+    // tie-averaged AUC exactly (same identity, integer form)
+    val df = Seq(
+      (1L, "g", 0.9, 1L), (2L, "g", 0.7, 1L), (3L, "g", 0.5, 1L),
+      (4L, "g", 0.7, 0L), (5L, "g", 0.3, 0L))
+      .toDF("doc_id", "g", "p_hat", "label")
+    val r = Evaluation.aucBootstrapCi(df, "g").collect().head
+    assert(r.getAs[Long]("n_pos") == 3L && r.getAs[Long]("n_neg") == 2L)
+    assert(r.getAs[Long]("auc_micro") == 750000L,
+      s"hand case is 0.75: ${r.getAs[Long]("auc_micro")}")
+  }
+
+  test("p75: CI brackets the point, tightens with n, deterministic; degenerate groups keep null bounds") {
+    // larger cohorts must yield narrower AUC intervals around the same
+    // generating process (scores carry signal: pos ~ higher)
+    def cohort(g: String, n: Int, off: Long): Seq[(Long, String, Double, Long)] =
+      (1 to n).map { i =>
+        val y = i % 2L
+        val s = (if (y == 1L) 0.55 else 0.45) + ((i * 7 + off) % 41 - 20) * 0.01
+        (off + i, g, s, y)
+      }
+    val df = (cohort("small", 60, 1000L) ++ cohort("large", 1500, 2000L))
+      .toDF("doc_id", "g", "p_hat", "label")
+    val out = Evaluation.aucBootstrapCi(df, "g").collect()
+      .map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("auc_micro"), r.getAs[Long]("ci_lo_micro"),
+          r.getAs[Long]("ci_hi_micro"))).toMap
+    val (sp, sl, sh) = out("small")
+    val (lp, ll, lh) = out("large")
+    assert(sl <= sp && sp <= sh, s"small interval must bracket: ($sl, $sp, $sh)")
+    assert(ll <= lp && lp <= lh, s"large interval must bracket: ($ll, $lp, $lh)")
+    assert(lh - ll < sh - sl,
+      s"25x the data must tighten the CI: large ${lh - ll} vs small ${sh - sl}")
+    val again = Evaluation.aucBootstrapCi(df, "g").collect()
+      .map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("auc_micro"), r.getAs[Long]("ci_lo_micro"),
+          r.getAs[Long]("ci_hi_micro"))).toMap
+    assert(again == out, "bootstrap CI must be a deterministic corpus function")
+    // single-positive group: most resamples drop the positive class ->
+    // the rank-63 bound cannot populate, but the point row survives
+    val deg = ((1L to 40L).map(i => (i, "d", 0.4, 0L)) :+ ((99L, "d", 0.9, 1L)))
+      .toDF("doc_id", "g", "p_hat", "label")
+    val dr = Evaluation.aucBootstrapCi(deg, "g").collect().head
+    assert(dr.getAs[Long]("n_pos") == 1L)
+    assert(dr.isNullAt(dr.fieldIndex("ci_hi_micro")),
+      "1-positive group cannot populate the rank-63 bound; expected NULL")
+  }
+
   test("p73: bins come from the integer micro grid; means are truncating-exact") {
     val df = Seq(
       (1L, 0.0, 0L), (2L, 0.099999, 0L),   // bin 0
