@@ -451,6 +451,16 @@ object SparkEntry {
     // x 64 longs, map-side combined; no data-row shuffle.
     "a16_bootstrap_ci" -> ((s, dir) =>
       ops.Bootstrap.qualityCi(t(s, dir, "documents"))),
+    // A17: effective sample size (Kish's (Σw)²/Σw²) of the p39
+    // sampling weights per language — the importance-sampling
+    // diagnostic: ESS << n means a handful of heavy documents
+    // dominate whatever is estimated under these weights. Exact
+    // integer Σw / Σw² (map-side combined, ONE aggregation), the
+    // single float site is the final division of exactly-
+    // representable longs (the p72 discipline).
+    "a17_ess" -> ((s, dir) =>
+      ops.Sampling.effectiveSampleSize(t(s, dir, "documents"),
+        Seq("lang"), col("n_chars") + lit(1L))),
     // A13: heavy hitters — exact top-10 users by event count, with the
     // Count-Min-Sketch estimate riding as a deterministically-true
     // no-undercount flag (the a6 exact-twin + flag discipline).
@@ -2026,6 +2036,36 @@ object SparkEntry {
         ops.Logistic.scoreWith(feat, ops.Logistic.train(feat, rounds = 3),
           carry = Seq("source")), "source")
     }),
+    // P76: k-fold cross-validated AUC — the model-SELECTION layer:
+    // p72's train-on-everything AUC is memorization-biased; this
+    // trains k=3 models on deterministic doc_id%3 fold complements
+    // and scores each ONLY on its held-out fold (every doc scored
+    // once, by the model that never saw it), per-fold rank-sum AUC.
+    // The feature frame materializes once and feeds all 3 trainings;
+    // scoring is one corpus pass over the disjoint folds. The oracle
+    // replays all THREE GD training chains (suffixed CTE chains off
+    // one shared feature table) plus the per-fold rank-sum.
+    "p76_crossval_auc" -> ((s, dir) =>
+      ops.Evaluation.crossValAuc(t(s, dir, "documents"), k = 3, rounds = 3)),
+    // P77: inter-model agreement (Cohen's kappa) per source between
+    // the two trained quality classifiers — the lattice LR (p57) and
+    // the hashed-ngram LR (p62): raw percent-agreement is inflated by
+    // class imbalance; kappa subtracts the chance term, so ~0 says
+    // the models share no signal beyond marginals (ensembling is
+    // pointless) and high kappa justifies agreement-gated routing.
+    // Exact integer contingency off one doc_id equi-join; the single
+    // float site is the final division (p72 discipline). The oracle
+    // nests BOTH full training replays as subquery CTE blocks.
+    "p77_agreement_kappa" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val feat = ops.Logistic.features(docs, carry = Seq("source"))
+        .localCheckpoint(true)
+      ops.Evaluation.agreementKappa(
+        ops.Logistic.scoreWith(feat, ops.Logistic.train(feat, rounds = 3),
+          carry = Seq("source")),
+        ops.Logistic.trainAndScoreHashed(docs, nBuckets = 64, rounds = 2),
+        "source")
+    }),
     // P73: calibration (reliability) table of the same model — 10
     // equal p-hat bins derived from the INTEGER micro probability
     // (bin = m DIV 1e5, capped), per-bin mean prediction and positive
@@ -3315,21 +3355,38 @@ object SparkEntry {
     * the x26 per-source streaming-monitor oracle. `passCols` rides
     * extra columns (a cohort key) through base/ratios/feat.
     */
-  private def lrTrainCtes(rounds: Int, lrNum: Int,
-      passCols: String, feats: Seq[String] = lrBaseFeatsSql): String = {
-    val nFeat = feats.length
-    val roundCtes = (1 to rounds).map { r =>
-      val pw = lrPSql(s"w${r - 1}", nFeat)
+  /** One GD round chain g{r}{suffix}/w{r}{suffix} over the shared
+    * `feat` CTE. `suffix` keeps several independent training chains
+    * (the p76 per-fold trainings) from colliding in one query; the
+    * zero-weight w0 is shared by every chain. `trainWhere` restricts
+    * the gradient sums to a training subset (p76 trains on each
+    * fold's complement) without touching the shared feature CTE.
+    */
+  private def lrRoundCtes(rounds: Int, lrNum: Int, nFeat: Int,
+      suffix: String = "", trainWhere: String = ""): String = {
+    val where = if (trainWhere.isEmpty) "" else s"\n       WHERE $trainWhere"
+    (1 to rounds).map { r =>
+      val prev = if (r == 1) "w0" else s"w${r - 1}$suffix"
+      val pw = lrPSql(prev, nFeat)
       val gsel = (0 until nFeat).map(j =>
         s"CAST(sum(CAST(round(($pw - f.y) * f.x$j * $lrM) AS BIGINT)) AS BIGINT) AS g$j")
         .mkString(",\n         ")
       val wsel = (0 until nFeat).map(j =>
         s"w.w$j - (($lrNum * g.g$j) // g.n) AS w$j").mkString(", ")
-      s"""g$r AS (SELECT $gsel,
+      s"""g$r$suffix AS (SELECT $gsel,
          |         CAST(count(*) AS BIGINT) AS n
-         |       FROM feat f CROSS JOIN w${r - 1}),
-         |w$r AS (SELECT $wsel FROM w${r - 1} w CROSS JOIN g$r g)""".stripMargin
+         |       FROM feat f CROSS JOIN $prev$where),
+         |w$r$suffix AS (SELECT $wsel FROM $prev w CROSS JOIN g$r$suffix g)""".stripMargin
     }.mkString(",\n")
+  }
+
+  /** The shared feature CTEs (base/ratios/feat/w0) without a training
+    * chain — p76 hangs k independent `lrRoundCtes` chains off one
+    * feature table.
+    */
+  private def lrFeatCtes(passCols: String,
+      feats: Seq[String] = lrBaseFeatsSql): String = {
+    val nFeat = feats.length
     val featSel = feats.zipWithIndex
       .map { case (e, j) => s"    $e AS x$j" }.mkString(",\n")
     val w0Sel = (0 until nFeat).map(j => s"CAST(0 AS BIGINT) AS w$j")
@@ -3340,9 +3397,13 @@ object SparkEntry {
        |    CASE WHEN $qualityScoreSql >= 0.78 THEN $lrD ELSE CAST(0.0 AS DOUBLE) END AS y,
        |$featSel
        |  FROM ratios),
-       |w0 AS (SELECT $w0Sel),
-       |$roundCtes""".stripMargin
+       |w0 AS (SELECT $w0Sel)""".stripMargin
   }
+
+  private def lrTrainCtes(rounds: Int, lrNum: Int,
+      passCols: String, feats: Seq[String] = lrBaseFeatsSql): String =
+    s"""${lrFeatCtes(passCols, feats)},
+       |${lrRoundCtes(rounds, lrNum, feats.length)}""".stripMargin
 
   /** p58's per-document DSIR twin — the p58 oracle, aggregated per
     * source by the x27 streaming-monitor oracle.
@@ -4370,6 +4431,66 @@ object SparkEntry {
          |LEFT JOIN (SELECT source, auc_micro FROM ranked WHERE rn = 2) lo USING (source)
          |LEFT JOIN (SELECT source, auc_micro FROM ranked WHERE rn = 63) hi USING (source)""".stripMargin
     },
+    // three independent GD chains (fold-suffixed CTEs) off ONE shared
+    // feature table; each fold scored only by its complement's model
+    "p76_crossval_auc" -> {
+      val folds = (0 until 3).map { f =>
+        s"""SELECT CAST($f AS BIGINT) AS fold, CAST(f.y AS BIGINT) AS y,
+           |    CAST(round(${lrPSql(s"w3f$f")} * $lrM) AS BIGINT) / $lrM AS p_hat
+           |  FROM feat f CROSS JOIN w3f$f WHERE f.doc_id % 3 = $f""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ${lrFeatCtes("doc_id")},
+         |${lrRoundCtes(3, 4, 4, "f0", "f.doc_id % 3 <> 0")},
+         |${lrRoundCtes(3, 4, 4, "f1", "f.doc_id % 3 <> 1")},
+         |${lrRoundCtes(3, 4, 4, "f2", "f.doc_id % 3 <> 2")},
+         |sc AS (
+         |$folds),
+         |rk AS (SELECT fold, y, p_hat,
+         |         rank() OVER (PARTITION BY fold ORDER BY p_hat ASC)
+         |           + (count(*) OVER (PARTITION BY fold, p_hat) - 1) / 2.0 AS r
+         |       FROM sc),
+         |ag AS (SELECT fold,
+         |         sum(CASE WHEN y = 1 THEN r ELSE CAST(0 AS DOUBLE) END) AS rpos,
+         |         CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |         CAST(sum(CASE WHEN y <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+         |       FROM rk GROUP BY 1)
+         |SELECT fold, n_pos, n_neg,
+         |  CASE WHEN n_pos > 0 AND n_neg > 0
+         |       THEN round((rpos - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0)
+         |                  / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+         |       ELSE NULL END AS auc
+         |FROM ag""".stripMargin
+    },
+    // both training replays nest as subquery WITH blocks (their CTE
+    // namespaces cannot collide); integer contingency, one float site
+    "p77_agreement_kappa" ->
+      s"""WITH m1 AS (SELECT doc_id, keep FROM (
+         |${lrOracleSql(3, 4)}) t1),
+         |m2 AS (SELECT doc_id, keep FROM (
+         |${lrHashedOracleSql(64, 2, 64)}) t2),
+         |j AS (SELECT d.source,
+         |        CASE WHEN m1.keep THEN 1 ELSE 0 END AS ka,
+         |        CASE WHEN m2.keep THEN 1 ELSE 0 END AS kb
+         |      FROM m1 JOIN m2 USING (doc_id) JOIN documents d USING (doc_id)),
+         |ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(CASE WHEN ka = kb THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+         |         CAST(sum(ka) AS BIGINT) AS r1, CAST(sum(kb) AS BIGINT) AS c1
+         |       FROM j GROUP BY 1)
+         |SELECT source, n_docs, n_agree,
+         |  CASE WHEN (n_docs * n_docs - (r1 * c1 + (n_docs - r1) * (n_docs - c1))) <> 0
+         |       THEN round(CAST(n_docs * n_agree - (r1 * c1 + (n_docs - r1) * (n_docs - c1)) AS DOUBLE)
+         |                  / CAST(n_docs * n_docs - (r1 * c1 + (n_docs - r1) * (n_docs - c1)) AS DOUBLE), 6)
+         |       ELSE NULL END AS kappa
+         |FROM ag""".stripMargin,
+    // exact integer Σw / Σw²; one float site (the final division)
+    "a17_ess" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars + 1) AS BIGINT) AS sum_w,
+        |  CASE WHEN sum((n_chars + 1) * (n_chars + 1)) > 0 THEN
+        |    round((CAST(sum(n_chars + 1) AS DOUBLE) * CAST(sum(n_chars + 1) AS DOUBLE))
+        |          / CAST(sum((n_chars + 1) * (n_chars + 1)) AS DOUBLE), 6)
+        |  END AS ess
+        |FROM documents GROUP BY 1""".stripMargin,
     "p73_calibration" ->
       s"""WITH ${lrTrainCtes(3, 4, "doc_id")},
          |sc AS (SELECT f.doc_id, CAST(f.y AS BIGINT) AS y,

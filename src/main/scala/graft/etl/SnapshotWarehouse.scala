@@ -310,18 +310,27 @@ class SnapshotWarehouse(spark: SparkSession, val baseDir: String,
         s"_stale_${UUID.randomUUID().toString.replace("-", "")}.lock")
       val broke = try fs.rename(lock, tomb) catch {
         case _: java.io.IOException => false }
-      if (broke) {
-        val tombMtime = try Some(fs.getFileStatus(tomb).getModificationTime)
-          catch { case _: java.io.FileNotFoundException => None }
-        if (tombMtime.contains(observedMtime)) fs.delete(tomb, false)
-        else {
-          // Captured a FRESH lock (created between our stat and rename):
-          // restore it. If the restore rename fails because yet another
-          // lock appeared at the path meanwhile, leave the tombstone as
-          // an orphan for vacuum — never delete a lock we can't identify.
-          try fs.rename(tomb, lock) catch { case _: java.io.IOException => () }
-        }
-      }
+      if (broke) settleTombstone(tomb, lock, observedMtime)
+    }
+  }
+
+  /** Defense 3's decision, factored out so the capture case is
+    * deterministically testable (the live race window itself is
+    * microseconds): delete the tombstone ONLY when its mtime proves it
+    * is the stale file we observed; anything else means the rename
+    * captured a FRESH lock — rename it straight back. Returns true
+    * when the stale lock was destroyed, false when a captured lock
+    * was restored (or left as a vacuum orphan on restore failure —
+    * never delete a lock we can't identify).
+    */
+  private[etl] def settleTombstone(tomb: HPath, lock: HPath,
+      observedMtime: Long): Boolean = {
+    val tombMtime = try Some(fs.getFileStatus(tomb).getModificationTime)
+      catch { case _: java.io.FileNotFoundException => None }
+    if (tombMtime.contains(observedMtime)) { fs.delete(tomb, false); true }
+    else {
+      try fs.rename(tomb, lock) catch { case _: java.io.IOException => () }
+      false
     }
   }
 

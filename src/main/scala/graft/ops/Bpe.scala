@@ -151,6 +151,58 @@ object Bpe {
   def encodeWord(ranks: Map[(String, String), Int], word: String): Seq[String] =
     encodeWordOrdered(ranks.toSeq.sortBy(_._2).map(_._1), word)
 
+  /** The PRODUCTION per-word encode: repeatedly find the LOWEST-RANK
+    * adjacent pair present in the word and merge all its occurrences
+    * left-to-right, until no adjacent pair is in the rank map — the
+    * subword-nmt/GPT-2 encode loop proper. Per-word cost is
+    * O(appliedMerges × |word|) hash lookups, INDEPENDENT of the merge
+    * count M — the property that makes a 30k-merge production
+    * tokenizer feasible, where [[encodeWordOrdered]]'s single ordered
+    * pass costs O(M × |word|) per word (fine at query-sized M,
+    * measured 600× slower at M = 30k; BASELINE.md round 10).
+    *
+    * Equal to [[encodeWordOrdered]] on any TRAINED merge list, for any
+    * word: training creates token t at rank r, so every merge
+    * consuming t has rank > r — a merge application can only create
+    * HIGHER-rank pairs, which the ordered pass (ascending ranks, all
+    * occurrences per rank) therefore never misses, and picking the
+    * current minimum rank first replays the identical sequence. The
+    * equivalence is structural in the merge list, not in the word
+    * (BpeSpec pins it on trained merges over corpus AND novel words).
+    * An arbitrary HAND-BUILT rank map can violate the provenance
+    * property (a low-rank pair only formable by a high-rank merge)
+    * and then the two strategies legitimately differ — train first.
+    */
+  def encodeWordRanked(ranks: Map[(String, String), Int], word: String): Seq[String] = {
+    var pieces: Vector[String] = word.map(_.toString).toVector :+ EndOfWord
+    var done = pieces.size < 2
+    while (!done) {
+      var best = -1
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < pieces.size - 1) {
+        val r = ranks.getOrElse((pieces(i), pieces(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; best = i }
+        i += 1
+      }
+      if (best < 0 || bestRank == Int.MaxValue) done = true
+      else {
+        val l = pieces(best)
+        val r = pieces(best + 1)
+        val m = l + r
+        val b = Vector.newBuilder[String]
+        var j = 0
+        while (j < pieces.size) {
+          if (j + 1 < pieces.size && pieces(j) == l && pieces(j + 1) == r) { b += m; j += 2 }
+          else { b += pieces(j); j += 1 }
+        }
+        pieces = b.result()
+        if (pieces.size < 2) done = true
+      }
+    }
+    pieces
+  }
+
   /** [[encodeWord]] against a PRE-SORTED merge list. The sort is
     * hoisted out because the corpus path calls this once per word per
     * document: re-sorting a production-sized rank map (≈30k merges,
@@ -228,21 +280,25 @@ object Bpe {
       .agg(sum(col("np").cast("long")).as("n_tokens"), sum(col("fp")).as("tokens_fp"))
   }
 
-  /** Corpus encode: per document, whitespace-split then [[encodeWord]]
-    * each word against the broadcast rank map. Emits (id, n_tokens,
-    * tokens) — per-row math, zero shuffle; the merge table is the
-    * only state and it is numMerges-bounded.
+  /** Corpus encode: per document, whitespace-split then
+    * [[encodeWordRanked]] each word against the broadcast rank map.
+    * Emits (id, n_tokens, tokens) — per-row math, zero shuffle; the
+    * merge table is the only state and it is numMerges-bounded, and
+    * the lowest-rank-first per-word loop makes the per-word cost
+    * independent of the merge count (measured at M = 30k:
+    * BASELINE.md round 10 — the ordered-scan form was 600× slower
+    * there and is kept only as the small-M equivalence witness).
     */
   def encode(docs: DataFrame, merges: Seq[Merge], id: String = "doc_id",
       text: String = "text"): DataFrame = {
-    // rank order computed ONCE here, not per word — the per-word loop
-    // below runs once per word per document
-    val ordered: Seq[(String, String)] =
-      merges.sortBy(_.rank).map(m => (m.lhs, m.rhs))
+    // the rank map is built ONCE here and rides the UDF closure
+    // (broadcast with the task binary), not rebuilt per word
+    val ranks: Map[(String, String), Int] =
+      merges.map(m => (m.lhs, m.rhs) -> m.rank).toMap
     val enc = udf { (t: String) =>
       if (t == null) Seq.empty[String]
       else t.trim.toLowerCase.split("\\s+").toSeq
-        .filter(_.nonEmpty).flatMap(w => encodeWordOrdered(ordered, w))
+        .filter(_.nonEmpty).flatMap(w => encodeWordRanked(ranks, w))
     }
     docs.select(col(id), enc(col(text)).as("tokens"))
       .withColumn("n_tokens", size(col("tokens")).cast("long"))

@@ -50,6 +50,37 @@ object Evaluation {
           .otherwise(lit(null).cast("double")).as("auc"))
   }
 
+  /** k-fold cross-validated AUC — the model-SELECTION layer over the
+    * trained-classifier family: a single train-on-everything AUC
+    * (p72) is optimistically biased by memorization; the honest
+    * generalization estimate trains k models on fold complements and
+    * scores each model ONLY on its held-out fold. Folds are the
+    * deterministic `doc_id % k` cohorts (hash-free, oracle-trivial);
+    * every document is scored exactly once, by the one model that
+    * never saw it, and per-fold AUC runs through [[aucByGroup]]'s
+    * rank-sum identity. Fold-to-fold AUC spread is itself the
+    * diagnostic: a large spread means the quality signal is unstable
+    * under resampling.
+    *
+    * Shape at 100 TB: the feature frame materializes ONCE
+    * (localCheckpoint) and is reused by all k trainings — k × rounds
+    * bounded gradient aggregations (each a map-side-combined scan of
+    * the checkpointed features, the p57 envelope), then ONE scoring
+    * pass over the union of disjoint folds (= one corpus pass) and
+    * one rank window per fold. k is single-digit by construction.
+    */
+  def crossValAuc(docs: DataFrame, k: Int = 3, rounds: Int = 3,
+      lrNum: Long = 4L): DataFrame = {
+    require(k >= 2, s"need at least 2 folds, got $k")
+    val feat = Logistic.features(docs).localCheckpoint(true)
+    val scored = (0 until k).map { f =>
+      val w = Logistic.train(feat.where(col("doc_id") % k =!= f), rounds, lrNum)
+      Logistic.scoreWith(feat.where(col("doc_id") % k === f), w)
+        .withColumn("fold", lit(f.toLong))
+    }.reduce(_ unionByName _)
+    aucByGroup(scored, "fold")
+  }
+
   /** Per-group AUC with a Poisson-bootstrap confidence interval — the
     * p72 × a16 composition: model comparison needs the uncertainty of
     * the AUC, not just its point value, and the bootstrap of a RANK
@@ -122,6 +153,44 @@ object Evaluation {
       .join(ranked.where(col("rn") === rnHi)
         .select(col(group), col("auc_micro").as("ci_hi_micro")),
         Seq(group), "left")
+  }
+
+  /** Cohen's kappa between two binary raters (chance-corrected
+    * agreement) per group — the ensembling diagnostic for the trained
+    * classifier family: raw percent-agreement between two quality
+    * models is inflated by class imbalance (two raters that both keep
+    * 95% of documents agree 90%+ by CHANCE); kappa subtracts the
+    * chance term pe = (r₁c₁ + r₀c₀)/n², so kappa ≈ 0 means the models
+    * bring no shared signal beyond their marginals and ensembling
+    * them is pointless, while high kappa justifies cheap
+    * agreement-gated routing (only disagreements go to the expensive
+    * adjudicator). Emits (group, n_docs, n_agree, kappa) — kappa NULL
+    * when both raters are constant (pe = 1, the undefined case).
+    *
+    * Exactness: all counts are exact integer sums off ONE
+    * co-partitioned equi-join on the id (each side one shuffle, then
+    * map-side-combined aggregation); kappa = (n·a − pe·n²)/(n² − pe·n²)
+    * evaluated as a single division of exactly-representable longs —
+    * the p72 one-float-site discipline. n ≤ 9e7 per group keeps n²
+    * inside the 2^53 mantissa; shard beyond.
+    */
+  def agreementKappa(a: DataFrame, b: DataFrame, group: String,
+      id: String = "doc_id", keep: String = "keep"): DataFrame = {
+    val l = a.select(col(id), col(group), col(keep).cast("long").as("__ka"))
+    val r = b.select(col(id), col(keep).cast("long").as("__kb"))
+    val ag = l.join(r, Seq(id))
+      .groupBy(col(group))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__ka") === col("__kb"), 1L).otherwise(0L)).as("n_agree"),
+        sum(col("__ka")).as("__r1"), sum(col("__kb")).as("__c1"))
+    val pe = col("__r1") * col("__c1") +
+      (col("n_docs") - col("__r1")) * (col("n_docs") - col("__c1"))
+    val den = col("n_docs") * col("n_docs") - pe
+    ag.select(col(group), col("n_docs"), col("n_agree"),
+      when(den =!= 0L,
+        round((col("n_docs") * col("n_agree") - pe).cast("double") /
+          den.cast("double"), 6))
+        .otherwise(lit(null).cast("double")).as("kappa"))
   }
 
   /** Calibration (reliability) table over `nBins` equal p-hat bins:

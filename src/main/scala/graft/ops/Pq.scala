@@ -320,12 +320,25 @@ object Pq {
     * and shuffling it twice against the vector table (once carrying a
     * full query vector per row) dominated the 10× probe — measured
     * p64 14.6→64 s when shortK grew 20→320. Broadcasting both vector
-    * sides (≤ ~32 MB at 64-dim doubles) turns both joins map-side:
-    * the shortlist never shuffles. Past the cap the id-equi-join is
-    * the documented envelope (and at true index scale the corpus side
-    * is sharded anyway).
+    * sides turns both joins map-side: the shortlist never shuffles.
+    *
+    * The cap is derived from BYTES, which is what executor memory
+    * actually bounds: 250k rows × 64-dim doubles ≈ 128 MB per side —
+    * comfortable in a 4 GB executor next to Spark's own 8 GB broadcast
+    * ceiling (wider embeddings should scale the cap down by d/64; the
+    * row form is kept because the refine sizes from the same
+    * `sizingCount` the IVF family already pays for). Past the cap the
+    * id-equi-join fallback is the MEASURED envelope, not a guess:
+    * at a 64k-vector fixture (ProbePqRefine, BASELINE.md round 10)
+    * the fallback refines in 64.5 s vs 36.2 s broadcast — a 1.8×
+    * penalty, bit-identical results (PqSpec pins equality across the
+    * cap). At true index scale the corpus side is sharded anyway —
+    * each shard's sub-corpus re-enters the broadcast regime.
+    *
+    * var, not val: PqSpec lowers it to force the >cap fallback on the
+    * small fixture; ProbePqRefine measures both sides of the cap.
     */
-  private val BroadcastRefineMaxRows = 50000L
+  private[ops] var BroadcastRefineMaxRows = 250000L
 
   private def adcShortlistRefine(pairs: DataFrame, emb: DataFrame, k: Int,
       shortK: Int, id: String, vec: String, corpusN: Long = -1L): DataFrame = {

@@ -152,6 +152,38 @@ object Sampling {
     * 100 TB: same shape as [[stratifiedTopK]] — and the same overshoot
     * trick applies (pre-gate with a cheap key bound, then rank).
     */
+  /** Effective sample size of a weighting scheme per stratum — the
+    * standard importance-sampling diagnostic (Kish's ESS =
+    * (Σw)² / Σw²): how many EQUALLY-weighted rows the weighted set is
+    * worth. A weighting where a handful of heavy rows dominate
+    * (ESS ≪ n) warns that any estimate computed under those weights —
+    * a [[weightedTopK]] draw, a DSIR-weighted mixture — rides on few
+    * effective documents. Emits (strata, n_rows, sum_w, ess; ess
+    * rounded to 6 dp, NULL when no positive weight mass).
+    *
+    * Determinism: Σw and Σw² are EXACT integer sums (map-side
+    * combined, one aggregation — no shuffle beyond the group-by);
+    * the single float site is the final (Σw)²/Σw² division, computed
+    * on exactly-representable longs (p72's one-float-site
+    * discipline). Envelope: exactness needs Σw < 2^26·√(Σw²)… in
+    * practice Σw ≤ 9e7 keeps (Σw)² inside the 2^53 double mantissa
+    * and Σw² ≤ 2^63 is corpus-scale for bounded weights; shard the
+    * stratum key past that.
+    */
+  def effectiveSampleSize(df: DataFrame, strata: Seq[String],
+      weight: Column): DataFrame = {
+    require(strata.nonEmpty, "strata must be non-empty")
+    val w = weight.cast("long")
+    df.groupBy(strata.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(w).as("sum_w"), sum(w * w).as("__sw2"))
+      .select(strata.map(col) :+ col("n_rows") :+ col("sum_w") :+
+        when(col("__sw2") > 0,
+          round(col("sum_w").cast("double") * col("sum_w").cast("double") /
+            col("__sw2").cast("double"), 6))
+          .otherwise(lit(null).cast("double")).as("ess"): _*)
+  }
+
   def weightedTopK(df: DataFrame, strata: Seq[String], weight: Column,
       k: Int, key: Column, out: String = "sample_key"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

@@ -313,6 +313,34 @@ class SnapshotWarehouseSpec extends SparkSpec {
     wh.read("fact_expression").count() // all committed segments readable
   }
 
+  test("settleTombstone: a captured FRESH lock is restored, only the proven-stale file is destroyed") {
+    // defense 3 of the stale-lock break: the stat->rename gap can
+    // capture a lock a live writer just created; the settle step must
+    // identify the capture by mtime and put the lock BACK
+    val wh = sw()
+    wh.writeDim("dim_gene", gene(1L -> "ENSG1"))
+    val mdir = s"${wh.baseDir}/_manifests"
+    val lock = new java.io.File(s"$mdir/_commit.lock")
+    val tomb = new java.io.File(s"$mdir/_stale_test.lock")
+    val lockP = new org.apache.hadoop.fs.Path(lock.getPath)
+    val tombP = new org.apache.hadoop.fs.Path(tomb.getPath)
+
+    // capture case: tombstone mtime != the observed stale mtime ->
+    // restored to the lock path, nothing deleted
+    assert(tomb.createNewFile())
+    val fresh = tomb.lastModified()
+    assert(!wh.settleTombstone(tombP, lockP, observedMtime = fresh - 5000))
+    assert(lock.exists(), "captured fresh lock must be restored to the lock path")
+    assert(!tomb.exists(), "restore must not leave the tombstone behind")
+    assert(lock.delete())
+
+    // proven-stale case: mtimes match -> destroyed, lock path stays free
+    assert(tomb.createNewFile())
+    val stale = tomb.lastModified()
+    assert(wh.settleTombstone(tombP, lockP, observedMtime = stale))
+    assert(!tomb.exists() && !lock.exists())
+  }
+
   test("a stale commit lock (crashed holder) is broken, not waited on forever") {
     val wh = sw()
     wh.writeDim("dim_gene", gene(1L -> "ENSG1"))

@@ -80,6 +80,35 @@ class BpeSpec extends SparkSpec {
     assert(enc2.toSeq == Seq((1L, 1L, Seq("ab</w>")), (2L, 0L, Seq.empty[String])))
   }
 
+  test("encodeWordRanked (production lowest-rank-first) == encodeWordOrdered on trained merges, incl. novel words") {
+    // a richer corpus so merges nest several levels deep
+    val words = Seq("low", "lower", "lowest", "newest", "widest", "news",
+      "wide", "wider", "slow", "slower", "flow", "flows", "glow")
+    val docs = words.zipWithIndex.flatMap { case (w, i) =>
+      Seq.fill(i % 5 + 1)(w) }.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, numMerges = 40)
+    assert(merges.size > 10, s"corpus should yield >10 merges, got ${merges.size}")
+    val ranks = merges.map(m => (m.lhs, m.rhs) -> m.rank).toMap
+    val ordered = merges.sortBy(_.rank).map(m => (m.lhs, m.rhs))
+    // trained words, novel compositions, OOV, single chars
+    val probes = words ++ Seq("lowers", "newer", "slowest", "glowing",
+      "xyz", "a", "wwww", "lownewswide")
+    for (w <- probes) {
+      val viaRanked = Bpe.encodeWordRanked(ranks, w)
+      val viaOrdered = Bpe.encodeWordOrdered(ordered, w)
+      assert(viaRanked == viaOrdered,
+        s"strategies diverged on '$w': ranked=$viaRanked ordered=$viaOrdered")
+    }
+    // a padded rank map (synthetic never-matching merges appended at
+    // high ranks — the production-probe shape) must not perturb the
+    // encode: the pad is unreachable by construction
+    val padded = ranks ++ (1 to 1000).map(i =>
+      (s"\u0001pad$i", "\u0001") -> (1000000 + i))
+    for (w <- probes)
+      assert(Bpe.encodeWordRanked(padded, w) == Bpe.encodeWordRanked(ranks, w))
+  }
+
   test("encodeCorpus (declarative) computes exactly the scalar encode path's tokens") {
     val docs = (
       Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++

@@ -91,6 +91,55 @@ class EvaluationSpec extends SparkSpec {
       "1-positive group cannot populate the rank-63 bound; expected NULL")
   }
 
+  test("p76: k-fold CV — every doc scored once by the complement's model; folds disjoint; deterministic") {
+    // a corpus where the quality label is learnable: long clean texts
+    // vs short punct-heavy ones (the p57 feature lattice separates)
+    val docs = (1L to 300L).map { i =>
+      val text = if (i % 2 == 0)
+        Seq.fill(20)("the quick brown fox is here and it is good").mkString(" ")
+      else "!!! ??? ;;; " * 2
+      (i, text)
+    }.toDF("doc_id", "text")
+    val out = Evaluation.crossValAuc(docs, k = 3, rounds = 2).collect()
+      .map(r => r.getAs[Long]("fold") ->
+        (r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"),
+          Option(r.getAs[java.lang.Double]("auc")))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L), s"folds: ${out.keySet}")
+    // disjoint folds cover the corpus exactly once
+    assert(out.values.map { case (p, n, _) => p + n }.sum == 300L)
+    // a separable signal must score well OUT OF FOLD on every fold
+    out.foreach { case (f, (_, _, auc)) =>
+      assert(auc.exists(_ > 0.9), s"fold $f auc $auc — generalization failed")
+    }
+    val again = Evaluation.crossValAuc(docs, k = 3, rounds = 2).collect()
+      .map(r => r.getAs[Long]("fold") ->
+        (r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"),
+          Option(r.getAs[java.lang.Double]("auc")))).toMap
+    assert(again == out, "CV must be a deterministic corpus function")
+  }
+
+  test("p77: kappa — 1 on identical raters, exactly 0 at chance-level agreement, NULL when both constant") {
+    def frame(keeps: Seq[(Long, Boolean)], g: String = "g") =
+      keeps.map { case (id, k) => (id, g, k) }.toDF("doc_id", "g", "keep")
+    // hand case at CHANCE: A keeps {1,2}, B keeps {1,3} over 4 docs —
+    // agree on 1 (keep) and 4 (drop), pe = (2·2+2·2)/16 = 1/2 = po
+    val a0 = frame(Seq(1L -> true, 2L -> true, 3L -> false, 4L -> false))
+    val b0 = frame(Seq(1L -> true, 2L -> false, 3L -> true, 4L -> false))
+    val r0 = Evaluation.agreementKappa(a0, b0, "g").collect().head
+    assert(r0.getAs[Long]("n_docs") == 4L && r0.getAs[Long]("n_agree") == 2L)
+    assert(r0.getAs[Double]("kappa") == 0.0, s"chance case: ${r0.getAs[Double]("kappa")}")
+    // identical non-constant raters: kappa exactly 1 (fresh frame —
+    // never a same-lineage self-join)
+    val a1 = frame(Seq(1L -> true, 2L -> true, 3L -> false, 4L -> false))
+    val r1 = Evaluation.agreementKappa(a0, a1, "g").collect().head
+    assert(r1.getAs[Double]("kappa") == 1.0)
+    // both raters constant: pe = 1, kappa undefined -> NULL
+    val c1 = frame(Seq(1L -> true, 2L -> true, 3L -> true))
+    val c2 = frame(Seq(1L -> true, 2L -> true, 3L -> true))
+    val rc = Evaluation.agreementKappa(c1, c2, "g").collect().head
+    assert(rc.isNullAt(rc.fieldIndex("kappa")))
+  }
+
   test("p73: bins come from the integer micro grid; means are truncating-exact") {
     val df = Seq(
       (1L, 0.0, 0L), (2L, 0.099999, 0L),   // bin 0

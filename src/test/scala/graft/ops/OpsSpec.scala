@@ -94,6 +94,24 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("a17: Kish ESS — equal weights give exactly n; a dominant weight collapses toward 1; zero mass gates NULL") {
+    // equal weights: (n·w)²/(n·w²) = n exactly (double-exact here)
+    val eq = (1L to 100L).map(i => (i, "g", 7L)).toDF("doc_id", "g", "w")
+    val e1 = Sampling.effectiveSampleSize(eq, Seq("g"), col("w")).collect().head
+    assert(e1.getAs[Long]("n_rows") == 100L && e1.getAs[Long]("sum_w") == 700L)
+    assert(e1.getAs[Double]("ess") == 100.0)
+    // one overwhelming weight: ESS ~ 1 despite n = 101
+    val dom = ((1L to 100L).map(i => (i, "g", 1L)) :+ ((999L, "g", 1000000L)))
+      .toDF("doc_id", "g", "w")
+    val e2 = Sampling.effectiveSampleSize(dom, Seq("g"), col("w")).collect().head
+    assert(e2.getAs[Double]("ess") < 1.01,
+      s"dominant weight must collapse ESS toward 1: ${e2.getAs[Double]("ess")}")
+    // all-zero weight mass: NULL, not a division error
+    val zs = (1L to 5L).map(i => (i, "g", 0L)).toDF("doc_id", "g", "w")
+    val e3 = Sampling.effectiveSampleSize(zs, Seq("g"), col("w")).collect().head
+    assert(e3.isNullAt(e3.fieldIndex("ess")))
+  }
+
   test("weighted sampling: exact k, deterministic, scale-invariant, weight-sensitive") {
     val d = (1L to 2000L).map(i => (i, s"lang${i % 4}", (i % 50) + 1L))
       .toDF("doc_id", "lang", "w")

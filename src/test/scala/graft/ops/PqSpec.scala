@@ -100,6 +100,35 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("refine past BroadcastRefineMaxRows (id-equi-join fallback) is bit-identical to the broadcast path") {
+    // the >cap fallback is the same join without hints — lowering the
+    // cap on the small fixture forces it, and both rankers must agree
+    // row-for-row (the envelope DIFFERS only in plan cost, measured at
+    // a 64k fixture in BASELINE.md round 10)
+    val data = emb((0L to 59L).map(i =>
+      (i, Seq.tabulate(8)(j => math.cos(i * 1.7 + j * 0.7)))): _*)
+    val prev = Pq.BroadcastRefineMaxRows
+    try {
+      Pq.BroadcastRefineMaxRows = 1000000L
+      val viaBroadcast = Pq.ivfPqTopK(data, k = 3, m = 4, ksub = 4,
+        pqIters = 2, nCentroids = 4, nProbe = 2)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      val viaBroadcastRes = Pq.ivfPqResidualTopK(data, k = 3, m = 4,
+        ksub = 4, pqIters = 2, nCentroids = 4, nProbe = 2)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      Pq.BroadcastRefineMaxRows = 10L // 60 vectors > 10: fallback engages
+      val viaFallback = Pq.ivfPqTopK(data, k = 3, m = 4, ksub = 4,
+        pqIters = 2, nCentroids = 4, nProbe = 2)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      val viaFallbackRes = Pq.ivfPqResidualTopK(data, k = 3, m = 4,
+        ksub = 4, pqIters = 2, nCentroids = 4, nProbe = 2)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(viaBroadcast.nonEmpty)
+      assert(viaFallback == viaBroadcast, "raw-vector ranker diverged across the cap")
+      assert(viaFallbackRes == viaBroadcastRes, "residual ranker diverged across the cap")
+    } finally Pq.BroadcastRefineMaxRows = prev
+  }
+
   test("save/load codebooks: bit-exact round trip; a missing subspace is rejected loudly") {
     val data = emb((0L to 11L).map(i =>
       (i, Seq(i.toDouble, 10.0 - i, (i % 3).toDouble, 0.5 * i))): _*)

@@ -30,7 +30,8 @@ def canon(rows):
     out.sort()
     return out
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
+    results = {}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -41,6 +42,9 @@ def main(sf_dir, out_dir):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"MISSING  {name}: no spark result")
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": 0,
+                             "oracle_rows": 0, "err": "no spark result"}
             n_bad += 1
             continue
         try:
@@ -49,12 +53,18 @@ def main(sf_dir, out_dir):
                 f"SELECT * FROM read_parquet({files!r})").fetch_arrow_table()
         except Exception as e:
             print(f"ERROR    {name}: {e}")
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": 0,
+                             "oracle_rows": 0, "err": str(e)[:300]}
             n_bad += 1
             continue
         ocols = sorted(odf.column_names)
         scols = sorted(sdf.column_names)
         if ocols != scols:
             print(f"SCHEMA   {name}: spark={scols} oracle={ocols}")
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": sdf.num_rows,
+                             "oracle_rows": odf.num_rows, "err": None}
             n_bad += 1
             continue
         # Dtype-FAMILY mismatches break the driver's value hash even when
@@ -75,10 +85,18 @@ def main(sf_dir, out_dir):
             det = {c: (str(sdf.schema.field(c).type), str(odf.schema.field(c).type))
                    for c in fam_bad}
             print(f"DTYPE    {name}: spark-vs-oracle {det}")
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": sdf.num_rows,
+                             "oracle_rows": odf.num_rows, "err": None}
             n_bad += 1
             continue
         orows = canon(odf.select(ocols).to_pandas().itertuples(index=False, name=None))
         srows = canon(sdf.select(scols).to_pandas().itertuples(index=False, name=None))
+        results[name] = {"rows_match": len(orows) == len(srows),
+                         "schema_match": True,
+                         "hash_match": orows == srows,
+                         "spark_rows": len(srows),
+                         "oracle_rows": len(orows), "err": None}
         if len(orows) != len(srows):
             print(f"ROWS     {name}: spark={len(srows)} oracle={len(orows)}")
             n_bad += 1
@@ -94,7 +112,15 @@ def main(sf_dir, out_dir):
             print(f"OK       {name}: {len(srows)} rows")
             n_ok += 1
     print(f"\n{n_ok} ok, {n_bad} bad")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(dict(sorted(results.items())), f, indent=1)
+        print(f"wrote {json_out}")
     return 1 if n_bad else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    # optional 3rd arg: write a CORRECTNESS_r{N}-style per-query JSON
+    # artifact (the committed sf0.1 scale-verification record:
+    #   sbt -batch "runMain graft.Verify /root/testdata/sf0.1 /tmp/vout01"
+    #   python3 tools/check_oracle.py /root/testdata/sf0.1 /tmp/vout01 CORRECTNESS_sf01.json
+    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else None))
