@@ -1638,6 +1638,44 @@ object SparkEntry {
           Seq(("src0", 50), ("src1", 30), ("src2", 20)), Seq("window_id"))
         .select(col("window_id"), col("source"), col("n_docs"), col("rate_bps"))
     }),
+    // X31: streaming model-agreement monitor — p77's kappa recomputed
+    // per event-time window (the x28 discipline applied to the
+    // evaluation family): BOTH quality classifiers fit offline (p57
+    // lattice + p62 hashed — the x26 serving pattern, twice), every
+    // arriving document is scored by both models in ONE map-only
+    // pass, and streaming state is the per-window integer contingency
+    // (4 longs per window — watermark-bounded in production); kappa
+    // derives from the drained counts through the SAME
+    // Evaluation.kappaFromCounts closed form the batch p77 runs (one
+    // definition, two executions). A falling live kappa means the two
+    // models' agreement structure drifted — retrain before routing.
+    "x31_stream_kappa" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = t(s, dir, "documents")
+      val featB = ops.Logistic.features(docs).localCheckpoint(true)
+      val w1 = ops.Logistic.train(featB, rounds = 3)
+      val hfeatB = ops.Logistic.hashedFeatures(docs, 64).localCheckpoint(true)
+      val w2 = ops.Logistic.trainHashed(hfeatB, 64, rounds = 2, lrNum = 64)
+      val sink = s"stream_kap_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val scoredA = ops.Logistic.scoreWith(
+          ops.Logistic.features(docStream(s, dir), carry = Seq("text")),
+          w1, carry = Seq("text"))
+        .select(col("doc_id"), col("text"), col("keep").as("keep_a"))
+      val q = ops.Logistic.scoreHashed(
+          ops.Logistic.hashedFeatures(scoredA, 64, carry = Seq("keep_a")),
+          w2, carry = Seq("keep_a"))
+        .select(col("doc_id"), col("keep_a"), col("keep").as("keep_b"))
+        .withColumn("window_id", expr("doc_id div 256"))
+        .groupBy(col("window_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep_a") === col("keep_b"), 1L).otherwise(0L)).as("n_agree"),
+          sum(col("keep_a").cast("long")).as("n_keep_a"),
+          sum(col("keep_b").cast("long")).as("n_keep_b"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      ops.Evaluation.kappaFromCounts(drainMemorySink(s, sink), Seq("window_id"))
+    }),
     // X29: streaming PQ-encode serving — the index-MAINTENANCE
     // monitor: the corpus (vec_id < 250) fit its PQ codebooks once
     // (p67's persisted state, the literal fit → save → load → serve
@@ -1895,6 +1933,17 @@ object SparkEntry {
     "p50_bpe_encode" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       ops.Bpe.encodeCorpus(d, ops.Bpe.learnMerges(d, numMerges = 8))
+    }),
+    // P78: tokenizer fertility/compression table per language — the
+    // metric tokenizer work is judged by (fertility = tokens/word;
+    // high fertility on a language means the tokenizer under-serves
+    // it): one p50 encode pass joined to per-doc word/char counts,
+    // aggregated to |langs| rows; exact integer sums, two 6-dp float
+    // sites. The oracle nests p50's full train+encode replay and
+    // aggregates the same per-doc counts.
+    "p78_tokenizer_fertility" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      ops.Bpe.fertilityStats(d, ops.Bpe.learnMerges(d, numMerges = 8))
     }),
     // P51: unigram-LM (SentencePiece-style) tokenizer — the other
     // production tokenizer family: one deterministic EM round (seed
@@ -4332,6 +4381,27 @@ object SparkEntry {
          |FROM documents d LEFT JOIN r USING (source)""".stripMargin,
     "p49_bpe_train" -> bpeOracleSql(numMerges = 8, maxWords = 32768),
     "p50_bpe_encode" -> bpeEncodeOracleSql(numMerges = 8, maxWords = 32768),
+    // p50's full train+encode replay nested, joined to per-doc
+    // word/char counts, aggregated per language
+    "p78_tokenizer_fertility" ->
+      s"""WITH enc AS (SELECT doc_id, n_tokens FROM (
+         |${bpeEncodeOracleSql(numMerges = 8, maxWords = 32768)}) t0),
+         |wc2 AS (SELECT doc_id, lang,
+         |          CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |                               w -> w <> '')) AS BIGINT) AS nw,
+         |          CAST(length(text) AS BIGINT) AS nc
+         |        FROM documents),
+         |ag AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(nw) AS BIGINT) AS n_words,
+         |         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |         CAST(sum(nc) AS BIGINT) AS n_chars
+         |       FROM wc2 JOIN enc USING (doc_id) GROUP BY 1)
+         |SELECT lang, n_docs, n_words, n_tokens, n_chars,
+         |  CASE WHEN n_words > 0
+         |       THEN round(CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE), 6) END AS fertility,
+         |  CASE WHEN n_tokens > 0
+         |       THEN round(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) END AS chars_per_token
+         |FROM ag""".stripMargin,
     "p51_unigram_lm" ->
       unigramOracleSql(maxPieceLen = 4, vocabSize = 64, maxWords = 32768),
     "p52_tokenizer_compare" ->
@@ -4461,6 +4531,27 @@ object SparkEntry {
          |       ELSE NULL END AS auc
          |FROM ag""".stripMargin
     },
+    // p77's kappa per doc_id//256 event-time window — the oracle IS
+    // p77's with the window cohort as the group
+    "x31_stream_kappa" ->
+      s"""WITH m1 AS (SELECT doc_id, keep FROM (
+         |${lrOracleSql(3, 4)}) t1),
+         |m2 AS (SELECT doc_id, keep FROM (
+         |${lrHashedOracleSql(64, 2, 64)}) t2),
+         |j AS (SELECT m1.doc_id // 256 AS window_id,
+         |        CASE WHEN m1.keep THEN 1 ELSE 0 END AS ka,
+         |        CASE WHEN m2.keep THEN 1 ELSE 0 END AS kb
+         |      FROM m1 JOIN m2 USING (doc_id)),
+         |ag AS (SELECT window_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(CASE WHEN ka = kb THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+         |         CAST(sum(ka) AS BIGINT) AS r1, CAST(sum(kb) AS BIGINT) AS c1
+         |       FROM j GROUP BY 1)
+         |SELECT window_id, n_docs, n_agree,
+         |  CASE WHEN (n_docs * n_docs - (r1 * c1 + (n_docs - r1) * (n_docs - c1))) <> 0
+         |       THEN round(CAST(n_docs * n_agree - (r1 * c1 + (n_docs - r1) * (n_docs - c1)) AS DOUBLE)
+         |                  / CAST(n_docs * n_docs - (r1 * c1 + (n_docs - r1) * (n_docs - c1)) AS DOUBLE), 6)
+         |       ELSE NULL END AS kappa
+         |FROM ag""".stripMargin,
     // both training replays nest as subquery WITH blocks (their CTE
     // namespaces cannot collide); integer contingency, one float site
     "p77_agreement_kappa" ->

@@ -280,6 +280,40 @@ object Bpe {
       .agg(sum(col("np").cast("long")).as("n_tokens"), sum(col("fp")).as("tokens_fp"))
   }
 
+  /** Per-group tokenizer quality table: fertility (tokens per word)
+    * and compression (chars per token) — the metrics tokenizer work
+    * is actually judged by (a tokenizer trained on English typically
+    * shows fertility ≈ 1.1–1.3 there and 2–4× that on unseen
+    * languages, which is how under-served languages are detected in a
+    * multilingual corpus). One [[encodeCorpus]] pass (the declarative
+    * tier) joined to per-document word/char counts, aggregated to
+    * |groups| rows: exact integer sums, two 6-dp float sites (the
+    * final ratios of exactly-representable longs — the p72
+    * discipline). NULL ratios when a group has no words/tokens.
+    */
+  def fertilityStats(docs: DataFrame, merges: Seq[Merge],
+      group: String = "lang", id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val words = docs.select(col(id), col(group),
+      size(filter(split(trim(lower(col(text))), "\\s+"), w => w =!= ""))
+        .cast("long").as("__nw"),
+      length(col(text)).cast("long").as("__nc"))
+    words
+      .join(encodeCorpus(docs, merges, id, text).select(col(id), col("n_tokens")),
+        Seq(id))
+      .groupBy(col(group))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nw")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"), sum(col("__nc")).as("n_chars"))
+      .select(col(group), col("n_docs"), col("n_words"), col("n_tokens"),
+        col("n_chars"),
+        when(col("n_words") > 0,
+          round(col("n_tokens").cast("double") / col("n_words").cast("double"), 6))
+          .otherwise(lit(null).cast("double")).as("fertility"),
+        when(col("n_tokens") > 0,
+          round(col("n_chars").cast("double") / col("n_tokens").cast("double"), 6))
+          .otherwise(lit(null).cast("double")).as("chars_per_token"))
+  }
+
   /** Corpus encode: per document, whitespace-split then
     * [[encodeWordRanked]] each word against the broadcast rank map.
     * Emits (id, n_tokens, tokens) — per-row math, zero shuffle; the

@@ -182,15 +182,26 @@ object Evaluation {
       .groupBy(col(group))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("__ka") === col("__kb"), 1L).otherwise(0L)).as("n_agree"),
-        sum(col("__ka")).as("__r1"), sum(col("__kb")).as("__c1"))
-    val pe = col("__r1") * col("__c1") +
-      (col("n_docs") - col("__r1")) * (col("n_docs") - col("__c1"))
+        sum(col("__ka")).as("n_keep_a"), sum(col("__kb")).as("n_keep_b"))
+    kappaFromCounts(ag, Seq(group))
+  }
+
+  /** Closed-form kappa from an exact contingency frame
+    * (groups..., n_docs, n_agree, n_keep_a, n_keep_b) — ONE
+    * definition shared by the batch rater-pair op ([[agreementKappa]])
+    * and the x31 streaming monitor, whose state is exactly this
+    * counts frame (4 longs per window): batch and stream kappa cannot
+    * drift. NULL when both raters are constant (pe = 1).
+    */
+  def kappaFromCounts(counts: DataFrame, groups: Seq[String]): DataFrame = {
+    val pe = col("n_keep_a") * col("n_keep_b") +
+      (col("n_docs") - col("n_keep_a")) * (col("n_docs") - col("n_keep_b"))
     val den = col("n_docs") * col("n_docs") - pe
-    ag.select(col(group), col("n_docs"), col("n_agree"),
+    counts.select(groups.map(col) :+ col("n_docs") :+ col("n_agree") :+
       when(den =!= 0L,
         round((col("n_docs") * col("n_agree") - pe).cast("double") /
           den.cast("double"), 6))
-        .otherwise(lit(null).cast("double")).as("kappa"))
+        .otherwise(lit(null).cast("double")).as("kappa"): _*)
   }
 
   /** Calibration (reliability) table over `nBins` equal p-hat bins:

@@ -258,7 +258,7 @@ object Logistic {
     * (the p43 gram definition), label from the p8 rule.
     */
   def hashedFeatures(docs: DataFrame, nBuckets: Int,
-      text: String = "text"): DataFrame = {
+      text: String = "text", carry: Seq[String] = Nil): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
     val tk = split(trim(lower(col(text))), "\\s+")
     val bigrams = zip_with(
@@ -272,10 +272,10 @@ object Logistic {
         g => (graft.functions.Md5Hex64Fn(g) % nBuckets).cast("int")))
     TextStats.withQualityColumns(docs, text)
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(col("doc_id"),
+      .select(col("doc_id") +: carry.map(col) :+
         when(round(col("quality_score"), 6) >= 0.78, 1.0d)
-          .otherwise(0.0d).as("y"),
-        bk.as("bk"))
+          .otherwise(0.0d).as("y") :+
+        bk.as("bk"): _*)
       .withColumn("n_feat", size(col("bk")).cast("long"))
   }
 
@@ -324,10 +324,12 @@ object Logistic {
     * 1e-6 grid, keep) — identical output contract to [[scoreWith]],
     * map-only (the weight array rides the plan as a literal).
     */
-  def scoreHashed(feat: DataFrame, wMicro: Array[Long]): DataFrame =
-    feat.select(col("doc_id"), col("y").cast("long").as("label"),
-        (round(sigmoid(zHashed(wMicro)) * lit(1e6)).cast("long") / lit(1e6))
-          .as("p_hat"))
+  def scoreHashed(feat: DataFrame, wMicro: Array[Long],
+      carry: Seq[String] = Nil): DataFrame =
+    feat.select(col("doc_id") +: carry.map(col) :+
+        col("y").cast("long").as("label") :+
+        ((round(sigmoid(zHashed(wMicro)) * lit(1e6)).cast("long") / lit(1e6))
+          .as("p_hat")): _*)
       .withColumn("keep", col("p_hat") >= 0.5)
 
   /** End-to-end hashed-feature pipeline. */

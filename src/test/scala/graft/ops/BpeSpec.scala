@@ -147,6 +147,33 @@ class BpeSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](Bpe.encodeCorpus(docs, big))
   }
 
+  test("p78: fertility/compression stats — hand-derivable on a two-language corpus") {
+    // lang A: "low low" docs (words fully learnable -> 1 token each);
+    // lang B: an OOV word that stays character-split
+    val docs = Seq(
+      (1L, "A", "low low"), (2L, "A", "low"),
+      (3L, "B", "xyz"))
+      .toDF("doc_id", "lang", "text")
+    val merges = Bpe.learnMerges(docs.where(col("lang") === "A"), numMerges = 8)
+    val ranks = merges.map(m => (m.lhs, m.rhs) -> m.rank).toMap
+    assert(Bpe.encodeWord(ranks, "low") == Seq("low</w>"))
+    val out = Bpe.fertilityStats(docs, merges).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    val a = out("A")
+    // 3 words -> 3 single tokens; chars: "low low"=7 + "low"=3 = 10
+    assert(a.getAs[Long]("n_docs") == 2L && a.getAs[Long]("n_words") == 3L)
+    assert(a.getAs[Long]("n_tokens") == 3L && a.getAs[Long]("n_chars") == 10L)
+    assert(a.getAs[Double]("fertility") == 1.0)
+    assert(a.getAs[Double]("chars_per_token") == round6(10.0 / 3.0))
+    val b = out("B")
+    // "xyz" is fully OOV: x, y, z, </w> = 4 tokens for 1 word
+    assert(b.getAs[Long]("n_tokens") == 4L && b.getAs[Long]("n_words") == 1L)
+    assert(b.getAs[Double]("fertility") == 4.0)
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("train() emits the merge table with the declared schema and maxWords caps the fit") {
     val docs = Seq((1L, "aa aa bb")).toDF("doc_id", "text")
     val df = Bpe.train(docs, numMerges = 2)
