@@ -451,6 +451,16 @@ object SparkEntry {
     // x 64 longs, map-side combined; no data-row shuffle.
     "a16_bootstrap_ci" -> ((s, dir) =>
       ops.Bootstrap.qualityCi(t(s, dir, "documents"))),
+    // A18: Poisson-bootstrap CI of the per-source MEDIAN quality —
+    // a16's robust twin: outliers move the mean but not the median,
+    // and the median's sampling distribution has no closed form (the
+    // case the bootstrap exists for). No per-resample sort of data
+    // rows: group by (source, resample, distinct micro value), one
+    // cumulative window over that bounded frame, weighted nearest-
+    // rank lower median = min(value) at cumweight >= (W+1) DIV 2 —
+    // all integers, all 65 ensembles replayed bit-exactly in SQL.
+    "a18_median_ci" -> ((s, dir) =>
+      ops.Bootstrap.qualityMedianCi(t(s, dir, "documents"))),
     // A17: effective sample size (Kish's (Σw)²/Σw²) of the p39
     // sampling weights per language — the importance-sampling
     // diagnostic: ESS << n means a handful of heavy documents
@@ -2278,6 +2288,18 @@ object SparkEntry {
       Dedup.minhashDupPairs(t(s, dir, "documents"), n = 8, numHashes = 16,
         rowsPerBand = 4, tau = 0.5)
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))),
+    // P79: cross-split leakage audit — near-dup pairs straddling the
+    // p31 train/val/test splits: a twin in train with its copy in
+    // test silently inflates every benchmark trained on the split.
+    // p3's banded candidates + two split lookups (the split is
+    // per-row hash math — no extra corpus scan); the rows are the
+    // audit detail a curation run drives to zero (or re-splits by
+    // p22 component instead of by document).
+    "p79_split_leakage" -> ((s, dir) =>
+      Dedup.splitLeakagePairs(t(s, dir, "documents"),
+        Seq(("train", 80), ("val", 10), ("test", 10)))
+        .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"),
+          round(col("est_jaccard"), 6).as("est_jaccard"))),
     // P38: incremental near-dup — docs < 250 are the EXISTING corpus
     // whose signature table is already materialized (the persisted
     // state a daily pipeline reads back); only the new batch
@@ -4573,6 +4595,46 @@ object SparkEntry {
          |                  / CAST(n_docs * n_docs - (r1 * c1 + (n_docs - r1) * (n_docs - c1)) AS DOUBLE), 6)
          |       ELSE NULL END AS kappa
          |FROM ag""".stripMargin,
+    // weighted nearest-rank lower median per (source, resample) on
+    // the distinct-micro-value grid — every step integer, the whole
+    // 65-ensemble bootstrap replays bit-exactly
+    "a18_median_ci" -> {
+      val wCase = graft.ops.Bootstrap.PoissonCdfMicro
+        .map(t => s"(CASE WHEN um >= $t THEN 1 ELSE 0 END)")
+        .mkString("(", " + ", ")")
+      s"""WITH base AS (${qualityBaseSql("documents", "doc_id, source")}),
+         |ratios AS (${qualityRatiosSql("doc_id, source")}),
+         |q AS (SELECT doc_id, source,
+         |        CAST(round($qualityScoreSql * 1000000) AS BIGINT) AS qm
+         |      FROM ratios),
+         |rep AS (SELECT source, qm, b,
+         |          CASE WHEN b = -1 THEN 1 ELSE $wCase END AS w
+         |        FROM (SELECT q.source, q.qm, b.b,
+         |                ${hx("CAST(doc_id AS VARCHAR) || '-' || CAST(b.b AS VARCHAR) || '-boot'")} % 1000000 AS um
+         |              FROM q CROSS JOIN range(-1, 64) b(b))),
+         |bv AS (SELECT source, b, qm, CAST(sum(w) AS BIGINT) AS sw
+         |       FROM rep GROUP BY 1, 2, 3),
+         |cum AS (SELECT source, b, qm, sw,
+         |          CAST(sum(sw) OVER (PARTITION BY source, b ORDER BY qm ASC
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |        FROM bv),
+         |tot AS (SELECT source, b, CAST(sum(sw) AS BIGINT) AS tw
+         |        FROM bv GROUP BY 1, 2 HAVING sum(sw) > 0),
+         |med AS (SELECT c.source, c.b, min(c.qm) AS med
+         |        FROM cum c JOIN tot t ON t.source = c.source AND t.b = c.b
+         |        WHERE c.cum >= (t.tw + 1) // 2 GROUP BY 1, 2),
+         |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM q GROUP BY 1),
+         |ranked AS (SELECT source, b, med,
+         |             row_number() OVER (PARTITION BY source
+         |               ORDER BY med ASC, b ASC) AS rn
+         |           FROM med WHERE b >= 0),
+         |pt AS (SELECT source, med AS median_micro FROM med WHERE b = -1)
+         |SELECT pt.source, nd.n_docs, pt.median_micro,
+         |  lo.med AS ci_lo_micro, hi.med AS ci_hi_micro
+         |FROM pt JOIN nd USING (source)
+         |LEFT JOIN (SELECT source, med FROM ranked WHERE rn = 2) lo USING (source)
+         |LEFT JOIN (SELECT source, med FROM ranked WHERE rn = 63) hi USING (source)""".stripMargin
+    },
     // exact integer Σw / Σw²; one float site (the final division)
     "a17_ess" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
@@ -4980,6 +5042,21 @@ object SparkEntry {
          |JOIN sizes sb ON sb.doc_id = id_b
          |WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5""".stripMargin,
     "p3_minhash_lsh" -> minhashLshSql,
+    // p3's pair oracle joined to p31's split CASE; only crossing pairs
+    "p79_split_leakage" ->
+      s"""WITH pairs AS (SELECT id_a, id_b, est_jaccard FROM (
+         |$minhashLshSql) t0),
+         |sp AS (SELECT doc_id,
+         |         CASE WHEN ${hx("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+         |              WHEN ${hx("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+         |              ELSE 'test' END AS split
+         |       FROM documents)
+         |SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b,
+         |       p.est_jaccard
+         |FROM pairs p
+         |JOIN sp sa ON sa.doc_id = p.id_a
+         |JOIN sp sb ON sb.doc_id = p.id_b
+         |WHERE sa.split <> sb.split""".stripMargin,
     // the incremental contract IS "the full guarded run restricted to
     // pairs touching the batch" — so the oracle is p3's, filtered
     "p38_incremental_minhash" ->

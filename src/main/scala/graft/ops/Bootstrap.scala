@@ -103,11 +103,77 @@ object Bootstrap {
         Seq(group), "left")
   }
 
+  /** Per-group bootstrap CI of the MEDIAN of `metricMicro` — the
+    * robust-center counterpart of [[meanCi]]: quality scores are
+    * lumpy lattice mixtures where a handful of outliers move the mean
+    * but not the median, and the median's sampling distribution has
+    * no clean closed form — exactly the case the bootstrap exists
+    * for. The resampled median is computed WITHOUT any per-resample
+    * sort of data rows (the p75 distinct-value discipline): group by
+    * (group, resample, distinct micro value) with map-side partials,
+    * one cumulative-weight window over that bounded frame, and the
+    * weighted nearest-rank lower median is min(value) where
+    * cumweight ≥ (W+1) DIV 2 — all integer arithmetic, so the oracle
+    * replays every ensemble bit-exactly. Resample −1 carries w = 1
+    * (the corpus median rides the same plan); bounds are the
+    * [[ciRanks]] order statistics with the NULL-bounds convention of
+    * [[meanCi]].
+    *
+    * 100 TB: the explode costs (b+1)× the scan; post-aggregation
+    * state is groups × (b+1) × distinct micro values (grid-bounded
+    * ≤ 1e6+1) — the window never sees the corpus.
+    */
+  def medianCi(rows: DataFrame, group: String, metricMicro: Column,
+      b: Int = 64, id: String = "doc_id"): DataFrame = {
+    require(b >= 4, s"need at least 4 resamples for an interval, got $b")
+    val (rnLo, rnHi) = ciRanks(b)
+    val base = rows.select(col(id), col(group), metricMicro.as("qm"))
+    val u = Hashing.hex64(concat_ws("-",
+      col(id).cast("string"), col("b").cast("string"), lit("boot"))) % 1000000L
+    val rep = base
+      .select(col(group), col("qm"),
+        explode(sequence(lit(-1), lit(b - 1))).as("b"), col(id))
+      .withColumn("w",
+        when(col("b") === -1L, lit(1L)).otherwise(poissonWeight(u)))
+    val byVal = rep.groupBy(col(group), col("b"), col("qm"))
+      .agg(sum(col("w")).as("sw"))
+    val wCum = Window.partitionBy(col(group), col("b"))
+      .orderBy(col("qm").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = byVal.withColumn("cum", sum(col("sw")).over(wCum))
+    val tot = byVal.groupBy(col(group), col("b"))
+      .agg(sum(col("sw")).as("tw")).where(col("tw") > 0)
+    val med = cum.join(tot, Seq(group, "b"))
+      .where(col("cum") >= expr("(tw + 1) DIV 2")) // integer division
+      .groupBy(col(group), col("b"))
+      .agg(min(col("qm")).as("med"))
+    val nDocs = base.groupBy(col(group)).agg(count(lit(1)).as("n_docs"))
+    val point = med.where(col("b") === -1L)
+      .select(col(group), col("med").as("median_micro"))
+      .join(nDocs, Seq(group))
+    val wr = Window.partitionBy(col(group))
+      .orderBy(col("med").asc, col("b").asc)
+    val ranked = med.where(col("b") >= 0L)
+      .withColumn("rn", row_number().over(wr))
+    point
+      .select(col(group), col("n_docs"), col("median_micro"))
+      .join(ranked.where(col("rn") === rnLo)
+        .select(col(group), col("med").as("ci_lo_micro")), Seq(group), "left")
+      .join(ranked.where(col("rn") === rnHi)
+        .select(col(group), col("med").as("ci_hi_micro")), Seq(group), "left")
+  }
+
   /** The shipped composition: per-source bootstrap CI of mean document
     * quality (the p8 score on the exact micro grid).
     */
   def qualityCi(docs: DataFrame, b: Int = 64, group: String = "source",
       text: String = "text", id: String = "doc_id"): DataFrame =
     meanCi(TextStats.withQualityColumns(docs, text), group,
+      round(col("quality_score") * 1e6).cast("long"), b, id)
+
+  /** [[medianCi]] over the p8 quality score — a16's robust twin. */
+  def qualityMedianCi(docs: DataFrame, b: Int = 64, group: String = "source",
+      text: String = "text", id: String = "doc_id"): DataFrame =
+    medianCi(TextStats.withQualityColumns(docs, text), group,
       round(col("quality_score") * 1e6).cast("long"), b, id)
 }

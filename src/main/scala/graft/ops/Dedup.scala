@@ -296,6 +296,37 @@ object Dedup {
     * the unguarded plan (pinned by HotBucketSpec against
     * [[minhashDupPairsUnguarded]]).
     */
+  /** Cross-split leakage audit — the eval-integrity check every
+    * train/test split needs and almost no pipeline runs: a near-dup
+    * PAIR that straddles splits (its twin in train, itself in test)
+    * silently inflates every benchmark number trained on that split.
+    * Composes the [[minhashDupPairs]] candidate machinery with
+    * [[Sampling.splitAssign]]'s deterministic hash splits and keeps
+    * only pairs whose endpoints land in DIFFERENT splits — the audit
+    * detail rows a curation run must drive to zero (drop either
+    * endpoint, or re-split by near-dup component instead of by doc:
+    * assign [[ConnectedComponents]] components, not documents, to
+    * splits).
+    *
+    * Scale shape = p3's (banded candidates, signature-collapse) plus
+    * two broadcast-sized split lookups riding the id keys — the split
+    * column is pure per-row hash math, so the joins attach it without
+    * any extra corpus scan or shuffle beyond p3's own.
+    */
+  def splitLeakagePairs(docs: DataFrame, splits: Seq[(String, Int)],
+      n: Int = 8, numHashes: Int = 16, rowsPerBand: Int = 4,
+      tau: Double = 0.5,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val sp = Sampling.splitAssign(docs, col(id), splits)
+      .select(col(id), col("split"))
+    minhashDupPairs(docs, n, numHashes, rowsPerBand, tau, id, text)
+      .join(sp.select(col(id).as("id_a"), col("split").as("split_a")), Seq("id_a"))
+      .join(sp.select(col(id).as("id_b"), col("split").as("split_b")), Seq("id_b"))
+      .where(col("split_a") =!= col("split_b"))
+      .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"),
+        col("est_jaccard"))
+  }
+
   def minhashDupPairs(docs: DataFrame, n: Int = 8, numHashes: Int = 16,
       rowsPerBand: Int = 4, tau: Double = 0.5,
       id: String = "doc_id", text: String = "text"): DataFrame = {

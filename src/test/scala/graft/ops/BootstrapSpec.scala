@@ -72,6 +72,31 @@ class BootstrapSpec extends SparkSpec {
       "1-row group cannot populate the rank-63 bound; expected NULL")
   }
 
+  test("medianCi: outlier-robust where the mean is not; constant metric collapses; brackets the point") {
+    // 200 rows at 300000 with 8 huge outliers: the MEDIAN interval
+    // must stay pinned at 300000 while the mean interval is dragged up
+    val rows = ((1L to 200L).map(i => (i, "g", 300000L)) ++
+      (201L to 208L).map(i => (i, "g", 100000000L))).toDF("doc_id", "g", "qm")
+    val med = Bootstrap.medianCi(rows, "g", col("qm")).collect().head
+    assert(med.getAs[Long]("median_micro") == 300000L)
+    assert(med.getAs[Long]("ci_lo_micro") == 300000L)
+    assert(med.getAs[Long]("ci_hi_micro") == 300000L)
+    assert(med.getAs[Long]("n_docs") == 208L)
+    val mean = Bootstrap.meanCi(rows, "g", col("qm")).collect().head
+    assert(mean.getAs[Long]("point_mean_micro") > 3000000L,
+      "the outliers must drag the mean an order of magnitude — that contrast is the point")
+    // nearest-rank lower median on an even split picks the LOWER value
+    val even = Seq((1L, "h", 10L), (2L, "h", 20L), (3L, "h", 30L), (4L, "h", 40L))
+      .toDF("doc_id", "g", "qm")
+    val m2 = Bootstrap.medianCi(even, "g", col("qm")).collect().head
+    assert(m2.getAs[Long]("median_micro") == 20L,
+      s"(n+1) DIV 2 rank of 4 values is the 2nd: ${m2.getAs[Long]("median_micro")}")
+    // deterministic
+    val again = Bootstrap.medianCi(rows, "g", col("qm")).collect().head
+    assert(again.getAs[Long]("ci_lo_micro") == 300000L &&
+      again.getAs[Long]("ci_hi_micro") == 300000L)
+  }
+
   test("poisson weights from the hash are unbiased: mean replication ~ 1") {
     val draws = (1L to 2000L).map(i => (i, "g", 1L)).toDF("doc_id", "g", "qm")
       .select(explode(sequence(lit(0), lit(7))).as("b"), col("doc_id"))

@@ -399,6 +399,40 @@ class PlanShapeSpec extends SparkSpec {
     assertNoDisasterJoin("p74", plan)
   }
 
+  test("p75 bootstrap AUC: the cumulative window runs over the aggregated score grid, never a corpus sort") {
+    // the p75 scale claim: the (b+1)-way explode collapses into a
+    // map-side-combined (cohort, resample, micro-score) aggregation
+    // BEFORE any window; the corpus itself never range-exchanges
+    val plan = executedPlan("p75_auc_bootstrap")
+    assert(plan.contains("partial"), s"p75 must map-side combine:\n$plan")
+    assert(plan.contains("Window"), s"p75 needs the cumulative window:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"p75 must not globally sort:\n$plan")
+    assertNoDisasterJoin("p75", plan)
+  }
+
+  test("a18 median CI: same bounded-grid discipline — no corpus sort, map-side combined") {
+    val plan = executedPlan("a18_median_ci")
+    assert(plan.contains("partial"), s"a18 must map-side combine:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"a18 must not globally sort:\n$plan")
+    assertNoDisasterJoin("a18", plan)
+  }
+
+  test("p77 kappa: one equi-join of the two scored frames, no window, map-side-combined contingency") {
+    val plan = executedPlan("p77_agreement_kappa")
+    assertNoDisasterJoin("p77", plan)
+    assert(!plan.contains("Window"), s"p77 must not window:\n$plan")
+    assert(plan.contains("partial"), s"p77 must map-side combine:\n$plan")
+  }
+
+  test("a17 ESS: one aggregation — no join, no window, no shuffle beyond the group-by") {
+    val plan = executedPlan("a17_ess")
+    assert(!plan.contains("Join"), s"a17 must not join:\n$plan")
+    assert(!plan.contains("Window"), s"a17 must not window:\n$plan")
+    assert(plan.contains("partial"), s"a17 must map-side combine:\n$plan")
+  }
+
   test("p40 bloom decontamination: the bitmap probe gates corpus n-grams before the join") {
     val plan = executedPlan("p40_bloom_decontaminate")
     assertNoDisasterJoin("p40", plan)
