@@ -451,6 +451,21 @@ object SparkEntry {
     // x 64 longs, map-side combined; no data-row shuffle.
     "a16_bootstrap_ci" -> ((s, dir) =>
       ops.Bootstrap.qualityCi(t(s, dir, "documents"))),
+    // A19: embedding-space drift — a14's PSI with the fitted IVF
+    // cells as the categories: the coarse quantizer is fit on the
+    // REFERENCE half only (even vec_ids), BOTH halves rank-1 assign
+    // against those frozen centroids, and the per-cell occupancy
+    // shift is the PSI decomposition. Distribution drift in embedding
+    // space moves occupancy between cells long before any scalar
+    // moves — the signal that says "refit the index / re-embed". The
+    // oracle replays the k-means prefix with the fit predicate and
+    // nProbe=1 (rank-1 assignment for everyone).
+    "a19_embedding_drift" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      ops.Similarity.embeddingDriftPsi(
+        emb.where(col("vec_id") % 2 === 0),
+        emb.where(col("vec_id") % 2 === 1), nCentroids = 8)
+    }),
     // A18: Poisson-bootstrap CI of the per-source MEDIAN quality —
     // a16's robust twin: outliers move the mean but not the median,
     // and the median's sampling distribution has no closed form (the
@@ -4595,6 +4610,27 @@ object SparkEntry {
          |                  / CAST(n_docs * n_docs - (r1 * c1 + (n_docs - r1) * (n_docs - c1)) AS DOUBLE), 6)
          |       ELSE NULL END AS kappa
          |FROM ag""".stripMargin,
+    // the k-means prefix fit on the even half, rank-1 assignment for
+    // all (nProbe=1), occupancy split by parity, the a14 PSI tail
+    "a19_embedding_drift" ->
+      s"""${ivfKmeansPrefixSql("vec_id % 2 = 0", "TRUE", nProbe = 1)},
+         |occ AS (SELECT p.cell,
+         |          CAST(sum(CASE WHEN p.vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+         |          CAST(sum(CASE WHEN p.vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nc
+         |        FROM probes p GROUP BY 1),
+         |spine AS (SELECT cid AS cell FROM c3),
+         |j AS (SELECT s.cell, coalesce(o.nr, 0) AS n_ref, coalesce(o.nc, 0) AS n_cur
+         |      FROM spine s LEFT JOIN occ o USING (cell)),
+         |t AS (SELECT *, sum(n_ref) OVER () AS tr, sum(n_cur) OVER () AS tc FROM j)
+         |SELECT CAST(cell AS BIGINT) AS cell, n_ref, n_cur,
+         |  round(n_ref / CAST(tr AS DOUBLE), 6) AS p_ref,
+         |  round(n_cur / CAST(tc AS DOUBLE), 6) AS p_cur,
+         |  CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+         |    round((n_ref / CAST(tr AS DOUBLE) - n_cur / CAST(tc AS DOUBLE))
+         |          * ln((n_ref / CAST(tr AS DOUBLE))
+         |               / (n_cur / CAST(tc AS DOUBLE))), 6)
+         |  END AS psi_contrib
+         |FROM t""".stripMargin,
     // weighted nearest-rank lower median per (source, resample) on
     // the distinct-micro-value grid — every step integer, the whole
     // 65-ensemble bootstrap replays bit-exactly

@@ -53,9 +53,17 @@ object Drift {
       .select(col("bin"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    psiColumns(joined)
+  }
+
+  /** The PSI tail shared by the value-grid ([[psiByBin]]) and
+    * categorical ([[psiByCategory]]) decompositions: shares from exact
+    * counts, 6-dp ln contribution, empty-side gates to NULL. The
+    * window totals run over the |categories|-row frame, not the data.
+    */
+  private def psiColumns(joined: DataFrame): DataFrame = {
     val totR = sum(col("n_ref")).over()
     val totC = sum(col("n_cur")).over()
-    // the window totals run over the |bins|-row frame, not the data
     joined
       .withColumn("p_ref", col("n_ref") / totR)
       .withColumn("p_cur", col("n_cur") / totC)
@@ -64,6 +72,30 @@ object Drift {
           round((col("p_ref") - col("p_cur")) * log(col("p_ref") / col("p_cur")), 6)))
       .withColumn("p_ref", round(col("p_ref"), 6))
       .withColumn("p_cur", round(col("p_cur"), 6))
+  }
+
+  /** Per-CATEGORY PSI decomposition between `reference` and `current`
+    * over an EXPLICIT category spine (the a14 shape with a categorical
+    * key instead of a value grid): the spine plays the literal-grid
+    * role — a fixed yardstick both sides are scored against, with
+    * categories empty on both sides still reporting (an all-zero
+    * region is itself a signal). Used by a19 with the fitted IVF cells
+    * as the categories: drift in EMBEDDING space shows up as occupancy
+    * moving between cells long before any scalar statistic moves.
+    * Scale: two |categories|-row count aggregations + spine joins;
+    * nothing holds more than the category table.
+    */
+  def psiByCategory(reference: DataFrame, current: DataFrame,
+      catCol: String, spine: DataFrame): DataFrame = {
+    def counted(df: DataFrame, out: String): DataFrame =
+      df.select(col(catCol)).groupBy(catCol).agg(count(lit(1)).as(out))
+    val joined = spine.select(col(catCol))
+      .join(counted(reference, "n_ref"), Seq(catCol), "left")
+      .join(counted(current, "n_cur"), Seq(catCol), "left")
+      .select(col(catCol),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    psiColumns(joined)
   }
 
   /** The literal-grid bin id for `valueCol` — shared by [[psiByBin]]'s

@@ -410,6 +410,36 @@ object Similarity {
       .where(col("__rk") === 1)
       .select(col("vid").as(id), col("cell"))
 
+  /** Embedding-space drift (a19) — [[graft.ops.Drift]]'s PSI with the
+    * fitted IVF cells as the categories: the coarse quantizer is fit
+    * on the REFERENCE corpus only, BOTH corpora rank-1 assign against
+    * those frozen centroids, and the per-cell occupancy shift is the
+    * PSI decomposition. Drift in embedding space moves occupancy
+    * between cells long before any scalar statistic moves — the
+    * monitor that says "refit the index / re-embed before serving".
+    * Emits one row per fitted cell (the category spine, so a cell
+    * emptied on both sides still reports).
+    *
+    * 100 TB: one fit (hash-sampleable) + one map pass per corpus
+    * against C literal centroids + two ≤C-row count aggregations;
+    * nothing holds more than the cell table.
+    */
+  def embeddingDriftPsi(reference: DataFrame, current: DataFrame,
+      nCentroids: Int = 8, id: String = "vec_id",
+      vec: String = "embedding", fitSamplePct: Int = 100): DataFrame = {
+    val cb = fitCodebook(reference, nCentroids, id, vec, fitSamplePct)
+    require(cb.nonEmpty, "reference codebook fit produced no centroids")
+    def cellsOf(df: DataFrame): DataFrame =
+      ivfRankedCells(df, nCentroids, maxRank = 1, id, vec, "vid", "v", "nrm",
+        prefit = Some(cb))
+        .where(col("__rk") === 1)
+        .select(col("cell").cast("long").as("cell"))
+    val spark = reference.sparkSession
+    import spark.implicits._
+    val spine = cb.map(_._1.toLong).toDF("cell")
+    Drift.psiByCategory(cellsOf(reference), cellsOf(current), "cell", spine)
+  }
+
   /** First-class k-means clustering summary — the corpus "data map"
     * a curation pipeline publishes (cluster sizes for mixture audits,
     * cohesion for picking C, the SemDeDup/Nomic-atlas shape): fit the

@@ -27,6 +27,51 @@ class DriftSpec extends SparkSpec {
     assert((1L to 8L).forall(b => byBin(b)._4.contains(0.0)))
   }
 
+  test("categorical psi (a19 tail): spine-complete, zero on identical occupancy, positive where mass moved") {
+    val spine = Seq(0L, 1L, 2L, 3L).toDF("cell")
+    val ref = (1 to 400).map(i => i % 4L).toDF("cell")
+    val same = Drift.psiByCategory(ref, ref, "cell", spine)
+      .select("cell", "psi_contrib").as[(Long, Option[Double])].collect().toMap
+    assert(same.size == 4 && same.values.forall(_.contains(0.0)))
+    // mass moves from cell 3 to cell 0; cells 1/2 untouched; a cell
+    // absent from BOTH sides still reports (spine-complete)
+    val cur = (1 to 400).map(i => if (i % 4L == 3L) 0L else i % 4L).toDF("cell")
+    val out = Drift.psiByCategory(ref, cur, "cell", spine)
+      .select("cell", "n_ref", "n_cur", "psi_contrib")
+      .as[(Long, Long, Long, Option[Double])].collect().map(r => r._1 -> r).toMap
+    assert(out(0L)._3 == 200L && out(0L)._4.exists(_ > 0))
+    assert(out(3L)._3 == 0L && out(3L)._4.isEmpty, "emptied cell gates to NULL")
+    assert(Seq(1L, 2L).forall(c => out(c)._4.contains(0.0)))
+    val spine5 = Seq(0L, 1L, 2L, 3L, 9L).toDF("cell")
+    val withGhost = Drift.psiByCategory(ref, cur, "cell", spine5).collect()
+    assert(withGhost.length == 5, "both-sides-empty category must still report")
+  }
+
+  test("a19: identical halves score zero PSI everywhere; a shifted half moves occupancy") {
+    // clustered embeddings: two tight direction clusters; reference =
+    // balanced, current = all mass in cluster A's direction
+    def vec(cluster: Int, i: Int): Seq[Double] = {
+      val base = if (cluster == 0) Seq(1.0, 0.0, 0.0, 0.0) else Seq(0.0, 1.0, 0.0, 0.0)
+      base.map(_ + (i % 7) * 0.001)
+    }
+    val emb = (0 until 200).map(i => (i.toLong, vec(i % 2, i)))
+      .toDF("vec_id", "embedding")
+    val sameHalves = Similarity.embeddingDriftPsi(
+      emb.where(col("vec_id") % 2 === 0), emb.where(col("vec_id") % 2 === 0),
+      nCentroids = 4)
+    assert(sameHalves.select("psi_contrib").as[Option[Double]].collect()
+      .forall(v => v.isEmpty || v.contains(0.0)),
+      "identical corpora must score zero PSI in every populated cell")
+    // current = cluster-0 vectors only: occupancy must collapse into
+    // cluster 0's cells and at least one contribution must be non-zero
+    val drifted = Similarity.embeddingDriftPsi(
+      emb, emb.where(col("vec_id") % 2 === 0), nCentroids = 4).collect()
+    val contribs = drifted.flatMap(r =>
+      Option(r.getAs[java.lang.Double]("psi_contrib")).map(_.doubleValue))
+    assert(contribs.exists(_ > 0.0),
+      s"a collapsed current half must show positive PSI somewhere: ${drifted.mkString(";")}")
+  }
+
   test("psi: out-of-range values clamp to the edge bins; spine reports empty bins") {
     val ref = Seq(-5.0, 2.0, 95.0, 200.0).toDF("value")
     val out = Drift.psiByBin(ref, ref, "value", 0.0, 10.0, 10)
