@@ -24,7 +24,14 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NEVER coalesce(1): coalesce collapses the
+      // final stage to one task all the way down to the nearest
+      // exchange — measured 165 s -> 13 min on p2 at sf0.1, whose
+      // 6M-group verification reduce and gate joins all serialized
+      // into the single write task. repartition inserts its own
+      // exchange, so upstream stages keep their parallelism and only
+      // the (result-sized) write is single-task.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
