@@ -4523,8 +4523,10 @@ object SparkEntry {
          |           CAST(sum(wp * (2 * cumwn + wn)) AS BIGINT) AS num2,
          |           CAST(sum(wp) AS BIGINT) AS tp, CAST(sum(wn) AS BIGINT) AS tn
          |         FROM cum GROUP BY 1, 2
-         |         HAVING sum(wp) > 0 AND sum(wn) > 0),
-         |am AS (SELECT source, b, (num2 * 1000000) // (2 * tp * tn) AS auc_micro,
+         |         HAVING b = -1 OR (sum(wp) > 0 AND sum(wn) > 0)),
+         |am AS (SELECT source, b,
+         |         CASE WHEN tp > 0 AND tn > 0
+         |           THEN (num2 * 1000000) // (2 * tp * tn) ELSE NULL END AS auc_micro,
          |         tp, tn FROM aucs),
          |ranked AS (SELECT source, b, auc_micro,
          |             row_number() OVER (PARTITION BY source

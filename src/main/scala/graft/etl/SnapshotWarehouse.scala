@@ -329,7 +329,27 @@ class SnapshotWarehouse(spark: SparkSession, val baseDir: String,
       catch { case _: java.io.FileNotFoundException => None }
     if (tombMtime.contains(observedMtime)) { fs.delete(tomb, false); true }
     else {
-      try fs.rename(tomb, lock) catch { case _: java.io.IOException => () }
+      // rename returns FALSE (no exception) if a third writer re-created
+      // the lock path inside the double-rename window — the captured
+      // fresh lock would be orphaned as a tombstone while its holder
+      // believes it still holds the lock. Retry once (the re-created
+      // lock may itself have vanished), then leave a LOUD audit trail:
+      // the orphan means two writers may interleave the critical
+      // section, which is the documented residual race — it must never
+      // fail silently.
+      val restored = try fs.rename(tomb, lock) catch {
+        case _: java.io.IOException => false }
+      if (!restored) {
+        val retried = try fs.rename(tomb, lock) catch {
+          case _: java.io.IOException => false }
+        if (!retried) org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          "settleTombstone: could not restore captured fresh lock {} -> {} " +
+            "(lock path re-created by a third writer during the double-rename " +
+            "window); the captured lock is orphaned as a tombstone and its " +
+            "holder may run concurrently with the new holder — vacuum will " +
+            "collect the orphan, but this write window is NOT mutually excluded",
+          tomb, lock)
+      }
       false
     }
   }

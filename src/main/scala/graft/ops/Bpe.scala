@@ -285,11 +285,19 @@ object Bpe {
     * is actually judged by (a tokenizer trained on English typically
     * shows fertility ≈ 1.1–1.3 there and 2–4× that on unseen
     * languages, which is how under-served languages are detected in a
-    * multilingual corpus). One [[encodeCorpus]] pass (the declarative
-    * tier) joined to per-document word/char counts, aggregated to
-    * |groups| rows: exact integer sums, two 6-dp float sites (the
-    * final ratios of exactly-representable longs — the p72
-    * discipline). NULL ratios when a group has no words/tokens.
+    * multilingual corpus). One encode pass joined to per-document
+    * word/char counts, aggregated to |groups| rows: exact integer
+    * sums, two 6-dp float sites (the final ratios of exactly-
+    * representable longs — the p72 discipline). NULL ratios when a
+    * group has no words/tokens.
+    *
+    * Encode tier: merge lists at or under [[encodeCorpus]]'s 64-merge
+    * cap route through the declarative fold (oracle-replayable — the
+    * p78 query's regime); anything larger routes through [[encode]]'s
+    * broadcast-rank-map production tier automatically, so the metric
+    * runs at the 30k-merge scale it is actually judged in (the two
+    * tiers compute the same n_tokens — BpeSpec pins strategy
+    * equivalence on trained merges).
     */
   def fertilityStats(docs: DataFrame, merges: Seq[Merge],
       group: String = "lang", id: String = "doc_id",
@@ -298,9 +306,11 @@ object Bpe {
       size(filter(split(trim(lower(col(text))), "\\s+"), w => w =!= ""))
         .cast("long").as("__nw"),
       length(col(text)).cast("long").as("__nc"))
+    val encoded =
+      if (merges.size <= 64) encodeCorpus(docs, merges, id, text)
+      else encode(docs, merges, id, text)
     words
-      .join(encodeCorpus(docs, merges, id, text).select(col(id), col("n_tokens")),
-        Seq(id))
+      .join(encoded.select(col(id), col("n_tokens")), Seq(id))
       .groupBy(col(group))
       .agg(count(lit(1)).as("n_docs"), sum(col("__nw")).as("n_words"),
         sum(col("n_tokens")).as("n_tokens"), sum(col("__nc")).as("n_chars"))

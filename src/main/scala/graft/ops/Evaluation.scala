@@ -97,17 +97,26 @@ object Evaluation {
     * The CI bounds are the [[Bootstrap.ciRanks]] order statistics of
     * the b resample auc_micros; a group whose resample drops a whole
     * class contributes no mean for that resample, and under-populated
-    * groups keep NULL bounds (the a16 convention). Everything replays
-    * bit-exactly in SQL.
+    * groups keep NULL bounds (the a16 convention). A group that is
+    * single-class in the DATA keeps its point row with NULL auc_micro
+    * and NULL bounds — the [[aucByGroup]] convention, so the p72 and
+    * p75 members of the family share one output contract. Everything
+    * replays bit-exactly in SQL.
     *
     * Shape at 100 TB: the explode costs (b+1)× the scan (all map-side,
     * the a16 envelope); the first aggregation collapses to
     * |groups| × (b+1) × |distinct micro scores| rows with map-side
     * partials (micro scores are grid-bounded at ≤ 1e6+1 values), and
     * the cumulative window runs over THAT bounded frame, never the
-    * corpus. Integer envelope: U·2 ≤ 2·W⁺·W⁻ ≤ 2·(9n)², and the ×1e6
-    * lift needs 2e6·(9n)² < 2^63 — safe to ~7e8 rows per group per
-    * resample; shard the group key beyond that.
+    * corpus. Integer envelope: U·2 ≤ 2·W⁺·W⁻, with W⁺+W⁻ ≤ 9n (the
+    * Poisson weight caps at 9), so the ×1e6 lift needs
+    * 2e6·W⁺·W⁻ < 2^63 ⇔ W⁺·W⁻ < ~4.6e12 — worst case (adversarially
+    * split all-9 weights, W⁺=W⁻=9n/2) that is n ≈ 4.8e5 rows per group
+    * per resample; at typical Poisson(1) mass (W⁺+W⁻ ≈ n) and balanced
+    * classes it is n ≈ 4.3e6. Because the bound depends on the CLASS
+    * SPLIT, not just n, the guard is enforced at RUNTIME: any (group,
+    * resample) whose W⁺·W⁻ would overflow the lift raises an error
+    * (never a silently wrapped CI) — shard the group key beyond.
     */
   def aucBootstrapCi(scored: DataFrame, group: String, b: Int = 64,
       score: String = "p_hat", label: String = "label",
@@ -132,13 +141,27 @@ object Evaluation {
     val wCum = org.apache.spark.sql.expressions.Window
       .partitionBy(col(group), col("b")).orderBy(col("sm").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // num2 <= 2*tp*tn, so guarding the product guards the whole lift;
+    // the compare runs in doubles (slack is fine for a guard) because
+    // 2*tp*tn itself can wrap long before the threshold comparison
+    val lifted = when(
+      col("tp").cast("double") * col("tn").cast("double") >= 4.6e12,
+      raise_error(concat(
+        lit("aucBootstrapCi: W+*W- exceeds the exact 1e6-lift envelope in group "),
+        col(group).cast("string"), lit(", resample "), col("b").cast("string"),
+        lit(" — shard the group key"))).cast("long"))
+      .otherwise(expr("(num2 * 1000000) DIV (2 * tp * tn)"))
     val aucs = byScore
       .withColumn("cumwn", coalesce(sum(col("wn")).over(wCum), lit(0L)))
       .groupBy(col(group), col("b"))
       .agg(sum(col("wp") * (lit(2L) * col("cumwn") + col("wn"))).as("num2"),
         sum(col("wp")).as("tp"), sum(col("wn")).as("tn"))
-      .where(col("tp") > 0 && col("tn") > 0)
-      .withColumn("auc_micro", expr("(num2 * 1000000) DIV (2 * tp * tn)"))
+      // single-class RESAMPLES contribute no mean; the single-class
+      // POINT row (b = -1) survives with NULL auc (the p72 contract)
+      .where(col("b") === -1L || (col("tp") > 0 && col("tn") > 0))
+      .withColumn("auc_micro",
+        when(col("tp") > 0 && col("tn") > 0, lifted)
+          .otherwise(lit(null).cast("long")))
     val point = aucs.where(col("b") === -1L)
       .select(col(group), col("tp").as("n_pos"), col("tn").as("n_neg"),
         col("auc_micro"))

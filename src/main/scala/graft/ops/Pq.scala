@@ -267,7 +267,9 @@ object Pq {
       rerankK: Int = -1,
       id: String = "vec_id", vec: String = "embedding",
       codebook: String = "kmeans", fitSamplePct: Int = 100,
-      targetOccupancy: Int = 1024, corpusCount: Long = -1L): DataFrame = {
+      targetOccupancy: Int = 1024, corpusCount: Long = -1L,
+      refineCapRows: Long = BroadcastRefineMaxRows): DataFrame = {
+    require(refineCapRows >= 1, s"refineCapRows must be >= 1, got $refineCapRows")
     require(k >= 1, s"k must be >= 1, got $k")
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     val cbs = fitPqCodebooks(emb, m, ksub, pqIters, id, vec, fitSamplePct)
@@ -308,7 +310,7 @@ object Pq {
     val pairs = probes.join(cands, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc_l2sq", adc)
-    adcShortlistRefine(pairs, emb, k, shortK, id, vec, nUsable)
+    adcShortlistRefine(pairs, emb, k, shortK, id, vec, nUsable, refineCapRows)
   }
 
   /** Shared tail of the IVF-PQ rankers: keep each query's ADC
@@ -328,36 +330,83 @@ object Pq {
     * ceiling (wider embeddings should scale the cap down by d/64; the
     * row form is kept because the refine sizes from the same
     * `sizingCount` the IVF family already pays for). Past the cap the
-    * id-equi-join fallback is the MEASURED envelope, not a guess:
-    * at a 64k-vector fixture (ProbePqRefine, BASELINE.md round 10)
-    * the fallback refines in 64.5 s vs 36.2 s broadcast — a 1.8×
-    * penalty, bit-identical results (PqSpec pins equality across the
-    * cap). At true index scale the corpus side is sharded anyway —
-    * each shard's sub-corpus re-enters the broadcast regime.
+    * corpus SHARDS by vector-id hash into ceil(n/cap) slices of at
+    * most cap rows and each slice re-enters the broadcast regime: the
+    * shortlist (|queries|·shortK skinny id pairs, localCheckpointed)
+    * is rescanned once per (shard, side) — 2·S map-side broadcast
+    * joins, zero shortlist shuffles — and the per-query top-k window
+    * merges the union. Past [[MaxRefineShards]] slices the total
+    * broadcast volume (= the whole corpus, in pieces) stops paying for
+    * itself and the plain id-equi-join fallback takes over — that
+    * fallback is the MEASURED envelope, not a guess: at a 64k-vector
+    * fixture (ProbePqRefine, BASELINE.md round 10) it refined in
+    * 64.5 s vs 36.2 s broadcast — 1.8×, bit-identical (PqSpec pins
+    * equality across all three regimes). The round-11 500k-vector
+    * probe measures the sharded middle regime against both.
     *
-    * var, not val: PqSpec lowers it to force the >cap fallback on the
-    * small fixture; ProbePqRefine measures both sides of the cap.
+    * The cap is a PARAMETER on the rankers (tests pass small values to
+    * force each regime) — a mutable object field here let parallel
+    * suites flip each other's plan choice mid-run.
     */
-  private[ops] var BroadcastRefineMaxRows = 250000L
+  private[ops] val BroadcastRefineMaxRows = 250000L
+
+  /** Sharded-refine ceiling: past cap×this the whole-corpus broadcast
+    * volume (streamed in cap-sized slices) loses to one shortlist
+    * shuffle; 16 shards ≈ 4M rows ≈ 2 GB total at 64-dim.
+    */
+  private[ops] val MaxRefineShards = 16
 
   private def adcShortlistRefine(pairs: DataFrame, emb: DataFrame, k: Int,
-      shortK: Int, id: String, vec: String, corpusN: Long = -1L): DataFrame = {
+      shortK: Int, id: String, vec: String, corpusN: Long = -1L,
+      refineCapRows: Long = BroadcastRefineMaxRows): DataFrame = {
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_l2sq").asc, col("neighbor_id").asc)
     val shortlist = pairs.withColumn("__ar", row_number().over(wAdc))
       .where(col("__ar") <= shortK)
       .select(col("query_id"), col("neighbor_id"))
-    val small = corpusN > 0 && corpusN <= BroadcastRefineMaxRows
-    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
-    val qv = bc(emb.select(col(id).as("query_id"), toDouble(col(vec)).as("__va")))
-    val nv = bc(emb.select(col(id).as("neighbor_id"), toDouble(col(vec)).as("__vb")))
-    val refined = shortlist
-      .join(qv, Seq("query_id"))
-      .join(nv, Seq("neighbor_id"))
-      .withColumn("l2sq", VectorMath.l2sq(col("__va"), col("__vb")))
+    val nShards = if (corpusN <= 0) Long.MaxValue
+      else (corpusN + refineCapRows - 1) / refineCapRows
+    val refined =
+      if (nShards <= 1L) {
+        // whole corpus fits one broadcast: both joins map-side
+        val qv = broadcast(emb.select(col(id).as("query_id"), toDouble(col(vec)).as("__va")))
+        val nv = broadcast(emb.select(col(id).as("neighbor_id"), toDouble(col(vec)).as("__vb")))
+        shortlist.join(qv, Seq("query_id")).join(nv, Seq("neighbor_id"))
+      } else if (nShards <= MaxRefineShards) {
+        // sharded regime: slice the corpus by id hash into <= cap-row
+        // broadcasts; the CHECKPOINTED shortlist routes each side to
+        // its shard map-side (a filter on the same hash), so the only
+        // post-union exchange is the final per-query top-k window
+        val s = nShards.toInt
+        val vecs = emb.select(col(id).as("__vid"), toDouble(col(vec)).as("__v"),
+          pmod(xxhash64(col(id)), lit(s.toLong)).as("__sh"))
+        val sl = shortlist
+          .withColumn("__shn", pmod(xxhash64(col("neighbor_id")), lit(s.toLong)))
+          .withColumn("__shq", pmod(xxhash64(col("query_id")), lit(s.toLong)))
+          .localCheckpoint(true)
+        val slices = (0 until s).map(i =>
+          broadcast(vecs.where(col("__sh") === i.toLong).drop("__sh")))
+        val withNb = (0 until s).map { i =>
+          sl.where(col("__shn") === i.toLong)
+            .join(slices(i), col("neighbor_id") === col("__vid"))
+            .withColumnRenamed("__v", "__vb").drop("__vid")
+        }.reduce(_ unionByName _)
+        (0 until s).map { i =>
+          withNb.where(col("__shq") === i.toLong)
+            .join(slices(i), col("query_id") === col("__vid"))
+            .withColumnRenamed("__v", "__va").drop("__vid")
+        }.reduce(_ unionByName _).drop("__shn", "__shq")
+      } else {
+        // fallback: plain id-equi-joins (two shortlist shuffles) — the
+        // measured 1.8× envelope at 64k; correct at any corpus size
+        val qv = emb.select(col(id).as("query_id"), toDouble(col(vec)).as("__va"))
+        val nv = emb.select(col(id).as("neighbor_id"), toDouble(col(vec)).as("__vb"))
+        shortlist.join(qv, Seq("query_id")).join(nv, Seq("neighbor_id"))
+      }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("l2sq").asc, col("neighbor_id").asc)
-    refined.withColumn("rank", row_number().over(w))
+    refined.withColumn("l2sq", VectorMath.l2sq(col("__va"), col("__vb")))
+      .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
         round(col("l2sq"), 6).as("l2sq"), col("rank"))
@@ -429,7 +478,9 @@ object Pq {
       rerankK: Int = -1,
       id: String = "vec_id", vec: String = "embedding",
       fitSamplePct: Int = 100,
-      targetOccupancy: Int = 1024, corpusCount: Long = -1L): DataFrame = {
+      targetOccupancy: Int = 1024, corpusCount: Long = -1L,
+      refineCapRows: Long = BroadcastRefineMaxRows): DataFrame = {
+    require(refineCapRows >= 1, s"refineCapRows must be >= 1, got $refineCapRows")
     require(k >= 1, s"k must be >= 1, got $k")
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     val nUsable = if (targetOccupancy <= 0) -1L
@@ -471,6 +522,6 @@ object Pq {
     val pairs = probes.join(cands, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc_l2sq", adc)
-    adcShortlistRefine(pairs, emb, k, shortK, id, vec, nUsable)
+    adcShortlistRefine(pairs, emb, k, shortK, id, vec, nUsable, refineCapRows)
   }
 }

@@ -339,6 +339,16 @@ class SnapshotWarehouseSpec extends SparkSpec {
     val stale = tomb.lastModified()
     assert(wh.settleTombstone(tombP, lockP, observedMtime = stale))
     assert(!tomb.exists() && !lock.exists())
+
+    // restore-FAILURE case (round 11): the restore rename can return
+    // false (no exception) — e.g. the tombstone vanished or the lock
+    // path was re-created by a third writer inside the double-rename
+    // window. The settle must survive it (warn loudly, return false)
+    // instead of silently assuming the restore happened.
+    assert(!tomb.exists())
+    assert(!wh.settleTombstone(tombP, lockP, observedMtime = stale - 5000),
+      "a failed restore must still report the break as failed")
+    assert(!lock.exists(), "a failed restore must not conjure a lock")
   }
 
   test("a stale commit lock (crashed holder) is broken, not waited on forever") {

@@ -171,6 +171,31 @@ class BpeSpec extends SparkSpec {
     assert(b.getAs[Double]("fertility") == 4.0)
   }
 
+  test("p78: fertilityStats survives a production-sized merge list (routes through the encode tier)") {
+    // round 11: billed as the production tokenizer-quality metric, so
+    // it must not throw at 30k-scale merge lists — past encodeCorpus's
+    // 64-merge cap it routes through Bpe.encode (broadcast rank map)
+    // and the two tiers agree on the shared prefix of real merges
+    val docs = Seq(
+      (1L, "A", "low low lower"), (2L, "A", "low"),
+      (3L, "B", "xyz zyx"))
+      .toDF("doc_id", "lang", "text")
+    val real = Bpe.learnMerges(docs, numMerges = 8)
+    assert(real.size <= 64, "fixture merges must fit the declarative cap")
+    val viaDeclarative = Bpe.fertilityStats(docs, real).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("fertility"))).toSet
+    // pad with never-applying merges of unseen symbols to force >64:
+    // the encode tier must compute the identical stats
+    val pad = (0 until 100).map(i => Bpe.Merge(real.size + i,
+      s"§$i", s"¶$i", s"§$i¶$i", 1L))
+    val viaProduction = Bpe.fertilityStats(docs, real ++ pad).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("fertility"))).toSet
+    assert(viaProduction == viaDeclarative,
+      s"production tier stats diverged: $viaProduction vs $viaDeclarative")
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 

@@ -91,6 +91,29 @@ class EvaluationSpec extends SparkSpec {
       "1-positive group cannot populate the rank-63 bound; expected NULL")
   }
 
+  test("p75: a single-class group keeps its point row with NULL auc and bounds (the p72 contract)") {
+    // round 11: p72 emits single-class groups with NULL auc while p75
+    // used to drop them entirely — the family now shares one contract
+    val df = ((1L to 20L).map(i => (i, "mixed", 0.3 + (i % 7) * 0.1, i % 2)) ++
+        (21L to 30L).map(i => (i, "allneg", 0.2 + (i % 5) * 0.1, 0L)))
+      .toDF("doc_id", "g", "p_hat", "label")
+    val out = Evaluation.aucBootstrapCi(df, "g").collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    assert(out.keySet == Set("mixed", "allneg"),
+      s"single-class group must keep its point row: ${out.keySet}")
+    val an = out("allneg")
+    assert(an.getAs[Long]("n_pos") == 0L && an.getAs[Long]("n_neg") == 10L)
+    assert(an.isNullAt(an.fieldIndex("auc_micro")), "single-class AUC must be NULL")
+    assert(an.isNullAt(an.fieldIndex("ci_lo_micro")) &&
+      an.isNullAt(an.fieldIndex("ci_hi_micro")), "single-class bounds must be NULL")
+    assert(!out("mixed").isNullAt(out("mixed").fieldIndex("auc_micro")))
+    // and the same fixture through aucByGroup agrees on WHICH groups
+    // carry a value — one convention across the family
+    val byG = Evaluation.aucByGroup(df, "g").collect()
+      .map(r => r.getAs[String]("g") -> !r.isNullAt(r.fieldIndex("auc"))).toMap
+    assert(byG == Map("mixed" -> true, "allneg" -> false))
+  }
+
   test("p76: k-fold CV — every doc scored once by the complement's model; folds disjoint; deterministic") {
     // a corpus where the quality label is learnable: long clean texts
     // vs short punct-heavy ones (the p57 feature lattice separates)

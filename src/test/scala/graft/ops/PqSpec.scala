@@ -100,33 +100,31 @@ class PqSpec extends SparkSpec {
     }
   }
 
-  test("refine past BroadcastRefineMaxRows (id-equi-join fallback) is bit-identical to the broadcast path") {
-    // the >cap fallback is the same join without hints — lowering the
-    // cap on the small fixture forces it, and both rankers must agree
-    // row-for-row (the envelope DIFFERS only in plan cost, measured at
-    // a 64k fixture in BASELINE.md round 10)
+  test("refine regimes (broadcast / sharded / id-equi-join fallback) are bit-identical") {
+    // refineCapRows is a PARAMETER (round 11: the mutable object field
+    // let parallel suites flip each other's plan choice) — the small
+    // fixture forces each regime by cap: 60 rows <= 1e6 -> broadcast;
+    // cap 10 -> 6 shards <= MaxRefineShards -> sharded; cap 3 -> 20
+    // shards > 16 -> plain join fallback. All three must agree
+    // row-for-row on BOTH rankers (the regimes differ only in plan
+    // cost, measured at 64k/500k fixtures in BASELINE.md r10/r11).
     val data = emb((0L to 59L).map(i =>
       (i, Seq.tabulate(8)(j => math.cos(i * 1.7 + j * 0.7)))): _*)
-    val prev = Pq.BroadcastRefineMaxRows
-    try {
-      Pq.BroadcastRefineMaxRows = 1000000L
-      val viaBroadcast = Pq.ivfPqTopK(data, k = 3, m = 4, ksub = 4,
-        pqIters = 2, nCentroids = 4, nProbe = 2)
-        .as[(Long, Long, Double, Int)].collect().toSet
-      val viaBroadcastRes = Pq.ivfPqResidualTopK(data, k = 3, m = 4,
-        ksub = 4, pqIters = 2, nCentroids = 4, nProbe = 2)
-        .as[(Long, Long, Double, Int)].collect().toSet
-      Pq.BroadcastRefineMaxRows = 10L // 60 vectors > 10: fallback engages
-      val viaFallback = Pq.ivfPqTopK(data, k = 3, m = 4, ksub = 4,
-        pqIters = 2, nCentroids = 4, nProbe = 2)
-        .as[(Long, Long, Double, Int)].collect().toSet
-      val viaFallbackRes = Pq.ivfPqResidualTopK(data, k = 3, m = 4,
-        ksub = 4, pqIters = 2, nCentroids = 4, nProbe = 2)
-        .as[(Long, Long, Double, Int)].collect().toSet
-      assert(viaBroadcast.nonEmpty)
-      assert(viaFallback == viaBroadcast, "raw-vector ranker diverged across the cap")
-      assert(viaFallbackRes == viaBroadcastRes, "residual ranker diverged across the cap")
-    } finally Pq.BroadcastRefineMaxRows = prev
+    def raw(cap: Long) = Pq.ivfPqTopK(data, k = 3, m = 4, ksub = 4,
+        pqIters = 2, nCentroids = 4, nProbe = 2, refineCapRows = cap)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    def res(cap: Long) = Pq.ivfPqResidualTopK(data, k = 3, m = 4,
+        ksub = 4, pqIters = 2, nCentroids = 4, nProbe = 2, refineCapRows = cap)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val viaBroadcast = raw(1000000L)
+    assert(viaBroadcast.nonEmpty)
+    assert(60L / 10L <= Pq.MaxRefineShards && 60L / 3L > Pq.MaxRefineShards,
+      "fixture caps must straddle the shard ceiling")
+    assert(raw(10L) == viaBroadcast, "raw ranker diverged in the sharded regime")
+    assert(raw(3L) == viaBroadcast, "raw ranker diverged in the fallback regime")
+    val viaBroadcastRes = res(1000000L)
+    assert(res(10L) == viaBroadcastRes, "residual ranker diverged in the sharded regime")
+    assert(res(3L) == viaBroadcastRes, "residual ranker diverged in the fallback regime")
   }
 
   test("save/load codebooks: bit-exact round trip; a missing subspace is rejected loudly") {
