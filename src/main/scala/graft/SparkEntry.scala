@@ -1669,8 +1669,16 @@ object SparkEntry {
     // lattice + p62 hashed — the x26 serving pattern, twice), every
     // arriving document is scored by both models in ONE map-only
     // pass, and streaming state is the per-window integer contingency
-    // (4 longs per window — watermark-bounded in production); kappa
-    // derives from the drained counts through the SAME
+    // (4 longs per window). This query runs the PRODUCTION form (round
+    // 11): event-time watermark + outputMode(update) on the RocksDB
+    // state provider — a finalized window's 4 longs are EVICTED from
+    // the state store, not kept forever (WatermarkEvictionSpec pins
+    // numRowsRemoved > 0 and drained-output equivalence on a
+    // multi-batch stream; the single-staged-file harness run is one
+    // micro-batch, so nothing is late and the oracle replays exactly).
+    // The drain is the x20/x30 monotone discipline: per window the
+    // update with max n_docs IS the final contingency. Kappa derives
+    // from the drained counts through the SAME
     // Evaluation.kappaFromCounts closed form the batch p77 runs (one
     // definition, two executions). A falling live kappa means the two
     // models' agreement structure drifted — retrain before routing.
@@ -1686,20 +1694,28 @@ object SparkEntry {
           ops.Logistic.features(docStream(s, dir), carry = Seq("text")),
           w1, carry = Seq("text"))
         .select(col("doc_id"), col("text"), col("keep").as("keep_a"))
-      val q = ops.Logistic.scoreHashed(
+      val scoredBoth = ops.Logistic.scoreHashed(
           ops.Logistic.hashedFeatures(scoredA, 64, carry = Seq("keep_a")),
           w2, carry = Seq("keep_a"))
         .select(col("doc_id"), col("keep_a"), col("keep").as("keep_b"))
-        .withColumn("window_id", expr("doc_id div 256"))
-        .groupBy(col("window_id"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("keep_a") === col("keep_b"), 1L).otherwise(0L)).as("n_agree"),
-          sum(col("keep_a").cast("long")).as("n_keep_a"),
-          sum(col("keep_b").cast("long")).as("n_keep_b"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      ops.Evaluation.kappaFromCounts(drainMemorySink(s, sink), Seq("window_id"))
+        .withColumn("event_ts", timestamp_seconds(col("doc_id")))
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProvider = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val q = ops.Evaluation.windowedAgreementCounts(scoredBoth)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally prevProvider match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None    => s.conf.unset(providerKey)
+      }
+      val counts = ops.Evaluation.drainLatestWindowCounts(drainMemorySink(s, sink))
+        .select(expr("unix_timestamp(w.start) div 256").as("window_id"),
+          col("n_docs"), col("n_agree"), col("n_keep_a"), col("n_keep_b"))
+      ops.Evaluation.kappaFromCounts(counts, Seq("window_id"))
     }),
     // X29: streaming PQ-encode serving — the index-MAINTENANCE
     // monitor: the corpus (vec_id < 250) fit its PQ codebooks once
@@ -1966,6 +1982,44 @@ object SparkEntry {
     // aggregated to |langs| rows; exact integer sums, two 6-dp float
     // sites. The oracle nests p50's full train+encode replay and
     // aggregates the same per-doc counts.
+    // P82: fertility-driven vocab rebalance (round 11) — the
+    // INTERVENTION half of the p78 monitor: per-language fertility
+    // micros become largest-remainder vocab budgets (Σ = k exactly,
+    // all-integer), the vocabulary is rebuilt per-language top-budget
+    // instead of global top-k (an under-served high-fertility
+    // language stops losing the global frequency race), and the query
+    // reports the post-rebalance OOV envelope per language. Every
+    // stage is integer-exact; the oracle replays the whole chain —
+    // BPE fertility weights, the apportionment, the per-group ranks,
+    // the OOV join.
+    "p82_vocab_rebalance" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val merges = ops.Bpe.learnMerges(d, numMerges = 8)
+      val fert = ops.Bpe.fertilityStats(d, merges)
+        .where(col("n_words") > 0)
+        .select(col("lang"), expr("(1000000 * n_tokens) DIV n_words").as("w"))
+        .localCheckpoint(true)
+      val budgets = ops.TextStats.vocabBudgets(fert, k = 400)
+      val vocab = ops.TextStats.buildVocabPerGroup(d, budgets)
+        .localCheckpoint(true)
+      val toks = d.repartition(s.sparkContext.defaultParallelism)
+        .select(col("lang"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .where(col("token") =!= "")
+      val inVocab = vocab.select("token").distinct().withColumn("__in", lit(1L))
+      val stats = toks.join(broadcast(inVocab), Seq("token"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      val nv = vocab.groupBy(col("lang")).agg(count(lit(1)).as("n_vocab_terms"))
+      fert.join(budgets, Seq("lang"))
+        .join(nv, Seq("lang"), "left")
+        .join(stats, Seq("lang"))
+        .select(col("lang"), col("w").as("fert_micro"), col("budget"),
+          coalesce(col("n_vocab_terms"), lit(0L)).as("n_vocab_terms"),
+          col("n_tokens"), col("n_oov"),
+          expr("(n_oov * 10000) DIV n_tokens").as("oov_bps"))
+    }),
     "p78_tokenizer_fertility" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       ops.Bpe.fertilityStats(d, ops.Bpe.learnMerges(d, numMerges = 8))
@@ -2315,6 +2369,42 @@ object SparkEntry {
         Seq(("train", 80), ("val", 10), ("test", 10)))
         .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"),
           round(col("est_jaccard"), 6).as("est_jaccard"))),
+    // P81: split-by-component remediation — the INTERVENTION half of
+    // the p79 audit (round 11): re-split by near-dup family (p22
+    // components over p3's banded pair graph) so twin documents land
+    // in ONE split. The query measures the remediation on the corpus
+    // itself: the same audited pair relation leaks n_leak_doc_split
+    // pairs under the per-document split and exactly ZERO under the
+    // family-atomic split — zero by construction (one hash bucket per
+    // family), not by tuning; SamplingSpec pins the invariant. The
+    // family-split sizes ride along to show the 80/10/10 proportions
+    // survive the re-keying.
+    "p81_split_by_component" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val splits = Seq(("train", 80), ("val", 10), ("test", 10))
+      val pairs = Dedup.minhashDupPairs(docs, n = 8, numHashes = 16,
+          rowsPerBand = 4, tau = 0.5)
+        .select("id_a", "id_b").localCheckpoint(true)
+      val comp = ops.ConnectedComponents.connectedComponents(pairs)
+      val byDoc = ops.Sampling.splitAssign(docs, col("doc_id"), splits)
+        .select(col("doc_id"), col("split"))
+      val byFam = ops.Sampling.splitAssignByComponent(docs, comp, splits)
+        .select(col("doc_id"), col("split"))
+      def leakCount(sp: DataFrame, as: String) = pairs
+        .join(sp.select(col("doc_id").as("id_a"), col("split").as("split_a")),
+          Seq("id_a"))
+        .join(sp.select(col("doc_id").as("id_b"), col("split").as("split_b")),
+          Seq("id_b"))
+        .where(col("split_a") =!= col("split_b"))
+        .agg(count(lit(1)).as(as))
+      pairs.agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(leakCount(byDoc, "n_leak_doc_split"))
+        .crossJoin(leakCount(byFam, "n_leak_family_split"))
+        .crossJoin(byFam.agg(
+          sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test")))
+    }),
     // P38: incremental near-dup — docs < 250 are the EXISTING corpus
     // whose signature table is already materialized (the persisted
     // state a daily pipeline reads back); only the new batch
@@ -2522,6 +2612,23 @@ object SparkEntry {
         .toDF()
         .select(col("doc_id"), col("sample_rate").cast("long").as("sample_rate"),
           col("n_samples"), col("sum_amp"), col("sum_abs"))),
+    // P80: REAL video decode (round 11) — the last modality off the
+    // stub: a standards-shaped RIFF/AVI container (avih/strh/strf
+    // headers, keyframed movi 00dc chunks, idx1 index) is assembled
+    // and hand-parsed pure-JVM around MPNG (PNG-compressed) frames,
+    // each decoded through ImageIO — lossless, so the oracle replays
+    // pixel(x,y,f) = (a·x+b·y+c+31·f) mod 256 over a (doc × frame ×
+    // x × y) grid and must match the decoder's exact integer
+    // per-frame sums. The container validation (declared-vs-actual
+    // frame count, header-vs-frame dims) is the demux work a video
+    // ingest pipeline performs before any codec runs.
+    "p80_video_decode" -> ((s, dir) =>
+      ops.Multimodal.decodeVideos(ops.Multimodal.renderAvis(t(s, dir, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_pixels"), col("sum_r"), col("sum_g"), col("sum_b"))),
     // P44: semantic dedup (SemDeDup) — k-means-cluster the embedding
     // space (the p13 codebook, shared machinery), compare pairs only
     // within a vector's closest cells (the IVF recall knob applied to
@@ -4420,6 +4527,54 @@ object SparkEntry {
     "p50_bpe_encode" -> bpeEncodeOracleSql(numMerges = 8, maxWords = 32768),
     // p50's full train+encode replay nested, joined to per-doc
     // word/char counts, aggregated per language
+    // the rebalance replay: p78's fertility weights (integer micro
+    // DIV), Hamilton apportionment over the |langs| frame, per-lang
+    // frequency ranks, distinct-union OOV join — all integer to the
+    // final bps DIV. MATERIALIZED on the multi-referenced CTEs is
+    // LOAD-BEARING: DuckDB inlines plain CTEs per reference, and the
+    // apportionment chain references the post-BPE aggregate ~8× —
+    // inlined, that replays the whole BPE train+encode each time
+    // (measured: >60 min vs seconds materialized).
+    "p82_vocab_rebalance" ->
+      s"""WITH enc AS (SELECT doc_id, n_tokens FROM (
+         |${bpeEncodeOracleSql(numMerges = 8, maxWords = 32768)}) t0),
+         |wc2 AS (SELECT doc_id, lang,
+         |          CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |                               w -> w <> '')) AS BIGINT) AS nw
+         |        FROM documents),
+         |ag AS MATERIALIZED (SELECT lang, CAST(sum(nw) AS BIGINT) AS n_words,
+         |         CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |       FROM wc2 JOIN enc USING (doc_id) GROUP BY 1),
+         |wmic AS MATERIALIZED (SELECT lang, (1000000 * n_tokens) // n_words AS w
+         |         FROM ag WHERE n_words > 0),
+         |tot AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM wmic),
+         |base AS MATERIALIZED (SELECT lang, w, (400 * w) // sw AS b0, (400 * w) % sw AS rem
+         |         FROM wmic, tot),
+         |spent AS (SELECT CAST(sum(b0) AS BIGINT) AS sp FROM base),
+         |alloc AS MATERIALIZED (SELECT lang, w,
+         |            CAST(b0 + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang ASC)
+         |              <= 400 - (SELECT sp FROM spent) THEN 1 ELSE 0 END AS BIGINT) AS budget
+         |          FROM base),
+         |f AS MATERIALIZED (SELECT lang,
+         |        unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |                           t -> t <> '')) AS token
+         |      FROM documents),
+         |vc AS (SELECT lang, token, count(*) AS n FROM f GROUP BY 1, 2),
+         |rk AS (SELECT lang, token, n,
+         |         row_number() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS r
+         |       FROM vc),
+         |vocab AS MATERIALIZED (SELECT rk.lang, rk.token FROM rk JOIN alloc USING (lang)
+         |          WHERE r <= budget),
+         |vt AS (SELECT DISTINCT token FROM vocab),
+         |nv AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_vocab_terms
+         |       FROM vocab GROUP BY 1),
+         |st AS (SELECT f.lang, CAST(count(*) AS BIGINT) AS n_tokens,
+         |         CAST(sum(CASE WHEN vt.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+         |       FROM f LEFT JOIN vt ON vt.token = f.token GROUP BY 1)
+         |SELECT a.lang, CAST(a.w AS BIGINT) AS fert_micro, a.budget,
+         |  coalesce(nv.n_vocab_terms, 0) AS n_vocab_terms,
+         |  st.n_tokens, st.n_oov, (st.n_oov * 10000) // st.n_tokens AS oov_bps
+         |FROM alloc a LEFT JOIN nv USING (lang) JOIN st USING (lang)""".stripMargin,
     "p78_tokenizer_fertility" ->
       s"""WITH enc AS (SELECT doc_id, n_tokens FROM (
          |${bpeEncodeOracleSql(numMerges = 8, maxWords = 32768)}) t0),
@@ -5095,6 +5250,45 @@ object SparkEntry {
          |JOIN sp sa ON sa.doc_id = p.id_a
          |JOIN sp sb ON sb.doc_id = p.id_b
          |WHERE sa.split <> sb.split""".stripMargin,
+    // the family-atomic split replay: p3's pair relation, p22's
+    // recursive min-label components over it, the p31 hash ladder on
+    // coalesce(component, doc_id) — leakage under the family split is
+    // structurally zero and the oracle RECOMPUTES that, it doesn't
+    // assume it
+    "p81_split_by_component" -> {
+      def splitCase(keyExpr: String) =
+        s"""CASE WHEN ${hx(keyExpr)} % 100 < 80 THEN 'train'
+           |         WHEN ${hx(keyExpr)} % 100 < 90 THEN 'val'
+           |         ELSE 'test' END""".stripMargin
+      s"""WITH RECURSIVE pairs AS MATERIALIZED (SELECT id_a, id_b FROM (
+         |$minhashLshSql) t0),
+         |edges AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |verts AS (SELECT DISTINCT u AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM verts
+         |  UNION
+         |  SELECT e.v AS id, reach.r FROM reach JOIN edges e ON reach.id = e.u
+         |),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |fam AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS family
+         |        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         |spd AS (SELECT doc_id, ${splitCase("CAST(doc_id AS VARCHAR)")} AS split
+         |        FROM documents),
+         |spf AS (SELECT doc_id, ${splitCase("CAST(family AS VARCHAR)")} AS split
+         |        FROM fam)
+         |SELECT
+         |  (SELECT count(*) FROM pairs) AS n_pairs,
+         |  (SELECT count(*) FROM pairs p JOIN spd a ON a.doc_id = p.id_a
+         |     JOIN spd b ON b.doc_id = p.id_b WHERE a.split <> b.split)
+         |    AS n_leak_doc_split,
+         |  (SELECT count(*) FROM pairs p JOIN spf a ON a.doc_id = p.id_a
+         |     JOIN spf b ON b.doc_id = p.id_b WHERE a.split <> b.split)
+         |    AS n_leak_family_split,
+         |  (SELECT count(*) FROM spf WHERE split = 'train') AS n_train,
+         |  (SELECT count(*) FROM spf WHERE split = 'val') AS n_val,
+         |  (SELECT count(*) FROM spf WHERE split = 'test') AS n_test""".stripMargin
+    },
     // the incremental contract IS "the full guarded run restricted to
     // pairs touching the batch" — so the oracle is p3's, filtered
     "p38_incremental_minhash" ->
@@ -5218,6 +5412,28 @@ object SparkEntry {
          |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(gr) AS BIGINT) AS sum_g,
          |  CAST(sum(bl) AS BIGINT) AS sum_b
          |FROM g GROUP BY 1, 2, 3, 4""".stripMargin,
+    // the video replay: same generative discipline as p68 at frame
+    // arity — MPNG frames are lossless, so the oracle's grid sums ARE
+    // the decoder's exact outputs
+    "p80_video_decode" ->
+      s"""WITH d AS (SELECT doc_id, ${hx("text")} AS h FROM documents),
+         |p AS (SELECT doc_id,
+         |        8 + h % 16 AS w, 8 + (h // 16) % 12 AS ht,
+         |        2 + (h // 192) % 4 AS nf,
+         |        1 + h % 251 AS a, 1 + (h // 251) % 241 AS b, h % 256 AS c
+         |      FROM d),
+         |g AS (SELECT p.doc_id, fs.f, p.w, p.ht,
+         |        (p.a * xs.x + p.b * ys.y + p.c + 31 * fs.f) % 256 AS r,
+         |        (p.a * xs.x + p.b * ys.y + p.c + 31 * fs.f + 85) % 256 AS gr,
+         |        (p.a * xs.x + p.b * ys.y + p.c + 31 * fs.f + 170) % 256 AS bl
+         |      FROM p, unnest(range(0, p.nf)) fs(f),
+         |           unnest(range(0, p.w)) xs(x), unnest(range(0, p.ht)) ys(y))
+         |SELECT doc_id, CAST(f AS BIGINT) AS frame_no,
+         |  CAST(w AS BIGINT) AS width, CAST(ht AS BIGINT) AS height,
+         |  CAST(w * ht AS BIGINT) AS n_pixels,
+         |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(gr) AS BIGINT) AS sum_g,
+         |  CAST(sum(bl) AS BIGINT) AS sum_b
+         |FROM g GROUP BY 1, 2, 3, 4, 5""".stripMargin,
     "p64_ivfpq_topk" -> ivfPqOracleSql(d = 64, m = 16, ksub = 16, iters = 2,
       k = 5, rerankSql = autoRerankSql(k = 5)),
     "p71_cluster_stats" ->

@@ -209,6 +209,45 @@ object Evaluation {
     kappaFromCounts(ag, Seq(group))
   }
 
+  /** Event-time-windowed agreement contingency — the STREAMING half of
+    * the x31 monitor, factored here so the production query and the
+    * eviction spec execute ONE definition (the kappaFromCounts
+    * discipline applied to the state shape too). Works on bounded and
+    * unbounded frames alike: on a stream the watermark bounds state —
+    * a window whose end falls `lateness` behind the max observed event
+    * time is finalized, its 4 longs emitted and EVICTED from the state
+    * store (update mode; WatermarkEvictionSpec pins numRowsRemoved > 0
+    * on RocksDB); on a batch frame the watermark is a no-op and the
+    * same aggregation is one map-side-combined pass. State is exactly
+    * 4 longs per open window at any throughput.
+    */
+  def windowedAgreementCounts(scored: DataFrame,
+      eventTs: String = "event_ts", windowDur: String = "256 seconds",
+      lateness: String = "64 seconds",
+      keepA: String = "keep_a", keepB: String = "keep_b"): DataFrame =
+    scored.withWatermark(eventTs, lateness)
+      .groupBy(window(col(eventTs), windowDur).as("w"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col(keepA) === col(keepB), 1L).otherwise(0L)).as("n_agree"),
+        sum(col(keepA).cast("long")).as("n_keep_a"),
+        sum(col(keepB).cast("long")).as("n_keep_b"))
+
+  /** Latest-update-wins drain for an UPDATE-mode sink of
+    * [[windowedAgreementCounts]] rows: a window's successive updates
+    * carry strictly growing n_docs (a batch that adds no rows emits no
+    * update), so the lexicographic struct max per window IS its final
+    * contingency — the x20/x30 monotone-drain discipline applied to
+    * counts.
+    */
+  def drainLatestWindowCounts(updates: DataFrame): DataFrame =
+    updates.groupBy(col("w"))
+      .agg(max(struct(col("n_docs"), col("n_agree"),
+        col("n_keep_a"), col("n_keep_b"))).as("last"))
+      .select(col("w"), col("last.n_docs").as("n_docs"),
+        col("last.n_agree").as("n_agree"),
+        col("last.n_keep_a").as("n_keep_a"),
+        col("last.n_keep_b").as("n_keep_b"))
+
   /** Closed-form kappa from an exact contingency frame
     * (groups..., n_docs, n_agree, n_keep_a, n_keep_b) — ONE
     * definition shared by the batch rater-pair op ([[agreementKappa]])

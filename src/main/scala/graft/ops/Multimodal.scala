@@ -6,13 +6,21 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, plus per-partition batch decode.
   *
-  * Image and audio decode are REAL: `decodeImages` goes through
-  * javax.imageio (PNG) and `decodeAudio` through javax.sound
-  * (WAV/PCM) — genuine codec round trips in the per-partition batch
-  * shape. Only VIDEO decode remains a clearly-marked DETERMINISTIC
-  * STUB (features derived from the md5 of the bytes), because the JDK
-  * ships no video codec and this container has no native ones.
-  * Everything around the stub is still the real production shape:
+  * ALL THREE modalities now have REAL codec paths: `decodeImages`
+  * goes through javax.imageio (PNG), `decodeAudio` through javax.sound
+  * (WAV/PCM), and `decodeVideos` (round 11) hand-parses a
+  * standards-shaped RIFF/AVI container — avih/strh/strf headers, movi
+  * frame chunks, idx1 — and decodes each frame through ImageIO. The
+  * JDK ships no MJPEG-grade video decoder, but it doesn't need one:
+  * the frames are MPNG (PNG-compressed AVI, a registered fourcc),
+  * which keeps the frame codec LOSSLESS so the oracle replays the
+  * generative pixel formula exactly (the p68 discipline; a lossy
+  * MJPEG frame would decode deterministically but not be
+  * formula-replayable by a SQL oracle).
+  *
+  * The generic STUB kernel (`withStubFeatures`/`stubDecode`) remains
+  * as the PLUGGABLE shape for codecs that genuinely need native
+  * libraries (H.264 etc.):
   *  - binary payload + (media_type, byte_len) metadata columns;
   *  - a columnar fast path (`withStubFeatures`) whose md5-based fake
   *    stays fully codegen'd and oracle-checkable;
@@ -275,6 +283,216 @@ object Multimodal {
           i += 2
         }
         AudioStats(rec.doc_id, f.getSampleRate.toInt, bytes.length / 2, sum, sabs)
+      }
+    }
+  }
+
+  // ----- REAL video container path (round 11) ---------------------------
+  // The last modality off the stub: a standards-shaped AVI container
+  // (RIFF lists: hdrl{avih, strl{strh, strf}}, movi{00dc…}, idx1)
+  // around per-frame PNG payloads — the MPNG fourcc, a registered AVI
+  // codec — assembled and parsed PURE-JVM. Frames are deterministic
+  // per-doc patterns with a per-frame offset,
+  //   pixel(x, y, f) = (a·x + b·y + c + 31·f) mod 256 per channel,
+  // and PNG is lossless, so the oracle replays the formula over a
+  // (doc × frame × x × y) grid and must land on the decoder's exact
+  // integer per-frame pixel sums. The container parse is the real
+  // work a video ingest pipeline does before any codec runs: chunk
+  // walking, declared-vs-actual frame-count validation, stream-header
+  // dimension checks.
+
+  case class AviRecord(doc_id: Long, avi: Array[Byte])
+  case class VideoFrameStats(doc_id: Long, frame_no: Int, width: Int,
+      height: Int, n_pixels: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Deterministic video dimensions/frame-count/coefficients from the
+    * doc hash — shared by the generator and the oracle's replay.
+    * Dims stay small (≤ 23×19, ≤ 5 frames) so the oracle's replay grid
+    * is |docs|·nf·w·h ≈ 11M rows at sf0.1 — DuckDB-cheap.
+    */
+  private[ops] def videoParams(h: Long): (Int, Int, Int, Long, Long, Long) = {
+    val w = (8L + h % 16L).toInt
+    val ht = (8L + (h / 16L) % 12L).toInt
+    val nf = (2L + (h / 192L) % 4L).toInt
+    (w, ht, nf, 1L + h % 251L, 1L + (h / 251L) % 241L, h % 256L)
+  }
+
+  private def putFcc(bb: java.nio.ByteBuffer, s: String): java.nio.ByteBuffer =
+    bb.put(s.getBytes("US-ASCII"))
+
+  /** Assemble a spec-shaped AVI (RIFF little-endian) around per-frame
+    * payloads: main header carries the true frame count and dims, the
+    * single video stream declares the MPNG handler, every frame is a
+    * keyframed '00dc' movi chunk (odd sizes padded per RIFF), and the
+    * idx1 index records each frame's offset — everything a strict
+    * demuxer checks.
+    */
+  private[ops] def aviBytes(frames: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+    require(frames.nonEmpty, "an AVI needs at least one frame")
+    val maxFrame = frames.map(_.length).max
+    val pads = frames.map(_.length % 2)
+    val moviSize = 4 + frames.zip(pads).map { case (f, p) => 8 + f.length + p }.sum
+    val idxSize = 16 * frames.length
+    val hdrlSize = 4 + (8 + 56) + (8 + (4 + (8 + 56) + (8 + 40)))
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize) + (8 + idxSize)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    putFcc(bb, "RIFF").putInt(riffSize); putFcc(bb, "AVI ")
+    putFcc(bb, "LIST").putInt(hdrlSize); putFcc(bb, "hdrl")
+    putFcc(bb, "avih").putInt(56)
+    bb.putInt(100000).putInt(0).putInt(0).putInt(0x10) // 10 fps, HASINDEX
+      .putInt(frames.length).putInt(0).putInt(1).putInt(maxFrame)
+      .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+    putFcc(bb, "LIST").putInt(4 + (8 + 56) + (8 + 40)); putFcc(bb, "strl")
+    putFcc(bb, "strh").putInt(56)
+    putFcc(bb, "vids"); putFcc(bb, "MPNG")
+    bb.putInt(0).putShort(0).putShort(0).putInt(0)
+      .putInt(1).putInt(10).putInt(0).putInt(frames.length) // scale 1, rate 10
+      .putInt(maxFrame).putInt(-1).putInt(0)
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+    putFcc(bb, "strf").putInt(40)
+    bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    putFcc(bb, "MPNG")
+    bb.putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+    putFcc(bb, "LIST").putInt(moviSize); putFcc(bb, "movi")
+    val offsets = Array.ofDim[Int](frames.length)
+    var off = 4
+    frames.zip(pads).zipWithIndex.foreach { case ((f, p), i) =>
+      offsets(i) = off
+      putFcc(bb, "00dc").putInt(f.length).put(f)
+      if (p == 1) bb.put(0.toByte)
+      off += 8 + f.length + p
+    }
+    putFcc(bb, "idx1").putInt(idxSize)
+    frames.zipWithIndex.foreach { case (f, i) =>
+      putFcc(bb, "00dc").putInt(0x10).putInt(offsets(i)).putInt(f.length)
+    }
+    bb.array()
+  }
+
+  /** Walk the RIFF chunk tree and return (declared frame count, header
+    * width, header height, movi frame payloads). Fails loudly on a
+    * non-AVI container; chunk padding and unknown chunks are handled
+    * per the RIFF spec (skip by declared size + pad).
+    */
+  private[ops] def parseAvi(bytes: Array[Byte]): (Int, Int, Int, Seq[Array[Byte]]) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fcc(): String = {
+      val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+    }
+    require(fcc() == "RIFF", "not a RIFF container")
+    val riffSize = bb.getInt
+    require(8 + riffSize <= bytes.length, "RIFF size exceeds the payload")
+    require(fcc() == "AVI ", "RIFF is not an AVI")
+    var declared = -1
+    var w = -1
+    var h = -1
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    def walk(end: Int): Unit = {
+      while (bb.position() + 8 <= end) {
+        val id = fcc()
+        val size = bb.getInt
+        val body = bb.position()
+        val next = body + size + (size % 2)
+        id match {
+          case "LIST" =>
+            val listType = fcc()
+            if (listType == "hdrl" || listType == "strl" || listType == "movi")
+              walk(body + size)
+          case "avih" =>
+            bb.getInt(); bb.getInt(); bb.getInt(); bb.getInt() // usec, rate, pad, flags
+            declared = bb.getInt()
+            bb.getInt(); bb.getInt(); bb.getInt() // initial, streams, bufsize
+            w = bb.getInt(); h = bb.getInt()
+          case "00dc" =>
+            val f = new Array[Byte](size); bb.get(f); frames += f
+          case _ => () // strh/strf/idx1/JUNK: validated structurally by skip
+        }
+        bb.position(next)
+      }
+    }
+    walk(8 + riffSize)
+    require(declared >= 0, "AVI has no avih main header")
+    (declared, w, h, frames.toSeq)
+  }
+
+  /** Render each document's deterministic frame sequence as a REAL AVI
+    * payload (MPNG frames through JDK ImageIO — the renderPngs
+    * per-partition batch shape at video arity).
+    */
+  def renderAvis(docs: DataFrame, id: String = "doc_id",
+      text: String = "text"): Dataset[AviRecord] = {
+    implicit val enc = Encoders.product[AviRecord]
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"), col(text).cast("string").as("t"))
+      // single-split trap, as in renderPngs
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (docId, t) =>
+          val hsh = graft.functions.Md5Hex64Math.hashBytes(
+            t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val (w, ht, nf, a, b, c) = videoParams(hsh)
+          val frames = (0 until nf).map { f =>
+            val img = new java.awt.image.BufferedImage(
+              w, ht, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < ht) {
+              var x = 0
+              while (x < w) {
+                val base = a * x + b * y + c + 31L * f
+                img.setRGB(x, y, (((base % 256L).toInt) << 16) |
+                  ((((base + 85L) % 256L).toInt) << 8) |
+                  ((base + 170L) % 256L).toInt)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            bos.toByteArray
+          }
+          AviRecord(docId, aviBytes(frames, w, ht))
+        }
+      }
+  }
+
+  /** REAL video decode: parse the AVI container, validate the declared
+    * frame count against the movi payload and every frame's dims
+    * against the main header, ImageIO-decode each frame, and emit
+    * exact integer per-frame pixel sums — one row per (doc, frame),
+    * the (doc × frame × x × y)-replayable contract.
+    */
+  def decodeVideos(media: Dataset[AviRecord]): Dataset[VideoFrameStats] = {
+    implicit val enc = Encoders.product[VideoFrameStats]
+    media.mapPartitions { it =>
+      it.flatMap { rec =>
+        val (declared, w, h, frames) = parseAvi(rec.avi)
+        require(declared == frames.length,
+          s"doc ${rec.doc_id}: header declares $declared frames, movi carries ${frames.length}")
+        frames.zipWithIndex.map { case (png, f) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(png))
+          require(img != null, s"doc ${rec.doc_id} frame $f: not a decodable frame")
+          require(img.getWidth == w && img.getHeight == h,
+            s"doc ${rec.doc_id} frame $f: ${img.getWidth}x${img.getHeight} != header ${w}x$h")
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff
+              sg += (rgb >> 8) & 0xff
+              sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          VideoFrameStats(rec.doc_id, f, w, h, w.toLong * h, sr, sg, sb)
+        }
       }
     }
   }

@@ -105,6 +105,40 @@ object Sampling {
     df.withColumn(out, assign)
   }
 
+  /** Family-atomic split assignment — the REMEDIATION the p79 leakage
+    * audit names: per-document hash splits put near-duplicate twins on
+    * opposite sides of the train/test boundary, silently inflating
+    * every benchmark trained on the split. Here the split key is the
+    * near-dup FAMILY: `components` is the (id, component) frame from
+    * [[ConnectedComponents]] over the dup-pair graph (p22), whose
+    * component label is the family's min doc id under min-label
+    * propagation; documents absent from the graph are singleton
+    * families keyed by their own id. One hash bucket per family ⇒ a
+    * detected near-dup pair CANNOT straddle splits — leakage over the
+    * audited pair relation is zero by construction, not by luck
+    * (SamplingSpec pins the family-atomicity invariant; the p81 query
+    * measures the before/after counts on the corpus).
+    *
+    * Scale: `components` is dup-family-bounded (it only names docs
+    * that appear in some pair), far smaller than the corpus; the
+    * attach is ONE left equi-join on the id, and the split itself
+    * stays [[splitAssign]]'s map-only hash ladder on the family key.
+    * Split proportions now hold over FAMILIES rather than documents —
+    * the audit-approved trade (a family is one unit of knowledge; its
+    * size-weighted document share converges to the pcts as families
+    * stay small relative to the corpus).
+    */
+  def splitAssignByComponent(docs: DataFrame, components: DataFrame,
+      splits: Seq[(String, Int)], id: String = "doc_id",
+      out: String = "split"): DataFrame = {
+    val comp = components.select(col("id").as(id),
+      col("component").as("__fam_comp"))
+    docs.join(comp, Seq(id), "left")
+      .withColumn("family", coalesce(col("__fam_comp"), col(id)))
+      .drop("__fam_comp")
+      .transform(splitAssign(_, col("family"), splits, out))
+  }
+
   /** Deterministic reshard — the global-shuffle step of a training
     * pipeline: every row gets a `shard` in [0, nShards) by key hash and
     * a dense `pos` (1-based) inside its shard, ordered by (hash, key).

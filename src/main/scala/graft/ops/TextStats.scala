@@ -175,6 +175,66 @@ object TextStats {
       .select("token_id", "token", "n_occurrences")
   }
 
+  /** Exact integer budget allocation over groups by weight — the
+    * largest-remainder method (Hamilton apportionment) on the micro
+    * grid: budget_g = floor(k·w_g / Σw), then the k − Σfloor leftover
+    * seats go to the largest remainders (ties broken by group asc).
+    * All-integer ⇒ bit-replayable in SQL; Σ budget = k EXACTLY.
+    *
+    * This is the INTERVENTION half of the p78 fertility monitor: feed
+    * it per-language fertility micros (an under-served language has
+    * high fertility ⇒ high weight ⇒ larger vocab share) and pass the
+    * result to [[buildVocabPerGroup]]. The frame is |groups|-sized —
+    * the windows here never see a corpus row.
+    */
+  def vocabBudgets(weights: DataFrame, k: Int, group: String = "lang",
+      w: String = "w"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tot = weights.agg(sum(col(w)).as("__sw"))
+    val base = weights.crossJoin(broadcast(tot))
+      .withColumn("__b0", expr(s"(cast($k as bigint) * $w) DIV __sw"))
+      .withColumn("__rem", expr(s"(cast($k as bigint) * $w) % __sw"))
+    val spent = base.agg(sum(col("__b0")).as("__spent"))
+    base.crossJoin(broadcast(spent))
+      .withColumn("__rr", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__rem").desc, col(group).asc)))
+      .withColumn("budget",
+        (col("__b0") + when(col("__rr") <= lit(k.toLong) - col("__spent"), 1L)
+          .otherwise(0L)).cast("long"))
+      .select(col(group), col("budget"))
+  }
+
+  /** Per-group vocabulary under per-group budgets — [[buildVocab]]'s
+    * global top-k replaced by one top-budget(g) per group, so a
+    * low-resource language's tokens stop losing the global frequency
+    * race to the dominant language (the p78 remediation). Emits
+    * (group, token, n_occurrences, vocab_rank); the production vocab
+    * is the DISTINCT token union (a token admitted by any group is
+    * usable everywhere).
+    *
+    * Scale: one (group, token) aggregation with map-side partials,
+    * then a per-group WindowGroupLimit-shaped rank against the
+    * broadcast |groups|-row budget table — every group ranks in
+    * parallel, no corpus-global sort.
+    */
+  def buildVocabPerGroup(docs: DataFrame, budgets: DataFrame,
+      group: String = "lang", text: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    docs
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col(group),
+        explode(split(trim(lower(col(text))), "\\s+")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col(group), col("token")).agg(count(lit(1)).as("n_occurrences"))
+      .withColumn("vocab_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(group))
+          .orderBy(col("n_occurrences").desc, col("token").asc)).cast("long"))
+      .join(broadcast(budgets), Seq(group))
+      .where(col("vocab_rank") <= col("budget"))
+      .select(col(group), col("token"), col("n_occurrences"), col("vocab_rank"))
+  }
+
   /** Encode each document against a [[buildVocab]] vocabulary and emit
     * a deterministic ORDER-SENSITIVE fingerprint instead of the raw id
     * array (the array is what a real pipeline writes; the fingerprint

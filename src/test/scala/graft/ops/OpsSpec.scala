@@ -94,6 +94,36 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("p81: split by component is family-ATOMIC — a pair in the dup graph can never straddle splits") {
+    // a planted dup graph whose families would be split apart by the
+    // per-document hash: chains {1,2,3}, {10,11}, and singletons
+    val docs = (1L to 200L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comp = ConnectedComponents.connectedComponents(edges)
+    val splits = Seq(("train", 80), ("val", 10), ("test", 10))
+    val byFam = Sampling.splitAssignByComponent(docs, comp, splits)
+      .select("doc_id", "family", "split").as[(Long, Long, String)]
+      .collect()
+    // total partition survives the re-keying
+    assert(byFam.length == 200 && byFam.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
+    val byId = byFam.map(r => r._1 -> r).toMap
+    // family label = component min id; singletons are their own family
+    assert(Seq(1L, 2L, 3L).map(byId(_)._2).toSet == Set(1L))
+    assert(Seq(10L, 11L).map(byId(_)._2).toSet == Set(10L))
+    assert(byId(50L)._2 == 50L)
+    // the INVARIANT: every edge's endpoints share a split — and the
+    // family split equals splitAssign of the family key, so a family
+    // lands exactly where a single doc with that id would
+    Seq((1L, 2L), (2L, 3L), (10L, 11L)).foreach { case (a, b) =>
+      assert(byId(a)._3 == byId(b)._3, s"pair ($a,$b) straddles splits")
+    }
+    val famKeyed = Sampling.splitAssign(
+        docs.where(col("doc_id").isin(1L, 10L, 50L)), col("doc_id"), splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(byId(3L)._3 == famKeyed(1L) && byId(11L)._3 == famKeyed(10L) &&
+      byId(50L)._3 == famKeyed(50L))
+  }
+
   test("a17: Kish ESS — equal weights give exactly n; a dominant weight collapses toward 1; zero mass gates NULL") {
     // equal weights: (n·w)²/(n·w²) = n exactly (double-exact here)
     val eq = (1L to 100L).map(i => (i, "g", 7L)).toDF("doc_id", "g", "w")
@@ -707,6 +737,57 @@ class OpsSpec extends SparkSpec {
     }
     val bad = Seq(Multimodal.WavRecord(9L, Array[Byte](1, 2, 3, 4))).toDS()
     intercept[Exception] { Multimodal.decodeAudio(bad).collect() }
+  }
+
+  test("multimodal: REAL AVI round trip — container parses, per-frame sums equal the generative formula exactly") {
+    import spark.implicits._
+    val d = Seq((1L, "the cat sat on the mat"), (7L, "another doc")).toDF("doc_id", "text")
+    val avis = Multimodal.renderAvis(d).collect()
+    avis.foreach { a =>
+      assert(new String(a.avi.slice(0, 4), "US-ASCII") == "RIFF" &&
+        new String(a.avi.slice(8, 12), "US-ASCII") == "AVI ",
+        s"doc ${a.doc_id} payload is not an AVI")
+      // the container's declared geometry round-trips through the parser
+      val (declared, w, h, frames) = Multimodal.parseAvi(a.avi)
+      assert(declared == frames.length && w > 0 && h > 0)
+      // each frame is a real PNG payload (MPNG fourcc = PNG frames)
+      frames.foreach(f => assert((f(0) & 0xff) == 0x89 && f(1) == 'P'))
+    }
+    val stats = Multimodal.decodeVideos(Multimodal.renderAvis(d))
+      .collect().groupBy(_.doc_id)
+    d.as[(Long, String)].collect().foreach { case (id, t) =>
+      val h = graft.functions.Md5Hex64Math.hashBytes(
+        t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val (w, ht, nf, a, b, c) = Multimodal.videoParams(h)
+      val rows = stats(id).sortBy(_.frame_no)
+      assert(rows.length == nf, s"doc $id: ${rows.length} frames decoded, params say $nf")
+      assert(rows.map(_.frame_no).toSeq == (0 until nf))
+      rows.foreach { s =>
+        assert(s.width == w && s.height == ht && s.n_pixels == w.toLong * ht)
+        var (er, eg, eb) = (0L, 0L, 0L)
+        for (y <- 0 until ht; x <- 0 until w) {
+          val base = a * x + b * y + c + 31L * s.frame_no
+          er += base % 256L; eg += (base + 85L) % 256L; eb += (base + 170L) % 256L
+        }
+        // PNG frames are lossless: exact recovery per frame
+        assert(s.sum_r == er && s.sum_g == eg && s.sum_b == eb,
+          s"doc $id frame ${s.frame_no}: (${s.sum_r},${s.sum_g},${s.sum_b}) != ($er,$eg,$eb)")
+      }
+    }
+    // a corrupted container (frame-count lie) fails loudly: rewrite the
+    // avih dwTotalFrames of a valid payload and expect the demux check
+    val good = avis.head.avi.clone()
+    // avih dwTotalFrames sits at RIFF(12) + LIST hdr(12) + 'avih'+size(8) + 16
+    val tfOff = 12 + 12 + 8 + 16
+    good(tfOff) = (good(tfOff) + 1).toByte
+    val lied = Seq(Multimodal.AviRecord(9L, good)).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeVideos(lied).collect()
+    }
+    assert(e.getMessage != null)
+    // non-AVI bytes fail at the container gate
+    val bad = Seq(Multimodal.AviRecord(10L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12))).toDS()
+    intercept[Exception] { Multimodal.decodeVideos(bad).collect() }
   }
 
   test("multimodal: resize fits bounding box preserving aspect; no upscale") {

@@ -86,6 +86,60 @@ class TextPipelineSpec extends SparkSpec {
     assert(!enc.contains(3L))
   }
 
+  test("p82: budgets are exact Hamilton apportionment; rebalance narrows the per-language OOV spread") {
+    // hand case: weights (5,3,1), k=10 -> floors (5,3,1) leave one
+    // seat; remainders (5,3,1)/9 give it to 'a' -> (6,3,1), sum EXACTLY k
+    val w = Seq(("a", 5L), ("b", 3L), ("c", 1L)).toDF("lang", "w")
+    val got = TextStats.vocabBudgets(w, 10)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 6L, "b" -> 3L, "c" -> 1L), s"got $got")
+
+    // planted corpus: dominant lang A (13 distinct tokens, huge counts)
+    // vs low-resource lang B (21 distinct tokens, tiny counts). A
+    // GLOBAL top-13 vocab admits almost only A's tokens, so B is
+    // heavily OOV — the under-service p78 detects. Reallocating the
+    // SAME 13 slots by an under-service weight must cut B's OOV and
+    // narrow the A-vs-B OOV spread (the "fertility converges toward
+    // the target" contract at vocab level).
+    val docs = ((1L to 90L).map(i => (i, "A", s"alpha beta gamma t${i % 10}")) ++
+        (101L to 110L).map(i => (i, "B", s"zeta$i eta$i theta")))
+      .toDF("doc_id", "lang", "text")
+    def oovBps(vocabTokens: Set[String]): Map[String, Long] =
+      docs.select(col("lang"), explode(split(trim(lower(col("text"))), "\\s+")).as("tk"))
+        .where(col("tk") =!= "").as[(String, String)].collect()
+        .groupBy(_._1).map { case (l, rows) =>
+          l -> rows.count(r => !vocabTokens.contains(r._2)) * 10000L / rows.length
+        }
+    val globalVocab = TextStats.buildVocab(docs, k = 13)
+      .select("token").as[String].collect().toSet
+    val before = oovBps(globalVocab)
+    assert(before("B") > 5000L, s"fixture must under-serve B: $before")
+    // under-service weights (a base term keeps the dominant language
+    // from starving — the damped form a production loop would use)
+    val weights = Seq(("A", 2000L + before("A")), ("B", 2000L + before("B")))
+      .toDF("lang", "w")
+    val budgets = TextStats.vocabBudgets(weights, 13)
+    val budgetMap = budgets.as[(String, Long)].collect().toMap
+    assert(budgetMap.values.sum == 13L, "budgets must spend exactly k")
+    assert(budgetMap("B") > budgetMap("A"),
+      s"the under-served language must win budget: $budgetMap")
+    val rebalanced = TextStats.buildVocabPerGroup(docs, budgets)
+    // per-group admission respects the budget and the (count desc,
+    // token asc) rank — the family-level determinism invariant
+    val byLang = rebalanced.select("lang", "vocab_rank")
+      .as[(String, Long)].collect().groupBy(_._1)
+    byLang.foreach { case (l, rs) =>
+      assert(rs.length <= budgetMap(l).toInt && rs.map(_._2).max <= budgetMap(l))
+    }
+    val after = oovBps(rebalanced.select("token").as[String].collect().toSet)
+    assert(after("B") < before("B"),
+      s"rebalance must cut B's OOV: ${before("B")} -> ${after("B")}")
+    val spreadBefore = (before("A") - before("B")).abs
+    val spreadAfter = (after("A") - after("B")).abs
+    assert(spreadAfter < spreadBefore,
+      s"service spread must narrow: $spreadBefore -> $spreadAfter ($before -> $after)")
+  }
+
   test("p26: contamination flags docs sharing >= minShared distinct word n-grams with a benchmark") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
