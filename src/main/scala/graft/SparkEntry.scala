@@ -503,6 +503,36 @@ object SparkEntry {
         ev.where(col("event_id") % 2 === 1),
         "value", lo = 0.0, binWidth = 40.0, nBins = 10)
     }),
+    // A20: two-sample Kolmogorov–Smirnov drift (round 11) — a14's
+    // complementary statistic over the SAME literal grid: PSI sums
+    // share movement (dilutes a localized shift), KS is the max CDF
+    // gap (exactly the localized-shift detector). Integer-exact: the
+    // gap is computed in count cross products |cumA·nB − cumB·nA| —
+    // no float fraction anywhere before the final micro DIV, so the
+    // statistic AND its argmax bin replay bit-for-bit.
+    "a20_ks_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ops.Drift.ksStat(ops.Drift.ksByBin(
+        ev.where(col("event_id") % 2 === 0),
+        ev.where(col("event_id") % 2 === 1),
+        "value", lo = 0.0, binWidth = 40.0, nBins = 10))
+    }),
+    // P83: retrieval-quality evaluation (round 11) — the metric layer
+    // the ANN family is tuned by, as a first-class query: the IVF
+    // ranker (p13 exactly) audited per query against the exact brute
+    // cosine top-k (p5 exactly) — n_hit/recall_bps/first_hit_rank/
+    // mrr_micro, all integer. In production the truth side is a
+    // labeled eval panel (bounded, broadcast); here both sides are
+    // the already-oracle-checked rankers, so the oracle nests the two
+    // existing replays and recomputes the metrics.
+    "p83_retrieval_eval" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val sys = Similarity.ivfCosineTopK(emb, k = 5, nCentroids = 8, nProbe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      val tru = Similarity.cosineTopK(emb, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      ops.Evaluation.retrievalEval(sys, tru)
+    }),
     // X19: incremental aggregate maintenance — merge(base partials,
     // delta partials) must equal the full recompute, which is exactly
     // what the oracle computes. The base partial state (count/sum/
@@ -3004,6 +3034,24 @@ object SparkEntry {
        |  FROM nq CROSS JOIN c3 c) WHERE rk <= $nProbe)""".stripMargin
   }
 
+  /** The exact brute-force cosine top-5 — p5's oracle AND p83's
+    * ground-truth side (one definition, two uses).
+    */
+  private lazy val bruteCosineTopKSql: String =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |           FROM embeddings),
+      |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v),
+      |pairs AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |         list_sum(list_transform(a.e, (x, i) -> x * b.e[i])) / (a.nrm * b.nrm) AS cosine
+      |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+      |),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      |           FROM pairs)
+      |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+      |FROM ranked WHERE rank <= 5""".stripMargin
+
   private def ivfKmeansOracleSql(fitPred: String = "TRUE",
       probePred: String = "TRUE"): String =
     s"""${ivfKmeansPrefixSql(fitPred, probePred)},
@@ -4250,6 +4298,56 @@ object SparkEntry {
         |                    / (n_cur / CAST(tc AS DOUBLE))), 6)
         |       END AS psi_contrib
         |FROM t""".stripMargin,
+    // a14's grid, KS tail: cumulative counts per side, gap in exact
+    // count cross products, argmax with the lowest-bin tie-break
+    "a20_ks_drift" ->
+      """WITH b AS (SELECT event_id,
+        |             CAST(least(greatest(floor(value / 40.0), 0), 9) AS BIGINT) AS bin
+        |           FROM events),
+        |ab AS (SELECT bin, count(*) AS n_a FROM b WHERE event_id % 2 = 0 GROUP BY 1),
+        |bb AS (SELECT bin, count(*) AS n_b FROM b WHERE event_id % 2 = 1 GROUP BY 1),
+        |spine AS (SELECT unnest(range(0, 10)) AS bin),
+        |j AS (SELECT s.bin, coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+        |      FROM spine s LEFT JOIN ab USING (bin) LEFT JOIN bb USING (bin)),
+        |c AS (SELECT bin,
+        |        CAST(sum(n_a) OVER (ORDER BY bin ASC ROWS BETWEEN UNBOUNDED PRECEDING
+        |          AND CURRENT ROW) AS BIGINT) AS cum_a,
+        |        CAST(sum(n_b) OVER (ORDER BY bin ASC ROWS BETWEEN UNBOUNDED PRECEDING
+        |          AND CURRENT ROW) AS BIGINT) AS cum_b,
+        |        CAST(sum(n_a) OVER () AS BIGINT) AS tot_a,
+        |        CAST(sum(n_b) OVER () AS BIGINT) AS tot_b
+        |      FROM j),
+        |g AS (SELECT bin, tot_a, tot_b,
+        |        abs(cum_a * tot_b - cum_b * tot_a) AS gap FROM c),
+        |m AS (SELECT tot_a AS n_a, tot_b AS n_b, gap, bin,
+        |        row_number() OVER (ORDER BY gap DESC, bin ASC) AS rn FROM g)
+        |SELECT n_a, n_b, bin AS ks_bin,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN (gap * 1000000) // (n_a * n_b) END AS ks_micro
+        |FROM m WHERE rn = 1""".stripMargin,
+    // p83: the two nested ranker replays (both already oracle-checked
+    // as p13/p5) joined into the per-query metric table — MATERIALIZED
+    // because each side is referenced more than once
+    "p83_retrieval_eval" ->
+      s"""WITH sys AS MATERIALIZED (SELECT query_id, neighbor_id, rank FROM (
+         |${ivfKmeansOracleSql()}) s0),
+         |tru AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+         |$bruteCosineTopKSql) t0),
+         |nt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth FROM tru GROUP BY 1),
+         |j AS (SELECT s.query_id, s.rank,
+         |        CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |      FROM sys s LEFT JOIN tru t USING (query_id, neighbor_id)),
+         |pq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_system,
+         |         CAST(sum(hit) AS BIGINT) AS n_hit,
+         |         CAST(min(CASE WHEN hit = 1 THEN rank END) AS BIGINT) AS first_hit_rank
+         |       FROM j GROUP BY 1)
+         |SELECT nt.query_id, nt.n_truth,
+         |  CAST(coalesce(pq.n_system, 0) AS BIGINT) AS n_system,
+         |  CAST(coalesce(pq.n_hit, 0) AS BIGINT) AS n_hit,
+         |  pq.first_hit_rank,
+         |  (coalesce(pq.n_hit, 0) * 10000) // nt.n_truth AS recall_bps,
+         |  CAST(CASE WHEN pq.first_hit_rank IS NOT NULL
+         |    THEN 1000000 // pq.first_hit_rank ELSE 0 END AS BIGINT) AS mrr_micro
+         |FROM nt LEFT JOIN pq USING (query_id)""".stripMargin,
     "x22_stream_psi" ->
       """WITH ref AS (SELECT CAST(least(greatest(floor(value / 40.0), 0), 9) AS BIGINT) AS bin,
         |                    count(*) AS n_ref
@@ -5297,20 +5395,7 @@ object SparkEntry {
     "p4_simhash" ->
       s"""WITH ${simhashPairsCtesSql("documents")}
          |SELECT id_a, id_b, hamming FROM simpairs WHERE hamming <= 3""".stripMargin,
-    "p5_cosine_topk" ->
-      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-        |           FROM embeddings),
-        |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v),
-        |pairs AS (
-        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-        |         list_sum(list_transform(a.e, (x, i) -> x * b.e[i])) / (a.nrm * b.nrm) AS cosine
-        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
-        |),
-        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
-        |                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
-        |           FROM pairs)
-        |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
-        |FROM ranked WHERE rank <= 5""".stripMargin,
+    "p5_cosine_topk" -> bruteCosineTopKSql,
     "p6_lsh_topk" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
          |           FROM embeddings),

@@ -106,6 +106,69 @@ object Drift {
     least(greatest(floor((valueCol - lit(lo)) / lit(binWidth)), lit(0)),
       lit(nBins - 1)).cast("long")
 
+  /** Two-sample Kolmogorov–Smirnov drift over the SAME literal bin
+    * grid as [[psiByBin]] — the complementary statistic: PSI weights
+    * per-bin share movement (a localized shift dilutes across the
+    * log-ratio sum), KS is the max CDF gap (exactly the localized-
+    * shift detector, blind to symmetric reshuffles PSI catches). Run
+    * both; they disagree on purpose.
+    *
+    * Integer-exact to the final micro DIV: the per-bin CDF gap is
+    * computed in COUNT CROSS PRODUCTS — |cumA·nB − cumB·nA| — never a
+    * float fraction, so the statistic AND its argmax bin replay
+    * bit-for-bit on any engine/partitioning.
+    *   ks_micro = (max gap · 1e6) DIV (nA·nB), ks_bin = lowest bin
+    * achieving it. Envelope: cumA·nB ≤ nA·nB must stay under
+    * 2^63/1e6 ≈ 9.2e12 ⇒ ~3e6 rows per side balanced — pre-aggregate
+    * to bin counts per shard and sum beyond (the counts frame is
+    * |bins| rows; only the TOTALS enter the product).
+    *
+    * Shape at 100 TB: one binned count aggregation per side (map-side
+    * partials, |bins| rows out), a |bins|-row spine join, one
+    * cumulative window over the bin table — nothing after the scans
+    * exceeds the grid, exactly the a14 envelope.
+    */
+  def ksByBin(a: DataFrame, b: DataFrame, valueCol: String,
+      lo: Double, binWidth: Double, nBins: Int): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    require(binWidth > 0, s"binWidth must be > 0, got $binWidth")
+    def binned(df: DataFrame, out: String): DataFrame = df
+      .select(binCol(col(valueCol), lo, binWidth, nBins).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(out))
+    val spark = a.sparkSession
+    import spark.implicits._
+    val spine = (0 until nBins).map(_.toLong).toDF("bin")
+    val w = Window.orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(binned(a, "n_a"), Seq("bin"), "left")
+      .join(binned(b, "n_b"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .withColumn("cum_a", sum(col("n_a")).over(w))
+      .withColumn("cum_b", sum(col("n_b")).over(w))
+      .withColumn("tot_a", sum(col("n_a")).over())
+      .withColumn("tot_b", sum(col("n_b")).over())
+      .withColumn("gap",
+        abs(col("cum_a") * col("tot_b") - col("cum_b") * col("tot_a")))
+  }
+
+  /** The KS scalar off [[ksByBin]]'s per-bin frame: one row —
+    * (n_a, n_b, ks_bin, ks_micro) with the lowest-bin tie-break on
+    * the argmax and NULL ks when either side is empty (the
+    * [[Expectations]] fail-visible gate, never a fabricated 0).
+    */
+  def ksStat(perBin: DataFrame): DataFrame =
+    perBin.agg(
+      max(col("tot_a")).as("n_a"), max(col("tot_b")).as("n_b"),
+      max(struct(col("gap"), (-col("bin")).as("nb"))).as("__m"))
+      .select(col("n_a"), col("n_b"),
+        (-col("__m.nb")).cast("long").as("ks_bin"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          expr("(__m.gap * 1000000) DIV (n_a * n_b)"))
+          .otherwise(lit(null).cast("long")).as("ks_micro"))
+
   /** Reference distribution as (bin, p_ref) over the OBSERVED bins —
     * the broadcastable yardstick a monitor scores incoming windows
     * against. Shares are ratios of exact counts (identical doubles in

@@ -266,6 +266,46 @@ object Evaluation {
         .otherwise(lit(null).cast("double")).as("kappa"): _*)
   }
 
+  /** Retrieval-quality evaluation of an ANN system against exact
+    * ground truth — the metric layer the similarity family (p6/p13/
+    * p64/p66) is tuned BY: recall floors in specs pin a minimum, this
+    * emits the per-query audit a production index rollout watches.
+    * Per query: n_truth, n_system, n_hit (system results that are true
+    * neighbors), first_hit_rank, recall_bps = (n_hit·10⁴) DIV n_truth,
+    * and MRR's per-query term mrr_micro = 10⁶ DIV first_hit_rank (0
+    * when the system never hits) — all integer, bit-replayable; the
+    * corpus-level MRR/recall are plain averages of these columns.
+    *
+    * Shape at 100 TB: ground truth is an eval PANEL (labeled queries ×
+    * k), bounded by construction — it broadcasts; the system frame is
+    * |queries|·k rows; one left join on (query, neighbor) + one
+    * query-keyed map-side-combined aggregation. A query in the truth
+    * panel with NO system rows still reports (recall 0, the
+    * fail-visible gate).
+    */
+  def retrievalEval(system: DataFrame, truth: DataFrame,
+      queryId: String = "query_id", neighborId: String = "neighbor_id",
+      rank: String = "rank"): DataFrame = {
+    val sys = system.select(col(queryId), col(neighborId),
+      col(rank).cast("long").as("__sr"))
+    val tru = truth.select(col(queryId), col(neighborId), lit(1L).as("__hit"))
+    val nTruth = tru.groupBy(col(queryId)).agg(count(lit(1)).as("n_truth"))
+    val perQ = sys.join(broadcast(tru), Seq(queryId, neighborId), "left")
+      .groupBy(col(queryId))
+      .agg(count(lit(1)).as("n_system"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+        min(when(col("__hit").isNotNull, col("__sr"))).as("first_hit_rank"))
+    nTruth.join(perQ, Seq(queryId), "left")
+      .select(col(queryId), col("n_truth"),
+        coalesce(col("n_system"), lit(0L)).as("n_system"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        col("first_hit_rank"),
+        expr("(coalesce(n_hit, 0) * 10000) DIV n_truth").as("recall_bps"),
+        when(col("first_hit_rank").isNotNull,
+          expr("1000000 DIV first_hit_rank"))
+          .otherwise(lit(0L)).as("mrr_micro"))
+  }
+
   /** Calibration (reliability) table over `nBins` equal p-hat bins:
     * (bin, n_docs, mean_pred_micro, frac_pos_micro). A well-
     * calibrated model has mean_pred_micro ≈ frac_pos_micro per bin.

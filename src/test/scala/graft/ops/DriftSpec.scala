@@ -72,6 +72,34 @@ class DriftSpec extends SparkSpec {
       s"a collapsed current half must show positive PSI somewhere: ${drifted.mkString(";")}")
   }
 
+  test("a20: KS is the exact max CDF gap in count cross products; zero on identical frames; NULL on an empty side") {
+    // hand case over a 4-bin grid [0,4): A = {0,1,2,3}, B = {2,3,3,3}
+    // cumA = 1,2,3,4; cumB = 0,0,1,4 (nA = nB = 4)
+    // gaps (x4 scale): |1*4-0*4|=4, |2*4-0*4|=8, |3*4-1*4|=8, 0
+    // -> max 8 at bin 1 (lowest-bin tie-break over bin 2)
+    val a = Seq(0.0, 1.0, 2.0, 3.0).toDF("v")
+    val b = Seq(2.0, 3.0, 3.2, 3.9).toDF("v")
+    val stat = Drift.ksStat(Drift.ksByBin(a, b, "v", lo = 0.0, binWidth = 1.0, nBins = 4))
+      .collect().head
+    assert(stat.getAs[Long]("n_a") == 4L && stat.getAs[Long]("n_b") == 4L)
+    assert(stat.getAs[Long]("ks_bin") == 1L, s"tie must break to the LOWEST bin: $stat")
+    // ks = 8/16 = 0.5 exactly
+    assert(stat.getAs[Long]("ks_micro") == 500000L, s"got $stat")
+    // identical frames: every gap is zero
+    val same = Drift.ksStat(Drift.ksByBin(a, a, "v", 0.0, 1.0, 4)).collect().head
+    assert(same.getAs[Long]("ks_micro") == 0L)
+    // an empty side gates the statistic to NULL, never a fabricated 0
+    val empty = Seq.empty[Double].toDF("v")
+    val gated = Drift.ksStat(Drift.ksByBin(a, empty, "v", 0.0, 1.0, 4)).collect().head
+    assert(gated.isNullAt(gated.fieldIndex("ks_micro")))
+    // KS vs PSI division of labor: a localized shift in ONE region
+    // moves KS sharply while identical frames keep both at zero —
+    // and the statistic is invariant to which side is called A
+    val flipped = Drift.ksStat(Drift.ksByBin(b, a, "v", 0.0, 1.0, 4)).collect().head
+    assert(flipped.getAs[Long]("ks_micro") == 500000L &&
+      flipped.getAs[Long]("ks_bin") == 1L)
+  }
+
   test("psi: out-of-range values clamp to the edge bins; spine reports empty bins") {
     val ref = Seq(-5.0, 2.0, 95.0, 200.0).toDF("value")
     val out = Drift.psiByBin(ref, ref, "value", 0.0, 10.0, 10)

@@ -163,6 +163,33 @@ class EvaluationSpec extends SparkSpec {
     assert(rc.isNullAt(rc.fieldIndex("kappa")))
   }
 
+  test("p83: retrieval eval — hand-checkable recall/MRR; no-system and no-hit queries fail visible") {
+    val truth = Seq(
+      (1L, 10L), (1L, 11L),            // q1 truth = {10, 11}
+      (2L, 20L),                       // q2 truth = {20}
+      (3L, 30L))                       // q3: the system never answers
+      .toDF("query_id", "neighbor_id")
+    val system = Seq(
+      (1L, 99L, 1L), (1L, 10L, 2L), (1L, 98L, 3L), // first hit at rank 2
+      (2L, 21L, 1L), (2L, 22L, 2L))                // zero hits
+      .toDF("query_id", "neighbor_id", "rank")
+    val out = Evaluation.retrievalEval(system, truth).collect()
+      .map(r => r.getAs[Long]("query_id") -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), "every truth query must report")
+    val q1 = out(1L)
+    assert(q1.getAs[Long]("n_truth") == 2L && q1.getAs[Long]("n_system") == 3L)
+    assert(q1.getAs[Long]("n_hit") == 1L && q1.getAs[Long]("first_hit_rank") == 2L)
+    assert(q1.getAs[Long]("recall_bps") == 5000L, "1 of 2 = 5000 bps")
+    assert(q1.getAs[Long]("mrr_micro") == 500000L, "1/2 = 500000 micro")
+    val q2 = out(2L)
+    assert(q2.getAs[Long]("n_hit") == 0L && q2.getAs[Long]("recall_bps") == 0L)
+    assert(q2.isNullAt(q2.fieldIndex("first_hit_rank")))
+    assert(q2.getAs[Long]("mrr_micro") == 0L)
+    val q3 = out(3L)
+    assert(q3.getAs[Long]("n_system") == 0L && q3.getAs[Long]("recall_bps") == 0L,
+      "a query the system never answered must report recall 0, not vanish")
+  }
+
   test("p73: bins come from the integer micro grid; means are truncating-exact") {
     val df = Seq(
       (1L, 0.0, 0L), (2L, 0.099999, 0L),   // bin 0

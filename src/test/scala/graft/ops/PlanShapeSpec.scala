@@ -239,6 +239,42 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("p83 retrieval eval: the truth panel broadcasts; no sort-merge, no corpus sort") {
+    val plan = executedPlan("p83_retrieval_eval")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the truth-panel attach should be a broadcast hash join:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"retrieval eval plans a global sort:\n$plan")
+    // NO assertNoDisasterJoin here: the TRUTH side is the exact
+    // brute-force ranker, whose all-pairs `<>` self-join IS a
+    // BroadcastNestedLoopJoin by design (p5, the quality oracle) —
+    // the eval layer's own joins must still be hash, pinned above
+    assert(!plan.contains("CartesianProduct"),
+      s"p83 plans an unbounded cartesian product:\n$plan")
+  }
+
+  test("p82 vocab rebalance: budgets broadcast onto per-group ranks; no corpus-global sort") {
+    val plan = executedPlan("p82_vocab_rebalance")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the |langs|-row budget table should broadcast:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"the rebalance plans a corpus-global sort:\n$plan")
+    // the apportionment's crossJoins against 1-row totals plan as
+    // BroadcastNestedLoopJoins over |langs|-row frames — benign by
+    // construction (the repo-wide crossJoin discipline); what must
+    // not appear is an unbounded cartesian over data rows
+    assert(!plan.contains("CartesianProduct"),
+      s"p82 plans an unbounded cartesian product:\n$plan")
+  }
+
+  test("a20 KS drift: nothing after the scans exceeds the bin grid — no join over data rows") {
+    val plan = executedPlan("a20_ks_drift")
+    // the only joins are the |bins|-row spine attaches
+    assert(!plan.contains("SortMergeJoin"),
+      s"a sort-merge join means data rows shuffled on a join key:\n$plan")
+    assertNoDisasterJoin("a20", plan)
+  }
+
   test("p31 split assign: map-only — no exchange of any kind") {
     val plan = executedPlan("p31_split_assign")
     assert(!plan.contains("Exchange"),
