@@ -67,6 +67,23 @@ object SparkEntry {
     * repeated passes for the JVM lifetime. Results here are small
     * (aggregates / session summaries), so the defensive copy is cheap.
     */
+  /** Run a streaming body under the RocksDB state store provider (the
+    * production provider for large state — heap stores OOM first at
+    * scale), restoring the previous conf after. Used by the monitors
+    * that run their PRODUCTION form in the harness (x22, x31).
+    */
+  private def withRocksStateStore[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   private def drainMemorySink(s: SparkSession, sink: String): DataFrame = {
     val out = s.table(sink)
     val rows = out.collect()
@@ -761,13 +778,20 @@ object SparkEntry {
     }),
 
     // X22: streaming drift monitor — the a14 PSI math applied online:
-    // the stream (odd-id events) maintains per-(hour, value-bin)
+    // the stream (odd-id events) maintains per-(hour-window, value-bin)
     // counts as windowed aggregation state; the drained state is then
     // scored against the batch-computed reference distribution
     // (even-id events) in a tiny post-pass over windows×bins rows —
-    // exactly how a monitor reads its state store. Both asymmetric
-    // drift modes surface as NULL rows: bins absent from the
-    // reference (novel mass) AND reference bins with zero current
+    // exactly how a monitor reads its state store. PRODUCTION form
+    // since round 11 (the x31 treatment applied to the oldest
+    // monitor): real event-time window() + watermark, update mode on
+    // the RocksDB provider, monotone max-count drain — a closed
+    // window's bin counts leave the state store instead of living
+    // forever (eviction pinned for the family by
+    // WatermarkEvictionSpec; the single-staged-file harness run is
+    // one micro-batch, so the oracle replays exactly). Both
+    // asymmetric drift modes surface as NULL rows: bins absent from
+    // the reference (novel mass) AND reference bins with zero current
     // events in a window (vanished mass, via the windows×ref-bins
     // spine).
     "x22_stream_psi" -> ((s, dir) => {
@@ -777,15 +801,24 @@ object SparkEntry {
         "value", lo = 0.0, binWidth = 40.0, nBins = 10)
       val cur = eventStream(s, dir).where(col("event_id") % 2 === 1)
       val binned = EventTime.withTsNanos(cur)
-        .groupBy(date_trunc("hour",
-          timestamp_micros(EventTime.nsToMicros("ts_ns"))).as("win_start"),
+        .withColumn("ts_t", timestamp_micros(EventTime.nsToMicros("ts_ns")))
+        .withWatermark("ts_t", "1 hour")
+        .groupBy(window(col("ts_t"), "1 hour").as("w"),
           ops.Drift.binCol(col("value"), 0.0, 40.0, 10).as("bin"))
         .agg(count(lit(1)).as("n_cur"))
       val sink = s"stream_psi_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = binned.writeStream.format("memory").queryName(sink)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      ops.Drift.psiAgainstReference(drainMemorySink(s, sink), refShares)
+      withRocksStateStore(s) {
+        val q = binned.writeStream.format("memory").queryName(sink)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      // monotone drain: a (window, bin) group's successive updates
+      // carry strictly growing counts — max is the final state
+      val drained = drainMemorySink(s, sink)
+        .groupBy(col("w"), col("bin"))
+        .agg(max(col("n_cur")).as("n_cur"))
+        .select(col("w.start").as("win_start"), col("bin"), col("n_cur"))
+      ops.Drift.psiAgainstReference(drained, refShares)
     }),
 
     // X25: streaming VOCABULARY drift monitor — the x22 PSI machinery
@@ -1729,18 +1762,11 @@ object SparkEntry {
           w2, carry = Seq("keep_a"))
         .select(col("doc_id"), col("keep_a"), col("keep").as("keep_b"))
         .withColumn("event_ts", timestamp_seconds(col("doc_id")))
-      val providerKey = "spark.sql.streaming.stateStore.providerClass"
-      val prevProvider = s.conf.getOption(providerKey)
-      s.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      withRocksStateStore(s) {
         val q = ops.Evaluation.windowedAgreementCounts(scoredBoth)
           .writeStream.format("memory").queryName(sink)
           .outputMode("update").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-      } finally prevProvider match {
-        case Some(v) => s.conf.set(providerKey, v)
-        case None    => s.conf.unset(providerKey)
       }
       val counts = ops.Evaluation.drainLatestWindowCounts(drainMemorySink(s, sink))
         .select(expr("unix_timestamp(w.start) div 256").as("window_id"),
