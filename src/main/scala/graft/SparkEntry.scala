@@ -821,6 +821,41 @@ object SparkEntry {
       ops.Drift.psiAgainstReference(drained, refShares)
     }),
 
+    // X32: streaming KS drift monitor — a20's statistic in x22's
+    // production harness (same grid, same windowed count state under
+    // the same watermark on RocksDB, same monotone update-mode drain;
+    // they could share one physical state store in a deployment):
+    // PSI and KS disagree on purpose — PSI dilutes a localized shift
+    // across its log-ratio sum, KS is the max CDF gap — so a monitor
+    // runs both over ONE state shape. The reference side stays in
+    // COUNTS (not shares): KS's integer cross-product form needs
+    // them, and the whole per-window statistic + argmax bin replays
+    // bit-for-bit. Post-pass cost: |windows| × 10 rows.
+    "x32_stream_ks" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val refCounts = t(s, dir, "events").where(col("event_id") % 2 === 0)
+        .select(ops.Drift.binCol(col("value"), 0.0, 40.0, 10).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n_ref"))
+      val cur = eventStream(s, dir).where(col("event_id") % 2 === 1)
+      val binned = EventTime.withTsNanos(cur)
+        .withColumn("ts_t", timestamp_micros(EventTime.nsToMicros("ts_ns")))
+        .withWatermark("ts_t", "1 hour")
+        .groupBy(window(col("ts_t"), "1 hour").as("w"),
+          ops.Drift.binCol(col("value"), 0.0, 40.0, 10).as("bin"))
+        .agg(count(lit(1)).as("n_cur"))
+      val sink = s"stream_ks_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      withRocksStateStore(s) {
+        val q = binned.writeStream.format("memory").queryName(sink)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val drained = drainMemorySink(s, sink)
+        .groupBy(col("w"), col("bin"))
+        .agg(max(col("n_cur")).as("n_cur"))
+        .select(col("w.start").as("win_start"), col("bin"), col("n_cur"))
+      ops.Drift.ksAgainstReference(drained, refCounts, nBins = 10)
+    }),
+
     // X25: streaming VOCABULARY drift monitor — the x22 PSI machinery
     // pointed at the token distribution a tokenizer pipeline watches:
     // reference = token-id shares of the even-doc half under a p47
@@ -1569,6 +1604,31 @@ object SparkEntry {
             lit(SubstringPassage), col("text")).as("text"))
       ops.SubstringDedup.spanStats(d.unionByName(planted))
     }),
+    // P84: paragraph-level exact dedup with document REASSEMBLY (the
+    // C4/Dolma unit): p1/p18 drop whole documents, p36 reports shared
+    // spans — this one rebuilds each document from its surviving
+    // paragraphs under global first-occurrence-wins. Paragraph
+    // structure is conjured deterministically (every ' the ' becomes
+    // a paragraph break — both engines replace non-overlapping
+    // left-to-right) and byte-identical +700000 copies are planted:
+    // a copy keeps NOTHING (every paragraph's keeper sits in the
+    // original), while natural short-paragraph collisions thin the
+    // originals too. Output fingerprints the reassembled text (the
+    // p20 rolling hash over a '|' sentinel so an all-dropped doc
+    // never fingerprints an empty split).
+    "p84_paragraph_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val corpus = d.unionByName(
+        d.where(col("doc_id") % 40 === 0)
+          .select((col("doc_id") + 700000L).as("doc_id"), col("text")))
+        .withColumn("text", regexp_replace(col("text"), " the ", "\n\n"))
+      ops.Dedup.paragraphDedup(corpus)
+        .select(col("doc_id"), col("n_paras"), col("n_kept"), col("kept_chars"),
+          when(col("n_kept") > 0,
+            ops.TextStats.fingerprint(concat(lit("|"), col("kept_text"))))
+            .otherwise(lit(null).cast("long")).as("kept_fp"))
+    }),
     // P37: declarative data-quality expectations — the dbt-test gate a
     // corpus drop passes through before entering the pipeline: four
     // row rules + one uniqueness rule over documents, evaluated in ONE
@@ -2245,6 +2305,26 @@ object SparkEntry {
       val feat = ops.Logistic.features(docs, carry = Seq("source"))
         .localCheckpoint(true)
       ops.Evaluation.agreementKappa(
+        ops.Logistic.scoreWith(feat, ops.Logistic.train(feat, rounds = 3),
+          carry = Seq("source")),
+        ops.Logistic.trainAndScoreHashed(docs, nBuckets = 64, rounds = 2),
+        "source")
+    }),
+    // P85: McNemar's paired test over the SAME two models as p77 —
+    // the significance half kappa doesn't answer: kappa says the
+    // raters share signal, McNemar says whether one is BETTER, and on
+    // paired predictions only the discordant cells (A right ∧ B
+    // wrong / the reverse) carry that information — the unpaired
+    // two-proportion z over the same data is the classic mistake.
+    // Integer contingency off one doc_id equi-join; both statistics
+    // (plain + Edwards continuity-corrected) are single integer DIVs
+    // on the micro grid — reject at 3 840 000 micro (α=0.05, 1 df).
+    // The oracle nests the SAME two training replays as p77.
+    "p85_mcnemar" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val feat = ops.Logistic.features(docs, carry = Seq("source"))
+        .localCheckpoint(true)
+      ops.Evaluation.mcnemar(
         ops.Logistic.scoreWith(feat, ops.Logistic.train(feat, rounds = 3),
           carry = Seq("source")),
         ops.Logistic.trainAndScoreHashed(docs, nBuckets = 64, rounds = 2),
@@ -4399,6 +4479,40 @@ object SparkEntry {
         |               * ln(r.p_ref / (c.n_cur / CAST(tw AS DOUBLE))), 6)
         |       END AS psi_contrib
         |FROM ct c LEFT JOIN rt r USING (bin)""".stripMargin,
+    // x22's window spine with a20's count-cross-product KS tail,
+    // partitioned per window; lowest-bin argmax tie-break
+    "x32_stream_ks" ->
+      """WITH refc AS (SELECT CAST(least(greatest(floor(value / 40.0), 0), 9) AS BIGINT) AS bin,
+        |                     CAST(count(*) AS BIGINT) AS n_ref
+        |              FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+        |cur AS (SELECT date_trunc('hour', ts) AS win_start,
+        |               CAST(least(greatest(floor(value / 40.0), 0), 9) AS BIGINT) AS bin,
+        |               CAST(count(*) AS BIGINT) AS n_cur
+        |        FROM events WHERE event_id % 2 = 1 GROUP BY 1, 2),
+        |spine AS (SELECT w.win_start, b.bin
+        |          FROM (SELECT DISTINCT win_start FROM cur) w
+        |          CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) b),
+        |dense AS (SELECT s.win_start, s.bin,
+        |            coalesce(r.n_ref, 0) AS n_ref, coalesce(c.n_cur, 0) AS n_cur
+        |          FROM spine s LEFT JOIN refc r ON r.bin = s.bin
+        |          LEFT JOIN cur c ON c.win_start = s.win_start AND c.bin = s.bin),
+        |cumt AS (SELECT win_start, bin,
+        |           CAST(sum(n_ref) OVER (PARTITION BY win_start ORDER BY bin ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_r,
+        |           CAST(sum(n_cur) OVER (PARTITION BY win_start ORDER BY bin ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_c,
+        |           CAST(sum(n_ref) OVER (PARTITION BY win_start) AS BIGINT) AS tot_r,
+        |           CAST(sum(n_cur) OVER (PARTITION BY win_start) AS BIGINT) AS tot_c
+        |         FROM dense),
+        |g AS (SELECT win_start, bin, tot_r, tot_c,
+        |        abs(cum_r * tot_c - cum_c * tot_r) AS gap FROM cumt),
+        |m AS (SELECT win_start, tot_r AS n_ref, tot_c AS n_cur, gap, bin,
+        |        row_number() OVER (PARTITION BY win_start
+        |          ORDER BY gap DESC, bin ASC) AS rn FROM g)
+        |SELECT win_start, n_ref, n_cur, bin AS ks_bin,
+        |  CASE WHEN n_ref > 0 AND n_cur > 0
+        |    THEN (gap * 1000000) // (n_ref * n_cur) END AS ks_micro
+        |FROM m WHERE rn = 1""".stripMargin,
     // same PSI tail as x22, with the token-id distribution as bins
     // and id-derived arrival cohorts as windows
     "x25_stream_vocab_drift" ->
@@ -4891,6 +5005,34 @@ object SparkEntry {
          |                  / CAST(n_docs * n_docs - (r1 * c1 + (n_docs - r1) * (n_docs - c1)) AS DOUBLE), 6)
          |       ELSE NULL END AS kappa
          |FROM ag""".stripMargin,
+    // the SAME two nested training replays as p77; correctness per
+    // model against its own label, discordant cells, two integer DIVs
+    "p85_mcnemar" ->
+      s"""WITH m1 AS (SELECT doc_id, keep, label FROM (
+         |${lrOracleSql(3, 4)}) t1),
+         |m2 AS (SELECT doc_id, keep, label FROM (
+         |${lrHashedOracleSql(64, 2, 64)}) t2),
+         |j AS (SELECT d.source,
+         |        CASE WHEN (CASE WHEN m1.keep THEN 1 ELSE 0 END) = m1.label
+         |             THEN 1 ELSE 0 END AS ra,
+         |        CASE WHEN (CASE WHEN m2.keep THEN 1 ELSE 0 END) = m2.label
+         |             THEN 1 ELSE 0 END AS rb
+         |      FROM m1 JOIN m2 USING (doc_id) JOIN documents d USING (doc_id)),
+         |ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(ra) AS BIGINT) AS n_right_a,
+         |         CAST(sum(rb) AS BIGINT) AS n_right_b,
+         |         CAST(sum(CASE WHEN ra = 1 AND rb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a_only,
+         |         CAST(sum(CASE WHEN ra = 0 AND rb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b_only
+         |       FROM j GROUP BY 1)
+         |SELECT source, n_docs, n_right_a, n_right_b, n_a_only, n_b_only,
+         |  CASE WHEN n_a_only + n_b_only > 0 THEN
+         |    ((n_a_only - n_b_only) * (n_a_only - n_b_only) * 1000000)
+         |      // (n_a_only + n_b_only) END AS chi2_micro,
+         |  CASE WHEN n_a_only + n_b_only > 0 THEN
+         |    (greatest(abs(n_a_only - n_b_only) - 1, 0)
+         |     * greatest(abs(n_a_only - n_b_only) - 1, 0) * 1000000)
+         |      // (n_a_only + n_b_only) END AS chi2cc_micro
+         |FROM ag""".stripMargin,
     // the k-means prefix fit on the even half, rank-1 assignment for
     // all (nProbe=1), occupancy split by parity, the a14 PSI tail
     "a19_embedding_drift" ->
@@ -5328,6 +5470,41 @@ object SparkEntry {
          |    AS dup_chars
          |FROM segs s LEFT JOIN dup ON s.seg_hash = dup.seg_hash
          |GROUP BY 1""".stripMargin,
+    // paragraph breaks conjured by the same non-overlapping replace;
+    // keeper = row_number 1 per md5 over (doc_id, idx); reassembly via
+    // ordered string_agg; the p20 rolling hash over the '|' sentinel
+    "p84_paragraph_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, replace(text, ' the ', chr(10) || chr(10)) AS text
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 700000, replace(text, ' the ', chr(10) || chr(10))
+        |  FROM documents WHERE doc_id % 40 = 0),
+        |sp AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS paras
+        |       FROM corpus),
+        |e AS (SELECT doc_id, CAST(i AS BIGINT) AS idx,
+        |        list_extract(paras, CAST(i AS INT)) AS para
+        |      FROM (SELECT doc_id, paras, unnest(range(1, len(paras) + 1)) AS i
+        |            FROM sp)),
+        |ky AS (SELECT doc_id, idx, para, md5(para) AS k FROM e),
+        |fo AS (SELECT doc_id, idx, para,
+        |         row_number() OVER (PARTITION BY k ORDER BY doc_id ASC, idx ASC) AS rn
+        |       FROM ky),
+        |kept AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |           CAST(sum(length(para)) AS BIGINT) AS kept_chars,
+        |           string_agg(para, chr(10) || chr(10) ORDER BY idx ASC) AS kept_text
+        |         FROM fo WHERE rn = 1 GROUP BY 1),
+        |np AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras FROM e GROUP BY 1)
+        |SELECT np.doc_id, np.n_paras,
+        |  coalesce(kept.n_kept, 0) AS n_kept,
+        |  coalesce(kept.kept_chars, 0) AS kept_chars,
+        |  CASE WHEN kept.n_kept > 0 THEN
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(string_split('|' || kept.kept_text, ''),
+        |        c -> ascii(c)::BIGINT)),
+        |      (a, b) -> (a * 131 + b) % 1000000007)
+        |  END AS kept_fp
+        |FROM np LEFT JOIN kept USING (doc_id)""".stripMargin,
     // chr(233) = precomposed U+00E9, chr(769) = combining acute U+0301:
     // the same canonical-equivalence pair the engine plants via \u
     // escapes — nfc_normalize composes both onto identical bytes

@@ -96,6 +96,60 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), min(col(id)).as("keep_id"))
       .where(col("n_copies") > 1)
 
+  /** PARAGRAPH-level exact dedup with document reassembly — the
+    * C4/Dolma discipline the whole-document ops above cannot express:
+    * web corpora repeat navigation chrome, license blocks and quoted
+    * passages across millions of otherwise-distinct pages, so the
+    * dedup unit is the paragraph and the OUTPUT is the cleaned corpus
+    * (each doc rebuilt from its surviving paragraphs), not a dup
+    * report. Policy is global first-occurrence-wins: a paragraph
+    * survives only at its lexicographically smallest (id, position)
+    * across the whole corpus — repeats WITHIN a document dedup too.
+    *
+    * Emits one row per input doc: (id, n_paras, n_kept, kept_chars,
+    * kept_text) where kept_text is the surviving paragraphs re-joined
+    * in original order by `sep` (empty string when nothing survives —
+    * the downstream length filter's problem, kept visible). Callers
+    * wanting only stats fingerprint/drop kept_text.
+    *
+    * Scale shape: posexplode is per-row; the keeper assignment is ONE
+    * hash-groupBy shuffle on the paragraph digest (min-struct
+    * aggregation with map-side partials — never pair enumeration, so
+    * a boilerplate paragraph repeated 1e9 times costs a count, not a
+    * join fan-out); survivors join back on the digest (co-partitioned
+    * by the groupBy's own exchange) and reassembly is one groupBy on
+    * the doc id with per-doc-bounded collect_list. Three shuffles
+    * total, all keyed, no window over the corpus.
+    *
+    * `sep` is treated as a LITERAL separator (regex-quoted for the
+    * split) — the \n\n convention; the oracle replays with the same
+    * literal split.
+    */
+  def paragraphDedup(docs: DataFrame, sep: String = "\n\n",
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val paras = docs
+      .select(col(id), posexplode(
+        split(col(text), java.util.regex.Pattern.quote(sep), -1)))
+      .select(col(id), (col("pos") + 1L).as("idx"), col("col").as("para"))
+      .withColumn("k", md5(col("para")))
+    val keepers = paras.groupBy(col("k"))
+      .agg(min(struct(col(id).as("kid"), col("idx").as("kidx"))).as("kp"))
+    val kept = paras.join(keepers, Seq("k"))
+      .where(col(id) === col("kp.kid") && col("idx") === col("kp.kidx"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(length(col("para"))).as("kept_chars"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("para")))),
+          x => x("para")), sep).as("kept_text"))
+    paras.groupBy(col(id)).agg(count(lit(1)).as("n_paras"))
+      .join(kept, Seq(id), "left")
+      .select(col(id), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_chars"), lit(0L)).as("kept_chars"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
   private def shingleArray(text: Column, n: Int): Column =
     // texts shorter than n have NO shingles: without the guard,
     // sequence(1, 0) yields [1, 0] (Spark auto-steps -1 when start >

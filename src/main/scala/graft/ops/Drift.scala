@@ -181,6 +181,55 @@ object Drift {
       .withColumn("p_ref", col("n_ref") / sum(col("n_ref")).over())
       .select("bin", "p_ref")
 
+  /** Per-window two-sample KS against a reference COUNT frame — the
+    * [[ksByBin]]/[[ksStat]] statistic in the monitor shape
+    * [[psiAgainstReference]] gives PSI: `current` is the drained
+    * per-(window, bin) count state of a streaming aggregation,
+    * `refCounts` the batch-fitted (bin, n_ref) yardstick (counts, not
+    * shares — KS's integer cross-product form needs the exact counts).
+    * Emits ONE row per window: (windowCol, n_ref, n_cur, ks_bin,
+    * ks_micro), lowest-bin argmax tie-break, NULL ks when a side is
+    * empty — bit-identical to running [[ksStat]] per window, proven by
+    * the x32/a20 twin relationship.
+    *
+    * Shape: the dense frame is |windows| × nBins rows (monitor-state
+    * scale, never data scale); both cumulative windows and the final
+    * argmax run over that frame; the reference broadcasts. Envelope:
+    * per-window n_ref·n_cur < 9.2e12 (the ksByBin bound).
+    */
+  def ksAgainstReference(current: DataFrame, refCounts: DataFrame,
+      nBins: Int, windowCol: String = "win_start"): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val spark = current.sparkSession
+    import spark.implicits._
+    val bins = (0 until nBins).map(_.toLong).toDF("bin")
+    val spine = current.select(col(windowCol)).distinct()
+      .crossJoin(broadcast(bins))
+    val w = Window.partitionBy(col(windowCol)).orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(windowCol))
+    spine
+      .join(current, Seq(windowCol, "bin"), "left")
+      .join(broadcast(refCounts), Seq("bin"), "left")
+      .select(col(windowCol), col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      .withColumn("cum_r", sum(col("n_ref")).over(w))
+      .withColumn("cum_c", sum(col("n_cur")).over(w))
+      .withColumn("tot_r", sum(col("n_ref")).over(wAll))
+      .withColumn("tot_c", sum(col("n_cur")).over(wAll))
+      .withColumn("gap",
+        abs(col("cum_r") * col("tot_c") - col("cum_c") * col("tot_r")))
+      .groupBy(col(windowCol))
+      .agg(max(col("tot_r")).as("n_ref"), max(col("tot_c")).as("n_cur"),
+        max(struct(col("gap"), (-col("bin")).as("nb"))).as("__m"))
+      .select(col(windowCol), col("n_ref"), col("n_cur"),
+        (-col("__m.nb")).cast("long").as("ks_bin"),
+        when(col("n_ref") > 0 && col("n_cur") > 0,
+          expr("(__m.gap * 1000000) DIV (n_ref * n_cur)"))
+          .otherwise(lit(null).cast("long")).as("ks_micro"))
+  }
+
   /** Scores per-window bin counts (`windowCol`, `bin`, `n_cur`)
     * against a [[binShares]] reference: per-window shares from a
     * window over the small count frame, reference broadcast, PSI

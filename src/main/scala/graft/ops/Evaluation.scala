@@ -209,6 +209,59 @@ object Evaluation {
     kappaFromCounts(ag, Seq(group))
   }
 
+  /** McNemar's paired test between two classifiers scored on the SAME
+    * documents — the significance half the p77 kappa deliberately does
+    * not answer: kappa says whether two raters share signal;
+    * McNemar says whether one is BETTER, and on paired predictions
+    * only the DISCORDANT cells carry that information (n_a_only =
+    * A right ∧ B wrong, n_b_only = the reverse — the concordant
+    * diagonal cancels out of the test entirely, which is why the
+    * unpaired two-proportion z-test over the same data is wrong).
+    * Emits per group the paired contingency and two statistics on the
+    * integer micro grid:
+    *   chi2_micro   = ((n_a_only − n_b_only)² · 1e6) DIV (n_a_only + n_b_only)
+    *   chi2cc_micro = the Edwards continuity-corrected variant
+    *                  ((|Δ| − 1)₊² · 1e6) DIV (n_a_only + n_b_only)
+    * (reject at ~3.84 ⇔ 3 840 000 micro for α = 0.05, 1 df), both
+    * NULL when no discordant pairs exist (the test is undefined, not
+    * zero — the fail-visible gate).
+    *
+    * Exactness: all cells are integer sums off ONE co-partitioned
+    * equi-join on the id; the statistics are single integer DIVs —
+    * bit-replayable on any engine/partitioning. Envelope:
+    * Δ²·1e6 < 2^63 ⇔ |Δ| < 3e6 discordant-pair imbalance per group;
+    * shard the group key beyond.
+    *
+    * Shape at 100 TB: one shuffle per side on the id, map-side-combined
+    * aggregation to |groups| rows — the agreementKappa envelope exactly.
+    */
+  def mcnemar(a: DataFrame, b: DataFrame, group: String,
+      id: String = "doc_id", keep: String = "keep",
+      label: String = "label"): DataFrame = {
+    def right(out: String) = (col(keep).cast("long") === col(label).cast("long"))
+      .cast("long").as(out)
+    val l = a.select(col(id), col(group), right("__ra"))
+    val r = b.select(col(id), right("__rb"))
+    val ag = l.join(r, Seq(id)).groupBy(col(group))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__ra")).as("n_right_a"),
+        sum(col("__rb")).as("n_right_b"),
+        sum(when(col("__ra") === 1L && col("__rb") === 0L, 1L)
+          .otherwise(0L)).as("n_a_only"),
+        sum(when(col("__ra") === 0L && col("__rb") === 1L, 1L)
+          .otherwise(0L)).as("n_b_only"))
+    ag.withColumn("__disc", col("n_a_only") + col("n_b_only"))
+      .withColumn("__cc",
+        greatest(abs(col("n_a_only") - col("n_b_only")) - lit(1L), lit(0L)))
+      .select(col(group), col("n_docs"), col("n_right_a"), col("n_right_b"),
+        col("n_a_only"), col("n_b_only"),
+        when(col("__disc") > 0L, expr(
+          "((n_a_only - n_b_only) * (n_a_only - n_b_only) * 1000000) DIV __disc"))
+          .otherwise(lit(null).cast("long")).as("chi2_micro"),
+        when(col("__disc") > 0L, expr("(__cc * __cc * 1000000) DIV __disc"))
+          .otherwise(lit(null).cast("long")).as("chi2cc_micro"))
+  }
+
   /** Event-time-windowed agreement contingency — the STREAMING half of
     * the x31 monitor, factored here so the production query and the
     * eviction spec execute ONE definition (the kappaFromCounts

@@ -100,6 +100,34 @@ class DriftSpec extends SparkSpec {
       flipped.getAs[Long]("ks_bin") == 1L)
   }
 
+  test("x32 tail: per-window KS equals ksStat run per window; identical window scores 0; shifted window moves") {
+    // reference: uniform 25/bin over 4 bins; window w1 identical in
+    // shares (10/bin), window w2 all mass in bin 0
+    val refCounts = Seq((0L, 25L), (1L, 25L), (2L, 25L), (3L, 25L))
+      .toDF("bin", "n_ref")
+    val cur = (Seq((1L, 0L, 10L), (1L, 1L, 10L), (1L, 2L, 10L), (1L, 3L, 10L)) ++
+      Seq((2L, 0L, 40L))).toDF("win_start", "bin", "n_cur")
+    val out = Drift.ksAgainstReference(cur, refCounts, nBins = 4)
+      .collect().map(r => r.getAs[Long]("win_start") -> r).toMap
+    assert(out.size == 2)
+    assert(out(1L).getAs[Long]("n_ref") == 100L && out(1L).getAs[Long]("n_cur") == 40L)
+    assert(out(1L).getAs[Long]("ks_micro") == 0L &&
+      out(1L).getAs[Long]("ks_bin") == 0L, "identical shares -> 0, lowest-bin tie-break")
+    // w2: cum_r=25,50,75,100 vs cum_c=40,40,40,40 (tot_r=100, tot_c=40):
+    // gaps |25*40-40*100|=3000, 2000, 1000, 0 -> max 3000 at bin 0,
+    // ks = 3000e6 DIV 4000 = 750000
+    assert(out(2L).getAs[Long]("ks_bin") == 0L &&
+      out(2L).getAs[Long]("ks_micro") == 750000L)
+    // the twin relationship: each window's row equals ksStat over the
+    // same raw frames (the a20 path) — bit-identical, not approximate
+    val refRaw = (0 until 4).flatMap(b => Seq.fill(25)(b.toDouble)).toDF("v")
+    val w2Raw = Seq.fill(40)(0.0).toDF("v")
+    val solo = Drift.ksStat(Drift.ksByBin(refRaw, w2Raw, "v", 0.0, 1.0, 4))
+      .collect().head
+    assert(solo.getAs[Long]("ks_micro") == out(2L).getAs[Long]("ks_micro") &&
+      solo.getAs[Long]("ks_bin") == out(2L).getAs[Long]("ks_bin"))
+  }
+
   test("psi: out-of-range values clamp to the edge bins; spine reports empty bins") {
     val ref = Seq(-5.0, 2.0, 95.0, 200.0).toDF("value")
     val out = Drift.psiByBin(ref, ref, "value", 0.0, 10.0, 10)

@@ -27,6 +27,33 @@ class EvaluationSpec extends SparkSpec {
     assert(ah == 0.5, s"all-tied scores must give exactly 0.5, got $ah")
   }
 
+  test("p85: mcnemar hand case — discordant cells only, both statistics, no-discordance gates NULL") {
+    // 10 docs, all label 1: A right on 1..8, B right on 1..4 and 9..10
+    // -> n_a_only = {5,6,7,8} = 4, n_b_only = {9,10} = 2
+    val a = (1L to 10L).map(i => (i, "g", i <= 8, 1L))
+      .toDF("doc_id", "g", "keep", "label")
+    val b = (1L to 10L).map(i => (i, i <= 4 || i >= 9, 1L))
+      .toDF("doc_id", "keep", "label")
+    val r = Evaluation.mcnemar(a, b, "g").collect().head
+    assert(r.getAs[Long]("n_docs") == 10 && r.getAs[Long]("n_right_a") == 8 &&
+      r.getAs[Long]("n_right_b") == 6)
+    assert(r.getAs[Long]("n_a_only") == 4 && r.getAs[Long]("n_b_only") == 2)
+    // (4-2)^2 * 1e6 DIV 6 = 666666; cc: (|2|-1)^2 * 1e6 DIV 6 = 166666
+    assert(r.getAs[Long]("chi2_micro") == 666666L)
+    assert(r.getAs[Long]("chi2cc_micro") == 166666L)
+    // swapping the models swaps the cells but not the statistic
+    val sw = Evaluation.mcnemar(
+      b.withColumn("g", lit("g")), a.drop("g"), "g").collect().head
+    assert(sw.getAs[Long]("n_a_only") == 2 && sw.getAs[Long]("n_b_only") == 4)
+    assert(sw.getAs[Long]("chi2_micro") == 666666L)
+    // identical raters: zero discordance -> the test is undefined, NULL
+    val same = Evaluation.mcnemar(a, a.select("doc_id", "keep", "label"), "g")
+      .collect().head
+    assert(same.isNullAt(same.fieldIndex("chi2_micro")) &&
+      same.isNullAt(same.fieldIndex("chi2cc_micro")),
+      "no discordant pairs must gate to NULL, not 0")
+  }
+
   test("p72: hand-computed mixed case with ties; single-class groups yield null") {
     // scores: pos {0.9, 0.7, 0.5}, neg {0.7, 0.3} — pairs: (0.9 beats
     // both) + (0.7 vs 0.3 win, vs 0.7 half) + (0.5 vs 0.3 win, vs 0.7

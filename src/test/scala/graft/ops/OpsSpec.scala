@@ -467,6 +467,28 @@ class OpsSpec extends SparkSpec {
     assert(got(0).getAs[Long]("keep_id") == 1L)
   }
 
+  test("p84 paragraph dedup: global first-occurrence-wins, within-doc repeats dedup, reassembly keeps order") {
+    val corpus = Seq(
+      (1L, "alpha\n\nbeta\n\nalpha"),  // within-doc repeat of 'alpha'
+      (2L, "beta\n\ngamma"),           // 'beta' already owned by doc 1
+      (3L, "alpha\n\nbeta")            // full copy: keeps nothing
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_paras") == 3)
+    assert(out(1L).getAs[Long]("n_kept") == 2)
+    assert(out(1L).getAs[String]("kept_text") == "alpha\n\nbeta",
+      "order preserved, second 'alpha' dropped")
+    assert(out(1L).getAs[Long]("kept_chars") == 9)
+    assert(out(2L).getAs[Long]("n_kept") == 1 &&
+      out(2L).getAs[String]("kept_text") == "gamma",
+      "'beta' keeper sits at (1, 2)")
+    assert(out(3L).getAs[Long]("n_paras") == 2 &&
+      out(3L).getAs[Long]("n_kept") == 0 &&
+      out(3L).getAs[String]("kept_text") == "",
+      "a doc whose every paragraph is owned elsewhere keeps nothing")
+  }
+
   test("prefix-filtered jaccard equals the full inverted index exactly") {
     // random short texts over a tiny alphabet produce heavy shingle
     // collisions AND many sub-threshold pairs — the prefix filter must

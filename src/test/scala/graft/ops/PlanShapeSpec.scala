@@ -275,6 +275,22 @@ class PlanShapeSpec extends SparkSpec {
     assertNoDisasterJoin("a20", plan)
   }
 
+  test("p84 paragraph dedup: keyed joins only — no cartesian, no corpus-global sort") {
+    val plan = executedPlan("p84_paragraph_dedup")
+    assertNoDisasterJoin("p84", plan)
+    // reassembly sorts in-memory per doc (array_sort), never the plan:
+    // a global Sort would mean the collect_list rode a window
+    assert(!plan.contains("Window"),
+      s"paragraph reassembly must not plan a window:\n$plan")
+  }
+
+  test("p85 McNemar: one co-partitioned equi-join, no window, no disaster join") {
+    val plan = executedPlan("p85_mcnemar")
+    assertNoDisasterJoin("p85", plan)
+    assert(!plan.contains("Window"),
+      s"the paired contingency is a plain aggregation, never a window:\n$plan")
+  }
+
   test("p31 split assign: map-only — no exchange of any kind") {
     val plan = executedPlan("p31_split_assign")
     assert(!plan.contains("Exchange"),
