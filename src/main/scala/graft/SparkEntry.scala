@@ -550,6 +550,49 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"))
       ops.Evaluation.retrievalEval(sys, tru)
     }),
+    // P86: dedup-quality evaluation — the p83 metric-layer discipline
+    // applied to the DEDUP family: the p3 MinHash-LSH detector audited
+    // against the p2 exact n-gram Jaccard relation on ONE audit-panel
+    // corpus (every 10th doc + planted ' zz' near-dups), reduced to
+    // integer precision/recall/F1 bps. This is the query every LSH
+    // knob (hashes, band width, threshold) is tuned against — 16
+    // hashes over a tiny-vocab corpus over-generates candidates on
+    // purpose, so the precision column carries real signal. The
+    // exact truth side stays tractable BECAUSE it runs on the bounded
+    // panel (corpus-wide exact Jaccard is what LSH exists to avoid).
+    "p86_dedup_eval" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = base.where(col("doc_id") % 10 === 0)
+        .unionByName(base.where(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 900000L).as("doc_id"),
+            concat(col("text"), lit(" zz")).as("text")))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      ops.Evaluation.pairEval(
+        Dedup.minhashDupPairs(corpus, n = 8, numHashes = 16,
+          rowsPerBand = 4, tau = 0.5).select("id_a", "id_b"),
+        Dedup.ngramJaccardPairs(corpus, n = 8, tau = 0.5)
+          .select("id_a", "id_b"))
+    }),
+    // P87: link-authority quality signal (the PageRank family) — the
+    // graph-derived score web curation pipelines carry alongside the
+    // p8 text signals: authority floors for keep/drop and sampling
+    // weights. The corpus has no link column, so a deterministic
+    // citation graph is conjured (3 out-links per doc, each hash %
+    // (doc_id+1) — a preferential-attachment skew: low ids accumulate
+    // in-links, so the authority ordering is real, not uniform). Five
+    // damped integer-micro power iterations; truncating DIVs make the
+    // fixed-iteration result bit-replayable, and the oracle unrolls
+    // all five iterations as CTEs (the GD-replay discipline applied
+    // to a graph kernel).
+    "p87_pagerank" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val edges = d.select(col("doc_id").as("src"),
+        explode(array((0 until 3).map(j =>
+          ops.Hashing.hex64(concat(col("doc_id").cast("string"),
+            lit(s"-$j-pr"))) % (col("doc_id") + 1)): _*)).as("dst"))
+      ops.PageRank.pageRank(d, edges, iters = 5)
+    }),
     // X19: incremental aggregate maintenance — merge(base partials,
     // delta partials) must equal the full recompute, which is exactly
     // what the oracle computes. The base partial state (count/sum/
@@ -3953,6 +3996,58 @@ object SparkEntry {
   /** Shared by p3 and p38 (p38 = p3 restricted to pairs touching the
     * incremental batch, which is exactly the incremental contract).
     */
+  /** p87's full replay: the conjured citation graph and every damped
+    * integer-micro power iteration unrolled as a CTE (the GD-replay
+    * discipline applied to a graph kernel — truncating `//` on
+    * non-negative BIGINTs matches Spark's DIV exactly).
+    */
+  private def pageRankOracleSql(iters: Int, dampNum: Int): String = {
+    val teleport = 1000000L * (100 - dampNum) / 100
+    val edgeBranches = (0 until 3).map { j =>
+      s"SELECT doc_id AS src, ${hx(s"CAST(doc_id AS VARCHAR) || '-$j-pr'")} % (doc_id + 1) AS dst FROM documents"
+    }.mkString("\n  UNION ALL\n  ")
+    val iterCtes = (1 to iters).map { t =>
+      s"""r$t AS (SELECT n.doc_id,
+         |  CAST($teleport + ($dampNum * coalesce(c.c, 0)) // 100 AS BIGINT) AS pr
+         |FROM nodes n LEFT JOIN (
+         |  SELECT e.dst AS doc_id, CAST(sum(r.pr // e.deg) AS BIGINT) AS c
+         |  FROM e JOIN r${t - 1} r ON r.doc_id = e.src GROUP BY 1) c USING (doc_id))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH nodes AS (SELECT doc_id FROM documents),
+       |edges AS (
+       |  $edgeBranches),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+       |e AS (SELECT edges.src, edges.dst, deg.deg FROM edges JOIN deg USING (src)),
+       |r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+       |$iterCtes,
+       |nin AS (SELECT dst AS doc_id, CAST(count(*) AS BIGINT) AS n_in
+       |        FROM edges GROUP BY 1)
+       |SELECT n.doc_id, coalesce(d.deg, 0) AS n_out, coalesce(nin.n_in, 0) AS n_in,
+       |  r$iters.pr AS pr_micro
+       |FROM nodes n LEFT JOIN deg d ON d.src = n.doc_id
+       |LEFT JOIN nin USING (doc_id) JOIN r$iters USING (doc_id)""".stripMargin
+  }
+
+  /** p2's exact n-gram Jaccard pair relation — shared by the p2 oracle
+    * and p86's truth side (one definition, two uses, the
+    * bruteCosineTopKSql pattern).
+    */
+  private lazy val ngramJaccardPairsSql =
+    s"""WITH $shinglesSql,
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |shared AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT id_a, id_b, shared, sa.sz AS sz_a, sb.sz AS sz_b,
+       |       round(CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared), 6) AS jaccard
+       |FROM shared
+       |JOIN sizes sa ON sa.doc_id = id_a
+       |JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5""".stripMargin
+
   private lazy val minhashLshSql =
     s"""WITH $shinglesSql,
        |x AS (SELECT doc_id, ${hx("shingle")} AS x FROM sh),
@@ -5521,21 +5616,35 @@ object SparkEntry {
         |SELECT md5(nfc_normalize(text)) AS nfc_md5,
         |       count(*) AS n_copies, min(doc_id) AS keep_id
         |FROM corpus GROUP BY 1 HAVING count(*) > 1""".stripMargin,
-    "p2_ngram_jaccard" ->
-      s"""WITH $shinglesSql,
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-         |shared AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2
-         |)
-         |SELECT id_a, id_b, shared, sa.sz AS sz_a, sb.sz AS sz_b,
-         |       round(CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared), 6) AS jaccard
-         |FROM shared
-         |JOIN sizes sa ON sa.doc_id = id_a
-         |JOIN sizes sb ON sb.doc_id = id_b
-         |WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5""".stripMargin,
+    "p2_ngram_jaccard" -> ngramJaccardPairsSql,
     "p3_minhash_lsh" -> minhashLshSql,
+    // p86: both dedup replays nest over ONE shadow corpus CTE (the
+    // audit panel + planted near-dups; main.documents names the base
+    // view under the shadow) — system = p3's machinery, truth = p2's,
+    // reduced to the integer precision/recall/F1 counts
+    "p86_dedup_eval" ->
+      s"""WITH documents AS (
+         |  SELECT doc_id, text FROM main.documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 900000, text || ' zz' FROM main.documents
+         |  WHERE doc_id % 20 = 0),
+         |sys AS MATERIALIZED (SELECT id_a, id_b FROM (
+         |$minhashLshSql) s0),
+         |tru AS MATERIALIZED (SELECT id_a, id_b FROM (
+         |$ngramJaccardPairsSql) t0),
+         |c AS (SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM sys) AS n_system,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM tru) AS n_truth,
+         |  (SELECT CAST(count(*) AS BIGINT)
+         |   FROM sys JOIN tru USING (id_a, id_b)) AS n_hit)
+         |SELECT n_system, n_truth, n_hit,
+         |  CASE WHEN n_system > 0 THEN (n_hit * 10000) // n_system END AS precision_bps,
+         |  CASE WHEN n_truth > 0 THEN (n_hit * 10000) // n_truth END AS recall_bps,
+         |  CASE WHEN n_system + n_truth > 0
+         |    THEN (2 * n_hit * 10000) // (n_system + n_truth) END AS f1_bps
+         |FROM c""".stripMargin,
+    // five unrolled damped power iterations over the conjured graph
+    "p87_pagerank" -> pageRankOracleSql(iters = 5, dampNum = 85),
     // p3's pair oracle joined to p31's split CASE; only crossing pairs
     "p79_split_leakage" ->
       s"""WITH pairs AS (SELECT id_a, id_b, est_jaccard FROM (

@@ -359,6 +359,48 @@ object Evaluation {
           .otherwise(lit(0L)).as("mrr_micro"))
   }
 
+  /** Pair-relation evaluation — [[retrievalEval]]'s discipline applied
+    * to the DEDUP family: an approximate near-dup detector (MinHash
+    * LSH, SimHash, blocked) audited against the exact pair relation on
+    * the same corpus. Emits ONE row: n_system, n_truth, n_hit and the
+    * integer-bps precision / recall / F1 — the three numbers every
+    * LSH knob (hashes, band width, threshold) is tuned against, as a
+    * first-class query instead of a spec-only floor. Empty sides gate
+    * their ratio to NULL (undefined, not zero — the fail-visible
+    * convention); F1 = (2·hit·10⁴) DIV (sys+truth) is the harmonic
+    * mean in exact integer form.
+    *
+    * Shape at 100 TB: both inputs are PAIR relations (near-dup-bounded,
+    * ≪ corpus); the exact truth side is computed over a bounded audit
+    * panel — running exact Jaccard corpus-wide is precisely what the
+    * approximate detector exists to avoid, so the production eval
+    * samples a panel the exact relation stays tractable on. One
+    * full-outer equi-join on the canonical (id_a < id_b) pair key +
+    * one 1-row aggregation.
+    */
+  def pairEval(system: DataFrame, truth: DataFrame,
+      idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val s = system.select(col(idA), col(idB), lit(1L).as("__s"))
+    val t = truth.select(col(idA), col(idB), lit(1L).as("__t"))
+    s.join(t, Seq(idA, idB), "full_outer")
+      .agg(sum(col("__s")).as("n_system"), sum(col("__t")).as("n_truth"),
+        sum(when(col("__s").isNotNull && col("__t").isNotNull, 1L)
+          .otherwise(0L)).as("n_hit"))
+      .select(coalesce(col("n_system"), lit(0L)).as("n_system"),
+        coalesce(col("n_truth"), lit(0L)).as("n_truth"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("precision_bps",
+        when(col("n_system") > 0L, expr("(n_hit * 10000) DIV n_system"))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("recall_bps",
+        when(col("n_truth") > 0L, expr("(n_hit * 10000) DIV n_truth"))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("f1_bps",
+        when(col("n_system") + col("n_truth") > 0L,
+          expr("(2 * n_hit * 10000) DIV (n_system + n_truth)"))
+          .otherwise(lit(null).cast("long")))
+  }
+
   /** Calibration (reliability) table over `nBins` equal p-hat bins:
     * (bin, n_docs, mean_pred_micro, frac_pos_micro). A well-
     * calibrated model has mean_pred_micro ≈ frac_pos_micro per bin.

@@ -54,6 +54,24 @@ class EvaluationSpec extends SparkSpec {
       "no discordant pairs must gate to NULL, not 0")
   }
 
+  test("p86: pairEval hand case — hits, misses, false alarms; empty sides gate their ratio NULL") {
+    val sys = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val tru = Seq((1L, 2L), (4L, 5L), (6L, 7L), (8L, 9L)).toDF("id_a", "id_b")
+    val r = Evaluation.pairEval(sys, tru).collect().head
+    assert(r.getAs[Long]("n_system") == 3 && r.getAs[Long]("n_truth") == 4 &&
+      r.getAs[Long]("n_hit") == 2)
+    // 2/3 = 6666 bps, 2/4 = 5000 bps, F1 = 4*1e4/7 = 5714 bps
+    assert(r.getAs[Long]("precision_bps") == 6666L)
+    assert(r.getAs[Long]("recall_bps") == 5000L)
+    assert(r.getAs[Long]("f1_bps") == 5714L)
+    // an empty system side: precision undefined (NULL), recall 0
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val e = Evaluation.pairEval(none, tru).collect().head
+    assert(e.getAs[Long]("n_system") == 0 && e.getAs[Long]("n_hit") == 0)
+    assert(e.isNullAt(e.fieldIndex("precision_bps")), "0-pair precision must be NULL")
+    assert(e.getAs[Long]("recall_bps") == 0L)
+  }
+
   test("p72: hand-computed mixed case with ties; single-class groups yield null") {
     // scores: pos {0.9, 0.7, 0.5}, neg {0.7, 0.3} — pairs: (0.9 beats
     // both) + (0.7 vs 0.3 win, vs 0.7 half) + (0.5 vs 0.3 win, vs 0.7

@@ -323,6 +323,29 @@ class OpsSpec extends SparkSpec {
     assert(perSeq.values.sum == 13L + 2L)
   }
 
+  test("p87 pagerank: hand-computed damped iterations; dangling nodes shed mass; no-in-link nodes settle at teleport") {
+    val nodes = Seq(1L, 2L, 3L).toDF("doc_id")
+    // 2 -> 1, 3 -> 1, 3 -> 2; node 1 is dangling (sheds its mass)
+    val edges = Seq((2L, 1L), (3L, 1L), (3L, 2L)).toDF("src", "dst")
+    val r1 = PageRank.pageRank(nodes, edges, iters = 1).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // iter 1 off uniform 1e6: c(1) = 1e6/1 + 1e6/2 = 15e5 ->
+    // 150000 + 85*15e5 DIV 100 = 1425000; c(2) = 5e5 -> 575000;
+    // node 3 has no in-links -> teleport only
+    assert(r1(1L).getAs[Long]("pr_micro") == 1425000L)
+    assert(r1(2L).getAs[Long]("pr_micro") == 575000L)
+    assert(r1(3L).getAs[Long]("pr_micro") == 150000L)
+    assert(r1(1L).getAs[Long]("n_out") == 0 && r1(1L).getAs[Long]("n_in") == 2)
+    assert(r1(3L).getAs[Long]("n_out") == 2 && r1(3L).getAs[Long]("n_in") == 0)
+    val r2 = PageRank.pageRank(nodes, edges, iters = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // iter 2: c(1) = 575000 + 150000/2 = 650000 -> 150000 + 552500;
+    // c(2) = 150000/2 = 75000 -> 150000 + 63750
+    assert(r2(1L).getAs[Long]("pr_micro") == 702500L)
+    assert(r2(2L).getAs[Long]("pr_micro") == 213750L)
+    assert(r2(3L).getAs[Long]("pr_micro") == 150000L)
+  }
+
   test("connected components: chains propagate, components stay separate") {
     // 1-2-3-4-5 is a diameter-4 chain (min label must hop 4 times),
     // {10,11,12} a triangle, {20} a self-loop

@@ -291,6 +291,13 @@ class PlanShapeSpec extends SparkSpec {
       s"the paired contingency is a plain aggregation, never a window:\n$plan")
   }
 
+  test("p87 pagerank: keyed joins only across all five iterations — no cartesian, no window, no global sort") {
+    val plan = executedPlan("p87_pagerank")
+    assertNoDisasterJoin("p87", plan)
+    assert(!plan.contains("Window"),
+      s"the power iteration is joins + aggregations, never a window:\n$plan")
+  }
+
   test("p31 split assign: map-only — no exchange of any kind") {
     val plan = executedPlan("p31_split_assign")
     assert(!plan.contains("Exchange"),
