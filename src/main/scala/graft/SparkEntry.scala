@@ -2373,6 +2373,25 @@ object SparkEntry {
         ops.Logistic.trainAndScoreHashed(docs, nBuckets = 64, rounds = 2),
         "source")
     }),
+    // P88: Fleiss' kappa over a THREE-model panel — p77's pairwise
+    // kappa misses the joint structure once a routing ensemble holds
+    // more than two raters; Fleiss scores the whole panel's
+    // chance-corrected agreement in one statistic. Raters: the p57
+    // lattice LR, the p62 hashed-ngram LR, and the p43 frozen linear
+    // scorer — three genuinely different model families voting
+    // keep/drop on the same corpus. All-integer to the single final
+    // division; the oracle nests all THREE scoring replays.
+    "p88_fleiss_kappa" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val feat = ops.Logistic.features(docs, carry = Seq("source"))
+        .localCheckpoint(true)
+      ops.Evaluation.fleissKappa(Seq(
+        ops.Logistic.scoreWith(feat, ops.Logistic.train(feat, rounds = 3),
+          carry = Seq("source")),
+        ops.Logistic.trainAndScoreHashed(docs, nBuckets = 64, rounds = 2),
+        ops.TextStats.scoreLinear(docs, nFeatures = 1024, threshold = 0.0)),
+        "source")
+    }),
     // P73: calibration (reliability) table of the same model — 10
     // equal p-hat bins derived from the INTEGER micro probability
     // (bin = m DIV 1e5, capped), per-bin mean prediction and positive
@@ -5127,6 +5146,37 @@ object SparkEntry {
          |    (greatest(abs(n_a_only - n_b_only) - 1, 0)
          |     * greatest(abs(n_a_only - n_b_only) - 1, 0) * 1000000)
          |      // (n_a_only + n_b_only) END AS chi2cc_micro
+         |FROM ag""".stripMargin,
+    // all THREE scoring replays nest; per-item keep-vote count, then
+    // the closed Fleiss form — one float site (the final division)
+    "p88_fleiss_kappa" ->
+      s"""WITH m1 AS (SELECT doc_id, keep FROM (
+         |${lrOracleSql(3, 4)}) t1),
+         |m2 AS (SELECT doc_id, keep FROM (
+         |${lrHashedOracleSql(64, 2, 64)}) t2),
+         |m3 AS (SELECT doc_id, keep FROM (
+         |$linearQualitySql) t3),
+         |j AS (SELECT d.source,
+         |        (CASE WHEN m1.keep THEN 1 ELSE 0 END
+         |         + CASE WHEN m2.keep THEN 1 ELSE 0 END
+         |         + CASE WHEN m3.keep THEN 1 ELSE 0 END) AS ki
+         |      FROM m1 JOIN m2 USING (doc_id) JOIN m3 USING (doc_id)
+         |      JOIN documents d USING (doc_id)),
+         |ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(ki) AS BIGINT) AS kk,
+         |         CAST(sum(ki * (ki - 1) + (3 - ki) * (2 - ki)) AS BIGINT) AS a
+         |       FROM j GROUP BY 1)
+         |SELECT source, n AS n_docs, kk AS n_keep_votes,
+         |  (a * 1000000) // (n * 6) AS pbar_micro,
+         |  ((kk * kk + (3 * n - kk) * (3 * n - kk)) * 1000000)
+         |    // (9 * n * n) AS pe_micro,
+         |  CASE WHEN n * 6 * (9 * n * n - kk * kk - (3 * n - kk) * (3 * n - kk)) <> 0
+         |    THEN round(
+         |      CAST(a * 9 * n * n
+         |           - n * 6 * (kk * kk + (3 * n - kk) * (3 * n - kk)) AS DOUBLE)
+         |      / CAST(n * 6 * (9 * n * n - kk * kk
+         |             - (3 * n - kk) * (3 * n - kk)) AS DOUBLE), 6)
+         |  END AS kappa
          |FROM ag""".stripMargin,
     // the k-means prefix fit on the even half, rank-1 assignment for
     // all (nProbe=1), occupancy split by parity, the a14 PSI tail

@@ -262,6 +262,69 @@ object Evaluation {
           .otherwise(lit(null).cast("long")).as("chi2cc_micro"))
   }
 
+  /** Fleiss' kappa — [[agreementKappa]] generalized to m raters: with
+    * three or more quality models voting keep/drop on the same corpus
+    * (the ensemble-routing setup p77 serves for two), pairwise kappas
+    * miss the joint structure; Fleiss scores the chance-corrected
+    * agreement of the whole panel in one statistic. Per item,
+    * k = keep-votes; the agreement mass is
+    * P_i = [k(k−1) + (m−k)(m−k−1)] / (m(m−1)) — the fraction of rater
+    * PAIRS that agree — and
+    *   kappa = (P̄ − P̄e) / (1 − P̄e),  P̄e = p² + q²
+    * over the pooled keep share p. Emits per group: n_docs,
+    * n_keep_votes, pbar_micro, pe_micro (integer DIVs) and the 6-dp
+    * kappa — NULL when the panel is unanimous-constant (P̄e = 1, the
+    * undefined case, the agreementKappa convention).
+    *
+    * Exactness: the per-item vote count k comes off one m-way
+    * co-partitioned id equi-join; A = Σ[k(k−1)+(m−k)(m−k−1)] and
+    * K = Σk are exact integer sums, and kappa is ONE division of two
+    * exactly-representable longs:
+    *   num = A·(nm)² − nm(m−1)·(K² + (nm−K)²)
+    *   den = nm(m−1)·((nm)² − K² − (nm−K)²).
+    * Envelope: num ≤ m(m−1)·(nm)²·n ≈ 54n³ at m = 3 ⇒ n < ~5.5e5 rows
+    * per group keeps the lift in a long — shard the group key beyond.
+    *
+    * Shape at 100 TB: m−1 co-partitioned equi-joins on the id (each
+    * side one shuffle) + one map-side-combined aggregation to
+    * |groups| rows; no window. m is panel-sized (single digits).
+    */
+  def fleissKappa(raters: Seq[DataFrame], group: String,
+      id: String = "doc_id", keep: String = "keep"): DataFrame = {
+    val m = raters.size
+    require(m >= 2, s"Fleiss' kappa needs at least 2 raters, got $m")
+    val head = raters.head.select(col(id), col(group),
+      col(keep).cast("long").as("__k0"))
+    val joined = raters.tail.zipWithIndex.foldLeft(head) {
+      case (acc, (r, i)) =>
+        acc.join(r.select(col(id), col(keep).cast("long").as(s"__k${i + 1}")),
+          Seq(id))
+    }
+    val mL = m.toLong
+    val ki = (0 until m).map(i => col(s"__k$i")).reduce(_ + _)
+    joined.withColumn("__ki", ki)
+      .groupBy(col(group))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__ki")).as("n_keep_votes"),
+        sum(col("__ki") * (col("__ki") - 1L) +
+          (lit(mL) - col("__ki")) * (lit(mL - 1L) - col("__ki"))).as("__A"))
+      .withColumn("__nm", col("n_docs") * mL)
+      .withColumn("__pe2",
+        col("n_keep_votes") * col("n_keep_votes") +
+          (col("__nm") - col("n_keep_votes")) * (col("__nm") - col("n_keep_votes")))
+      .withColumn("__nmm1", col("n_docs") * lit(mL * (mL - 1L)))
+      .withColumn("__den",
+        col("__nmm1") * (col("__nm") * col("__nm") - col("__pe2")))
+      .select(col(group), col("n_docs"), col("n_keep_votes"),
+        expr("(__A * 1000000) DIV __nmm1").as("pbar_micro"),
+        expr("(__pe2 * 1000000) DIV (__nm * __nm)").as("pe_micro"),
+        when(col("__den") =!= 0L,
+          round((col("__A") * col("__nm") * col("__nm") -
+            col("__nmm1") * col("__pe2")).cast("double") /
+            col("__den").cast("double"), 6))
+          .otherwise(lit(null).cast("double")).as("kappa"))
+  }
+
   /** Event-time-windowed agreement contingency — the STREAMING half of
     * the x31 monitor, factored here so the production query and the
     * eviction spec execute ONE definition (the kappaFromCounts

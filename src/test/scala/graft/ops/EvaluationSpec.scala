@@ -72,6 +72,37 @@ class EvaluationSpec extends SparkSpec {
     assert(e.getAs[Long]("recall_bps") == 0L)
   }
 
+  test("p88: fleiss kappa hand case — mixed votes, perfect mixed agreement = 1, unanimous-constant gates NULL") {
+    // m=3 raters, 10 items: 4 all-keep, 4 all-drop, 2 with one keep
+    // A = 4*6 + 4*6 + 2*2 = 52, K = 14; P̄ = 52/60, P̄e = 452/900
+    // kappa = 19680/26880 = 0.732143 (6 dp)
+    def rater(keeps: Set[Long], withG: Boolean) = {
+      val df = (1L to 10L).map(i => (i, keeps.contains(i)))
+        .toDF("doc_id", "keep")
+      if (withG) df.withColumn("g", lit("g")) else df
+    }
+    // items 1..4 all keep; items 5,6 get exactly one keep vote (r1)
+    val r1 = rater((1L to 6L).toSet, withG = true)
+    val r2 = rater((1L to 4L).toSet, withG = false)
+    val r3 = rater((1L to 4L).toSet, withG = false)
+    val out = Evaluation.fleissKappa(Seq(r1, r2, r3), "g").collect().head
+    assert(out.getAs[Long]("n_docs") == 10 && out.getAs[Long]("n_keep_votes") == 14)
+    assert(out.getAs[Long]("pbar_micro") == 866666L)
+    assert(out.getAs[Long]("pe_micro") == 502222L)
+    assert(out.getAs[Double]("kappa") == 0.732143)
+    // perfect agreement on a MIXED panel: kappa exactly 1
+    val p1 = rater((1L to 5L).toSet, withG = true)
+    val p2 = rater((1L to 5L).toSet, withG = false)
+    val perfect = Evaluation.fleissKappa(Seq(p1, p2, p2), "g").collect().head
+    assert(perfect.getAs[Double]("kappa") == 1.0)
+    // unanimous-constant panel: P̄e = 1, undefined -> NULL
+    val u1 = rater((1L to 10L).toSet, withG = true)
+    val u2 = rater((1L to 10L).toSet, withG = false)
+    val und = Evaluation.fleissKappa(Seq(u1, u2, u2), "g").collect().head
+    assert(und.isNullAt(und.fieldIndex("kappa")),
+      "unanimous-constant raters must gate to NULL")
+  }
+
   test("p72: hand-computed mixed case with ties; single-class groups yield null") {
     // scores: pos {0.9, 0.7, 0.5}, neg {0.7, 0.3} — pairs: (0.9 beats
     // both) + (0.7 vs 0.3 win, vs 0.7 half) + (0.5 vs 0.3 win, vs 0.7

@@ -298,6 +298,13 @@ class PlanShapeSpec extends SparkSpec {
       s"the power iteration is joins + aggregations, never a window:\n$plan")
   }
 
+  test("p88 Fleiss' kappa: co-partitioned id joins + one aggregation — no window, no disaster join") {
+    val plan = executedPlan("p88_fleiss_kappa")
+    assertNoDisasterJoin("p88", plan)
+    assert(!plan.contains("Window"),
+      s"the panel contingency is a plain aggregation, never a window:\n$plan")
+  }
+
   test("p31 split assign: map-only — no exchange of any kind") {
     val plan = executedPlan("p31_split_assign")
     assert(!plan.contains("Exchange"),
