@@ -553,17 +553,26 @@ object SparkEntry {
     // P86: dedup-quality evaluation — the p83 metric-layer discipline
     // applied to the DEDUP family: the p3 MinHash-LSH detector audited
     // against the p2 exact n-gram Jaccard relation on ONE audit-panel
-    // corpus (every 10th doc + planted ' zz' near-dups), reduced to
-    // integer precision/recall/F1 bps. This is the query every LSH
-    // knob (hashes, band width, threshold) is tuned against — 16
-    // hashes over a tiny-vocab corpus over-generates candidates on
-    // purpose, so the precision column carries real signal. The
-    // exact truth side stays tractable BECAUSE it runs on the bounded
-    // panel (corpus-wide exact Jaccard is what LSH exists to avoid).
+    // corpus, reduced to integer precision/recall/F1 bps. This is the
+    // query every LSH knob (hashes, band width, threshold) is tuned
+    // against — 16 hashes over a tiny-vocab corpus over-generates
+    // candidates on purpose, so the precision column carries real
+    // signal. The panel is ABSOLUTE-bounded (hash top-500 via a heap
+    // TakeOrdered, never a fractional sample): the exact truth side
+    // is quadratic in panel size, so a corpus-fraction panel
+    // regresses super-linearly — measured 10.3 s -> 761 s at the 10×
+    // probe before this form; a fixed-size panel keeps the audit at
+    // one corpus scan + constant pair work at ANY corpus size, which
+    // is exactly how a production exact-verify audit samples.
     "p86_dedup_eval" -> ((s, dir) => {
       val base = t(s, dir, "documents").select("doc_id", "text")
-      val corpus = base.where(col("doc_id") % 10 === 0)
-        .unionByName(base.where(col("doc_id") % 20 === 0)
+      val panel = base
+        .withColumn("__h", ops.Hashing.hex64(
+          concat(col("doc_id").cast("string"), lit("-p86"))))
+        .orderBy(col("__h").asc, col("doc_id").asc).limit(500)
+        .drop("__h")
+      val corpus = panel
+        .unionByName(panel.where(col("doc_id") % 2 === 0)
           .select((col("doc_id") + 900000L).as("doc_id"),
             concat(col("text"), lit(" zz")).as("text")))
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
@@ -5669,15 +5678,20 @@ object SparkEntry {
     "p2_ngram_jaccard" -> ngramJaccardPairsSql,
     "p3_minhash_lsh" -> minhashLshSql,
     // p86: both dedup replays nest over ONE shadow corpus CTE (the
-    // audit panel + planted near-dups; main.documents names the base
-    // view under the shadow) — system = p3's machinery, truth = p2's,
-    // reduced to the integer precision/recall/F1 counts
+    // hash-top-500 audit panel + planted near-dups; main.documents
+    // names the base view under the shadow) — system = p3's
+    // machinery, truth = p2's, reduced to the integer
+    // precision/recall/F1 counts
     "p86_dedup_eval" ->
-      s"""WITH documents AS (
-         |  SELECT doc_id, text FROM main.documents WHERE doc_id % 10 = 0
+      s"""WITH panel AS (
+         |  SELECT doc_id, text FROM main.documents
+         |  ORDER BY ${hx("CAST(doc_id AS VARCHAR) || '-p86'")} ASC, doc_id ASC
+         |  LIMIT 500),
+         |documents AS (
+         |  SELECT doc_id, text FROM panel
          |  UNION ALL
-         |  SELECT doc_id + 900000, text || ' zz' FROM main.documents
-         |  WHERE doc_id % 20 = 0),
+         |  SELECT doc_id + 900000, text || ' zz' FROM panel
+         |  WHERE doc_id % 2 = 0),
          |sys AS MATERIALIZED (SELECT id_a, id_b FROM (
          |$minhashLshSql) s0),
          |tru AS MATERIALIZED (SELECT id_a, id_b FROM (

@@ -243,8 +243,16 @@ object Dedup {
         col("sz_a") >= ceil(col("sz_b") * tau))
       .select("id_a", "id_b").distinct()
     // exact verification: expand each candidate pair with a's shingles,
-    // keep those also present for b, count the intersection
+    // keep those also present for b, count the intersection. The
+    // expand is the p27 trap in join form — few bytes, heavy CPU
+    // (each candidate fans out |S_a| rows), so AQE's size-based
+    // coalescing collapses it to 1-2 tasks; an explicit
+    // user-numbered repartition (which AQE preserves) keeps the
+    // verification wide. Measured on the p86 audit panel: the
+    // verify stage ran 2 tasks / 5.9 s without it.
     val shared = cand
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("id_a"), col("id_b"))
       .join(sh.toDF("id_a", "shingle"), "id_a")
       .join(sh.toDF("id_b", "shingle"), Seq("id_b", "shingle"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
