@@ -534,6 +534,24 @@ object SparkEntry {
         ev.where(col("event_id") % 2 === 1),
         "value", lo = 0.0, binWidth = 40.0, nBins = 10))
     }),
+    // A21: Mann–Whitney rank-sum two-sample test — the EXACT member
+    // of the a14/a20 drift family (PSI weighs binned share movement,
+    // KS the max binned CDF gap; this tests location shift on the RAW
+    // values): per event_type, did the odd cohort's values move
+    // rank-wise against the even cohort? u2_a is the doubled rank-sum
+    // U (tie-averaged halves cleared — integer, bit-replayable);
+    // effect_micro is the common-language effect size (= the AUC of
+    // cohort membership against the value); z is the tie-corrected
+    // normal approximation, the one float site, computed in a fixed
+    // operation order both engines evaluate identically. One rank
+    // window per event_type — exactly the p72 AUC envelope.
+    "a21_mannwhitney" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ops.Drift.mannWhitney(
+        ev.where(col("event_id") % 2 === 0),
+        ev.where(col("event_id") % 2 === 1),
+        "value", "event_type")
+    }),
     // P83: retrieval-quality evaluation (round 11) — the metric layer
     // the ANN family is tuned by, as a first-class query: the IVF
     // ranker (p13 exactly) audited per query against the exact brute
@@ -4553,6 +4571,44 @@ object SparkEntry {
         |SELECT n_a, n_b, bin AS ks_bin,
         |  CASE WHEN n_a > 0 AND n_b > 0 THEN (gap * 1000000) // (n_a * n_b) END AS ks_micro
         |FROM m WHERE rn = 1""".stripMargin,
+    // tie-averaged fractional ranks (rank + (ties-1)/2), doubled
+    // rank-sum in exact integers, tie-corrected z in the SAME fixed
+    // operation order as the engine
+    "a21_mannwhitney" ->
+      """WITH pooled AS (
+        |  SELECT event_type, value AS v,
+        |         CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS a
+        |  FROM events),
+        |r AS (SELECT event_type, v, a,
+        |        rank() OVER (PARTITION BY event_type ORDER BY v ASC)
+        |          + (count(*) OVER (PARTITION BY event_type, v) - 1) / 2.0 AS fr
+        |      FROM pooled),
+        |tt AS (SELECT event_type, CAST(sum(t * t * t - t) AS BIGINT) AS tie_term
+        |       FROM (SELECT event_type, v, CAST(count(*) AS BIGINT) AS t
+        |             FROM pooled GROUP BY 1, 2) t0 GROUP BY 1),
+        |ag AS (SELECT event_type, CAST(sum(a) AS BIGINT) AS n_a,
+        |         CAST(sum(1 - a) AS BIGINT) AS n_b,
+        |         CAST(round(sum(CASE WHEN a = 1 THEN fr * 2.0 ELSE 0.0 END)) AS BIGINT) AS r2a
+        |       FROM r GROUP BY 1),
+        |u AS (SELECT ag.event_type, n_a, n_b, tie_term,
+        |        CASE WHEN n_a > 0 AND n_b > 0
+        |          THEN r2a - n_a * (n_a + 1) END AS u2_a
+        |      FROM ag JOIN tt USING (event_type))
+        |SELECT event_type, n_a, n_b, u2_a, tie_term,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |    THEN (u2_a * 1000000) // (2 * n_a * n_b) END AS effect_micro,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b > 1
+        |        AND CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+        |            (CAST(n_a + n_b AS DOUBLE) + 1.0
+        |             - CAST(tie_term AS DOUBLE) /
+        |               (CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1.0))) > 0.0
+        |    THEN round(CAST(u2_a - n_a * n_b AS DOUBLE) /
+        |      (2.0 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+        |        (CAST(n_a + n_b AS DOUBLE) + 1.0
+        |         - CAST(tie_term AS DOUBLE) /
+        |           (CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1.0))))), 6)
+        |  END AS z
+        |FROM u""".stripMargin,
     // p83: the two nested ranker replays (both already oracle-checked
     // as p13/p5) joined into the per-query metric table — MATERIALIZED
     // because each side is referenced more than once

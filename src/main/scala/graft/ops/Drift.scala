@@ -169,6 +169,66 @@ object Drift {
           expr("(__m.gap * 1000000) DIV (n_a * n_b)"))
           .otherwise(lit(null).cast("long")).as("ks_micro"))
 
+  /** Mann–Whitney rank-sum two-sample test — the EXACT member of the
+    * drift-test family ([[psiByBin]] weighs share movement on a grid,
+    * [[ksByBin]] the max binned CDF gap; this tests location shift on
+    * the raw values, no grid at all): did the new drop's values move
+    * up or down against the reference, rank-wise? Per group emits the
+    * integer statistic u2_a = 2·U_A (ranks are tie-averaged multiples
+    * of ½, so doubling clears the halves — the p72 discipline; their
+    * sum is exact in doubles to 2^52), the common-language effect
+    * size effect_micro = (u2_a·10⁶) DIV (2·n_a·n_b) — which is
+    * exactly the AUC of "is in sample A" against the value — the
+    * tie term ΣT = Σ(t³−t), and the tie-corrected normal
+    * approximation z (6 dp; the one non-integer site, computed from
+    * exactly-representable integer inputs in a fixed operation order
+    * so both engines evaluate the identical IEEE expression). Gates:
+    * an empty side NULLs everything derived; zero variance (all
+    * values tied) NULLs z.
+    *
+    * Shape at 100 TB: one pooled scan, ONE rank window per group
+    * (exactly the p72 AUC envelope — the sort is the cost), one
+    * distinct-value tie aggregation with map-side partials, and a
+    * |groups|-row join. Envelope: u2_a ≤ 2·n_a·n_b, so the micro lift
+    * needs n_a·n_b < 4.6e12 — shard the group key beyond.
+    */
+  def mannWhitney(a: DataFrame, b: DataFrame, valueCol: String,
+      group: String): DataFrame = {
+    val pooled = a.select(col(group), col(valueCol).as("__v"), lit(1L).as("__a"))
+      .unionByName(
+        b.select(col(group), col(valueCol).as("__v"), lit(0L).as("__a")))
+    val ranked = graft.stats.Ranks.fractionalRank(
+      pooled, Seq(col(group)), col("__v"), "__r")
+    val ties = pooled.groupBy(col(group), col("__v"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col(group))
+      .agg(sum(col("__t") * col("__t") * col("__t") - col("__t")).as("tie_term"))
+    val agg = ranked.groupBy(col(group))
+      .agg(sum(col("__a")).as("n_a"),
+        sum(lit(1L) - col("__a")).as("n_b"),
+        round(sum(when(col("__a") === 1L, col("__r") * 2.0).otherwise(0.0)))
+          .cast("long").as("__r2a"))
+    val nn = (col("n_a") + col("n_b")).cast("double")
+    val sig2 = col("n_a").cast("double") * col("n_b").cast("double") / 12.0 *
+      (nn + 1.0 - col("tie_term").cast("double") / (nn * (nn - 1.0)))
+    agg.join(ties, Seq(group))
+      .withColumn("u2_a",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("__r2a") - col("n_a") * (col("n_a") + 1L))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("effect_micro",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          expr("(u2_a * 1000000) DIV (2 * n_a * n_b)"))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("z",
+        when(col("n_a") > 0 && col("n_b") > 0 && nn > 1.0 && sig2 > 0.0,
+          round((col("u2_a") - col("n_a") * col("n_b")).cast("double") /
+            (lit(2.0) * sqrt(sig2)), 6))
+          .otherwise(lit(null).cast("double")))
+      .select(col(group), col("n_a"), col("n_b"), col("u2_a"),
+        col("tie_term"), col("effect_micro"), col("z"))
+  }
+
   /** Reference distribution as (bin, p_ref) over the OBSERVED bins —
     * the broadcastable yardstick a monitor scores incoming windows
     * against. Shares are ratios of exact counts (identical doubles in

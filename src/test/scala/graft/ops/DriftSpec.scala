@@ -128,6 +128,34 @@ class DriftSpec extends SparkSpec {
       solo.getAs[Long]("ks_bin") == out(2L).getAs[Long]("ks_bin"))
   }
 
+  test("a21 Mann-Whitney: hand ranks, ties averaged, full separation, empty-side gate") {
+    def df(g: String, vs: Seq[Double]) = vs.map((g, _)).toDF("g", "v")
+    // interleaved, no ties: U = 3 of 6 -> effect 0.5, z = 0
+    val r0 = Drift.mannWhitney(df("g", Seq(1, 3, 5)), df("g", Seq(2, 4)), "v", "g")
+      .collect().head
+    assert(r0.getAs[Long]("u2_a") == 6L && r0.getAs[Long]("tie_term") == 0L)
+    assert(r0.getAs[Long]("effect_micro") == 500000L)
+    assert(r0.getAs[Double]("z") == 0.0)
+    // full separation: U = n_a*n_b -> effect exactly 1e6
+    val r1 = Drift.mannWhitney(df("g", Seq(10, 20, 30)), df("g", Seq(1, 2)), "v", "g")
+      .collect().head
+    assert(r1.getAs[Long]("u2_a") == 12L)
+    assert(r1.getAs[Long]("effect_micro") == 1000000L)
+    assert(r1.getAs[Double]("z") == 1.732051)
+    // a cross-sample tie: ranks 1, 2.5, 2.5, 4 -> u2 = 1, T = 6,
+    // z = (1-4)/(2*sqrt((4/12)*(5 - 6/12))) = -1.224745
+    val r2 = Drift.mannWhitney(df("g", Seq(1, 2)), df("g", Seq(2, 3)), "v", "g")
+      .collect().head
+    assert(r2.getAs[Long]("u2_a") == 1L && r2.getAs[Long]("tie_term") == 6L)
+    assert(r2.getAs[Long]("effect_micro") == 125000L)
+    assert(r2.getAs[Double]("z") == -1.224745)
+    // an empty side: statistic undefined, everything derived is NULL
+    val r3 = Drift.mannWhitney(df("g", Seq(1, 2)),
+      Seq.empty[(String, Double)].toDF("g", "v"), "v", "g").collect().head
+    assert(r3.isNullAt(r3.fieldIndex("u2_a")) &&
+      r3.isNullAt(r3.fieldIndex("effect_micro")) && r3.isNullAt(r3.fieldIndex("z")))
+  }
+
   test("psi: out-of-range values clamp to the edge bins; spine reports empty bins") {
     val ref = Seq(-5.0, 2.0, 95.0, 200.0).toDF("value")
     val out = Drift.psiByBin(ref, ref, "value", 0.0, 10.0, 10)
