@@ -2419,6 +2419,21 @@ object SparkEntry {
         ops.TextStats.scoreLinear(docs, nFeatures = 1024, threshold = 0.0)),
         "source")
     }),
+    // P89: per-subgroup classifier audit — the parity layer a
+    // corpus-gating model ships with: the pooled AUC (p72) is blind
+    // by construction to one source being gated far harder than the
+    // rest. Exact integer confusion per source, bps rates with
+    // empty-denominator NULL gates, and integer parity gaps against
+    // the POOLED rates (computed from the groups frame, never a
+    // second corpus pass). A fairness regression becomes an oracle
+    // failure, not a drifting float.
+    "p89_subgroup_audit" -> ((s, dir) => {
+      val feat = ops.Logistic.features(t(s, dir, "documents"),
+        carry = Seq("source")).localCheckpoint(true)
+      ops.Evaluation.subgroupAudit(
+        ops.Logistic.scoreWith(feat, ops.Logistic.train(feat, rounds = 3),
+          carry = Seq("source")), "source")
+    }),
     // P73: calibration (reliability) table of the same model — 10
     // equal p-hat bins derived from the INTEGER micro probability
     // (bin = m DIV 1e5, capped), per-bin mean prediction and positive
@@ -5243,6 +5258,34 @@ object SparkEntry {
          |             - (3 * n - kk) * (3 * n - kk)) AS DOUBLE), 6)
          |  END AS kappa
          |FROM ag""".stripMargin,
+    // one training replay; per-source integer confusion, bps rates
+    // with empty-denominator gates, pooled rates off the groups frame
+    "p89_subgroup_audit" ->
+      s"""WITH m AS (SELECT doc_id, keep, label FROM (
+         |${lrOracleSql(3, 4)}) t1),
+         |j AS (SELECT d.source,
+         |        CASE WHEN m.keep THEN 1 ELSE 0 END AS k, m.label AS y
+         |      FROM m JOIN documents d USING (doc_id)),
+         |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(CASE WHEN k = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |        CAST(sum(CASE WHEN k = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |        CAST(sum(CASE WHEN k = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         |        CAST(sum(CASE WHEN k = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         |      FROM j GROUP BY 1),
+         |p AS (SELECT CAST(sum(tp) AS BIGINT) AS ptp, CAST(sum(fp) AS BIGINT) AS pfp,
+         |        CAST(sum(tn) AS BIGINT) AS ptn, CAST(sum(fn) AS BIGINT) AS pfn
+         |      FROM g)
+         |SELECT source, n_docs, tp, fp, tn, fn,
+         |  CASE WHEN tp + fn > 0 THEN (tp * 10000) // (tp + fn) END AS tpr_bps,
+         |  CASE WHEN fp + tn > 0 THEN (fp * 10000) // (fp + tn) END AS fpr_bps,
+         |  ((tp + tn) * 10000) // n_docs AS acc_bps,
+         |  (CASE WHEN tp + fn > 0 THEN (tp * 10000) // (tp + fn) END)
+         |    - (CASE WHEN ptp + pfn > 0 THEN (ptp * 10000) // (ptp + pfn) END)
+         |    AS tpr_gap_bps,
+         |  (CASE WHEN fp + tn > 0 THEN (fp * 10000) // (fp + tn) END)
+         |    - (CASE WHEN pfp + ptn > 0 THEN (pfp * 10000) // (pfp + ptn) END)
+         |    AS fpr_gap_bps
+         |FROM g CROSS JOIN p""".stripMargin,
     // the k-means prefix fit on the even half, rank-1 assignment for
     // all (nProbe=1), occupancy split by parity, the a14 PSI tail
     "a19_embedding_drift" ->

@@ -422,6 +422,57 @@ object Evaluation {
           .otherwise(lit(0L)).as("mrr_micro"))
   }
 
+  /** Per-subgroup classifier audit — the parity layer a corpus-gating
+    * model ships with: a keep/drop classifier that is well-calibrated
+    * POOLED can still gate one source/language far harder than the
+    * rest (disparate error rates), and the pooled AUC (p72) is blind
+    * to it by construction. Emits per group the exact integer
+    * confusion (tp/fp/tn/fn), the rates on the bps grid
+    * (tpr = tp·10⁴ DIV positives, fpr, acc — each NULL when its
+    * denominator is empty, the fail-visible gate), and the PARITY
+    * GAPS tpr_gap_bps / fpr_gap_bps against the pooled rates —
+    * integer differences of integer bps, so the audit is
+    * bit-replayable and a fairness regression shows up as an oracle
+    * failure, not a drifting float.
+    *
+    * Shape at 100 TB: scoring is the p57 map-only pass; ONE
+    * map-side-combined group aggregation to |groups| rows; the pooled
+    * row is a 1-row aggregate of THAT frame (never a second corpus
+    * pass) broadcast back onto it. Nothing after the scan exceeds the
+    * group table.
+    */
+  def subgroupAudit(scored: DataFrame, group: String,
+      keep: String = "keep", label: String = "label"): DataFrame = {
+    val k = col(keep).cast("long")
+    val y = col(label).cast("long")
+    val g = scored.groupBy(col(group)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(k === 1L && y === 1L, 1L).otherwise(0L)).as("tp"),
+      sum(when(k === 1L && y === 0L, 1L).otherwise(0L)).as("fp"),
+      sum(when(k === 0L && y === 0L, 1L).otherwise(0L)).as("tn"),
+      sum(when(k === 0L && y === 1L, 1L).otherwise(0L)).as("fn"))
+    val pooled = g.agg(sum(col("tp")).as("__ptp"), sum(col("fp")).as("__pfp"),
+      sum(col("tn")).as("__ptn"), sum(col("fn")).as("__pfn"))
+    g.crossJoin(broadcast(pooled))
+      .withColumn("tpr_bps",
+        when(col("tp") + col("fn") > 0L, expr("(tp * 10000) DIV (tp + fn)"))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("fpr_bps",
+        when(col("fp") + col("tn") > 0L, expr("(fp * 10000) DIV (fp + tn)"))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("acc_bps", expr("((tp + tn) * 10000) DIV n_docs"))
+      .withColumn("__pooled_tpr",
+        when(col("__ptp") + col("__pfn") > 0L,
+          expr("(__ptp * 10000) DIV (__ptp + __pfn)")))
+      .withColumn("__pooled_fpr",
+        when(col("__pfp") + col("__ptn") > 0L,
+          expr("(__pfp * 10000) DIV (__pfp + __ptn)")))
+      .select(col(group), col("n_docs"), col("tp"), col("fp"), col("tn"),
+        col("fn"), col("tpr_bps"), col("fpr_bps"), col("acc_bps"),
+        (col("tpr_bps") - col("__pooled_tpr")).as("tpr_gap_bps"),
+        (col("fpr_bps") - col("__pooled_fpr")).as("fpr_gap_bps"))
+  }
+
   /** Pair-relation evaluation — [[retrievalEval]]'s discipline applied
     * to the DEDUP family: an approximate near-dup detector (MinHash
     * LSH, SimHash, blocked) audited against the exact pair relation on

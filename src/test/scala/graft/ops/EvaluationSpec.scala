@@ -103,6 +103,36 @@ class EvaluationSpec extends SparkSpec {
       "unanimous-constant raters must gate to NULL")
   }
 
+  test("p89: subgroup audit — per-group confusion, parity gaps vs pooled, empty-denominator gates") {
+    // group A: 8 of 10 positives kept (tpr 8000), 1 of 5 negatives
+    // kept (fpr 2000); group B: 3 of 10 kept (tpr 3000), 4 of 5 kept
+    // (fpr 8000). Pooled: tpr 5500, fpr 5000.
+    def rows(g: String, tp: Int, fn: Int, fp: Int, tn: Int) =
+      Seq.fill(tp)((g, true, 1L)) ++ Seq.fill(fn)((g, false, 1L)) ++
+        Seq.fill(fp)((g, true, 0L)) ++ Seq.fill(tn)((g, false, 0L))
+    val scored = (rows("A", 8, 2, 1, 4) ++ rows("B", 3, 7, 4, 1))
+      .toDF("g", "keep", "label")
+    val out = Evaluation.subgroupAudit(scored, "g").collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    assert(out("A").getAs[Long]("tpr_bps") == 8000L &&
+      out("A").getAs[Long]("fpr_bps") == 2000L)
+    assert(out("A").getAs[Long]("tpr_gap_bps") == 2500L &&
+      out("A").getAs[Long]("fpr_gap_bps") == -3000L)
+    assert(out("B").getAs[Long]("tpr_gap_bps") == -2500L &&
+      out("B").getAs[Long]("fpr_gap_bps") == 3000L)
+    assert(out("A").getAs[Long]("acc_bps") == 8000L) // (8+4)/15
+    // a group with no positives: tpr and its gap are NULL, never 0
+    val noPos = (rows("A", 5, 5, 2, 3) ++
+      Seq.fill(4)(("C", true, 0L)) ++ Seq.fill(6)(("C", false, 0L)))
+      .toDF("g", "keep", "label")
+    val c = Evaluation.subgroupAudit(noPos, "g").collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    assert(c("C").isNullAt(c("C").fieldIndex("tpr_bps")) &&
+      c("C").isNullAt(c("C").fieldIndex("tpr_gap_bps")),
+      "an all-negative group's TPR must gate to NULL")
+    assert(c("C").getAs[Long]("fpr_bps") == 4000L)
+  }
+
   test("p72: hand-computed mixed case with ties; single-class groups yield null") {
     // scores: pos {0.9, 0.7, 0.5}, neg {0.7, 0.3} — pairs: (0.9 beats
     // both) + (0.7 vs 0.3 win, vs 0.7 half) + (0.5 vs 0.3 win, vs 0.7

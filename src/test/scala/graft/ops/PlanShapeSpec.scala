@@ -305,6 +305,16 @@ class PlanShapeSpec extends SparkSpec {
       s"the panel contingency is a plain aggregation, never a window:\n$plan")
   }
 
+  test("p89 subgroup audit: the pooled row broadcasts back onto the groups frame — no window, no corpus re-scan join") {
+    val plan = executedPlan("p89_subgroup_audit")
+    assert(!plan.contains("CartesianProduct"),
+      s"p89 plans a cartesian product:\n$plan")
+    assert(!plan.contains("Window"),
+      s"the audit is aggregations + one broadcast, never a window:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the pooled attach must broadcast, not sort-merge:\n$plan")
+  }
+
   test("p31 split assign: map-only — no exchange of any kind") {
     val plan = executedPlan("p31_split_assign")
     assert(!plan.contains("Exchange"),
