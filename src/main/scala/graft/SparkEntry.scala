@@ -1903,6 +1903,42 @@ object SparkEntry {
           col("n_docs"), col("n_agree"), col("n_keep_a"), col("n_keep_b"))
       ops.Evaluation.kappaFromCounts(counts, Seq("window_id"))
     }),
+    // X33: the p89 parity audit as a PRODUCTION STREAMING MONITOR —
+    // the x31 treatment applied to fairness: the gating model is
+    // trained OFFLINE (the p57 artifact), the stream scores with the
+    // frozen weights (map-only per micro-batch), and per-(event-time
+    // window, source) confusion counts accumulate as watermark-
+    // bounded state in UPDATE mode on RocksDB (5 longs per open
+    // (window, source); closed windows evict — WatermarkEvictionSpec
+    // pins the family). The drained state runs the SAME parity tail
+    // as batch p89 (parityFromCounts — one definition, so online and
+    // offline fairness cannot drift), pooled PER WINDOW so each
+    // window carries its own yardstick: a source whose gate drifts
+    // harder than its window's pool shows up as a widening gap, live.
+    "x33_stream_parity" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = t(s, dir, "documents")
+      val featB = ops.Logistic.features(docs).localCheckpoint(true)
+      val w1 = ops.Logistic.train(featB, rounds = 3)
+      val scored = ops.Logistic.scoreWith(
+          ops.Logistic.features(docStream(s, dir), carry = Seq("source")),
+          w1, carry = Seq("source"))
+        .withColumn("event_ts", timestamp_seconds(col("doc_id")))
+      val sink = s"stream_par_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      withRocksStateStore(s) {
+        val q = ops.Evaluation.windowedConfusionCounts(scored, "source")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val counts = ops.Evaluation
+        .drainLatestConfusion(drainMemorySink(s, sink), "source")
+        .select(expr("unix_timestamp(w.start) div 256").as("window_id"),
+          col("source"), col("n_docs"), col("tp"), col("fp"),
+          col("tn"), col("fn"))
+      ops.Evaluation.parityFromCounts(counts,
+        Seq("window_id", "source"), Seq("window_id"))
+    }),
     // X29: streaming PQ-encode serving — the index-MAINTENANCE
     // monitor: the corpus (vec_id < 250) fit its PQ codebooks once
     // (p67's persisted state, the literal fit → save → load → serve
@@ -5178,6 +5214,35 @@ object SparkEntry {
          |                  / CAST(n_docs * n_docs - (r1 * c1 + (n_docs - r1) * (n_docs - c1)) AS DOUBLE), 6)
          |       ELSE NULL END AS kappa
          |FROM ag""".stripMargin,
+    // one training replay; per-(window, source) confusion, the p89
+    // parity tail pooled PER WINDOW
+    "x33_stream_parity" ->
+      s"""WITH m AS (SELECT doc_id, keep, label FROM (
+         |${lrOracleSql(3, 4)}) t1),
+         |j AS (SELECT m.doc_id // 256 AS window_id, d.source,
+         |        CASE WHEN m.keep THEN 1 ELSE 0 END AS k, m.label AS y
+         |      FROM m JOIN documents d USING (doc_id)),
+         |g AS (SELECT window_id, source, CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(CASE WHEN k = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |        CAST(sum(CASE WHEN k = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |        CAST(sum(CASE WHEN k = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         |        CAST(sum(CASE WHEN k = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         |      FROM j GROUP BY 1, 2),
+         |p AS (SELECT window_id, CAST(sum(tp) AS BIGINT) AS ptp,
+         |        CAST(sum(fp) AS BIGINT) AS pfp, CAST(sum(tn) AS BIGINT) AS ptn,
+         |        CAST(sum(fn) AS BIGINT) AS pfn
+         |      FROM g GROUP BY 1)
+         |SELECT g.window_id, g.source, n_docs, tp, fp, tn, fn,
+         |  CASE WHEN tp + fn > 0 THEN (tp * 10000) // (tp + fn) END AS tpr_bps,
+         |  CASE WHEN fp + tn > 0 THEN (fp * 10000) // (fp + tn) END AS fpr_bps,
+         |  ((tp + tn) * 10000) // n_docs AS acc_bps,
+         |  (CASE WHEN tp + fn > 0 THEN (tp * 10000) // (tp + fn) END)
+         |    - (CASE WHEN ptp + pfn > 0 THEN (ptp * 10000) // (ptp + pfn) END)
+         |    AS tpr_gap_bps,
+         |  (CASE WHEN fp + tn > 0 THEN (fp * 10000) // (fp + tn) END)
+         |    - (CASE WHEN pfp + ptn > 0 THEN (pfp * 10000) // (pfp + ptn) END)
+         |    AS fpr_gap_bps
+         |FROM g JOIN p USING (window_id)""".stripMargin,
     // both training replays nest as subquery WITH blocks (their CTE
     // namespaces cannot collide); integer contingency, one float site
     "p77_agreement_kappa" ->

@@ -442,18 +442,71 @@ object Evaluation {
     * group table.
     */
   def subgroupAudit(scored: DataFrame, group: String,
+      keep: String = "keep", label: String = "label"): DataFrame =
+    parityFromCounts(confusionCounts(scored, Seq(col(group)), keep, label),
+      Seq(group), Seq.empty)
+
+  /** Exact integer confusion per key tuple — the state shape shared
+    * by the batch audit ([[subgroupAudit]]) and the x33 streaming
+    * monitor (whose per-window state is exactly this frame: 5 longs
+    * per (window, group)).
+    */
+  def confusionCounts(scored: DataFrame, keys: Seq[Column],
       keep: String = "keep", label: String = "label"): DataFrame = {
     val k = col(keep).cast("long")
     val y = col(label).cast("long")
-    val g = scored.groupBy(col(group)).agg(
+    scored.groupBy(keys: _*).agg(
       count(lit(1)).as("n_docs"),
       sum(when(k === 1L && y === 1L, 1L).otherwise(0L)).as("tp"),
       sum(when(k === 1L && y === 0L, 1L).otherwise(0L)).as("fp"),
       sum(when(k === 0L && y === 0L, 1L).otherwise(0L)).as("tn"),
       sum(when(k === 0L && y === 1L, 1L).otherwise(0L)).as("fn"))
-    val pooled = g.agg(sum(col("tp")).as("__ptp"), sum(col("fp")).as("__pfp"),
+  }
+
+  /** [[confusionCounts]] as watermark-bounded streaming state — the
+    * x31 discipline at parity arity: per (event-time window, group)
+    * confusion updates in UPDATE mode, closed windows EVICT (the
+    * family's eviction measured by WatermarkEvictionSpec), state is
+    * exactly 5 longs per open (window, group).
+    */
+  def windowedConfusionCounts(scored: DataFrame, group: String,
+      eventTs: String = "event_ts", windowDur: String = "256 seconds",
+      lateness: String = "64 seconds",
+      keep: String = "keep", label: String = "label"): DataFrame =
+    confusionCounts(scored.withWatermark(eventTs, lateness),
+      Seq(window(col(eventTs), windowDur).as("w"), col(group)), keep, label)
+
+  /** Latest-update-wins drain for an UPDATE-mode sink of
+    * [[windowedConfusionCounts]] rows — n_docs grows strictly per
+    * (window, group) update, so the lexicographic struct max is the
+    * final state (the x20/x31 monotone-drain discipline).
+    */
+  def drainLatestConfusion(updates: DataFrame, group: String): DataFrame =
+    updates.groupBy(col("w"), col(group))
+      .agg(max(struct(col("n_docs"), col("tp"), col("fp"),
+        col("tn"), col("fn"))).as("last"))
+      .select(col("w"), col(group), col("last.n_docs").as("n_docs"),
+        col("last.tp").as("tp"), col("last.fp").as("fp"),
+        col("last.tn").as("tn"), col("last.fn").as("fn"))
+
+  /** The parity tail shared by batch p89 and the x33 monitor: bps
+    * rates with empty-denominator NULL gates and integer gaps against
+    * the POOLED rates — pooled over `pooledKeys` (empty = one global
+    * pooled row; the monitor pools per window so each window carries
+    * its own yardstick). Everything runs on the counts frame —
+    * |keys| rows, never the corpus.
+    */
+  def parityFromCounts(counts: DataFrame, keys: Seq[String],
+      pooledKeys: Seq[String]): DataFrame = {
+    val pSums = Seq(sum(col("tp")).as("__ptp"), sum(col("fp")).as("__pfp"),
       sum(col("tn")).as("__ptn"), sum(col("fn")).as("__pfn"))
-    g.crossJoin(broadcast(pooled))
+    val pooled =
+      if (pooledKeys.isEmpty) counts.agg(pSums.head, pSums.tail: _*)
+      else counts.groupBy(pooledKeys.map(col): _*).agg(pSums.head, pSums.tail: _*)
+    val joined =
+      if (pooledKeys.isEmpty) counts.crossJoin(broadcast(pooled))
+      else counts.join(broadcast(pooled), pooledKeys)
+    joined
       .withColumn("tpr_bps",
         when(col("tp") + col("fn") > 0L, expr("(tp * 10000) DIV (tp + fn)"))
           .otherwise(lit(null).cast("long")))
@@ -467,10 +520,10 @@ object Evaluation {
       .withColumn("__pooled_fpr",
         when(col("__pfp") + col("__ptn") > 0L,
           expr("(__pfp * 10000) DIV (__pfp + __ptn)")))
-      .select(col(group), col("n_docs"), col("tp"), col("fp"), col("tn"),
-        col("fn"), col("tpr_bps"), col("fpr_bps"), col("acc_bps"),
+      .select(keys.map(col) ++ Seq(col("n_docs"), col("tp"), col("fp"),
+        col("tn"), col("fn"), col("tpr_bps"), col("fpr_bps"), col("acc_bps"),
         (col("tpr_bps") - col("__pooled_tpr")).as("tpr_gap_bps"),
-        (col("fpr_bps") - col("__pooled_fpr")).as("fpr_gap_bps"))
+        (col("fpr_bps") - col("__pooled_fpr")).as("fpr_gap_bps")): _*)
   }
 
   /** Pair-relation evaluation — [[retrievalEval]]'s discipline applied

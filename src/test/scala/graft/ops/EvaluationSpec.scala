@@ -133,6 +133,46 @@ class EvaluationSpec extends SparkSpec {
     assert(c("C").getAs[Long]("fpr_bps") == 4000L)
   }
 
+  test("x33: the monotone confusion drain recovers the final state; parity tail is SHARED with batch p89") {
+    // simulated UPDATE-mode sink: each (window, group) emits two
+    // updates with strictly growing n_docs — the drain must keep the
+    // later one per key, exactly
+    val w1 = new java.sql.Timestamp(0L); val w2 = new java.sql.Timestamp(256000L)
+    val updates = Seq(
+      (w1, "A", 3L, 2L, 1L, 0L, 0L), (w1, "A", 5L, 3L, 1L, 1L, 0L),
+      (w1, "B", 2L, 0L, 1L, 1L, 0L), (w1, "B", 4L, 1L, 1L, 1L, 1L),
+      (w2, "A", 6L, 2L, 2L, 1L, 1L))
+      .toDF("w", "g", "n_docs", "tp", "fp", "tn", "fn")
+    val drained = Evaluation.drainLatestConfusion(updates, "g").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("w"), r.getAs[String]("g")) -> r).toMap
+    assert(drained.size == 3)
+    assert(drained((w1, "A")).getAs[Long]("n_docs") == 5 &&
+      drained((w1, "A")).getAs[Long]("tp") == 3)
+    assert(drained((w1, "B")).getAs[Long]("fn") == 1)
+    // the parity tail over the drained frame equals running
+    // subgroupAudit per window on the equivalent scored rows — one
+    // definition, two executions
+    def rows(g: String, tp: Int, fp: Int, tn: Int, fn: Int) =
+      Seq.fill(tp)((g, true, 1L)) ++ Seq.fill(fp)((g, true, 0L)) ++
+        Seq.fill(tn)((g, false, 0L)) ++ Seq.fill(fn)((g, false, 1L))
+    val w1scored = (rows("A", 3, 1, 1, 0) ++ rows("B", 1, 1, 1, 1))
+      .toDF("g", "keep", "label")
+    val batch = Evaluation.subgroupAudit(w1scored, "g").collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    val streamTail = Evaluation.parityFromCounts(
+      Evaluation.drainLatestConfusion(updates, "g")
+        .where(col("w") === w1).drop("w"),
+      Seq("g"), Seq.empty).collect().map(r => r.getAs[String]("g") -> r).toMap
+    for (g <- Seq("A", "B"); c <- Seq("tpr_bps", "fpr_bps", "acc_bps",
+        "tpr_gap_bps", "fpr_gap_bps")) {
+      val (b, s) = (batch(g), streamTail(g))
+      val (bi, si) = (b.fieldIndex(c), s.fieldIndex(c))
+      assert(b.isNullAt(bi) == s.isNullAt(si) &&
+        (b.isNullAt(bi) || b.getLong(bi) == s.getLong(si)),
+        s"batch/stream parity drift on $g.$c")
+    }
+  }
+
   test("p72: hand-computed mixed case with ties; single-class groups yield null") {
     // scores: pos {0.9, 0.7, 0.5}, neg {0.7, 0.3} — pairs: (0.9 beats
     // both) + (0.7 vs 0.3 win, vs 0.7 half) + (0.5 vs 0.3 win, vs 0.7
