@@ -936,6 +936,11 @@ object SparkEntry {
     // ingest time); the drained state scores against the reference
     // through the SAME Drift.psiAgainstReference post-pass, vanished
     // and novel token mass surfacing as the x22 NULL modes.
+    // State bound: |cohorts| x (vocab k + 1) count rows — the token
+    // axis is vocab-bounded, and the cohort axis is the event-time
+    // axis in disguise: its production form is the x22/x28 watermarked
+    // update-mode shape (same groupBy(window, key) + count state,
+    // eviction MEASURED by WatermarkEvictionSpec for the family).
     "x25_stream_vocab_drift" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val d = t(s, dir, "documents")
@@ -1713,8 +1718,11 @@ object SparkEntry {
     // sums update with every micro-batch, the drained one-row state
     // reshapes to the report in a post-pass (the x22 monitor pattern —
     // stack() on a streaming aggregate is not a supported plan).
-    // Uniqueness rules stay batch-side: streaming countDistinct needs
-    // the p16 dedup-state machinery, a deliberately different op.
+    // State bound: ONE row of |rules| sums regardless of stream
+    // length — complete mode is safe here by construction, no
+    // watermark needed. Uniqueness rules stay batch-side: streaming
+    // countDistinct needs the p16 dedup-state machinery, a
+    // deliberately different op.
     "x23_stream_expectations" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val sink = s"stream_exp_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -1836,20 +1844,32 @@ object SparkEntry {
     // deterministic doc_id clock (ts = epoch + doc_id seconds), so a
     // 256 s tumbling window is exactly the doc_id div 256 arrival
     // cohort and the oracle replays it. All rate math is integer —
-    // bit-identical on any engine. Streaming state is |windows ×
-    // sources| count rows (watermark-bounded in production; the
-    // rate derivation only ever sees the dim-bounded counts frame).
+    // bit-identical on any engine. PRODUCTION form (round 12, closing
+    // the family): event-time watermark + outputMode(update) on the
+    // RocksDB provider, so a closed window's |sources| count rows are
+    // EVICTED from the state store instead of living for the stream's
+    // lifetime (WatermarkEvictionSpec pins numRowsRemoved > 0 and
+    // drained-output == batch on a multi-batch stream for this exact
+    // shape). The drain is the family's monotone max-count discipline;
+    // the rate derivation only ever sees the dim-bounded counts frame.
     "x28_stream_rebalance" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val sink = s"stream_rebal_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = docStream(s, dir)
+      val binned = docStream(s, dir)
         .withColumn("ts", timestamp_seconds(col("doc_id")))
+        .withWatermark("ts", "256 seconds")
         .groupBy(window(col("ts"), "256 seconds").as("w"), col("source"))
         .agg(count(lit(1)).as("n"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withRocksStateStore(s) {
+        val q = binned.writeStream.format("memory").queryName(sink)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      // monotone drain: a (window, source) group's successive updates
+      // carry strictly growing counts — max is the final state
       val counts = drainMemorySink(s, sink)
+        .groupBy(col("w"), col("source"))
+        .agg(max(col("n")).as("n"))
         .select(expr("unix_timestamp(w.start) div 256").as("window_id"),
           col("source"), col("n"))
       ops.Sampling.mixtureRatesPerGroup(counts,
@@ -4629,7 +4649,7 @@ object SparkEntry {
       """WITH pooled AS (
         |  SELECT event_type, value AS v,
         |         CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS a
-        |  FROM events),
+        |  FROM events WHERE value IS NOT NULL),
         |r AS (SELECT event_type, v, a,
         |        rank() OVER (PARTITION BY event_type ORDER BY v ASC)
         |          + (count(*) OVER (PARTITION BY event_type, v) - 1) / 2.0 AS fr

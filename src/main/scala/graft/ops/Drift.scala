@@ -166,7 +166,14 @@ object Drift {
       .select(col("n_a"), col("n_b"),
         (-col("__m.nb")).cast("long").as("ks_bin"),
         when(col("n_a") > 0 && col("n_b") > 0,
-          expr("(__m.gap * 1000000) DIV (n_a * n_b)"))
+          // gap <= n_a*n_b, so guarding the product guards the 1e6
+          // lift — loud past the documented 9.2e12 envelope instead of
+          // silently wrapping (double compare: slack is fine for a guard)
+          when(col("n_a").cast("double") * col("n_b").cast("double") >= 9.2e12,
+            raise_error(lit("ksStat: n_a*n_b exceeds the exact 1e6-lift " +
+              "envelope (9.2e12) — pre-aggregate per shard and sum bin counts"))
+              .cast("long"))
+            .otherwise(expr("(__m.gap * 1000000) DIV (n_a * n_b)")))
           .otherwise(lit(null).cast("long")).as("ks_micro"))
 
   /** Mann–Whitney rank-sum two-sample test — the EXACT member of the
@@ -184,41 +191,79 @@ object Drift {
     * exactly-representable integer inputs in a fixed operation order
     * so both engines evaluate the identical IEEE expression). Gates:
     * an empty side NULLs everything derived; zero variance (all
-    * values tied) NULLs z.
+    * values tied) NULLs z. NULL values are excluded by construction —
+    * a NULL carries no rank information and engines disagree on where
+    * to sort it (Spark NULLS FIRST vs ANSI-default NULLS LAST), so
+    * both sides drop them before pooling; n_a/n_b count non-null
+    * observations only.
     *
-    * Shape at 100 TB: one pooled scan, ONE rank window per group
-    * (exactly the p72 AUC envelope — the sort is the cost), one
-    * distinct-value tie aggregation with map-side partials, and a
-    * |groups|-row join. Envelope: u2_a ≤ 2·n_a·n_b, so the micro lift
-    * needs n_a·n_b < 4.6e12 — shard the group key beyond.
+    * Exactness (round 12): the doubled rank sum is computed entirely
+    * in LONG arithmetic off per-(group, value) counts — the doubled
+    * fractional rank of value v is 2·below(v) + t(v) + 1, an exact
+    * integer — so the sum Σ a_v·(2·below+t+1) ≤ n·(2n+1) is order-free
+    * and exact for any group under ~2.1e9 rows (the old float rank-sum
+    * went partitioning-order-dependent past ~9.5e7 pooled rows, since
+    * the running double sum grows ~n² toward 2^53). The remaining
+    * envelopes are GUARDED loud, not comment-only: the tie term and
+    * the u2_a·1e6 lift both raise_error past their long bounds
+    * (t < 2e6 per tied value; n_a·n_b < 4.6e12) instead of silently
+    * wrapping — shard the group key beyond.
+    *
+    * Shape at 100 TB: one pooled scan to per-(group, value) counts
+    * with map-side partials, one cumulative window over the counts
+    * frame (|groups|×|distinct values| rows — the [[ksByBin]] shape;
+    * NOT the old data-scale rank sort: this sorts distinct values,
+    * not observations), then a |groups|-row aggregation. No join —
+    * the tie term rides the same pass.
     */
   def mannWhitney(a: DataFrame, b: DataFrame, valueCol: String,
       group: String): DataFrame = {
     val pooled = a.select(col(group), col(valueCol).as("__v"), lit(1L).as("__a"))
       .unionByName(
         b.select(col(group), col(valueCol).as("__v"), lit(0L).as("__a")))
-    val ranked = graft.stats.Ranks.fractionalRank(
-      pooled, Seq(col(group)), col("__v"), "__r")
-    val ties = pooled.groupBy(col(group), col("__v"))
-      .agg(count(lit(1)).as("__t"))
+      .where(col("__v").isNotNull)
+    val counts = pooled.groupBy(col(group), col("__v"))
+      .agg(count(lit(1)).as("__t"), sum(col("__a")).as("__ta"))
+    val cum = Window.partitionBy(col(group)).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // per tied value: t^3 wraps long at t >= ~2.1e6 — fail loud first
+    val tieCube = when(col("__t") >= 2000000L,
+      raise_error(concat(
+        lit("mannWhitney: tie group of "), col("__t").cast("string"),
+        lit(" rows at one value in group "), col(group).cast("string"),
+        lit(" exceeds the exact tie-term envelope (t < 2e6) — shard the group key")))
+        .cast("long"))
+      .otherwise(col("__t") * col("__t") * col("__t") - col("__t"))
+    val agg = counts
+      .withColumn("__below", coalesce(sum(col("__t")).over(cum), lit(0L)))
       .groupBy(col(group))
-      .agg(sum(col("__t") * col("__t") * col("__t") - col("__t")).as("tie_term"))
-    val agg = ranked.groupBy(col(group))
-      .agg(sum(col("__a")).as("n_a"),
-        sum(lit(1L) - col("__a")).as("n_b"),
-        round(sum(when(col("__a") === 1L, col("__r") * 2.0).otherwise(0.0)))
-          .cast("long").as("__r2a"))
+      .agg(sum(col("__ta")).as("n_a"),
+        sum(col("__t") - col("__ta")).as("n_b"),
+        // doubled rank sum of side A, exact in longs: the doubled
+        // fractional rank of value v is 2*below(v) + t(v) + 1, so
+        // r2a = sum over values of a_v * (2*below_v + t_v + 1)
+        sum(col("__ta") * (lit(2L) * col("__below") + col("__t") + lit(1L)))
+          .as("__r2a"),
+        sum(tieCube).as("tie_term"))
     val nn = (col("n_a") + col("n_b")).cast("double")
     val sig2 = col("n_a").cast("double") * col("n_b").cast("double") / 12.0 *
       (nn + 1.0 - col("tie_term").cast("double") / (nn * (nn - 1.0)))
-    agg.join(ties, Seq(group))
+    // u2_a <= 2*n_a*n_b, so guarding the product guards the micro
+    // lift; the compare runs in doubles (slack is fine for a guard —
+    // the aucBootstrapCi convention)
+    val effectLifted = when(
+      col("n_a").cast("double") * col("n_b").cast("double") >= 4.6e12,
+      raise_error(concat(
+        lit("mannWhitney: n_a*n_b exceeds the exact 1e6-lift envelope in group "),
+        col(group).cast("string"), lit(" — shard the group key"))).cast("long"))
+      .otherwise(expr("(u2_a * 1000000) DIV (2 * n_a * n_b)"))
+    agg
       .withColumn("u2_a",
         when(col("n_a") > 0 && col("n_b") > 0,
           col("__r2a") - col("n_a") * (col("n_a") + 1L))
           .otherwise(lit(null).cast("long")))
       .withColumn("effect_micro",
-        when(col("n_a") > 0 && col("n_b") > 0,
-          expr("(u2_a * 1000000) DIV (2 * n_a * n_b)"))
+        when(col("n_a") > 0 && col("n_b") > 0, effectLifted)
           .otherwise(lit(null).cast("long")))
       .withColumn("z",
         when(col("n_a") > 0 && col("n_b") > 0 && nn > 1.0 && sig2 > 0.0,
@@ -268,8 +313,21 @@ object Drift {
     val w = Window.partitionBy(col(windowCol)).orderBy(col("bin").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(col(windowCol))
+    // the spine LEFT join would silently DROP any current row whose
+    // bin falls outside [0, nBins) — skewing both the cumulative sums
+    // and tot_c with no error (safe for a clamped binCol feed, a
+    // footgun for any other caller) — so out-of-range bins fail loud
+    // before the join instead
+    val curChecked = current.select(col(windowCol),
+      when(col("bin") < 0L || col("bin") >= nBins.toLong,
+        raise_error(concat(
+          lit(s"ksAgainstReference: bin out of [0, $nBins) — got "),
+          col("bin").cast("string"),
+          lit(" (clamp with Drift.binCol before the monitor)"))).cast("long"))
+        .otherwise(col("bin")).as("bin"),
+      col("n_cur"))
     spine
-      .join(current, Seq(windowCol, "bin"), "left")
+      .join(curChecked, Seq(windowCol, "bin"), "left")
       .join(broadcast(refCounts), Seq("bin"), "left")
       .select(col(windowCol), col("bin"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
@@ -286,7 +344,12 @@ object Drift {
       .select(col(windowCol), col("n_ref"), col("n_cur"),
         (-col("__m.nb")).cast("long").as("ks_bin"),
         when(col("n_ref") > 0 && col("n_cur") > 0,
-          expr("(__m.gap * 1000000) DIV (n_ref * n_cur)"))
+          // the ksStat envelope, per window — loud, not comment-only
+          when(col("n_ref").cast("double") * col("n_cur").cast("double") >= 9.2e12,
+            raise_error(lit("ksAgainstReference: n_ref*n_cur exceeds the " +
+              "exact 1e6-lift envelope (9.2e12) in a window — pre-aggregate " +
+              "per shard and sum bin counts")).cast("long"))
+            .otherwise(expr("(__m.gap * 1000000) DIV (n_ref * n_cur)")))
           .otherwise(lit(null).cast("long")).as("ks_micro"))
   }
 

@@ -230,7 +230,7 @@ object Evaluation {
     * equi-join on the id; the statistics are single integer DIVs —
     * bit-replayable on any engine/partitioning. Envelope:
     * Δ²·1e6 < 2^63 ⇔ |Δ| < 3e6 discordant-pair imbalance per group;
-    * shard the group key beyond.
+    * GUARDED loud (raise_error) past the bound — shard the group key.
     *
     * Shape at 100 TB: one shuffle per side on the id, map-side-combined
     * aggregation to |groups| rows — the agreementKappa envelope exactly.
@@ -250,7 +250,18 @@ object Evaluation {
           .otherwise(0L)).as("n_a_only"),
         sum(when(col("__ra") === 0L && col("__rb") === 1L, 1L)
           .otherwise(0L)).as("n_b_only"))
+    // Δ²·1e6 wraps a long at |Δ| ≥ ~3e6 — Spark (non-ANSI) would wrap
+    // silently where an ANSI oracle raises. Fail loud instead (the
+    // documented envelope, now enforced).
+    val guardedDisc = when(
+      abs(col("n_a_only") - col("n_b_only")) >= 3000000L,
+      raise_error(concat(
+        lit("mcnemar: discordant-pair imbalance |n_a_only - n_b_only| "),
+        lit("exceeds the exact 1e6-lift envelope (3e6) in group "),
+        col(group).cast("string"), lit(" — shard the group key"))).cast("long"))
+      .otherwise(col("__disc"))
     ag.withColumn("__disc", col("n_a_only") + col("n_b_only"))
+      .withColumn("__disc", guardedDisc)
       .withColumn("__cc",
         greatest(abs(col("n_a_only") - col("n_b_only")) - lit(1L), lit(0L)))
       .select(col(group), col("n_docs"), col("n_right_a"), col("n_right_b"),
@@ -283,7 +294,8 @@ object Evaluation {
     *   num = A·(nm)² − nm(m−1)·(K² + (nm−K)²)
     *   den = nm(m−1)·((nm)² − K² − (nm−K)²).
     * Envelope: num ≤ m(m−1)·(nm)²·n ≈ 54n³ at m = 3 ⇒ n < ~5.5e5 rows
-    * per group keeps the lift in a long — shard the group key beyond.
+    * per group keeps the lift in a long — GUARDED loud (raise_error)
+    * past the bound; shard the group key beyond.
     *
     * Shape at 100 TB: m−1 co-partitioned equi-joins on the id (each
     * side one shuffle) + one map-side-combined aggregation to
@@ -302,13 +314,24 @@ object Evaluation {
     }
     val mL = m.toLong
     val ki = (0 until m).map(i => col(s"__k$i")).reduce(_ + _)
+    // the kappa numerator A·(nm)² grows ~m³(m−1)·n³ — past the long
+    // envelope Spark (non-ANSI) would WRAP silently while an ANSI
+    // oracle raises, a silent engine/oracle split. Fail loud instead
+    // (the aucBootstrapCi convention): n³ < 2^63 / (m³(m−1)) per group.
+    val nBound = math.cbrt(9.2e18 / (mL * mL * mL * (mL - 1L)).toDouble).toLong
+    val guardedN = when(col("n_docs") > nBound,
+      raise_error(concat(
+        lit("fleissKappa: group "), col(group).cast("string"),
+        lit(s" has more than $nBound rows — the exact long envelope at m=$m; "),
+        lit("shard the group key"))).cast("long"))
+      .otherwise(col("n_docs"))
     joined.withColumn("__ki", ki)
       .groupBy(col(group))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("__ki")).as("n_keep_votes"),
         sum(col("__ki") * (col("__ki") - 1L) +
           (lit(mL) - col("__ki")) * (lit(mL - 1L) - col("__ki"))).as("__A"))
-      .withColumn("__nm", col("n_docs") * mL)
+      .withColumn("__nm", guardedN * mL)
       .withColumn("__pe2",
         col("n_keep_votes") * col("n_keep_votes") +
           (col("__nm") - col("n_keep_votes")) * (col("__nm") - col("n_keep_votes")))
@@ -547,8 +570,13 @@ object Evaluation {
     */
   def pairEval(system: DataFrame, truth: DataFrame,
       idA: String = "id_a", idB: String = "id_b"): DataFrame = {
-    val s = system.select(col(idA), col(idB), lit(1L).as("__s"))
-    val t = truth.select(col(idA), col(idB), lit(1L).as("__t"))
+    // canonicalize to DISTINCT pairs: a duplicate (id_a, id_b) row in
+    // either input would inflate its count AND multiply n_hit through
+    // the equi-join. Pair relations are detector output — small by
+    // contract — so the distinct is cheap insurance, not a data-scale
+    // shuffle (and a no-op for already-distinct callers).
+    val s = system.select(col(idA), col(idB)).distinct().withColumn("__s", lit(1L))
+    val t = truth.select(col(idA), col(idB)).distinct().withColumn("__t", lit(1L))
     s.join(t, Seq(idA, idB), "full_outer")
       .agg(sum(col("__s")).as("n_system"), sum(col("__t")).as("n_truth"),
         sum(when(col("__s").isNotNull && col("__t").isNotNull, 1L)

@@ -46,23 +46,41 @@ object PageRank {
     val teleport = 1000000L * (100L - dampNum) / 100L
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
     // co-partition the degree onto the edges once; every iteration's
-    // rank join then reuses the same src hash partitioning
-    val e = edges.join(deg, Seq("src"))
-    val spine = nodes.select(col(id))
+    // rank join then reuses the same src hash partitioning. Edges and
+    // spine are materialized once — each round re-reads them, and the
+    // loop must not re-derive them from source lineage every time.
+    val e = edges.join(deg, Seq("src")).localCheckpoint(true)
+    val spine = nodes.select(col(id)).localCheckpoint(true)
+    // lineage is cut EVERY round (the ConnectedComponents.scala
+    // discipline): without it the plan nests one join+agg layer per
+    // iteration and analysis cost grows quadratically — fine at
+    // iters=5, a cliff at the 10-20 a convergence run uses. The
+    // superseded round's checkpoint blocks are unpersisted as soon as
+    // the next round is materialized, so block-manager footprint stays
+    // at one rank table regardless of iteration count.
     var ranks = spine.withColumn("pr_micro", lit(1000000L))
+      .localCheckpoint(true)
     for (_ <- 0 until iters) {
-      val contribs = e
+      val next = e
         .join(ranks.select(col(id).as("__src"), col("pr_micro")),
           col("src") === col("__src"))
         .groupBy(col("dst"))
         .agg(sum(expr("pr_micro DIV __deg")).as("__c"))
-      ranks = spine
-        .join(contribs.withColumnRenamed("dst", id), Seq(id), "left")
+        .withColumnRenamed("dst", id)
+        .join(spine, Seq(id), "right")
         .select(col(id),
           (lit(teleport) +
             expr(s"($dampNum * coalesce(__c, 0)) DIV 100")).as("pr_micro"))
+        .localCheckpoint(true)
+      ranks.unpersist()
+      ranks = next
     }
     val nIn = edges.groupBy(col("dst").as(id)).agg(count(lit(1)).as("n_in"))
+    // the loop's working set is out of the result's lineage (the
+    // result reads only the final checkpointed ranks + edge-derived
+    // degree tables), so it can go now; the final rank table itself is
+    // reclaimed by the ContextCleaner when the result is dropped
+    e.unpersist(); spine.unpersist()
     ranks
       .join(deg.withColumnRenamed("src", id), Seq(id), "left")
       .join(nIn, Seq(id), "left")

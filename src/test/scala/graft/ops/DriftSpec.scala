@@ -216,4 +216,67 @@ class DriftSpec extends SparkSpec {
       Profiling.heavyHitters(Seq(1.5).toDF("k"), "k", k = 1)
     }
   }
+
+  test("a21: NULL values are excluded by construction — both engines then agree on every rank") {
+    // Spark ranks NULLS FIRST, ANSI engines default NULLS LAST — so a
+    // NULL in the value column is dropped, never ranked
+    val a = Seq(("g", Some(1.0)), ("g", Some(3.0)), ("g", None), ("g", Some(5.0)))
+      .toDF("g", "v")
+    val b = Seq(("g", Some(2.0)), ("g", None), ("g", Some(4.0))).toDF("g", "v")
+    val withNulls = Drift.mannWhitney(a, b, "v", "g").collect().head
+    val without = Drift.mannWhitney(
+      a.where(col("v").isNotNull), b.where(col("v").isNotNull), "v", "g")
+      .collect().head
+    assert(withNulls.getAs[Long]("n_a") == 3L && withNulls.getAs[Long]("n_b") == 2L)
+    assert(withNulls.getAs[Long]("u2_a") == without.getAs[Long]("u2_a"))
+    assert(withNulls.getAs[Double]("z") == without.getAs[Double]("z"))
+  }
+
+  test("a21: integer counts-path rank sum equals the per-row window formulation (order-free exactness pin)") {
+    // heavy-tie pooled sample; the doubled rank sum must equal
+    // round(sum 2*fractionalRank) computed the old per-row way
+    val a = (1 to 2000).map(i => ("g", (i % 7).toDouble)).toDF("g", "v")
+    val b = (1 to 1500).map(i => ("g", (i % 11).toDouble)).toDF("g", "v")
+    val got = Drift.mannWhitney(a, b, "v", "g").collect().head
+    val pooled = a.withColumn("__a", lit(1L)).unionByName(b.withColumn("__a", lit(0L)))
+    val perRow = graft.stats.Ranks.fractionalRank(pooled, Seq(col("g")), col("v"), "__r")
+      .agg(round(sum(when(col("__a") === 1L, col("__r") * 2.0).otherwise(0.0))).cast("long"))
+      .as[Long].collect().head
+    assert(got.getAs[Long]("u2_a") == perRow - 2000L * 2001L)
+  }
+
+  test("a21 guard: a >= 2e6-row tie group fails LOUD instead of wrapping the tie term") {
+    val a = spark.range(1500000L).select(lit("g").as("g"), lit(1.0).as("v"))
+    val b = spark.range(600000L).select(lit("g").as("g"), lit(1.0).as("v"))
+    val e = intercept[Exception] {
+      Drift.mannWhitney(a, b, "v", "g").collect()
+    }
+    assert(e.getMessage.contains("tie-term envelope"))
+  }
+
+  test("a20 guard: n_a*n_b past the 1e6-lift envelope fails LOUD in ksStat") {
+    val a = spark.range(3040000L).select((col("id") % 100).cast("double").as("value"))
+    val b = spark.range(3040000L).select((col("id") % 100).cast("double").as("value"))
+    val e = intercept[Exception] {
+      Drift.ksStat(Drift.ksByBin(a, b, "value", 0.0, 10.0, 10)).collect()
+    }
+    assert(e.getMessage.contains("1e6-lift envelope"))
+    // and just inside the envelope the statistic still computes
+    val ok = Drift.ksStat(Drift.ksByBin(
+      a.limit(1000), b.limit(1000), "value", 0.0, 10.0, 10)).collect().head
+    assert(ok.getAs[Long]("ks_micro") == 0L)
+  }
+
+  test("x32 guard: a current bin outside [0, nBins) fails LOUD instead of silently dropping from the spine join") {
+    val ref = Seq((0L, 10L), (1L, 10L)).toDF("bin", "n_ref")
+    val bad = Seq((0L, 0L, 5L), (0L, 12L, 3L)).toDF("win_start", "bin", "n_cur")
+    val e = intercept[Exception] {
+      Drift.ksAgainstReference(bad, ref, nBins = 10).collect()
+    }
+    assert(e.getMessage.contains("bin out of [0, 10)"))
+    // in-range feed is untouched by the guard
+    val good = Seq((0L, 0L, 5L), (0L, 1L, 5L)).toDF("win_start", "bin", "n_cur")
+    val ok = Drift.ksAgainstReference(good, ref, nBins = 10).collect().head
+    assert(ok.getAs[Long]("n_cur") == 10L && ok.getAs[Long]("ks_micro") == 0L)
+  }
 }

@@ -351,4 +351,50 @@ class EvaluationSpec extends SparkSpec {
     assert(out(1L) == ((2L, 125000L, 500000L))) // (100000+150000) DIV 2; 1 of 2 pos
     assert(out(9L) == ((1L, 1000000L, 1000000L)))
   }
+
+  test("p88 guard: a group past the long envelope fails LOUD instead of silently wrapping the kappa lift") {
+    // m = 2 raters -> bound = cbrt(9.2e18 / 8) ~ 1.045e6 rows/group;
+    // Spark (non-ANSI) would wrap the A*(nm)^2 product silently where
+    // an ANSI oracle raises — the guard makes the engine raise too
+    val n = 1100000L
+    def rater(flip: Long) = spark.range(n)
+      .select(col("id").as("doc_id"), lit("g").as("g"),
+        ((col("id") + flip) % 2).as("keep"))
+    val e = intercept[Exception] {
+      Evaluation.fleissKappa(Seq(rater(0L), rater(1L)), "g").collect()
+    }
+    assert(e.getMessage.contains("exact long envelope"))
+    // inside the envelope the statistic computes: two opposite raters
+    // agree on NO pair -> pbar = 0
+    val ok = Evaluation.fleissKappa(
+      Seq(rater(0L).limit(1000), rater(1L).limit(1000)), "g").collect().head
+    assert(ok.getAs[Long]("pbar_micro") == 0L)
+  }
+
+  test("p85 guard: discordant imbalance past |delta| = 3e6 fails LOUD instead of wrapping chi2") {
+    val n = 3000000L
+    // A always right, B always wrong -> n_a_only = 3e6, n_b_only = 0
+    val a = spark.range(n).select(col("id").as("doc_id"), lit("g").as("g"),
+      lit(1L).as("keep"), lit(1L).as("label"))
+    val b = spark.range(n).select(col("id").as("doc_id"), lit("g").as("g"),
+      lit(0L).as("keep"), lit(1L).as("label"))
+    val e = intercept[Exception] {
+      Evaluation.mcnemar(a, b, "g").collect()
+    }
+    assert(e.getMessage.contains("1e6-lift envelope"))
+    // inside the envelope the guarded column passes counts through
+    val ok = Evaluation.mcnemar(a.limit(10), b.limit(10), "g").collect().head
+    assert(ok.getAs[Long]("n_a_only") == 10L &&
+      ok.getAs[Long]("chi2_micro") == 10000000L)
+  }
+
+  test("p86 tail: pairEval canonicalizes to DISTINCT pairs — duplicate detector rows cannot inflate precision") {
+    val truth = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    // the detector emitted (1,2) twice (e.g. two LSH bands fired)
+    val sys = Seq((1L, 2L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val r = Evaluation.pairEval(sys, truth).collect().head
+    assert(r.getAs[Long]("n_system") == 2L, "duplicate pair must count once")
+    assert(r.getAs[Long]("n_truth") == 2L && r.getAs[Long]("n_hit") == 1L)
+    assert(r.getAs[Long]("precision_bps") == 5000L)
+  }
 }

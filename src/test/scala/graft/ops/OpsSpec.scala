@@ -346,6 +346,25 @@ class OpsSpec extends SparkSpec {
     assert(r2(3L).getAs[Long]("pr_micro") == 150000L)
   }
 
+  test("p87 pagerank: plan depth is CONSTANT in the iteration count (per-round lineage cut)") {
+    // without the per-round localCheckpoint the optimized plan nests
+    // one join+agg layer per iteration and analysis cost grows
+    // quadratically — a user raising iters toward convergence (10-20)
+    // must not hit that cliff, so the plan size must not see iters
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val edges = Seq((2L, 1L), (3L, 1L), (3L, 2L), (4L, 3L)).toDF("src", "dst")
+    def planNodes(iters: Int): Int =
+      PageRank.pageRank(nodes, edges, iters).queryExecution.optimizedPlan
+        .collect { case p => p }.size
+    val depth2 = planNodes(2)
+    val depth12 = planNodes(12)
+    assert(depth2 == depth12,
+      s"plan grew with iterations: $depth2 nodes at iters=2, $depth12 at iters=12")
+    // and the deeper run still computes: every node carries a rank
+    val r = PageRank.pageRank(nodes, edges, iters = 12).collect()
+    assert(r.length == 4 && r.forall(_.getAs[Long]("pr_micro") >= 150000L))
+  }
+
   test("connected components: chains propagate, components stay separate") {
     // 1-2-3-4-5 is a diameter-4 chain (min label must hop 4 times),
     // {10,11,12} a triangle, {20} a self-loop

@@ -11,6 +11,11 @@ import org.apache.spark.sql.functions._
 case class ScoredPair(doc_id: Long, keep_a: Long, keep_b: Long,
     event_ts: java.sql.Timestamp)
 
+/** A sourced document arrival with its event time — the x28 rebalance
+  * monitor's input row shape.
+  */
+case class SourcedDoc(doc_id: Long, source: String, ts: java.sql.Timestamp)
+
 /** The monitor family's production claim, MEASURED instead of asserted
   * (round 11): "state is watermark-bounded in production" is only real
   * if a finalized window's state rows actually LEAVE the state store.
@@ -101,6 +106,66 @@ class WatermarkEvictionSpec extends SparkSpec {
             .select("window_id", "n_docs", "n_agree", "kappa")
             .as[(Long, Long, Long, Option[Double])].collect().toSet
         assert(kap(drained) == kap(batch))
+      } finally q.stop()
+    }
+  }
+
+  test("x28 production form: watermark EVICTS finalized (window, source) count state on RocksDB; drained rates == batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // batch 1: window [0, 256) — uneven arrivals across three sources
+    val b1 = (0L until 10L).map(i =>
+      SourcedDoc(i, s"src${i % 3}", ts(i * 20)))
+    // batch 2: window [768, 1024) — max event 1010 s advances the
+    // watermark to 1010 − 256 = 754 s > 256 s for the NEXT batch:
+    // window 0's |sources| rows must leave the state store then
+    val b2 = (0L until 6L).map(i =>
+      SourcedDoc(100 + i, s"src${i % 2}", ts(1000 + i * 2)))
+    // batch 3: runs a batch under the advanced watermark
+    val b3 = Seq(SourcedDoc(200L, "src0", ts(2000)))
+    def windowed(df: org.apache.spark.sql.DataFrame) = df
+      .withWatermark("ts", "256 seconds")
+      .groupBy(window(col("ts"), "256 seconds").as("w"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    withRocksDb {
+      val source = MemoryStream[SourcedDoc]
+      val q = windowed(source.toDF())
+        .writeStream.format("memory").queryName("wm_rebal")
+        .outputMode("update").start()
+      try {
+        source.addData(b1: _*); q.processAllAvailable()
+        source.addData(b2: _*); q.processAllAvailable()
+        source.addData(b3: _*); q.processAllAvailable()
+        assert(rocksEngaged(q), "no rocksdb custom metrics — default provider ran instead")
+        val removed = q.recentProgress.toSeq
+          .flatMap(_.stateOperators.toSeq).map(_.numRowsRemoved).sum
+        assert(removed > 0,
+          s"watermark passed window 0 but no state rows were removed (sum=$removed)")
+        // window 0 held 3 (window, source) rows; they must be gone
+        val lastRows = q.recentProgress.last.stateOperators.head.numRowsTotal
+        assert(lastRows < 6,
+          s"6 (window, source) groups were opened but finalized ones must be gone; state holds $lastRows")
+        // drained equivalence through the monitor's monotone max drain
+        def drain(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy(col("w"), col("source"))
+          .agg(max(col("n")).as("n"))
+          .select(expr("unix_timestamp(w.start) div 256").as("window_id"),
+            col("source"), col("n"))
+        def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long)] =
+          df.as[(Long, String, Long)].collect().toSet
+        val drained = drain(s.table("wm_rebal"))
+        val batch = drain(windowed((b1 ++ b2 ++ b3).toDF()))
+        assert(canon(drained) == canon(batch),
+          s"drained ${canon(drained)} != batch ${canon(batch)}")
+        // and the rate tail agrees through the ONE shared derivation
+        def rates(counts: org.apache.spark.sql.DataFrame) =
+          graft.ops.Sampling.mixtureRatesPerGroup(counts,
+              Seq(("src0", 50), ("src1", 30), ("src2", 20)), Seq("window_id"))
+            .select(col("window_id"), col("source"), col("n_docs"), col("rate_bps"))
+            .as[(Long, String, Long, Long)].collect().toSet
+        assert(rates(drained) == rates(batch))
       } finally q.stop()
     }
   }
