@@ -8,6 +8,7 @@ import graft.GraftSession
   *   graft.etl.Main etl --config etl.yaml --warehouse <dir>
   *   graft.etl.Main etl-stream --config etl.yaml --manifest <dir>
   *   graft.etl.Main correlate --warehouse <dir> [--study GSE1 --study GSE2 ...]
+  *   graft.etl.Main curate --config pipeline.yaml --input docs.parquet --output out/
   */
 object Main {
 
@@ -123,6 +124,25 @@ object Main {
         val summary = new CorrelationJob(spark, wh, exactPValues = exactP).run(studies)
         println(s"studies=${summary.studies.mkString(",")} pairs=${summary.pairs}")
         0
+      case "curate" =>
+        // declarative corpus curation from a YAML pipeline (the S9
+        // config discipline over the p41 runner): read a document
+        // corpus, run the configured stages, write the survivors —
+        // the same operator surface as the query registry, driven
+        // from the CLI like etl/correlate
+        val cfgPath = required("config")
+        val input = required("input")
+        val output = required("output")
+        val cfg = try graft.ops.CurationPipeline.load(cfgPath) catch {
+          case e: graft.ops.CurationPipeline.PipelineConfigError =>
+            usageError(s"bad pipeline config: ${e.getMessage}")
+        }
+        val docs = spark.read.parquet(input)
+        val out = graft.ops.CurationPipeline.run(docs, cfg)
+        out.write.mode("overwrite").parquet(output)
+        val nIn = docs.count(); val nOut = spark.read.parquet(output).count()
+        println(s"curate in=$nIn out=$nOut stages=${cfg.stages.size} -> $output")
+        0
       case other => usageError(s"Unknown command: $other")
     }
   }
@@ -169,5 +189,6 @@ object Main {
   private def usage(): Unit = System.err.println(
     """usage: graft.etl.Main etl --config <yaml> [--warehouse <dir|jdbc:url>] [--mode unioned] [--no-resume]
       |       graft.etl.Main etl-stream --config <yaml> --manifest <dir> [--warehouse <dir|jdbc:url>] [--checkpoint <dir>] [--no-resume] [--follow [--interval "10 seconds"]]
-      |       graft.etl.Main correlate [--warehouse <dir|jdbc:url>] [--study <GSE>]... [--exact-p]""".stripMargin)
+      |       graft.etl.Main correlate [--warehouse <dir|jdbc:url>] [--study <GSE>]... [--exact-p]
+      |       graft.etl.Main curate --config <pipeline.yaml> --input <parquet> --output <dir>""".stripMargin)
 }

@@ -35,6 +35,18 @@ object CurationPipeline {
   case class HashSample(pct: Int) extends Stage
   case class SplitAssign(splits: Seq[(String, Int)]) extends Stage
   case class TokenBudget(budgetTokens: Long, strata: Seq[String]) extends Stage
+  // rounds 9-11 operators, reachable from config (round 12): each
+  // delegates to its already-oracle-checked operator — the p84/p55/
+  // p58/p48/p54/p57 query registry entries are the semantics
+  case object ParagraphDedup extends Stage
+  case class DomainCap(k: Int, group: String) extends Stage
+  case class DsirSelect(targetSources: Seq[String], buckets: Int,
+      source: String) extends Stage
+  case class MixtureCalibrate(targets: Seq[(String, Int)],
+      source: String) extends Stage
+  case class PerplexityFilter(keepBuckets: Seq[String], maxPieceLen: Int,
+      vocabSize: Int) extends Stage
+  case class LrGate(weightsPath: String, nWeights: Int) extends Stage
 
   case class Config(stages: Seq[Stage], id: String, text: String)
 
@@ -139,22 +151,68 @@ object CurationPipeline {
         // "train:80,val:10,test:10" or a YAML list of name:pct entries —
         // Sampling.splitAssign validates positivity and sum-to-100 at
         // run time
-        SplitAssign(names("splits").map { part =>
-          part.split(":") match {
-            case Array(name, pct) =>
-              val p = try pct.trim.toInt catch {
-                case _: NumberFormatException => throw new PipelineConfigError(
-                  s"stage $i: split pct '$pct' is not a number")
-              }
-              (name.trim, p)
-            case _ => throw new PipelineConfigError(
-              s"stage $i: split entry '$part' is not name:pct")
-          }
-        })
+        SplitAssign(namePct("splits", m, i))
       case "token_budget"     =>
         TokenBudget(num("budget_tokens", _.toLong), names("strata"))
+      case "paragraph_dedup"  => ParagraphDedup
+      case "domain_cap"       =>
+        DomainCap(num("k", _.toInt), str("group", m, "source"))
+      case "dsir_select"      =>
+        DsirSelect(names("target_sources"),
+          m.get("buckets").flatMap(Option(_))
+            .map(_ => num("buckets", _.toInt)).getOrElse(256),
+          str("source", m, "source"))
+      case "mixture_calibrate" =>
+        MixtureCalibrate(namePct("targets", m, i), str("source", m, "source"))
+      case "perplexity_filter" =>
+        val keep = m.get("keep_buckets").flatMap(Option(_))
+          .map(_ => names("keep_buckets")).getOrElse(Seq("head", "middle"))
+        val legal = Set("head", "middle", "tail")
+        keep.find(!legal(_)).foreach(bad => throw new PipelineConfigError(
+          s"stage $i: keep_buckets entry '$bad' is not one of head|middle|tail"))
+        PerplexityFilter(keep,
+          m.get("max_piece_len").flatMap(Option(_))
+            .map(_ => num("max_piece_len", _.toInt)).getOrElse(4),
+          m.get("vocab_size").flatMap(Option(_))
+            .map(_ => num("vocab_size", _.toInt)).getOrElse(64))
+      case "lr_gate"          =>
+        LrGate(req("weights_path").toString,
+          m.get("n_weights").flatMap(Option(_))
+            .map(_ => num("n_weights", _.toInt)).getOrElse(4))
       case other =>
         throw new PipelineConfigError(s"stage $i: unknown stage kind '$other'")
+    }
+  }
+
+  private def str(k: String, m: Map[String, Any], default: String): String =
+    m.get(k).flatMap(Option(_)).map(_.toString).getOrElse(default)
+
+  /** Parse a "name:pct" list field (the split_assign grammar, shared
+    * with mixture_calibrate's targets).
+    */
+  private def namePct(k: String, m: Map[String, Any], i: Int): Seq[(String, Int)] = {
+    def kindName: String =
+      m.get("kind").flatMap(Option(_)).map(_.toString).getOrElse("?")
+    val raw = m.get(k).flatMap(Option(_)).getOrElse(
+      throw new PipelineConfigError(s"stage $i ($kindName): missing '$k'"))
+    val vals = raw match {
+      case l: java.util.List[_] =>
+        l.asScala.toSeq.flatMap(Option(_)).map(_.toString)
+      case s => s.toString.split(",").toSeq
+    }
+    val parts = vals.map(_.trim).filter(_.nonEmpty)
+    if (parts.isEmpty) throw new PipelineConfigError(s"stage $i: '$k' is empty")
+    parts.map { part =>
+      part.split(":") match {
+        case Array(name, pct) =>
+          val p = try pct.trim.toInt catch {
+            case _: NumberFormatException => throw new PipelineConfigError(
+              s"stage $i: $k pct '$pct' is not a number")
+          }
+          (name.trim, p)
+        case _ => throw new PipelineConfigError(
+          s"stage $i: $k entry '$part' is not name:pct")
+      }
     }
   }
 
@@ -175,7 +233,13 @@ object CurationPipeline {
     val shape = docs.columns.map(col).toIndexedSeq
     cfg.stages.foldLeft(docs) { (df0, stage) =>
       val df = stage match {
-        case NormalizedDedup | ExactDedup | NearDupDrop(_) =>
+        // join-shaped stages read their input from both sides, and the
+        // fit-then-score stages (dsir/perplexity/mixture) run a
+        // driver-side fit action over the input before the scoring
+        // pass — both re-evaluate upstream lineage without the cut
+        case NormalizedDedup | ExactDedup | NearDupDrop(_) | ParagraphDedup |
+             DsirSelect(_, _, _) | MixtureCalibrate(_, _) |
+             PerplexityFilter(_, _, _) | LrGate(_, _) =>
           df0.localCheckpoint(true)
         case _ => df0
       }
@@ -215,6 +279,64 @@ object CurationPipeline {
           Sampling.tokenBudgetSample(df, strata, budget, cfg.id, cfg.text)
             .select((col(cfg.id) +: strata.map(col)
               :+ col("n_tokens") :+ col("cum_tokens")): _*)
+        case ParagraphDedup =>
+          // corpus-wide first-occurrence paragraph dedup with ordered
+          // reassembly (p84): text is REWRITTEN to the surviving
+          // paragraphs; a document whose every paragraph was already
+          // seen elsewhere keeps nothing and is dropped (it is a dup)
+          val kept = Dedup.paragraphDedup(df, id = cfg.id, text = cfg.text)
+            .where(col("n_kept") > 0)
+            .select(col(cfg.id), col("kept_text"))
+          df.join(kept, Seq(cfg.id))
+            .withColumn(cfg.text, col("kept_text"))
+            .select(shape: _*)
+        case DomainCap(k, group) =>
+          // RefinedWeb-style per-domain cap (p55): each group
+          // surrenders at most k documents, best-first by the p8
+          // quality score, ties cut on the id
+          Sampling.capPerGroup(
+            TextStats.withQualityColumns(df, cfg.text)
+              .withColumn("__cap_q", round(col("quality_score"), 6)),
+            Seq(group), col("__cap_q"), col(cfg.id), k)
+            .select(shape: _*)
+        case DsirSelect(targets, buckets, source) =>
+          // DSIR selection (p58): importance ratios fit on the target
+          // slice vs the whole corpus, every document scored, positive
+          // importance kept
+          val sel = Dsir.selectByImportance(df,
+              col(source).isin(targets: _*), buckets, cfg.text, cfg.id)
+            .where(col("keep")).select(col(cfg.id))
+          df.join(sel, Seq(cfg.id)).select(shape: _*)
+        case MixtureCalibrate(targets, source) =>
+          // mixture calibration (p48): per-source keep rates derived
+          // from the binding target share; unlisted sources fail
+          // closed (rate 0) — the p48 contract
+          Sampling.calibrateMixture(df, targets, col(cfg.id), source)
+            .where(col("keep"))
+            .select(shape: _*)
+        case PerplexityFilter(keep, mpl, vs) =>
+          // perplexity filter (p54): unigram LM fit on the corpus,
+          // per-doc mean piece log-prob bucketed per lang into
+          // head/middle/tail terciles; configured buckets survive.
+          // Requires a 'lang' column (the p54 grouping contract).
+          val sel = UnigramLm.perplexityBuckets(
+              df.select(col(cfg.id).as("doc_id"), col("lang"),
+                col(cfg.text).as("__pp_text")),
+              maxPieceLen = mpl, vocabSize = vs, text = "__pp_text")
+            .where(col("bucket").isin(keep: _*))
+            .select(col("doc_id").as(cfg.id))
+          df.join(sel, Seq(cfg.id)).select(shape: _*)
+        case LrGate(path, n) =>
+          // trained-classifier gate (p57 serving form): FROZEN weights
+          // from a saved artifact (train offline with Logistic.train +
+          // saveWeights), score-only on the pipeline corpus — the
+          // x26 serving pattern reachable from config
+          val w = Logistic.loadWeights(df.sparkSession, path, n)
+          val sel = Logistic.scoreWith(
+              Logistic.features(df.select(col(cfg.id).as("doc_id"),
+                col(cfg.text).as("text"))), w)
+            .where(col("keep")).select(col("doc_id").as(cfg.id))
+          df.join(sel, Seq(cfg.id)).select(shape: _*)
       }
     }
   }

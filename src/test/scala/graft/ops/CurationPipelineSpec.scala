@@ -146,6 +146,166 @@ class CurationPipelineSpec extends SparkSpec {
     assert(CurationPipeline.run(d, cfg2).columns.contains("split"))
   }
 
+  test("paragraph_dedup stage rewrites text through the p84 operator; an all-dup doc is dropped") {
+    val d = Seq(
+      (1L, "s0", "alpha beta\n\nshared passage here"),
+      (2L, "s0", "shared passage here\n\ngamma delta"), // loses para 1
+      (3L, "s0", "shared passage here")                 // nothing novel -> dropped
+    ).toDF("doc_id", "source", "text")
+    val cfg = loadString(
+      """pipeline:
+        |  stages:
+        |    - kind: paragraph_dedup
+        |""".stripMargin)
+    val out = CurationPipeline.run(d, cfg)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == "alpha beta\n\nshared passage here")
+    assert(out(2L) == "gamma delta")
+    assert(CurationPipeline.run(d, cfg).columns.toSeq ==
+      Seq("doc_id", "source", "text"))
+  }
+
+  test("domain_cap stage equals the p55 capPerGroup derivation") {
+    val cfg = loadString(
+      """pipeline:
+        |  stages:
+        |    - kind: domain_cap
+        |      k: 10
+        |""".stripMargin)
+    val staged = CurationPipeline.run(docs, cfg)
+      .select("doc_id").as[Long].collect().toSet
+    val direct = Sampling.capPerGroup(
+        TextStats.withQualityColumns(docs)
+          .withColumn("__q", round(col("quality_score"), 6)),
+        Seq("source"), col("__q"), col("doc_id"), k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(staged.nonEmpty && staged == direct)
+    assert(staged.size < docs.count())
+  }
+
+  test("dsir_select stage equals the p58 selectByImportance keep set") {
+    val cfg = loadString(
+      """pipeline:
+        |  stages:
+        |    - kind: dsir_select
+        |      target_sources: [src0, src1, src2]
+        |""".stripMargin)
+    val staged = CurationPipeline.run(docs, cfg)
+      .select("doc_id").as[Long].collect().toSet
+    val direct = Dsir.selectByImportance(docs,
+        col("source").isin("src0", "src1", "src2"))
+      .where(col("keep")).select("doc_id").as[Long].collect().toSet
+    assert(staged.nonEmpty && staged == direct)
+  }
+
+  test("mixture_calibrate stage equals the p48 calibration keep set; unlisted sources fail closed") {
+    val cfg = loadString(
+      """pipeline:
+        |  stages:
+        |    - kind: mixture_calibrate
+        |      targets: src0:50, src1:30, src2:20
+        |""".stripMargin)
+    val staged = CurationPipeline.run(docs, cfg)
+    val stagedIds = staged.select("doc_id").as[Long].collect().toSet
+    val direct = Sampling.calibrateMixture(docs,
+        Seq(("src0", 50), ("src1", 30), ("src2", 20)), col("doc_id"))
+      .where(col("keep")).select("doc_id").as[Long].collect().toSet
+    assert(stagedIds.nonEmpty && stagedIds == direct)
+    // sources outside the target list surrender everything
+    val srcs = staged.select("source").distinct().as[String].collect().toSet
+    assert(srcs.subsetOf(Set("src0", "src1", "src2")))
+  }
+
+  test("perplexity_filter stage equals the p54 bucket membership") {
+    val cfg = loadString(
+      """pipeline:
+        |  stages:
+        |    - kind: perplexity_filter
+        |      keep_buckets: [head, middle]
+        |""".stripMargin)
+    val staged = CurationPipeline.run(docs, cfg)
+      .select("doc_id").as[Long].collect().toSet
+    val direct = UnigramLm.perplexityBuckets(docs)
+      .where(col("bucket").isin("head", "middle"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(staged.nonEmpty && staged == direct)
+    assert(staged.size < docs.count(), "tail bucket must actually drop")
+    // an unknown bucket name dies at LOAD time
+    val e = intercept[PipelineConfigError] {
+      loadString(
+        """pipeline:
+          |  stages:
+          |    - kind: perplexity_filter
+          |      keep_buckets: [best]
+          |""".stripMargin)
+    }
+    assert(e.getMessage.contains("'best' is not one of head|middle|tail"))
+  }
+
+  test("lr_gate stage scores with FROZEN saved weights and equals the direct scoreWith keep set") {
+    val feat = Logistic.features(docs).localCheckpoint(true)
+    val w = Logistic.train(feat, rounds = 3)
+    val wPath = java.nio.file.Files.createTempDirectory("graft_cp_lrw")
+      .resolve("weights").toString
+    Logistic.saveWeights(spark, wPath, w)
+    val cfg = loadString(
+      s"""pipeline:
+         |  stages:
+         |    - kind: lr_gate
+         |      weights_path: $wPath
+         |""".stripMargin)
+    val staged = CurationPipeline.run(docs, cfg)
+      .select("doc_id").as[Long].collect().toSet
+    val direct = Logistic.scoreWith(feat, w)
+      .where(col("keep")).select("doc_id").as[Long].collect().toSet
+    assert(staged.nonEmpty && staged == direct)
+    // a weights file with the wrong arity fails loudly, not silently
+    intercept[IllegalArgumentException] {
+      CurationPipeline.run(docs, loadString(
+        s"""pipeline:
+           |  stages:
+           |    - kind: lr_gate
+           |      weights_path: $wPath
+           |      n_weights: 6
+           |""".stripMargin)).collect()
+    }
+  }
+
+  test("curate CLI: end-to-end YAML run from Main, exit 0, survivors written") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_curate_cli")
+    val cfgPath = tmp.resolve("pipeline.yaml")
+    java.nio.file.Files.writeString(cfgPath,
+      """pipeline:
+        |  stages:
+        |    - kind: quality_gate
+        |      min_quality: 0.78
+        |    - kind: exact_dedup
+        |    - kind: domain_cap
+        |      k: 50
+        |    - kind: mixture_calibrate
+        |      targets: src0:50, src1:30, src2:20
+        |""".stripMargin)
+    val outDir = tmp.resolve("out").toString
+    val code = graft.etl.Main.run(Array("curate",
+      "--config", cfgPath.toString,
+      "--input", "/root/testdata/sf0.001/documents.parquet",
+      "--output", outDir), spark)
+    assert(code == 0)
+    val out = spark.read.parquet(outDir)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+    val n = out.count()
+    assert(n > 0 && n < docs.count())
+    // a bad config exits 2 through the usage path, never a raw throw
+    java.nio.file.Files.writeString(cfgPath,
+      "pipeline:\n  stages:\n    - kind: no_such_stage\n")
+    assert(graft.etl.Main.run(Array("curate",
+      "--config", cfgPath.toString,
+      "--input", "/root/testdata/sf0.001/documents.parquet",
+      "--output", outDir), spark) == 2)
+  }
+
   test("config errors fail at load with the stage named") {
     def err(yaml: String): String =
       intercept[PipelineConfigError](loadString(yaml)).getMessage
