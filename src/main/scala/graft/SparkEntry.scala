@@ -2925,6 +2925,26 @@ object SparkEntry {
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           col("n_pixels"), col("sum_r"), col("sum_g"), col("sum_b"))),
+    // P90: MJPEG video decode (round 12) — the FIRST LOSSY codec in
+    // the engine, riding the p80 container unchanged: MJPG (JPEG
+    // frames, the classic motion-JPEG AVI fourcc) assembled and
+    // demuxed by the same RIFF walker, every frame decoded through
+    // ImageIO's real JPEG codec. JPEG is lossy, so the oracle pins
+    // what a lossy codec CAN replay exactly — per-frame structure:
+    // frame count (declared == movi == formula), decoded dimensions
+    // (decoder output == stream header == formula), pixel count.
+    // Pixel FIDELITY is spec-pinned instead (OpsSpec "MJPEG round
+    // trip": mean per-channel deviation from the generative formula
+    // under a measured JPEG error bound, frames provably distinct) —
+    // the decode is real, the tolerance lives in a spec, never in an
+    // oracle hash.
+    "p90_mjpeg_decode" -> ((s, dir) =>
+      ops.Multimodal.decodeVideos(
+          ops.Multimodal.renderAvis(t(s, dir, "documents"), frameFormat = "jpg"))
+        .toDF()
+        .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("n_pixels"))),
     // P44: semantic dedup (SemDeDup) — k-means-cluster the embedding
     // space (the p13 codebook, shared machinery), compare pairs only
     // within a vector's closest cells (the IVF recall knob applied to
@@ -6079,6 +6099,19 @@ object SparkEntry {
          |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(gr) AS BIGINT) AS sum_g,
          |  CAST(sum(bl) AS BIGINT) AS sum_b
          |FROM g GROUP BY 1, 2, 3, 4, 5""".stripMargin,
+    // p90: the lossy-codec contract — the structural half of the p80
+    // replay (frame grid + dims), no pixel sums (JPEG is lossy; pixel
+    // fidelity is spec-pinned, not oracle-hashed)
+    "p90_mjpeg_decode" ->
+      s"""WITH d AS (SELECT doc_id, ${hx("text")} AS h FROM documents),
+         |p AS (SELECT doc_id,
+         |        8 + h % 16 AS w, 8 + (h // 16) % 12 AS ht,
+         |        2 + (h // 192) % 4 AS nf
+         |      FROM d)
+         |SELECT doc_id, CAST(fs.f AS BIGINT) AS frame_no,
+         |  CAST(w AS BIGINT) AS width, CAST(ht AS BIGINT) AS height,
+         |  CAST(w * ht AS BIGINT) AS n_pixels
+         |FROM p, unnest(range(0, p.nf)) fs(f)""".stripMargin,
     "p64_ivfpq_topk" -> ivfPqOracleSql(d = 64, m = 16, ksub = 16, iters = 2,
       k = 5, rerankSql = autoRerankSql(k = 5)),
     "p71_cluster_stats" ->

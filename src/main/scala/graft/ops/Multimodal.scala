@@ -10,17 +10,21 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
   * goes through javax.imageio (PNG), `decodeAudio` through javax.sound
   * (WAV/PCM), and `decodeVideos` (round 11) hand-parses a
   * standards-shaped RIFF/AVI container — avih/strh/strf headers, movi
-  * frame chunks, idx1 — and decodes each frame through ImageIO. The
-  * JDK ships no MJPEG-grade video decoder, but it doesn't need one:
-  * the frames are MPNG (PNG-compressed AVI, a registered fourcc),
-  * which keeps the frame codec LOSSLESS so the oracle replays the
-  * generative pixel formula exactly (the p68 discipline; a lossy
-  * MJPEG frame would decode deterministically but not be
-  * formula-replayable by a SQL oracle).
+  * frame chunks, idx1 — and decodes each frame through ImageIO. Two
+  * frame codecs ride that one demux (round 12): MPNG (PNG frames,
+  * LOSSLESS — the oracle replays the generative pixel formula exactly,
+  * the p68 discipline — p80) and MJPG (JPEG frames, the classic
+  * motion-JPEG AVI and the first LOSSY codec in the engine — p90: the
+  * container structure, frame count, and dimensions replay exactly;
+  * pixel fidelity is spec-pinned against the generative formula with a
+  * measured JPEG error bound, because a lossy frame cannot be
+  * formula-replayed by a SQL oracle).
   *
   * The generic STUB kernel (`withStubFeatures`/`stubDecode`) remains
   * as the PLUGGABLE shape for codecs that genuinely need native
-  * libraries (H.264 etc.):
+  * libraries — the JDK ships no H.264/VP9 decoder (environment
+  * limit, not a design gap: MJPG proves the lossy-codec plumbing
+  * end-to-end):
   *  - binary payload + (media_type, byte_len) metadata columns;
   *  - a columnar fast path (`withStubFeatures`) whose md5-based fake
   *    stays fully codegen'd and oracle-checkable;
@@ -327,8 +331,10 @@ object Multimodal {
     * idx1 index records each frame's offset — everything a strict
     * demuxer checks.
     */
-  private[ops] def aviBytes(frames: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+  private[ops] def aviBytes(frames: Seq[Array[Byte]], w: Int, h: Int,
+      fourcc: String = "MPNG"): Array[Byte] = {
     require(frames.nonEmpty, "an AVI needs at least one frame")
+    require(fourcc.length == 4, s"a fourcc is 4 bytes, got '$fourcc'")
     val maxFrame = frames.map(_.length).max
     val pads = frames.map(_.length % 2)
     val moviSize = 4 + frames.zip(pads).map { case (f, p) => 8 + f.length + p }.sum
@@ -345,14 +351,14 @@ object Multimodal {
       .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
     putFcc(bb, "LIST").putInt(4 + (8 + 56) + (8 + 40)); putFcc(bb, "strl")
     putFcc(bb, "strh").putInt(56)
-    putFcc(bb, "vids"); putFcc(bb, "MPNG")
+    putFcc(bb, "vids"); putFcc(bb, fourcc)
     bb.putInt(0).putShort(0).putShort(0).putInt(0)
       .putInt(1).putInt(10).putInt(0).putInt(frames.length) // scale 1, rate 10
       .putInt(maxFrame).putInt(-1).putInt(0)
       .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
     putFcc(bb, "strf").putInt(40)
     bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
-    putFcc(bb, "MPNG")
+    putFcc(bb, fourcc)
     bb.putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
     putFcc(bb, "LIST").putInt(moviSize); putFcc(bb, "movi")
     val offsets = Array.ofDim[Int](frames.length)
@@ -419,10 +425,20 @@ object Multimodal {
 
   /** Render each document's deterministic frame sequence as a REAL AVI
     * payload (MPNG frames through JDK ImageIO — the renderPngs
-    * per-partition batch shape at video arity).
+    * per-partition batch shape at video arity). `frameFormat` selects
+    * the frame codec: "png" → MPNG (lossless, oracle-replayable pixel
+    * sums — p80) or "jpg" → MJPG (LOSSY: structure replays exactly,
+    * pixels approximately — p90). Both are registered AVI fourccs and
+    * both ride the same container, demux, and ImageIO kernel.
     */
   def renderAvis(docs: DataFrame, id: String = "doc_id",
-      text: String = "text"): Dataset[AviRecord] = {
+      text: String = "text", frameFormat: String = "png"): Dataset[AviRecord] = {
+    val fourcc = frameFormat match {
+      case "png" => "MPNG"
+      case "jpg" => "MJPG"
+      case other => throw new IllegalArgumentException(
+        s"frameFormat must be png|jpg, got '$other'")
+    }
     implicit val enc = Encoders.product[AviRecord]
     val spark = docs.sparkSession
     import spark.implicits._
@@ -451,10 +467,10 @@ object Multimodal {
               y += 1
             }
             val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "png", bos)
+            javax.imageio.ImageIO.write(img, frameFormat, bos)
             bos.toByteArray
           }
-          AviRecord(docId, aviBytes(frames, w, ht))
+          AviRecord(docId, aviBytes(frames, w, ht, fourcc))
         }
       }
   }

@@ -854,6 +854,53 @@ class OpsSpec extends SparkSpec {
     intercept[Exception] { Multimodal.decodeVideos(bad).collect() }
   }
 
+  test("multimodal p90: MJPEG round trip — JPEG frames through the SAME demux; structure exact, pixels within a JPEG bound") {
+    import spark.implicits._
+    val d = Seq((1L, "the cat sat on the mat"), (7L, "another doc"),
+      (13L, "a third body of text rides here")).toDF("doc_id", "text")
+    val avis = Multimodal.renderAvis(d, frameFormat = "jpg").collect()
+    avis.foreach { a =>
+      val (declared, w, h, frames) = Multimodal.parseAvi(a.avi)
+      assert(declared == frames.length && w > 0 && h > 0)
+      // each frame is a real JFIF/JPEG payload (MJPG fourcc): SOI marker
+      frames.foreach(f => assert((f(0) & 0xff) == 0xff && (f(1) & 0xff) == 0xd8,
+        s"doc ${a.doc_id}: frame does not start with a JPEG SOI marker"))
+    }
+    val stats = Multimodal.decodeVideos(
+        Multimodal.renderAvis(d, frameFormat = "jpg"))
+      .collect().groupBy(_.doc_id)
+    d.as[(Long, String)].collect().foreach { case (id, t) =>
+      val h = graft.functions.Md5Hex64Math.hashBytes(
+        t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val (w, ht, nf, a, b, c) = Multimodal.videoParams(h)
+      val rows = stats(id).sortBy(_.frame_no)
+      // STRUCTURE replays exactly — the p90 oracle contract
+      assert(rows.length == nf && rows.map(_.frame_no).toSeq == (0 until nf))
+      rows.foreach(s => assert(s.width == w && s.height == ht &&
+        s.n_pixels == w.toLong * ht))
+      // PIXELS are approximate (lossy) but must track the generative
+      // formula: mean per-pixel channel deviation of the frame SUM
+      // under a JPEG error bound — a fake decode (zeros, header echo)
+      // lands hundreds off, a real one single digits
+      rows.foreach { s =>
+        var (er, eg, eb) = (0L, 0L, 0L)
+        for (y <- 0 until ht; x <- 0 until w) {
+          val base = a * x + b * y + c + 31L * s.frame_no
+          er += base % 256L; eg += (base + 85L) % 256L; eb += (base + 170L) % 256L
+        }
+        val n = (w.toLong * ht).toDouble
+        val dev = math.max(math.abs(s.sum_r - er) / n,
+          math.max(math.abs(s.sum_g - eg) / n, math.abs(s.sum_b - eb) / n))
+        assert(dev <= 32.0,
+          s"doc $id frame ${s.frame_no}: mean channel deviation $dev — not a real decode")
+      }
+      // and frames are DISTINCT (the +31 per-frame offset survives the
+      // codec): a constant fake would collapse them
+      assert(rows.map(_.sum_r).distinct.length == nf,
+        s"doc $id: decoded frames are not distinct")
+    }
+  }
+
   test("multimodal: resize fits bounding box preserving aspect; no upscale") {
     import spark.implicits._
     val decoded = Seq((1L, 1920, 1080), (2L, 100, 50), (3L, 10, 2000))
