@@ -931,16 +931,19 @@ object SparkEntry {
     // reference = token-id shares of the even-doc half under a p47
     // vocabulary built on that same half (id 0 = OOV); current = the
     // odd-doc half streamed, per-(cohort, token-id) counts as
-    // aggregation state (documents carry no event time, so arrival
-    // cohorts derive from the id — a production stream would use
-    // ingest time); the drained state scores against the reference
+    // aggregation state (documents carry no wall-clock event time, so
+    // the deterministic doc_id clock stands in — the x28 discipline:
+    // ts = epoch + doc_id seconds makes the 100 s tumbling window
+    // exactly the doc_id div 100 arrival cohort, so the oracle
+    // replays it); the drained state scores against the reference
     // through the SAME Drift.psiAgainstReference post-pass, vanished
     // and novel token mass surfacing as the x22 NULL modes.
-    // State bound: |cohorts| x (vocab k + 1) count rows — the token
-    // axis is vocab-bounded, and the cohort axis is the event-time
-    // axis in disguise: its production form is the x22/x28 watermarked
-    // update-mode shape (same groupBy(window, key) + count state,
-    // eviction MEASURED by WatermarkEvictionSpec for the family).
+    // PRODUCTION form (round 12, completing the family): event-time
+    // watermark + outputMode(update) on RocksDB — a closed window's
+    // ≤ (vocab k + 1) count rows are EVICTED instead of accumulating
+    // one cohort per 100 arrivals forever (WatermarkEvictionSpec pins
+    // the groupBy(window, key) + count eviction shape); drain is the
+    // family's monotone max-count discipline.
     "x25_stream_vocab_drift" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val d = t(s, dir, "documents")
@@ -956,16 +959,27 @@ object SparkEntry {
       val refShares = refCounts
         .crossJoin(broadcast(refCounts.agg(sum("n_ref").as("__t"))))
         .select(col("bin"), (col("n_ref") / col("__t")).as("p_ref"))
-      val binned = tokens(docStream(s, dir).where(col("doc_id") % 2 === 1))
+      val binned = docStream(s, dir).where(col("doc_id") % 2 === 1)
+        .withColumn("ts", timestamp_seconds(col("doc_id")))
+        .withWatermark("ts", "100 seconds")
+        .select(col("ts"), explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .where(col("token") =!= "")
         .join(broadcast(vocab), Seq("token"), "left")
-        .groupBy(floor(col("doc_id") / 100).as("win_start"),
+        .groupBy(window(col("ts"), "100 seconds").as("w"),
           coalesce(col("token_id"), lit(0L)).as("bin"))
         .agg(count(lit(1)).as("n_cur"))
       val sink = s"stream_vocab_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = binned.writeStream.format("memory").queryName(sink)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      ops.Drift.psiAgainstReference(drainMemorySink(s, sink), refShares)
+      withRocksStateStore(s) {
+        val q = binned.writeStream.format("memory").queryName(sink)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val drained = drainMemorySink(s, sink)
+        .groupBy(col("w"), col("bin"))
+        .agg(max(col("n_cur")).as("n_cur"))
+        .select(expr("unix_timestamp(w.start) div 100").as("win_start"),
+          col("bin"), col("n_cur"))
+      ops.Drift.psiAgainstReference(drained, refShares)
     }),
 
     // D6: SCD Type-2 history construction — the other half of the

@@ -434,11 +434,12 @@ class RecallSpec extends RecallFloorsSpec("/root/testdata/sf0.01")
   *   GRAFT_SLOW=1 sbt "testOnly graft.ops.RecallAtScaleSpec"
   *
   * — and run (with results recorded in BASELINE.md) each round rather
-  * than on every `sbt test`. Measured 2026-08-15 (all 12 floors
-  * hold): p3 1.0, p4 complete at its radius, p23 on its formula,
-  * p6/p25 on theirs, p13 0.485 (floor 0.4), p59 0.482 (floor 0.4),
-  * p64 0.4681 / p66 0.4708 (floors 0.3, p66 >= p64 pinned; round-9
-  * auto-rerankK — up from 0.3553 / 0.3701 under round 8's fixed 20).
+  * than on every `sbt test`. Measured 2026-08-16, round 12 (all 12
+  * floors hold): p3 1.0, p4 complete at its radius, p23 on its
+  * formula, p6/p25 on theirs, p13 0.4851 (floor 0.4), p59 0.4824
+  * (floor 0.4), p64 0.4681 / p66 0.4708 (floors 0.3, p66 >= p64
+  * pinned) — identical to 4 decimals with the round-9-era
+  * measurements, the determinism contract holding across rounds.
   */
 class RecallAtScaleSpec extends RecallFloorsSpec("/root/testdata/sf0.1") {
   override protected def withFixture(test: NoArgTest): org.scalatest.Outcome =
