@@ -1992,13 +1992,19 @@ object SparkEntry {
     // bounded by occupancy x nProbe), and per-query top-k runs UPDATE
     // mode through the BOUNDED TopKCandAgg aggregator (the x20
     // max-struct discipline generalized to k): the state store holds
-    // exactly k structs per query — never a query's candidate history
-    // — so state is |keys| x k, and key eviction in production is the
-    // standard watermark story. The drain re-ranks the union of the
-    // per-batch updates, which equals the global top-k because the
-    // running top-k is monotone (every final top-k element is in
-    // every update after it arrives — pinned in TopKServingStateSpec,
-    // batch-count independent). Scoring definition is SHARED with p42
+    // exactly k structs per query — never a query's candidate history.
+    // Key EVICTION is the family's measured watermark story (round
+    // 12, closing the last asserted one): queries carry the
+    // deterministic query-id clock, the aggregation keys on
+    // (event-time window, query_id) under a watermark on RocksDB, and
+    // a window whose queries are finalized leaves the state store —
+    // k structs and all (WatermarkEvictionSpec pins numRowsRemoved > 0
+    // and drained == batch for this exact aggregator shape). The
+    // drain re-ranks the union of the per-batch updates, which equals
+    // the global top-k because the running top-k is monotone (every
+    // final top-k element is in every update after it arrives —
+    // pinned in TopKServingStateSpec, batch-count independent).
+    // Scoring definition is SHARED with p42
     // (Similarity.ivfCandidatePairs), so batch and stream cannot
     // drift — and the oracle IS p42's, replayed on the same split.
     "x30_stream_ann_serve" -> ((s, dir) => {
@@ -2016,12 +2022,16 @@ object SparkEntry {
       val topk = udaf(new ops.TopKCandAgg(k),
         org.apache.spark.sql.Encoders.product[ops.ScoredCand])
       val sink = s"stream_ann_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = pairs
-        .groupBy(col("query_id"))
-        .agg(topk(col("cosine") * -1, col("neighbor_id")).as("tk"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("update").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withRocksStateStore(s) {
+        val q = pairs
+          .withColumn("ts", timestamp_seconds(col("query_id")))
+          .withWatermark("ts", "256 seconds")
+          .groupBy(window(col("ts"), "256 seconds").as("w"), col("query_id"))
+          .agg(topk(col("cosine") * -1, col("neighbor_id")).as("tk"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       // re-rank the drained updates (ranking semantics = rankTopK:
       // cosine desc, ties to the lowest neighbor id); distinct first —
       // a candidate surviving several batches appears in each update

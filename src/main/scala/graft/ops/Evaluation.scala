@@ -398,8 +398,17 @@ object Evaluation {
     val pe = col("n_keep_a") * col("n_keep_b") +
       (col("n_docs") - col("n_keep_a")) * (col("n_docs") - col("n_keep_b"))
     val den = col("n_docs") * col("n_docs") - pe
+    // the one-division exactness contract needs n² inside the 2^53
+    // double mantissa — n ≤ 9e7 per group, GUARDED loud (round 12, the
+    // documented-envelope convention) instead of silently losing ulps
+    val guardedDen = when(col("n_docs") > 90000000L,
+      raise_error(concat(
+        lit("kappaFromCounts: group of "), col("n_docs").cast("string"),
+        lit(" docs exceeds the exact one-division envelope (9e7) — "),
+        lit("shard the group key"))).cast("long"))
+      .otherwise(den)
     counts.select(groups.map(col) :+ col("n_docs") :+ col("n_agree") :+
-      when(den =!= 0L,
+      when(guardedDen =!= 0L,
         round((col("n_docs") * col("n_agree") - pe).cast("double") /
           den.cast("double"), 6))
         .otherwise(lit(null).cast("double")).as("kappa"): _*)

@@ -22,8 +22,10 @@ case class TopKBuf(cands: Seq[ScoredCand])
   * k structs per key — never a key's full candidate history, which is
   * what `collect_list` state would grow into. This is what makes
   * update-mode ANN serving (x30) a production envelope: per-key state
-  * is O(k), and key eviction is the standard watermark story, not an
-  * unbounded candidate set.
+  * is O(k), and key eviction is MEASURED, not asserted — x30 keys on
+  * (event-time window, query) under a watermark on RocksDB, and
+  * WatermarkEvictionSpec pins numRowsRemoved > 0 with drained == batch
+  * for this exact aggregator shape.
   *
   * Semantics contract (pinned in TopKServingStateSpec): the bounded
   * fold loses NOTHING — top-k is a monotone statistic, so the k-bounded

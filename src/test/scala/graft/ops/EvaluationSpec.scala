@@ -388,6 +388,21 @@ class EvaluationSpec extends SparkSpec {
       ok.getAs[Long]("chi2_micro") == 10000000L)
   }
 
+  test("p77 guard: a counts row past n = 9e7 fails LOUD instead of silently losing mantissa ulps") {
+    // kappaFromCounts takes a COUNTS frame, so the over-envelope case
+    // is one literal row — no data-scale fixture needed
+    val big = Seq(("g", 100000001L, 50000000L, 50000000L, 50000000L))
+      .toDF("g", "n_docs", "n_agree", "n_keep_a", "n_keep_b")
+    val e = intercept[Exception] {
+      Evaluation.kappaFromCounts(big, Seq("g")).collect()
+    }
+    assert(e.getMessage.contains("one-division envelope"))
+    val ok = Seq(("g", 4L, 4L, 2L, 2L))
+      .toDF("g", "n_docs", "n_agree", "n_keep_a", "n_keep_b")
+    assert(Evaluation.kappaFromCounts(ok, Seq("g"))
+      .collect().head.getAs[Double]("kappa") == 1.0)
+  }
+
   test("p86 tail: pairEval canonicalizes to DISTINCT pairs — duplicate detector rows cannot inflate precision") {
     val truth = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
     // the detector emitted (1,2) twice (e.g. two LSH bands fired)

@@ -16,6 +16,12 @@ case class ScoredPair(doc_id: Long, keep_a: Long, keep_b: Long,
   */
 case class SourcedDoc(doc_id: Long, source: String, ts: java.sql.Timestamp)
 
+/** A scored ANN candidate pair with its query's event time — the x30
+  * serving monitor's input row shape.
+  */
+case class ScoredPairRow(query_id: Long, cosine: Double, neighbor_id: Long,
+    ts: java.sql.Timestamp)
+
 /** The monitor family's production claim, MEASURED instead of asserted
   * (round 11): "state is watermark-bounded in production" is only real
   * if a finalized window's state rows actually LEAVE the state store.
@@ -166,6 +172,76 @@ class WatermarkEvictionSpec extends SparkSpec {
             .select(col("window_id"), col("source"), col("n_docs"), col("rate_bps"))
             .as[(Long, String, Long, Long)].collect().toSet
         assert(rates(drained) == rates(batch))
+      } finally q.stop()
+    }
+  }
+
+  test("x30 production form: watermark EVICTS finalized per-query top-k aggregator state on RocksDB; drained top-k == batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val k = 2
+    // batch 1: queries 1 and 2 in window [0, 256) — more than k
+    // candidates each, so the bounded buffer must truncate
+    val b1 = Seq(
+      ScoredPairRow(1L, 0.9, 10L, ts(10)), ScoredPairRow(1L, 0.8, 11L, ts(10)),
+      ScoredPairRow(1L, 0.7, 12L, ts(10)),
+      ScoredPairRow(2L, 0.6, 20L, ts(20)), ScoredPairRow(2L, 0.5, 21L, ts(20)))
+    // batch 2: query 100 in window [768, 1024): max event 1000 s
+    // advances the watermark to 744 s for the NEXT batch — window 0's
+    // two k-struct rows must leave the state store then
+    val b2 = Seq(ScoredPairRow(100L, 0.4, 30L, ts(1000)),
+      ScoredPairRow(100L, 0.95, 31L, ts(1000)))
+    // batch 3: runs a batch under the advanced watermark — and adds a
+    // LATE better candidate for the evicted query 1, which must be
+    // DROPPED (the eviction is real: the result below stays the
+    // batch-1 top-k for query 1)
+    val b3 = Seq(ScoredPairRow(200L, 0.3, 40L, ts(2000)),
+      ScoredPairRow(1L, 0.99, 13L, ts(10)))
+    val topk = udaf(new graft.ops.TopKCandAgg(k),
+      org.apache.spark.sql.Encoders.product[graft.ops.ScoredCand])
+    def windowed(df: org.apache.spark.sql.DataFrame) = df
+      .withWatermark("ts", "256 seconds")
+      .groupBy(window(col("ts"), "256 seconds").as("w"), col("query_id"))
+      .agg(topk(col("cosine") * -1, col("neighbor_id")).as("tk"))
+    withRocksDb {
+      val source = MemoryStream[ScoredPairRow]
+      val q = windowed(source.toDF())
+        .writeStream.format("memory").queryName("wm_ann")
+        .outputMode("update").start()
+      try {
+        source.addData(b1: _*); q.processAllAvailable()
+        source.addData(b2: _*); q.processAllAvailable()
+        source.addData(b3: _*); q.processAllAvailable()
+        assert(rocksEngaged(q), "no rocksdb custom metrics — default provider ran instead")
+        val removed = q.recentProgress.toSeq
+          .flatMap(_.stateOperators.toSeq).map(_.numRowsRemoved).sum
+        assert(removed > 0,
+          s"watermark passed window 0 but no aggregator state was removed (sum=$removed)")
+        val lastRows = q.recentProgress.last.stateOperators.head.numRowsTotal
+        assert(lastRows < 4,
+          s"4 (window, query) keys were opened but finalized ones must be gone; state holds $lastRows")
+        // drained re-rank (the x30 drain, verbatim shape) == the same
+        // aggregation over the ON-TIME rows as one batch — the late
+        // b3 candidate for evicted query 1 must NOT appear
+        def drain(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] = df
+          .select(col("query_id"), explode(col("tk").getField("cands")).as("__c"))
+          .select(col("query_id"), col("__c.nc").as("nc"),
+            col("__c.neighbor_id").as("neighbor_id"))
+          .distinct()
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+              .orderBy(col("nc").asc, col("neighbor_id").asc)))
+          .where(col("rank") <= k)
+          .select(col("query_id"), col("neighbor_id"), col("rank").cast("long"))
+          .as[(Long, Long, Long)].collect().toSet
+        val drained = drain(s.table("wm_ann"))
+        val onTime = (b1 ++ b2 ++ b3.take(1)).toDF()
+        val batch = drain(windowed(onTime))
+        assert(drained == batch, s"drained $drained != batch $batch")
+        assert(!drained.contains((1L, 13L, 1L)),
+          "the late candidate for the evicted query leaked into the serving state")
       } finally q.stop()
     }
   }
