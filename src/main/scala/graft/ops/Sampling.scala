@@ -201,19 +201,28 @@ object Sampling {
     * on exactly-representable longs (p72's one-float-site
     * discipline). Envelope: exactness needs Σw < 2^26·√(Σw²)… in
     * practice Σw ≤ 9e7 keeps (Σw)² inside the 2^53 double mantissa
-    * and Σw² ≤ 2^63 is corpus-scale for bounded weights; shard the
-    * stratum key past that.
+    * and Σw² ≤ 2^63 is corpus-scale for bounded weights; GUARDED loud
+    * (raise_error, round 12 — the documented-envelope convention)
+    * instead of silently losing mantissa ulps; shard the stratum key
+    * past that.
     */
   def effectiveSampleSize(df: DataFrame, strata: Seq[String],
       weight: Column): DataFrame = {
     require(strata.nonEmpty, "strata must be non-empty")
     val w = weight.cast("long")
+    val guardedSw = when(col("sum_w") > 90000000L,
+      raise_error(concat(
+        lit("effectiveSampleSize: stratum weight mass "),
+        col("sum_w").cast("string"),
+        lit(" exceeds the exact one-division envelope (9e7) — shard the stratum key")))
+        .cast("long"))
+      .otherwise(col("sum_w"))
     df.groupBy(strata.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
         sum(w).as("sum_w"), sum(w * w).as("__sw2"))
       .select(strata.map(col) :+ col("n_rows") :+ col("sum_w") :+
         when(col("__sw2") > 0,
-          round(col("sum_w").cast("double") * col("sum_w").cast("double") /
+          round(guardedSw.cast("double") * col("sum_w").cast("double") /
             col("__sw2").cast("double"), 6))
           .otherwise(lit(null).cast("double")).as("ess"): _*)
   }

@@ -140,6 +140,13 @@ class OpsSpec extends SparkSpec {
     val zs = (1L to 5L).map(i => (i, "g", 0L)).toDF("doc_id", "g", "w")
     val e3 = Sampling.effectiveSampleSize(zs, Seq("g"), col("w")).collect().head
     assert(e3.isNullAt(e3.fieldIndex("ess")))
+    // weight mass past the 9e7 one-division envelope fails LOUD
+    // instead of silently losing mantissa ulps
+    val over = Seq((1L, "g", 91000000L)).toDF("doc_id", "g", "w")
+    val err = intercept[Exception] {
+      Sampling.effectiveSampleSize(over, Seq("g"), col("w")).collect()
+    }
+    assert(err.getMessage.contains("one-division envelope"))
   }
 
   test("weighted sampling: exact k, deterministic, scale-invariant, weight-sensitive") {
