@@ -534,6 +534,21 @@ object SparkEntry {
         ev.where(col("event_id") % 2 === 1),
         "value", lo = 0.0, binWidth = 40.0, nBins = 10))
     }),
+    // A22: total-variation drift (round 12) — the drift battery's
+    // MASS metric over the same a14/a20 grid, completing the trio:
+    // PSI weighs log-ratio movement (dilutes localized shifts), KS is
+    // the max CDF gap (blind to how much total mass moved), TVD is
+    // half the L1 gap — the total probability mass that must move,
+    // the number a mixture-rebalance decision budgets by. Integer
+    // count cross products to the final DIV, one shared ksByBin
+    // per-bin frame — the three statistics ride ONE grid aggregation.
+    "a22_tvd_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ops.Drift.tvdStat(ops.Drift.ksByBin(
+        ev.where(col("event_id") % 2 === 0),
+        ev.where(col("event_id") % 2 === 1),
+        "value", lo = 0.0, binWidth = 40.0, nBins = 10))
+    }),
     // A21: Mann–Whitney rank-sum two-sample test — the EXACT member
     // of the a14/a20 drift family (PSI weighs binned share movement,
     // KS the max binned CDF gap; this tests location shift on the RAW
@@ -924,6 +939,41 @@ object SparkEntry {
         .agg(max(col("n_cur")).as("n_cur"))
         .select(col("w.start").as("win_start"), col("bin"), col("n_cur"))
       ops.Drift.ksAgainstReference(drained, refCounts, nBins = 10)
+    }),
+
+    // X34: streaming TVD drift monitor — a22's statistic in the
+    // x22/x32 production harness (same per-(event-time window, bin)
+    // count state under the same watermark on RocksDB, same monotone
+    // update-mode drain): the THREE drift monitors — PSI, KS, TVD —
+    // now run off ONE state-store shape; a deployment keeps one
+    // windowed count state and fans the drained frame into all three
+    // post-passes. TVD answers the question the other two don't:
+    // how much of the window's probability mass moved — the direct
+    // input to a mixture-rebalance (x28) decision. Post-pass cost:
+    // |windows| × 10 rows, integer-exact.
+    "x34_stream_tvd" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val refCounts = t(s, dir, "events").where(col("event_id") % 2 === 0)
+        .select(ops.Drift.binCol(col("value"), 0.0, 40.0, 10).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n_ref"))
+      val cur = eventStream(s, dir).where(col("event_id") % 2 === 1)
+      val binned = EventTime.withTsNanos(cur)
+        .withColumn("ts_t", timestamp_micros(EventTime.nsToMicros("ts_ns")))
+        .withWatermark("ts_t", "1 hour")
+        .groupBy(window(col("ts_t"), "1 hour").as("w"),
+          ops.Drift.binCol(col("value"), 0.0, 40.0, 10).as("bin"))
+        .agg(count(lit(1)).as("n_cur"))
+      val sink = s"stream_tvd_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      withRocksStateStore(s) {
+        val q = binned.writeStream.format("memory").queryName(sink)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val drained = drainMemorySink(s, sink)
+        .groupBy(col("w"), col("bin"))
+        .agg(max(col("n_cur")).as("n_cur"))
+        .select(col("w.start").as("win_start"), col("bin"), col("n_cur"))
+      ops.Drift.tvdAgainstReference(drained, refCounts, nBins = 10)
     }),
 
     // X25: streaming VOCABULARY drift monitor — the x22 PSI machinery
@@ -4686,6 +4736,25 @@ object SparkEntry {
         |SELECT n_a, n_b, bin AS ks_bin,
         |  CASE WHEN n_a > 0 AND n_b > 0 THEN (gap * 1000000) // (n_a * n_b) END AS ks_micro
         |FROM m WHERE rn = 1""".stripMargin,
+    // a22: the TVD statistic off the same binned-count CTEs as a20 —
+    // half the L1 gap in integer count cross products
+    "a22_tvd_drift" ->
+      """WITH b AS (SELECT event_id,
+        |             CAST(least(greatest(floor(value / 40.0), 0), 9) AS BIGINT) AS bin
+        |           FROM events),
+        |ab AS (SELECT bin, count(*) AS na FROM b WHERE event_id % 2 = 0 GROUP BY 1),
+        |bb AS (SELECT bin, count(*) AS nb FROM b WHERE event_id % 2 = 1 GROUP BY 1),
+        |spine AS (SELECT unnest(range(0, 10)) AS bin),
+        |j AS (SELECT s.bin, coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+        |      FROM spine s LEFT JOIN ab USING (bin) LEFT JOIN bb USING (bin)),
+        |c AS (SELECT bin, na, nb,
+        |        CAST(sum(na) OVER () AS BIGINT) AS tot_a,
+        |        CAST(sum(nb) OVER () AS BIGINT) AS tot_b FROM j)
+        |SELECT CAST(max(tot_a) AS BIGINT) AS n_a, CAST(max(tot_b) AS BIGINT) AS n_b,
+        |  CASE WHEN max(tot_a) > 0 AND max(tot_b) > 0
+        |    THEN CAST((sum(abs(na * tot_b - nb * tot_a)) * 1000000)
+        |         // (2 * max(tot_a) * max(tot_b)) AS BIGINT) END AS tvd_micro
+        |FROM c""".stripMargin,
     // tie-averaged fractional ranks (rank + (ties-1)/2), doubled
     // rank-sum in exact integers, tie-corrected z in the SAME fixed
     // operation order as the engine
@@ -4807,6 +4876,33 @@ object SparkEntry {
         |  CASE WHEN n_ref > 0 AND n_cur > 0
         |    THEN (gap * 1000000) // (n_ref * n_cur) END AS ks_micro
         |FROM m WHERE rn = 1""".stripMargin,
+    // x34: the a22 TVD tail on x32's windowed dense frame — one state
+    // shape, three monitor post-passes
+    "x34_stream_tvd" ->
+      """WITH refc AS (SELECT CAST(least(greatest(floor(value / 40.0), 0), 9) AS BIGINT) AS bin,
+        |                     CAST(count(*) AS BIGINT) AS n_ref
+        |              FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+        |cur AS (SELECT date_trunc('hour', ts) AS win_start,
+        |               CAST(least(greatest(floor(value / 40.0), 0), 9) AS BIGINT) AS bin,
+        |               CAST(count(*) AS BIGINT) AS n_cur
+        |        FROM events WHERE event_id % 2 = 1 GROUP BY 1, 2),
+        |spine AS (SELECT w.win_start, b.bin
+        |          FROM (SELECT DISTINCT win_start FROM cur) w
+        |          CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) b),
+        |dense AS (SELECT s.win_start, s.bin,
+        |            coalesce(r.n_ref, 0) AS n_ref, coalesce(c.n_cur, 0) AS n_cur
+        |          FROM spine s LEFT JOIN refc r ON r.bin = s.bin
+        |          LEFT JOIN cur c ON c.win_start = s.win_start AND c.bin = s.bin),
+        |tt AS (SELECT win_start, bin, n_ref, n_cur,
+        |         CAST(sum(n_ref) OVER (PARTITION BY win_start) AS BIGINT) AS tot_r,
+        |         CAST(sum(n_cur) OVER (PARTITION BY win_start) AS BIGINT) AS tot_c
+        |       FROM dense)
+        |SELECT win_start, CAST(max(tot_r) AS BIGINT) AS n_ref,
+        |  CAST(max(tot_c) AS BIGINT) AS n_cur,
+        |  CASE WHEN max(tot_r) > 0 AND max(tot_c) > 0
+        |    THEN CAST((sum(abs(n_cur * tot_r - n_ref * tot_c)) * 1000000)
+        |         // (2 * max(tot_r) * max(tot_c)) AS BIGINT) END AS tvd_micro
+        |FROM tt GROUP BY win_start""".stripMargin,
     // same PSI tail as x22, with the token-id distribution as bins
     // and id-derived arrival cohorts as windows
     "x25_stream_vocab_drift" ->

@@ -176,6 +176,83 @@ object Drift {
             .otherwise(expr("(__m.gap * 1000000) DIV (n_a * n_b)")))
           .otherwise(lit(null).cast("long")).as("ks_micro"))
 
+  /** Total-variation distance off [[ksByBin]]'s per-bin frame — the
+    * drift battery's MASS metric over the same grid: PSI weighs
+    * per-bin log-ratio movement (dilutes a localized shift), KS is
+    * the max CDF gap (blind to how much total mass moved), TVD is
+    * half the L1 gap — the total probability mass that must move to
+    * turn one distribution into the other, which is the number a
+    * mixture-rebalance decision actually budgets by. One row:
+    * (n_a, n_b, tvd_micro), NULL when a side is empty (the
+    * fail-visible gate). Integer-exact to the final DIV:
+    *   tvd_micro = (Σ_b |n_a·totB − n_b·totA| · 1e6) DIV (2·totA·totB)
+    * — count cross products only, bit-replayable on any engine and
+    * partitioning. The L1 sum is ≤ 2·totA·totB, so the ×1e6 lift is
+    * GUARDED at totA·totB < 4.6e12 (raise_error, the ksStat
+    * convention) — pre-aggregate bin counts per shard and sum beyond.
+    */
+  def tvdStat(perBin: DataFrame): DataFrame =
+    perBin.agg(
+      max(col("tot_a")).as("n_a"), max(col("tot_b")).as("n_b"),
+      sum(abs(col("n_a") * col("tot_b") - col("n_b") * col("tot_a"))).as("__l1"))
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          when(col("n_a").cast("double") * col("n_b").cast("double") >= 4.6e12,
+            raise_error(lit("tvdStat: n_a*n_b exceeds the exact 1e6-lift " +
+              "envelope (4.6e12) — pre-aggregate per shard and sum bin counts"))
+              .cast("long"))
+            .otherwise(expr("(__l1 * 1000000) DIV (2 * n_a * n_b)")))
+          .otherwise(lit(null).cast("long")).as("tvd_micro"))
+
+  /** Per-window TVD against a reference COUNT frame — [[tvdStat]] in
+    * the monitor shape of [[ksAgainstReference]]: same
+    * (windowCol, bin, n_cur) drained-state input, same [0, nBins)
+    * loud bin-range guard, same |windows| × nBins spine so reference
+    * mass with zero current events still enters the L1 sum. Emits ONE
+    * row per window: (windowCol, n_ref, n_cur, tvd_micro). The three
+    * monitors (PSI, KS, TVD) run off ONE state-store shape — a
+    * deployment keeps one per-(window, bin) count state and fans the
+    * drained frame into all three post-passes.
+    */
+  def tvdAgainstReference(current: DataFrame, refCounts: DataFrame,
+      nBins: Int, windowCol: String = "win_start"): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val spark = current.sparkSession
+    import spark.implicits._
+    val bins = (0 until nBins).map(_.toLong).toDF("bin")
+    val spine = current.select(col(windowCol)).distinct()
+      .crossJoin(broadcast(bins))
+    val wAll = Window.partitionBy(col(windowCol))
+    val curChecked = current.select(col(windowCol),
+      when(col("bin") < 0L || col("bin") >= nBins.toLong,
+        raise_error(concat(
+          lit(s"tvdAgainstReference: bin out of [0, $nBins) — got "),
+          col("bin").cast("string"),
+          lit(" (clamp with Drift.binCol before the monitor)"))).cast("long"))
+        .otherwise(col("bin")).as("bin"),
+      col("n_cur"))
+    spine
+      .join(curChecked, Seq(windowCol, "bin"), "left")
+      .join(broadcast(refCounts), Seq("bin"), "left")
+      .select(col(windowCol), col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      .withColumn("tot_r", sum(col("n_ref")).over(wAll))
+      .withColumn("tot_c", sum(col("n_cur")).over(wAll))
+      .groupBy(col(windowCol))
+      .agg(max(col("tot_r")).as("n_ref"), max(col("tot_c")).as("n_cur"),
+        sum(abs(col("n_cur") * col("tot_r") - col("n_ref") * col("tot_c")))
+          .as("__l1"))
+      .select(col(windowCol), col("n_ref"), col("n_cur"),
+        when(col("n_ref") > 0 && col("n_cur") > 0,
+          when(col("n_ref").cast("double") * col("n_cur").cast("double") >= 4.6e12,
+            raise_error(lit("tvdAgainstReference: n_ref*n_cur exceeds the " +
+              "exact 1e6-lift envelope (4.6e12) in a window — pre-aggregate " +
+              "per shard and sum bin counts")).cast("long"))
+            .otherwise(expr("(__l1 * 1000000) DIV (2 * n_ref * n_cur)")))
+          .otherwise(lit(null).cast("long")).as("tvd_micro"))
+  }
+
   /** Mann–Whitney rank-sum two-sample test — the EXACT member of the
     * drift-test family ([[psiByBin]] weighs share movement on a grid,
     * [[ksByBin]] the max binned CDF gap; this tests location shift on

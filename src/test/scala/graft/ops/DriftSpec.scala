@@ -267,6 +267,48 @@ class DriftSpec extends SparkSpec {
     assert(ok.getAs[Long]("ks_micro") == 0L)
   }
 
+  test("a22 TVD: zero on identical frames; disjoint mass scores exactly 1e6; a half shift exactly 5e5; empty side NULL; guard loud") {
+    def df(vs: Seq[Double]) = vs.toDF("value")
+    def tvd(a: Seq[Double], b: Seq[Double]) =
+      Drift.tvdStat(Drift.ksByBin(df(a), df(b), "value", 0.0, 10.0, 10))
+        .collect().head
+    assert(tvd(Seq(5, 5, 15, 15), Seq(5, 5, 15, 15)).getAs[Long]("tvd_micro") == 0L)
+    // fully disjoint bins: ALL mass must move -> exactly 1.0
+    assert(tvd(Seq(5, 5, 5, 5), Seq(15, 15, 15, 15)).getAs[Long]("tvd_micro") == 1000000L)
+    // a = half bin0 half bin1, b = all bin0: half the mass moves
+    assert(tvd(Seq(5, 5, 15, 15), Seq(5, 5, 5, 5)).getAs[Long]("tvd_micro") == 500000L)
+    // empty side: undefined, NULL — never a fabricated 0
+    val e0 = Drift.tvdStat(Drift.ksByBin(df(Seq(5.0)), df(Seq()), "value", 0.0, 10.0, 10))
+      .collect().head
+    assert(e0.isNullAt(e0.fieldIndex("tvd_micro")))
+    // past the 1e6-lift envelope (4.6e12): loud, not wrapped
+    val big1 = spark.range(2150000L).select((col("id") % 100).cast("double").as("value"))
+    val big2 = spark.range(2150000L).select((col("id") % 100).cast("double").as("value"))
+    val err = intercept[Exception] {
+      Drift.tvdStat(Drift.ksByBin(big1, big2, "value", 0.0, 10.0, 10)).collect()
+    }
+    assert(err.getMessage.contains("1e6-lift envelope"))
+  }
+
+  test("x34 tail: per-window TVD equals tvdStat run per window; out-of-range bin fails LOUD") {
+    val ref = Seq((0L, 10L), (1L, 10L)).toDF("bin", "n_ref")
+    // window 0: identical shares -> 0; window 1: all mass in bin 0 vs
+    // ref half-half -> 5e5
+    val cur = Seq((0L, 0L, 5L), (0L, 1L, 5L), (1L, 0L, 8L))
+      .toDF("win_start", "bin", "n_cur")
+    val out = Drift.tvdAgainstReference(cur, ref, nBins = 10)
+      .collect().map(r => r.getAs[Long]("win_start") ->
+        (r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"),
+          r.getAs[Long]("tvd_micro"))).toMap
+    assert(out(0L) == ((20L, 10L, 0L)))
+    assert(out(1L) == ((20L, 8L, 500000L)))
+    val bad = Seq((0L, 12L, 3L)).toDF("win_start", "bin", "n_cur")
+    val e = intercept[Exception] {
+      Drift.tvdAgainstReference(bad, ref, nBins = 10).collect()
+    }
+    assert(e.getMessage.contains("bin out of [0, 10)"))
+  }
+
   test("x32 guard: a current bin outside [0, nBins) fails LOUD instead of silently dropping from the spine join") {
     val ref = Seq((0L, 10L), (1L, 10L)).toDF("bin", "n_ref")
     val bad = Seq((0L, 0L, 5L), (0L, 12L, 3L)).toDF("win_start", "bin", "n_cur")
