@@ -1898,6 +1898,44 @@ object SparkEntry {
       drainMemorySink(s, sink)
         .select(col("source"), col("n_docs"), col("n_keep"), col("total_micro"))
     }),
+    // X35: the DECLARATIVE curation funnel as an INGEST GATE (round
+    // 12) — the S9 config discipline meeting the stream: a YAML stage
+    // list (quality gate → language filter → PII redaction → hash
+    // sample) runs on the document stream through
+    // CurationPipeline.runStreaming, which accepts exactly the
+    // MAP-ONLY stage subset (fit-on-input and join-shaped stages fail
+    // loudly at submission) and executes the SAME stage definitions
+    // as the batch runner — one reviewed config gates the backfill
+    // and the live feed, and the two cannot drift. Monitored output
+    // is per-source survivors + total redacted chars (sensitive to
+    // every stage, including the redaction rewrite). Streaming state:
+    // |sources| count rows — bounded by construction, complete mode
+    // is safe (the x26/x27 convention); the stages themselves add
+    // ZERO state (pure column math per micro-batch).
+    "x35_stream_curation" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val cfg = ops.CurationPipeline.loadString(
+        """pipeline:
+          |  stages:
+          |    - kind: quality_gate
+          |      min_quality: 0.78
+          |    - kind: lang_filter
+          |      keep: en
+          |    - kind: pii_redact
+          |    - kind: hash_sample
+          |      pct: 60
+          |""".stripMargin)
+      val sink = s"stream_cur_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = ops.CurationPipeline.runStreaming(docStream(s, dir), cfg)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("total_chars"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      drainMemorySink(s, sink)
+        .select(col("source"), col("n_docs"), col("total_chars"))
+    }),
     // X28: per-window mixture REBALANCE — p48's calibration recomputed
     // per event-time window (the online half of the batch curation
     // pair): the stream aggregates per-(window, source) counts, then
@@ -5642,6 +5680,29 @@ object SparkEntry {
          |  CAST(sum(x.dsir_micro) AS BIGINT) AS total_micro
          |FROM ($dsirPerDocSql) x JOIN documents d USING (doc_id)
          |GROUP BY 1""".stripMargin,
+    // x35: the map-only funnel replayed stage by stage — quality gate
+    // (the p8/p30 formula), per-doc langid (the p7 twin), the p28
+    // two-step redaction, the p17 hash-bucket sample — then the
+    // per-source survivor aggregate over the REDACTED text
+    "x35_stream_curation" ->
+      s"""WITH base AS (${qualityBaseSql("documents", "doc_id, source")}),
+         |ratios AS (${qualityRatiosSql("doc_id, source, text")}),
+         |g AS (SELECT doc_id, source, text FROM ratios
+         |      WHERE $qualityScoreSql >= 0.78),
+         |lp AS ($langIdPerDocSql),
+         |l AS (SELECT g.doc_id, g.source, g.text
+         |      FROM g JOIN lp USING (doc_id) WHERE lp.lang_pred = 'en'),
+         |e AS (SELECT doc_id, source,
+         |        regexp_replace(text,
+         |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS er
+         |      FROM l),
+         |r AS (SELECT doc_id, source,
+         |        regexp_replace(er, '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '<PHONE>', 'g') AS red
+         |      FROM e),
+         |h AS (SELECT * FROM r WHERE ${hx("CAST(doc_id AS VARCHAR)")} % 100 < 60)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(red)) AS BIGINT) AS total_chars
+         |FROM h GROUP BY 1""".stripMargin,
     "p56_bm25_topk" ->
       """WITH tk AS (SELECT doc_id,
         |        list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tk

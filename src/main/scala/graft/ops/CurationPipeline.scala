@@ -236,10 +236,12 @@ object CurationPipeline {
         // join-shaped stages read their input from both sides, and the
         // fit-then-score stages (dsir/perplexity/mixture) run a
         // driver-side fit action over the input before the scoring
-        // pass — both re-evaluate upstream lineage without the cut
+        // pass — both re-evaluate upstream lineage without the cut.
+        // (lr_gate needs neither: its model is a frozen file artifact
+        // and its scoring is map-only.)
         case NormalizedDedup | ExactDedup | NearDupDrop(_) | ParagraphDedup |
              DsirSelect(_, _, _) | MixtureCalibrate(_, _) |
-             PerplexityFilter(_, _, _) | LrGate(_, _) =>
+             PerplexityFilter(_, _, _) =>
           df0.localCheckpoint(true)
         case _ => df0
       }
@@ -329,15 +331,52 @@ object CurationPipeline {
         case LrGate(path, n) =>
           // trained-classifier gate (p57 serving form): FROZEN weights
           // from a saved artifact (train offline with Logistic.train +
-          // saveWeights), score-only on the pipeline corpus — the
-          // x26 serving pattern reachable from config
+          // saveWeights), score-only on the pipeline corpus — the x26
+          // serving pattern reachable from config. MAP-ONLY: the
+          // weights are literals and the non-id columns ride through
+          // as carry, so the stage adds no join and works on a STREAM
+          // unchanged ([[runStreaming]]).
           val w = Logistic.loadWeights(df.sparkSession, path, n)
-          val sel = Logistic.scoreWith(
-              Logistic.features(df.select(col(cfg.id).as("doc_id"),
-                col(cfg.text).as("text"))), w)
-            .where(col("keep")).select(col("doc_id").as(cfg.id))
-          df.join(sel, Seq(cfg.id)).select(shape: _*)
+          val carry = df.columns.filterNot(_ == cfg.id).toSeq
+          Logistic.scoreWith(
+              Logistic.features(df.withColumnRenamed(cfg.id, "doc_id"),
+                cfg.text, carry), w, carry)
+            .where(col("keep"))
+            .withColumnRenamed("doc_id", cfg.id)
+            .select(shape: _*)
       }
     }
+  }
+
+  /** The map-only subset of [[run]] on a STREAMING input — the
+    * curation gate at INGEST: quality gates (heuristic, linear, and
+    * the frozen-weights classifier), language filter, PII redaction,
+    * hash sampling, and split assignment are all pure column math, so
+    * the SAME stage definitions that curate a batch corpus score every
+    * arriving document with zero streaming state (the x26 serving
+    * discipline applied to the whole config surface — one reviewed
+    * YAML gates both the backfill and the live feed, and the two
+    * cannot drift because they execute one definition).
+    *
+    * Stages that FIT ON or JOIN AGAINST their own input — the dedups,
+    * token budget, mixture calibration, DSIR/perplexity fits — are
+    * not streamable and fail loudly at SUBMISSION time (the load-time
+    * config-error discipline, extended to the stream boundary): their
+    * streaming analogs are the dedicated monitors (p16 dedup state,
+    * x27 frozen-DSIR serving, x28 windowed rebalance).
+    */
+  def runStreaming(docs: DataFrame, cfg: Config): DataFrame = {
+    require(docs.isStreaming,
+      "runStreaming expects a streaming DataFrame; use run for batch")
+    cfg.stages.zipWithIndex.foreach {
+      case (QualityGate(_) | QualityLinear(_, _) | LangFilter(_) | PiiRedact |
+            HashSample(_) | SplitAssign(_) | LrGate(_, _), _) => ()
+      case (other, i) => throw new PipelineConfigError(
+        s"stage $i (${other.getClass.getSimpleName.stripSuffix("$")}): not streamable — it fits on or " +
+          "joins against its own input; run it in the batch pipeline, or use " +
+          "its streaming analog (p16 dedup state / x27 frozen-DSIR serving / " +
+          "x28 windowed rebalance)")
+    }
+    run(docs, cfg)
   }
 }

@@ -272,6 +272,48 @@ class CurationPipelineSpec extends SparkSpec {
     }
   }
 
+  test("runStreaming: map-only stages equal the batch run on the same rows; fit-on-input stages rejected at submission") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val rows = Seq(
+      (1L, "s0", "the cat and the dog are here with the other ones"),
+      (2L, "s0", "der hund und die katze sind auch noch da"),
+      (3L, "s1", "the mail is a.b@example.com and that is the address"))
+    val cfg = loadString(
+      """pipeline:
+        |  stages:
+        |    - kind: lang_filter
+        |      keep: en
+        |    - kind: pii_redact
+        |""".stripMargin)
+    val source = MemoryStream[(Long, String, String)]
+    source.addData(rows: _*)
+    val streamDf = source.toDF().toDF("doc_id", "source", "text")
+    val q = CurationPipeline.runStreaming(streamDf, cfg)
+      .writeStream.format("memory").queryName("cur_stream_gate")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("cur_stream_gate")
+      .select("doc_id", "source", "text").as[(Long, String, String)]
+      .collect().toSet
+    val batch = CurationPipeline.run(rows.toDF("doc_id", "source", "text"), cfg)
+      .as[(Long, String, String)].collect().toSet
+    // German doc 2 dropped, doc 3's email redacted — and the stream
+    // gate equals the batch runner row for row (ONE stage definition)
+    assert(streamed == batch && streamed.map(_._1) == Set(1L, 3L))
+    assert(streamed.exists(_._3.contains("<EMAIL>")))
+    // a fit-on-input stage dies at SUBMISSION, before any query starts
+    val bad = loadString("pipeline:\n  stages:\n    - kind: exact_dedup\n")
+    val e = intercept[PipelineConfigError] {
+      CurationPipeline.runStreaming(streamDf, bad)
+    }
+    assert(e.getMessage.contains("not streamable"))
+    // and a batch frame is routed to run, loudly
+    intercept[IllegalArgumentException] {
+      CurationPipeline.runStreaming(rows.toDF("doc_id", "source", "text"), cfg)
+    }
+  }
+
   test("curate CLI: end-to-end YAML run from Main, exit 0, survivors written") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_curate_cli")
     val cfgPath = tmp.resolve("pipeline.yaml")
