@@ -521,4 +521,71 @@ class PlanShapeSpec extends SparkSpec {
     assert(joinIdx >= 0 && probeIdx > joinIdx,
       s"bloom probe filter should appear under the verify join:\n$plan")
   }
+
+  test("p90 MJPEG decode: one explicit spread exchange, then map-only codec work — no join") {
+    val plan = executedPlan("p90_mjpeg_decode")
+    assert(!plan.contains("Join"), s"p90 decode must not join:\n$plan")
+    // exactly the renderAvis single-split spread; per-row codec work
+    // after it must stay in the same stage (no second shuffle)
+    val nEx = plan.linesIterator.count(_.contains("Exchange"))
+    assert(nEx == 1,
+      s"expected exactly the single-split spread exchange, got $nEx:\n$plan")
+  }
+
+  test("a22 TVD: the grid tail never sort-merges — bin frames broadcast") {
+    val plan = executedPlan("a22_tvd_drift")
+    assertNoDisasterJoin("a22", plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"a sort-merge join means a |bins|-row frame shuffled instead of broadcasting:\n$plan")
+  }
+
+  test("x35 batch twin: the map-only YAML gate is ZERO joins, ZERO keyed exchanges; gates filter below the spread") {
+    val cfg = CurationPipeline.loadString(
+      """pipeline:
+        |  stages:
+        |    - kind: quality_gate
+        |      min_quality: 0.78
+        |    - kind: lang_filter
+        |      keep: en
+        |    - kind: pii_redact
+        |    - kind: hash_sample
+        |      pct: 60
+        |""".stripMargin)
+    val out = CurationPipeline.run(
+      spark.read.parquet(s"$sfDir/documents.parquet"), cfg)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), s"the map-only gate must not join:\n$plan")
+    // the ONE allowed exchange is the deliberate round-robin spread
+    // before the regex-heavy redact (the single-split trap); a
+    // hash-keyed exchange would mean a stage smuggled in a shuffle
+    val keyedEx = plan.linesIterator.filter(_.contains("Exchange"))
+      .filterNot(_.contains("RoundRobinPartitioning")).toSeq
+    assert(keyedEx.isEmpty,
+      s"the map-only gate must not key-shuffle: $keyedEx\n$plan")
+    // and the cheap gates run BELOW the spread, fused into the scan
+    // stage — the filter-before-shuffle shape
+    val exIdx = plan.linesIterator.indexWhere(_.contains("Exchange"))
+    val filterIdx = plan.linesIterator.indexWhere(_.contains("Filter"))
+    assert(exIdx >= 0 && filterIdx > exIdx,
+      s"gates should filter below the spread exchange:\n$plan")
+  }
+
+  test("lr_gate: the frozen-weights gate is join-free (weights are literals, carry rides)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val feat = graft.ops.Logistic.features(docs).localCheckpoint(true)
+    val wPath = java.nio.file.Files.createTempDirectory("graft_ps_lrw")
+      .resolve("w").toString
+    graft.ops.Logistic.saveWeights(spark, wPath,
+      graft.ops.Logistic.train(feat, rounds = 1))
+    val cfg = CurationPipeline.loadString(
+      s"pipeline:\n  stages:\n    - kind: lr_gate\n      weights_path: $wPath\n")
+    val out = CurationPipeline.run(docs, cfg)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), s"lr_gate must not join:\n$plan")
+    assert(!plan.contains("Exchange"), s"lr_gate must not shuffle:\n$plan")
+  }
 }
