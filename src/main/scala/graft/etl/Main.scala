@@ -137,10 +137,31 @@ object Main {
           case e: graft.ops.CurationPipeline.PipelineConfigError =>
             usageError(s"bad pipeline config: ${e.getMessage}")
         }
+        // the overwrite below would destroy the source corpus if the
+        // output path equals (or nests with) the input path — and
+        // Spark's own same-path write detection is defeated once a
+        // pipeline stage localCheckpoints (the plan source becomes a
+        // LogicalRDD, no longer a scan of `input`). Resolve both to
+        // qualified URIs and refuse overlap in either direction.
+        val hconf = spark.sparkContext.hadoopConfiguration
+        def qualified(p: String): String = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          // URI.normalize resolves ./.. segments Hadoop Path keeps
+          // (a/b/../b must compare equal to a/b)
+          hp.getFileSystem(hconf).makeQualified(hp)
+            .toUri.normalize().toString.stripSuffix("/") + "/"
+        }
+        val (inQ, outQ) = (qualified(input), qualified(output))
+        if (inQ == outQ || inQ.startsWith(outQ) || outQ.startsWith(inQ))
+          usageError(s"--output $output overlaps --input $input: " +
+            "overwriting it would destroy the source corpus")
         val docs = spark.read.parquet(input)
+        // count the input BEFORE the write, while the source is
+        // guaranteed intact (defense in depth with the path guard)
+        val nIn = docs.count()
         val out = graft.ops.CurationPipeline.run(docs, cfg)
         out.write.mode("overwrite").parquet(output)
-        val nIn = docs.count(); val nOut = spark.read.parquet(output).count()
+        val nOut = spark.read.parquet(output).count()
         println(s"curate in=$nIn out=$nOut stages=${cfg.stages.size} -> $output")
         0
       case other => usageError(s"Unknown command: $other")

@@ -61,15 +61,17 @@ object ConnectedComponents {
         .where(col("n.component") =!= col("l.component"))
         .limit(1).count()
       // superseded checkpoint blocks would otherwise pile up in the
-      // block manager for the JVM lifetime (one label table per round)
-      labels.unpersist()
+      // block manager for the JVM lifetime (one label table per round);
+      // Dataset.unpersist is a no-op on a checkpointed frame, so drop
+      // the persisted RDD itself (graft.Checkpoints)
+      graft.Checkpoints.drop(labels)
       labels = next
       converged = changed == 0
       iter += 1
     }
-    sym.unpersist()
+    graft.Checkpoints.drop(sym)
     if (!converged) {
-      labels.unpersist()
+      graft.Checkpoints.drop(labels)
       // diameter exceeds the propagation budget — a chain-shaped graph.
       // Star contraction is diameter-independent, so its own default
       // round bound (O(log² n) theory) applies, not the caller's
@@ -141,11 +143,11 @@ object ConnectedComponents {
         .where(col("x") =!= col("m"))
         .select(col("x").as("hi"), col("m").as("lo"))
         .distinct().localCheckpoint(true)
-      large.unpersist()
+      graft.Checkpoints.drop(large)
       // fixpoint = identical edge set (both sides are distinct)
       val changed = small.count() != cur.count() ||
         small.except(cur).limit(1).count() > 0
-      cur.unpersist()
+      graft.Checkpoints.drop(cur)
       cur = small
       converged = !changed
       iter += 1

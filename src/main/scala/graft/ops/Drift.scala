@@ -283,8 +283,11 @@ object Drift {
     * the running double sum grows ~n² toward 2^53). The remaining
     * envelopes are GUARDED loud, not comment-only: the tie term and
     * the u2_a·1e6 lift both raise_error past their long bounds
-    * (t < 2e6 per tied value; n_a·n_b < 4.6e12) instead of silently
-    * wrapping — shard the group key beyond.
+    * (t < 2e6 per tied value AND Σ(t³−t) < 8e18 on the aggregate — a
+    * single near-threshold value contributes ~8e18, so the SUM can
+    * wrap where every term is individually legal; a double shadow sum
+    * that cannot wrap arms the aggregate guard; n_a·n_b < 4.6e12)
+    * instead of silently wrapping — shard the group key beyond.
     *
     * Shape at 100 TB: one pooled scan to per-(group, value) counts
     * with map-side partials, one cumulative window over the counts
@@ -321,7 +324,21 @@ object Drift {
         // r2a = sum over values of a_v * (2*below_v + t_v + 1)
         sum(col("__ta") * (lit(2L) * col("__below") + col("__t") + lit(1L)))
           .as("__r2a"),
-        sum(tieCube).as("tie_term"))
+        sum(tieCube).as("tie_term"),
+        // double SHADOW of the same sum: the per-value guard bounds each
+        // term under ~8e18, so two near-threshold tied values already
+        // wrap the long sum past 2^63 — silently, since ANSI is off.
+        // The shadow never wraps (double range is ~1.8e308) and its
+        // relative error (~n·2^-52) is orders below the guard margin.
+        sum(tieCube.cast("double")).as("__tie_d"))
+      .withColumn("tie_term",
+        when(col("__tie_d") >= 8.0e18,
+          raise_error(concat(
+            lit("mannWhitney: aggregated tie term in group "),
+            col(group).cast("string"),
+            lit(" exceeds the exact long envelope (sum(t^3 - t) < 8e18)"),
+            lit(" - shard the group key"))).cast("long"))
+          .otherwise(col("tie_term")))
     val nn = (col("n_a") + col("n_b")).cast("double")
     val sig2 = col("n_a").cast("double") * col("n_b").cast("double") / 12.0 *
       (nn + 1.0 - col("tie_term").cast("double") / (nn * (nn - 1.0)))

@@ -55,9 +55,11 @@ object PageRank {
     // discipline): without it the plan nests one join+agg layer per
     // iteration and analysis cost grows quadratically — fine at
     // iters=5, a cliff at the 10-20 a convergence run uses. The
-    // superseded round's checkpoint blocks are unpersisted as soon as
-    // the next round is materialized, so block-manager footprint stays
-    // at one rank table regardless of iteration count.
+    // superseded round's checkpoint blocks are dropped via
+    // Checkpoints.drop (Dataset.unpersist is a no-op on a checkpointed
+    // frame) as soon as the next round is materialized, so
+    // block-manager footprint stays at one rank table regardless of
+    // iteration count.
     var ranks = spine.withColumn("pr_micro", lit(1000000L))
       .localCheckpoint(true)
     for (_ <- 0 until iters) {
@@ -72,7 +74,7 @@ object PageRank {
           (lit(teleport) +
             expr(s"($dampNum * coalesce(__c, 0)) DIV 100")).as("pr_micro"))
         .localCheckpoint(true)
-      ranks.unpersist()
+      graft.Checkpoints.drop(ranks)
       ranks = next
     }
     val nIn = edges.groupBy(col("dst").as(id)).agg(count(lit(1)).as("n_in"))
@@ -80,7 +82,7 @@ object PageRank {
     // result reads only the final checkpointed ranks + edge-derived
     // degree tables), so it can go now; the final rank table itself is
     // reclaimed by the ContextCleaner when the result is dropped
-    e.unpersist(); spine.unpersist()
+    graft.Checkpoints.drop(e); graft.Checkpoints.drop(spine)
     ranks
       .join(deg.withColumnRenamed("src", id), Seq(id), "left")
       .join(nIn, Seq(id), "left")

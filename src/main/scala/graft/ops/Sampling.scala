@@ -204,12 +204,23 @@ object Sampling {
     * and Σw² ≤ 2^63 is corpus-scale for bounded weights; GUARDED loud
     * (raise_error, round 12 — the documented-envelope convention)
     * instead of silently losing mantissa ulps; shard the stratum key
-    * past that.
+    * past that. Weights must be ≥ 0 (per-row raise_error, round 13):
+    * negative mass makes the diagnostic meaningless AND would bypass
+    * the one-sided envelope guard.
     */
   def effectiveSampleSize(df: DataFrame, strata: Seq[String],
       weight: Column): DataFrame = {
     require(strata.nonEmpty, "strata must be non-empty")
-    val w = weight.cast("long")
+    // fail-loud weight domain (the weightedTopK convention): Kish's ESS
+    // is undefined for negative mass, and a negative sum_w would also
+    // slip past a one-sided envelope guard while still losing mantissa
+    // ulps in (Σw)² beyond -9e7. NULL stays NULL (sum skips it, the
+    // SQL convention this operator has always had).
+    val w0 = weight.cast("long")
+    val w = when(w0 < 0L,
+      raise_error(concat(lit("effectiveSampleSize: weight must be >= 0, got "),
+        w0.cast("string"))).cast("long"))
+      .otherwise(w0)
     val guardedSw = when(col("sum_w") > 90000000L,
       raise_error(concat(
         lit("effectiveSampleSize: stratum weight mass "),

@@ -276,7 +276,9 @@ object Spearman {
         col("__r0"), col("__blk"))): _*)
       .repartition((family :+ sample).map(col): _*)
       .localCheckpoint(true) // same AQE-race + reuse rationale as pairJoin
-    inventory.unpersist() // consumed into pre's eager checkpoint above
+    // consumed into pre's eager checkpoint above; Dataset.unpersist is
+    // a no-op on a checkpointed frame — drop the persisted RDD itself
+    graft.Checkpoints.drop(inventory)
     val aSide = pre
       .withColumn("__g2", explode(sequence(col("__blk"), lit(blocks))))
       .withColumnRenamed("__blk", "__g1")

@@ -348,6 +348,33 @@ class CurationPipelineSpec extends SparkSpec {
       "--output", outDir), spark) == 2)
   }
 
+  test("curate CLI: refuses an output that overlaps the input (the overwrite would destroy the source)") {
+    // Spark's own same-path detection is defeated once a pipeline
+    // stage localCheckpoints (the plan source becomes a LogicalRDD),
+    // so Main must refuse BEFORE the write — and leave the source
+    // untouched
+    val tmp = java.nio.file.Files.createTempDirectory("graft_curate_overlap")
+    val cfgPath = tmp.resolve("pipeline.yaml")
+    java.nio.file.Files.writeString(cfgPath,
+      "pipeline:\n  stages:\n    - kind: quality_gate\n      min_quality: 0.5\n")
+    val src = tmp.resolve("corpus").toString
+    docs.limit(20).write.parquet(src)
+    def curate(in: String, out: String): Int = graft.etl.Main.run(
+      Array("curate", "--config", cfgPath.toString,
+        "--input", in, "--output", out), spark)
+    // output == input (including a non-canonical spelling of the path)
+    assert(curate(src, src) == 2)
+    assert(curate(src, src + "/../corpus") == 2)
+    // output nested under input; input nested under output
+    assert(curate(src, src + "/part-nested") == 2)
+    assert(curate(tmp.resolve("corpus/x.parquet").toString,
+      tmp.resolve("corpus").toString) == 2)
+    // the refused source is intact and readable
+    assert(spark.read.parquet(src).count() == 20L)
+    // a disjoint sibling still runs
+    assert(curate(src, tmp.resolve("out").toString) == 0)
+  }
+
   test("config errors fail at load with the stage named") {
     def err(yaml: String): String =
       intercept[PipelineConfigError](loadString(yaml)).getMessage

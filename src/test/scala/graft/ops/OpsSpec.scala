@@ -147,6 +147,14 @@ class OpsSpec extends SparkSpec {
       Sampling.effectiveSampleSize(over, Seq("g"), col("w")).collect()
     }
     assert(err.getMessage.contains("one-division envelope"))
+    // negative weight mass fails LOUD per row (round 13): ESS is
+    // undefined for negative mass and a negative sum would bypass the
+    // one-sided envelope guard above
+    val neg = Seq((1L, "g", 5L), (2L, "g", -3L)).toDF("doc_id", "g", "w")
+    val errNeg = intercept[Exception] {
+      Sampling.effectiveSampleSize(neg, Seq("g"), col("w")).collect()
+    }
+    assert(errNeg.getMessage.contains("weight must be >= 0"))
   }
 
   test("weighted sampling: exact k, deterministic, scale-invariant, weight-sensitive") {
@@ -370,6 +378,27 @@ class OpsSpec extends SparkSpec {
     // and the deeper run still computes: every node carries a rank
     val r = PageRank.pageRank(nodes, edges, iters = 12).collect()
     assert(r.length == 4 && r.forall(_.getAs[Long]("pr_micro") >= 150000L))
+  }
+
+  test("p87 pagerank: superseded round tables are RECLAIMED, not GC-deferred (block-manager footprint)") {
+    // Dataset.unpersist is a no-op after localCheckpoint(true) (the
+    // blocks live on the internal RDD, outside the CacheManager), so
+    // the loop must drop the RDD itself — otherwise every round's rank
+    // table pins blocks for the JVM lifetime. Pin via the persistent-
+    // RDD registry: across a whole 8-iteration run only the FINAL rank
+    // table may remain registered (plus nothing from e/spine/superseded
+    // rounds), i.e. a delta of 1, not iters+3.
+    val sc = spark.sparkContext
+    val nodes = (1L to 40L).toDF("doc_id")
+    val edges = (2L to 40L).map(i => (i, i - 1L)).toDF("src", "dst")
+    val before = sc.getPersistentRDDs.keySet
+    val out = PageRank.pageRank(nodes, edges, iters = 8)
+    val after = sc.getPersistentRDDs.keySet
+    val leaked = (after -- before).size
+    assert(leaked <= 1,
+      s"pageRank left $leaked persisted RDDs registered (expected <= 1: the final rank table)")
+    // and the surviving checkpoint still computes
+    assert(out.count() == 40L)
   }
 
   test("connected components: chains propagate, components stay separate") {
