@@ -1317,6 +1317,60 @@ object SparkEntry {
           count(col("text")).as("with_text"),
           count(col("source")).as("with_source"))
     }),
+    // S19: predicate-scoped delete (takedown/GDPR erasure) on the
+    // manifest-committed lakehouse backend — the operation a real
+    // training-data lake cannot live without. The corpus is committed
+    // as one immutable segment per language, so the takedown predicate
+    // rewrites ONLY the segments that hold matching rows (the others
+    // keep their directories byte-identical — at 100 TB a takedown
+    // rewrites kilobytes, not the lake), in ONE atomic commit with
+    // time travel preserved up to the vacuum horizon
+    // (etl/SnapshotWarehouse.deleteWhere; SnapshotWarehouseSpec pins
+    // the untouched-path + time-travel mechanics, this query pins the
+    // visible-rows semantics against the DuckDB filter twin).
+    "s19_lake_delete_where" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val staged = stagedDir(s"lake_delete:$dir") { p =>
+        val wh = new etl.SnapshotWarehouse(s, p.toString)
+        // one segment per language value (derived, not hardcoded, so a
+        // fixture regen with new languages still partitions the corpus
+        // exactly); <=> keeps a null-lang generation loadable
+        val langs = docs.select(col("lang")).distinct()
+          .collect().map(r => Option(r.getString(0))).toSeq.sortBy(_.getOrElse(""))
+        langs.foreach { l =>
+          wh.appendFacts("documents",
+            docs.where(col("lang") <=> lit(l.orNull)))
+        }
+        wh.deleteWhere("documents",
+          col("lang") === "zh" && col("n_chars") % 2 === 0)
+        ()
+      }
+      new etl.SnapshotWarehouse(s, staged.toString).read("documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+    }),
+    // S20: ADDITIVE schema evolution on the manifest backend — s17's
+    // read-side mergeSchema contract, ENFORCED at commit instead of
+    // inferred from footers: the first generation commits without
+    // `lang`, the second adds it (accepted: additive), and the read
+    // plans the union schema from the manifest with NULLs for the
+    // pre-evolution generation. Type drift or a dropped core column
+    // would have thrown SchemaContractViolation before publishing
+    // (SnapshotWarehouseSpec pins the rejection paths).
+    "s20_lake_schema_evolution" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val staged = stagedDir(s"lake_evolve:$dir") { p =>
+        val wh = new etl.SnapshotWarehouse(s, p.toString)
+        wh.appendFacts("documents", docs.where(col("doc_id") % 2 === 0)
+          .select("doc_id", "source", "n_chars"))
+        wh.appendFacts("documents", docs.where(col("doc_id") % 2 === 1)
+          .select("doc_id", "source", "n_chars", "lang"))
+        ()
+      }
+      new etl.SnapshotWarehouse(s, staged.toString).read("documents")
+        .groupBy(coalesce(col("lang"), lit("__pre_evolution__")).as("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+    }),
     // X7: Structured Streaming parity — the SAME hourly aggregation as
     // x2, but executed as an unbounded plan over the file source with
     // Trigger.AvailableNow, drained to completion, and returned from
@@ -4647,6 +4701,19 @@ object SparkEntry {
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS with_text,
         |       CAST(sum(CASE WHEN doc_id % 2 = 1 AND source IS NOT NULL
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS with_source
+        |FROM documents GROUP BY 1""".stripMargin,
+    // coalesce(pred, false) is the exact twin of deleteWhere's SQL
+    // DELETE semantics: a NULL predicate KEEPS the row on both sides
+    "s19_lake_delete_where" ->
+      """SELECT source, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents
+        |WHERE NOT coalesce(lang = 'zh' AND n_chars % 2 = 0, false)
+        |GROUP BY source""".stripMargin,
+    "s20_lake_schema_evolution" ->
+      """SELECT CASE WHEN doc_id % 2 = 1 THEN lang
+        |            ELSE '__pre_evolution__' END AS lang,
+        |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY 1""".stripMargin,
     "x3_sessionize" -> sessionizeSql,
     // streaming twin — same gap-split semantics, same oracle

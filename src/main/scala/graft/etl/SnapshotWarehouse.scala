@@ -3,8 +3,9 @@ package graft.etl
 import java.util.UUID
 
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
-import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 
 /** Snapshot-isolated parquet warehouse: cross-TABLE atomic publish.
   *
@@ -47,6 +48,19 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * best-effort on filesystems whose rename does not fail on an existing
   * destination (object stores without atomic rename need a real
   * catalog, the standard lakehouse caveat).
+  *
+  * Round-13 extensions (the training-data-lake surface):
+  *  - a commit-time SCHEMA CONTRACT ([[SnapshotTxn]].validateSchema):
+  *    dropped/retyped core columns are rejected loudly before anything
+  *    publishes; extra columns are ADDITIVE evolution, recorded per
+  *    segment in the manifest and read back as the union schema with
+  *    NULLs (the s17 mergeSchema semantics, enforced instead of
+  *    inferred);
+  *  - EXTENSION tables beyond the star schema (a documents corpus):
+  *    the first write defines the core, manifest-recorded;
+  *  - [[deleteWhere]]: predicate-scoped delete (takedown/GDPR) that
+  *    rewrites ONLY segments holding matching rows, in one atomic
+  *    commit, preserving time travel up to the vacuum horizon.
   *
   * Scale: the manifest is driver-side metadata — bytes per table, one
   * small file per commit, independent of data volume. Reads plan a
@@ -99,11 +113,43 @@ class SnapshotWarehouse(spark: SparkSession, val baseDir: String,
 
   private[etl] def currentManifest(): Manifest = manifestAt(currentVersion())
 
+  /** The table's REQUIRED CORE schema: the declared star schema for the
+    * reference tables, or — for extension tables (a documents corpus, a
+    * feature table) — the columns of the table's first live segment,
+    * which the first write defined (the S8 create-on-first-write idea
+    * applied to the manifest backend). The core ratchets forward under
+    * compaction: a rewrite's segment carries the union schema, which
+    * then IS the core.
+    */
+  private[etl] def baseSchema(m: Manifest, table: String): StructType =
+    schemas.getOrElse(table, {
+      val first = m.tables.getOrElse(table, Nil).headOption
+      first.map(s => SnapshotWarehouse.schemaOf(s.cols)).filter(_.nonEmpty)
+        .getOrElse(throw new IllegalArgumentException(
+          s"unknown table '$table': not a declared star table and no " +
+            "committed segment defines its schema"))
+    })
+
+  /** One segment's visible rows, read with the schema the manifest
+    * stamped at write time (falling back to the table core for
+    * pre-stats manifests) — explicit schemas keep partition columns at
+    * their written types and keep planning off the footers.
+    */
+  private[etl] def readSegment(seg: Segment, base: StructType): DataFrame = {
+    val segSchema =
+      if (seg.cols.isEmpty) base else SnapshotWarehouse.schemaOf(seg.cols)
+    val df = spark.read.schema(segSchema).parquet(s"$baseDir/${seg.path}")
+    if (seg.exclude.isEmpty) df
+    // study_key is a segment partition column, so the exclusion
+    // prunes directories at the scan — no row-level delete files
+    else df.where(!col("study_key").isin(seg.exclude: _*))
+  }
+
   private[etl] def readTable(m: Manifest, table: String,
       onlyStudies: Option[Set[Long]] = None): DataFrame = {
-    val schema = schemas(table)
+    val base = baseSchema(m, table)
     val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], base)
     val segs = m.tables.getOrElse(table, Nil).filter { seg =>
       // manifest-level segment skipping: a segment whose stamped study
       // set (minus exclusions) cannot match the pushed study predicate
@@ -112,14 +158,15 @@ class SnapshotWarehouse(spark: SparkSession, val baseDir: String,
       // always kept.
       onlyStudies.forall(want => seg.visibleStudies.forall(_.exists(want)))
     }
+    // allowMissingColumns = the read half of ADDITIVE schema evolution
+    // (the s17 mergeSchema contract on the manifest backend): a segment
+    // written before a column existed contributes NULLs for it; the
+    // union schema is core ++ additions in manifest order. The schema
+    // CONTRACT at commit time (SnapshotTxn.validateSchema) guarantees
+    // the name-aligned types agree, so this union can never silently
+    // coerce.
     segs.foldLeft(empty) { (acc, seg) =>
-      val df = spark.read.schema(schema).parquet(s"$baseDir/${seg.path}")
-      val visible =
-        if (seg.exclude.isEmpty) df
-        // study_key is a segment partition column, so the exclusion
-        // prunes directories at the scan — no row-level delete files
-        else df.where(!col("study_key").isin(seg.exclude: _*))
-      acc.unionByName(visible)
+      acc.unionByName(readSegment(seg, base), allowMissingColumns = true)
     }
   }
 
@@ -152,6 +199,27 @@ class SnapshotWarehouse(spark: SparkSession, val baseDir: String,
 
   def replaceStudyPartitions(table: String, df: DataFrame, studyKeys: Seq[Long]): Unit =
     transact(_.replaceStudyPartitions(table, df, studyKeys))
+
+  /** Predicate-scoped delete (takedown / GDPR erasure) WITHOUT a table
+    * rewrite: only segments that actually hold matching rows are
+    * rewritten (minus the matches); every untouched segment keeps its
+    * immutable directory and its manifest entry byte-for-byte — at
+    * 100 TB a takedown of one document family rewrites kilobytes, not
+    * the lake. All rewrites land in ONE atomic commit; prior snapshots
+    * still reference the pre-delete segments, so time travel shows the
+    * deleted rows until [[vacuum]] ages them out (the erasure horizon
+    * is `vacuum`'s retention contract, as in every table format).
+    *
+    * Per-segment affectedness is decided by a probe scan of the
+    * predicate, which parquet row-group stats and partition pruning
+    * keep footer-cheap on non-matching segments. SQL semantics: a row
+    * is deleted iff the predicate is TRUE — NULL-predicate rows are
+    * KEPT (`DELETE WHERE p` keeps NOT(p-is-true), not NOT(p)).
+    *
+    * Returns the number of rows deleted.
+    */
+  def deleteWhere(table: String, pred: Column): Long =
+    transact(_.deleteWhere(table, pred))
 
   // ---- transactions ---------------------------------------------------
 
@@ -395,9 +463,16 @@ class SnapshotWarehouse(spark: SparkSession, val baseDir: String,
     val everReferenced =
       versions.flatMap(v => manifestAt(v).tables.values.flatten.map(_.path)).toSet
     val now = System.currentTimeMillis()
-    schemas.keys.foreach { table =>
-      val dir = new HPath(s"$baseDir/$table")
-      if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+    // table discovery from the DIRECTORY listing, not the declared
+    // star schema: extension tables (a documents corpus) live under the
+    // same root and their dead segments must age out the same way
+    val tableDirs =
+      if (!fs.exists(new HPath(baseDir))) Nil
+      else fs.listStatus(new HPath(baseDir)).toSeq
+        .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_"))
+    tableDirs.foreach { td =>
+      val table = td.getPath.getName
+      fs.listStatus(td.getPath).foreach { st =>
         val rel = s"$table/${st.getPath.getName}"
         val isSeg = st.getPath.getName.startsWith("seg-")
         val dead = isSeg && !live.contains(rel) &&
@@ -438,30 +513,87 @@ final class SnapshotTxn private[etl] (spark: SparkSession, baseDir: String,
   def read(table: String): DataFrame =
     owner.readTable(Manifest(base.version, base.tables ++ pending), table)
 
-  /** Fact tables partition by study_key inside each segment (F7
-    * pruning); dims are wholesale single-file rewrites, the
-    * ParquetWarehouse discipline.
+  /** The commit-time SCHEMA CONTRACT (nothing a transaction stages is
+    * visible before the manifest rename, so rejecting here rejects the
+    * commit): every core column — the declared star schema, or the
+    * first write's schema for an extension table — must be present
+    * with EXACTLY its core type (a drifted writer fails loudly instead
+    * of committing a segment the declared-schema read would silently
+    * null out); extra columns are ADDITIVE evolution and are accepted,
+    * provided their type agrees with every live segment that already
+    * carries a same-named column (so the read-side unionByName can
+    * never coerce). Nullability is not part of the contract — parquet
+    * reads everything nullable.
     */
-  private def writeSegment(table: String, df: DataFrame): Segment = {
+  private def validateSchema(table: String, df: DataFrame): Unit = {
+    val live = entry(table)
+    val core: Seq[StructField] = Warehouse.schemas.get(table)
+      .map(_.fields.toSeq)
+      .orElse(live.headOption.map(s =>
+        SnapshotWarehouse.schemaOf(s.cols).fields.toSeq).filter(_.nonEmpty))
+      .getOrElse(Nil) // first write of a NEW table: df defines the core
+    val dfTypes: Map[String, DataType] =
+      df.schema.fields.map(f => f.name -> f.dataType).toMap
+    core.foreach { f =>
+      dfTypes.get(f.name) match {
+        case None => throw new SchemaContractViolation(
+          s"table '$table': segment is missing required column " +
+            s"'${f.name} ${f.dataType.catalogString}' — the snapshot " +
+            "contract rejects dropped core columns at commit")
+        case Some(dt) if dt != f.dataType => throw new SchemaContractViolation(
+          s"table '$table': column '${f.name}' has incompatible type " +
+            s"${dt.catalogString} (table declares ${f.dataType.catalogString}) " +
+            "— the snapshot contract rejects type drift at commit")
+        case _ => ()
+      }
+    }
+    val known: Map[String, DataType] =
+      live.flatMap(_.cols.map { case (n, t) => n -> DataType.fromDDL(t) }).toMap ++
+        core.map(f => f.name -> f.dataType)
+    df.schema.fields.foreach { f =>
+      known.get(f.name).foreach { kt =>
+        if (kt != f.dataType) throw new SchemaContractViolation(
+          s"table '$table': additive column '${f.name}' was previously " +
+            s"committed as ${kt.catalogString}, this segment carries " +
+            s"${f.dataType.catalogString} — additive evolution must be " +
+            "type-consistent")
+      }
+    }
+  }
+
+  /** Fact tables partition by study_key inside each segment (F7
+    * pruning); star dims are wholesale single-file rewrites, the
+    * ParquetWarehouse discipline; EXTENSION tables (not in the declared
+    * star schema — a documents corpus) keep their natural partitioning,
+    * because a corpus segment is not dim-tiny and a coalesce(1) would
+    * single-thread the write.
+    */
+  private[etl] def writeSegment(table: String, df: DataFrame): Segment = {
+    validateSchema(table, df)
     val rel = s"$table/seg-${UUID.randomUUID().toString.replace("-", "")}"
     val partitioned = table.startsWith("fact")
     val w =
-      (if (partitioned) df.write.partitionBy("study_key") else df.coalesce(1).write)
+      (if (partitioned) df.write.partitionBy("study_key")
+       else if (Warehouse.schemas.contains(table)) df.coalesce(1).write
+       else df.write)
         .mode(SaveMode.ErrorIfExists)
     w.parquet(s"$baseDir/$rel")
     // stamp segment stats from write-side metadata only: the row count
     // is a parquet-footer count (no column data read), the study set
     // comes from the hive partition directory NAMES (a listing, no
-    // read at all) — both O(files), never O(rows)
+    // read at all) — both O(files), never O(rows). The column list is
+    // the segment's schema of record: the read plans from it, never
+    // from footers, and evolution-aware unions fill what's absent.
     val abs = new HPath(s"$baseDir/$rel")
     val fs = abs.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val rows = spark.read.schema(Warehouse.schemas(table)).parquet(s"$baseDir/$rel").count()
+    val rows = spark.read.schema(df.schema).parquet(s"$baseDir/$rel").count()
     val studies =
       if (!partitioned) Nil
       else fs.listStatus(abs).toSeq.map(_.getPath.getName)
         .filter(_.startsWith("study_key="))
         .map(_.stripPrefix("study_key=").toLong).sorted
-    Segment(rel, Nil, rows, studies)
+    Segment(rel, Nil, rows, studies,
+      df.schema.fields.map(f => f.name -> f.dataType.catalogString).toSeq)
   }
 
   def writeDim(table: String, df: DataFrame): Unit = {
@@ -496,9 +628,71 @@ final class SnapshotTxn private[etl] (spark: SparkSession, baseDir: String,
     val rows = Option(df).getOrElse(read(table))
     pending(table) = Seq(writeSegment(table, rows))
   }
+
+  /** Predicate-scoped delete — see [[SnapshotWarehouse.deleteWhere]]
+    * for the contract. Segment-local: each live segment is probed for
+    * matching VISIBLE rows; a clean segment keeps its manifest entry
+    * (and directory) untouched, a hit segment is rewritten minus the
+    * matches. Returns rows deleted.
+    */
+  private[etl] def deleteWhere(table: String, pred: Column): Long = {
+    val view = Manifest(base.version, base.tables ++ pending)
+    val core = owner.baseSchema(view, table)
+    // the FULL evolved schema (core ++ every additive column any live
+    // segment carries): a predicate naming an additive column must
+    // still evaluate on pre-evolution segments — those rows read the
+    // column as NULL, and NULL must not delete — so each segment is
+    // widened with NULL-filled absentees for the probe only; rewrites
+    // keep the segment's own (lean) schema.
+    val full: Seq[(String, DataType)] = {
+      val seen = scala.collection.mutable.LinkedHashMap[String, DataType]()
+      core.fields.foreach(f => seen(f.name) = f.dataType)
+      entry(table).foreach(_.cols.foreach { case (n, t) =>
+        if (!seen.contains(n)) seen(n) = DataType.fromDDL(t) })
+      seen.toSeq
+    }
+    // TRUE deletes; NULL/false keeps (SQL DELETE semantics)
+    val hit = coalesce(pred.cast("boolean"), lit(false))
+    var deleted = 0L
+    val kept = scala.collection.mutable.ArrayBuffer[Segment]()
+    var schemaCarrier: Option[Segment] = None
+    entry(table).foreach { seg =>
+      val visible = owner.readSegment(seg, core)
+      val have = visible.columns.toSet
+      val widened = full.filterNot(c => have(c._1)).foldLeft(visible) {
+        case (df, (n, dt)) => df.withColumn(n, lit(null).cast(dt))
+      }
+      // the probe is a count over the pushed-down predicate: parquet
+      // row-group stats + the study_key partition pruning make it
+      // footer-cheap on segments with no matches
+      val n = widened.where(hit).count()
+      if (n == 0L) kept += seg
+      else {
+        deleted += n
+        val rewritten = writeSegment(table, widened.where(not(hit))
+          .select(visible.columns.toIndexedSeq.map(col): _*))
+        if (rewritten.rows > 0L) kept += rewritten
+        // an emptied segment normally just drops out of the manifest,
+        // but if the WHOLE table empties, one zero-row segment stays as
+        // the schema of record (extension tables have no declared
+        // schema to fall back to)
+        else schemaCarrier = Some(rewritten)
+      }
+    }
+    pending(table) =
+      if (kept.nonEmpty) kept.toSeq else schemaCarrier.toSeq
+    deleted
+  }
 }
 
 class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
+
+/** A writer tried to commit a segment whose schema breaks the table's
+  * contract (dropped/retyped core column, or a type-inconsistent
+  * additive column) — thrown BEFORE the manifest rename, so nothing of
+  * the transaction publishes.
+  */
+class SchemaContractViolation(msg: String) extends RuntimeException(msg)
 
 object SnapshotWarehouse {
 
@@ -514,7 +708,8 @@ object SnapshotWarehouse {
     * always read).
     */
   case class Segment(path: String, exclude: Seq[Long],
-      rows: Long = -1L, studies: Seq[Long] = Nil) {
+      rows: Long = -1L, studies: Seq[Long] = Nil,
+      cols: Seq[(String, String)] = Nil) {
     /** Studies a reader can still see through this segment (None =
       * stats unknown or not a by-study segment — cannot skip).
       */
@@ -523,15 +718,29 @@ object SnapshotWarehouse {
       else Some(studies.toSet -- exclude)
   }
 
+  /** Reconstruct a segment's schema of record from its manifest column
+    * list (name, Spark DDL type). Everything reads nullable — parquet
+    * cannot promise more, and the evolution-aware union fills NULLs
+    * anyway. Empty cols (a pre-round-13 manifest) → empty StructType;
+    * callers fall back to the table core.
+    */
+  private[etl] def schemaOf(cols: Seq[(String, String)]): StructType =
+    StructType(cols.map { case (n, t) =>
+      StructField(n, DataType.fromDDL(t), nullable = true) })
+
   case class Manifest(version: Long, tables: Map[String, Seq[Segment]])
 
   /** Hand-rendered for a stable field order; parsed with Jackson (on
     * the Spark classpath) for robustness.
     */
   private[etl] def renderManifest(m: Manifest): String = {
-    def seg(s: Segment): String =
+    def seg(s: Segment): String = {
+      val cols = s.cols.map { case (n, t) =>
+        s"[${graft.JsonUtil.quote(n)},${graft.JsonUtil.quote(t)}]"
+      }.mkString(",")
       s"""{"path":${graft.JsonUtil.quote(s.path)},"exclude":[${s.exclude.mkString(",")}],""" +
-        s""""rows":${s.rows},"studies":[${s.studies.mkString(",")}]}"""
+        s""""rows":${s.rows},"studies":[${s.studies.mkString(",")}],"cols":[$cols]}"""
+    }
     val tables = m.tables.toSeq.sortBy(_._1).map { case (t, segs) =>
       s"${graft.JsonUtil.quote(t)}:[${segs.map(seg).mkString(",")}]"
     }.mkString(",")
@@ -549,11 +758,15 @@ object SnapshotWarehouse {
         val ex = scala.collection.mutable.ArrayBuffer[Long]()
         s.get("exclude").forEach(x => ex += x.asLong())
         // stats fields are optional: a pre-stats manifest reads as
-        // rows = -1 (unknown → never skipped)
+        // rows = -1 (unknown → never skipped), cols = Nil (unknown →
+        // the table core is the segment's schema of record)
         val rows = Option(s.get("rows")).map(_.asLong()).getOrElse(-1L)
         val st = scala.collection.mutable.ArrayBuffer[Long]()
         Option(s.get("studies")).foreach(_.forEach(x => st += x.asLong()))
-        segs += Segment(s.get("path").asText(), ex.toSeq, rows, st.toSeq)
+        val cs = scala.collection.mutable.ArrayBuffer[(String, String)]()
+        Option(s.get("cols")).foreach(_.forEach(c =>
+          cs += ((c.get(0).asText(), c.get(1).asText()))))
+        segs += Segment(s.get("path").asText(), ex.toSeq, rows, st.toSeq, cs.toSeq)
       }
       tables(e.getKey) = segs.toSeq
     }

@@ -489,4 +489,123 @@ class SnapshotWarehouseSpec extends SparkSpec {
     }
     assert(corr(plainDir) == corr(snapDir))
   }
+
+  test("schema contract: type drift on a core column is rejected at commit and NOTHING publishes") {
+    val wh = sw()
+    wh.appendFacts("fact_expression", facts(0 until 10, 1L))
+    val v = wh.currentVersion()
+    // a writer whose expression_value drifted to string: the declared-
+    // schema read would silently null the column — must reject loudly
+    val drifted = (10 until 15).map(i =>
+      (i.toLong, i.toLong % 7, 1L, s"${i * 1.5}")).toDF(
+      "sample_key", "gene_key", "study_key", "expression_value")
+    val e = intercept[SchemaContractViolation] {
+      wh.appendFacts("fact_expression", drifted)
+    }
+    assert(e.getMessage.contains("expression_value") &&
+      e.getMessage.contains("incompatible type"))
+    // and a segment MISSING a core column is rejected too
+    val missing = (10 until 15).map(i => (i.toLong, i.toLong % 7, 1L))
+      .toDF("sample_key", "gene_key", "study_key")
+    val e2 = intercept[SchemaContractViolation] {
+      wh.appendFacts("fact_expression", missing)
+    }
+    assert(e2.getMessage.contains("missing required column"))
+    // the rejections aborted BEFORE the manifest rename: no new
+    // version, the table is exactly the pre-write generation
+    assert(wh.currentVersion() == v)
+    assert(wh.read("fact_expression").count() == 10)
+  }
+
+  test("schema contract: additive evolution accepted; reads as the union schema with NULLs; additive types must stay consistent") {
+    val wh = sw()
+    // extension table (not in the star schema): the FIRST write defines
+    // the core — the manifest, not Warehouse.schemas, is its schema of
+    // record
+    val gen1 = Seq((1L, 100L), (2L, 200L)).toDF("doc_id", "n_chars")
+    wh.appendFacts("documents", gen1)
+    // additive column: accepted
+    val gen2 = Seq((3L, 300L, "en"), (4L, 400L, "de"))
+      .toDF("doc_id", "n_chars", "lang")
+    wh.appendFacts("documents", gen2)
+    val read = wh.read("documents")
+    assert(read.columns.toSeq == Seq("doc_id", "n_chars", "lang"))
+    val byId = read.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).isNullAt(byId(1L).fieldIndex("lang")),
+      "pre-evolution rows must read the added column as NULL")
+    assert(byId(3L).getAs[String]("lang") == "en")
+    // a later writer missing part of the (first-write) core is rejected
+    intercept[SchemaContractViolation] {
+      wh.appendFacts("documents", Seq(5L).toDF("doc_id"))
+    }
+    // an additive column recommitted under a DIFFERENT type is rejected
+    // (the read-side union must never coerce)
+    val e = intercept[SchemaContractViolation] {
+      wh.appendFacts("documents",
+        Seq((6L, 600L, 99L)).toDF("doc_id", "n_chars", "lang"))
+    }
+    assert(e.getMessage.contains("additive column 'lang'"))
+    // compaction folds to ONE segment carrying the union schema, and
+    // the evolved column survives it
+    wh.compact("documents")
+    val compacted = wh.read("documents")
+    assert(compacted.columns.toSeq == Seq("doc_id", "n_chars", "lang"))
+    assert(compacted.count() == 4 &&
+      compacted.where(col("lang").isNull).count() == 2)
+  }
+
+  test("deleteWhere: only matching segments rewrite (untouched paths stay byte-identical); one atomic commit; time travel keeps pre-delete rows") {
+    val wh = sw()
+    wh.appendFacts("fact_expression", facts(0 until 10, 1L))
+    wh.appendFacts("fact_expression", facts(10 until 20, 2L))
+    wh.appendFacts("fact_expression", facts(20 until 30, 3L))
+    val vBefore = wh.currentVersion()
+    val mBefore = wh.currentManifest()
+    val deleted = wh.deleteWhere("fact_expression",
+      col("study_key") === 2L && col("sample_key") % 2 === 0)
+    assert(deleted == 5L, s"expected 5 deleted rows, got $deleted")
+    // exactly one commit
+    assert(wh.currentVersion() == vBefore + 1)
+    val mAfter = wh.currentManifest()
+    val before = mBefore.tables("fact_expression").map(_.path)
+    val after = mAfter.tables("fact_expression").map(_.path)
+    assert(after.size == 3)
+    // the two clean segments keep their immutable directories — a
+    // takedown must not rewrite the lake
+    assert(after(0) == before(0) && after(2) == before(2))
+    assert(after(1) != before(1), "the hit segment must be rewritten")
+    // visible rows: study 2 lost its even sample_keys only
+    assert(factSet(wh.read("fact_expression")) ==
+      ((0 until 10).map(_.toLong -> 1L) ++
+        Seq(11L, 13L, 15L, 17L, 19L).map(_ -> 2L) ++
+        (20 until 30).map(_.toLong -> 3L)).toSet)
+    // time travel: the pre-delete snapshot still shows everything
+    // (erasure horizon = vacuum retention, the table-format contract)
+    assert(wh.readAt("fact_expression", vBefore).count() == 30)
+    // vacuum to the current snapshot destroys the deleted generation
+    wh.vacuum(keepVersions = 1, orphanGraceMs = 0L)
+    intercept[IllegalArgumentException] {
+      wh.readAt("fact_expression", vBefore)
+    }
+    assert(wh.read("fact_expression").count() == 25)
+  }
+
+  test("deleteWhere: NULL-predicate rows are KEPT (SQL DELETE semantics) and emptying a table leaves its schema readable") {
+    val wh = sw()
+    wh.appendFacts("documents", Seq((1L, 10L)).toDF("doc_id", "n_chars"))
+    wh.appendFacts("documents",
+      Seq((2L, 20L, "zh"), (3L, 30L, "en")).toDF("doc_id", "n_chars", "lang"))
+    // doc 1 has lang NULL (pre-evolution): `lang = 'zh'` is NULL there,
+    // and NULL must not delete
+    val n = wh.deleteWhere("documents", col("lang") === "zh")
+    assert(n == 1L)
+    assert(wh.read("documents").select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 3L))
+    // empty the table entirely: the read stays planful (schema carrier
+    // segment), returning zero rows with the evolved schema
+    assert(wh.deleteWhere("documents", lit(true)) == 2L)
+    val emptied = wh.read("documents")
+    assert(emptied.count() == 0)
+    assert(emptied.columns.contains("doc_id"))
+  }
 }
