@@ -9,6 +9,9 @@ import graft.GraftSession
   *   graft.etl.Main etl-stream --config etl.yaml --manifest <dir>
   *   graft.etl.Main correlate --warehouse <dir> [--study GSE1 --study GSE2 ...]
   *   graft.etl.Main curate --config pipeline.yaml --input docs.parquet --output out/
+  *   graft.etl.Main lake-delete --warehouse snapshot:<dir> --table <t> --where <pred>
+  *   graft.etl.Main lake-compact --warehouse snapshot:<dir> --table <t>
+  *   graft.etl.Main lake-vacuum --warehouse snapshot:<dir> [--keep <n>] [--grace-ms <ms>]
   */
 object Main {
 
@@ -164,9 +167,56 @@ object Main {
         val nOut = spark.read.parquet(output).count()
         println(s"curate in=$nIn out=$nOut stages=${cfg.stages.size} -> $output")
         0
+      case "lake-delete" =>
+        // predicate-scoped delete (takedown/GDPR) on the snapshot
+        // backend — the CLI face of SnapshotWarehouse.deleteWhere. The
+        // predicate is ANSI SQL over the table's columns; rows where it
+        // is TRUE are deleted (NULL keeps, the SQL DELETE contract).
+        val wh = snapshotWarehouse(spark, required("warehouse"))
+        val table = required("table")
+        val where = required("where")
+        val pred = try org.apache.spark.sql.functions.expr(where) catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            usageError(s"bad --where predicate: ${e.getMessage}")
+        }
+        // unresolvable columns only surface when the predicate meets
+        // the table's schema inside deleteWhere — still a usage error
+        val deleted = try wh.deleteWhere(table, pred) catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            usageError(s"bad --where predicate for table $table: ${e.getMessage}")
+        }
+        println(s"lake-delete table=$table deleted=$deleted " +
+          s"snapshot=v${wh.currentVersion()}")
+        0
+      case "lake-compact" =>
+        val wh = snapshotWarehouse(spark, required("warehouse"))
+        val table = required("table")
+        wh.compact(table)
+        println(s"lake-compact table=$table snapshot=v${wh.currentVersion()}")
+        0
+      case "lake-vacuum" =>
+        val wh = snapshotWarehouse(spark, required("warehouse"))
+        val keep = opts.get("keep").flatMap(_.headOption).map(_.toInt).getOrElse(1)
+        val grace = opts.get("grace-ms").flatMap(_.headOption).map(_.toLong)
+          .getOrElse(24L * 60 * 60 * 1000)
+        wh.vacuum(keep, grace)
+        println(s"lake-vacuum keep=$keep snapshot=v${wh.currentVersion()}")
+        0
       case other => usageError(s"Unknown command: $other")
     }
   }
+
+  /** The lake maintenance commands only make sense on the manifest
+    * backend: plain parquet has no snapshots to delete from or vacuum,
+    * and JDBC deletes are plain SQL — fail with usage, not a cast.
+    */
+  private def snapshotWarehouse(spark: org.apache.spark.sql.SparkSession,
+      target: String): SnapshotWarehouse =
+    Warehouse(spark, target) match {
+      case s: SnapshotWarehouse => s
+      case _ => usageError(
+        s"--warehouse must be a snapshot: target for lake commands, got: $target")
+    }
 
   private def printResults(results: Seq[EtlJob#StudyResult]): Unit =
     results.foreach { r =>
@@ -211,5 +261,8 @@ object Main {
     """usage: graft.etl.Main etl --config <yaml> [--warehouse <dir|jdbc:url>] [--mode unioned] [--no-resume]
       |       graft.etl.Main etl-stream --config <yaml> --manifest <dir> [--warehouse <dir|jdbc:url>] [--checkpoint <dir>] [--no-resume] [--follow [--interval "10 seconds"]]
       |       graft.etl.Main correlate [--warehouse <dir|jdbc:url>] [--study <GSE>]... [--exact-p]
-      |       graft.etl.Main curate --config <pipeline.yaml> --input <parquet> --output <dir>""".stripMargin)
+      |       graft.etl.Main curate --config <pipeline.yaml> --input <parquet> --output <dir>
+      |       graft.etl.Main lake-delete --warehouse snapshot:<dir> --table <t> --where <sql-predicate>
+      |       graft.etl.Main lake-compact --warehouse snapshot:<dir> --table <t>
+      |       graft.etl.Main lake-vacuum --warehouse snapshot:<dir> [--keep <n>] [--grace-ms <ms>]""".stripMargin)
 }

@@ -590,6 +590,38 @@ class SnapshotWarehouseSpec extends SparkSpec {
     assert(wh.read("fact_expression").count() == 25)
   }
 
+  test("lake CLI: lake-delete / lake-compact / lake-vacuum drive the snapshot backend end-to-end") {
+    val dir = tmpDir().toString
+    val wh = Warehouse(spark, s"snapshot:$dir").asInstanceOf[SnapshotWarehouse]
+    wh.appendFacts("fact_expression", facts(0 until 10, 1L))
+    wh.appendFacts("fact_expression", facts(10 until 20, 2L))
+    def run(args: String*): Int = Main.run(args.toArray, spark)
+    // takedown by SQL predicate
+    assert(run("lake-delete", "--warehouse", s"snapshot:$dir",
+      "--table", "fact_expression",
+      "--where", "study_key = 2 AND sample_key % 2 = 0") == 0)
+    assert(wh.read("fact_expression").count() == 15)
+    // bad predicate → usage (exit 2), nothing committed
+    val v = wh.currentVersion()
+    assert(run("lake-delete", "--warehouse", s"snapshot:$dir",
+      "--table", "fact_expression", "--where", "no_such_column = 1") == 2)
+    assert(run("lake-delete", "--warehouse", s"snapshot:$dir",
+      "--table", "fact_expression", "--where", "NOT SQL ((") == 2)
+    assert(wh.currentVersion() == v)
+    // compact folds to one segment; vacuum (grace 0, tests only) drops
+    // the dead generations; table still reads 15 rows
+    assert(run("lake-compact", "--warehouse", s"snapshot:$dir",
+      "--table", "fact_expression") == 0)
+    assert(wh.currentManifest().tables("fact_expression").size == 1)
+    assert(run("lake-vacuum", "--warehouse", s"snapshot:$dir",
+      "--keep", "1", "--grace-ms", "0") == 0)
+    assert(wh.read("fact_expression").count() == 15)
+    intercept[IllegalArgumentException] { wh.readAt("fact_expression", v) }
+    // lake commands refuse non-snapshot targets with usage, not a cast
+    assert(run("lake-compact", "--warehouse", tmpDir().toString,
+      "--table", "fact_expression") == 2)
+  }
+
   test("deleteWhere: NULL-predicate rows are KEPT (SQL DELETE semantics) and emptying a table leaves its schema readable") {
     val wh = sw()
     wh.appendFacts("documents", Seq((1L, 10L)).toDF("doc_id", "n_chars"))
