@@ -1371,6 +1371,35 @@ object SparkEntry {
         .groupBy(coalesce(col("lang"), lit("__pre_evolution__")).as("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
     }),
+    // S21: MANIFEST-STATS-PRUNED predicate read — the stamped
+    // per-segment long-column (min, max) bounds generalize the study
+    // skip to arbitrary range predicates: the corpus lands as four
+    // contiguous doc_id quartile segments, and readWhere's quartile-2
+    // range plans ONE of them (the others never reach planning —
+    // SnapshotWarehouseSpec pins the leaf count and the job count; the
+    // oracle pins that pruning loses no row and admits no extra).
+    // Bounds are integer DIVs of max(doc_id), replayed in the oracle
+    // as BIGINT // (both truncate toward zero on non-negative ids).
+    "s21_lake_pruned_read" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val staged = stagedDir(s"lake_pruned:$dir") { p =>
+        val wh = new etl.SnapshotWarehouse(s, p.toString)
+        val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+        // contiguous (lo, hi] quartiles partition the ids exactly
+        val bounds = Seq(-1L, mx / 4, mx / 2, mx * 3 / 4, mx)
+        (0 until 4).foreach { q =>
+          wh.appendFacts("documents", docs.where(
+            col("doc_id") > bounds(q) && col("doc_id") <= bounds(q + 1)))
+        }
+        ()
+      }
+      val wh = new etl.SnapshotWarehouse(s, staged.toString)
+      val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+      wh.readWhere("documents",
+          col("doc_id") > mx / 4 && col("doc_id") <= mx / 2)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+    }),
     // X7: Structured Streaming parity — the SAME hourly aggregation as
     // x2, but executed as an unbounded plan over the file source with
     // Trigger.AvailableNow, drained to completion, and returned from
@@ -4715,6 +4744,14 @@ object SparkEntry {
         |            ELSE '__pre_evolution__' END AS lang,
         |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY 1""".stripMargin,
+    // BIGINT // truncates toward zero in DuckDB = JVM long division on
+    // the non-negative ids — both sides derive the same quartile cut
+    "s21_lake_pruned_read" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents
+        |WHERE doc_id > (SELECT max(doc_id) // 4 FROM documents)
+        |  AND doc_id <= (SELECT max(doc_id) // 2 FROM documents)
+        |GROUP BY lang""".stripMargin,
     "x3_sessionize" -> sessionizeSql,
     // streaming twin — same gap-split semantics, same oracle
     "x8_stream_sessionize" -> sessionizeSql,

@@ -191,6 +191,56 @@ class SnapshotWarehouse(spark: SparkSession, val baseDir: String,
       .where(col("study_key").isin(studyKeys: _*))
   }
 
+  /** Predicate read with MANIFEST-LEVEL stats pruning: segments whose
+    * stamped long-column (min, max) bounds are provably disjoint from
+    * `pred` never enter the plan — no file listing, no footer, no scan
+    * node (the [[readStudies]] study-set skip generalized to arbitrary
+    * range/equality/IN predicates over long columns). Within the kept
+    * segments the same predicate still pushes into the parquet scan,
+    * so skipping applies at three levels: manifest, partition
+    * directory, row group. Rows where `pred` is NULL are excluded
+    * (ordinary WHERE semantics).
+    */
+  def readWhere(table: String, pred: org.apache.spark.sql.Column): DataFrame = {
+    val m = currentManifest()
+    val base = baseSchema(m, table)
+    val predE = predExpression(pred, fullSchema(m, table))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], base)
+    m.tables.getOrElse(table, Nil).filter(_.mayMatch(predE))
+      .foldLeft(empty) { (acc, seg) =>
+        acc.unionByName(readSegment(seg, base), allowMissingColumns = true)
+      }
+      .where(pred)
+  }
+
+  /** The table's FULL evolved schema: core ++ every additive column
+    * any live segment carries, in first-seen order.
+    */
+  private[etl] def fullSchema(m: Manifest, table: String): StructType = {
+    val core = baseSchema(m, table)
+    val seen = scala.collection.mutable.LinkedHashMap[String, DataType]()
+    core.fields.foreach(f => seen(f.name) = f.dataType)
+    m.tables.getOrElse(table, Nil).foreach(_.cols.foreach { case (n, t) =>
+      if (!seen.contains(n)) seen(n) = DataType.fromDDL(t) })
+    StructType(seen.toSeq.map { case (n, t) => StructField(n, t, nullable = true) })
+  }
+
+  /** Resolve a user predicate Column against a schema and return its
+    * Catalyst condition (Spark 4 Columns wrap ColumnNodes — analyzing
+    * a dummy Filter is the public way back to an Expression the stats
+    * pruner can pattern-match; an unresolvable column fails HERE with
+    * the ordinary AnalysisException).
+    */
+  private[etl] def predExpression(pred: org.apache.spark.sql.Column,
+      schema: StructType): org.apache.spark.sql.catalyst.expressions.Expression = {
+    val dummy = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    dummy.where(pred).queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.getOrElse(org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral)
+  }
+
   def writeDim(table: String, df: DataFrame): Unit =
     transact(_.writeDim(table, df))
 
@@ -579,21 +629,30 @@ final class SnapshotTxn private[etl] (spark: SparkSession, baseDir: String,
         .mode(SaveMode.ErrorIfExists)
     w.parquet(s"$baseDir/$rel")
     // stamp segment stats from write-side metadata only: the row count
-    // is a parquet-footer count (no column data read), the study set
-    // comes from the hive partition directory NAMES (a listing, no
-    // read at all) — both O(files), never O(rows). The column list is
-    // the segment's schema of record: the read plans from it, never
-    // from footers, and evolution-aware unions fill what's absent.
+    // AND the per-column long (min, max) bounds come from the parquet
+    // FOOTERS the write just produced (round 13 — replacing the Spark
+    // count job with a driver-side metadata read), the study set from
+    // the hive partition directory NAMES — all O(files), never
+    // O(rows). The column list is the segment's schema of record: the
+    // read plans from it, never from footers, and evolution-aware
+    // unions fill what's absent.
     val abs = new HPath(s"$baseDir/$rel")
     val fs = abs.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val rows = spark.read.schema(df.schema).parquet(s"$baseDir/$rel").count()
+    val (rows, fileStats) =
+      StatsPruning.collectLongStats(spark.sparkContext.hadoopConfiguration, abs)
     val studies =
       if (!partitioned) Nil
       else fs.listStatus(abs).toSeq.map(_.getPath.getName)
         .filter(_.startsWith("study_key="))
         .map(_.stripPrefix("study_key=").toLong).sorted
+    // the partition column never appears in the data files — its bounds
+    // come from the directory names, so study predicates prune too
+    val lstats = (fileStats ++
+      (if (studies.nonEmpty) Map("study_key" -> (studies.min, studies.max)) else Map.empty))
+      .toSeq.map { case (n, (lo, hi)) => (n, lo, hi) }.sortBy(_._1)
     Segment(rel, Nil, rows, studies,
-      df.schema.fields.map(f => f.name -> f.dataType.catalogString).toSeq)
+      df.schema.fields.map(f => f.name -> f.dataType.catalogString).toSeq,
+      lstats)
   }
 
   def writeDim(table: String, df: DataFrame): Unit = {
@@ -653,30 +712,40 @@ final class SnapshotTxn private[etl] (spark: SparkSession, baseDir: String,
     }
     // TRUE deletes; NULL/false keeps (SQL DELETE semantics)
     val hit = coalesce(pred.cast("boolean"), lit(false))
+    val predE = owner.predExpression(pred,
+      StructType(full.map { case (n, t) => StructField(n, t, nullable = true) }))
     var deleted = 0L
     val kept = scala.collection.mutable.ArrayBuffer[Segment]()
     var schemaCarrier: Option[Segment] = None
     entry(table).foreach { seg =>
-      val visible = owner.readSegment(seg, core)
-      val have = visible.columns.toSet
-      val widened = full.filterNot(c => have(c._1)).foldLeft(visible) {
-        case (df, (n, dt)) => df.withColumn(n, lit(null).cast(dt))
-      }
-      // the probe is a count over the pushed-down predicate: parquet
-      // row-group stats + the study_key partition pruning make it
-      // footer-cheap on segments with no matches
-      val n = widened.where(hit).count()
-      if (n == 0L) kept += seg
+      // manifest-level stats pruning FIRST (round 13): a segment whose
+      // stamped long-column bounds are provably disjoint from the
+      // predicate never launches a probe job at all — at a
+      // many-segment lake this is the difference between one job per
+      // TOUCHED segment and one job per segment
+      if (!seg.mayMatch(predE)) kept += seg
       else {
-        deleted += n
-        val rewritten = writeSegment(table, widened.where(not(hit))
-          .select(visible.columns.toIndexedSeq.map(col): _*))
-        if (rewritten.rows > 0L) kept += rewritten
-        // an emptied segment normally just drops out of the manifest,
-        // but if the WHOLE table empties, one zero-row segment stays as
-        // the schema of record (extension tables have no declared
-        // schema to fall back to)
-        else schemaCarrier = Some(rewritten)
+        val visible = owner.readSegment(seg, core)
+        val have = visible.columns.toSet
+        val widened = full.filterNot(c => have(c._1)).foldLeft(visible) {
+          case (df, (nm, dt)) => df.withColumn(nm, lit(null).cast(dt))
+        }
+        // the probe is a count over the pushed-down predicate: parquet
+        // row-group stats + the study_key partition pruning make it
+        // footer-cheap on segments with no matches
+        val n = widened.where(hit).count()
+        if (n == 0L) kept += seg
+        else {
+          deleted += n
+          val rewritten = writeSegment(table, widened.where(not(hit))
+            .select(visible.columns.toIndexedSeq.map(col): _*))
+          if (rewritten.rows > 0L) kept += rewritten
+          // an emptied segment normally just drops out of the manifest,
+          // but if the WHOLE table empties, one zero-row segment stays
+          // as the schema of record (extension tables have no declared
+          // schema to fall back to)
+          else schemaCarrier = Some(rewritten)
+        }
       }
     }
     pending(table) =
@@ -709,13 +778,27 @@ object SnapshotWarehouse {
     */
   case class Segment(path: String, exclude: Seq[Long],
       rows: Long = -1L, studies: Seq[Long] = Nil,
-      cols: Seq[(String, String)] = Nil) {
+      cols: Seq[(String, String)] = Nil,
+      lstats: Seq[(String, Long, Long)] = Nil) {
     /** Studies a reader can still see through this segment (None =
       * stats unknown or not a by-study segment — cannot skip).
       */
     def visibleStudies: Option[Set[Long]] =
       if (rows < 0L || (rows > 0L && studies.isEmpty)) None
       else Some(studies.toSet -- exclude)
+
+    /** Per-column long bounds as a lookup map (empty = pre-stats
+      * manifest: nothing is provable, nothing skips).
+      */
+    def longBounds: Map[String, (Long, Long)] =
+      lstats.map { case (n, lo, hi) => n -> (lo, hi) }.toMap
+
+    /** Driver-side prunability: can any physical row satisfy the
+      * (analyzed) predicate? Conservative — only provable
+      * disjointness answers false.
+      */
+    def mayMatch(pred: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+      lstats.isEmpty || StatsPruning.mayMatch(pred, longBounds)
   }
 
   /** Reconstruct a segment's schema of record from its manifest column
@@ -738,8 +821,12 @@ object SnapshotWarehouse {
       val cols = s.cols.map { case (n, t) =>
         s"[${graft.JsonUtil.quote(n)},${graft.JsonUtil.quote(t)}]"
       }.mkString(",")
+      val lstats = s.lstats.map { case (n, lo, hi) =>
+        s"[${graft.JsonUtil.quote(n)},$lo,$hi]"
+      }.mkString(",")
       s"""{"path":${graft.JsonUtil.quote(s.path)},"exclude":[${s.exclude.mkString(",")}],""" +
-        s""""rows":${s.rows},"studies":[${s.studies.mkString(",")}],"cols":[$cols]}"""
+        s""""rows":${s.rows},"studies":[${s.studies.mkString(",")}],"cols":[$cols],""" +
+        s""""lstats":[$lstats]}"""
     }
     val tables = m.tables.toSeq.sortBy(_._1).map { case (t, segs) =>
       s"${graft.JsonUtil.quote(t)}:[${segs.map(seg).mkString(",")}]"
@@ -766,7 +853,11 @@ object SnapshotWarehouse {
         val cs = scala.collection.mutable.ArrayBuffer[(String, String)]()
         Option(s.get("cols")).foreach(_.forEach(c =>
           cs += ((c.get(0).asText(), c.get(1).asText()))))
-        segs += Segment(s.get("path").asText(), ex.toSeq, rows, st.toSeq, cs.toSeq)
+        val ls = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+        Option(s.get("lstats")).foreach(_.forEach(c =>
+          ls += ((c.get(0).asText(), c.get(1).asLong(), c.get(2).asLong()))))
+        segs += Segment(s.get("path").asText(), ex.toSeq, rows, st.toSeq,
+          cs.toSeq, ls.toSeq)
       }
       tables(e.getKey) = segs.toSeq
     }

@@ -622,6 +622,74 @@ class SnapshotWarehouseSpec extends SparkSpec {
       "--table", "fact_expression") == 2)
   }
 
+  test("manifest long-column stats: stamped from footers at write; readWhere and deleteWhere prune provably-disjoint segments driver-side") {
+    import spark.implicits._
+    val wh = sw()
+    // four segments with disjoint doc_id ranges (an extension table —
+    // stats generalize beyond the star schema)
+    (0 until 4).foreach { q =>
+      wh.appendFacts("documents",
+        (q * 100L until q * 100L + 50L).map(i => (i, i % 7)).toDF("doc_id", "n_chars"))
+    }
+    val segs = wh.currentManifest().tables("documents")
+    assert(segs.size == 4)
+    // bounds stamped from the parquet footers (no Spark job)
+    assert(segs.head.longBounds("doc_id") == (0L, 49L))
+    assert(segs(2).longBounds("doc_id") == (200L, 249L))
+    // rows stamped from footers too (replaced the count job)
+    assert(segs.forall(_.rows == 50L))
+
+    // readWhere plans ONLY the plausible segments: 1 matching + the
+    // empty seed frame = 2 leaves (read().where() would carry all 4)
+    val pruned = wh.readWhere("documents",
+      col("doc_id") >= 210L && col("doc_id") < 240L)
+    assert(pruned.queryExecution.analyzed.collectLeaves().size == 2,
+      s"expected 1 segment + seed, got:\n${pruned.queryExecution.analyzed.treeString}")
+    assert(wh.read("documents").queryExecution.analyzed.collectLeaves().size == 5)
+    // and the pruned read returns exactly the filtered rows
+    assert(pruned.count() == 30L)
+    assert(pruned.select(min(col("doc_id")), max(col("doc_id"))).head ==
+      org.apache.spark.sql.Row(210L, 239L))
+
+    // deleteWhere launches probe/rewrite jobs ONLY for the plausible
+    // segment: 3 of 4 segments prune with zero I/O
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val n = wh.deleteWhere("documents", col("doc_id").between(210L, 239L))
+      // listener events are asynchronous; onJobStart fires when the job
+      // SUBMITS, which has happened by the time deleteWhere returned
+      // (its actions are blocking) — a short settle covers the bus lag
+      Thread.sleep(300)
+      assert(n == 30L)
+      // 1 probe + 1 rewrite write (footer stats are driver-side reads,
+      // not jobs); un-pruned it would be >= 4 probes
+      assert(jobs.get() <= 3,
+        s"stats pruning should leave <= 3 jobs (probe + rewrite), saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(wh.read("documents").count() == 170L)
+    // untouched segments kept their directories
+    val after = wh.currentManifest().tables("documents").map(_.path)
+    assert(after.count(segs.map(_.path).contains) == 3)
+
+    // IN / OR / equality algebra through the analyzed predicate
+    val m = wh.currentManifest()
+    val schema = wh.fullSchema(m, "documents")
+    def may(segIdx: Int, pred: org.apache.spark.sql.Column): Boolean =
+      segs(segIdx).mayMatch(wh.predExpression(pred, schema))
+    assert(!may(0, col("doc_id") === 200L) && may(2, col("doc_id") === 200L))
+    assert(!may(0, col("doc_id").isin(77L, 205L)) && may(2, col("doc_id").isin(77L, 205L)))
+    assert(may(0, col("doc_id") === 200L || col("doc_id") < 10L))
+    assert(!may(1, col("doc_id") > 120L && col("doc_id") > 300L))
+    // unknown shapes never prune (conservative)
+    assert(may(0, length(col("doc_id").cast("string")) === 3))
+  }
+
   test("deleteWhere: NULL-predicate rows are KEPT (SQL DELETE semantics) and emptying a table leaves its schema readable") {
     val wh = sw()
     wh.appendFacts("documents", Seq((1L, 10L)).toDF("doc_id", "n_chars"))
