@@ -66,8 +66,14 @@ object BenchGate {
     val line =
       s"""{"metric":"bench_gate","n":${names.size},"over":${over.size},"unseeded":${unseeded.size},""" +
         s""""over_detail":$overJson,"sf":${JsonUtil.quote(sfDir)}}"""
+    // the artifact carries the per-query mins too (stdout stays short —
+    // the Bench tail-capture discipline): every gate run then doubles
+    // as a 3-pass bench detail for cross-round min-merging
+    val qs = names.map(n => JsonUtil.quote(n) + ":" + fmt(mins(n)))
+      .mkString("{", ",", "}")
+    val full = line.dropRight(1) + s""","passes":$passes,"queries":$qs}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_gate.json"),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case NonFatal(e) => System.err.println(s"[bench-gate] artifact write failed: ${e.getMessage}") }
     try spark.stop() catch { case NonFatal(_) => () }
     println(line)

@@ -638,8 +638,8 @@ final class SnapshotTxn private[etl] (spark: SparkSession, baseDir: String,
     // unions fill what's absent.
     val abs = new HPath(s"$baseDir/$rel")
     val fs = abs.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (rows, fileStats) =
-      StatsPruning.collectLongStats(spark.sparkContext.hadoopConfiguration, abs)
+    val (rows, fileStats, strStats) =
+      StatsPruning.collectStats(spark.sparkContext.hadoopConfiguration, abs)
     val studies =
       if (!partitioned) Nil
       else fs.listStatus(abs).toSeq.map(_.getPath.getName)
@@ -652,7 +652,8 @@ final class SnapshotTxn private[etl] (spark: SparkSession, baseDir: String,
       .toSeq.map { case (n, (lo, hi)) => (n, lo, hi) }.sortBy(_._1)
     Segment(rel, Nil, rows, studies,
       df.schema.fields.map(f => f.name -> f.dataType.catalogString).toSeq,
-      lstats)
+      lstats,
+      strStats.toSeq.map { case (n, (lo, hi)) => (n, lo, hi) }.sortBy(_._1))
   }
 
   def writeDim(table: String, df: DataFrame): Unit = {
@@ -779,7 +780,8 @@ object SnapshotWarehouse {
   case class Segment(path: String, exclude: Seq[Long],
       rows: Long = -1L, studies: Seq[Long] = Nil,
       cols: Seq[(String, String)] = Nil,
-      lstats: Seq[(String, Long, Long)] = Nil) {
+      lstats: Seq[(String, Long, Long)] = Nil,
+      sstats: Seq[(String, String, String)] = Nil) {
     /** Studies a reader can still see through this segment (None =
       * stats unknown or not a by-study segment — cannot skip).
       */
@@ -793,12 +795,19 @@ object SnapshotWarehouse {
     def longBounds: Map[String, (Long, Long)] =
       lstats.map { case (n, lo, hi) => n -> (lo, hi) }.toMap
 
+    /** Per-column UTF-8 string bounds (takedown keys like lang/source
+      * are strings — equality predicates on them prune too).
+      */
+    def stringBounds: Map[String, (String, String)] =
+      sstats.map { case (n, lo, hi) => n -> (lo, hi) }.toMap
+
     /** Driver-side prunability: can any physical row satisfy the
       * (analyzed) predicate? Conservative — only provable
       * disjointness answers false.
       */
     def mayMatch(pred: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
-      lstats.isEmpty || StatsPruning.mayMatch(pred, longBounds)
+      (lstats.isEmpty && sstats.isEmpty) ||
+        StatsPruning.mayMatch(pred, longBounds, stringBounds)
   }
 
   /** Reconstruct a segment's schema of record from its manifest column
@@ -824,9 +833,12 @@ object SnapshotWarehouse {
       val lstats = s.lstats.map { case (n, lo, hi) =>
         s"[${graft.JsonUtil.quote(n)},$lo,$hi]"
       }.mkString(",")
+      val sstats = s.sstats.map { case (n, lo, hi) =>
+        s"[${graft.JsonUtil.quote(n)},${graft.JsonUtil.quote(lo)},${graft.JsonUtil.quote(hi)}]"
+      }.mkString(",")
       s"""{"path":${graft.JsonUtil.quote(s.path)},"exclude":[${s.exclude.mkString(",")}],""" +
         s""""rows":${s.rows},"studies":[${s.studies.mkString(",")}],"cols":[$cols],""" +
-        s""""lstats":[$lstats]}"""
+        s""""lstats":[$lstats],"sstats":[$sstats]}"""
     }
     val tables = m.tables.toSeq.sortBy(_._1).map { case (t, segs) =>
       s"${graft.JsonUtil.quote(t)}:[${segs.map(seg).mkString(",")}]"
@@ -856,8 +868,11 @@ object SnapshotWarehouse {
         val ls = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
         Option(s.get("lstats")).foreach(_.forEach(c =>
           ls += ((c.get(0).asText(), c.get(1).asLong(), c.get(2).asLong()))))
+        val ss = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
+        Option(s.get("sstats")).foreach(_.forEach(c =>
+          ss += ((c.get(0).asText(), c.get(1).asText(), c.get(2).asText()))))
         segs += Segment(s.get("path").asText(), ex.toSeq, rows, st.toSeq,
-          cs.toSeq, ls.toSeq)
+          cs.toSeq, ls.toSeq, ss.toSeq)
       }
       tables(e.getKey) = segs.toSeq
     }

@@ -29,13 +29,41 @@ import org.apache.spark.sql.catalyst.expressions._
   */
 object StatsPruning {
 
-  /** Merge per-column INT64 (min, max) across every parquet file under
-    * `dir` (recursing into hive partition subdirectories), plus the
-    * exact row count from the block metadata. A column is dropped from
-    * the map the moment ANY block lacks usable statistics — unknown
-    * must mean "cannot skip", never "skip wrongly".
+  /** Unsigned byte-lexicographic UTF-8 comparison — the ONE string
+    * order every layer here agrees on: Spark's UTF8String, parquet's
+    * UTF8 column statistics comparator, and this pruner. (Plain
+    * java.lang.String.compareTo is UTF-16 code-UNIT order, which
+    * diverges above the BMP — never use it for pruning decisions.)
     */
-  def collectLongStats(conf: Configuration, dir: HPath): (Long, Map[String, (Long, Long)]) = {
+  def cmpUtf8(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** A string value longer than this is not stamped — bounds stay
+    * small in the manifest, and lang/source-class takedown keys are
+    * always short. A segment whose min or max exceeds it simply drops
+    * that column from the stats (cannot skip ≠ skip wrongly).
+    */
+  val MaxStatString = 64
+
+  /** Merge per-column INT64 (min, max) and UTF-8 string (min, max)
+    * across every parquet file under `dir` (recursing into hive
+    * partition subdirectories), plus the exact row count from the
+    * block metadata. A column is dropped from its map the moment ANY
+    * block lacks usable statistics — unknown must mean "cannot skip",
+    * never "skip wrongly".
+    */
+  def collectStats(conf: Configuration, dir: HPath)
+      : (Long, Map[String, (Long, Long)], Map[String, (String, String)]) = {
     val fs = dir.getFileSystem(conf)
     def files(p: HPath): Seq[org.apache.hadoop.fs.FileStatus] = {
       val sts = fs.listStatus(p).toSeq
@@ -45,41 +73,69 @@ object StatsPruning {
     var rows = 0L
     val mins = scala.collection.mutable.Map[String, Long]()
     val maxs = scala.collection.mutable.Map[String, Long]()
+    val smins = scala.collection.mutable.Map[String, String]()
+    val smaxs = scala.collection.mutable.Map[String, String]()
     val poisoned = scala.collection.mutable.Set[String]()
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
     files(dir).foreach { st =>
       val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
         conf, st.getPath, org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
       footer.getBlocks.forEach { b =>
         rows += b.getRowCount
         b.getColumns.forEach { c =>
-          // top-level INT64 columns only — nested paths don't map to a
+          // top-level columns only — nested paths don't map to a
           // prunable predicate attribute
-          if (c.getPath.size() == 1 &&
-              c.getPrimitiveType.getPrimitiveTypeName ==
-                org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64) {
+          if (c.getPath.size() == 1) {
             val name = c.getPath.toDotString
+            val pt = c.getPrimitiveType
             val s = c.getStatistics
-            if (s == null || s.isEmpty) poisoned += name
-            else if (s.hasNonNullValue) {
-              val mn = s.genericGetMin.asInstanceOf[java.lang.Long].longValue()
-              val mx = s.genericGetMax.asInstanceOf[java.lang.Long].longValue()
-              mins(name) = math.min(mins.getOrElse(name, Long.MaxValue), mn)
-              maxs(name) = math.max(maxs.getOrElse(name, Long.MinValue), mx)
-            } // all-null block: contributes no values; bounds stay sound
+            pt.getPrimitiveTypeName match {
+              case PrimitiveTypeName.INT64 =>
+                if (s == null || s.isEmpty) poisoned += name
+                else if (s.hasNonNullValue) {
+                  val mn = s.genericGetMin.asInstanceOf[java.lang.Long].longValue()
+                  val mx = s.genericGetMax.asInstanceOf[java.lang.Long].longValue()
+                  mins(name) = math.min(mins.getOrElse(name, Long.MaxValue), mn)
+                  maxs(name) = math.max(maxs.getOrElse(name, Long.MinValue), mx)
+                } // all-null block: contributes no values; bounds stay sound
+              case PrimitiveTypeName.BINARY
+                  if pt.getLogicalTypeAnnotation ==
+                    org.apache.parquet.schema.LogicalTypeAnnotation.stringType() =>
+                if (s == null || s.isEmpty) poisoned += name
+                else if (s.hasNonNullValue) {
+                  val mn = s.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+                    .toStringUsingUTF8
+                  val mx = s.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+                    .toStringUsingUTF8
+                  if (mn.length > MaxStatString || mx.length > MaxStatString)
+                    poisoned += name
+                  else {
+                    smins(name) = smins.get(name) match {
+                      case Some(cur) if cmpUtf8(cur, mn) <= 0 => cur; case _ => mn }
+                    smaxs(name) = smaxs.get(name) match {
+                      case Some(cur) if cmpUtf8(cur, mx) >= 0 => cur; case _ => mx }
+                  }
+                }
+              case _ => ()
+            }
           }
         }
       }
     }
-    val stats = (mins.keySet -- poisoned).map(n => n -> (mins(n), maxs(n))).toMap
-    (rows, stats)
+    val lstats = (mins.keySet -- poisoned).map(n => n -> (mins(n), maxs(n))).toMap
+    val sstats = (smins.keySet -- poisoned).map(n => n -> (smins(n), smaxs(n))).toMap
+    (rows, lstats, sstats)
   }
 
   /** Conservative "may any row satisfy `pred`?" against per-column
     * bounds. TRUE means "cannot prove otherwise — keep the segment";
     * only provable disjointness skips. Handles the AND/OR algebra and
-    * the long-literal comparison/IN shapes; anything else is unknown.
+    * the long- and string-literal comparison/IN shapes (string order =
+    * [[cmpUtf8]], the order parquet stats and Spark share); anything
+    * else is unknown.
     */
-  def mayMatch(pred: Expression, bounds: Map[String, (Long, Long)]): Boolean = {
+  def mayMatch(pred: Expression, bounds: Map[String, (Long, Long)],
+      strBounds: Map[String, (String, String)] = Map.empty): Boolean = {
     def attrName(e: Expression): Option[String] = e match {
       case a: UnresolvedAttribute => Some(a.name)
       case a: AttributeReference  => Some(a.name)
@@ -97,44 +153,66 @@ object StatsPruning {
       case _ => None
     }
     def range(name: String): Option[(Long, Long)] = bounds.get(name)
+    def litStr(e: Expression): Option[String] = e match {
+      case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => Some(v.toString)
+      case Literal(v: String, _) => Some(v)
+      case _ => None
+    }
+    def srange(name: String): Option[(String, String)] = strBounds.get(name)
+    def flip(op: String): String = op match {
+      case ">" => "<"; case ">=" => "<="; case "<" => ">"; case "<=" => ">="
+      case "=" => "="
+    }
     // normalize `l OP r` to (column, literal, op-with-column-first),
     // flipping the operator when the literal is on the left
-    def norm(l: Expression, r: Expression, op: String): Option[(String, Long, String)] =
-      (attrName(l), litLong(r)) match {
+    def norm[A](l: Expression, r: Expression, op: String,
+        lift: Expression => Option[A]): Option[(String, A, String)] =
+      (attrName(l), lift(r)) match {
         case (Some(n), Some(x)) => Some((n, x, op))
-        case _ => (attrName(r), litLong(l)) match {
-          case (Some(n), Some(x)) =>
-            val flipped = op match {
-              case ">" => "<"; case ">=" => "<="; case "<" => ">"; case "<=" => ">="
-              case "=" => "="
-            }
-            Some((n, x, flipped))
+        case _ => (attrName(r), lift(l)) match {
+          case (Some(n), Some(x)) => Some((n, x, flip(op)))
           case _ => None
         }
       }
-    def possible(n: String, x: Long, op: String): Boolean =
-      range(n).forall { case (lo, hi) =>
+    def possibleIn[A](lohi: Option[(A, A)], x: A, op: String,
+        cmp: (A, A) => Int): Boolean =
+      lohi.forall { case (lo, hi) =>
         op match {
-          case "="  => x >= lo && x <= hi
-          case ">"  => hi > x
-          case ">=" => hi >= x
-          case "<"  => lo < x
-          case "<=" => lo <= x
+          case "="  => cmp(x, lo) >= 0 && cmp(x, hi) <= 0
+          case ">"  => cmp(hi, x) > 0
+          case ">=" => cmp(hi, x) >= 0
+          case "<"  => cmp(lo, x) < 0
+          case "<=" => cmp(lo, x) <= 0
         }
       }
+    val cmpL = (a: Long, b: Long) => java.lang.Long.compare(a, b)
+    // a comparison prunes if EITHER typed view proves disjointness
+    // (a column is long- or string-stamped, never both)
+    def binop(l: Expression, r: Expression, op: String): Boolean = {
+      val longSide = norm(l, r, op, litLong)
+        .forall { case (n, x, o) => possibleIn(range(n), x, o, cmpL) }
+      val strSide = norm(l, r, op, litStr)
+        .forall { case (n, x, o) => possibleIn(srange(n), x, o, cmpUtf8) }
+      longSide && strSide
+    }
     pred match {
-      case And(l, r) => mayMatch(l, bounds) && mayMatch(r, bounds)
-      case Or(l, r)  => mayMatch(l, bounds) || mayMatch(r, bounds)
-      case EqualTo(l, r) => norm(l, r, "=").forall((possible _).tupled)
-      case GreaterThan(l, r) => norm(l, r, ">").forall((possible _).tupled)
-      case GreaterThanOrEqual(l, r) => norm(l, r, ">=").forall((possible _).tupled)
-      case LessThan(l, r) => norm(l, r, "<").forall((possible _).tupled)
-      case LessThanOrEqual(l, r) => norm(l, r, "<=").forall((possible _).tupled)
+      case And(l, r) => mayMatch(l, bounds, strBounds) && mayMatch(r, bounds, strBounds)
+      case Or(l, r)  => mayMatch(l, bounds, strBounds) || mayMatch(r, bounds, strBounds)
+      case EqualTo(l, r)            => binop(l, r, "=")
+      case GreaterThan(l, r)        => binop(l, r, ">")
+      case GreaterThanOrEqual(l, r) => binop(l, r, ">=")
+      case LessThan(l, r)           => binop(l, r, "<")
+      case LessThanOrEqual(l, r)    => binop(l, r, "<=")
       case In(a, vs) => attrName(a) match {
         case Some(n) =>
-          val lits = vs.flatMap(litLong(_))
-          if (lits.size != vs.size) true // non-literal member: unknown
-          else range(n).forall { case (lo, hi) => lits.exists(x => x >= lo && x <= hi) }
+          val ls = vs.flatMap(litLong(_))
+          val ss = vs.flatMap(litStr(_))
+          if (ls.size == vs.size)
+            range(n).forall { case (lo, hi) => ls.exists(x => x >= lo && x <= hi) }
+          else if (ss.size == vs.size)
+            srange(n).forall { case (lo, hi) =>
+              ss.exists(x => cmpUtf8(x, lo) >= 0 && cmpUtf8(x, hi) <= 0) }
+          else true // mixed / non-literal members: unknown
         case None => true
       }
       case _ => true

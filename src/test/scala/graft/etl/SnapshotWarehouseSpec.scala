@@ -690,6 +690,51 @@ class SnapshotWarehouseSpec extends SparkSpec {
     assert(may(0, length(col("doc_id").cast("string")) === 3))
   }
 
+  test("string-column stats: takedown keys like lang prune segments on equality/IN with the UTF-8 byte order") {
+    import spark.implicits._
+    val wh = sw()
+    // one segment per language — the s19 layout
+    Seq("de", "en", "zh").foreach { l =>
+      wh.appendFacts("documents",
+        (1L to 20L).map(i => (i, l, i % 5)).toDF("doc_id", "lang", "n_chars"))
+    }
+    val segs = wh.currentManifest().tables("documents")
+    assert(segs.map(_.stringBounds("lang")) ==
+      Seq(("de", "de"), ("en", "en"), ("zh", "zh")))
+    val schema = wh.fullSchema(wh.currentManifest(), "documents")
+    def may(i: Int, pred: org.apache.spark.sql.Column): Boolean =
+      segs(i).mayMatch(wh.predExpression(pred, schema))
+    // equality / IN prune the other languages, conjunction with an
+    // unknown term still prunes (AND needs both sides possible)
+    assert(!may(0, col("lang") === "zh") && may(2, col("lang") === "zh"))
+    assert(!may(1, col("lang").isin("zh", "fr")) && may(2, col("lang").isin("zh", "fr")))
+    assert(!may(0, col("lang") === "zh" && col("n_chars") % 2 === 0))
+    // range over the byte order
+    assert(!may(2, col("lang") < "en") && may(0, col("lang") < "en"))
+    // a takedown by language launches jobs ONLY for the zh segment
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val n = wh.deleteWhere("documents", col("lang") === "zh" && col("doc_id") <= 10L)
+      Thread.sleep(300)
+      assert(n == 10L)
+      assert(jobs.get() <= 3,
+        s"string stats should prune de/en probes entirely, saw ${jobs.get()} jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(wh.read("documents").count() == 50L)
+    // long values (> 64 chars) are NOT stamped — and therefore never prune
+    wh.appendFacts("documents",
+      Seq((100L, "x" * 200, 1L)).toDF("doc_id", "lang", "n_chars"))
+    val seg4 = wh.currentManifest().tables("documents").last
+    assert(!seg4.stringBounds.contains("lang"))
+    assert(seg4.mayMatch(wh.predExpression(col("lang") === "zh", schema)))
+  }
+
   test("deleteWhere: NULL-predicate rows are KEPT (SQL DELETE semantics) and emptying a table leaves its schema readable") {
     val wh = sw()
     wh.appendFacts("documents", Seq((1L, 10L)).toDF("doc_id", "n_chars"))
