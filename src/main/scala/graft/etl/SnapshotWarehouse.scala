@@ -241,6 +241,54 @@ class SnapshotWarehouse(spark: SparkSession, val baseDir: String,
     }.getOrElse(org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral)
   }
 
+  /** Incremental read for append-mostly consumers (the downstream
+    * training-data build that reprocesses only NEW documents): exactly
+    * the rows commits after `fromVersion` APPENDED to `table`.
+    *
+    * Correct only over a pure-append window, and VERIFIED as such
+    * against the manifests — every segment of `fromVersion` must still
+    * be live with an unchanged exclusion list (a deleteWhere rewrite,
+    * a partition replace, or a compaction in between makes "the new
+    * rows" ill-defined at segment granularity). Anything else throws
+    * with the offending segment named: the consumer must fall back to
+    * a full re-read, never silently double- or under-count. Segments
+    * are immutable, so the check is pure manifest metadata.
+    */
+  def appendsSince(table: String, fromVersion: Long): DataFrame = {
+    val from = manifestAt(fromVersion)
+    val cur = currentManifest()
+    val before = from.tables.getOrElse(table, Nil)
+    val now = cur.tables.getOrElse(table, Nil)
+    val nowByPath = now.map(s => s.path -> s).toMap
+    before.foreach { old =>
+      nowByPath.get(old.path) match {
+        case Some(n) if n.exclude == old.exclude => ()
+        case Some(_) => throw new IllegalStateException(
+          s"appendsSince($table, v$fromVersion): segment ${old.path} gained " +
+            "exclusions since the base snapshot (a replace/delete ran) — " +
+            "not a pure-append window; re-read the full table")
+        case None => throw new IllegalStateException(
+          s"appendsSince($table, v$fromVersion): segment ${old.path} was " +
+            "rewritten or removed since the base snapshot (compaction, " +
+            "delete, or replace) — not a pure-append window; re-read the " +
+            "full table")
+      }
+    }
+    val beforePaths = before.map(_.path).toSet
+    val added = now.filterNot(s => beforePaths(s.path))
+    added.find(_.exclude.nonEmpty).foreach { s =>
+      throw new IllegalStateException(
+        s"appendsSince($table, v$fromVersion): new segment ${s.path} carries " +
+          "exclusions — not a pure-append window; re-read the full table")
+    }
+    val base = baseSchema(cur, table)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], base)
+    added.foldLeft(empty) { (acc, seg) =>
+      acc.unionByName(readSegment(seg, base), allowMissingColumns = true)
+    }
+  }
+
   def writeDim(table: String, df: DataFrame): Unit =
     transact(_.writeDim(table, df))
 

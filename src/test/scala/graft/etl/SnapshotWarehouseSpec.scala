@@ -690,6 +690,44 @@ class SnapshotWarehouseSpec extends SparkSpec {
     assert(may(0, length(col("doc_id").cast("string")) === 3))
   }
 
+  test("appendsSince: exactly the appended rows over a pure-append window; anything else fails loudly") {
+    import spark.implicits._
+    val wh = sw()
+    wh.appendFacts("documents", Seq((1L, 10L), (2L, 20L)).toDF("doc_id", "n_chars"))
+    wh.appendFacts("documents", Seq((3L, 30L)).toDF("doc_id", "n_chars"))
+    val v = wh.currentVersion()
+    // two more appends, the second additively evolved
+    wh.appendFacts("documents", Seq((4L, 40L)).toDF("doc_id", "n_chars"))
+    wh.appendFacts("documents",
+      Seq((5L, 50L, "en")).toDF("doc_id", "n_chars", "lang"))
+    val inc = wh.appendsSince("documents", v)
+    assert(inc.select("doc_id").as[Long].collect().toSet == Set(4L, 5L))
+    // the pre-evolution appended segment reads the evolved column as NULL
+    assert(inc.where(col("lang").isNull).count() == 1)
+    // an empty window is an empty frame, not an error
+    assert(wh.appendsSince("documents", wh.currentVersion()).count() == 0)
+    // a takedown inside the window breaks pure-append: loud, named
+    val v2 = wh.currentVersion()
+    wh.deleteWhere("documents", col("doc_id") === 1L)
+    val e = intercept[IllegalStateException] {
+      wh.appendsSince("documents", v2)
+    }
+    assert(e.getMessage.contains("rewritten or removed") ||
+      e.getMessage.contains("gained exclusions"))
+    // compaction breaks it too
+    val v3 = wh.currentVersion()
+    wh.compact("documents")
+    intercept[IllegalStateException] { wh.appendsSince("documents", v3) }
+    // a fact-table replace (exclusion-list mutation) breaks it as well
+    wh.appendFacts("fact_expression", facts(0 until 5, 1L))
+    val v4 = wh.currentVersion()
+    wh.replaceStudyPartitions("fact_expression", facts(10 until 12, 1L), Seq(1L))
+    val e2 = intercept[IllegalStateException] {
+      wh.appendsSince("fact_expression", v4)
+    }
+    assert(e2.getMessage.contains("gained exclusions"))
+  }
+
   test("string-column stats: takedown keys like lang prune segments on equality/IN with the UTF-8 byte order") {
     import spark.implicits._
     val wh = sw()
