@@ -27,7 +27,9 @@ import scala.util.control.NonFatal
 object BenchGate {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    if (!sfDir.contains("sf0.1")) {
+    // exact trailing path segment — substring matching would accept
+    // sf0.15/sf0.125 and gate against the wrong scale (round-13 ADVICE)
+    if (sfDir.replaceAll("/+$", "").split('/').last != "sf0.1") {
       System.err.println(s"[bench-gate] ceilings are sf0.1 numbers; refusing to gate against $sfDir")
       sys.exit(2)
     }

@@ -204,9 +204,16 @@ class SnapshotWarehouse(spark: SparkSession, val baseDir: String,
   def readWhere(table: String, pred: org.apache.spark.sql.Column): DataFrame = {
     val m = currentManifest()
     val base = baseSchema(m, table)
-    val predE = predExpression(pred, fullSchema(m, table))
+    val full = fullSchema(m, table)
+    val predE = predExpression(pred, full)
+    // seed the union with the FULL evolved schema, not the core: if the
+    // predicate names an additive column and every segment carrying it
+    // is stats-pruned, the trailing .where must still resolve — pruning
+    // may never turn a well-formed query into an AnalysisException
+    // (round-13 ADVICE finding). unionByName keeps the seed's column
+    // order, so the result schema is fullSchema order either way.
     val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], base)
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
     m.tables.getOrElse(table, Nil).filter(_.mayMatch(predE))
       .foldLeft(empty) { (acc, seg) =>
         acc.unionByName(readSegment(seg, base), allowMissingColumns = true)

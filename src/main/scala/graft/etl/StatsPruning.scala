@@ -55,6 +55,18 @@ object StatsPruning {
     */
   val MaxStatString = 64
 
+  /** Bundle of footer-derived segment statistics: exact physical row
+    * count, per-column INT64 (min, max), per-column UTF-8 string
+    * (min, max), and per-column exact NULL counts (round 14 — what
+    * lets `IS NULL` / `IS NOT NULL` takedown probes prune driver-side,
+    * and lets comparison predicates prune ALL-NULL segments that have
+    * no value bounds at all).
+    */
+  final case class SegStats(rows: Long,
+      longBounds: Map[String, (Long, Long)],
+      strBounds: Map[String, (String, String)],
+      nullCounts: Map[String, Long])
+
   /** Merge per-column INT64 (min, max) and UTF-8 string (min, max)
     * across every parquet file under `dir` (recursing into hive
     * partition subdirectories), plus the exact row count from the
@@ -64,6 +76,17 @@ object StatsPruning {
     */
   def collectStats(conf: Configuration, dir: HPath)
       : (Long, Map[String, (Long, Long)], Map[String, (String, String)]) = {
+    val s = collectSegStats(conf, dir)
+    (s.rows, s.longBounds, s.strBounds)
+  }
+
+  /** Full-stats variant of [[collectStats]], adding per-column exact
+    * null counts. Null counts are tracked for EVERY top-level column
+    * regardless of physical type (an all-null probe is type-agnostic);
+    * a column whose null count any block fails to report is dropped
+    * from the null map the same way bounds are.
+    */
+  def collectSegStats(conf: Configuration, dir: HPath): SegStats = {
     val fs = dir.getFileSystem(conf)
     def files(p: HPath): Seq[org.apache.hadoop.fs.FileStatus] = {
       val sts = fs.listStatus(p).toSeq
@@ -134,22 +157,67 @@ object StatsPruning {
     * [[cmpUtf8]], the order parquet stats and Spark share); anything
     * else is unknown.
     */
+  /** Rank in the integral-widening chain, or -1 for non-integral. */
+  private def integralRank(t: org.apache.spark.sql.types.DataType): Int = {
+    import org.apache.spark.sql.types._
+    t match {
+      case ByteType => 0; case ShortType => 1
+      case IntegerType => 2; case LongType => 3
+      case _ => -1
+    }
+  }
+
+  /** Does every value of type `from` survive a cast to `to` unchanged
+    * (under the comparison semantics the pruner replays)? Only identity
+    * and integral WIDENING qualify. Narrowing is NOT value-preserving:
+    * with ANSI off a narrowing cast WRAPS, so cast(long_col AS int) = 5
+    * can match a row whose long value is 2^32+5 while the long bounds
+    * prove "disjoint" — pruning on the un-cast bounds there would be
+    * silent data loss (the round-13 ADVICE finding).
+    */
+  private def valuePreservingCast(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean =
+    from == to || {
+      val (f, t) = (integralRank(from), integralRank(to))
+      f >= 0 && t >= 0 && f <= t
+    }
+
+  /** Does `v` round-trip a cast to integral type `t` unchanged? (A
+    * literal cast is value-preserving exactly when the value fits.)
+    */
+  private def fitsIn(v: Long, t: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    t match {
+      case LongType    => true
+      case IntegerType => v >= Int.MinValue && v <= Int.MaxValue
+      case ShortType   => v >= Short.MinValue && v <= Short.MaxValue
+      case ByteType    => v >= Byte.MinValue && v <= Byte.MaxValue
+      case _           => false
+    }
+  }
+
   def mayMatch(pred: Expression, bounds: Map[String, (Long, Long)],
       strBounds: Map[String, (String, String)] = Map.empty): Boolean = {
     def attrName(e: Expression): Option[String] = e match {
       case a: UnresolvedAttribute => Some(a.name)
       case a: AttributeReference  => Some(a.name)
-      case Cast(c, _, _, _)       => attrName(c)
-      case _                      => None
+      // only strip a Cast that provably preserves every child value —
+      // which requires KNOWING the child type, so an unresolved child
+      // (type unknown) degrades to "unknown → keep", never to a guess
+      case Cast(c: AttributeReference, t, _, _)
+        if valuePreservingCast(c.dataType, t) => Some(c.name)
+      case _ => None
     }
     def litLong(e: Expression): Option[Long] = e match {
       case Literal(v: Int, _)   => Some(v.toLong)
       case Literal(v: Long, _)  => Some(v)
       case Literal(v: Short, _) => Some(v.toLong)
+      case Literal(v: Byte, _)  => Some(v.toLong)
       // the analyzer widens int literals against long columns with a
-      // value-preserving Cast that only folds in the optimizer
-      case Cast(c, t, _, _) if t == org.apache.spark.sql.types.LongType ||
-        t == org.apache.spark.sql.types.IntegerType => litLong(c)
+      // value-preserving Cast that only folds in the optimizer; a
+      // NARROWING literal cast wraps under non-ANSI, so it is only
+      // taken when the value provably fits the target type unchanged
+      case Cast(c, t, _, _) => litLong(c).filter(v => fitsIn(v, t))
       case _ => None
     }
     def range(name: String): Option[(Long, Long)] = bounds.get(name)

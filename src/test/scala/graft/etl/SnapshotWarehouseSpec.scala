@@ -554,6 +554,24 @@ class SnapshotWarehouseSpec extends SparkSpec {
       compacted.where(col("lang").isNull).count() == 2)
   }
 
+  test("readWhere: a predicate on an additive column stays answerable when every segment carrying it prunes") {
+    val wh = sw()
+    // pre-evolution segment: no lang column at all
+    wh.appendFacts("documents", Seq((1L, 100L)).toDF("doc_id", "n_chars"))
+    // evolved segment: lang stamped with bounds [de, en]
+    wh.appendFacts("documents",
+      Seq((2L, 200L, "en"), (3L, 300L, "de")).toDF("doc_id", "n_chars", "lang"))
+    // 'fr' is outside [de, en], so the ONLY segment carrying lang
+    // prunes; the union must still expose the full evolved schema —
+    // before the round-14 fix this threw AnalysisException while the
+    // unpruned read returned the correct empty result
+    val out = wh.readWhere("documents", col("lang") === "fr")
+    assert(out.columns.toSeq == Seq("doc_id", "n_chars", "lang"))
+    assert(out.count() == 0)
+    assert(wh.read("documents").where(col("lang") === "fr").count() == 0,
+      "pruned and unpruned reads must agree")
+  }
+
   test("deleteWhere: only matching segments rewrite (untouched paths stay byte-identical); one atomic commit; time travel keeps pre-delete rows") {
     val wh = sw()
     wh.appendFacts("fact_expression", facts(0 until 10, 1L))

@@ -38,16 +38,26 @@ class StatsPruningPropertySpec extends AnyFunSuite {
   // string pool includes multi-byte and boundary-ordering values
   private val strGen = Gen.oneOf("", "a", "ab", "de", "en", "zh", "z",
     "é", "中文", "src0", "src10", "src2")
+  // occasional beyond-int-range values so narrowing-cast WRAP semantics
+  // are actually exercised (the round-13 ADVICE soundness hole)
+  private val longValGen = Gen.frequency(
+    4 -> Gen.chooseNum(-50L, 50L),
+    1 -> Gen.oneOf((1L << 32) + 5L, -(1L << 33) - 7L, (1L << 33) + 5L,
+      Int.MaxValue.toLong + 1L, Int.MinValue.toLong - 1L))
   private val rowGen = for {
-    a <- Gen.chooseNum(-50L, 50L)
-    b <- Gen.chooseNum(-50L, 50L)
+    a <- longValGen
+    b <- longValGen
     s <- strGen
   } yield Row(a, b, s)
   private val segGen = Gen.nonEmptyListOf(rowGen)
 
   private def attr(n: String) = UnresolvedAttribute(n)
+  private def ref(n: String) = AttributeReference(n, LongType)()
   private def litL(x: Long) = Literal(x, LongType)
   private def litS(x: String) = Literal(UTF8String.fromString(x), StringType)
+  // GraftSession runs ANSI off, so casts here carry LEGACY (wrap) mode
+  private def castTo(e: Expression, t: org.apache.spark.sql.types.DataType) =
+    Cast(e, t, None, EvalMode.LEGACY)
 
   /** Random predicate over columns a, b (long) and s (string). */
   private def predGen(depth: Int): Gen[Expression] = {
@@ -71,7 +81,26 @@ class StatsPruningPropertySpec extends AnyFunSuite {
         LessThanOrEqual(litS(x), attr("s")),
         In(attr("s"), Seq(litS(x), litS(y))))
     } yield e
-    val leaf = Gen.oneOf(leafLong, leafStr)
+    // Cast shapes (round 14): narrowing column casts (must NOT prune on
+    // the un-cast bounds — LEGACY mode wraps), identity/widening casts
+    // (value-preserving — may prune), and literal casts both ways
+    val leafCast = for {
+      n <- Gen.oneOf("a", "b")
+      x <- longValGen
+      e <- Gen.oneOf[Expression](
+        EqualTo(castTo(ref(n), org.apache.spark.sql.types.IntegerType),
+          Literal(x.toInt, org.apache.spark.sql.types.IntegerType)),
+        GreaterThan(castTo(ref(n), org.apache.spark.sql.types.IntegerType),
+          Literal(x.toInt, org.apache.spark.sql.types.IntegerType)),
+        LessThan(Literal(x.toShort, org.apache.spark.sql.types.ShortType),
+          castTo(ref(n), org.apache.spark.sql.types.ShortType)),
+        EqualTo(castTo(ref(n), LongType), litL(x)),
+        EqualTo(ref(n), castTo(Literal(x.toInt,
+          org.apache.spark.sql.types.IntegerType), LongType)),
+        EqualTo(castTo(ref(n), org.apache.spark.sql.types.IntegerType),
+          castTo(litL(x), org.apache.spark.sql.types.IntegerType)))
+    } yield e
+    val leaf = Gen.oneOf(leafLong, leafStr, leafCast)
     if (depth <= 0) leaf
     else Gen.frequency(
       3 -> leaf,
@@ -99,8 +128,24 @@ class StatsPruningPropertySpec extends AnyFunSuite {
     def longOf(e: Expression): Option[Long] = e match {
       case UnresolvedAttribute(Seq("a")) => Some(row.a)
       case UnresolvedAttribute(Seq("b")) => Some(row.b)
-      case Literal(v: Long, LongType)    => Some(v)
-      case _                             => None
+      case a: AttributeReference if a.name == "a" => Some(row.a)
+      case a: AttributeReference if a.name == "b" => Some(row.b)
+      case Literal(v: Long, _)  => Some(v)
+      case Literal(v: Int, _)   => Some(v.toLong)
+      case Literal(v: Short, _) => Some(v.toLong)
+      // LEGACY (non-ANSI) integral cast semantics: narrowing WRAPS —
+      // exactly what Spark would compute at runtime in GraftSession
+      case Cast(c, t, _, _) => longOf(c).map { v =>
+        import org.apache.spark.sql.types._
+        t match {
+          case LongType    => v
+          case IntegerType => v.toInt.toLong
+          case ShortType   => v.toShort.toLong
+          case ByteType    => v.toByte.toLong
+          case other       => fail(s"unexpected cast target in generator: $other")
+        }
+      }
+      case _ => None
     }
     def strOf(e: Expression): Option[String] = e match {
       case UnresolvedAttribute(Seq("s"))        => Some(row.s)
@@ -141,5 +186,23 @@ class StatsPruningPropertySpec extends AnyFunSuite {
     assert(!StatsPruning.mayMatch(GreaterThan(attr("a"), litL(20L)), lb, sb))
     assert(!StatsPruning.mayMatch(EqualTo(attr("s"), litS("zh")), lb, sb))
     assert(!StatsPruning.mayMatch(LessThan(attr("s"), litS("de")), lb, sb))
+  }
+
+  test("cast soundness: a narrowing column cast never prunes on the un-cast bounds; value-preserving casts still do") {
+    import org.apache.spark.sql.types.IntegerType
+    val lb = Map("a" -> ((1L << 33), (1L << 34)))
+    // cast(a AS int) = 5 matches a = 2^33 + 5 under LEGACY wrap, yet the
+    // long bounds exclude 5 — the pruner must KEEP (the ADVICE finding)
+    assert(StatsPruning.mayMatch(
+      EqualTo(castTo(ref("a"), IntegerType), Literal(5, IntegerType)), lb))
+    // identity cast and widening LITERAL cast stay prunable
+    assert(!StatsPruning.mayMatch(
+      EqualTo(castTo(ref("a"), LongType), litL(5L)), lb))
+    assert(!StatsPruning.mayMatch(
+      EqualTo(attr("a"), castTo(Literal(5, IntegerType), LongType)), lb))
+    // a narrowing literal cast whose value does NOT fit degrades to keep
+    assert(StatsPruning.mayMatch(
+      EqualTo(castTo(ref("a"), IntegerType),
+        castTo(litL((1L << 33) + 5L), IntegerType)), lb))
   }
 }
