@@ -1400,6 +1400,64 @@ object SparkEntry {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
     }),
+    // S22: NULL-count segment stats (round 14) — `lang IS [NOT] NULL`
+    // is a realistic takedown/quality probe, and min/max bounds can
+    // never answer it: per-column exact null counts stamped from the
+    // same parquet footers let readWhere prune (a) pre-evolution
+    // segments that don't carry the column at all (provably all-NULL
+    // from the manifest schema), (b) all-null segments with no value
+    // bounds, and (c) `IS NULL` against never-null segments. Three
+    // generations stage exactly those shapes: no-lang, lang-always-
+    // present, lang-partially-nulled; the IS NOT NULL read must agree
+    // with the unpruned DuckDB twin row-for-row
+    // (SnapshotWarehouseSpec pins the per-segment prune decisions).
+    "s22_lake_null_stats_read" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val staged = stagedDir(s"lake_nulls:$dir") { p =>
+        val wh = new etl.SnapshotWarehouse(s, p.toString)
+        wh.appendFacts("documents", docs.where(col("doc_id") % 3 === 0)
+          .select("doc_id", "source", "n_chars"))
+        wh.appendFacts("documents", docs.where(col("doc_id") % 3 === 1)
+          .select("doc_id", "source", "n_chars", "lang"))
+        wh.appendFacts("documents", docs.where(col("doc_id") % 3 === 2)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            nullif(col("lang"), lit("zh")).as("lang")))
+        ()
+      }
+      new etl.SnapshotWarehouse(s, staged.toString)
+        .readWhere("documents", col("lang").isNotNull)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+    }),
+    // S23: the lake as an INCREMENTAL substrate (round 14) — a
+    // checkpointed consumer ([[etl.LakeTail]]) tails the documents
+    // table by manifest version and feeds each arrival into the p38
+    // incremental near-dup operator, persisting signature state,
+    // emitted pairs, and its own offset in ONE atomic lake commit per
+    // step (exactly-once by construction; LakeTailSpec pins restart,
+    // crash, and rewrite-fallback paths). Two arrivals split at the
+    // id midpoint; the accumulated pair table must equal the ONE-SHOT
+    // p3 run over the full corpus — ids only grow across arrivals, so
+    // signature-group reps never reassign and per-step pair sets
+    // partition the full run's pairs — which is exactly p3's DuckDB
+    // oracle. Incremental processing is an execution strategy, not a
+    // semantics change, and this query makes that machine-checked.
+    "s23_lake_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val staged = stagedDir(s"lake_tail:$dir") { p =>
+        val wh = new etl.SnapshotWarehouse(s, p.toString)
+        val mid = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+        wh.appendFacts("documents", docs.where(col("doc_id") <= mid))
+        etl.LakeConsumers.dedupStep(wh)
+        wh.appendFacts("documents", docs.where(col("doc_id") > mid))
+        etl.LakeConsumers.dedupStep(wh)
+        ()
+      }
+      new etl.SnapshotWarehouse(s, staged.toString)
+        .read(etl.LakeConsumers.PairTable)
+        .select(col("id_a"), col("id_b"),
+          round(col("est_jaccard"), 6).as("est_jaccard"))
+    }),
     // X7: Structured Streaming parity — the SAME hourly aggregation as
     // x2, but executed as an unbounded plan over the file source with
     // Trigger.AvailableNow, drained to completion, and returned from
@@ -4752,6 +4810,20 @@ object SparkEntry {
         |WHERE doc_id > (SELECT max(doc_id) // 4 FROM documents)
         |  AND doc_id <= (SELECT max(doc_id) // 2 FROM documents)
         |GROUP BY lang""".stripMargin,
+    // the three staged generations replayed inline: %3=0 drops lang
+    // (reads NULL), %3=1 keeps it, %3=2 nulls 'zh'; IS NOT NULL then
+    // filters — null-stats pruning must lose no row and admit no extra
+    "s22_lake_null_stats_read" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM (SELECT CASE WHEN doc_id % 3 = 1 THEN lang
+        |                  WHEN doc_id % 3 = 2 THEN nullif(lang, 'zh') END AS lang,
+        |             n_chars
+        |      FROM documents) t
+        |WHERE lang IS NOT NULL
+        |GROUP BY lang""".stripMargin,
+    // two-arrival incremental == one-shot batch: the accumulated lake
+    // pair table replays p3's full LSH run exactly
+    "s23_lake_incremental_dedup" -> minhashLshSql,
     "x3_sessionize" -> sessionizeSql,
     // streaming twin — same gap-split semantics, same oracle
     "x8_stream_sessionize" -> sessionizeSql,

@@ -214,7 +214,8 @@ class SnapshotWarehouse(spark: SparkSession, val baseDir: String,
     // order, so the result schema is fullSchema order either way.
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
-    m.tables.getOrElse(table, Nil).filter(_.mayMatch(predE))
+    m.tables.getOrElse(table, Nil)
+      .filter(_.mayMatch(predE, full.fieldNames.toSeq))
       .foldLeft(empty) { (acc, seg) =>
         acc.unionByName(readSegment(seg, base), allowMissingColumns = true)
       }
@@ -261,9 +262,39 @@ class SnapshotWarehouse(spark: SparkSession, val baseDir: String,
     * a full re-read, never silently double- or under-count. Segments
     * are immutable, so the check is pure manifest metadata.
     */
-  def appendsSince(table: String, fromVersion: Long): DataFrame = {
+  def appendsSince(table: String, fromVersion: Long): DataFrame =
+    appendsBetween(table, fromVersion, currentVersion())
+
+  /** [[appendsSince]] against a PINNED end snapshot: exactly the rows
+    * commits in (fromVersion, toVersion] appended. A checkpointed
+    * consumer needs the pinned form — resolving "current" twice (once
+    * to record the offset, once to read) would race a concurrent
+    * append into the read but not the offset, double-processing it on
+    * the next poll.
+    */
+  def appendsBetween(table: String, fromVersion: Long, toVersion: Long): DataFrame = {
+    val added = appendedSegments(table, fromVersion, toVersion)
+    val base = baseSchema(manifestAt(toVersion), table)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], base)
+    added.foldLeft(empty) { (acc, seg) =>
+      acc.unionByName(readSegment(seg, base), allowMissingColumns = true)
+    }
+  }
+
+  /** The segments commits in (fromVersion, toVersion] appended to
+    * `table`, after VERIFYING the window is pure-append (see
+    * [[appendsSince]] — anything else throws IllegalStateException
+    * naming the offending segment). Pure manifest metadata: no file
+    * I/O, so a consumer can poll this cheaply before deciding to plan
+    * a read.
+    */
+  private[etl] def appendedSegments(table: String, fromVersion: Long,
+      toVersion: Long): Seq[Segment] = {
+    require(toVersion >= fromVersion,
+      s"toVersion v$toVersion precedes fromVersion v$fromVersion")
     val from = manifestAt(fromVersion)
-    val cur = currentManifest()
+    val cur = manifestAt(toVersion)
     val before = from.tables.getOrElse(table, Nil)
     val now = cur.tables.getOrElse(table, Nil)
     val nowByPath = now.map(s => s.path -> s).toMap
@@ -271,11 +302,11 @@ class SnapshotWarehouse(spark: SparkSession, val baseDir: String,
       nowByPath.get(old.path) match {
         case Some(n) if n.exclude == old.exclude => ()
         case Some(_) => throw new IllegalStateException(
-          s"appendsSince($table, v$fromVersion): segment ${old.path} gained " +
+          s"appendsSince($table, v$fromVersion..v$toVersion): segment ${old.path} gained " +
             "exclusions since the base snapshot (a replace/delete ran) — " +
             "not a pure-append window; re-read the full table")
         case None => throw new IllegalStateException(
-          s"appendsSince($table, v$fromVersion): segment ${old.path} was " +
+          s"appendsSince($table, v$fromVersion..v$toVersion): segment ${old.path} was " +
             "rewritten or removed since the base snapshot (compaction, " +
             "delete, or replace) — not a pure-append window; re-read the " +
             "full table")
@@ -285,16 +316,13 @@ class SnapshotWarehouse(spark: SparkSession, val baseDir: String,
     val added = now.filterNot(s => beforePaths(s.path))
     added.find(_.exclude.nonEmpty).foreach { s =>
       throw new IllegalStateException(
-        s"appendsSince($table, v$fromVersion): new segment ${s.path} carries " +
+        s"appendsSince($table, v$fromVersion..v$toVersion): new segment ${s.path} carries " +
           "exclusions — not a pure-append window; re-read the full table")
     }
-    val base = baseSchema(cur, table)
-    val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], base)
-    added.foldLeft(empty) { (acc, seg) =>
-      acc.unionByName(readSegment(seg, base), allowMissingColumns = true)
-    }
+    added
   }
+
+  private[etl] def sparkSession: SparkSession = spark
 
   def writeDim(table: String, df: DataFrame): Unit =
     transact(_.writeDim(table, df))
@@ -351,8 +379,48 @@ class SnapshotWarehouse(spark: SparkSession, val baseDir: String,
       txn.pendingTables.collect {
         case (table, segs) if segs.size > autoCompactSegments => table
       }.foreach(t => txn.rewrite(t, null))
-    commit(base, txn.pendingTables)
+    commitWithRebase(base, txn.pendingTables)
     out
+  }
+
+  /** Maximum disjoint-table rebase attempts before surfacing the
+    * conflict — bounded so a commit storm cannot spin forever.
+    */
+  private[etl] var maxRebaseAttempts: Int = 5
+
+  /** Optimistic concurrency (round 14): a [[ConcurrentWriteException]]
+    * from [[commit]] only proves ANOTHER writer advanced the manifest
+    * first — not that the two transactions conflict. When the winners'
+    * touched tables are DISJOINT from ours, rebasing is sound by
+    * construction: our pending segment lists were derived from table
+    * states no winner changed, so re-pointing the same pending entries
+    * at the new snapshot publishes the identical logical outcome (the
+    * standard lakehouse OCC contract). Any overlap keeps the strict
+    * behavior — a rebase there would silently drop the winner's
+    * segments (pending REPLACES the table's list wholesale), which is
+    * exactly the lost update the exception exists to prevent.
+    */
+  private def commitWithRebase(base0: Manifest,
+      pending: Map[String, Seq[Segment]]): Unit = {
+    var base = base0
+    var attempts = 0
+    while (true) {
+      try { commit(base, pending); return }
+      catch {
+        case e: ConcurrentWriteException =>
+          attempts += 1
+          if (attempts > maxRebaseAttempts) throw e
+          val cur = currentManifest()
+          // no new snapshot ⇒ the failure was lock contention/deadline,
+          // not a lost CAS race — rebasing cannot help
+          if (cur.version == base.version) throw e
+          val changed = (cur.tables.keySet ++ base.tables.keySet).filter { t =>
+            cur.tables.getOrElse(t, Nil) != base.tables.getOrElse(t, Nil)
+          }
+          if (changed.exists(pending.contains)) throw e
+          base = cur
+      }
+    }
   }
 
   private def commit(base: Manifest, pending: Map[String, Seq[Segment]]): Unit = {
@@ -693,8 +761,10 @@ final class SnapshotTxn private[etl] (spark: SparkSession, baseDir: String,
     // unions fill what's absent.
     val abs = new HPath(s"$baseDir/$rel")
     val fs = abs.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segStats =
+      StatsPruning.collectSegStats(spark.sparkContext.hadoopConfiguration, abs)
     val (rows, fileStats, strStats) =
-      StatsPruning.collectStats(spark.sparkContext.hadoopConfiguration, abs)
+      (segStats.rows, segStats.longBounds, segStats.strBounds)
     val studies =
       if (!partitioned) Nil
       else fs.listStatus(abs).toSeq.map(_.getPath.getName)
@@ -705,10 +775,17 @@ final class SnapshotTxn private[etl] (spark: SparkSession, baseDir: String,
     val lstats = (fileStats ++
       (if (studies.nonEmpty) Map("study_key" -> (studies.min, studies.max)) else Map.empty))
       .toSeq.map { case (n, (lo, hi)) => (n, lo, hi) }.sortBy(_._1)
+    // the hive partition column's values come from directory names and
+    // are never null (a null partition would land in the HIVE_DEFAULT
+    // dir, whose name the studies parse above would already reject)
+    val nstats = (segStats.nullCounts ++
+      (if (studies.nonEmpty) Map("study_key" -> 0L) else Map.empty))
+      .toSeq.sortBy(_._1)
     Segment(rel, Nil, rows, studies,
       df.schema.fields.map(f => f.name -> f.dataType.catalogString).toSeq,
       lstats,
-      strStats.toSeq.map { case (n, (lo, hi)) => (n, lo, hi) }.sortBy(_._1))
+      strStats.toSeq.map { case (n, (lo, hi)) => (n, lo, hi) }.sortBy(_._1),
+      nstats)
   }
 
   def writeDim(table: String, df: DataFrame): Unit = {
@@ -779,7 +856,7 @@ final class SnapshotTxn private[etl] (spark: SparkSession, baseDir: String,
       // predicate never launches a probe job at all — at a
       // many-segment lake this is the difference between one job per
       // TOUCHED segment and one job per segment
-      if (!seg.mayMatch(predE)) kept += seg
+      if (!seg.mayMatch(predE, full.map(_._1))) kept += seg
       else {
         val visible = owner.readSegment(seg, core)
         val have = visible.columns.toSet
@@ -836,7 +913,8 @@ object SnapshotWarehouse {
       rows: Long = -1L, studies: Seq[Long] = Nil,
       cols: Seq[(String, String)] = Nil,
       lstats: Seq[(String, Long, Long)] = Nil,
-      sstats: Seq[(String, String, String)] = Nil) {
+      sstats: Seq[(String, String, String)] = Nil,
+      nstats: Seq[(String, Long)] = Nil) {
     /** Studies a reader can still see through this segment (None =
       * stats unknown or not a by-study segment — cannot skip).
       */
@@ -856,13 +934,31 @@ object SnapshotWarehouse {
     def stringBounds: Map[String, (String, String)] =
       sstats.map { case (n, lo, hi) => n -> (lo, hi) }.toMap
 
+    /** Per-column exact NULL counts over the segment's physical rows
+      * (round 14) — `IS [NOT] NULL` probes and all-null-column
+      * comparisons prune on these.
+      */
+    def nullCounts: Map[String, Long] = nstats.toMap
+
     /** Driver-side prunability: can any physical row satisfy the
       * (analyzed) predicate? Conservative — only provable
-      * disjointness answers false.
+      * disjointness answers false. `fullCols` is the table's full
+      * evolved column set: a column this segment does NOT carry (but
+      * whose schema of record is known) reads as all-NULL here, which
+      * is itself a provable fact — `lang IS NOT NULL` prunes every
+      * pre-evolution segment without touching a footer.
       */
-    def mayMatch(pred: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
-      (lstats.isEmpty && sstats.isEmpty) ||
-        StatsPruning.mayMatch(pred, longBounds, stringBounds)
+    def mayMatch(pred: org.apache.spark.sql.catalyst.expressions.Expression,
+        fullCols: Iterable[String] = Nil): Boolean = {
+      val absent: Map[String, Long] =
+        if (cols.isEmpty || rows < 0L) Map.empty
+        else {
+          val have = cols.map(_._1).toSet
+          fullCols.iterator.filterNot(have).map(_ -> rows).toMap
+        }
+      StatsPruning.mayMatch(pred, longBounds, stringBounds,
+        nullCounts ++ absent, rows)
+    }
   }
 
   /** Reconstruct a segment's schema of record from its manifest column
@@ -891,9 +987,12 @@ object SnapshotWarehouse {
       val sstats = s.sstats.map { case (n, lo, hi) =>
         s"[${graft.JsonUtil.quote(n)},${graft.JsonUtil.quote(lo)},${graft.JsonUtil.quote(hi)}]"
       }.mkString(",")
+      val nstats = s.nstats.map { case (n, c) =>
+        s"[${graft.JsonUtil.quote(n)},$c]"
+      }.mkString(",")
       s"""{"path":${graft.JsonUtil.quote(s.path)},"exclude":[${s.exclude.mkString(",")}],""" +
         s""""rows":${s.rows},"studies":[${s.studies.mkString(",")}],"cols":[$cols],""" +
-        s""""lstats":[$lstats],"sstats":[$sstats]}"""
+        s""""lstats":[$lstats],"sstats":[$sstats],"nstats":[$nstats]}"""
     }
     val tables = m.tables.toSeq.sortBy(_._1).map { case (t, segs) =>
       s"${graft.JsonUtil.quote(t)}:[${segs.map(seg).mkString(",")}]"
@@ -926,8 +1025,11 @@ object SnapshotWarehouse {
         val ss = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
         Option(s.get("sstats")).foreach(_.forEach(c =>
           ss += ((c.get(0).asText(), c.get(1).asText(), c.get(2).asText()))))
+        val ns = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+        Option(s.get("nstats")).foreach(_.forEach(c =>
+          ns += ((c.get(0).asText(), c.get(1).asLong()))))
         segs += Segment(s.get("path").asText(), ex.toSeq, rows, st.toSeq,
-          cs.toSeq, ls.toSeq, ss.toSeq)
+          cs.toSeq, ls.toSeq, ss.toSeq, ns.toSeq)
       }
       tables(e.getKey) = segs.toSeq
     }

@@ -99,6 +99,8 @@ object StatsPruning {
     val smins = scala.collection.mutable.Map[String, String]()
     val smaxs = scala.collection.mutable.Map[String, String]()
     val poisoned = scala.collection.mutable.Set[String]()
+    val nulls = scala.collection.mutable.Map[String, Long]()
+    val nullPoisoned = scala.collection.mutable.Set[String]()
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
     files(dir).foreach { st =>
       val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
@@ -112,6 +114,10 @@ object StatsPruning {
             val name = c.getPath.toDotString
             val pt = c.getPrimitiveType
             val s = c.getStatistics
+            // null counts are type-agnostic: every top-level column
+            // tracks them, independently of whether value bounds exist
+            if (s == null || !s.isNumNullsSet) nullPoisoned += name
+            else nulls(name) = nulls.getOrElse(name, 0L) + s.getNumNulls
             pt.getPrimitiveTypeName match {
               case PrimitiveTypeName.INT64 =>
                 if (s == null || s.isEmpty) poisoned += name
@@ -147,7 +153,8 @@ object StatsPruning {
     }
     val lstats = (mins.keySet -- poisoned).map(n => n -> (mins(n), maxs(n))).toMap
     val sstats = (smins.keySet -- poisoned).map(n => n -> (smins(n), smaxs(n))).toMap
-    (rows, lstats, sstats)
+    val nstats = (nulls.keySet -- nullPoisoned).map(n => n -> nulls(n)).toMap
+    SegStats(rows, lstats, sstats, nstats)
   }
 
   /** Conservative "may any row satisfy `pred`?" against per-column
@@ -196,8 +203,22 @@ object StatsPruning {
     }
   }
 
+  /** Null-stats-aware variant (round 14): `nulls` carries per-column
+    * exact NULL counts over the segment's PHYSICAL rows and `rows` the
+    * physical row count (-1 = unknown). This enables three new prunes,
+    * each sound because visible rows ⊆ physical rows:
+    *  - `IS NULL` on a column with null count 0 can never be TRUE;
+    *  - `IS NOT NULL` on an ALL-null column can never be TRUE;
+    *  - any comparison/IN over an ALL-null column can never be TRUE
+    *    (NULL operands never compare TRUE) — this prunes segments that
+    *    have no value bounds at all because every value is NULL.
+    * `NOT` pushes through the algebra with K3 ("is TRUE") De Morgan
+    * semantics; `Not(cmp)` prunes via the complement operator, and
+    * `<=>` against a null literal degrades to IS NULL.
+    */
   def mayMatch(pred: Expression, bounds: Map[String, (Long, Long)],
-      strBounds: Map[String, (String, String)] = Map.empty): Boolean = {
+      strBounds: Map[String, (String, String)] = Map.empty,
+      nulls: Map[String, Long] = Map.empty, rows: Long = -1L): Boolean = {
     def attrName(e: Expression): Option[String] = e match {
       case a: UnresolvedAttribute => Some(a.name)
       case a: AttributeReference  => Some(a.name)
@@ -227,9 +248,29 @@ object StatsPruning {
       case _ => None
     }
     def srange(name: String): Option[(String, String)] = strBounds.get(name)
+    // strips ANY cast chain — sound ONLY for NULLNESS reasoning (a cast
+    // of NULL is NULL under every eval mode, so column-all-null
+    // propagates through arbitrary casts; VALUE reasoning must use
+    // attrName, which only strips value-preserving casts)
+    def nullPropAttr(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: AttributeReference  => Some(a.name)
+      case Cast(c, _, _, _)       => nullPropAttr(c)
+      case _                      => None
+    }
+    def allNull(n: String): Boolean = rows >= 0L && nulls.get(n).contains(rows)
+    def noNull(n: String): Boolean = nulls.get(n).contains(0L)
+    def isNullLit(e: Expression): Boolean = e match {
+      case Literal(v, _) => v == null
+      case _             => false
+    }
+    def isNonNullLit(e: Expression): Boolean = e match {
+      case Literal(v, _) => v != null
+      case _             => false
+    }
     def flip(op: String): String = op match {
       case ">" => "<"; case ">=" => "<="; case "<" => ">"; case "<=" => ">="
-      case "=" => "="
+      case "=" => "="; case "!=" => "!="
     }
     // normalize `l OP r` to (column, literal, op-with-column-first),
     // flipping the operator when the literal is on the left
@@ -251,39 +292,103 @@ object StatsPruning {
           case ">=" => cmp(hi, x) >= 0
           case "<"  => cmp(lo, x) < 0
           case "<=" => cmp(lo, x) <= 0
+          // col != x is impossible only when the bounds pin every
+          // non-null value to exactly x
+          case "!=" => !(cmp(lo, hi) == 0 && cmp(x, lo) == 0)
         }
       }
     val cmpL = (a: Long, b: Long) => java.lang.Long.compare(a, b)
     // a comparison prunes if EITHER typed view proves disjointness
-    // (a column is long- or string-stamped, never both)
-    def binop(l: Expression, r: Expression, op: String): Boolean = {
-      val longSide = norm(l, r, op, litLong)
-        .forall { case (n, x, o) => possibleIn(range(n), x, o, cmpL) }
-      val strSide = norm(l, r, op, litStr)
-        .forall { case (n, x, o) => possibleIn(srange(n), x, o, cmpUtf8) }
-      longSide && strSide
-    }
-    pred match {
-      case And(l, r) => mayMatch(l, bounds, strBounds) && mayMatch(r, bounds, strBounds)
-      case Or(l, r)  => mayMatch(l, bounds, strBounds) || mayMatch(r, bounds, strBounds)
+    // (a column is long- or string-stamped, never both); a comparison
+    // whose column operand is ALL-null — or whose literal operand IS
+    // null — is never TRUE regardless of the operator
+    def binop(l: Expression, r: Expression, op: String): Boolean =
+      if (isNullLit(l) || isNullLit(r)) false
+      else if (Seq(l, r).flatMap(nullPropAttr(_)).exists(allNull)) false
+      else {
+        val longSide = norm(l, r, op, litLong)
+          .forall { case (n, x, o) => possibleIn(range(n), x, o, cmpL) }
+        val strSide = norm(l, r, op, litStr)
+          .forall { case (n, x, o) => possibleIn(srange(n), x, o, cmpUtf8) }
+        longSide && strSide
+      }
+    // "may p be TRUE on some physical row?"
+    def go(p: Expression): Boolean = p match {
+      case And(l, r) => go(l) && go(r)
+      case Or(l, r)  => go(l) || go(r)
+      case Not(q)    => goNot(q)
       case EqualTo(l, r)            => binop(l, r, "=")
       case GreaterThan(l, r)        => binop(l, r, ">")
       case GreaterThanOrEqual(l, r) => binop(l, r, ">=")
       case LessThan(l, r)           => binop(l, r, "<")
       case LessThanOrEqual(l, r)    => binop(l, r, "<=")
-      case In(a, vs) => attrName(a) match {
-        case Some(n) =>
-          val ls = vs.flatMap(litLong(_))
-          val ss = vs.flatMap(litStr(_))
-          if (ls.size == vs.size)
-            range(n).forall { case (lo, hi) => ls.exists(x => x >= lo && x <= hi) }
-          else if (ss.size == vs.size)
-            srange(n).forall { case (lo, hi) =>
-              ss.exists(x => cmpUtf8(x, lo) >= 0 && cmpUtf8(x, hi) <= 0) }
-          else true // mixed / non-literal members: unknown
-        case None => true
+      case IsNull(e) => attrName(e) match {
+        // only a bare / value-preserving-cast column proves "never
+        // null" — a cross-family cast can MANUFACTURE nulls
+        case Some(n) if noNull(n) => false
+        case _                    => true
       }
+      case IsNotNull(e) => nullPropAttr(e) match {
+        case Some(n) if allNull(n) => false
+        case _                     => true
+      }
+      case EqualNullSafe(l, r) =>
+        // col <=> NULL is IS NULL; with a non-null literal the TRUE set
+        // equals EqualTo's (the both-null case is impossible); two
+        // non-literal sides could BOTH be null — no claim
+        if (isNullLit(l)) go(IsNull(r))
+        else if (isNullLit(r)) go(IsNull(l))
+        else if (isNonNullLit(l) || isNonNullLit(r)) binop(l, r, "=")
+        else true
+      case In(a, vs) =>
+        if (nullPropAttr(a).exists(allNull)) false
+        else attrName(a) match {
+          case Some(n) =>
+            val ls = vs.flatMap(litLong(_))
+            val ss = vs.flatMap(litStr(_))
+            if (ls.size == vs.size)
+              range(n).forall { case (lo, hi) => ls.exists(x => x >= lo && x <= hi) }
+            else if (ss.size == vs.size)
+              srange(n).forall { case (lo, hi) =>
+                ss.exists(x => cmpUtf8(x, lo) >= 0 && cmpUtf8(x, hi) <= 0) }
+            else true // mixed / non-literal members: unknown
+          case None => true
+        }
       case _ => true
     }
+    // "may NOT(p) be TRUE?" — K3 'is TRUE' De Morgan: Not(And) is TRUE
+    // iff either conjunct is FALSE; Not(cmp) is TRUE iff the operands
+    // are non-null and the complement comparison holds
+    def goNot(p: Expression): Boolean = p match {
+      case Not(q)    => go(q)
+      case And(l, r) => goNot(l) || goNot(r)
+      case Or(l, r)  => goNot(l) && goNot(r)
+      case IsNull(e)    => go(IsNotNull(e))
+      case IsNotNull(e) => go(IsNull(e))
+      case EqualTo(l, r)            => binop(l, r, "!=")
+      case GreaterThan(l, r)        => binop(l, r, "<=")
+      case GreaterThanOrEqual(l, r) => binop(l, r, "<")
+      case LessThan(l, r)           => binop(l, r, ">=")
+      case LessThanOrEqual(l, r)    => binop(l, r, ">")
+      case In(a, vs) =>
+        // NOT IN is TRUE iff the column is non-null and differs from
+        // every member — impossible only when the bounds pin a single
+        // value that IS a (literal) member
+        if (nullPropAttr(a).exists(allNull)) false
+        else attrName(a) match {
+          case Some(n) =>
+            val ls = vs.flatMap(litLong(_))
+            val ss = vs.flatMap(litStr(_))
+            if (ls.size == vs.size)
+              range(n).forall { case (lo, hi) => !(lo == hi && ls.contains(lo)) }
+            else if (ss.size == vs.size)
+              srange(n).forall { case (lo, hi) =>
+                !(cmpUtf8(lo, hi) == 0 && ss.exists(x => cmpUtf8(x, lo) == 0)) }
+            else true
+          case None => true
+        }
+      case _ => true
+    }
+    go(pred)
   }
 }

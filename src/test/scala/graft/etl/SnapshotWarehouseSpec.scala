@@ -118,20 +118,21 @@ class SnapshotWarehouseSpec extends SparkSpec {
     assert(wh.read("fact_expression").count() == 9)
   }
 
-  test("concurrent commit from a stale base is detected, not silently merged") {
+  test("concurrent commit from a stale base on the SAME table is detected, not silently merged") {
     val wh = sw()
     wh.writeDim("dim_gene", gene(1L -> "ENSG1"))
     intercept[ConcurrentWriteException] {
       wh.transact { outer =>
         outer.writeDim("dim_gene", gene(1L -> "ENSG1", 2L -> "ENSG2"))
-        // another writer lands v2 while the outer txn is in flight
-        wh.transact(_.writeDim("dim_illness",
-          Seq((1L, "flu")).toDF("illness_key", "illness_label")))
+        // another writer lands v2 touching the SAME table while the
+        // outer txn is in flight — an OCC rebase here would silently
+        // drop the interloper's update (disjoint tables DO rebase; see
+        // the OCC rebase test)
+        wh.transact(_.writeDim("dim_gene", gene(9L -> "ENSG9")))
       }
     }
     // the interloper's commit is intact; the stale writer published nothing
-    assert(wh.read("dim_illness").count() == 1)
-    assert(wh.read("dim_gene").count() == 1)
+    assert(wh.read("dim_gene").collect().map(_.getLong(0)).toSet == Set(9L))
   }
 
   test("compact folds segments; vacuum drops orphans and keeps the live generation readable") {
@@ -269,6 +270,40 @@ class SnapshotWarehouseSpec extends SparkSpec {
     }
     // one winner per round, each a single-row overwrite of dim_illness
     assert(wh.read("dim_illness").count() == 1)
+  }
+
+  test("OCC rebase: a commit racing a winner on DISJOINT tables rebases and lands; overlapping tables still conflict") {
+    val wh = sw()
+    wh.writeDim("dim_gene", gene(1L -> "ENSG1")) // v1
+    val other = new SnapshotWarehouse(spark, wh.baseDir)
+    val v0 = wh.currentVersion()
+    // a transaction that loses the CAS race to a writer on a DIFFERENT
+    // table: the commit must rebase onto the winner's snapshot and
+    // publish BOTH outcomes instead of throwing
+    wh.transact { txn =>
+      txn.appendFacts("fact_expression", facts(0 until 5, 1L))
+      other.writeDim("dim_platform",
+        Seq((1L, "GPL570")).toDF("platform_key", "platform_accession"))
+      ()
+    }
+    assert(wh.currentVersion() == v0 + 2)
+    assert(factSet(wh.read("fact_expression")) ==
+      (0 until 5).map(_.toLong -> 1L).toSet)
+    assert(wh.read("dim_platform").count() == 1)
+    assert(wh.read("dim_gene").count() == 1, "rebase must carry the old base forward")
+    // overlap on fact_expression: rebasing would silently drop the
+    // winner's segment (pending replaces the table list wholesale) —
+    // the loser must still throw, and its staged rows stay invisible
+    intercept[ConcurrentWriteException] {
+      wh.transact { txn =>
+        txn.appendFacts("fact_expression", facts(5 until 8, 2L))
+        other.appendFacts("fact_expression", facts(100 until 103, 3L))
+        ()
+      }
+    }
+    val vis = factSet(wh.read("fact_expression"))
+    assert(vis.exists(_._2 == 3L), "the winner's rows must be visible")
+    assert(!vis.exists(_._2 == 2L), "the conflicted loser must publish nothing")
   }
 
   test("contended stale-lock break: racing waiters never delete each other's fresh lock") {
@@ -706,6 +741,57 @@ class SnapshotWarehouseSpec extends SparkSpec {
     assert(!may(1, col("doc_id") > 120L && col("doc_id") > 300L))
     // unknown shapes never prune (conservative)
     assert(may(0, length(col("doc_id").cast("string")) === 3))
+  }
+
+  test("null-count stats: IS NULL / IS NOT NULL prune absent, all-null, and never-null segments driver-side") {
+    import spark.implicits._
+    val wh = sw()
+    // seg0: pre-evolution — no lang column (reads all-NULL via schema)
+    wh.appendFacts("documents", Seq((1L, 10L)).toDF("doc_id", "n_chars"))
+    // seg1: lang never null
+    wh.appendFacts("documents",
+      Seq((2L, 20L, "en"), (3L, 30L, "de")).toDF("doc_id", "n_chars", "lang"))
+    // seg2: lang present but ALL null (typed) — no string bounds exist
+    wh.appendFacts("documents", Seq((4L, 40L)).toDF("doc_id", "n_chars")
+      .withColumn("lang", lit(null).cast("string")))
+    val m = wh.currentManifest()
+    val segs = m.tables("documents")
+    // exact null counts stamped from the footers
+    assert(segs(1).nullCounts("lang") == 0L)
+    assert(segs(2).nullCounts("lang") == 1L)
+    val schema = wh.fullSchema(m, "documents")
+    def may(i: Int, pred: org.apache.spark.sql.Column): Boolean =
+      segs(i).mayMatch(wh.predExpression(pred, schema), schema.fieldNames.toSeq)
+    // IS NOT NULL: absent-column and all-null segments prune
+    assert(!may(0, col("lang").isNotNull) && may(1, col("lang").isNotNull)
+      && !may(2, col("lang").isNotNull))
+    // IS NULL: the never-null segment prunes
+    assert(may(0, col("lang").isNull) && !may(1, col("lang").isNull)
+      && may(2, col("lang").isNull))
+    // a comparison over a provably all-NULL column prunes even with no
+    // value bounds at all
+    assert(!may(0, col("lang") === "fr") && !may(2, col("lang") === "fr"))
+    // NOT pushes through with 3-valued semantics: NOT(lang = 'fr') can
+    // be TRUE on seg1 ('en' != 'fr') but never on an all-null segment
+    assert(may(1, !(col("lang") === "fr")) && !may(2, !(col("lang") === "fr")))
+    // read results agree with the unpruned scan in both directions
+    assert(wh.readWhere("documents", col("lang").isNotNull)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    assert(wh.readWhere("documents", col("lang").isNull)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 4L))
+    // readWhere(IS NOT NULL) plans ONLY seg1 (+ the seed frame)
+    val pruned = wh.readWhere("documents", col("lang").isNotNull)
+    assert(pruned.queryExecution.analyzed.collectLeaves().size == 2,
+      s"expected 1 segment + seed, got:\n${pruned.queryExecution.analyzed.treeString}")
+    // deleteWhere(IS NULL): seg1 is never probed — its directory and
+    // manifest entry survive byte-identical
+    val n = wh.deleteWhere("documents", col("lang").isNull)
+    assert(n == 2L)
+    val after = wh.currentManifest().tables("documents")
+    assert(after.map(_.path).contains(segs(1).path),
+      "never-null segment must keep its immutable directory")
+    assert(wh.read("documents").select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(2L, 3L))
   }
 
   test("appendsSince: exactly the appended rows over a pure-append window; anything else fails loudly") {
