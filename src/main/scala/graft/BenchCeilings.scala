@@ -21,10 +21,20 @@ package graft
   * measured min; retire entries with their queries. Re-seed a ceiling
   * only from a measured min on an unchanged-or-faster plan, never to
   * absorb an unexplained slowdown.
+  *
+  * RATCHET-DOWN (round 14): ceilings must track the engine's actual
+  * speed, not its round-12 snapshot. Every gate run records per-query
+  * min-of-3 in bench_gate.json; once per round run
+  * `python3 tools/reseed_ceilings.py --apply bench_gate.json
+  * BENCHDETAIL_r*.json` — it merges mins across the given artifacts
+  * and LOWERS (never raises) any ceiling whose merged min dropped
+  * >= 20% below the min the current ceiling implies, using the same
+  * `min * 1.8 + 0.3` formula. A raise is always a deliberate manual
+  * edit after a plan read.
   */
 object BenchCeilings {
   val ceilings: Map[String, Double] = Map(
-    "a10_sketch_union_shards" -> 0.94,
+    "a10_sketch_union_shards" -> 0.81,  // reseed: min 0.284
     "a11_kanon" -> 2.32,
     "a12_zscore" -> 0.92,
     "a13_heavy_hitters" -> 0.84,
@@ -204,7 +214,7 @@ object BenchCeilings {
     "x35_stream_curation" -> 4.82,       // min-of-12: 2.51
     "s19_lake_delete_where" -> 0.93,     // min-of-12: 0.35
     "s20_lake_schema_evolution" -> 0.73, // min-of-12: 0.24
-    "s21_lake_pruned_read" -> 1.02,      // min-of-12: 0.40
+    "s21_lake_pruned_read" -> 0.82,  // reseed: min 0.287
     // round 14, 12-pass BenchOne seeds (same formula)
     "s22_lake_null_stats_read" -> 0.75,  // min-of-12: 0.25
     "s23_lake_incremental_dedup" -> 0.61 // min-of-12: 0.17 (staging cached after pass 1)
