@@ -12,6 +12,7 @@ import graft.GraftSession
   *   graft.etl.Main lake-delete --warehouse snapshot:<dir> --table <t> --where <pred>
   *   graft.etl.Main lake-compact --warehouse snapshot:<dir> --table <t>
   *   graft.etl.Main lake-vacuum --warehouse snapshot:<dir> [--keep <n>] [--grace-ms <ms>]
+  *   graft.etl.Main lake-tail-dedup --warehouse snapshot:<dir> [--table <t>] [--follow]
   */
 object Main {
 
@@ -202,6 +203,40 @@ object Main {
         wh.vacuum(keep, grace)
         println(s"lake-vacuum keep=$keep snapshot=v${wh.currentVersion()}")
         0
+      case "lake-tail-dedup" =>
+        // the checkpointed incremental near-dup consumer (LakeTail +
+        // LakeConsumers.dedupStep): drain every unconsumed commit of
+        // the documents table, one atomic lake commit per batch
+        // (exactly-once — offset and outputs publish together). With
+        // --follow it keeps polling at --interval-ms; default is a
+        // single drain (the cron shape).
+        val wh = snapshotWarehouse(spark, required("warehouse"))
+        val table = opts.get("table").flatMap(_.headOption).getOrElse("documents")
+        val follow = flag(opts, "follow")
+        val intervalMs = opts.get("interval-ms").flatMap(_.headOption)
+          .map(_.toLong).getOrElse(10000L)
+        var batches = 0L
+        def drainAll(): Unit = {
+          var more = true
+          while (more) LakeConsumers.dedupStep(wh, table) match {
+            case Some(b) =>
+              batches += 1
+              println(s"lake-tail-dedup batch v${b.fromVersion}..v${b.toVersion}" +
+                (if (b.fullReread) " (full rebuild)" else ""))
+            case None => more = false
+          }
+        }
+        drainAll()
+        while (follow && !Thread.currentThread().isInterrupted) {
+          Thread.sleep(intervalMs); drainAll()
+        }
+        val nPairs =
+          if (wh.currentManifest().tables.contains(LakeConsumers.PairTable))
+            wh.read(LakeConsumers.PairTable).count()
+          else 0L
+        println(s"lake-tail-dedup batches=$batches pairs=$nPairs " +
+          s"snapshot=v${wh.currentVersion()}")
+        0
       case other => usageError(s"Unknown command: $other")
     }
   }
@@ -264,5 +299,6 @@ object Main {
       |       graft.etl.Main curate --config <pipeline.yaml> --input <parquet> --output <dir>
       |       graft.etl.Main lake-delete --warehouse snapshot:<dir> --table <t> --where <sql-predicate>
       |       graft.etl.Main lake-compact --warehouse snapshot:<dir> --table <t>
-      |       graft.etl.Main lake-vacuum --warehouse snapshot:<dir> [--keep <n>] [--grace-ms <ms>]""".stripMargin)
+      |       graft.etl.Main lake-vacuum --warehouse snapshot:<dir> [--keep <n>] [--grace-ms <ms>]
+      |       graft.etl.Main lake-tail-dedup --warehouse snapshot:<dir> [--table <t>] [--follow [--interval-ms <ms>]]""".stripMargin)
 }

@@ -142,6 +142,20 @@ class LakeTailSpec extends SparkSpec {
     assert(ids(wh.read(LakeConsumers.SigTable)) == Set(2L, 3L))
   }
 
+  test("lake-tail-dedup CLI drains pending commits, advances the offset, and is a clean no-op when caught up") {
+    val dir = tmpDir().toString
+    val wh = new SnapshotWarehouse(spark, dir)
+    wh.appendFacts("documents", docs(0 until 6))
+    assert(Main.run(Array("lake-tail-dedup", "--warehouse", s"snapshot:$dir"), spark) == 0)
+    assert(new LakeTail(wh, "minhash-dedup", "documents").lastProcessed() > 0L)
+    assert(wh.currentManifest().tables.contains(LakeConsumers.SigTable))
+    val v = wh.currentVersion()
+    assert(Main.run(Array("lake-tail-dedup", "--warehouse", s"snapshot:$dir"), spark) == 0)
+    assert(wh.currentVersion() == v, "a caught-up drain must commit nothing")
+    // non-snapshot target is a usage error, not a crash
+    assert(Main.run(Array("lake-tail-dedup", "--warehouse", dir), spark) == 2)
+  }
+
   test("pqStep: two-arrival incremental encode equals the one-shot encode under the persisted codebooks") {
     val wh = sw()
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
