@@ -306,6 +306,47 @@ class SnapshotWarehouseSpec extends SparkSpec {
     assert(!vis.exists(_._2 == 2L), "the conflicted loser must publish nothing")
   }
 
+  test("OCC rebase under real thread contention: same-base disjoint-table writers BOTH land") {
+    // the sequential OCC test pins the semantics; this one makes the
+    // race real — two threads hold the same base until both are ready
+    // to commit, then race the manifest CAS. The loser must rebase
+    // (disjoint tables) instead of throwing. Looped like the
+    // conflict-race test so the window is a probability, not a lottery.
+    val wh = sw()
+    wh.writeDim("dim_gene", gene(1L -> "ENSG1"))
+    for (round <- 0 until 10) {
+      val base = wh.currentVersion()
+      val gate = new java.util.concurrent.CountDownLatch(2)
+      val tables = Seq("dim_illness", "dim_platform")
+      val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Unit]]()
+      val threads = (0 until 2).map { i =>
+        new Thread(() => {
+          val r = try Right {
+            wh.transact { txn =>
+              if (i == 0) txn.writeDim("dim_illness",
+                Seq((round.toLong, s"ill-$round")).toDF("illness_key", "illness_label"))
+              else txn.writeDim("dim_platform",
+                Seq((round.toLong, s"GPL$round")).toDF("platform_key", "platform_accession"))
+              gate.countDown()
+              assert(gate.await(120, java.util.concurrent.TimeUnit.SECONDS))
+            }
+            ()
+          } catch { case t: Throwable => Left(t) }
+          outcomes.add(r)
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(300000))
+      val results = outcomes.toArray(Array.empty[Either[Throwable, Unit]])
+      assert(results.forall(_.isRight),
+        s"round $round: disjoint-table writers must BOTH land, got $results")
+      assert(wh.currentVersion() == base + 2,
+        s"round $round: expected two commits over base $base")
+      // both effects visible in the final snapshot
+      assert(wh.read("dim_illness").where(col("illness_key") === round.toLong).count() == 1)
+      assert(wh.read("dim_platform").where(col("platform_key") === round.toLong).count() == 1)
+    }
+  }
+
   test("contended stale-lock break: racing waiters never delete each other's fresh lock") {
     // The TOCTOU hazard: waiters A and B both judge the planted lock
     // stale; A breaks it and acquires a FRESH lock; a naive delete by
