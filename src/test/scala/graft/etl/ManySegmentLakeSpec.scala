@@ -88,6 +88,16 @@ class ManySegmentLakeSpec extends SparkSpec {
     assert(pruneMs < 2000.0, f"prune over 5001 segments took $pruneMs%.0f ms")
     assert(parseMs < 2000.0, f"manifest parse took $parseMs%.0f ms")
 
+    // the tail's poll is manifest metadata too: verifying a
+    // pure-append window across all 5,001 segments (the LakeTail
+    // consumer's per-poll cost on a big lake) stays driver-cheap
+    val tA0 = System.nanoTime()
+    val appended = wh.appendedSegments("docs5k", 0L, big.version)
+    val appendCheckMs = (System.nanoTime() - tA0) / 1e6
+    assert(appended.size == 5001)
+    assert(appendCheckMs < 2000.0,
+      f"pure-append verification over 5001 segments took $appendCheckMs%.0f ms")
+
     // (b) the planned read carries ONLY the needle segment (+ seed)
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
@@ -117,6 +127,7 @@ class ManySegmentLakeSpec extends SparkSpec {
     assert(wh.currentManifest().tables("docs5k").size == 5000)
 
     println(f"MANYSEG segments=5001 manifest=${manifestKiB} KiB parse=$parseMs%.1f ms " +
-      f"prune=$pruneMs%.1f ms point_leaves=2 range_leaves=101 delete_jobs=$delJobs deleted=$deleted")
+      f"prune=$pruneMs%.1f ms append_check=$appendCheckMs%.1f ms " +
+      f"point_leaves=2 range_leaves=101 delete_jobs=$delJobs deleted=$deleted")
   }
 }
