@@ -153,6 +153,21 @@ object Multimodal {
   case class ImageStats(doc_id: Long, width: Int, height: Int,
       n_pixels: Long, sum_r: Long, sum_g: Long, sum_b: Long)
 
+  /** ImageIO defaults to DISK-backed stream caches: every
+    * ImageIO.write / ImageIO.read over an in-memory byte stream
+    * creates (and deletes) a temp cache file first. The payloads here
+    * are all tens-of-KB in-memory frames, so that is ~10^4-10^5 file
+    * creates per pass across p68/p80/p90 — JFR showed executor threads
+    * stuck in UnixNativeDispatcher.open under stream-cache creation,
+    * with flaky multi-second stalls in long-lived bench JVMs (measured
+    * p80 1.4 s isolated vs 7-15 s late in the bench). Memory-cached
+    * streams are bit-identical — this is I/O plumbing, not codec
+    * behavior. Idempotent; called once per partition from every
+    * ImageIO kernel so executor JVMs get it too.
+    */
+  private def memCacheImageIo(): Unit =
+    if (javax.imageio.ImageIO.getUseCache) javax.imageio.ImageIO.setUseCache(false)
+
   /** Deterministic image dimensions/coefficients from the doc hash —
     * shared by the generator and the oracle's closed replay.
     */
@@ -179,6 +194,7 @@ object Multimodal {
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .as[(Long, String)]
       .mapPartitions { it =>
+        memCacheImageIo()
         it.map { case (docId, t) =>
           val h = graft.functions.Md5Hex64Math.hashBytes(
             t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -447,6 +463,7 @@ object Multimodal {
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .as[(Long, String)]
       .mapPartitions { it =>
+        memCacheImageIo()
         it.map { case (docId, t) =>
           val hsh = graft.functions.Md5Hex64Math.hashBytes(
             t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -484,6 +501,7 @@ object Multimodal {
   def decodeVideos(media: Dataset[AviRecord]): Dataset[VideoFrameStats] = {
     implicit val enc = Encoders.product[VideoFrameStats]
     media.mapPartitions { it =>
+      memCacheImageIo()
       it.flatMap { rec =>
         val (declared, w, h, frames) = parseAvi(rec.avi)
         require(declared == frames.length,
@@ -522,6 +540,7 @@ object Multimodal {
   def decodeImages(media: Dataset[PngRecord]): Dataset[ImageStats] = {
     implicit val enc = Encoders.product[ImageStats]
     media.mapPartitions { it =>
+      memCacheImageIo()
       it.map { rec =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(rec.png))
