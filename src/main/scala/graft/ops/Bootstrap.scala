@@ -77,20 +77,32 @@ object Bootstrap {
     require(b >= 4, s"need at least 4 resamples for an interval, got $b")
     val (rnLo, rnHi) = ciRanks(b)
     val base = rows.select(col(id), col(group), metricMicro.as("qm"))
-    val point = base.groupBy(col(group))
-      .agg(count(lit(1)).as("n_docs"), sum(col("qm")).as("sq"))
-      .withColumn("point_mean_micro", expr("sq DIV n_docs"))
-      .drop("sq")
     val u = Hashing.hex64(concat_ws("-",
       col(id).cast("string"), col("b").cast("string"), lit("boot"))) % 1000000L
-    val means = base
+    // Resample −1 carries w = 1 (the medianCi discipline): the point
+    // estimate rides the SAME explode+aggregate pass as the b resample
+    // means — sum(1·qm) DIV count == the former separate corpus
+    // aggregation, exactly, in integers — so the corpus is scanned
+    // ONCE, not twice (the metric columns are regex-heavy).
+    val perB = base
       .select(col(group), col("qm"),
-        explode(sequence(lit(0), lit(b - 1))).as("b"), col(id))
-      .withColumn("w", poissonWeight(u))
+        explode(sequence(lit(-1), lit(b - 1))).as("b"), col(id))
+      .withColumn("w",
+        when(col("b") === -1L, lit(1L)).otherwise(poissonWeight(u)))
       .groupBy(col(group), col("b"))
       .agg(sum(col("w") * col("qm")).as("s"), sum(col("w")).as("n"))
       .where(col("n") > 0)
       .withColumn("mean_micro", expr("s DIV n"))
+      // |groups| × (b+1) rows feed THREE consumers (point, lo rank, hi
+      // rank): materialized eagerly or the whole explode+aggregate
+      // subtree executes once per consumer (the plan audit measured 3
+      // full corpus passes; same AQE-race rationale as Spearman's
+      // pairJoin). Bounded: groups × (b+1) longs.
+      .localCheckpoint(true)
+    val point = perB.where(col("b") === -1L)
+      .select(col(group), col("n").as("n_docs"),
+        col("mean_micro").as("point_mean_micro"))
+    val means = perB.where(col("b") >= 0L)
     val win = Window.partitionBy(col(group))
       .orderBy(col("mean_micro").asc, col("b").asc)
     val ranked = means.withColumn("rn", row_number().over(win))
@@ -140,17 +152,31 @@ object Bootstrap {
     val wCum = Window.partitionBy(col(group), col("b"))
       .orderBy(col("qm").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
+    // tw (the resample's total weight) as a full-partition window over
+    // the SAME (group, b) partitioning as the cumulative sum: one
+    // shuffle + one window pass replaces the former separate
+    // aggregate + self-join of byVal, which executed the whole
+    // explode+aggregate lineage twice. Identical integers: tw is the
+    // partition's sum(sw) either way, and the tw > 0 gate drops the
+    // same all-zero-weight resamples the old inner join dropped.
+    val wAll = Window.partitionBy(col(group), col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val cum = byVal.withColumn("cum", sum(col("sw")).over(wCum))
-    val tot = byVal.groupBy(col(group), col("b"))
-      .agg(sum(col("sw")).as("tw")).where(col("tw") > 0)
-    val med = cum.join(tot, Seq(group, "b"))
-      .where(col("cum") >= expr("(tw + 1) DIV 2")) // integer division
+      .withColumn("tw", sum(col("sw")).over(wAll))
+    val med = cum
+      .where(col("tw") > 0 && col("cum") >= expr("(tw + 1) DIV 2")) // integer division
       .groupBy(col(group), col("b"))
-      .agg(min(col("qm")).as("med"))
-    val nDocs = base.groupBy(col(group)).agg(count(lit(1)).as("n_docs"))
+      // tw is constant within (group, b); for b = −1 every row weighs
+      // exactly 1, so tw IS the group's row count — the former separate
+      // nDocs corpus aggregation, for free off the same pass.
+      .agg(min(col("qm")).as("med"), max(col("tw")).as("__tw"))
+      // groups × (b+2) rows feeding three consumers (point, lo, hi) —
+      // materialized eagerly for the meanCi rationale (the plan audit
+      // measured the full corpus subtree executing 3×).
+      .localCheckpoint(true)
     val point = med.where(col("b") === -1L)
-      .select(col(group), col("med").as("median_micro"))
-      .join(nDocs, Seq(group))
+      .select(col(group), col("med").as("median_micro"),
+        col("__tw").as("n_docs"))
     val wr = Window.partitionBy(col(group))
       .orderBy(col("med").asc, col("b").asc)
     val ranked = med.where(col("b") >= 0L)
