@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
 
 /** Time individual queries with per-stage breakdown:
@@ -25,8 +25,29 @@ object BenchOne {
     val stages = new AtomicInteger(0)
     val tasks = new AtomicInteger(0)
     val stageMillis = new AtomicLong(0L)
+    // BENCHONE_JOB_TRACE=1: per-job line with the idle gap since the
+    // previous job ended (driver-side planning/collect time between jobs)
+    val jobTrace = sys.env.contains("BENCHONE_JOB_TRACE")
+    val lastJobEnd = new AtomicLong(0L)
+    val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     val listener = new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        if (jobTrace) {
+          jobStarts.put(j.jobId, j.time)
+          val gap = if (lastJobEnd.get == 0L) 0L else j.time - lastJobEnd.get
+          println(f"  JOB ${j.jobId}%4d start gap=${gap}%5d ms  ${j.properties.getProperty("spark.job.description", j.stageInfos.headOption.map(_.name).getOrElse("")).take(90)}")
+        }
+        ()
+      }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+        if (jobTrace) {
+          lastJobEnd.set(j.time)
+          val dur = Option(jobStarts.get(j.jobId)).map(s => j.time - s).getOrElse(-1L)
+          println(f"  JOB ${j.jobId}%4d end   dur=${dur}%5d ms")
+        }
+        ()
+      }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val dur = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1000.0

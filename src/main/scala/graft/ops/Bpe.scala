@@ -118,7 +118,17 @@ object Bpe {
         out += Merge(round, l, r, l + r, c)
         words = words
           .withColumn("pieces", applyMergeCol(col("pieces"), l, r, l + r))
-          .localCheckpoint(true)
+        // Lineage control, not per-round materialization: the word
+        // table is maxWords-bounded and every merge application is a
+        // narrow per-row array fold, so re-deriving round r's table
+        // from the last checkpoint costs r bounded map passes — far
+        // cheaper than an eager materialization job EVERY round
+        // (measured: the per-round checkpoint was ~2 jobs/round of
+        // pure overhead at numMerges=8; the default fits pay zero
+        // intermediate checkpoints now). Checkpoint every 16 rounds so
+        // production merge counts (~30k) still never stack unbounded
+        // plans. Deterministic either way — the merges are identical.
+        if (round % 16 == 0) words = words.localCheckpoint(true)
         round += 1
       }
     }

@@ -162,6 +162,12 @@ object Evaluation {
       .withColumn("auc_micro",
         when(col("tp") > 0 && col("tn") > 0, lifted)
           .otherwise(lit(null).cast("long")))
+      // groups × (b+2) rows feeding three consumers (point, lo, hi) —
+      // materialized eagerly or the whole explode+rank-sum subtree
+      // (including the upstream scoring pass) executes once per
+      // consumer (the Bootstrap.meanCi rationale; plan audit measured
+      // 3 corpus passes here too). Bounded driver-free state.
+      .localCheckpoint(true)
     val point = aucs.where(col("b") === -1L)
       .select(col(group), col("tp").as("n_pos"), col("tn").as("n_neg"),
         col("auc_micro"))
