@@ -3,9 +3,9 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StructField, StructType}
 
 /** Primitive-loop dot product over two array<double> columns.
   *
@@ -113,6 +113,101 @@ case class L2SqDistance(left: Expression, right: Expression) extends BinaryExpre
     copy(left = l, right = r)
 }
 
+/** Argmin over a small literal codebook: for an array<double> input
+  * row, the (d, cid) of the centroid minimizing the squared L2
+  * distance, ties to the lowest cid — exactly
+  * `sort_array(array(struct(l2sq(v, c_k), cid_k)...)).getItem(0)`
+  * with [[L2SqDistance]]'s direct left-to-right (x−y)² fold and
+  * Spark's struct sort order (SQLOrderingUtil double compare, then
+  * cid ascending), but as ONE compact expression. The unrolled
+  * struct-array form built m·ksub separate L2 loops into the plan
+  * (256 at the PQ defaults): thousands of expression-tree nodes per
+  * query to analyze/optimize, and generated projections past the
+  * whole-stage-codegen method limits. This keeps the plan O(1) per
+  * subspace and the loop tight at any m·ksub.
+  *
+  * The codebook rides as reference objects (like any literal array),
+  * so identical plans stay codegen-cache-friendly across refits.
+  */
+case class NearestL2Entry(child: Expression,
+    cents: Array[Array[Double]], cids: Array[Int]) extends UnaryExpression {
+  require(cents.nonEmpty && cents.length == cids.length,
+    s"NearestL2Entry needs a non-empty aligned codebook, got ${cents.length}/${cids.length}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("d", DoubleType, nullable = false),
+    StructField("cid", IntegerType, nullable = false)))
+  override def prettyName: String = "graft_nearest_l2"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var bestD = 0.0
+    var bestC = 0
+    var first = true
+    var k = 0
+    while (k < cents.length) {
+      val c = cents(k)
+      if (n != c.length)
+        throw new IllegalArgumentException(
+          s"graft_l2sq: mismatched vector lengths $n vs ${c.length}")
+      var acc = 0.0
+      var i = 0
+      while (i < n) { val d = x.getDouble(i) - c(i); acc += d * d; i += 1 }
+      val cmp = if (first) -1
+        else org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles(acc, bestD)
+      if (cmp < 0 || (cmp == 0 && cids(k) < bestC)) {
+        bestD = acc; bestC = cids(k); first = false
+      }
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestD, bestC))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    val cidsRef = ctx.addReferenceObj("cids", cids, "int[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val bestD = ctx.freshName("bestD")
+      val bestC = ctx.freshName("bestC")
+      val first = ctx.freshName("first")
+      val k = ctx.freshName("k")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val cmp = ctx.freshName("cmp")
+      s"""
+         |int $n = $v.numElements();
+         |double $bestD = 0.0; int $bestC = 0; boolean $first = true;
+         |for (int $k = 0; $k < $centsRef.length; $k++) {
+         |  double[] $c = $centsRef[$k];
+         |  if ($n != $c.length) {
+         |    throw new IllegalArgumentException(
+         |      "graft_l2sq: mismatched vector lengths " + $n + " vs " + $c.length);
+         |  }
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = $v.getDouble($i) - $c[$i];
+         |    $acc += $d * $d;
+         |  }
+         |  int $cmp = $first ? -1
+         |    : org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles($acc, $bestD);
+         |  if ($cmp < 0 || ($cmp == 0 && $cidsRef[$k] < $bestC)) {
+         |    $bestD = $acc; $bestC = $cidsRef[$k]; $first = false;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[]{ Double.valueOf($bestD), Integer.valueOf($bestC) });
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestL2Entry =
+    copy(child = newChild)
+}
+
 object VectorMath {
   import graft.functions.{columnToExpr, exprToColumn}
   import org.apache.spark.sql.functions._
@@ -127,6 +222,14 @@ object VectorMath {
   /** Squared L2 distance — tight-loop codegen, direct (x-y)^2 fold. */
   def l2sq(a: Column, b: Column): Column =
     exprToColumn(L2SqDistance(columnToExpr(a), columnToExpr(b)))
+
+  /** struct(d, cid) of the L2-nearest codebook entry — the compact
+    * argmin twin of the sort_array(array(struct(l2sq...)...)) form
+    * (see [[NearestL2Entry]]). `codebook` is (cid, centroid) pairs.
+    */
+  def nearestL2(v: Column, codebook: Seq[(Int, Seq[Double])]): Column =
+    exprToColumn(NearestL2Entry(columnToExpr(v),
+      codebook.map(_._2.toArray).toArray, codebook.map(_._1).toArray))
 
   /** v / ||v|| as array<double> (HOF; computed once per row, not per pair). */
   def l2normalize(v: Column): Column = {

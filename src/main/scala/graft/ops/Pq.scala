@@ -108,10 +108,9 @@ object Pq {
       // rank order.
       for (_ <- 1 to iters) {
         val subEntries = (0 until m).map { j =>
-          val assign = sort_array(array(cbs(j).map { case (cid, cv) =>
-            struct(VectorMath.l2sq(col(s"sv_$j"), typedlit(cv)).as("d"),
-              lit(cid).as("cid"))
-          }: _*)).getItem(0).getField("cid")
+          // compact argmin (see bestEntry) — identical assignment to
+          // the former unrolled sort_array form
+          val assign = VectorMath.nearestL2(col(s"sv_$j"), cbs(j)).getField("cid")
           struct(lit(j).as("sub"), col(s"sv_$j").as("sv"), assign.as("cell"))
         }
         val aggs = (1 to subd).map(q =>
@@ -141,9 +140,14 @@ object Pq {
     * centroid's (cid, distance) under the fit's exact tie order.
     */
   private def bestEntry(codebook: Seq[(Int, Seq[Double])], sv: Column): Column =
-    sort_array(array(codebook.map { case (cid, cv) =>
-      struct(VectorMath.l2sq(sv, typedlit(cv)).as("d"), lit(cid).as("cid"))
-    }: _*)).getItem(0)
+    // compact argmin expression == the former
+    // sort_array(array(struct(l2sq(sv, c), cid)...)).getItem(0): same
+    // (x−y)² fold per centroid, same (d asc, cid asc) tie order, but
+    // O(1) plan nodes per subspace instead of O(ksub) unrolled L2
+    // loops (256 at the defaults — measured multi-second analysis +
+    // codegen cost per query, and generated methods past the
+    // whole-stage limits). PqSpec pins equality of the two forms.
+    VectorMath.nearestL2(sv, codebook)
 
   /** Encode every vector: (id, sub, code, qdist) — one row per
     * subspace, `code` the nearest centroid id, `qdist` the 6-dp
