@@ -76,7 +76,14 @@ object Bootstrap {
       b: Int = 64, id: String = "doc_id"): DataFrame = {
     require(b >= 4, s"need at least 4 resamples for an interval, got $b")
     val (rnLo, rnHi) = ciRanks(b)
-    val base = rows.select(col(id), col(group), metricMicro.as("qm"))
+    // single-split trap (see Dedup.shingleRows): the document tables
+    // arrive as one input split, and everything heavy here — the
+    // metric's regex columns, the ×(b+1) explode, one md5 draw per
+    // (row, resample) — would run in that ONE scan task (measured:
+    // 8-task a16 plan, single-task stages carrying ~2 s). Spread first.
+    val base = rows
+      .repartition(rows.sparkSession.sparkContext.defaultParallelism)
+      .select(col(id), col(group), metricMicro.as("qm"))
     val u = Hashing.hex64(concat_ws("-",
       col(id).cast("string"), col("b").cast("string"), lit("boot"))) % 1000000L
     // Resample −1 carries w = 1 (the medianCi discipline): the point
@@ -139,7 +146,10 @@ object Bootstrap {
       b: Int = 64, id: String = "doc_id"): DataFrame = {
     require(b >= 4, s"need at least 4 resamples for an interval, got $b")
     val (rnLo, rnHi) = ciRanks(b)
-    val base = rows.select(col(id), col(group), metricMicro.as("qm"))
+    // single-split trap — same rationale as meanCi
+    val base = rows
+      .repartition(rows.sparkSession.sparkContext.defaultParallelism)
+      .select(col(id), col(group), metricMicro.as("qm"))
     val u = Hashing.hex64(concat_ws("-",
       col(id).cast("string"), col("b").cast("string"), lit("boot"))) % 1000000L
     val rep = base
