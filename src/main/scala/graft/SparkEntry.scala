@@ -2019,7 +2019,8 @@ object SparkEntry {
     // each micro-batch, cohort counts as the only streaming state.
     "x26_stream_quality_score" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      val feat = ops.Logistic.features(t(s, dir, "documents"))
+      val feat = ops.Logistic.features(t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism))
         .localCheckpoint(true)
       // the benched path is deliberately the PERSISTED round trip
       // (the p42 codebook precedent): train, save the 4-long model
@@ -2170,7 +2171,9 @@ object SparkEntry {
     "x31_stream_kappa" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val docs = t(s, dir, "documents")
-      val featB = ops.Logistic.features(docs).localCheckpoint(true)
+      // spread before the regex-heavy featurization (single-split trap)
+      val featB = ops.Logistic.features(
+        docs.repartition(s.sparkContext.defaultParallelism)).localCheckpoint(true)
       val w1 = ops.Logistic.train(featB, rounds = 3)
       val hfeatB = ops.Logistic.hashedFeatures(docs, 64).localCheckpoint(true)
       val w2 = ops.Logistic.trainHashed(hfeatB, 64, rounds = 2, lrNum = 64)
@@ -2210,7 +2213,9 @@ object SparkEntry {
     "x33_stream_parity" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val docs = t(s, dir, "documents")
-      val featB = ops.Logistic.features(docs).localCheckpoint(true)
+      // spread before the regex-heavy featurization (single-split trap)
+      val featB = ops.Logistic.features(
+        docs.repartition(s.sparkContext.defaultParallelism)).localCheckpoint(true)
       val w1 = ops.Logistic.train(featB, rounds = 3)
       val scored = ops.Logistic.scoreWith(
           ops.Logistic.features(docStream(s, dir), carry = Seq("source")),
@@ -2664,7 +2669,8 @@ object SparkEntry {
     // halves, so the rank sum is order-independent-exact; the single
     // division + 6-dp round is the only float site.
     "p72_classifier_auc" -> ((s, dir) => {
-      val feat = ops.Logistic.features(t(s, dir, "documents"),
+      val feat = ops.Logistic.features(t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism),
         carry = Seq("source")).localCheckpoint(true)
       ops.Evaluation.aucByGroup(
         ops.Logistic.scoreWith(feat, ops.Logistic.train(feat, rounds = 3),
@@ -2682,7 +2688,8 @@ object SparkEntry {
     // collapses to (sources x 65 x distinct-scores) rows map-side;
     // the window never sees the corpus.
     "p75_auc_bootstrap" -> ((s, dir) => {
-      val feat = ops.Logistic.features(t(s, dir, "documents"),
+      val feat = ops.Logistic.features(t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism),
         carry = Seq("source")).localCheckpoint(true)
       ops.Evaluation.aucBootstrapCi(
         ops.Logistic.scoreWith(feat, ops.Logistic.train(feat, rounds = 3),
@@ -2710,7 +2717,8 @@ object SparkEntry {
     // nests BOTH full training replays as subquery CTE blocks.
     "p77_agreement_kappa" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val feat = ops.Logistic.features(docs, carry = Seq("source"))
+      val feat = ops.Logistic.features(
+        docs.repartition(s.sparkContext.defaultParallelism), carry = Seq("source"))
         .localCheckpoint(true)
       ops.Evaluation.agreementKappa(
         ops.Logistic.scoreWith(feat, ops.Logistic.train(feat, rounds = 3),
@@ -2730,7 +2738,8 @@ object SparkEntry {
     // The oracle nests the SAME two training replays as p77.
     "p85_mcnemar" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val feat = ops.Logistic.features(docs, carry = Seq("source"))
+      val feat = ops.Logistic.features(
+        docs.repartition(s.sparkContext.defaultParallelism), carry = Seq("source"))
         .localCheckpoint(true)
       ops.Evaluation.mcnemar(
         ops.Logistic.scoreWith(feat, ops.Logistic.train(feat, rounds = 3),
@@ -2748,7 +2757,8 @@ object SparkEntry {
     // division; the oracle nests all THREE scoring replays.
     "p88_fleiss_kappa" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val feat = ops.Logistic.features(docs, carry = Seq("source"))
+      val feat = ops.Logistic.features(
+        docs.repartition(s.sparkContext.defaultParallelism), carry = Seq("source"))
         .localCheckpoint(true)
       ops.Evaluation.fleissKappa(Seq(
         ops.Logistic.scoreWith(feat, ops.Logistic.train(feat, rounds = 3),
@@ -2766,7 +2776,8 @@ object SparkEntry {
     // second corpus pass). A fairness regression becomes an oracle
     // failure, not a drifting float.
     "p89_subgroup_audit" -> ((s, dir) => {
-      val feat = ops.Logistic.features(t(s, dir, "documents"),
+      val feat = ops.Logistic.features(t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism),
         carry = Seq("source")).localCheckpoint(true)
       ops.Evaluation.subgroupAudit(
         ops.Logistic.scoreWith(feat, ops.Logistic.train(feat, rounds = 3),

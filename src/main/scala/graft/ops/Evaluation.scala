@@ -72,7 +72,8 @@ object Evaluation {
   def crossValAuc(docs: DataFrame, k: Int = 3, rounds: Int = 3,
       lrNum: Long = 4L): DataFrame = {
     require(k >= 2, s"need at least 2 folds, got $k")
-    val feat = Logistic.features(docs).localCheckpoint(true)
+    // spread before the regex-heavy featurization (single-split trap)
+    val feat = Logistic.features(Logistic.spread(docs)).localCheckpoint(true)
     val scored = (0 until k).map { f =>
       val w = Logistic.train(feat.where(col("doc_id") % k =!= f), rounds, lrNum)
       Logistic.scoreWith(feat.where(col("doc_id") % k === f), w)

@@ -228,9 +228,20 @@ object Logistic {
     */
   def trainAndScore(docs: DataFrame, rounds: Int = 3, lrNum: Long = 4L,
       text: String = "text"): DataFrame = {
-    val feat = features(docs, text).localCheckpoint(true)
+    // spread before the regex-heavy featurization (single-split trap,
+    // the scoreLinear rationale); batch-only path, so the exchange
+    // never touches the streaming twins
+    val feat = features(spread(docs), text).localCheckpoint(true)
     scoreWith(feat, train(feat, rounds, lrNum))
   }
+
+  /** Round-robin spread for single-split corpora ahead of the heavy
+    * per-row featurization; AQE coalesces the no-op exchange when the
+    * input already has enough splits (the scoreLinear rationale).
+    * Batch frames only — the streaming scorers stay map-only.
+    */
+  private[ops] def spread(docs: DataFrame): DataFrame =
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
 
   /** [[trainAndScore]] on the extended 6-feature lattice — the same
     * train/score path fed a different supplier; nothing downstream
@@ -238,7 +249,7 @@ object Logistic {
     */
   def trainAndScoreExtended(docs: DataFrame, rounds: Int = 3, lrNum: Long = 4L,
       text: String = "text"): DataFrame = {
-    val feat = featuresExtended(docs, text).localCheckpoint(true)
+    val feat = featuresExtended(spread(docs), text).localCheckpoint(true)
     scoreWith(feat, train(feat, rounds, lrNum))
   }
 
