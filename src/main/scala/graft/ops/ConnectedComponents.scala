@@ -46,6 +46,20 @@ object ConnectedComponents {
     var labels = sym.select(col("u").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
+    // Convergence probe: min-label propagation is MONOTONE — a
+    // vertex's label only ever decreases — so the label table changed
+    // iff its exact label sum changed. One map-side-combined DECIMAL
+    // aggregate over the just-checkpointed table replaces the former
+    // id-equi-JOIN probe (a full shuffle join of two label tables per
+    // round — the only per-round shuffle that wasn't the algorithm).
+    // decimal(38,0) keeps the sum exact out to ~1e38 total label mass;
+    // an overflowed (null) sum compares unequal forever, so the loop
+    // would merely exhaust its budget and auto-route to the star
+    // variant — same output, never a wrong convergence.
+    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("component").cast("decimal(38,0)")))
+        .head().getDecimal(0))
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     val propagationRounds = math.max(1, maxIter / 2)
@@ -56,17 +70,25 @@ object ConnectedComponents {
       val next = labels.unionByName(msgs)
         .groupBy("id").agg(min(col("component")).as("component"))
         .localCheckpoint(true)
-      val changed = next.alias("n")
-        .join(labels.alias("l"), col("n.id") === col("l.id"))
-        .where(col("n.component") =!= col("l.component"))
-        .limit(1).count()
+      val nextSum = labelSum(next)
+      val same =
+        if (prevSum.isDefined && nextSum.isDefined) prevSum == nextSum
+        else if (labels.isEmpty) true // empty graph: trivially converged
+        else
+          // non-numeric ids (sum casts to null): fall back to the join
+          // probe for this round rather than silently burning the budget
+          next.alias("n")
+            .join(labels.alias("l"), col("n.id") === col("l.id"))
+            .where(col("n.component") =!= col("l.component"))
+            .limit(1).count() == 0
       // superseded checkpoint blocks would otherwise pile up in the
       // block manager for the JVM lifetime (one label table per round);
       // Dataset.unpersist is a no-op on a checkpointed frame, so drop
       // the persisted RDD itself (graft.Checkpoints)
       graft.Checkpoints.drop(labels)
       labels = next
-      converged = changed == 0
+      converged = same
+      prevSum = nextSum
       iter += 1
     }
     graft.Checkpoints.drop(sym)
