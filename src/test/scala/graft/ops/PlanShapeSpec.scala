@@ -434,17 +434,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("partial"), s"p71 aggregation must map-side combine:\n$plan")
   }
 
-  test("a16 bootstrap CI: data rows never key-shuffle; the resample ensemble is map-side combined") {
-    // the one-pass bootstrap's whole claim: the only hash exchanges
-    // carry (group, b) partial sums (groups x 64 rows), never
-    // documents; the CI window runs over the 64-row resample frame
+  test("a16 bootstrap CI: one materialized ensemble; consumers never touch the corpus") {
+    // round-14 shape: the explode + map-side-combined (group, b)
+    // aggregation executes ONCE into an eager localCheckpoint (the
+    // old plan replicated the whole corpus subtree into each of the
+    // three consumers — 6 parquet scans in one plan); the consumer
+    // plan must read the materialized ensemble (ExistingRDD) and must
+    // not re-scan or re-aggregate documents. The build pass's own
+    // map-side-combine shape is pinned by the committed
+    // plans/r14/a16_bootstrap_ci_{before,after}.txt pair + the oracle.
     val plan = executedPlan("a16_bootstrap_ci")
-    assert(plan.contains("partial"), s"a16 must map-side combine:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"a16 consumers must read the checkpointed ensemble:\n$plan")
+    assert(!plan.contains("Scan parquet"),
+      s"a16 consumers must not re-scan the corpus:\n$plan")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"a16 plans a disaster join:\n$plan")
-    // the resample explode must sit UNDER a partial aggregate, not
-    // above any exchange of document rows carrying text
     assert(!plan.contains("Exchange rangepartitioning"),
       s"a16 must not sort the corpus:\n$plan")
   }
@@ -475,21 +481,32 @@ class PlanShapeSpec extends SparkSpec {
     assertNoDisasterJoin("p74", plan)
   }
 
-  test("p75 bootstrap AUC: the cumulative window runs over the aggregated score grid, never a corpus sort") {
-    // the p75 scale claim: the (b+1)-way explode collapses into a
-    // map-side-combined (cohort, resample, micro-score) aggregation
-    // BEFORE any window; the corpus itself never range-exchanges
+  test("p75 bootstrap AUC: one materialized ensemble; consumers never touch the corpus") {
+    // round-14 shape (the a16 rationale): the explode + cumulative
+    // window + rank-sum aggregation execute ONCE into an eager
+    // localCheckpoint; consumers read the (cohort, resample) ensemble
+    // and must not re-scan documents or globally sort anything. The
+    // build pass's grid-bounded window claim is pinned by the
+    // committed p75 before/after plan pair + the oracle.
     val plan = executedPlan("p75_auc_bootstrap")
-    assert(plan.contains("partial"), s"p75 must map-side combine:\n$plan")
-    assert(plan.contains("Window"), s"p75 needs the cumulative window:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"p75 consumers must read the checkpointed ensemble:\n$plan")
+    assert(!plan.contains("Scan parquet"),
+      s"p75 consumers must not re-scan the corpus:\n$plan")
+    assert(plan.contains("Window"), s"p75 needs the CI rank window:\n$plan")
     assert(!plan.contains("Exchange rangepartitioning"),
       s"p75 must not globally sort:\n$plan")
     assertNoDisasterJoin("p75", plan)
   }
 
-  test("a18 median CI: same bounded-grid discipline — no corpus sort, map-side combined") {
+  test("a18 median CI: one materialized ensemble; consumers never touch the corpus") {
+    // round-14 shape (the a16 rationale; the old plan held FOURTEEN
+    // parquet scans — the ensemble subtree once per consumer)
     val plan = executedPlan("a18_median_ci")
-    assert(plan.contains("partial"), s"a18 must map-side combine:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"a18 consumers must read the checkpointed ensemble:\n$plan")
+    assert(!plan.contains("Scan parquet"),
+      s"a18 consumers must not re-scan the corpus:\n$plan")
     assert(!plan.contains("Exchange rangepartitioning"),
       s"a18 must not globally sort:\n$plan")
     assertNoDisasterJoin("a18", plan)
