@@ -100,12 +100,12 @@ object Bootstrap {
       .agg(sum(col("w") * col("qm")).as("s"), sum(col("w")).as("n"))
       .where(col("n") > 0)
       .withColumn("mean_micro", expr("s DIV n"))
-      // |groups| × (b+1) rows feed THREE consumers (point, lo rank, hi
-      // rank): materialized eagerly or the whole explode+aggregate
-      // subtree executes once per consumer (the plan audit measured 3
-      // full corpus passes; same AQE-race rationale as Spearman's
-      // pairJoin). Bounded: groups × (b+1) longs.
-      .localCheckpoint(true)
+    // NOT checkpointed, deliberately (unlike medianCi/aucBootstrapCi,
+    // whose window-bearing subtrees measured a win): meanCi's ensemble
+    // is one explode+aggregate, AQE's exchange reuse dedupes the three
+    // consumers' copies at runtime, and the eager-checkpoint variant
+    // measured ~0.5 s SLOWER at sf0.1 (1.32 → 1.94 bench min) — the
+    // materialization job cost more than the deduped recompute.
     val point = perB.where(col("b") === -1L)
       .select(col(group), col("n").as("n_docs"),
         col("mean_micro").as("point_mean_micro"))
