@@ -242,20 +242,32 @@ object Dedup {
       .where(col("sz_b") >= ceil(col("sz_a") * tau) &&
         col("sz_a") >= ceil(col("sz_b") * tau))
       .select("id_a", "id_b").distinct()
-    // exact verification: expand each candidate pair with a's shingles,
-    // keep those also present for b, count the intersection. The
-    // expand is the p27 trap in join form — few bytes, heavy CPU
-    // (each candidate fans out |S_a| rows), so AQE's size-based
-    // coalescing collapses it to 1-2 tasks; an explicit
-    // user-numbered repartition (which AQE preserves) keeps the
-    // verification wide. Measured on the p86 audit panel: the
-    // verify stage ran 2 tasks / 5.9 s without it.
+    // exact verification WITHOUT the candidate×shingle row expand:
+    // each doc's (already-distinct) shingles collect into ONE array
+    // row, candidates attach both docs' arrays by id equi-join, and
+    // the intersection is a per-row size(array_intersect) — the same
+    // exact integer as the expand-join-count it replaces (both inputs
+    // are distinct sets, and pairs with an empty intersection die at
+    // the tau > 0 gate exactly as the inner-join form dropped them).
+    // The previous form fanned every candidate out |S_a| rows through
+    // a shuffle join + semi-join + re-aggregation — three exchanges
+    // of Σ_cand |S_a| rows for what is per-pair column math; measured
+    // on the p86 audit panel the verify stage dominated the suite's
+    // most expensive query (~3-4 s of 32-task compute). Set rows are
+    // document-bounded (one array per doc, the bytes the expand
+    // carried per candidate anyway); the explicit user-numbered
+    // repartition still keeps the CPU-heavy intersection stage wide
+    // (AQE preserves it; by size the stage is a few KB — the p27
+    // trap).
+    val sets = sh.groupBy(col(id)).agg(collect_list(col("shingle")).as("__set"))
     val shared = cand
       .repartition(docs.sparkSession.sparkContext.defaultParallelism,
         col("id_a"), col("id_b"))
-      .join(sh.toDF("id_a", "shingle"), "id_a")
-      .join(sh.toDF("id_b", "shingle"), Seq("id_b", "shingle"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
+      .join(sets.toDF("id_a", "__set_a"), "id_a")
+      .join(sets.toDF("id_b", "__set_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("__set_a"), col("__set_b")))
+          .cast("long").as("shared"))
     jaccardGate(shared, sizes, tau)
   }
 
