@@ -208,6 +208,114 @@ case class NearestL2Entry(child: Expression,
     copy(child = newChild)
 }
 
+/** Ranked top-k centroid entries by cosine against a small literal
+  * codebook — the generalization of [[NearestL2Entry]] to the IVF
+  * cosine family: for an (array<double> vector, double norm) row,
+  * the first `k` entries of
+  * `sort_array(array(struct(ns_0, cid_0), ..., struct(ns_{C-1},
+  * cid_{C-1})))` where `ns_j = (dot(v, c_j) / (norm * cn_j)) * -1.0
+  * + 0.0` — byte-identical float math (left-to-right dot fold, the
+  * same -0.0 normalization) and the same (SQLOrderingUtil double
+  * compare, then cid ascending) struct order as the unrolled form it
+  * replaces. The unrolled form built C separate dot-product loops
+  * into the plan: thousands of expression nodes to analyze per query
+  * at auto-scaled centroid counts, and generated projections past the
+  * whole-stage-codegen method limits. This keeps the plan O(1) in C
+  * and the per-row work one tight C×d loop with an insertion top-k
+  * (k = nProbe, single digits).
+  *
+  * The codebook rides as reference objects, so identical plans stay
+  * codegen-cache-friendly across refits. Integer cids only (the
+  * kmeans/prefit path); the "minid" stand-in keeps the unrolled form.
+  */
+case class TopKCentroidEntries(vec: Expression, norm: Expression,
+    cents: Array[Array[Double]], cnorms: Array[Double], cids: Array[Int],
+    k: Int) extends BinaryExpression {
+  require(cents.nonEmpty && cents.length == cnorms.length &&
+    cents.length == cids.length,
+    s"TopKCentroidEntries needs a non-empty aligned codebook, got " +
+      s"${cents.length}/${cnorms.length}/${cids.length}")
+  require(k >= 1, s"TopKCentroidEntries needs k >= 1, got $k")
+  override def left: Expression = vec
+  override def right: Expression = norm
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    StructType(Seq(
+      StructField("ns", DoubleType, nullable = true),
+      StructField("cid", IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_topk_centroids"
+
+  /** The per-row kernel, shared verbatim by interpreted eval and the
+    * generated code (called via a reference object — the inner loops
+    * are compiled Scala either way; one virtual call per row is noise
+    * next to the C×d flops).
+    */
+  def compute(vAny: Any, nAny: Any): ArrayData = {
+    val x = vAny.asInstanceOf[ArrayData]
+    val nrm = nAny.asInstanceOf[Double]
+    val n = x.numElements()
+    val m = if (k < cents.length) k else cents.length
+    val topNs = new Array[Double](m)
+    val topCid = new Array[Int](m)
+    var filled = 0
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      if (n != c.length)
+        throw new IllegalArgumentException(
+          s"graft_dot: mismatched vector lengths $n vs ${c.length}")
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += x.getDouble(i) * c(i); i += 1 }
+      val ns = (dot / (nrm * cnorms(j))) * -1.0 + 0.0
+      val cid = cids(j)
+      // insertion position among the current top entries: ascending
+      // (ns, cid) with SQLOrderingUtil double semantics (NaN largest,
+      // -0.0 < 0.0 — ns is +0.0-normalized but v's NaNs can ride)
+      var pos = filled
+      var continue = true
+      while (continue && pos > 0) {
+        val cmp = org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+          .compareDoubles(ns, topNs(pos - 1))
+        if (cmp < 0 || (cmp == 0 && cid < topCid(pos - 1))) pos -= 1
+        else continue = false
+      }
+      if (pos < m) {
+        val last = if (filled < m) filled else m - 1
+        var t = last
+        while (t > pos) { topNs(t) = topNs(t - 1); topCid(t) = topCid(t - 1); t -= 1 }
+        topNs(pos) = ns
+        topCid(pos) = cid
+        if (filled < m) filled += 1
+      }
+      j += 1
+    }
+    val out = new Array[Any](filled)
+    var r = 0
+    while (r < filled) {
+      out(r) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](topNs(r), topCid(r)))
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = compute(a, b)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("topkCentroids", this,
+      classOf[TopKCentroidEntries].getName)
+    nullSafeCodeGen(ctx, ev, (v, nrm) => {
+      s"""
+         |${ev.value} = $self.compute($v, (Double) $nrm);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TopKCentroidEntries =
+    copy(vec = l, norm = r)
+}
+
 object VectorMath {
   import graft.functions.{columnToExpr, exprToColumn}
   import org.apache.spark.sql.functions._
@@ -230,6 +338,17 @@ object VectorMath {
   def nearestL2(v: Column, codebook: Seq[(Int, Seq[Double])]): Column =
     exprToColumn(NearestL2Entry(columnToExpr(v),
       codebook.map(_._2.toArray).toArray, codebook.map(_._1).toArray))
+
+  /** array<struct(ns, cid)> of the k cosine-nearest codebook entries —
+    * the compact twin of `slice(sort_array(array(struct(ns_j, cid_j)
+    * ...)), 1, k)` (see [[TopKCentroidEntries]]). `codebook` is
+    * (cid, centroid, centroidNorm) triples.
+    */
+  def topKCentroids(v: Column, nrm: Column,
+      codebook: Seq[(Int, Seq[Double], Double)], k: Int): Column =
+    exprToColumn(TopKCentroidEntries(columnToExpr(v), columnToExpr(nrm),
+      codebook.map(_._2.toArray).toArray, codebook.map(_._3).toArray,
+      codebook.map(_._1).toArray, k))
 
   /** v / ||v|| as array<double> (HOF; computed once per row, not per pair). */
   def l2normalize(v: Column): Column = {

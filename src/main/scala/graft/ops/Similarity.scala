@@ -294,14 +294,12 @@ object Similarity {
       if (cents.isEmpty) return Seq.empty
       val d = cents.head._2.length
       for (_ <- 1 to iters) {
-        val entries = cents.map { case (cid, cv, cn) =>
-          struct(
-            ((VectorMath.dot(col("v"), typedlit(cv)) / (col("nrm") * lit(cn))) * -1.0
-              + 0.0).as("ns"),
-            lit(cid).as("cid"))
-        }
+        // same compact ranked expression as the query-side assignment
+        // (TopKCentroidEntries at k = 1): byte-identical ns math and
+        // tie order to the unrolled struct-sort this replaces
         val assigned = vs.withColumn("cell",
-          sort_array(array(entries: _*)).getItem(0).getField("cid"))
+          VectorMath.topKCentroids(col("v"), col("nrm"), cents, 1)
+            .getItem(0).getField("cid"))
         val aggs = (1 to d).map(j => avg(element_at(col("v"), j)).as(s"m_$j"))
         cents = assigned.groupBy("cell").agg(aggs.head, aggs.tail: _*).collect()
           .toSeq.map { r =>
@@ -367,35 +365,43 @@ object Similarity {
       extra: Seq[(String, String)] = Nil,
       prefit: Option[Seq[(Int, Seq[Double], Double)]] = None): DataFrame = {
     val vs = withNorm(emb, id, vec, idOut, vecOut, normOut, extra)
-    val entry = centroidEntry(vecOut, normOut) _
-    val entries: Seq[Column] = prefit match {
+    // the kmeans/prefit paths carry integer cids and rank through ONE
+    // compact expression (TopKCentroidEntries: plan size O(1) in the
+    // centroid count instead of C unrolled dot subtrees — the
+    // NearestL2Entry discipline generalized to ranked-k cosine); the
+    // "minid" stand-in keeps id-typed cells and the unrolled form
+    val ranked: Option[Column] = prefit match {
       case Some(cb) =>
         // caller already fit (and typically also needs the centroid
         // VECTORS — residual PQ); skip the internal refit
-        cb.map { case (cid, cv, cn) => entry(cid, cv, cn) }
+        if (cb.isEmpty) None
+        else Some(VectorMath.topKCentroids(col(vecOut), col(normOut), cb, maxRank))
       case None => codebook match {
         case "kmeans" =>
-          fitCodebookKMeans(emb, nCentroids, iters = 3, id, vec, fitSamplePct)
-            .map { case (cid, cv, cn) => entry(cid, cv, cn) }
+          val cb = fitCodebookKMeans(emb, nCentroids, iters = 3, id, vec, fitSamplePct)
+          if (cb.isEmpty) None
+          else Some(VectorMath.topKCentroids(col(vecOut), col(normOut), cb, maxRank))
         case "minid" =>
           // by NAME, not position: extra carried columns (labels) sit
           // between the vector and the norm in the row
-          vs.orderBy(col(idOut).asc).limit(nCentroids).collect().toSeq
+          val entry = centroidEntry(vecOut, normOut) _
+          val entries = vs.orderBy(col(idOut).asc).limit(nCentroids).collect().toSeq
             .map(r => entry(r.get(r.fieldIndex(idOut)),
               r.getSeq[Double](r.fieldIndex(vecOut)),
               r.getAs[Double](normOut)))
+          if (entries.isEmpty) None
+          else Some(slice(sort_array(array(entries: _*)), 1, maxRank))
         case other => throw new IllegalArgumentException(
           s"codebook must be kmeans|minid, got $other")
       }
     }
-    if (entries.isEmpty) // no usable vectors: empty result, id-typed cell
+    if (ranked.isEmpty) // no usable vectors: empty result, id-typed cell
       return vs.withColumn("cell", col(idOut)).withColumn("__rk", lit(1))
         .where(lit(false))
     val carried = extra.map { case (_, out) => col(out) }
     spread(vs)
       .select(col(idOut) +: col(vecOut) +: col(normOut) +: carried :+
-        posexplode(slice(sort_array(array(entries: _*)), 1, maxRank))
-          .as(Seq("__p", "__s")): _*)
+        posexplode(ranked.get).as(Seq("__p", "__s")): _*)
       .select(col(idOut) +: col(vecOut) +: col(normOut) +: carried :+
         col("__s.cid").as("cell") :+ ((col("__p") + 1).as("__rk")): _*)
   }
@@ -599,15 +605,12 @@ object Similarity {
       id: String, vec: String,
       idOut: String, vecOut: String, normOut: String): DataFrame = {
     val vs = withNorm(emb, id, vec, idOut, vecOut, normOut)
-    val entries = cb.map { case (cid, cv, cn) =>
-      centroidEntry(vecOut, normOut)(cid, cv, cn)
-    }
-    if (entries.isEmpty)
+    if (cb.isEmpty)
       return vs.withColumn("cell", col(idOut)).withColumn("__rk", lit(1))
         .where(lit(false))
     spread(vs)
       .select(col(idOut), col(vecOut), col(normOut),
-        posexplode(slice(sort_array(array(entries: _*)), 1, maxRank))
+        posexplode(VectorMath.topKCentroids(col(vecOut), col(normOut), cb, maxRank))
           .as(Seq("__p", "__s")))
       .select(col(idOut), col(vecOut), col(normOut),
         col("__s.cid").as("cell"), (col("__p") + 1).as("__rk"))
