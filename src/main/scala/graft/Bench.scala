@@ -62,24 +62,35 @@ object Bench {
     val failedNames = byQuery.collect { case (n, v, _) if v >= FailureSentinelSec => n }
     val failedJson = failedNames.map(JsonUtil.quote).mkString("[", ",", "]")
     val okTotal = byQuery.collect { case (_, v, _) if v < FailureSentinelSec => v }.sum
-    // stdout carries only the headline numbers: the round-3/4 artifacts
-    // lost their parse because the per-query dicts (64 queries x 2 maps)
-    // outgrew the driver's bounded tail capture. The full per-query
-    // times + spreads live in bench_out.json only.
+    // Measurement-visibility fix (round 15): stdout used to carry only
+    // the headline numbers because the round-3/4 per-query dicts
+    // outgrew the driver's bounded tail capture. That left the driver
+    // with NO per-query data at all (PERF_r14 per_query: {}), so a
+    // single-query regression could hide inside a falling total. The
+    // full line (queries + spread) is now the LAST stdout line. Two
+    // defenses against a bounded tail capture:
+    //  - the compact headline line still prints FIRST (greppable, and
+    //    bench_out.json keeps the full artifact regardless);
+    //  - the full line puts the per-query dicts BEFORE the headline
+    //    fields, so even a capture that keeps only the last ~2 KB of
+    //    output still shows ...,"metric":"total","value":N,...,"sf":...}
+    //    human-readably at the very end.
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":$passes,"n":${byQuery.size},"ok_value":${fmt(okTotal)},"failed":$failedJson,"sf":${JsonUtil.quote(sfDir)}}"""
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":$passes,"n":${byQuery.size},"ok_value":${fmt(okTotal)},"failed":$failedJson,"queries":$qs,"spread":$spread,"sf":${JsonUtil.quote(sfDir)}}"""
+      s"""{"queries":$qs,"spread":$spread,"metric":"total","value":${fmt(total)},"unit":"sec","passes":$passes,"n":${byQuery.size},"ok_value":${fmt(okTotal)},"failed":$failedJson,"sf":${JsonUtil.quote(sfDir)}}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case NonFatal(e) => System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}") }
-    // the compact line is the LAST stdout of the JVM, after spark.stop's
-    // chatter, so the driver's tail capture always parses it — even a
-    // failed stop must not swallow it
+    // both metric lines print LAST, after spark.stop's chatter, so the
+    // driver's tail capture always sees them — even a failed stop must
+    // not swallow them. Order: compact first (insurance), full last
+    // (the line the driver parses for per-query visibility).
     try spark.stop()
     catch { case NonFatal(e) => System.err.println(s"[bench] spark.stop failed: ${e.getMessage}") }
     println(line)
+    println(full)
     Console.out.flush()
   }
 }
