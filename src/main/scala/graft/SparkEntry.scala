@@ -72,14 +72,58 @@ object SparkEntry {
     * scale), restoring the previous conf after. Used by the monitors
     * that run their PRODUCTION form in the harness (x22, x31).
     */
-  private def withRocksStateStore[T](s: SparkSession)(body: => T): T = {
+  /** Data-derived state-partition count for the update-mode monitors:
+    * ceil(input_bytes / target) bounded to [1, cores]. State-partition
+    * count is a WORKLOAD decision, not a harness constant — each
+    * partition is a RocksDB instance with a fixed open/commit cost per
+    * micro-batch, so partitions should hold tens of MB of state each
+    * (target 64 MB of source input per partition, env-overridable),
+    * while min(cores) keeps a corpus-scale stream at full compute
+    * parallelism (at 100 TB/day bytes/target >> cores, so a cluster
+    * run is unchanged; only overhead on small inputs shrinks).
+    * Sizing failure (no such file) falls back to cores — the previous
+    * behavior. Measured at sf0.1: 32 state partitions per monitor were
+    * pure overhead (the 8-core driver run beat the 32-core run on the
+    * monitor family); the rule sizes those streams to 1 partition at
+    * this input (a few MB) at EITHER core count.
+    */
+  private def streamStateParts(s: SparkSession, sizingPath: String): Int = {
+    val target = sys.env.get("GRAFT_STREAM_STATE_TARGET_BYTES")
+      .map(_.toLong).filter(_ > 0L)
+      .getOrElse(64L * 1024L * 1024L)
+    // a parquet "table" here is a file or a directory of part files
+    val bytes =
+      try {
+        val p = java.nio.file.Paths.get(sizingPath)
+        if (java.nio.file.Files.isDirectory(p)) {
+          val walk = java.nio.file.Files.walk(p)
+          try {
+            val it = walk.iterator()
+            var b = 0L
+            while (it.hasNext) {
+              val f = it.next()
+              if (java.nio.file.Files.isRegularFile(f))
+                b += java.nio.file.Files.size(f)
+            }
+            b
+          } finally walk.close()
+        } else java.nio.file.Files.size(p)
+      }
+      catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+    val cores = s.sparkContext.defaultParallelism.toLong
+    math.max(1L, math.min(cores, (bytes + target - 1L) / target)).toInt
+  }
+
+  private def withRocksStateStore[T](s: SparkSession, sizingPath: String)(body: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = s.conf.getOption(key)
     s.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val pkey = "spark.sql.shuffle.partitions"
     val prevP = s.conf.getOption(pkey)
-    sys.env.get("GRAFT_STREAM_PARTS").foreach(p => s.conf.set(pkey, p))
+    // GRAFT_STREAM_PARTS force-overrides the data-derived default (A/B)
+    s.conf.set(pkey, sys.env.getOrElse("GRAFT_STREAM_PARTS",
+      streamStateParts(s, sizingPath).toString))
     // Every withRocksStateStore caller is an UPDATE-mode monitor whose
     // drain reads only rows the data batches emitted (monotone max /
     // latest-update / top-k-union semantics). The trailing no-data
@@ -921,7 +965,7 @@ object SparkEntry {
           ops.Drift.binCol(col("value"), 0.0, 40.0, 10).as("bin"))
         .agg(count(lit(1)).as("n_cur"))
       val sink = s"stream_psi_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      withRocksStateStore(s) {
+      withRocksStateStore(s, s"$dir/events.parquet") {
         val q = binned.writeStream.format("memory").queryName(sink)
           .outputMode("update").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
@@ -958,7 +1002,7 @@ object SparkEntry {
           ops.Drift.binCol(col("value"), 0.0, 40.0, 10).as("bin"))
         .agg(count(lit(1)).as("n_cur"))
       val sink = s"stream_ks_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      withRocksStateStore(s) {
+      withRocksStateStore(s, s"$dir/events.parquet") {
         val q = binned.writeStream.format("memory").queryName(sink)
           .outputMode("update").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
@@ -993,7 +1037,7 @@ object SparkEntry {
           ops.Drift.binCol(col("value"), 0.0, 40.0, 10).as("bin"))
         .agg(count(lit(1)).as("n_cur"))
       val sink = s"stream_tvd_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      withRocksStateStore(s) {
+      withRocksStateStore(s, s"$dir/events.parquet") {
         val q = binned.writeStream.format("memory").queryName(sink)
           .outputMode("update").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
@@ -1048,7 +1092,7 @@ object SparkEntry {
           coalesce(col("token_id"), lit(0L)).as("bin"))
         .agg(count(lit(1)).as("n_cur"))
       val sink = s"stream_vocab_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      withRocksStateStore(s) {
+      withRocksStateStore(s, s"$dir/documents.parquet") {
         val q = binned.writeStream.format("memory").queryName(sink)
           .outputMode("update").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
@@ -2133,7 +2177,7 @@ object SparkEntry {
         .withWatermark("ts", "256 seconds")
         .groupBy(window(col("ts"), "256 seconds").as("w"), col("source"))
         .agg(count(lit(1)).as("n"))
-      withRocksStateStore(s) {
+      withRocksStateStore(s, s"$dir/documents.parquet") {
         val q = binned.writeStream.format("memory").queryName(sink)
           .outputMode("update").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
@@ -2187,7 +2231,7 @@ object SparkEntry {
           w2, carry = Seq("keep_a"))
         .select(col("doc_id"), col("keep_a"), col("keep").as("keep_b"))
         .withColumn("event_ts", timestamp_seconds(col("doc_id")))
-      withRocksStateStore(s) {
+      withRocksStateStore(s, s"$dir/documents.parquet") {
         val q = ops.Evaluation.windowedAgreementCounts(scoredBoth)
           .writeStream.format("memory").queryName(sink)
           .outputMode("update").trigger(Trigger.AvailableNow()).start()
@@ -2222,7 +2266,7 @@ object SparkEntry {
           w1, carry = Seq("source"))
         .withColumn("event_ts", timestamp_seconds(col("doc_id")))
       val sink = s"stream_par_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      withRocksStateStore(s) {
+      withRocksStateStore(s, s"$dir/documents.parquet") {
         val q = ops.Evaluation.windowedConfusionCounts(scored, "source")
           .writeStream.format("memory").queryName(sink)
           .outputMode("update").trigger(Trigger.AvailableNow()).start()
@@ -2285,7 +2329,7 @@ object SparkEntry {
       val topk = udaf(new ops.TopKCandAgg(k),
         org.apache.spark.sql.Encoders.product[ops.ScoredCand])
       val sink = s"stream_ann_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      withRocksStateStore(s) {
+      withRocksStateStore(s, s"$dir/embeddings.parquet") {
         val q = pairs
           .withColumn("ts", timestamp_seconds(col("query_id")))
           .withWatermark("ts", "256 seconds")
