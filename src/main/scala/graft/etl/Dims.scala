@@ -39,8 +39,12 @@ object Dims {
       .distinct()
       .join(existing, Seq(naturalCol), "left_anti")
     val maxKey = existing.agg(coalesce(max(col(keyCol)), lit(0L))).head.getLong(0)
-    val keyed = fresh.withColumn(keyCol,
-      lit(maxKey) + row_number().over(Window.orderBy(col(naturalCol))).cast("long"))
+    // zipKeys, not a partition-less row_number window: the vocabulary
+    // dims are usually small, but "usually" is not a bound — a first
+    // load or a vocabulary blow-up would serialize the whole batch
+    // into ONE window task, while zipKeys assigns the identical dense
+    // numbering through a parallel range-partitioned sort.
+    val keyed = zipKeys(fresh, Seq(naturalCol), keyCol, maxKey)
       .select(col(keyCol), col(naturalCol))
     existing.select(col(keyCol), col(naturalCol)).unionByName(keyed)
   }
