@@ -66,13 +66,18 @@ object Curation {
       id: String = "doc_id", text: String = "text"): DataFrame = {
     val originalShape = docs.columns.map(col).toIndexedSeq
 
-    // 1: quality gate (6-dp comparison, see scaladoc). Eagerly
-    // materialized: the gated frame feeds BOTH sides of the stage-2
-    // dedup (digest groupBy + semi-join back), and without the
-    // checkpoint the per-row regex pipeline re-evaluates per branch —
-    // the same measured rationale as Dedup.minhashDupPairs' cache
-    // (and the same executor-loss recompute trade, documented there).
-    val gated = qualityGateStage(docs, minQuality, text, originalShape)
+    // 1: quality gate (6-dp comparison, see scaladoc). Spread first:
+    // the gate's regex pipeline otherwise runs inside the single-split
+    // scan task (batch path only — the streaming funnel is
+    // CurationPipeline.runStreaming). Eagerly materialized: the gated
+    // frame feeds BOTH sides of the stage-2 dedup (digest groupBy +
+    // semi-join back), and without the checkpoint the per-row regex
+    // pipeline re-evaluates per branch — the same measured rationale
+    // as Dedup.minhashDupPairs' cache (and the same executor-loss
+    // recompute trade, documented there).
+    val gated = qualityGateStage(
+        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism),
+        minQuality, text, originalShape)
       .localCheckpoint(true)
 
     // 2: normalized dedup, min id per digest; materialized for the

@@ -231,7 +231,14 @@ object CurationPipeline {
     */
   def run(docs: DataFrame, cfg: Config): DataFrame = {
     val shape = docs.columns.map(col).toIndexedSeq
-    cfg.stages.foldLeft(docs) { (df0, stage) =>
+    // spread the input once: config-driven funnels lead with per-row
+    // regex stages (quality gates, langid, redaction) that would
+    // otherwise run inside the single-split scan task; AQE coalesces
+    // the no-op exchange on inputs with real splits. Batch runner
+    // only — runStreaming stays map-only.
+    val spreadDocs = docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism)
+    cfg.stages.foldLeft(spreadDocs) { (df0, stage) =>
       val df = stage match {
         // join-shaped stages read their input from both sides, and the
         // fit-then-score stages (dsir/perplexity/mixture) run a

@@ -281,8 +281,14 @@ object Logistic {
         array().cast("array<int>"))
       .otherwise(transform(grams,
         g => (graft.functions.Md5Hex64Fn(g) % nBuckets).cast("int")))
-    TextStats.withQualityColumns(docs, text)
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    // spread BEFORE the quality columns: the repartition used to sit
+    // above them, which left the regex-heavy quality projection inside
+    // the single-split scan task (measured: a 1-task ~0.5 s stage in
+    // every p77/p85/p88 pass) — projections do not migrate across a
+    // round-robin exchange
+    TextStats.withQualityColumns(
+        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism),
+        text)
       .select(col("doc_id") +: carry.map(col) :+
         when(round(col("quality_score"), 6) >= 0.78, 1.0d)
           .otherwise(0.0d).as("y") :+
