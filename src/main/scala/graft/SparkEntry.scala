@@ -114,16 +114,35 @@ object SparkEntry {
     math.max(1L, math.min(cores, (bytes + target - 1L) / target)).toInt
   }
 
-  private def withRocksStateStore[T](s: SparkSession, sizingPath: String)(body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+  /** Run a streaming start+drain body with the data-derived
+    * shuffle-partition count ([[streamStateParts]]); restores the
+    * session conf after. The partition count is read at query START,
+    * so only the stream inside the scope is affected — batch plans
+    * built outside keep the session default. Applies to every
+    * stateful streaming query (default-provider and RocksDB alike):
+    * each state partition is a per-micro-batch commit cycle whether
+    * the store is HDFS-backed or RocksDB.
+    */
+  private def withStreamParts[T](s: SparkSession, sizingPath: String)(body: => T): T = {
     val pkey = "spark.sql.shuffle.partitions"
     val prevP = s.conf.getOption(pkey)
     // GRAFT_STREAM_PARTS force-overrides the data-derived default (A/B)
     s.conf.set(pkey, sys.env.getOrElse("GRAFT_STREAM_PARTS",
       streamStateParts(s, sizingPath).toString))
+    try body
+    finally {
+      prevP match {
+        case Some(v) => s.conf.set(pkey, v)
+        case None    => s.conf.unset(pkey)
+      }
+    }
+  }
+
+  private def withRocksStateStore[T](s: SparkSession, sizingPath: String)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // Every withRocksStateStore caller is an UPDATE-mode monitor whose
     // drain reads only rows the data batches emitted (monotone max /
     // latest-update / top-k-union semantics). The trailing no-data
@@ -140,15 +159,11 @@ object SparkEntry {
     val nkey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prevN = s.conf.getOption(nkey)
     s.conf.set(nkey, sys.env.getOrElse("GRAFT_STREAM_NODATA", "false"))
-    try body
+    try withStreamParts(s, sizingPath)(body)
     finally {
       prev match {
         case Some(v) => s.conf.set(key, v)
         case None    => s.conf.unset(key)
-      }
-      prevP match {
-        case Some(v) => s.conf.set(pkey, v)
-        case None    => s.conf.unset(pkey)
       }
       prevN match {
         case Some(v) => s.conf.set(nkey, v)
@@ -871,12 +886,11 @@ object SparkEntry {
 
     // --- dim maintenance (D1) -----------------------------------------
     // Routed through the PRODUCTION get-or-create path (Dims.upsertDim:
-    // distinct -> anti-join -> max-key + row_number keys) against an
-    // empty existing dim, so the bench pins the real surrogate-key
-    // operator — including its global row_number window, which is safe
-    // there by construction: the window only ever runs over NEW dim
-    // rows, a distinct()-bounded vocabulary, never a fact-sized table
-    // (SURVEY §7.4 decision 1).
+    // distinct -> anti-join -> max-key + zipKeys dense numbering)
+    // against an empty existing dim, so the bench pins the real
+    // surrogate-key operator (SURVEY §7.4 decision 1; the former
+    // global row_number window became zipKeys' parallel
+    // range-partitioned sort in round 15).
     "d1_dim_build" -> ((s, dir) => {
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("brand_key",
@@ -928,10 +942,12 @@ object SparkEntry {
     "x20_stream_latest" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val sink = s"stream_latest_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      withStreamParts(s, s"$dir/events.parquet") {
       val q = latestSnapshot(eventStream(s, dir))
         .writeStream.format("memory").queryName(sink)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      }
       drainMemorySink(s, sink)
     }),
 
@@ -1539,10 +1555,12 @@ object SparkEntry {
     "x7_stream_hourly" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val sink = s"stream_hourly_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      withStreamParts(s, s"$dir/events.parquet") {
       val q = hourlyAgg(eventStream(s, dir))
         .writeStream.format("memory").queryName(sink)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      }
       drainMemorySink(s, sink)
     }),
     // X8: Structured Streaming parity for sessionization — the SAME
@@ -1580,6 +1598,7 @@ object SparkEntry {
         val stream = s.readStream.schema(core.schema).parquet(staged.toString)
           .as[graft.streaming.EventStreams.EventNs]
         val sink = s"stream_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        withStreamParts(s, s"$dir/events.parquet") {
         val q = graft.streaming.EventStreams
           .sessionizeNs(stream, gapNs, GroupStateTimeout.NoTimeout)
           .toDF()
@@ -1588,6 +1607,7 @@ object SparkEntry {
           .writeStream.format("memory").queryName(sink)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
+        }
         drainMemorySink(s, sink)
       }
     }),
@@ -1629,10 +1649,12 @@ object SparkEntry {
     "x13_stream_sliding" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val sink = s"stream_sliding_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      withStreamParts(s, s"$dir/events.parquet") {
       val q = slidingAgg(eventStream(s, dir))
         .writeStream.format("memory").queryName(sink)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      }
       drainMemorySink(s, sink)
     }),
     // X14: Structured Streaming parity for the NATIVE session window —
@@ -1644,10 +1666,12 @@ object SparkEntry {
     "x14_stream_session_window" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val sink = s"stream_sesswin_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      withStreamParts(s, s"$dir/events.parquet") {
       val q = sessionWindowAgg(eventStream(s, dir))
         .writeStream.format("memory").queryName(sink)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      }
       drainMemorySink(s, sink)
     }),
     // X15: funnel analysis — ordered signup → click → purchase
@@ -1821,9 +1845,11 @@ object SparkEntry {
         .select(col("error_id"), col("other_id"), col("user_id"), col("other_type"),
           (col("right_ts_us") - col("ts_us")).as("delta_us"))
       val sink = s"stream_join_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      withStreamParts(s, s"$dir/events.parquet") {
       val q = joined.writeStream.format("memory").queryName(sink)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      }
       drainMemorySink(s, sink)
     }),
     // X10: STREAM-STATIC join — the third Structured Streaming join
@@ -1847,9 +1873,11 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"), max(col("type_avg")).as("type_avg"))
       val sink = s"stream_static_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      withStreamParts(s, s"$dir/events.parquet") {
       val q = joined.writeStream.format("memory").queryName(sink)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      }
       drainMemorySink(s, sink)
     }),
     // X4: semi-structured props — JSON field extraction + agg.
@@ -1883,6 +1911,7 @@ object SparkEntry {
         d.unionByName(planted).write.mode("overwrite").parquet(p.toString)
       }
       val sink = s"stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      withStreamParts(s, s"$dir/documents.parquet") {
       val q = s.readStream.schema(d.schema).parquet(staged.toString)
         .groupBy(md5(col("text")).as("text_md5"))
         .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
@@ -1890,6 +1919,7 @@ object SparkEntry {
         .writeStream.format("memory").queryName(sink)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      }
       drainMemorySink(s, sink)
     }),
     // P17: deterministic sampling — hash-Bernoulli (pure map, no
@@ -2004,10 +2034,12 @@ object SparkEntry {
     "x23_stream_expectations" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val sink = s"stream_exp_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      withStreamParts(s, s"$dir/documents.parquet") {
       val q = ops.Expectations.aggRow(docStream(s, dir), docRowRules)
         .writeStream.format("memory").queryName(sink)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      }
       ops.Expectations.reshape(drainMemorySink(s, sink), docRowRules.map(_._1))
     }),
     // X24: the p37 UNIQUENESS rule as a streaming monitor — the rule
@@ -2039,6 +2071,7 @@ object SparkEntry {
       val arrSink = s"stream_uni_a_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val survSink = s"stream_uni_s_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val allSet = keys.map(col(_).isNotNull).reduce(_ && _)
+      withStreamParts(s, s"$dir/documents.parquet") {
       val qa = stream
         .agg(count(lit(1)).as("__n"),
           sum(when(allSet, 1L).otherwise(0L)).as("__nn"))
@@ -2049,6 +2082,7 @@ object SparkEntry {
         .writeStream.format("memory").queryName(survSink)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       qa.awaitTermination(); qs.awaitTermination()
+      }
       val arr = drainMemorySink(s, arrSink).head()
       ops.Expectations.uniqueReportRow(s, name,
         arr.getLong(0), arr.getLong(1), drainMemorySink(s, survSink).count())
@@ -2075,6 +2109,7 @@ object SparkEntry {
       ops.Logistic.saveWeights(s, wPath, ops.Logistic.train(feat, rounds = 3))
       val w = ops.Logistic.loadWeights(s, wPath, expectedN = 4)
       val sink = s"stream_lrq_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      withStreamParts(s, s"$dir/documents.parquet") {
       val q = ops.Logistic.scoreWith(
           ops.Logistic.features(docStream(s, dir), carry = Seq("source")),
           w, carry = Seq("source"))
@@ -2084,6 +2119,7 @@ object SparkEntry {
         .writeStream.format("memory").queryName(sink)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      }
       drainMemorySink(s, sink)
         .select(col("source"), col("n_docs"), col("n_keep"),
           (round(col("n_keep") / col("n_docs") * lit(1e6)).cast("long") / lit(1e6))
@@ -2101,6 +2137,7 @@ object SparkEntry {
       val scores = ops.Dsir.bucketScores(t(s, dir, "documents"),
         col("source").isin("src0", "src1", "src2"), buckets = 256)
       val sink = s"stream_dsir_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      withStreamParts(s, s"$dir/documents.parquet") {
       val q = ops.Dsir.scoreDocs(docStream(s, dir), scores,
           carry = Seq("source"))
         .groupBy(col("source"))
@@ -2110,6 +2147,7 @@ object SparkEntry {
         .writeStream.format("memory").queryName(sink)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      }
       drainMemorySink(s, sink)
         .select(col("source"), col("n_docs"), col("n_keep"), col("total_micro"))
     }),
@@ -2141,6 +2179,7 @@ object SparkEntry {
           |      pct: 60
           |""".stripMargin)
       val sink = s"stream_cur_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      withStreamParts(s, s"$dir/documents.parquet") {
       val q = ops.CurationPipeline.runStreaming(docStream(s, dir), cfg)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
@@ -2148,6 +2187,7 @@ object SparkEntry {
         .writeStream.format("memory").queryName(sink)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      }
       drainMemorySink(s, sink)
         .select(col("source"), col("n_docs"), col("total_chars"))
     }),
@@ -2362,12 +2402,14 @@ object SparkEntry {
         ops.Pq.fitPqCodebooks(emb.where(col("vec_id") < 250), m = 4, ksub = 8, iters = 2))
       val cbs = ops.Pq.loadPqCodebooks(s, cbPath, expectedM = 4)
       val sink = s"stream_pq_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      withStreamParts(s, s"$dir/embeddings.parquet") {
       val q = ops.Pq.encodePq(embStream(s, dir).where(col("vec_id") >= 250), cbs)
         .groupBy(col("sub"), col("code"))
         .agg(count(lit(1)).as("n_vectors"))
         .writeStream.format("memory").queryName(sink)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      }
       drainMemorySink(s, sink)
         .select(col("sub"), col("code"), col("n_vectors"))
     }),

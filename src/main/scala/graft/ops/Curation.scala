@@ -66,18 +66,20 @@ object Curation {
       id: String = "doc_id", text: String = "text"): DataFrame = {
     val originalShape = docs.columns.map(col).toIndexedSeq
 
-    // 1: quality gate (6-dp comparison, see scaladoc). Spread first:
-    // the gate's regex pipeline otherwise runs inside the single-split
-    // scan task (batch path only — the streaming funnel is
-    // CurationPipeline.runStreaming). Eagerly materialized: the gated
-    // frame feeds BOTH sides of the stage-2 dedup (digest groupBy +
-    // semi-join back), and without the checkpoint the per-row regex
-    // pipeline re-evaluates per branch — the same measured rationale
-    // as Dedup.minhashDupPairs' cache (and the same executor-loss
-    // recompute trade, documented there).
-    val gated = qualityGateStage(
-        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism),
-        minQuality, text, originalShape)
+    // 1: quality gate (6-dp comparison, see scaladoc). NOTE the gate is
+    // a FILTER, so a round-robin spread ahead of it cannot parallelize
+    // the regex: Catalyst pushes deterministic filters below a
+    // Repartition, leaving the regex in the scan task anyway (round-15
+    // measured the attempted spread as a pure exchange cost, +0.3-1.0 s
+    // — reverted). On a single-split toy file the gate is scan-bound by
+    // construction; at corpus scale the scan has real splits and the
+    // pushed-down filter close to the source is exactly right.
+    // Eagerly materialized: the gated frame feeds BOTH sides of the
+    // stage-2 dedup (digest groupBy + semi-join back), and without the
+    // checkpoint the per-row regex pipeline re-evaluates per branch —
+    // the same measured rationale as Dedup.minhashDupPairs' cache (and
+    // the same executor-loss recompute trade, documented there).
+    val gated = qualityGateStage(docs, minQuality, text, originalShape)
       .localCheckpoint(true)
 
     // 2: normalized dedup, min id per digest; materialized for the

@@ -231,14 +231,13 @@ object CurationPipeline {
     */
   def run(docs: DataFrame, cfg: Config): DataFrame = {
     val shape = docs.columns.map(col).toIndexedSeq
-    // spread the input once: config-driven funnels lead with per-row
-    // regex stages (quality gates, langid, redaction) that would
-    // otherwise run inside the single-split scan task; AQE coalesces
-    // the no-op exchange on inputs with real splits. Batch runner
-    // only — runStreaming stays map-only.
-    val spreadDocs = docs.repartition(
-      docs.sparkSession.sparkContext.defaultParallelism)
-    cfg.stages.foldLeft(spreadDocs) { (df0, stage) =>
+    // no up-front spread: the leading funnel stages are FILTERS
+    // (quality gates, langid), and Catalyst pushes deterministic
+    // filters below a round-robin Repartition — the regex stays in the
+    // scan task and the exchange is pure cost (round-15 measured
+    // +0.3-1.0 s; reverted). At corpus scale the scan has real splits
+    // and filter-at-the-scan is the right plan.
+    cfg.stages.foldLeft(docs) { (df0, stage) =>
       val df = stage match {
         // join-shaped stages read their input from both sides, and the
         // fit-then-score stages (dsir/perplexity/mixture) run a
